@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact deduplication operators.
+  *
+  * A1 (cc2dataset/main.py:256) is `dropDuplicates("uid")` — Spark plans it
+  * as a partial+final HashAggregate keyed on uid (map-side combine, one
+  * shuffle). That keeps an ARBITRARY row per key, which is fine for the
+  * pipeline but not hash-comparable across engines, so the oracle-facing
+  * variant is `firstPerKey` with an explicit deterministic tie-break
+  * (SURVEY.md §7.3).
+  *
+  * Scale note: dedup of N rows is one hash shuffle on the key. At 100 TB
+  * the win is the map-side partial aggregate — each task emits one row per
+  * distinct key it saw — plus AQE skew splitting for hot keys; no
+  * pre-repartition is needed or wanted.
+  */
+object Dedup {
+
+  /** A1 parity: arbitrary-row-per-key, single-shuffle hash dedup. */
+  def byKey(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.dropDuplicates(keys)
+
+  /** Full-row distinct (bag → set). */
+  def distinctRows(df: DataFrame): DataFrame = df.distinct()
+
+  /** Deterministic dedup: keep the first row per key ordered by
+    * `tieBreak`. One shuffle (window partitionBy = hash exchange) + one
+    * in-partition sort; no global sort.
+    */
+  def firstPerKey(df: DataFrame, keys: Seq[Column], tieBreak: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(tieBreak: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Dedup-count audit: rows before/after dedup per key-column set, as a
+    * single aggregate (no join, no second pass).
+    */
+  def dupStats(df: DataFrame, keys: Seq[Column]): DataFrame =
+    df.groupBy(keys: _*).agg(count(lit(1)).as("copies"))
+      .agg(
+        count(lit(1)).as("distinct_keys"),
+        sum(col("copies")).as("total_rows"),
+        sum(col("copies") - lit(1)).as("removable_dups"))
+}

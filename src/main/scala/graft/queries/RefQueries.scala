@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, LinkOps, Shuffle, UrlOps}
+import QueryUtil._
+
+/** Reference-parity operator battery: every dataflow operator of
+  * cc2dataset (SURVEY.md §2) expressed as an oracle-checkable query over
+  * the driver fixtures. Link-shaped inputs (url/alt/path) are derived
+  * deterministically from `documents` columns so the same derivation is
+  * expressible in the DuckDB oracle SQL.
+  */
+object RefQueries {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  // Deterministic synthetic link columns over `documents`:
+  //   media url ext cycles with doc_id % 5, doc url ext with doc_id % 4,
+  //   relative url shape with doc_id % 5.
+  private def withMediaUrl(df: DataFrame): DataFrame =
+    df.withColumn("url",
+      concat(lit("http://media.test/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 5 === 0, ".mp3")
+          .when(col("doc_id") % 5 === 1, ".wav")
+          .when(col("doc_id") % 5 === 2, ".mp4")
+          .when(col("doc_id") % 5 === 3, ".html")
+          .otherwise(".flac")))
+
+  private val mediaUrlSql =
+    """'http://media.test/' || doc_id ||
+      | CASE doc_id % 5 WHEN 0 THEN '.mp3' WHEN 1 THEN '.wav'
+      |   WHEN 2 THEN '.mp4' WHEN 3 THEN '.html' ELSE '.flac' END""".stripMargin
+
+  val queries: Map[String, QueryFn] = Map(
+    // X4 — uid = md5(alt + url) (main.py:174)
+    "q_uid_hash" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          LinkOps.uid(col("lang"), col("text")).as("uid"))
+        .orderBy("doc_id")
+    }),
+
+    // A1 — dropDuplicates on a key (main.py:256); single-column projection
+    // makes the arbitrary-survivor semantics deterministic.
+    "q_dedup_bykey" -> ((s, dir) => {
+      Dedup.byKey(table(s, dir, "documents").select("lang"), Seq("lang"))
+        .orderBy("lang")
+    }),
+
+    // A1 deterministic variant — first row per key by explicit tie-break.
+    "q_dedup_first" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Dedup.firstPerKey(d, Seq(col("lang")), Seq(col("doc_id")))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // A2 — count audit (main.py:264-266)
+    "q_count" -> ((s, dir) =>
+      table(s, dir, "lineitem").agg(count(lit(1)).as("n"))),
+
+    // U1 + A1 — union of parts then global dedup (main.py:321-329)
+    "q_union_dedup" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "lang")
+      val evens = d.where(col("doc_id") % 2 === 0)
+      Dedup.distinctRows(evens.union(d)).orderBy("doc_id")
+    }),
+
+    // F3/F4 — audio/video suffix predicates (main.py:23-27,70-72)
+    "q_filter_media" -> ((s, dir) => {
+      val linked = withMediaUrl(table(s, dir, "documents"))
+      linked
+        .where(LinkOps.validAudioLink(col("url")) ||
+               LinkOps.validVideoLink(col("url")))
+        .select(col("doc_id"), col("url"),
+          when(LinkOps.validAudioLink(col("url")), "audio")
+            .otherwise("video").as("kind"))
+        .orderBy("doc_id")
+    }),
+
+    // F5 — split-on-dot text-extension predicate (main.py:56-62);
+    // doc_id%4==3 yields `.pdf?x=1` which endswith would accept but
+    // split-semantics reject.
+    "q_filter_text_ext" -> ((s, dir) => {
+      val linked = table(s, dir, "documents").withColumn("url",
+        concat(lit("http://docs.test/f"), col("doc_id").cast("string"),
+          when(col("doc_id") % 4 === 0, ".pdf")
+            .when(col("doc_id") % 4 === 1, ".txt")
+            .when(col("doc_id") % 4 === 2, ".html")
+            .otherwise(".pdf?x=1")))
+      linked.where(LinkOps.validTextLink(col("url")))
+        .select("doc_id", "url")
+        .orderBy("doc_id")
+    }),
+
+    // X1-X3 + F6 — urljoin absolutization then scheme filter
+    // (main.py:104-114,167-172). Case 4 (ftp) survives resolution
+    // unchanged and is dropped by the scheme filter.
+    "q_absolutize" -> ((s, dir) => {
+      val base = lit("https://ex.test/a/b/")
+      val rel = table(s, dir, "documents").withColumn("rel",
+        when(col("doc_id") % 5 === 0,
+          concat(lit("img/"), col("doc_id").cast("string"), lit(".jpg")))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("/abs/"), col("doc_id").cast("string"), lit(".png")))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("http://other.test/"), col("doc_id").cast("string"), lit(".gif")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("//proto.test/"), col("doc_id").cast("string"), lit(".jpg")))
+        .otherwise(
+          concat(lit("ftp://bad.test/"), col("doc_id").cast("string"), lit(".bin"))))
+      rel.withColumn("abs_url", UrlOps.makeLinkAbsolute(base, col("rel")))
+        .where(LinkOps.hasHttpScheme(col("abs_url")))
+        .select("doc_id", "abs_url")
+        .orderBy("doc_id")
+    }),
+
+    // O2 + A2 — repartition to the output-file-count formula, then count
+    // (main.py:260). The repartition stays in the physical plan (user-
+    // specified shuffles are not elided).
+    "q_repartition_count" -> ((s, dir) => {
+      Shuffle.repartitionForOutput(events(s, dir), watCount = 4000)
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // O1 — seeded random global shuffle (main.py:258-259). No SQL oracle
+    // (row order is the semantics) → driver rows-only check.
+    "q_shuffle" -> ((s, dir) => {
+      Shuffle.randomShuffle(
+        events(s, dir).select("event_id", "user_id", "event_type"),
+        seed = 42L)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_uid_hash" ->
+      "SELECT doc_id, md5(lang || text) AS uid FROM documents ORDER BY doc_id",
+
+    "q_dedup_bykey" ->
+      "SELECT DISTINCT lang FROM documents ORDER BY lang",
+
+    "q_dedup_first" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_count" -> "SELECT count(*) AS n FROM lineitem",
+
+    "q_union_dedup" ->
+      """SELECT DISTINCT doc_id, lang FROM (
+        |  SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id, lang FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_filter_media" ->
+      s"""WITH linked AS (SELECT doc_id, $mediaUrlSql AS url FROM documents)
+         |SELECT doc_id, url,
+         |  CASE WHEN doc_id % 5 IN (0,1) OR doc_id % 5 = 4
+         |       THEN 'audio' ELSE 'video' END AS kind
+         |FROM linked WHERE doc_id % 5 <> 3 ORDER BY doc_id""".stripMargin,
+
+    "q_filter_text_ext" ->
+      """WITH linked AS (
+        |  SELECT doc_id, 'http://docs.test/f' || doc_id ||
+        |    CASE doc_id % 4 WHEN 0 THEN '.pdf' WHEN 1 THEN '.txt'
+        |      WHEN 2 THEN '.html' ELSE '.pdf?x=1' END AS url
+        |  FROM documents)
+        |SELECT doc_id, url FROM linked
+        |WHERE contains(url, '.')
+        |  AND regexp_extract(url, '[^.]*$') IN
+        |    ('pdf','epub','djvu','mobi','doc','docx','rtf','txt','odt',
+        |     'ppt','pptx','pages','keynote','wps','md')
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_absolutize" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN 'https://ex.test/a/b/img/' || doc_id || '.jpg'
+        |    WHEN 1 THEN 'https://ex.test/abs/' || doc_id || '.png'
+        |    WHEN 2 THEN 'http://other.test/' || doc_id || '.gif'
+        |    WHEN 3 THEN 'https://proto.test/' || doc_id || '.jpg'
+        |  END AS abs_url
+        |FROM documents WHERE doc_id % 5 <> 4 ORDER BY doc_id""".stripMargin,
+
+    "q_repartition_count" -> "SELECT count(*) AS n FROM events"
+    // q_shuffle: intentionally no oracle (random output order)
+  )
+}

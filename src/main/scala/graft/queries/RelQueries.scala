@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import QueryUtil._
+
+/** Relational capability battery — joins, grouped/rollup aggregation,
+  * window functions, sessionization. Absent from the reference
+  * (SURVEY.md §2.12); required by the north star for a complete engine.
+  *
+  * Scale notes per query are inline: broadcast hints where one side is a
+  * dimension table, exact-integer money math, and single-shuffle window
+  * shapes.
+  */
+object RelQueries {
+
+  import RefQueries.QueryFn
+
+  val queries: Map[String, QueryFn] = Map(
+    // TPC-H Q1 shape: single scan → partial+final hash agg (one shuffle on
+    // the 6-value grouping key), all money math in exact cents.
+    "q1_agg" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val epc = cents(col("l_extendedprice"))
+      val dc = cents(col("l_discount"))   // discount*100 as int (0..10)
+      val tc = cents(col("l_tax"))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(wholeUnits(col("l_quantity"))).as("sum_qty"),
+          (sum(epc) / 100.0).as("sum_base_price"),
+          (sum(epc * (lit(100) - dc)) / 10000.0).as("sum_disc_price"),
+          (sum(epc * (lit(100) - dc) * (lit(100) + tc)) / 1000000.0).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // TPC-H Q3 shape: dimension-filtered customer (small) broadcast into
+    // orders, then join lineitem; revenue ranked top-10 deterministically.
+    "q3_topk" -> ((s, dir) => {
+      val cust = table(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = table(s, dir, "orders")
+        .where(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("rev_u"))
+      li.join(broadcast(ord.join(broadcast(cust),
+            col("o_custkey") === col("c_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg((sum(col("rev_u")) / 10000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // Broadcast hash join: part is a dimension table → no shuffle of the
+    // fact side beyond the final agg.
+    "q_broadcast_join" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val p = table(s, dir, "part").select("p_partkey", "p_brand")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+             sum(wholeUnits(col("l_quantity"))).as("sum_qty"))
+        .orderBy("p_brand")
+    }),
+
+    // Left-anti join (NOT EXISTS): customers with no high-value order.
+    "q_anti_join" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+        .where(col("o_totalprice") > 450000.0).select("o_custkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // Left-semi join (EXISTS): customers with at least one open order.
+    "q_semi_join" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+        .where(col("o_orderstatus") === "O").select("o_custkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // Window top-k per group: one hash shuffle on the partition key, sort
+    // within partitions, early filter on rank.
+    "q_window_topk" -> ((s, dir) => {
+      val c = table(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      val o = table(s, dir, "orders")
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("c_mktsegment"), col("rk").cast("long").as("rk"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy("c_mktsegment", "rk")
+    }),
+
+    // Rollup aggregation (grouping-sets family).
+    "q_rollup" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+             sum(wholeUnits(col("l_quantity"))).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    // Tumbling-window aggregate over the event stream (batch form; the
+    // streaming form is graft.streaming with the same grouping).
+    "q_hourly_agg" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             (sum(cents(col("value"))) / 100.0).as("sum_value"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // Gap-based sessionization: lag + cumulative sum over one
+    // (user-partitioned) window — a single shuffle on user_id, integer
+    // microsecond math for exactness. 30-minute inactivity gap.
+    "q_sessionize" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val gapUs = 1800L * 1000000L
+      ev.withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+               col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+        .withColumn("session_idx",
+          sum(col("new_sess")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+             min(col("ts_us")).as("start_us"),
+             max(col("ts_us")).as("end_us"))
+        .orderBy("user_id", "session_idx")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+        |  sum(round(l_extendedprice*100)::BIGINT) / 100.0 AS sum_base_price,
+        |  sum(round(l_extendedprice*100)::BIGINT
+        |      * (100 - round(l_discount*100)::BIGINT)) / 10000.0 AS sum_disc_price,
+        |  sum(round(l_extendedprice*100)::BIGINT
+        |      * (100 - round(l_discount*100)::BIGINT)
+        |      * (100 + round(l_tax*100)::BIGINT)) / 1000000.0 AS sum_charge,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_topk" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  sum(round(l_extendedprice*100)::BIGINT
+        |      * (100 - round(l_discount*100)::BIGINT)) / 10000.0 AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_broadcast_join" ->
+      """SELECT p_brand, count(*) AS n_items, sum(l_quantity::BIGINT)::BIGINT AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_window_topk" ->
+      """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(l_quantity::BIGINT)::BIGINT AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_hourly_agg" ->
+      """SELECT date_trunc('hour', ts::TIMESTAMP)::TIMESTAMP AS hour, event_type, count(*) AS n,
+        |  sum(round(value*100)::BIGINT) / 100.0 AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+        |    lag(epoch_us(ts::TIMESTAMP)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts::TIMESTAMP), event_id) AS prev_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev),
+        |sess AS (
+        |  SELECT user_id, ts_us,
+        |    (sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM sess GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin
+  )
+}
