@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Pipeline tests restart SparkSessions (C3 parity) — suites must not share
+// a JVM concurrently.
+Test / parallelExecution := false

@@ -1,0 +1,153 @@
+package graft.pipeline
+
+import java.time.LocalDateTime
+import java.time.format.DateTimeFormatter
+import java.util.zip.GZIPInputStream
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.{Dedup, PartMerge, Shuffle}
+import graft.wat.WatExtract
+
+/** Pipeline configuration — the reference's `cc2dataset(...)` keyword
+  * surface (cc2dataset/main.py:336-349, README.md:54-68).
+  */
+final case class Cc2Config(
+    outputPath: String,
+    documentType: String = "image",
+    watIndexCount: Option[Int] = Some(1),
+    watCount: Option[Int] = Some(100),
+    multipart: Option[Int] = None,
+    shuffle: Boolean = true,
+    resume: Option[String] = None,
+    seed: Long = 42L,
+    sourceCcProtocol: String = "s3")
+
+/** Top-level orchestration (C1–C5, SURVEY.md §2.10): single-part and
+  * multipart jobs, `_SUCCESS`-based resume, manifest, job-id pathing, and
+  * a session-restart factory between parts (memory hygiene, the
+  * reference's HISTORY 1.3.0 fix).
+  */
+object Cc2Dataset {
+
+  /** Dedup → optional seeded shuffle → bounded-file-count repartition →
+    * parquet → recount (cc2dataset/main.py:254-266). One uid hash-shuffle,
+    * one optional range shuffle, one round-robin — the same three
+    * exchanges as the reference, but with AQE free to coalesce/skew-split
+    * them at scale.
+    */
+  def dedupRepartitionCount(df: DataFrame, outputPath: String, watCount: Int,
+      shuffle: Boolean, seed: Long): Long = {
+    val uniques = Dedup.byKey(df, Seq("uid"))
+    val shuffled = if (shuffle) Shuffle.randomShuffle(uniques, seed) else uniques
+    Shuffle.repartitionForOutput(shuffled, watCount)
+      .write.mode("overwrite").parquet(outputPath)
+    val spark = df.sparkSession
+    spark.read.parquet(outputPath).count()
+  }
+
+  /** C1: one part end-to-end (cc2dataset/main.py:269-287). */
+  def processOnePart(spark: SparkSession, watFiles: Seq[String],
+      outputPath: String, docType: String, shuffle: Boolean, seed: Long): Long = {
+    val links = WatExtract.fromPaths(spark, watFiles, docType)
+    dedupRepartitionCount(links.toDF(), outputPath, watFiles.size, shuffle, seed)
+  }
+
+  /** C2: resume-aware multipart loop + merge (cc2dataset/main.py:299-329).
+    * Parts are written unshuffled; the merged output gets the global
+    * dedup + shuffle.
+    */
+  def processMultiPart(sparkFactory: () => SparkSession, watFiles: Seq[String],
+      outputPath: String, docType: String, multipart: Int, shuffle: Boolean,
+      seed: Long, resume: Boolean): Long = {
+    val chunkSize = math.ceil(watFiles.size.toDouble / multipart).toInt
+    val chunks = watFiles.grouped(chunkSize).toSeq
+    val startAt =
+      if (resume) PartMerge.lastSuccessfulPart(sparkFactory(), outputPath) + 1
+      else 0
+    chunks.zipWithIndex.drop(startAt).foreach { case (chunk, i) =>
+      val spark = restartSession(sparkFactory) // C3
+      processOnePart(spark, chunk, s"$outputPath/part_$i", docType,
+        shuffle = false, seed)
+    }
+    val spark = restartSession(sparkFactory)
+    val all = PartMerge.unionParts(spark,
+      chunks.indices.map(i => s"$outputPath/part_$i"))
+    dedupRepartitionCount(all, s"$outputPath/merged", watFiles.size, shuffle, seed)
+  }
+
+  /** C3: stop any active session, rebuild via the injected factory
+    * (cc2dataset/main.py:367-371).
+    */
+  def restartSession(factory: () => SparkSession): SparkSession = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    factory()
+  }
+
+  /** C4: validate, suffix the job-id path, write the manifest (or read it
+    * back on resume), dispatch single/multi part
+    * (cc2dataset/main.py:336-387). Returns (jobOutputPath, outputRows).
+    */
+  def run(config: Cc2Config, watFiles: Seq[String],
+      sparkFactory: () => SparkSession): (String, Long) = {
+    require(config.resume.isEmpty || config.multipart.isDefined,
+      "resume requires multipart") // main.py:352-353
+    val jobPath = config.resume.getOrElse {
+      val jobId = LocalDateTime.now()
+        .format(DateTimeFormatter.ofPattern("yyyy-MM-dd-HH-mm-ss"))
+      s"${config.outputPath.stripSuffix("/")}/$jobId"
+    }
+    val spark = sparkFactory()
+    val wats = config.resume match {
+      case Some(_) => PartMerge.readManifest(spark, jobPath)
+      case None =>
+        PartMerge.writeManifest(spark, jobPath, watFiles)
+        watFiles
+    }
+    val n = config.multipart match {
+      case None | Some(1) =>
+        processOnePart(spark, wats, jobPath, config.documentType,
+          config.shuffle, config.seed)
+      case Some(m) =>
+        processMultiPart(sparkFactory, wats, jobPath, config.documentType, m,
+          config.shuffle, config.seed, resume = config.resume.isDefined)
+    }
+    (jobPath, n)
+  }
+
+  // --- index discovery (S3–S5, cc2dataset/main.py:209-251) ---
+
+  /** S4: one gzip'd text index file → WAT paths. */
+  def readWatIndexFile(spark: SparkSession, indexPath: String): Seq[String] = {
+    val p = new Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in =
+      if (indexPath.endsWith(".gz")) new GZIPInputStream(fs.open(p))
+      else fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** S5: parallel index fetch, keep the LAST `shardCount` indexes, then
+    * sample `watCount` paths WITH replacement (reference semantics:
+    * `random.choices`, main.py:247 — the same WAT may be drawn twice and
+    * dedup later collapses it) or shuffle all when `watCount` is None.
+    */
+  def readWatIndexFiles(spark: SparkSession, indexPaths: Seq[String],
+      shardCount: Option[Int], watCount: Option[Int], seed: Long): Seq[String] = {
+    val chosen = shardCount.map(n => indexPaths.takeRight(n)).getOrElse(indexPaths)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val all = Await.result(
+      Future.traverse(chosen.toList)(p => Future(readWatIndexFile(spark, p))),
+      Duration.Inf).flatten
+    val rnd = new scala.util.Random(seed)
+    watCount match {
+      case Some(n) => Seq.fill(n)(all(rnd.nextInt(all.size)))
+      case None => rnd.shuffle(all)
+    }
+  }
+}

@@ -1,0 +1,78 @@
+package graft.wat
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{DocLink, WatEnvelope}
+import graft.ops.{LinkOps, UrlOps}
+
+/** WAT → DocLink extraction, two layers:
+  *
+  * 1. `payloads` — the only imperative hop: one Spark task per WAT file
+  *    (the reference's parallelization unit, cc2dataset/main.py:273-274)
+  *    that fetches + frame-splits the archive and emits raw JSON strings.
+  * 2. `extract` — fully relational from there: `from_json` with the
+  *    envelope schema (Catalyst prunes the JSON parse to just the
+  *    navigated fields), `explode` over links, Column predicates,
+  *    urljoin UDF only on relative urls, builtin md5 uid. Everything
+  *    after the flatMap is optimizer-visible and codegen'd — unlike the
+  *    reference, whose Python mapPartitions is opaque end-to-end
+  *    (SURVEY.md §4.1).
+  *
+  * Semantic order matters and follows cc2dataset/main.py:166-177:
+  * type predicate on the RAW url → absolutize → scheme filter → uid.
+  */
+object WatExtract {
+
+  /** One partition per WAT path → iterator of metadata-record JSON. */
+  def payloads(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(paths)
+      .repartition(paths.size)
+      .flatMap(p => WatReader.metadataPayloads(p, new Configuration()))
+      .toDF("payload")
+  }
+
+  /** Relational extraction over a DataFrame with a `payload` JSON column. */
+  def extract(payloadDf: DataFrame, docType: String): Dataset[DocLink] = {
+    val spark = payloadDf.sparkSession
+    import spark.implicits._
+
+    val parsed = payloadDf
+      .select(from_json(col("payload"), WatEnvelope.schema).as("r"))
+      .select(
+        col("r.Container.Filename").as("cc_filename"),
+        col("r.Envelope.WARC-Header-Metadata.WARC-Target-URI").as("page_url"),
+        col("r.Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata.Head.Base")
+          .as("head_base"),
+        col("r.Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata.Links")
+          .as("links"))
+      // F7 presence guards (main.py:146-153) collapse to one null check:
+      // missing any ancestor ⇒ links is null. Malformed JSON ⇒ whole
+      // struct null (PERMISSIVE), same drop — the reference's per-record
+      // try/except (main.py:139-142).
+      .where(col("links").isNotNull)
+      .withColumn("base", UrlOps.effectiveBase(col("page_url"), col("head_base")))
+
+    val link = col("link")
+    val (pred, altExpr) = LinkOps.forDocumentType(docType, link)
+
+    parsed
+      .select(col("cc_filename"), col("page_url"), col("base"),
+        explode(col("links")).as("link"))
+      .where(link("url").isNotNull && pred)
+      .select(col("cc_filename"), col("page_url"),
+        altExpr.as("alt"),
+        UrlOps.makeLinkAbsolute(col("base"), link("url")).as("url"))
+      .where(LinkOps.hasHttpScheme(col("url")))
+      .select(
+        LinkOps.uid(col("alt"), col("url")).as("uid"),
+        col("url"), col("alt"), col("cc_filename"), col("page_url"))
+      .as[DocLink]
+  }
+
+  /** End-to-end: WAT paths → deduplicatable DocLink dataset. */
+  def fromPaths(spark: SparkSession, paths: Seq[String], docType: String): Dataset[DocLink] =
+    extract(payloads(spark, paths), docType)
+}

@@ -1,0 +1,145 @@
+package graft.wat
+
+import java.io.{BufferedInputStream, ByteArrayInputStream, EOFException, InputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPInputStream
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+/** One WARC record: parsed header map + raw payload bytes. */
+final case class WarcRecord(headers: Map[String, String], payload: Array[Byte]) {
+  def warcType: String = headers.getOrElse("warc-type", "")
+  def payloadString: String = new String(payload, StandardCharsets.UTF_8)
+}
+
+/** Minimal WARC/1.x frame reader for `.warc.wat.gz` archives.
+  *
+  * Mirrors what the reference gets from fastwarc with
+  * `record_types=metadata, parse_http=False` (cc2dataset/main.py:138):
+  * iterate records, keep type `metadata`, hand back the raw JSON payload.
+  * No builtin Spark source reads WARC framing (SURVEY.md §4.3), so this is
+  * the per-task imperative core that the Spark `flatMap` wraps — one task
+  * per WAT file, exactly the reference's parallelization unit
+  * (main.py:273-274).
+  *
+  * Framing per ISO 28500: `WARC/1.x CRLF`, header lines `Key: Value CRLF`,
+  * blank CRLF, `Content-Length` payload bytes, then CRLF CRLF separator.
+  * WAT gzip members are concatenated per record; `GZIPInputStream` handles
+  * multi-member streams natively.
+  */
+object WatReader {
+
+  /** Whole-file fetch with retry — parity with the reference's
+    * fetch-into-BytesIO ≤10 attempts with 1 s sleeps
+    * (cc2dataset/main.py:186-199). Whole-file reads also avoid ranged
+    * remote GETs, the reference's own S3 throughput fix (HISTORY.md:23).
+    * Returns empty on final failure (reference yields nothing).
+    */
+  def fetchAllBytes(path: String, conf: Configuration = new Configuration(),
+      attempts: Int = 10, sleepMs: Long = 1000L): Option[Array[Byte]] = {
+    var i = 0
+    while (i < attempts) {
+      try {
+        val p = new Path(path)
+        val fs = p.getFileSystem(conf)
+        val in = fs.open(p)
+        try {
+          val out = new java.io.ByteArrayOutputStream(1 << 20)
+          val buf = new Array[Byte](1 << 16)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          return Some(out.toByteArray)
+        } finally in.close()
+      } catch {
+        case _: Exception =>
+          i += 1
+          if (i < attempts) Thread.sleep(sleepMs)
+      }
+    }
+    None
+  }
+
+  /** Iterate all WARC records in a (possibly gzipped) byte stream. */
+  def records(raw: InputStream, gzipped: Boolean = true): Iterator[WarcRecord] = {
+    val in = new BufferedInputStream(
+      if (gzipped) new GZIPInputStream(raw, 1 << 16) else raw, 1 << 16)
+    new Iterator[WarcRecord] {
+      private var nextRec: WarcRecord = _
+      private var done = false
+
+      private def advance(): Unit = {
+        nextRec = null
+        while (nextRec == null && !done) {
+          readRecord(in) match {
+            case Some(r) => nextRec = r
+            case None    => done = true
+          }
+        }
+      }
+
+      advance()
+      override def hasNext: Boolean = nextRec != null
+      override def next(): WarcRecord = {
+        val r = nextRec; advance(); r
+      }
+    }
+  }
+
+  /** Metadata-record JSON payloads of one WAT file (fetch + parse).
+    * Per-record error tolerance lives in the JSON layer downstream
+    * (cc2dataset/main.py:139-142); frame-level garbage ends the file.
+    */
+  def metadataPayloads(path: String, conf: Configuration = new Configuration()): Iterator[String] =
+    fetchAllBytes(path, conf) match {
+      case None => Iterator.empty
+      case Some(bytes) =>
+        records(new ByteArrayInputStream(bytes))
+          .filter(_.warcType.equalsIgnoreCase("metadata"))
+          .map(_.payloadString)
+    }
+
+  // --- frame parsing ---
+
+  /** Read one CRLF (or LF) terminated line as ISO-8859-1; None on EOF. */
+  private def readLine(in: InputStream): Option[String] = {
+    val sb = new java.lang.StringBuilder(128)
+    var c = in.read()
+    if (c < 0) return None
+    while (c >= 0 && c != '\n') {
+      if (c != '\r') sb.append(c.toChar)
+      c = in.read()
+    }
+    Some(sb.toString)
+  }
+
+  private def readRecord(in: InputStream): Option[WarcRecord] = {
+    // seek the version line, skipping inter-record blank lines
+    var line = readLine(in)
+    while (line.exists(l => l.isEmpty)) line = readLine(in)
+    line match {
+      case Some(v) if v.startsWith("WARC/") =>
+        val headers = scala.collection.mutable.Map.empty[String, String]
+        var h = readLine(in)
+        while (h.exists(_.nonEmpty)) {
+          val s = h.get
+          val i = s.indexOf(':')
+          if (i > 0)
+            headers(s.substring(0, i).trim.toLowerCase) = s.substring(i + 1).trim
+          h = readLine(in)
+        }
+        val len = headers.get("content-length").flatMap(s =>
+          scala.util.Try(s.toLong).toOption).getOrElse(0L)
+        val payload = new Array[Byte](len.toInt)
+        var off = 0
+        while (off < payload.length) {
+          val n = in.read(payload, off, payload.length - off)
+          if (n < 0) throw new EOFException(s"truncated WARC payload at $off/$len")
+          off += n
+        }
+        Some(WarcRecord(headers.toMap, payload))
+      case Some(_) => None // frame desync: stop this file
+      case None => None
+    }
+  }
+}

@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import java.io.File
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.ops.PartMerge
+import graft.wat.WatFixture
+
+/** End-to-end pipeline: multipart split, per-part write, merge-dedup,
+  * manifest, `_SUCCESS`-based resume (C1–C4).
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  private val tmp = Files.createTempDirectory("pipeline").toFile
+  private val wat1 = WatFixture.write(new File(tmp, "w1.warc.wat.gz").getAbsolutePath)
+  private val wat2 = WatFixture.write(new File(tmp, "w2.warc.wat.gz").getAbsolutePath)
+  private val factory = () => graft.SparkTestBase.fresh()
+
+  test("multipart run: parts + merged + manifest + dedup across parts") {
+    val out = new File(tmp, "out").getAbsolutePath
+    val cfg = Cc2Config(outputPath = out, documentType = "image",
+      multipart = Some(2), shuffle = true)
+    val (jobPath, n) = Cc2Dataset.run(cfg, Seq(wat1, wat2), factory)
+
+    // the two identical WAT files fully collapse under global dedup
+    assert(n == 2) // image golden: 2 distinct uids
+    assert(new File(s"$jobPath/part_0/_SUCCESS").exists())
+    assert(new File(s"$jobPath/part_1/_SUCCESS").exists())
+    assert(new File(s"$jobPath/merged/_SUCCESS").exists())
+
+    val spark = factory()
+    assert(PartMerge.readManifest(spark, jobPath) == Seq(wat1, wat2))
+    assert(PartMerge.lastSuccessfulPart(spark, jobPath) == 1)
+
+    val merged = spark.read.parquet(s"$jobPath/merged")
+    assert(merged.columns.sorted.sameElements(
+      Array("alt", "cc_filename", "page_url", "uid", "url")))
+    assert(merged.count() == 2)
+    assert(merged.select("uid").distinct().count() == 2)
+
+    // resume: all parts already done → only the merge re-runs
+    val cfg2 = cfg.copy(resume = Some(jobPath))
+    val (jobPath2, n2) = Cc2Dataset.run(cfg2, Nil, factory)
+    assert(jobPath2 == jobPath)
+    assert(n2 == 2)
+  }
+
+  test("single-part run writes directly to the job path") {
+    val out = new File(tmp, "out_single").getAbsolutePath
+    val cfg = Cc2Config(outputPath = out, documentType = "audio",
+      multipart = None, shuffle = false)
+    val (jobPath, n) = Cc2Dataset.run(cfg, Seq(wat1), factory)
+    assert(n == 2) // audio golden post-dedup
+    assert(new File(s"$jobPath/_SUCCESS").exists())
+  }
+
+  test("resume without multipart is rejected (main.py:352-353)") {
+    intercept[IllegalArgumentException] {
+      Cc2Dataset.run(Cc2Config(outputPath = "/tmp/x", resume = Some("/tmp/x")),
+        Nil, factory)
+    }
+  }
+
+  test("index discovery: read, tail-slice, sample with replacement") {
+    // gzip'd index of 10 paths
+    val idx = new File(tmp, "wat.paths.gz")
+    val gz = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(idx))
+    gz.write((1 to 10).map(i => s"crawl/wat$i.warc.wat.gz").mkString("\n").getBytes)
+    gz.close()
+    val spark = factory()
+    val lines = Cc2Dataset.readWatIndexFile(spark, idx.getAbsolutePath)
+    assert(lines.size == 10 && lines.head == "crawl/wat1.warc.wat.gz")
+
+    val sampled = Cc2Dataset.readWatIndexFiles(spark,
+      Seq(idx.getAbsolutePath), shardCount = Some(1), watCount = Some(20),
+      seed = 7L)
+    assert(sampled.size == 20) // with replacement: more draws than paths
+    assert(sampled.toSet.subsetOf(lines.toSet))
+
+    val shuffled = Cc2Dataset.readWatIndexFiles(spark,
+      Seq(idx.getAbsolutePath), shardCount = None, watCount = None, seed = 7L)
+    assert(shuffled.sorted == lines.sorted)
+  }
+}

@@ -1,0 +1,44 @@
+package graft.wat
+
+import java.io.File
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Relational (from_json + explode + Column) extraction must agree with
+  * the imperative ProcessWat on the fixture — same rows, same uids.
+  */
+class WatExtractSpec extends AnyFunSuite with SparkTestBase {
+
+  private val tmp = Files.createTempDirectory("watextract").toFile
+  private val fixturePath =
+    WatFixture.write(new File(tmp, "fixture.warc.wat.gz").getAbsolutePath)
+
+  for ((dt, (pre, _, sampleUid)) <- WatFixture.golden) {
+    test(s"relational golden + imperative parity for $dt") {
+      val rel = WatExtract.fromPaths(spark, Seq(fixturePath), dt)
+        .collect().toList
+      val imp = ProcessWat(fixturePath, dt).toList
+      assert(rel.size == pre)
+      assert(rel.exists(_.uid == sampleUid))
+      assert(rel.map(r => (r.uid, r.url, r.alt, r.cc_filename, r.page_url)).sorted
+        == imp.map(r => (r.uid, r.url, r.alt, r.cc_filename, r.page_url)).sorted)
+    }
+  }
+
+  test("malformed records and missing-ancestor records are dropped, not fatal") {
+    // fixture contains 1 malformed + 3 missing-ancestor metadata records;
+    // extraction still succeeds and only link-bearing records contribute
+    val n = WatExtract.fromPaths(spark, Seq(fixturePath), "image_only").count()
+    assert(n == 4)
+  }
+
+  test("two input files double the rows (one partition per file)") {
+    val f2 = WatFixture.write(new File(tmp, "fixture2.warc.wat.gz").getAbsolutePath)
+    val ds = WatExtract.payloads(spark, Seq(fixturePath, f2))
+    assert(ds.rdd.getNumPartitions == 2)
+    assert(WatExtract.fromPaths(spark, Seq(fixturePath, f2), "audio").count() == 4)
+  }
+}

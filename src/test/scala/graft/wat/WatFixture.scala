@@ -1,0 +1,129 @@
+package graft.wat
+
+import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.GZIPOutputStream
+
+/** Synthetic `.warc.wat.gz` fixture mirroring the envelope shape the
+  * reference navigates (FIXTURES.md §B) — zero-egress replacement for the
+  * reference's pinned live CC URL. One gzip member per record, like real
+  * CC archives (exercises multi-member decompression).
+  */
+object WatFixture {
+
+  def warcRecord(warcType: String, payload: String,
+      targetUri: Option[String] = None): Array[Byte] = {
+    val body = payload.getBytes(UTF_8)
+    val sb = new StringBuilder
+    sb.append("WARC/1.0\r\n")
+    sb.append(s"WARC-Type: $warcType\r\n")
+    targetUri.foreach(u => sb.append(s"WARC-Target-URI: $u\r\n"))
+    sb.append("Content-Type: application/json\r\n")
+    sb.append(s"Content-Length: ${body.length}\r\n")
+    sb.append("\r\n")
+    val head = sb.toString.getBytes(UTF_8)
+    val out = new ByteArrayOutputStream()
+    out.write(head); out.write(body); out.write("\r\n\r\n".getBytes(UTF_8))
+    out.toByteArray
+  }
+
+  private def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(bos)
+    gz.write(bytes); gz.close()
+    bos.toByteArray
+  }
+
+  private def envelope(pageUrl: String, headBase: Option[String],
+      links: Seq[(String, String, String, String)]): String = {
+    // link tuple: (path, url, alt, text); empty strings omitted
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val linkJson = links.map { case (path, url, alt, text) =>
+      val fields = Seq(
+        Some(s""""path": "${esc(path)}""""),
+        Some(s""""url": "${esc(url)}""""),
+        if (alt.nonEmpty) Some(s""""alt": "${esc(alt)}"""") else None,
+        if (text.nonEmpty) Some(s""""text": "${esc(text)}"""") else None
+      ).flatten
+      fields.mkString("{", ", ", "}")
+    }.mkString("[", ", ", "]")
+    val baseJson = headBase.map(b => s""""Head": {"Base": "${esc(b)}"}, """).getOrElse("")
+    s"""{
+       |  "Container": {"Filename": "crawl-data/CC-TEST/seg/wat/fixture-00000.warc.wat.gz"},
+       |  "Envelope": {
+       |    "WARC-Header-Metadata": {"WARC-Target-URI": "${esc(pageUrl)}"},
+       |    "Payload-Metadata": {
+       |      "HTTP-Response-Metadata": {
+       |        "HTML-Metadata": {
+       |          $baseJson"Links": $linkJson
+       |        }
+       |      }
+       |    }
+       |  }
+       |}""".stripMargin
+  }
+
+  /** The canonical fixture records (FIXTURES.md §B). */
+  def records: Seq[Array[Byte]] = Seq(
+    // warcinfo record — must be filtered out by type
+    warcRecord("warcinfo", """{"software": "graft-fixture"}"""),
+    // r1: full record with Head.Base and every link kind
+    warcRecord("metadata", envelope("https://example.com/page/1",
+      Some("https://example.com/base/"), Seq(
+        ("IMG@/src", "img/cat.jpg", "a cat", ""),
+        ("IMG@/src", "https://cdn.example.com/dog.png", "", ""),
+        ("A@/href", "song.mp3", "", "a song"),
+        ("A@/href", "paper.pdf", "", "a paper"),
+        ("A@/href", "clip.mp4", "", "a clip"),
+        ("A@/href", "//proto-relative.com/x.wav", "", "pr"),
+        ("A@/href", "ftp://bad.example/file.mp3", "", "dropped by scheme filter"))),
+      Some("https://example.com/page/1")),
+    // r2-r4: missing-ancestor skip paths (main.py:146-153)
+    warcRecord("metadata",
+      """{"Container": {"Filename": "f"}, "Envelope": {"Payload-Metadata": {}}}"""),
+    warcRecord("metadata",
+      """{"Envelope": {"Payload-Metadata": {"HTTP-Response-Metadata": {}}}}"""),
+    warcRecord("metadata",
+      """{"Envelope": {"Payload-Metadata": {"HTTP-Response-Metadata": {"HTML-Metadata": {}}}}}"""),
+    // r5: malformed JSON — per-record tolerance (main.py:139-142)
+    warcRecord("metadata", """{"Envelope": {"broken..."""),
+    // r6: no Head.Base → base = WARC-Target-URI (main.py:159)
+    warcRecord("metadata", envelope("https://nobase.example.com/dir/page.html",
+      None, Seq(("IMG@/src", "pic.png", "pic", ""))),
+      Some("https://nobase.example.com/dir/page.html")),
+    // r7: duplicate (alt, url) of r1's cat (already absolute) → dedup food
+    warcRecord("metadata", envelope("https://example.com/page/7",
+      None, Seq(("IMG@/src", "https://example.com/base/img/cat.jpg", "a cat", ""))),
+      Some("https://example.com/page/7")),
+    // r8: text link with query string — split-on-dot rejects (main.py:56-62)
+    warcRecord("metadata", envelope("https://example.com/page/8",
+      None, Seq(("A@/href", "a.pdf?x=1", "", "qs doc"))),
+      Some("https://example.com/page/8"))
+  )
+
+  /** Write the fixture as a multi-member gzip WARC; returns the path. */
+  def write(path: String): String = {
+    val out = new FileOutputStream(path)
+    try records.foreach(r => out.write(gzipMember(r)))
+    finally out.close()
+    path
+  }
+
+  // golden expectations (uids independently computed with Python hashlib)
+  val CatUid = "6bb4b7d5a170364d6fe9aecdc44b6844"
+  val DogUid = "c5509f4c09d168b342ee3392a9daabd0"
+  val SongUid = "39b2c81b2a0c4b4f139217dc6c442695"
+  val PaperUid = "2bf2dcaa13bb458c5eb0619b32dcf32e"
+  val ClipUid = "de1a2056870ba9a92cc8f087143fed8e"
+  val WavUid = "e882ee088cf3f3d4ff7a0ff587a1fba7"
+  val PicUid = "8f2e461badb9dfa509698d1554fbe92b"
+
+  /** (rows pre-dedup, rows post-dedup, sample uid) per document type. */
+  val golden: Map[String, (Int, Int, String)] = Map(
+    "image" -> ((3, 2, CatUid)),      // cat, pic, dup-cat
+    "image_only" -> ((4, 3, DogUid)), // + dog
+    "audio" -> ((2, 2, SongUid)),     // song, proto-relative wav; ftp dropped
+    "text" -> ((1, 1, PaperUid)),     // paper; a.pdf?x=1 rejected
+    "video" -> ((1, 1, ClipUid))      // clip
+  )
+}
