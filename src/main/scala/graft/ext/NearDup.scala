@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Near-duplicate detection: MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design (the 100 TB story):
+  *  - MinHash signatures are computed per row with array HOFs — no explode,
+  *    no shuffle; one pass over the tokens per hash-family member, all
+  *    inside codegen.
+  *  - LSH banding turns near-dup search into an equi-groupBy on band keys —
+  *    one hash shuffle, linear in corpus size; no pairwise join ever
+  *    touches the full corpus.
+  *  - Pair verification (Jaccard) runs only on blocked candidates.
+  *  - SimHash uses one explode + one grouped aggregation (single shuffle),
+  *    with the per-word hash computed once and reused by all bit planes.
+  */
+object NearDup {
+
+  // --- MinHash / LSH ---
+
+  /** K-member minhash signature columns over a token-set column. */
+  def minhashSignature(words: Column, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map { i =>
+      array_min(transform(words, w => Hashing.h32Seeded(i, w))).as(s"mh$i")
+    }
+
+  /** doc → (band_id, band_key) rows; docs sharing a band key are LSH
+    * candidates. numHashes = bands * rowsPerBand.
+    */
+  def lshBands(df: DataFrame, idCol: Column, words: Column,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val sig = df.select(idCol.as("doc_id") +:
+      minhashSignature(words, bands * rowsPerBand): _*)
+    val bandStructs = (0 until bands).map { b =>
+      val key = concat_ws("_",
+        (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+      struct(lit(b.toLong).as("band_id"), key.as("band_key"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+  }
+
+  /** LSH buckets with more than one member — the candidate groups. */
+  def lshBuckets(bandsDf: DataFrame): DataFrame =
+    bandsDf.groupBy("band_id", "band_key")
+      .agg(count(lit(1)).as("bucket_size"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .where(col("bucket_size") > 1)
+
+  // --- SimHash ---
+
+  /** Per-document SimHash over the distinct-token set (unit weights).
+    * One explode + one grouped agg; the h32 per word is computed once and
+    * shared by all `bits` planes.
+    */
+  def simhash(df: DataFrame, idCols: Seq[String], text: Column,
+      bits: Int = 16): DataFrame = {
+    val exploded = df
+      .select(idCols.map(col) :+
+        explode(array_distinct(split(text, " "))).as("w"): _*)
+      .withColumn("h", Hashing.h32(col("w")))
+    val planeSums = (0 until bits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"s$b")
+    }
+    val agged = exploded.groupBy(idCols.map(col): _*)
+      .agg(planeSums.head, planeSums.tail: _*)
+    val sig = (0 until bits)
+      .map(b => when(col(s"s$b") >= 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    agged.select(idCols.map(col) :+ sig.as("simhash"): _*)
+  }
+
+  // --- n-gram Jaccard ---
+
+  /** Distinct bigram shingles of a token array. */
+  def bigramShingles(words: Column): Column = {
+    val n = size(words)
+    array_distinct(
+      zip_with(
+        slice(words, lit(1), n - 1),
+        slice(words, lit(2), n - 1),
+        (x, y) => concat(x, lit(" "), y)))
+  }
+
+  /** Exact Jaccard columns over two set-valued columns (distinct
+    * elements): returns (intersection size, union size) as longs.
+    */
+  def setOverlap(a: Column, b: Column): (Column, Column) = {
+    val inter = size(array_intersect(a, b)).cast("long")
+    val union = (size(a) + size(b)).cast("long") - inter
+    (inter, union)
+  }
+}

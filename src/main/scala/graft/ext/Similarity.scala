@@ -1,0 +1,111 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search.
+  *
+  * All arithmetic is exact: embeddings are quantized to integer
+  * milli-units (`round(x*1000)` — int8/int16-quantization analog), so dot
+  * products and norms are bigint sums and the final cosine is a double
+  * derived from exact ints — bit-identical across engines AND across
+  * partitionings (float summation order never matters).
+  *
+  * Scale design:
+  *  - Brute force = crossJoin with a BROADCAST query set: each executor
+  *    scans its slice of the corpus once per query batch; per-vector
+  *    norms are precomputed (never recomputed per pair).
+  *  - IVF = assign every vector to its nearest centroid (broadcast
+  *    centroids), then probe only the query's cell: the pair space drops
+  *    from N×Q to (N/C)×Q. Cells are just a partition key — at 100 TB the
+  *    assignment is a bucketed write and probes prune to one bucket.
+  */
+object Similarity {
+
+  /** Quantize a float-array embedding to exact integer milli-units. */
+  def quantize(emb: Column, scale: Int = 1000): Column =
+    transform(emb, x => round(x.cast("double") * scale).cast("long"))
+
+  /** Exact squared L2 norm of a quantized vector. */
+  def norm2(q: Column): Column =
+    aggregate(transform(q, x => x * x), lit(0L), (acc, x) => acc + x)
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine from exact parts. n2a*n2b ≤ ~4e15 at 64 dims — inside both
+    * long and double-exact range.
+    */
+  def cosine(dot: Column, n2a: Column, n2b: Column): Column =
+    dot.cast("double") / sqrt((n2a * n2b).cast("double"))
+
+  /** Vectors + precomputed quantized form and norm. */
+  def prepared(emb: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val q = quantize(col(embCol))
+    emb.select(col(idCol), q.as("qv")).withColumn("n2", norm2(col("qv")))
+  }
+
+  /** Brute-force top-k cosine neighbors for a (small, broadcast) query
+    * set against the full corpus.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val cand = corpus.select(col("vec_id").as("n_id"), col("qv").as("nv"),
+      col("n2").as("nn2"))
+    val qs = queries.select(col("vec_id").as("q_id"), col("qv").as("quv"),
+      col("n2").as("qn2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    cand.crossJoin(broadcast(qs))
+      .where(col("n_id") =!= col("q_id"))
+      .withColumn("cos",
+        cosine(dotq(col("quv"), col("nv")), col("qn2"), col("nn2")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select("q_id", "rk", "n_id", "cos")
+  }
+
+  /** IVF cell assignment: nearest centroid by cosine (centroids
+    * broadcast); ties broken by centroid id.
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroids.select(col("vec_id").as("c_id"), col("qv").as("cv"),
+      col("n2").as("cn2"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("c_id"))
+    corpus.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        cosine(dotq(col("qv"), col("cv")), col("n2"), col("cn2")))
+      .withColumn("crk", row_number().over(w))
+      .where(col("crk") === 1)
+      .select(col("vec_id"), col("qv"), col("n2"), col("c_id").as("cell"))
+  }
+
+  /** IVF probe: top-k within the query's own cell (1-probe). */
+  def ivfTopK(assigned: DataFrame, queryIds: Column, k: Int): DataFrame = {
+    val qs = assigned.where(queryIds)
+      .select(col("vec_id").as("q_id"), col("qv").as("quv"),
+        col("n2").as("qn2"), col("cell").as("q_cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    assigned
+      .select(col("vec_id").as("n_id"), col("qv").as("nv"),
+        col("n2").as("nn2"), col("cell"))
+      .join(broadcast(qs), col("cell") === col("q_cell"))
+      .where(col("n_id") =!= col("q_id"))
+      .withColumn("cos",
+        cosine(dotq(col("quv"), col("nv")), col("qn2"), col("nn2")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select("q_id", "rk", "n_id", "cos")
+  }
+
+  /** Sign-bit signature over the first `bits` dimensions — an exact-dup
+    * key for quantized embeddings and a coarse LSH bucket for near-dups.
+    */
+  def signSignature(emb: Column, bits: Int = 16): Column =
+    (0 until bits)
+      .map(b => when(element_at(emb, b + 1) >= 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+}

@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token statistics,
+  * quality scoring, marker-based language scoring, and document
+  * fingerprints. All pure Column expressions (no UDFs) — they run inside
+  * whole-stage codegen and scale embarrassingly (per-row, no shuffle).
+  *
+  * Number discipline: counts are computed as longs first; any ratio is a
+  * double derived from those longs, so the DuckDB oracle produces
+  * bit-identical values.
+  */
+object TextAnalysis {
+
+  /** Small function-word list for stopword ratios. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  def distinctTokens(text: Column): Column = array_distinct(tokens(text))
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def distinctTokenCount(text: Column): Column =
+    size(distinctTokens(text)).cast("long")
+
+  /** Count of [a-z] characters — a proxy for alphabetic density. */
+  def alphaChars(text: Column): Column =
+    length(regexp_replace(text, "[^a-z]", "")).cast("long")
+
+  def stopwordHits(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(Stopwords: _*))).cast("long")
+
+  /** Word-boundary marker hits, the scoring core of n-gram language ID. */
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    regexp_count(text, lit("\\b(" + markers.mkString("|") + ")\\b")).cast("long")
+
+  /** Composite quality score in [0,1]: lexical diversity, alphabetic
+    * density, stopword presence, and a length prior. Doubles derived only
+    * from exact longs.
+    */
+  def qualityScore(nTokens: Column, nDistinct: Column, stopHits: Column,
+      alpha: Column, nChars: Column): Column =
+    (nDistinct.cast("double") / nTokens) * 0.35 +
+      (alpha.cast("double") / nChars) * 0.35 +
+      (stopHits.cast("double") / nTokens) * 0.1 +
+      (least(nTokens, lit(100L)).cast("double") / 100.0) * 0.2
+
+  /** Order-insensitive bag fingerprint: md5 of the sorted distinct token
+    * set. Two documents with the same vocabulary collide — a cheap
+    * canonical-form dedup key.
+    */
+  def bagFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(distinctTokens(text))))
+
+  /** MinHash-style single fingerprint: lexicographically minimal md5 over
+    * tokens (one-permutation minhash).
+    */
+  def minWordFingerprint(text: Column): Column =
+    array_min(transform(tokens(text), w => md5(w)))
+}

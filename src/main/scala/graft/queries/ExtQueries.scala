@@ -1,15 +1,355 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-/** LLM-data-pipeline extension battery (dedup variants, similarity search,
-  * text analysis, multimodal) — filled in as graft.ext lands.
+import graft.ext.{Multimodal, NearDup, Similarity, TextAnalysis => TA}
+import graft.functions.Hashing
+import QueryUtil._
+
+/** LLM-data-pipeline extension battery: text analysis, fingerprints,
+  * MinHash+LSH / SimHash / n-gram-Jaccard near-dup, embedding similarity
+  * (brute-force + IVF), sign-signature embedding dedup, multimodal
+  * metadata. Every query has an exactly-matching DuckDB oracle (shared
+  * h32 hash, exact integer quantization — see graft.functions.Hashing and
+  * graft.ext.Similarity).
   */
 object ExtQueries {
 
   import RefQueries.QueryFn
 
-  val queries: Map[String, QueryFn] = Map()
+  private val stopSql = TA.Stopwords.map(s => s"'$s'").mkString(", ")
 
-  val oracle: Map[String, String] = Map()
+  private def docsWithTokens(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+
+  val queries: Map[String, QueryFn] = Map(
+    // --- text analysis ---
+    "q_text_stats" -> ((s, dir) => {
+      docsWithTokens(s, dir).select(
+        col("doc_id"),
+        TA.tokenCount(col("text")).as("n_tokens"),
+        TA.distinctTokenCount(col("text")).as("n_distinct"),
+        TA.alphaChars(col("text")).as("alpha_chars"),
+        TA.stopwordHits(col("text")).as("stop_hits"))
+        .orderBy("doc_id")
+    }),
+
+    "q_quality" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir).select(
+        col("doc_id"), col("n_chars"),
+        TA.tokenCount(col("text")).as("nt"),
+        TA.distinctTokenCount(col("text")).as("nd"),
+        TA.alphaChars(col("text")).as("ac"),
+        TA.stopwordHits(col("text")).as("sh"))
+      d.select(col("doc_id"),
+        TA.qualityScore(col("nt"), col("nd"), col("sh"), col("ac"),
+          col("n_chars")).as("score"))
+        .withColumn("label",
+          when(col("score") >= 0.8, "good")
+            .when(col("score") >= 0.65, "ok").otherwise("low"))
+        .orderBy("doc_id")
+    }),
+
+    "q_langid" -> ((s, dir) => {
+      val en = Seq("the", "a", "of")
+      val code = Seq("spark", "query", "join", "table")
+      val data = Seq("data", "row", "column", "batch")
+      docsWithTokens(s, dir).select(
+        col("doc_id"),
+        TA.markerHits(col("text"), en).as("s_en"),
+        TA.markerHits(col("text"), code).as("s_code"),
+        TA.markerHits(col("text"), data).as("s_data"))
+        .withColumn("pred",
+          when(col("s_en") >= col("s_code") && col("s_en") >= col("s_data"), "en")
+            .when(col("s_code") >= col("s_data"), "code")
+            .otherwise("data"))
+        .orderBy("doc_id")
+    }),
+
+    "q_fingerprint" -> ((s, dir) => {
+      docsWithTokens(s, dir).select(
+        col("doc_id"),
+        TA.bagFingerprint(col("text")).as("bag_fp"),
+        TA.minWordFingerprint(col("text")).as("min_fp"))
+        .orderBy("doc_id")
+    }),
+
+    "q_token_topk" -> ((s, dir) => {
+      docsWithTokens(s, dir)
+        .select(explode(TA.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    }),
+
+    // --- near-dup ---
+    "q_minhash_lsh" -> ((s, dir) => {
+      val words = array_distinct(split(col("text"), " "))
+      val bands = NearDup.lshBands(docsWithTokens(s, dir), col("doc_id"),
+        words, bands = 4, rowsPerBand = 2)
+      NearDup.lshBuckets(bands)
+        .orderBy("band_id", "band_key")
+    }),
+
+    "q_simhash" -> ((s, dir) => {
+      NearDup.simhash(docsWithTokens(s, dir), Seq("doc_id"), col("text"),
+        bits = 16)
+        .orderBy("doc_id")
+    }),
+
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir).select(
+        col("doc_id"), col("lang"),
+        floor(col("n_chars") / 50).cast("long").as("bucket"),
+        NearDup.bigramShingles(TA.tokens(col("text"))).as("sh"))
+      val a = d.select(col("doc_id").as("d1"), col("lang"), col("bucket"),
+        col("sh").as("sh1"))
+      val b = d.select(col("doc_id").as("d2"), col("lang"), col("bucket"),
+        col("sh").as("sh2"))
+      val (inter, union) = NearDup.setOverlap(col("sh1"), col("sh2"))
+      a.join(b, Seq("lang", "bucket"))
+        .where(col("d1") < col("d2"))
+        .select(col("d1"), col("d2"), inter.as("inter_size"),
+          union.as("union_size"))
+        .withColumn("jac", col("inter_size").cast("double") / col("union_size"))
+        .where(col("jac") >= 0.6)
+        .orderBy("d1", "d2")
+    }),
+
+    "q_embed_sig" -> ((s, dir) => {
+      table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          Similarity.signSignature(col("embedding"), bits = 12).as("sig"))
+        .groupBy("sig")
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
+        .where(col("n_vecs") > 1)
+        .orderBy("sig")
+    }),
+
+    // --- similarity search ---
+    "q_cosine_topk" -> ((s, dir) => {
+      val p = Similarity.prepared(table(s, dir, "embeddings"), "vec_id",
+        "embedding")
+      Similarity.bruteForceTopK(p, p.where(col("vec_id") < 5), k = 3)
+        .orderBy("q_id", "rk")
+    }),
+
+    "q_ann_ivf" -> ((s, dir) => {
+      val p = Similarity.prepared(table(s, dir, "embeddings"), "vec_id",
+        "embedding")
+      val assigned = Similarity.ivfAssign(p, p.where(col("vec_id") < 8))
+      Similarity.ivfTopK(assigned, col("vec_id").between(8, 12), k = 2)
+        .orderBy("q_id", "rk")
+    }),
+
+    // --- multimodal ---
+    "q_multimodal_meta" -> ((s, dir) => {
+      val bl = octet_length(encode(col("text"), "UTF-8")).cast("long")
+      docsWithTokens(s, dir).select(
+        col("doc_id"),
+        bl.as("byte_len"),
+        (lit(64L) + bl % 577).as("width"),
+        (lit(64L) + (bl * 7) % 417).as("height"),
+        ascii(substring(col("text"), 1, 1)).cast("long").as("luma"))
+        .orderBy("doc_id")
+    })
+  )
+
+  // --- oracles ---
+
+  private val tokensSql = "string_split(text, ' ')"
+  private val dtokensSql = s"list_distinct($tokensSql)"
+
+  private def simhashOracle: String = {
+    val planes = (0 until 16)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n    ")
+    val sig = (0 until 16)
+      .map(b => s"CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest($dtokensSql) AS w FROM documents),
+       |h AS (SELECT doc_id, ${Hashing.h32Sql("w")} AS h FROM w),
+       |s AS (SELECT doc_id,
+       |    $planes
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id, ($sig)::BIGINT AS simhash FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  private def minhashOracle: String = {
+    val sigs = (0 until 8).map { i =>
+      s"list_aggregate(list_transform($dtokensSql, w -> ${Hashing.h32SeededSql(i, "w")}), 'min') AS mh$i"
+    }.mkString(",\n    ")
+    val bandSel = (0 until 4).map { b =>
+      s"SELECT doc_id, ${b}::BIGINT AS band_id, mh${2 * b} || '_' || mh${2 * b + 1} AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sig AS (
+       |  SELECT doc_id,
+       |    $sigs
+       |  FROM documents),
+       |bands AS (
+       |  $bandSel)
+       |SELECT band_id, band_key, count(*)::BIGINT AS bucket_size,
+       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM bands GROUP BY band_id, band_key
+       |HAVING count(*) > 1
+       |ORDER BY band_id, band_key""".stripMargin
+  }
+
+  private def embedSigOracle: String = {
+    val sig = (0 until 12)
+      .map(b => s"CASE WHEN embedding[${b + 1}] >= 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH s AS (SELECT vec_id, ($sig)::BIGINT AS sig FROM embeddings)
+       |SELECT sig, count(*)::BIGINT AS n_vecs,
+       |  min(vec_id) AS min_vec, max(vec_id) AS max_vec
+       |FROM s GROUP BY sig HAVING count(*) > 1 ORDER BY sig""".stripMargin
+  }
+
+  private val prepSql =
+    """prep AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+      |  FROM embeddings),
+      |p2 AS (
+      |  SELECT vec_id, qv,
+      |    list_sum(list_transform(qv, x -> x * x))::BIGINT AS n2
+      |  FROM prep)""".stripMargin
+
+  private val dotSql =
+    "list_sum(list_transform(list_zip(%s, %s), p -> p[1] * p[2]))::BIGINT"
+
+  private def cosineTopkOracle: String = {
+    val dot = dotSql.format("q.qv", "c.qv")
+    s"""WITH $prepSql,
+       |pairs AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    ($dot)::DOUBLE / sqrt((q.n2 * c.n2)::DOUBLE) AS cos
+       |  FROM p2 q, p2 c
+       |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+       |  FROM pairs)
+       |SELECT q_id, rk::BIGINT AS rk, n_id, cos FROM ranked
+       |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+  }
+
+  private def annIvfOracle: String = {
+    val adot = dotSql.format("v.qv", "c.qv")
+    val pdot = dotSql.format("q.quv", "a.qv")
+    s"""WITH $prepSql,
+       |cents AS (SELECT vec_id AS c_id, qv, n2 FROM p2 WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id, qv, n2, c_id AS cell FROM (
+       |    SELECT v.vec_id, v.qv, v.n2, c.c_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ($adot)::DOUBLE / sqrt((v.n2 * c.n2)::DOUBLE) DESC,
+       |                 c.c_id) AS crk
+       |    FROM p2 v, cents c)
+       |  WHERE crk = 1),
+       |qs AS (
+       |  SELECT vec_id AS q_id, qv AS quv, n2 AS qn2, cell AS q_cell
+       |  FROM assign WHERE vec_id BETWEEN 8 AND 12),
+       |pairs AS (
+       |  SELECT q.q_id, a.vec_id AS n_id,
+       |    ($pdot)::DOUBLE / sqrt((q.qn2 * a.n2)::DOUBLE) AS cos
+       |  FROM assign a JOIN qs q ON a.cell = q.q_cell
+       |  WHERE a.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+       |  FROM pairs)
+       |SELECT q_id, rk::BIGINT AS rk, n_id, cos FROM ranked
+       |WHERE rk <= 2 ORDER BY q_id, rk""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+         |  len($tokensSql)::BIGINT AS n_tokens,
+         |  len($dtokensSql)::BIGINT AS n_distinct,
+         |  length(regexp_replace(text, '[^a-z]', '', 'g'))::BIGINT AS alpha_chars,
+         |  len(list_filter($tokensSql, t -> t IN ($stopSql)))::BIGINT AS stop_hits
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, n_chars,
+         |    len($tokensSql)::BIGINT AS nt,
+         |    len($dtokensSql)::BIGINT AS nd,
+         |    length(regexp_replace(text, '[^a-z]', '', 'g'))::BIGINT AS ac,
+         |    len(list_filter($tokensSql, t -> t IN ($stopSql)))::BIGINT AS sh
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id,
+         |    (nd::DOUBLE / nt) * 0.35 + (ac::DOUBLE / n_chars) * 0.35 +
+         |    (sh::DOUBLE / nt) * 0.1 + (least(nt, 100)::DOUBLE / 100.0) * 0.2
+         |      AS score
+         |  FROM c)
+         |SELECT doc_id, score,
+         |  CASE WHEN score >= 0.8 THEN 'good'
+         |       WHEN score >= 0.65 THEN 'ok' ELSE 'low' END AS label
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '\b(the|a|of)\b'))::BIGINT AS s_en,
+        |    len(regexp_extract_all(text, '\b(spark|query|join|table)\b'))::BIGINT AS s_code,
+        |    len(regexp_extract_all(text, '\b(data|row|column|batch)\b'))::BIGINT AS s_data
+        |  FROM documents)
+        |SELECT doc_id, s_en, s_code, s_data,
+        |  CASE WHEN s_en >= s_code AND s_en >= s_data THEN 'en'
+        |       WHEN s_code >= s_data THEN 'code' ELSE 'data' END AS pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort($dtokensSql), ' ')) AS bag_fp,
+         |  list_aggregate(list_transform($tokensSql, w -> md5(w)), 'min') AS min_fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_token_topk" ->
+      s"""SELECT token, count(*)::BIGINT AS n FROM (
+         |  SELECT unnest($tokensSql) AS token FROM documents)
+         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "q_minhash_lsh" -> minhashOracle,
+    "q_simhash" -> simhashOracle,
+
+    "q_ngram_jaccard" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, floor(n_chars / 50)::BIGINT AS bucket,
+         |    list_distinct(list_transform(range(1, len($tokensSql)),
+         |      i -> $tokensSql[i] || ' ' || $tokensSql[i + 1])) AS sh
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |    len(list_filter(a.sh, x -> list_contains(b.sh, x)))::BIGINT AS inter_size,
+         |    (len(a.sh) + len(b.sh))::BIGINT
+         |      - len(list_filter(a.sh, x -> list_contains(b.sh, x)))::BIGINT
+         |      AS union_size
+         |  FROM d a JOIN d b ON a.lang = b.lang AND a.bucket = b.bucket
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT d1, d2, inter_size, union_size,
+         |  inter_size::DOUBLE / union_size AS jac
+         |FROM pairs WHERE inter_size::DOUBLE / union_size >= 0.6
+         |ORDER BY d1, d2""".stripMargin,
+
+    "q_embed_sig" -> embedSigOracle,
+    "q_cosine_topk" -> cosineTopkOracle,
+    "q_ann_ivf" -> annIvfOracle,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text))::BIGINT AS byte_len,
+        |  64 + octet_length(encode(text))::BIGINT % 577 AS width,
+        |  64 + (octet_length(encode(text))::BIGINT * 7) % 417 AS height,
+        |  ascii(substr(text, 1, 1))::BIGINT AS luma
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

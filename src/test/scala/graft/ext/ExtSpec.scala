@@ -1,0 +1,102 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class ExtSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the mat sat on the cat"),   // same word set as 1
+    (3L, "completely different words entirely here now")
+  ).toDF("doc_id", "text")
+
+  test("bag fingerprint collides exactly on equal word sets") {
+    val fp = docs.select(col("doc_id"),
+      TextAnalysis.bagFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("minhash signature is set-based (word order invariant)") {
+    val words = array_distinct(split(col("text"), " "))
+    val sig = docs.select(col("doc_id") +:
+      NearDup.minhashSignature(words, 4): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+
+  test("simhash: identical word sets share a signature; signature is 16-bit") {
+    val sh = NearDup.simhash(docs, Seq("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh.values.forall(v => v >= 0 && v < (1L << 16)))
+  }
+
+  test("bigram shingles: n tokens -> n-1 shingles (distinct)") {
+    val got = Seq((1L, "a b c d")).toDF("doc_id", "text")
+      .select(NearDup.bigramShingles(split(col("text"), " ")).as("sh"))
+      .collect()(0).getSeq[String](0)
+    assert(got == Seq("a b", "b c", "c d"))
+  }
+
+  test("jaccard overlap: identical sets -> inter == union") {
+    val d = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("w"))
+    val a = d.select(col("doc_id").as("d1"), col("w").as("wa"))
+    val b = d.select(col("doc_id").as("d2"), col("w").as("wb"))
+    val (inter, union) = NearDup.setOverlap(col("wa"), col("wb"))
+    val rows = a.crossJoin(b).where(col("d1") === 1 && col("d2") === 2)
+      .select(inter.as("i"), union.as("u")).collect()(0)
+    assert(rows.getLong(0) == rows.getLong(1)) // same set
+  }
+
+  test("cosine of a vector with itself is exactly 1.0 after quantization") {
+    val emb = Seq((0L, Array(0.1f, -0.2f, 0.3f)), (1L, Array(0.5f, 0.5f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val p = Similarity.prepared(emb, "vec_id", "embedding")
+    val self = p.as("a").crossJoin(p.as("b"))
+      .where(col("a.vec_id") === col("b.vec_id"))
+      .select(Similarity.cosine(
+        Similarity.dotq(col("a.qv"), col("b.qv")),
+        col("a.n2"), col("b.n2")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(self.forall(_ == 1.0))
+  }
+
+  test("brute-force topk returns k neighbors ranked by cosine") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val p = Similarity.prepared(emb, "vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(p, p.where(col("vec_id") === 0), 2)
+      .collect().map(r => (r.getLong(2), r.getLong(1)))
+    assert(top.toSeq == Seq((3L, 1L), (1L, 2L))) // 3 closest, then 1
+  }
+
+  test("multimodal: stubbed decode is deterministic with fixed shape") {
+    val media = Multimodal.asMedia(
+      Seq((7L, "hello world")).toDF("doc_id", "text"), "doc_id", "text")
+    val f = Multimodal.extractFeatures(media).collect()(0)
+    assert(f.doc_id == 7L && f.byte_len == 11L)
+    assert(f.feature.length == 8)
+    val again = Multimodal.extractFeatures(media).collect()(0)
+    assert(f == again.copy(feature = f.feature) && f.feature.sameElements(again.feature))
+    assert(f.width == 64 + 11 % 577 && f.height == 64 + (11 * 7) % 417)
+  }
+
+  test("sign signature uses only the first `bits` dimensions") {
+    val emb = Seq((0L, Array(1f, -1f, 1f, 999f)), (1L, Array(1f, -1f, 1f, -999f)))
+      .toDF("vec_id", "embedding")
+    val sigs = emb.select(Similarity.signSignature(col("embedding"), 3).as("s"))
+      .collect().map(_.getLong(0))
+    assert(sigs(0) == sigs(1)) // dim 4 ignored
+    assert(sigs(0) == (1L | 4L))
+  }
+}
