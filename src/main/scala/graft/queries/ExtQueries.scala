@@ -104,17 +104,7 @@ object ExtQueries {
         col("doc_id"), col("lang"),
         floor(col("n_chars") / 50).cast("long").as("bucket"),
         NearDup.bigramShingles(TA.tokens(col("text"))).as("sh"))
-      val a = d.select(col("doc_id").as("d1"), col("lang"), col("bucket"),
-        col("sh").as("sh1"))
-      val b = d.select(col("doc_id").as("d2"), col("lang"), col("bucket"),
-        col("sh").as("sh2"))
-      val (inter, union) = NearDup.setOverlap(col("sh1"), col("sh2"))
-      a.join(b, Seq("lang", "bucket"))
-        .where(col("d1") < col("d2"))
-        .select(col("d1"), col("d2"), inter.as("inter_size"),
-          union.as("union_size"))
-        .withColumn("jac", col("inter_size").cast("double") / col("union_size"))
-        .where(col("jac") >= 0.6)
+      NearDup.jaccardPairs(d, minJaccard = 0.6)
         .orderBy("d1", "d2")
     }),
 

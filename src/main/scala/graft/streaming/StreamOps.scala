@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming forms of the batch operators: tumbling-window
+  * aggregation (the streaming q_hourly_agg) and stateful gap
+  * sessionization (the streaming q_sessionize). The reference is
+  * batch-only (SURVEY.md §2.12); these are north-star extensions.
+  *
+  * Scale notes: the windowed agg is a standard watermarked partial/final
+  * agg — state is bounded by (watermark horizon × key cardinality).
+  * Sessionization keys state by user_id; state size is O(active users),
+  * and closed sessions are emitted incrementally (append mode).
+  */
+object StreamOps {
+
+  final case class Evt(user_id: Long, ts_us: Long, event_id: Long)
+
+  final case class SessionState(
+      sessionIdx: Long, startUs: Long, lastUs: Long, nEvents: Long)
+
+  final case class SessionOut(
+      user_id: Long, session_idx: Long, n_events: Long,
+      start_us: Long, end_us: Long, closed: Boolean)
+
+  /** Schema for streaming reads of the events fixture (ts as µs long —
+    * nanos-normalized upstream).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts_us", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+
+  /** Watermarked tumbling-window aggregate — identical grouping to the
+    * batch q_hourly_agg.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  /** Stateful sessionization: 30-min inactivity gap, state = the open
+    * session per user. Emits a session row whenever it is extended or
+    * closed; `closed = true` rows are final (append-style consumers keep
+    * those).
+    */
+  def sessionize(events: Dataset[Evt], gapUs: Long = 1800L * 1000000L): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(userId: Long, it: Iterator[Evt],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      // events within a micro-batch are unordered — sort per group
+      val evts = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      if (evts.isEmpty) return Iterator.empty
+      var cur = state.getOption.orNull
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      evts.foreach { e =>
+        if (cur == null) {
+          cur = SessionState(1L, e.ts_us, e.ts_us, 1L)
+        } else if (e.ts_us - cur.lastUs > gapUs) {
+          out += SessionOut(userId, cur.sessionIdx, cur.nEvents,
+            cur.startUs, cur.lastUs, closed = true)
+          cur = SessionState(cur.sessionIdx + 1, e.ts_us, e.ts_us, 1L)
+        } else {
+          cur = cur.copy(lastUs = e.ts_us, nEvents = cur.nEvents + 1L)
+        }
+      }
+      state.update(cur)
+      out += SessionOut(userId, cur.sessionIdx, cur.nEvents, cur.startUs,
+        cur.lastUs, closed = false)
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+}
