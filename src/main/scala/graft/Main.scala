@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.pipeline.{Cc2Config, Cc2Dataset}
+
+/** CLI entry (C5, cc2dataset/main.py:390-391) — the `cc2dataset(...)`
+  * keyword surface as `--key value` flags.
+  *
+  * WAT inputs come from either:
+  *   --wat_paths p1,p2,...            explicit archive paths, or
+  *   --wat_index i1,i2,... [--wat_index_count N] [--wat_count M]
+  *                                    gzip'd index files (tail-sliced,
+  *                                    sampled with replacement)
+  *
+  * Example:
+  *   runMain graft.Main --output_path /tmp/out --document_type image \
+  *     --wat_paths /data/a.warc.wat.gz,/data/b.warc.wat.gz --multipart 2
+  */
+object Main {
+
+  private def parseArgs(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val a = parseArgs(args)
+    require(a.contains("output_path"), "--output_path is required")
+
+    val cores = a.get("num_cores").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+    val memGb = a.get("mem_gb").map(_.toInt).getOrElse(8)
+    val factory: () => SparkSession = a.get("master") match {
+      case Some(m) if !m.startsWith("local") =>
+        () => SessionBuilder.cluster(m, cores, memGb)
+      case _ => () => SessionBuilder.local(cores, memGb)
+    }
+
+    val cfg = Cc2Config(
+      outputPath = a("output_path"),
+      documentType = a.getOrElse("document_type", "image"),
+      watIndexCount = a.get("wat_index_count").map(_.toInt),
+      watCount = a.get("wat_count").map(_.toInt),
+      multipart = a.get("multipart").map(_.toInt),
+      shuffle = a.get("shuffle").forall(_.toBoolean),
+      resume = a.get("resume"),
+      seed = a.get("seed").map(_.toLong).getOrElse(42L))
+
+    val spark = factory()
+    val wats: Seq[String] = (a.get("wat_paths"), a.get("wat_index")) match {
+      case (Some(paths), _) => paths.split(',').toSeq
+      case (None, Some(idx)) =>
+        Cc2Dataset.readWatIndexFiles(spark, idx.split(',').toSeq,
+          cfg.watIndexCount, cfg.watCount, cfg.seed)
+      case (None, None) if cfg.resume.isDefined => Nil // manifest supplies them
+      case _ => sys.error("one of --wat_paths / --wat_index is required")
+    }
+
+    val (jobPath, n) = Cc2Dataset.run(cfg, wats, factory)
+    println(s"""{"output":"$jobPath","rows":$n}""")
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.functions.GraftFunctions
+
+/** Session construction (N1/N2, SURVEY.md §2.11): a local builder for
+  * tests/dev and a cluster builder carrying the throughput configuration a
+  * Common-Crawl-scale job needs — re-expressed from public Spark/Hadoop
+  * documentation (hadoop-aws S3A performance options, Spark AQE/Kryo
+  * tuning), mirroring what the reference tunes by hand
+  * (cc2dataset/spark_session_builder.py:29-75).
+  */
+object SessionBuilder {
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors(),
+      memGb: Int = 8, appName: String = "graft"): SparkSession =
+    withGraftFunctions(SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.driver.memory", s"${memGb}g")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate())
+
+  /** Cluster session for wide WAT-extraction jobs. Key choices:
+    *  - task.maxFailures=10: flaky-fetch tolerance in depth (paired with
+    *    the in-task retry in WatReader)
+    *  - 4000 shuffle partitions as the pre-AQE ceiling; AQE coalesces
+    *    down at runtime instead of hand-tuning per job
+    *  - Kryo for the DocLink-heavy shuffles
+    *  - S3A: connection pool + thread pool sized for whole-file GETs,
+    *    sequential fadvise (we read WATs front-to-back), fast multipart
+    *    upload for the parquet commit
+    */
+  def cluster(master: String, executorCores: Int = 128,
+      executorMemGb: Int = 240, appName: String = "graft"): SparkSession =
+    withGraftFunctions(SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.executor.cores", executorCores.toString)
+      .config("spark.executor.memory", s"${executorMemGb}g")
+      .config("spark.task.maxFailures", "10")
+      .config("spark.sql.shuffle.partitions", "4000")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+      .config("spark.hadoop.fs.s3a.connection.maximum", "2048")
+      .config("spark.hadoop.fs.s3a.threads.max", "512")
+      .config("spark.hadoop.fs.s3a.experimental.input.fadvise", "sequential")
+      .config("spark.hadoop.fs.s3a.fast.upload", "true")
+      .config("spark.hadoop.fs.s3a.multipart.size", "64M")
+      .config("spark.hadoop.fs.s3a.block.size", "128M")
+      .getOrCreate())
+
+  def withGraftFunctions(spark: SparkSession): SparkSession = {
+    GraftFunctions.register(spark)
+    spark
+  }
+}

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ops.UrlOps
+
+/** Native Catalyst expression for RFC-3986 url resolution — the codegen
+  * upgrade of the UrlOps UDF (SURVEY.md §4.3: the one operator that
+  * genuinely needs custom code). `doGenCode` emits a direct static call,
+  * so the expression participates in whole-stage codegen with the
+  * reference null semantics: null rel → null; null/absent base → rel
+  * unchanged (cc2dataset/main.py:107-110).
+  */
+case class UrlResolve(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = right.nullable
+
+  override def eval(input: InternalRow): Any = {
+    val rel = right.eval(input)
+    if (rel == null) return null
+    val base = left.eval(input)
+    if (base == null) return rel
+    UrlResolve.resolve(base.asInstanceOf[UTF8String], rel.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val helper = "graft.functions.UrlResolve"
+    ev.copy(code =
+      code"""
+        ${r.code}
+        boolean ${ev.isNull} = ${r.isNull};
+        UTF8String ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${l.code}
+          if (${l.isNull}) {
+            ${ev.value} = ${r.value};
+          } else {
+            ${ev.value} = $helper.resolve(${l.value}, ${r.value});
+          }
+        }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object UrlResolve {
+  /** Static entry point shared by interpreted eval and generated code. */
+  def resolve(base: UTF8String, rel: UTF8String): UTF8String =
+    UTF8String.fromString(UrlOps.resolveUrl(base.toString, rel.toString))
+}
+
+/** Session-level registration of graft's native functions. */
+object GraftFunctions {
+  val UrlResolveName = "url_resolve"
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      UrlResolveName,
+      (exprs: Seq[Expression]) => UrlResolve(exprs(0), exprs(1)),
+      "built-in")
+}

@@ -131,6 +131,15 @@ object RefQueries {
       Shuffle.randomShuffle(
         events(s, dir).select("event_id", "user_id", "event_type"),
         seed = 42L)
+    }),
+
+    // S1/S2/G1 end-to-end — WAT extraction throughput over deterministic
+    // synthetic archives (16 files → 16 tasks). Not SQL-expressible (the
+    // input is WARC framing) → rows-only check; Bench times it as the
+    // extraction headline.
+    "q_wat_extract" -> ((s, dir) => {
+      val wats = graft.wat.WatFixture.ensureBenchWats(16)
+      graft.wat.WatExtract.fromPaths(s, wats, "image_only").toDF()
     })
   )
 

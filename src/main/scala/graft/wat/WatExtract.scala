@@ -34,10 +34,16 @@ object WatExtract {
       .toDF("payload")
   }
 
-  /** Relational extraction over a DataFrame with a `payload` JSON column. */
+  /** Relational extraction over a DataFrame with a `payload` JSON column.
+    * Uses the native `url_resolve` Catalyst expression (codegen'd) rather
+    * than the UDF — registered idempotently on the input's session.
+    */
   def extract(payloadDf: DataFrame, docType: String): Dataset[DocLink] = {
     val spark = payloadDf.sparkSession
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    def resolve(base: org.apache.spark.sql.Column, rel: org.apache.spark.sql.Column) =
+      call_function(graft.functions.GraftFunctions.UrlResolveName, base, rel)
 
     val parsed = payloadDf
       .select(from_json(col("payload"), WatEnvelope.schema).as("r"))
@@ -53,7 +59,9 @@ object WatExtract {
       // struct null (PERMISSIVE), same drop — the reference's per-record
       // try/except (main.py:139-142).
       .where(col("links").isNotNull)
-      .withColumn("base", UrlOps.effectiveBase(col("page_url"), col("head_base")))
+      .withColumn("base",
+        when(col("head_base").isNull, col("page_url"))
+          .otherwise(resolve(col("page_url"), col("head_base"))))
 
     val link = col("link")
     val (pred, altExpr) = LinkOps.forDocumentType(docType, link)
@@ -64,7 +72,8 @@ object WatExtract {
       .where(link("url").isNotNull && pred)
       .select(col("cc_filename"), col("page_url"),
         altExpr.as("alt"),
-        UrlOps.makeLinkAbsolute(col("base"), link("url")).as("url"))
+        when(LinkOps.hasHttpScheme(link("url")), link("url"))
+          .otherwise(resolve(col("base"), link("url"))).as("url"))
       .where(LinkOps.hasHttpScheme(col("url")))
       .select(
         LinkOps.uid(col("alt"), col("url")).as("uid"),

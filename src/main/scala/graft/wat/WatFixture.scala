@@ -109,6 +109,50 @@ object WatFixture {
     path
   }
 
+  /** Deterministic synthetic WAT of arbitrary size (seeded) — for
+    * extraction throughput benchmarks. Each record carries a mix of
+    * image/audio/text/video/relative links.
+    */
+  def syntheticWat(path: String, nRecords: Int, linksPerRecord: Int,
+      seed: Long): String = {
+    val rnd = new scala.util.Random(seed)
+    val out = new FileOutputStream(path)
+    try {
+      (0 until nRecords).foreach { r =>
+        val page = s"https://site${rnd.nextInt(1000)}.test/dir$r/page.html"
+        val links = (0 until linksPerRecord).map { l =>
+          val n = rnd.nextInt(1000000)
+          rnd.nextInt(5) match {
+            case 0 => ("IMG@/src", s"img/cat$n.jpg", s"alt text $n", "")
+            case 1 => ("IMG@/src", s"https://cdn.test/dog$n.png", "", "")
+            case 2 => ("A@/href", s"media/song$n.mp3", "", s"song $n")
+            case 3 => ("A@/href", s"/docs/paper$n.pdf", "", s"paper $n")
+            case _ => ("A@/href", s"//video.test/clip$n.mp4", "", s"clip $n")
+          }
+        }
+        out.write(gzipMember(warcRecord("metadata",
+          envelope(page, if (r % 3 == 0) Some(s"https://base$r.test/b/") else None,
+            links),
+          Some(page))))
+      }
+    } finally out.close()
+    path
+  }
+
+  /** Idempotently materialize `n` deterministic bench WATs in tmp. */
+  def ensureBenchWats(n: Int, nRecords: Int = 500,
+      linksPerRecord: Int = 20): Seq[String] = {
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft-bench-wats")
+    dir.mkdirs()
+    (0 until n).map { i =>
+      val f = new java.io.File(dir, s"bench-$nRecords-$linksPerRecord-$i.warc.wat.gz")
+      if (!f.exists()) syntheticWat(f.getAbsolutePath, nRecords,
+        linksPerRecord, seed = 1000L + i)
+      f.getAbsolutePath
+    }
+  }
+
   // golden expectations (uids independently computed with Python hashlib)
   val CatUid = "6bb4b7d5a170364d6fe9aecdc44b6844"
   val DogUid = "c5509f4c09d168b342ee3392a9daabd0"
