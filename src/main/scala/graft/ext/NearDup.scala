@@ -22,19 +22,28 @@ object NearDup {
 
   // --- MinHash / LSH ---
 
-  /** K-member minhash signature columns over a token-set column. */
-  def minhashSignature(words: Column, numHashes: Int): Seq[Column] =
+  /** K-member minhash signature columns over a PRE-HASHED element column
+    * (`hs` = array<long> of h32 values): each member is a linear mix of
+    * the shared base hash — one md5 per element total, not one per
+    * (element × member).
+    */
+  def minhashSignature(hs: Column, numHashes: Int): Seq[Column] =
     (0 until numHashes).map { i =>
-      array_min(transform(words, w => Hashing.h32Seeded(i, w))).as(s"mh$i")
+      array_min(transform(hs, h => Hashing.mix(i, h))).as(s"mh$i")
     }
 
   /** doc → (band_id, band_key) rows; docs sharing a band key are LSH
-    * candidates. numHashes = bands * rowsPerBand.
+    * candidates. numHashes = bands * rowsPerBand. The base-hash array is
+    * materialized in its own projection: it is referenced by every
+    * signature member, and CollapseProject keeps non-cheap multi-use
+    * expressions un-inlined, so md5 runs once per element.
     */
   def lshBands(df: DataFrame, idCol: Column, words: Column,
       bands: Int, rowsPerBand: Int): DataFrame = {
-    val sig = df.select(idCol.as("doc_id") +:
-      minhashSignature(words, bands * rowsPerBand): _*)
+    val hashed = df.select(idCol.as("doc_id"),
+      transform(words, w => Hashing.h32(w)).as("hs"))
+    val sig = hashed.select(col("doc_id") +:
+      minhashSignature(col("hs"), bands * rowsPerBand): _*)
     val bandStructs = (0 until bands).map { b =>
       val key = concat_ws("_",
         (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)

@@ -108,4 +108,23 @@ object Similarity {
     (0 until bits)
       .map(b => when(element_at(emb, b + 1) >= 0, lit(1L << b)).otherwise(0L))
       .reduce(_ + _)
+
+  /** Embedding near-dup pairs: sign-signature LSH buckets generate
+    * candidates (equi-join on the bucket key — linear, never pairwise
+    * over the corpus), exact quantized cosine verifies. The standard
+    * bucket→verify shape that scales to 100 TB: bucket key is a shuffle
+    * key, verification touches only bucket-mates.
+    */
+  def nearDupPairs(p: DataFrame, sigBits: Int, minCos: Double): DataFrame = {
+    val s = p.withColumn("sig", signSignature(col("qv"), sigBits))
+    val a = s.select(col("vec_id").as("d1"), col("qv").as("v1"),
+      col("n2").as("na"), col("sig"))
+    val b = s.select(col("vec_id").as("d2"), col("qv").as("v2"),
+      col("n2").as("nb"), col("sig"))
+    a.join(b, "sig")
+      .where(col("d1") < col("d2"))
+      .withColumn("cos", cosine(dotq(col("v1"), col("v2")), col("na"), col("nb")))
+      .where(col("cos") >= minCos)
+      .select("d1", "d2", "cos")
+  }
 }

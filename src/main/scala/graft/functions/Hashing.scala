@@ -24,4 +24,26 @@ object Hashing {
   def h32Sql(expr: String): String = s"('0x'||substr(md5($expr),1,8))::BIGINT"
 
   def h32SeededSql(i: Int, expr: String): String = h32Sql(s"'$i|' || $expr")
+
+  /** Universal-hash family for MinHash: h_i(x) = (a_i * h32(x) + b_i) mod p.
+    * One md5 per element; family members are cheap linear mixes. a_i is
+    * kept below 2^30 so a*h fits comfortably in int64 (max ~4.6e18).
+    */
+  val MinhashPrime: Long = 4294967311L // smallest prime > 2^32
+
+  def mixConsts(i: Int): (Long, Long) = {
+    val a = ((974593L * (2 * i + 1)) % (1L << 30)) | 1L
+    val b = (2654435761L * (i + 1)) % (1L << 32)
+    (a, b)
+  }
+
+  def mix(i: Int, h: Column): Column = {
+    val (a, b) = mixConsts(i)
+    (h * a + b) % MinhashPrime
+  }
+
+  def mixSql(i: Int, expr: String): String = {
+    val (a, b) = mixConsts(i)
+    s"($expr * $a + $b) % $MinhashPrime"
+  }
 }

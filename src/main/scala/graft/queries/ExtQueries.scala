@@ -119,6 +119,14 @@ object ExtQueries {
         .orderBy("sig")
     }),
 
+    // embedding near-dup: sign-bucket LSH candidates + exact cosine verify
+    "q_embed_neardup" -> ((s, dir) => {
+      val p = Similarity.prepared(table(s, dir, "embeddings"), "vec_id",
+        "embedding")
+      Similarity.nearDupPairs(p, sigBits = 12, minCos = 0.25)
+        .orderBy("d1", "d2")
+    }),
+
     // --- similarity search ---
     "q_cosine_topk" -> ((s, dir) => {
       val p = Similarity.prepared(table(s, dir, "embeddings"), "vec_id",
@@ -171,15 +179,19 @@ object ExtQueries {
 
   private def minhashOracle: String = {
     val sigs = (0 until 8).map { i =>
-      s"list_aggregate(list_transform($dtokensSql, w -> ${Hashing.h32SeededSql(i, "w")}), 'min') AS mh$i"
+      s"list_aggregate(list_transform(hs, h -> ${Hashing.mixSql(i, "h")}), 'min') AS mh$i"
     }.mkString(",\n    ")
     val bandSel = (0 until 4).map { b =>
       s"SELECT doc_id, ${b}::BIGINT AS band_id, mh${2 * b} || '_' || mh${2 * b + 1} AS band_key FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH sig AS (
+    s"""WITH hashed AS (
+       |  SELECT doc_id,
+       |    list_transform($dtokensSql, w -> ${Hashing.h32Sql("w")}) AS hs
+       |  FROM documents),
+       |sig AS (
        |  SELECT doc_id,
        |    $sigs
-       |  FROM documents),
+       |  FROM hashed),
        |bands AS (
        |  $bandSel)
        |SELECT band_id, band_key, count(*)::BIGINT AS bucket_size,
@@ -211,6 +223,20 @@ object ExtQueries {
 
   private val dotSql =
     "list_sum(list_transform(list_zip(%s, %s), p -> p[1] * p[2]))::BIGINT"
+
+  private def embedNearDupOracle: String = {
+    val sig = (0 until 12)
+      .map(b => s"CASE WHEN qv[${b + 1}] >= 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    val dot = dotSql.format("a.qv", "b.qv")
+    s"""WITH $prepSql,
+       |s AS (SELECT vec_id, qv, n2, ($sig)::BIGINT AS sig FROM p2),
+       |pairs AS (
+       |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+       |    ($dot)::DOUBLE / sqrt((a.n2 * b.n2)::DOUBLE) AS cos
+       |  FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+       |SELECT d1, d2, cos FROM pairs WHERE cos >= 0.25 ORDER BY d1, d2""".stripMargin
+  }
 
   private def cosineTopkOracle: String = {
     val dot = dotSql.format("q.qv", "c.qv")
@@ -331,6 +357,7 @@ object ExtQueries {
          |ORDER BY d1, d2""".stripMargin,
 
     "q_embed_sig" -> embedSigOracle,
+    "q_embed_neardup" -> embedNearDupOracle,
     "q_cosine_topk" -> cosineTopkOracle,
     "q_ann_ivf" -> annIvfOracle,
 

@@ -23,9 +23,10 @@ class ExtSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("minhash signature is set-based (word order invariant)") {
-    val words = array_distinct(split(col("text"), " "))
+    val hs = transform(array_distinct(split(col("text"), " ")),
+      w => graft.functions.Hashing.h32(w))
     val sig = docs.select(col("doc_id") +:
-      NearDup.minhashSignature(words, 4): _*)
+      NearDup.minhashSignature(hs, 4): _*)
       .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
     assert(sig(1L) == sig(2L))
     assert(sig(1L) != sig(3L))
