@@ -123,6 +123,15 @@ object RelQueries {
         .orderBy("hour", "event_type")
     }),
 
+    // Distinct aggregation (Expand-based distinct-agg operator).
+    "q_distinct_agg" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
+
     // Gap-based sessionization: lag + cumulative sum over one
     // (user-partitioned) window — a single shuffle on user_id, integer
     // microsecond math for exactness. 30-minute inactivity gap.
@@ -207,6 +216,11 @@ object RelQueries {
       """SELECT date_trunc('hour', ts::TIMESTAMP)::TIMESTAMP AS hour, event_type, count(*) AS n,
         |  sum(round(value*100)::BIGINT) / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_sessionize" ->
       """WITH ev AS (

@@ -55,6 +55,21 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(!rows.exists(r => r._1 == 2L && r._4))
   }
 
+  test("streaming dedup keeps one row per uid within the watermark horizon") {
+    val in = Files.createTempDirectory("stream-dedup").toString
+    Seq(("u1", us(0)), ("u2", us(1)), ("u1", us(2)), ("u3", us(3)), ("u2", us(4)))
+      .toDF("uid", "ts_us").coalesce(1).write.parquet(s"$in/b1")
+    val links = spark.readStream
+      .schema("uid STRING, ts_us LONG").parquet(s"$in/*")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = StreamOps.dedupStream(links, "ts").writeStream
+      .outputMode("append").format("memory").queryName("dedup").start()
+    q.processAllAvailable()
+    q.stop()
+    val uids = spark.sql("select uid from dedup").collect().map(_.getString(0))
+    assert(uids.sorted.toSeq == Seq("u1", "u2", "u3"))
+  }
+
   test("watermarked hourly aggregation matches the batch grouping") {
     val in = Files.createTempDirectory("stream-agg").toString
     writeBatch(in, batch1 ++ batch2, "all")
