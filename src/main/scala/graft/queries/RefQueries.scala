@@ -140,6 +140,16 @@ object RefQueries {
     "q_wat_extract" -> ((s, dir) => {
       val wats = graft.wat.WatFixture.ensureBenchWats(16)
       graft.wat.WatExtract.fromPaths(s, wats, "image_only").toDF()
+    }),
+
+    // Single-archive throughput at reference-WAT link volume (~400k
+    // links in one file → one task) through the DataSourceV2 `wat`
+    // source. BASELINE.md pins the reference at ~50 s per WAT per core;
+    // this is the comparable single-node number.
+    "q_wat_extract_1file" -> ((s, dir) => {
+      val wat = graft.wat.WatFixture.ensureBenchWats(1,
+        nRecords = 20000, linksPerRecord = 20)
+      graft.wat.WatExtract.fromPathsV2(s, wat, "image_only").toDF()
     })
   )
 

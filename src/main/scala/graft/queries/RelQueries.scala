@@ -123,6 +123,31 @@ object RelQueries {
         .orderBy("hour", "event_type")
     }),
 
+    // String-function surface: case, trim, substring, replace, padding,
+    // reverse — one projection, all codegen builtins.
+    "q_string_funcs" -> ((s, dir) => {
+      table(s, dir, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("up"),
+        lower(col("c_mktsegment")).as("lo"),
+        substring(col("c_name"), 1, 8).as("sub"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        reverse(col("c_name")).as("rev"),
+        length(col("c_name")).cast("long").as("len"))
+        .orderBy("c_custkey")
+    }),
+
+    // Date/time-function surface over order timestamps.
+    "q_date_parts" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(dayofmonth(col("o_orderdate"))).as("n_days"))
+        .orderBy("y", "m")
+    }),
+
     // Distinct aggregation (Expand-based distinct-agg operator).
     "q_distinct_agg" -> ((s, dir) => {
       events(s, dir)
@@ -216,6 +241,22 @@ object RelQueries {
       """SELECT date_trunc('hour', ts::TIMESTAMP)::TIMESTAMP AS hour, event_type, count(*) AS n,
         |  sum(round(value*100)::BIGINT) / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS up, lower(c_mktsegment) AS lo,
+        |  substr(c_name, 1, 8) AS sub,
+        |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+        |  lpad(c_custkey::VARCHAR, 8, '0') AS padded,
+        |  reverse(c_name) AS rev,
+        |  length(c_name)::BIGINT AS len
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_date_parts" ->
+      """SELECT year(o_orderdate)::BIGINT AS y, month(o_orderdate)::BIGINT AS m,
+        |  count(*) AS n,
+        |  count(DISTINCT day(o_orderdate))::BIGINT AS n_days
+        |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
 
     "q_distinct_agg" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,

@@ -1,0 +1,97 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.wat.WatReader
+
+/** DataSourceV2 `wat` format — the idiomatic Spark source for
+  * `.warc.wat.gz` archives (SURVEY.md §2.1 S1 long-term form):
+  *
+  *   spark.read.format("wat").load(paths: _*)
+  *     → (wat_path string, payload string)   // metadata records only
+  *
+  * One input partition per archive (the natural unit: one fetch, one
+  * sequential gzip stream — matching the reference's
+  * one-task-per-WAT parallelization). Registered as short name "wat" via
+  * DataSourceRegister. Downstream extraction stays fully relational
+  * (WatExtract.extract over the payload column).
+  */
+class WatDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "wat"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WatDataSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new WatTable(WatDataSource.pathsFrom(properties))
+}
+
+object WatDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("wat_path", StringType, nullable = false),
+    StructField("payload", StringType, nullable = false)))
+
+  /** load(p1, p2, …) arrives as a JSON array under "paths"; load(p) as
+    * "path". Parse without a JSON dependency (paths are quoted strings).
+    */
+  def pathsFrom(properties: util.Map[String, String]): Seq[String] = {
+    val single = Option(properties.get("path")).toSeq
+    val multi = Option(properties.get("paths")).toSeq.flatMap { json =>
+      json.stripPrefix("[").stripSuffix("]").split(',').toSeq
+        .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty)
+    }
+    (single ++ multi).distinct
+  }
+}
+
+class WatTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"wat(${paths.mkString(",")})"
+  override def schema(): StructType = WatDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WatScanBuilder(paths)
+}
+
+class WatScanBuilder(paths: Seq[String]) extends ScanBuilder {
+  override def build(): Scan = new WatScan(paths)
+}
+
+case class WatInputPartition(path: String) extends InputPartition
+
+class WatScan(paths: Seq[String]) extends Scan with Batch {
+  override def readSchema(): StructType = WatDataSource.schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.map(WatInputPartition.apply).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WatReaderFactory
+}
+
+class WatReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val path = partition.asInstanceOf[WatInputPartition].path
+    new PartitionReader[InternalRow] {
+      private val it = WatReader.metadataPayloads(path)
+      private val pathUtf8 = UTF8String.fromString(path)
+      private var current: UTF8String = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = UTF8String.fromString(it.next()); true }
+        else false
+      override def get(): InternalRow = InternalRow(pathUtf8, current)
+      override def close(): Unit = ()
+    }
+  }
+}

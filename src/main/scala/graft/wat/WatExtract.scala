@@ -84,4 +84,10 @@ object WatExtract {
   /** End-to-end: WAT paths → deduplicatable DocLink dataset. */
   def fromPaths(spark: SparkSession, paths: Seq[String], docType: String): Dataset[DocLink] =
     extract(payloads(spark, paths), docType)
+
+  /** Same via the DataSourceV2 `wat` format (graft.sources.WatDataSource):
+    * the source plans one partition per archive; extraction is identical.
+    */
+  def fromPathsV2(spark: SparkSession, paths: Seq[String], docType: String): Dataset[DocLink] =
+    extract(spark.read.format("wat").load(paths: _*).select("payload"), docType)
 }

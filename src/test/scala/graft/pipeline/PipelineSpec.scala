@@ -57,6 +57,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(new File(s"$jobPath/_SUCCESS").exists())
   }
 
+  test("multipart output == single-part output (C1/C2 equivalence)") {
+    val wat3 = WatFixture.syntheticWat(
+      new File(tmp, "w3.warc.wat.gz").getAbsolutePath, 40, 10, seed = 5L)
+    val wat4 = WatFixture.syntheticWat(
+      new File(tmp, "w4.warc.wat.gz").getAbsolutePath, 40, 10, seed = 6L)
+    val single = new File(tmp, "eq_single").getAbsolutePath
+    val multi = new File(tmp, "eq_multi").getAbsolutePath
+    val (p1, n1) = Cc2Dataset.run(
+      Cc2Config(single, "image", multipart = None, shuffle = false),
+      Seq(wat3, wat4), factory)
+    val (p2, n2) = Cc2Dataset.run(
+      Cc2Config(multi, "image", multipart = Some(2), shuffle = false),
+      Seq(wat3, wat4), factory)
+    assert(n1 == n2 && n1 > 0)
+    val spark = factory()
+    val a = spark.read.parquet(p1).select("uid", "url", "alt")
+      .collect().map(_.toString).sorted
+    val b = spark.read.parquet(s"$p2/merged").select("uid", "url", "alt")
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("resume without multipart is rejected (main.py:352-353)") {
     intercept[IllegalArgumentException] {
       Cc2Dataset.run(Cc2Config(outputPath = "/tmp/x", resume = Some("/tmp/x")),

@@ -35,6 +35,18 @@ class WatExtractSpec extends AnyFunSuite with SparkTestBase {
     assert(n == 4)
   }
 
+  test("DataSourceV2 wat format: same rows, one partition per file") {
+    val v2 = spark.read.format("wat").load(fixturePath)
+    assert(v2.columns.toSeq == Seq("wat_path", "payload"))
+    assert(v2.count() == WatFixture.records.size - 1) // metadata only
+    assert(v2.rdd.getNumPartitions == 1)
+    val viaV2 = WatExtract.fromPathsV2(spark, Seq(fixturePath), "image")
+      .collect().map(_.uid).sorted
+    val viaFlatMap = WatExtract.fromPaths(spark, Seq(fixturePath), "image")
+      .collect().map(_.uid).sorted
+    assert(viaV2.sameElements(viaFlatMap))
+  }
+
   test("two input files double the rows (one partition per file)") {
     val f2 = WatFixture.write(new File(tmp, "fixture2.warc.wat.gz").getAbsolutePath)
     val ds = WatExtract.payloads(spark, Seq(fixturePath, f2))
