@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.UrlResolve
+
+/** SparkSessionExtensions injector — lets any session pick up graft's
+  * native functions without code changes:
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions …
+  *   // or: SparkSession.builder().withExtensions(new GraftExtensions)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("url_resolve"),
+      new ExpressionInfo(classOf[UrlResolve].getName, "url_resolve"),
+      (exprs: Seq[Expression]) => UrlResolve(exprs.head, exprs(1))))
+  }
+}

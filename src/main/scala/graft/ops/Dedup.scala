@@ -38,6 +38,22 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Skew-resistant two-phase dedup: phase 1 dedups on (key, salt) —
+    * spreading a hot key over `saltBuckets` reducers — phase 2 collapses
+    * the ≤saltBuckets survivors per key. Same arbitrary-survivor
+    * semantics as A1; use when one uid (or empty-alt hash) dominates a
+    * 100 TB run and AQE skew handling isn't available (e.g. pre-3.0
+    * clusters or RDD-shaped stages). Salt is derived from stable row
+    * content, not rand(), so retried tasks re-produce identical output.
+    */
+  def saltedByKey(df: DataFrame, keys: Seq[String], saltBuckets: Int,
+      saltFrom: Column): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(hash(saltFrom), lit(saltBuckets)))
+    salted.dropDuplicates(keys :+ "__salt")
+      .dropDuplicates(keys)
+      .drop("__salt")
+  }
+
   /** Dedup-count audit: rows before/after dedup per key-column set, as a
     * single aggregate (no join, no second pass).
     */

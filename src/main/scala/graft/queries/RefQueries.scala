@@ -49,6 +49,17 @@ object RefQueries {
         .orderBy("lang")
     }),
 
+    // A1 skew-resistant variant — two-phase salted dedup; single-column
+    // projection keeps the arbitrary-survivor result deterministic, so
+    // the oracle is the same DISTINCT.
+    "q_dedup_salted" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Dedup.saltedByKey(d.select(col("lang"), col("doc_id")), Seq("lang"),
+        saltBuckets = 8, saltFrom = col("doc_id"))
+        .select("lang")
+        .orderBy("lang")
+    }),
+
     // A1 deterministic variant — first row per key by explicit tie-break.
     "q_dedup_first" -> ((s, dir) => {
       val d = table(s, dir, "documents")
@@ -158,6 +169,9 @@ object RefQueries {
       "SELECT doc_id, md5(lang || text) AS uid FROM documents ORDER BY doc_id",
 
     "q_dedup_bykey" ->
+      "SELECT DISTINCT lang FROM documents ORDER BY lang",
+
+    "q_dedup_salted" ->
       "SELECT DISTINCT lang FROM documents ORDER BY lang",
 
     "q_dedup_first" ->

@@ -139,11 +139,17 @@ object WatFixture {
     path
   }
 
+  /** Bump when syntheticWat generation changes — the tmp cache below is
+    * keyed on it, so stale archives from an older generator never leak
+    * into a bench run.
+    */
+  val GenVersion = 1
+
   /** Idempotently materialize `n` deterministic bench WATs in tmp. */
   def ensureBenchWats(n: Int, nRecords: Int = 500,
       linksPerRecord: Int = 20): Seq[String] = {
     val dir = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft-bench-wats")
+      System.getProperty("java.io.tmpdir"), s"graft-bench-wats-v$GenVersion")
     dir.mkdirs()
     (0 until n).map { i =>
       val f = new java.io.File(dir, s"bench-$nRecords-$linksPerRecord-$i.warc.wat.gz")

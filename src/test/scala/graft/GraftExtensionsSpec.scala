@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** spark.sql.extensions=graft.GraftExtensions must make url_resolve
+  * available in SQL without explicit registration.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("extensions injector registers url_resolve for SQL") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val got = spark.sql(
+        "SELECT url_resolve('https://ex.test/a/b/', 'img/c.jpg') AS u")
+        .collect()(0).getString(0)
+      assert(got == "https://ex.test/a/b/img/c.jpg")
+    } finally spark.stop()
+  }
+}
