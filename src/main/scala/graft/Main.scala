@@ -19,10 +19,17 @@ import graft.pipeline.{Cc2Config, Cc2Dataset}
   */
 object Main {
 
-  private def parseArgs(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    require(args.length % 2 == 0,
+      s"flags must come in --key value pairs, got: ${args.mkString(" ")}")
+    args.sliding(2, 2).map {
+      case Array(k, v) =>
+        require(k.startsWith("--"), s"expected a --flag, got: $k")
+        require(!v.startsWith("--"),
+          s"flag $k is missing its value (next token is $v)")
+        k.stripPrefix("--") -> v
     }.toMap
+  }
 
   def main(args: Array[String]): Unit = {
     val a = parseArgs(args)

@@ -42,8 +42,11 @@ object RelQueries {
       val cust = table(s, dir, "customer")
         .where(col("c_mktsegment") === "BUILDING")
         .select("c_custkey")
+      // to_timestamp evaluates under the UTC session zone — a
+      // java.sql.Timestamp literal would bind the JVM default zone and
+      // diverge from the oracle's naive TIMESTAMP on non-UTC machines
       val ord = table(s, dir, "orders")
-        .where(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        .where(col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
         .select("o_orderkey", "o_custkey", "o_orderdate")
       val li = table(s, dir, "lineitem")
         .select(col("l_orderkey"),

@@ -43,14 +43,17 @@ object WatDataSource {
     StructField("payload", StringType, nullable = false)))
 
   /** load(p1, p2, …) arrives as a JSON array under "paths"; load(p) as
-    * "path". Parse without a JSON dependency (paths are quoted strings).
+    * "path". Parsed with Jackson — naive comma-splitting would mangle
+    * paths containing commas or JSON escapes.
     */
   def pathsFrom(properties: util.Map[String, String]): Seq[String] = {
     val single = Option(properties.get("path")).toSeq
     val multi = Option(properties.get("paths")).toSeq.flatMap { json =>
-      json.stripPrefix("[").stripSuffix("]").split(',').toSeq
-        .map(_.trim.stripPrefix("\"").stripSuffix("\""))
-        .filter(_.nonEmpty)
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      import scala.jdk.CollectionConverters._
+      if (node != null && node.isArray)
+        node.elements().asScala.map(_.asText).filter(_.nonEmpty).toSeq
+      else Seq.empty
     }
     (single ++ multi).distinct
   }
@@ -76,15 +79,21 @@ class WatScan(paths: Seq[String]) extends Scan with Batch {
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     paths.map(WatInputPartition.apply).toArray
-  override def createReaderFactory(): PartitionReaderFactory =
-    new WatReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // capture the session Hadoop conf (S3A credentials/tuning) at planning
+    // time — executors must not fall back to a bare Configuration
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    new WatReaderFactory(conf)
+  }
 }
 
-class WatReaderFactory extends PartitionReaderFactory {
+class WatReaderFactory(conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[WatInputPartition].path
     new PartitionReader[InternalRow] {
-      private val it = WatReader.metadataPayloads(path)
+      private val it = WatReader.metadataPayloads(path, conf.value)
       private val pathUtf8 = UTF8String.fromString(path)
       private var current: UTF8String = _
       override def next(): Boolean =

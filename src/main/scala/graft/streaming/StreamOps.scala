@@ -51,15 +51,16 @@ object StreamOps {
       .select(col("w.start").as("hour"), col("event_type"), col("n"),
         col("sum_value"))
 
-  /** Streaming exact dedup — the pipeline's A1 in streaming form:
-    * `dropDuplicates` keyed on uid with a watermark bounding the dedup
-    * state to the horizon (at 100 TB/day the alternative — unbounded
-    * state — is not survivable).
+  /** Streaming exact dedup — the pipeline's A1 in streaming form.
+    * `dropDuplicatesWithinWatermark` is required for bounded state: plain
+    * `dropDuplicates("uid")` would never evict (the event-time column is
+    * not part of the key), growing one state entry per distinct uid
+    * forever — not survivable at 100 TB/day.
     */
   def dedupStream(links: DataFrame, eventTimeCol: String,
       horizon: String = "1 hour"): DataFrame =
     links.withWatermark(eventTimeCol, horizon)
-      .dropDuplicates("uid")
+      .dropDuplicatesWithinWatermark("uid")
 
   /** Stateful sessionization: 30-min inactivity gap, state = the open
     * session per user. Emits a session row whenever it is extended or

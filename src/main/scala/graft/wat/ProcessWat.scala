@@ -14,12 +14,10 @@ object ProcessWat {
 
   private val mapper = new ObjectMapper()
 
-  private val audioExts = Seq(".ogg", ".wav", ".mp3", ".flac", ".m4a")
-  private val videoExts =
-    Seq(".avi", ".mp4", ".mkv", ".webm", ".mov", ".mpg", ".mpeg", ".m4v")
-  private val textExts = Set(
-    "pdf", "epub", "djvu", "mobi", "doc", "docx", "rtf", "txt", "odt",
-    "ppt", "pptx", "pages", "keynote", "wps", "md")
+  // single source of truth shared with the relational path
+  private val audioExts = graft.ops.LinkOps.AudioExts
+  private val videoExts = graft.ops.LinkOps.VideoExts
+  private val textExts = graft.ops.LinkOps.TextExts.toSet
 
   def md5Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")

@@ -1,6 +1,5 @@
 package graft.wat
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -25,12 +24,21 @@ import graft.ops.{LinkOps, UrlOps}
   */
 object WatExtract {
 
-  /** One partition per WAT path → iterator of metadata-record JSON. */
+  /** One partition per WAT path → iterator of metadata-record JSON.
+    * `parallelize(paths, paths.size)` splits positionally — exactly one
+    * path per task (round-robin `repartition` would birthday-collide
+    * several archives into one task while others idle). The session's
+    * Hadoop configuration (S3A credentials/tuning) is broadcast to the
+    * executors — a bare `new Configuration()` would silently drop every
+    * spark.hadoop.* setting.
+    */
   def payloads(spark: SparkSession, paths: Seq[String]): DataFrame = {
     import spark.implicits._
-    spark.createDataset(paths)
-      .repartition(paths.size)
-      .flatMap(p => WatReader.metadataPayloads(p, new Configuration()))
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    spark.createDataset(spark.sparkContext.parallelize(paths, math.max(1, paths.size)))
+      .flatMap(p => WatReader.metadataPayloads(p, confBc.value.value))
       .toDF("payload")
   }
 

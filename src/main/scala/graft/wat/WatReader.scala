@@ -130,6 +130,10 @@ object WatReader {
         }
         val len = headers.get("content-length").flatMap(s =>
           scala.util.Try(s.toLong).toOption).getOrElse(0L)
+        // corrupt/hostile lengths end the file (like frame desync) rather
+        // than failing the task: len.toInt on (2^31, 2^32) would wrap
+        // negative and throw NegativeArraySizeException
+        if (len < 0L || len > Int.MaxValue - 8) return None
         val payload = new Array[Byte](len.toInt)
         var off = 0
         while (off < payload.length) {
