@@ -118,6 +118,20 @@ object Cc2Dataset {
 
   // --- index discovery (S3–S5, cc2dataset/main.py:209-251) ---
 
+  /** S3: crawl-index discovery — glob `<root>/&#42;/wat.paths.gz` on any
+    * Hadoop filesystem (the reference's s3 variant,
+    * cc2dataset/main.py:209-228; its http variant needs an external
+    * listing page and is driver-environment specific). Glob order is the
+    * FS listing order; the reference keeps the TAIL of it (newest crawls
+    * last) via readWatIndexFiles' shardCount.
+    */
+  def discoverCrawlIndexes(spark: SparkSession, rootGlob: String): Seq[String] = {
+    val p = new Path(rootGlob)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Option(fs.globStatus(p)).map(_.toSeq.map(_.getPath.toString).sorted)
+      .getOrElse(Seq.empty)
+  }
+
   /** S4: one gzip'd text index file → WAT paths. */
   def readWatIndexFile(spark: SparkSession, indexPath: String): Seq[String] = {
     val p = new Path(indexPath)

@@ -151,6 +151,29 @@ object RelQueries {
         .orderBy("y", "m")
     }),
 
+    // Exact interpolated percentiles (sort-based agg); both engines use
+    // the same linear-interpolation definition over the same integer-
+    // valued doubles.
+    "q_percentile" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // HLL sketch distinct (approx_count_distinct). Deterministic for
+    // fixed input but engine-specific — no cross-engine oracle; driver
+    // rows-only check.
+    "q_approx_distinct" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // Distinct aggregation (Expand-based distinct-agg operator).
     "q_distinct_agg" -> ((s, dir) => {
       events(s, dir)
@@ -244,6 +267,13 @@ object RelQueries {
       """SELECT date_trunc('hour', ts::TIMESTAMP)::TIMESTAMP AS hour, event_type, count(*) AS n,
         |  sum(round(value*100)::BIGINT) / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_string_funcs" ->
       """SELECT c_custkey,

@@ -153,8 +153,16 @@ object WatFixture {
     dir.mkdirs()
     (0 until n).map { i =>
       val f = new java.io.File(dir, s"bench-$nRecords-$linksPerRecord-$i.warc.wat.gz")
-      if (!f.exists()) syntheticWat(f.getAbsolutePath, nRecords,
-        linksPerRecord, seed = 1000L + i)
+      if (!f.exists()) {
+        // write-then-rename: a process killed mid-generation must not
+        // leave a truncated archive that a later run silently reuses
+        val tmp = new java.io.File(dir, f.getName + s".tmp-${ProcessHandle.current().pid()}")
+        syntheticWat(tmp.getAbsolutePath, nRecords, linksPerRecord,
+          seed = 1000L + i)
+        if (!tmp.renameTo(f) && !f.exists())
+          throw new java.io.IOException(s"could not materialize $f")
+        tmp.delete()
+      }
       f.getAbsolutePath
     }
   }

@@ -106,4 +106,19 @@ class PipelineSpec extends AnyFunSuite {
       Seq(idx.getAbsolutePath), shardCount = None, watCount = None, seed = 7L)
     assert(shuffled.sorted == lines.sorted)
   }
+
+  test("crawl-index discovery globs crawl dirs (S3 layout parity)") {
+    val root = new File(tmp, "crawl-data")
+    Seq("CC-MAIN-2023-06", "CC-MAIN-2023-14").foreach { crawl =>
+      val d = new File(root, crawl); d.mkdirs()
+      val gz = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(new File(d, "wat.paths.gz")))
+      gz.write(s"$crawl/wat1.warc.wat.gz".getBytes); gz.close()
+    }
+    val spark = factory()
+    val found = Cc2Dataset.discoverCrawlIndexes(spark,
+      s"${root.getAbsolutePath}/*/wat.paths.gz")
+    assert(found.size == 2 && found.forall(_.endsWith("wat.paths.gz")))
+    assert(found == found.sorted) // newest crawl last → tail-slice works
+  }
 }
