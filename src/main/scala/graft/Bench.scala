@@ -26,6 +26,11 @@ object Bench {
     }
     graft.queries.QueryUtil.events(spark, sfDir).count()
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    // materialize synthetic WAT fixtures outside the timed window — on a
+    // cold container generation would otherwise inflate the first
+    // extraction query's number
+    graft.wat.WatFixture.ensureBenchWats(16)
+    graft.wat.WatFixture.ensureBenchWats(1, nRecords = 20000, linksPerRecord = 20)
 
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

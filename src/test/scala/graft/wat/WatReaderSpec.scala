@@ -31,6 +31,29 @@ class WatReaderSpec extends AnyFunSuite {
     assert(info.payloadString == """{"software": "graft-fixture"}""")
   }
 
+  test("frame desync and truncated trailing member end the file gracefully") {
+    val bytes = Files.readAllBytes(new File(fixturePath).toPath)
+    // append a valid gzip member whose content is NOT WARC framing
+    val garbage = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write("this is not a WARC record\r\n\r\n".getBytes); gz.close()
+      bos.toByteArray
+    }
+    val recs = WatReader.records(
+      new java.io.ByteArrayInputStream(bytes ++ garbage)).toList
+    assert(recs.size == WatFixture.records.size) // garbage ends iteration, no throw
+
+    // corrupt Content-Length must end the file, not kill the task
+    val hostile = WatFixture.warcRecord("metadata", "{}")
+    val corrupted = new String(hostile, "ISO-8859-1")
+      .replaceFirst("Content-Length: \\d+", "Content-Length: 3000000000")
+      .getBytes("ISO-8859-1")
+    val recs2 = WatReader.records(
+      new java.io.ByteArrayInputStream(corrupted), gzipped = false).toList
+    assert(recs2.isEmpty)
+  }
+
   test("fetch of a missing path retries then yields empty") {
     val t0 = System.nanoTime()
     val r = WatReader.fetchAllBytes(s"$tmp/nope.warc.wat.gz",
