@@ -70,16 +70,19 @@ object Similarity {
     * broadcast); ties broken by centroid id.
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    // argmax via max_by over a (ccos, -c_id) ordering struct: one
+    // partial+final hash agg instead of a window sort. qv/n2 are
+    // constant per vec_id, so first() on them is deterministic.
     val cents = centroids.select(col("vec_id").as("c_id"), col("qv").as("cv"),
       col("n2").as("cn2"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("c_id"))
     corpus.crossJoin(broadcast(cents))
       .withColumn("ccos",
         cosine(dotq(col("qv"), col("cv")), col("n2"), col("cn2")))
-      .withColumn("crk", row_number().over(w))
-      .where(col("crk") === 1)
-      .select(col("vec_id"), col("qv"), col("n2"), col("c_id").as("cell"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("c_id"), struct(col("ccos"), -col("c_id"))).as("cell"),
+        first(col("qv")).as("qv"), first(col("n2")).as("n2"))
+      .select(col("vec_id"), col("qv"), col("n2"), col("cell"))
   }
 
   /** IVF probe: top-k within the query's own cell (1-probe). */

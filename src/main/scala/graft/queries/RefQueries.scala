@@ -79,6 +79,32 @@ object RefQueries {
       Dedup.distinctRows(evens.union(d)).orderBy("doc_id")
     }),
 
+    // F1/F2 — image predicates over synthesized (path, alt) link columns:
+    // `image` needs IMG@/src AND non-empty alt; `image_only` only the tag.
+    "q_filter_image" -> ((s, dir) => {
+      val linked = table(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0, "IMG@/src").otherwise("A@/href").as("path"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("cap "), col("doc_id").cast("string")))
+          .otherwise("").as("alt"))
+      linked.select(col("doc_id"), col("path"), col("alt"),
+        LinkOps.validImageLink(col("path"), col("alt")).as("is_image"),
+        LinkOps.validImageOnlyLink(col("path")).as("is_image_only"))
+        .where(col("is_image_only"))
+        .orderBy("doc_id")
+    }),
+
+    // X4 + A1 — the §7.2 minimal slice: dedup documents on the md5 uid
+    // with a deterministic tie-break, then count per lang.
+    "q_dedup_uid" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("uid", LinkOps.uid(col("lang"), col("text")))
+      Dedup.firstPerKey(d, Seq(col("uid")), Seq(col("doc_id")))
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+
     // F3/F4 — audio/video suffix predicates (main.py:23-27,70-72)
     "q_filter_media" -> ((s, dir) => {
       val linked = withMediaUrl(table(s, dir, "documents"))
@@ -187,6 +213,24 @@ object RefQueries {
         |  SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 0
         |  UNION ALL SELECT doc_id, lang FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_filter_image" ->
+      """WITH linked AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'IMG@/src' ELSE 'A@/href' END AS path,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'cap ' || doc_id ELSE '' END AS alt
+        |  FROM documents)
+        |SELECT doc_id, path, alt,
+        |  (path = 'IMG@/src' AND length(alt) > 0) AS is_image,
+        |  (path = 'IMG@/src') AS is_image_only
+        |FROM linked WHERE path = 'IMG@/src' ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_uid" ->
+      """SELECT lang, count(*) AS n_docs FROM (
+        |  SELECT lang, row_number() OVER (
+        |    PARTITION BY md5(lang || text) ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_filter_media" ->
       s"""WITH linked AS (SELECT doc_id, $mediaUrlSql AS url FROM documents)
