@@ -52,6 +52,55 @@ object Multimodal {
     (width, height, feature)
   }
 
+  /** STUB resize — deterministic fake of an image resize: real plumbing
+    * (binary in, binary out, new dimensions), fake pixels. A real
+    * implementation swaps the body for an actual scaler; the schema and
+    * partition-wise shape stay.
+    */
+  def resizeStub(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    val out = new Array[Byte](math.max(1, (targetW * targetH) / 64))
+    var i = 0
+    while (i < out.length) {
+      out(i) = if (bytes.isEmpty) 0 else bytes(i % bytes.length)
+      i += 1
+    }
+    out
+  }
+
+  /** STUB frame sampling — deterministic fake of video frame extraction:
+    * every `stride`-th 64-byte window of the payload becomes a "frame".
+    */
+  def frameSampleStub(bytes: Array[Byte], stride: Int): Seq[Array[Byte]] =
+    bytes.grouped(64).zipWithIndex
+      .collect { case (frame, i) if i % stride == 0 => frame }
+      .toSeq
+
+  /** Resize stage over the media column (mapPartitions, codec init
+    * amortized per partition in a real decoder).
+    */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        (id, resizeStub(b, targetW, targetH), targetW, targetH)
+      })
+      .toDF("doc_id", "bytes", "width", "height")
+  }
+
+  /** Frame-sampling stage: one output row per sampled frame. */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        frameSampleStub(b, stride).zipWithIndex.map { case (f, i) =>
+          (id, i.toLong, f)
+        }
+      })
+      .toDF("doc_id", "frame_idx", "frame")
+  }
+
   /** Partition-wise feature extraction over the media column. */
   def extractFeatures(media: DataFrame): Dataset[MediaFeature] = {
     val spark = media.sparkSession

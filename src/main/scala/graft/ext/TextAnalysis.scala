@@ -60,4 +60,28 @@ object TextAnalysis {
     */
   def minWordFingerprint(text: Column): Column =
     array_min(transform(tokens(text), w => md5(w)))
+
+  /** BPE-ish token count: runs of letters, runs of digits, runs of other
+    * non-space — the shape of byte-pair pre-tokenization regexes.
+    */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]+")).cast("long")
+
+  /** Order-SENSITIVE rolling (Karp–Rabin) fingerprint over the token
+    * stream: fold h32(token) through acc*B + h mod M. Complements the
+    * order-insensitive bagFingerprint — reordered documents get
+    * different rolling fingerprints but the same bag fingerprint.
+    * Seeded with the first element (list_reduce semantics, mirrored in
+    * the DuckDB oracle).
+    */
+  val RollB = 1000003L
+  val RollM = 2147483647L // 2^31 - 1
+
+  def rollingFingerprint(text: Column): Column = {
+    val hs = transform(tokens(text), w => graft.functions.Hashing.h32(w))
+    aggregate(
+      slice(hs, lit(2), size(hs) - 1),
+      element_at(hs, 1),
+      (acc, h) => (acc * RollB + h) % RollM)
+  }
 }

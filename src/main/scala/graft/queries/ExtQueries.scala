@@ -72,7 +72,9 @@ object ExtQueries {
       docsWithTokens(s, dir).select(
         col("doc_id"),
         TA.bagFingerprint(col("text")).as("bag_fp"),
-        TA.minWordFingerprint(col("text")).as("min_fp"))
+        TA.minWordFingerprint(col("text")).as("min_fp"),
+        TA.rollingFingerprint(col("text")).as("roll_fp"),
+        TA.bpeTokenCount(col("text")).as("bpe_tokens"))
         .orderBy("doc_id")
     }),
 
@@ -326,7 +328,11 @@ object ExtQueries {
     "q_fingerprint" ->
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort($dtokensSql), ' ')) AS bag_fp,
-         |  list_aggregate(list_transform($tokensSql, w -> md5(w)), 'min') AS min_fp
+         |  list_aggregate(list_transform($tokensSql, w -> md5(w)), 'min') AS min_fp,
+         |  list_reduce(list_transform($tokensSql, w -> ${Hashing.h32Sql("w")}),
+         |    (a, h) -> (a * ${TA.RollB} + h) % ${TA.RollM}) AS roll_fp,
+         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+'))::BIGINT
+         |    AS bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_token_topk" ->

@@ -92,6 +92,28 @@ class ExtSpec extends AnyFunSuite with SparkTestBase {
     assert(f.width == 64 + 11 % 577 && f.height == 64 + (11 * 7) % 417)
   }
 
+  test("multimodal resize + frame-sample stages keep plumbing shape") {
+    val media = Multimodal.asMedia(
+      Seq((1L, "x" * 300)).toDF("doc_id", "text"), "doc_id", "text")
+    val resized = Multimodal.resize(media, 128, 128).collect()(0)
+    assert(resized.getInt(2) == 128 && resized.getInt(3) == 128)
+    assert(resized.getAs[Array[Byte]](1).length == 128 * 128 / 64)
+
+    val frames = Multimodal.sampleFrames(media, stride = 2).collect()
+    // 300 bytes → 5 windows of 64 → indices 0,2,4 sampled
+    assert(frames.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
+    assert(frames.length == 3)
+  }
+
+  test("rolling fingerprint is order-sensitive; bag fingerprint is not") {
+    val fp = docs.select(col("doc_id"),
+      TextAnalysis.rollingFingerprint(col("text")).as("roll"),
+      TextAnalysis.bagFingerprint(col("text")).as("bag"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(fp(1L)._2 == fp(2L)._2) // same bag
+    assert(fp(1L)._1 != fp(2L)._1) // different order → different roll
+  }
+
   test("sign signature uses only the first `bits` dimensions") {
     val emb = Seq((0L, Array(1f, -1f, 1f, 999f)), (1L, Array(1f, -1f, 1f, -999f)))
       .toDF("vec_id", "embedding")
