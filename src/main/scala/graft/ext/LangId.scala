@@ -1,0 +1,73 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+
+/** Character-bigram language identification — the classic n-gram
+  * heuristic: build per-language bigram frequency profiles from sample
+  * text, classify by cosine similarity of the document's profile against
+  * each language's.
+  *
+  * The profiles are a small driver-side model broadcast to executors;
+  * classification runs in mapPartitions (model deserialized once per
+  * partition, not per row). Complements the relational marker-word scorer
+  * in TextAnalysis (which is oracle-checkable); this one is the higher-
+  * fidelity library form.
+  */
+object LangId {
+
+  type Profile = Map[String, Double]
+
+  /** Normalized char-bigram frequencies of a text. */
+  def profile(text: String): Profile = {
+    val t = "_" + text.toLowerCase.replaceAll("[^\\p{L} ]", "")
+      .replaceAll(" +", "_") + "_"
+    if (t.length < 2) return Map.empty
+    val counts = t.sliding(2).foldLeft(Map.empty[String, Int]) { (m, bg) =>
+      m.updated(bg, m.getOrElse(bg, 0) + 1)
+    }
+    val total = counts.values.sum.toDouble
+    counts.map { case (k, v) => k -> v / total }
+  }
+
+  def cosine(a: Profile, b: Profile): Double = {
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val dot = a.iterator.map { case (k, v) => v * b.getOrElse(k, 0.0) }.sum
+    val na = math.sqrt(a.valuesIterator.map(v => v * v).sum)
+    val nb = math.sqrt(b.valuesIterator.map(v => v * v).sum)
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (na * nb)
+  }
+
+  /** Train one profile per language from sample documents. */
+  def train(samples: Map[String, Seq[String]]): Map[String, Profile] =
+    samples.map { case (lang, texts) => lang -> profile(texts.mkString(" ")) }
+
+  /** Classify one text: (language, confidence = best cosine). */
+  def classify(model: Map[String, Profile])(text: String): (String, Double) = {
+    val p = profile(text)
+    if (model.isEmpty || p.isEmpty) return ("und", 0.0)
+    // deterministic: ties broken by language name
+    val best = model.toSeq.sortBy(_._1)
+      .map { case (lang, prof) => (lang, cosine(p, prof)) }
+      .maxBy(_._2)
+    if (best._2 == 0.0) ("und", 0.0) else best
+  }
+
+  /** Dataset stage: (id, text) → (id, pred_lang, confidence). The model
+    * is broadcast; classification is per-partition.
+    */
+  def classifyColumn(df: DataFrame, idCol: String, textCol: String,
+      model: Map[String, Profile]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    df.select(idCol, textCol).as[(Long, String)]
+      .mapPartitions { it =>
+        val classify = LangId.classify(bc.value) _
+        it.map { case (id, text) =>
+          val (lang, conf) = classify(text)
+          (id, lang, conf)
+        }
+      }
+      .toDF(idCol, "pred_lang", "confidence")
+  }
+}
