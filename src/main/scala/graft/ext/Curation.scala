@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+/** End-to-end training-data curation: quality filter → exact (bag)
+  * dedup → verified near-dup removal. The composition every LLM-data
+  * pipeline runs, built solely from the oracle-proven pieces:
+  *
+  *   1. quality gate: TextAnalysis.qualityScore ≥ minScore, ≥ minTokens
+  *   2. exact near-dup: one survivor per bag-fingerprint
+  *      (order-insensitive vocabulary match), deterministic min-doc_id
+  *   3. fuzzy near-dup: blocked bigram-shingle Jaccard pairs
+  *      (inverted-index join) — the lower doc_id of each verified pair
+  *      survives
+  *
+  * Every stage is a shuffle-bounded relational op (filters are
+  * per-row; dedup is one hash shuffle; Jaccard never goes pairwise over
+  * the corpus), so the composition holds at 100 TB.
+  */
+object Curation {
+
+  final case class Config(
+      minTokens: Long = 20L,
+      minScore: Double = 0.575,
+      blockChars: Long = 50L,
+      minJaccard: Double = 0.6)
+
+  /** documents(doc_id, text, lang, n_chars) → curated
+    * (doc_id, lang, n_tokens, score).
+    */
+  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val text = col("text")
+    val scored = docs.select(
+      col("doc_id"), col("lang"), col("n_chars"), text,
+      TextAnalysis.tokenCount(text).as("n_tokens"),
+      TextAnalysis.distinctTokenCount(text).as("nd"),
+      TextAnalysis.alphaChars(text).as("ac"),
+      TextAnalysis.stopwordHits(text).as("sh"))
+      .withColumn("score", TextAnalysis.qualityScore(
+        col("n_tokens"), col("nd"), col("sh"), col("ac"), col("n_chars")))
+
+    val kept = scored
+      .where(col("score") >= cfg.minScore && col("n_tokens") >= cfg.minTokens)
+      .withColumn("bag_fp", TextAnalysis.bagFingerprint(text))
+
+    val exact = Dedup.firstPerKey(kept, Seq(col("bag_fp")), Seq(col("doc_id")))
+
+    val blocked = exact.select(
+      col("doc_id"), col("lang"),
+      floor(col("n_chars") / cfg.blockChars).cast("long").as("bucket"),
+      NearDup.bigramShingles(TextAnalysis.tokens(text)).as("sh"))
+    val drops = NearDup.jaccardPairs(blocked, cfg.minJaccard)
+      .select(col("d2").as("doc_id")).distinct()
+
+    exact.join(drops, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "n_tokens", "score")
+  }
+}

@@ -145,6 +145,12 @@ object ExtQueries {
         .orderBy("q_id", "rk")
     }),
 
+    // --- end-to-end curation (quality gate → exact bag-dedup →
+    //     verified near-dup removal), all stages oracle-proven ---
+    "q_curation" -> ((s, dir) => {
+      graft.ext.Curation.curate(docsWithTokens(s, dir)).orderBy("doc_id")
+    }),
+
     // --- multimodal ---
     "q_multimodal_meta" -> ((s, dir) => {
       val bl = octet_length(encode(col("text"), "UTF-8")).cast("long")
@@ -202,6 +208,45 @@ object ExtQueries {
        |HAVING count(*) > 1
        |ORDER BY band_id, band_key""".stripMargin
   }
+
+  private def curationOracle: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, lang, n_chars, text,
+       |    len($tokensSql)::BIGINT AS n_tokens,
+       |    len($dtokensSql)::BIGINT AS nd,
+       |    length(regexp_replace(text, '[^a-z]', '', 'g'))::BIGINT AS ac,
+       |    len(list_filter($tokensSql, t -> t IN ($stopSql)))::BIGINT AS sh
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id, lang, n_chars, text, n_tokens,
+       |    (nd::DOUBLE / n_tokens) * 0.35 + (ac::DOUBLE / n_chars) * 0.35 +
+       |    (sh::DOUBLE / n_tokens) * 0.1 +
+       |    (least(n_tokens, 100)::DOUBLE / 100.0) * 0.2 AS score
+       |  FROM c),
+       |kept AS (
+       |  SELECT *, md5(array_to_string(list_sort($dtokensSql), ' ')) AS bag_fp
+       |  FROM sc WHERE score >= 0.575 AND n_tokens >= 20),
+       |exact AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY bag_fp ORDER BY doc_id) AS rn
+       |    FROM kept) WHERE rn = 1),
+       |blocked AS (
+       |  SELECT doc_id, lang, floor(n_chars / 50)::BIGINT AS bucket,
+       |    list_distinct(list_transform(range(1, len($tokensSql)),
+       |      i -> $tokensSql[i] || ' ' || $tokensSql[i + 1])) AS shl
+       |  FROM exact),
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |    len(list_filter(a.shl, x -> list_contains(b.shl, x)))::BIGINT AS i_sz,
+       |    (len(a.shl) + len(b.shl))::BIGINT
+       |      - len(list_filter(a.shl, x -> list_contains(b.shl, x)))::BIGINT AS u_sz
+       |  FROM blocked a JOIN blocked b
+       |    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |drops AS (
+       |  SELECT DISTINCT d2 FROM pairs WHERE i_sz::DOUBLE / u_sz >= 0.6)
+       |SELECT doc_id, lang, n_tokens, score FROM exact
+       |WHERE doc_id NOT IN (SELECT d2 FROM drops)
+       |ORDER BY doc_id""".stripMargin
 
   private def embedSigOracle: String = {
     val sig = (0 until 12)
@@ -362,6 +407,7 @@ object ExtQueries {
          |FROM pairs WHERE inter_size::DOUBLE / union_size >= 0.6
          |ORDER BY d1, d2""".stripMargin,
 
+    "q_curation" -> curationOracle,
     "q_embed_sig" -> embedSigOracle,
     "q_embed_neardup" -> embedNearDupOracle,
     "q_cosine_topk" -> cosineTopkOracle,

@@ -114,6 +114,26 @@ class ExtSpec extends AnyFunSuite with SparkTestBase {
     assert(fp(1L)._1 != fp(2L)._1) // different order → different roll
   }
 
+  test("curation drops low-quality docs, exact bag-dups, and near-dups") {
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs away into the deep dark forest to find some food for dinner"
+    val rows = Seq(
+      (1L, base, "en"),                               // survivor
+      (2L, base.split(' ').reverse.mkString(" "), "en"), // bag-dup of 1 → dropped
+      (3L, base + " tonight", "en"),                  // near-dup of 1 → dropped
+      (4L, "short text", "en"),                       // too few tokens → dropped
+      (5L, "a completely different long document about query engines " +
+        "and the many ways of joining sorting grouping and shuffling " +
+        "big data tables in a distributed cluster setting", "en"))
+      .map { case (id, t, l) => (id, t, l, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val out = Curation.curate(rows,
+      Curation.Config(minTokens = 10, minScore = 0.0, blockChars = 1000,
+        minJaccard = 0.8))
+      .collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(1L, 5L))
+  }
+
   test("sign signature uses only the first `bits` dimensions") {
     val emb = Seq((0L, Array(1f, -1f, 1f, 999f)), (1L, Array(1f, -1f, 1f, -999f)))
       .toDF("vec_id", "embedding")
