@@ -179,6 +179,15 @@ object RefQueries {
       graft.wat.WatExtract.fromPaths(s, wats, "image_only").toDF()
     }),
 
+    // The pipeline's hot path end-to-end: extraction + uid dedup (the
+    // stage-1 + stage-2 of a production run). Rows-only; benched.
+    "q_wat_dedup" -> ((s, dir) => {
+      val wats = graft.wat.WatFixture.ensureBenchWats(16)
+      Dedup.byKey(
+        graft.wat.WatExtract.fromPaths(s, wats, "image_only").toDF(),
+        Seq("uid"))
+    }),
+
     // Single-archive throughput at reference-WAT link volume (~400k
     // links in one file → one task) through the DataSourceV2 `wat`
     // source. BASELINE.md pins the reference at ~50 s per WAT per core;
