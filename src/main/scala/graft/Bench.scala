@@ -29,8 +29,8 @@ object Bench {
     // materialize synthetic WAT fixtures outside the timed window — on a
     // cold container generation would otherwise inflate the first
     // extraction query's number
-    graft.wat.WatFixture.ensureBenchWats(16)
-    graft.wat.WatFixture.ensureBenchWats(1, nRecords = 20000, linksPerRecord = 20)
+    graft.wat.WatFixture.ensureFleet()
+    graft.wat.WatFixture.ensureSingle()
 
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

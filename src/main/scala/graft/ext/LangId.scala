@@ -17,8 +17,11 @@ object LangId {
 
   type Profile = Map[String, Double]
 
-  /** Normalized char-bigram frequencies of a text. */
+  /** Normalized char-bigram frequencies of a text; null-safe (scraped
+    * corpora have null text rows).
+    */
   def profile(text: String): Profile = {
+    if (text == null) return Map.empty
     val t = "_" + text.toLowerCase.replaceAll("[^\\p{L} ]", "")
       .replaceAll(" +", "_") + "_"
     if (t.length < 2) return Map.empty
@@ -41,19 +44,35 @@ object LangId {
   def train(samples: Map[String, Seq[String]]): Map[String, Profile] =
     samples.map { case (lang, texts) => lang -> profile(texts.mkString(" ")) }
 
-  /** Classify one text: (language, confidence = best cosine). */
-  def classify(model: Map[String, Profile])(text: String): (String, Double) = {
-    val p = profile(text)
-    if (model.isEmpty || p.isEmpty) return ("und", 0.0)
-    // deterministic: ties broken by language name
-    val best = model.toSeq.sortBy(_._1)
-      .map { case (lang, prof) => (lang, cosine(p, prof)) }
-      .maxBy(_._2)
-    if (best._2 == 0.0) ("und", 0.0) else best
+  /** Prepared classifier: model sorted once, per-language norms
+    * precomputed; the per-document profile and its norm are computed once
+    * and scored against every language. Use this form on the hot path.
+    */
+  def classifier(model: Map[String, Profile]): String => (String, Double) = {
+    // deterministic: ties broken by language name (sorted once, not per row)
+    val langs = model.toSeq.sortBy(_._1).map { case (lang, prof) =>
+      (lang, prof, math.sqrt(prof.valuesIterator.map(v => v * v).sum))
+    }
+    text => {
+      val p = profile(text)
+      if (langs.isEmpty || p.isEmpty) ("und", 0.0)
+      else {
+        val np = math.sqrt(p.valuesIterator.map(v => v * v).sum)
+        val best = langs.map { case (lang, prof, nl) =>
+          val dot = p.iterator.map { case (k, v) => v * prof.getOrElse(k, 0.0) }.sum
+          (lang, if (np == 0.0 || nl == 0.0) 0.0 else dot / (np * nl))
+        }.maxBy(_._2)
+        if (best._2 == 0.0) ("und", 0.0) else best
+      }
+    }
   }
 
+  /** Classify one text: (language, confidence = best cosine). */
+  def classify(model: Map[String, Profile])(text: String): (String, Double) =
+    classifier(model)(text)
+
   /** Dataset stage: (id, text) → (id, pred_lang, confidence). The model
-    * is broadcast; classification is per-partition.
+    * is broadcast; the prepared classifier is built once per partition.
     */
   def classifyColumn(df: DataFrame, idCol: String, textCol: String,
       model: Map[String, Profile]): DataFrame = {
@@ -62,7 +81,7 @@ object LangId {
     val bc = spark.sparkContext.broadcast(model)
     df.select(idCol, textCol).as[(Long, String)]
       .mapPartitions { it =>
-        val classify = LangId.classify(bc.value) _
+        val classify = LangId.classifier(bc.value)
         it.map { case (id, text) =>
           val (lang, conf) = classify(text)
           (id, lang, conf)

@@ -70,10 +70,12 @@ object Multimodal {
   /** STUB frame sampling — deterministic fake of video frame extraction:
     * every `stride`-th 64-byte window of the payload becomes a "frame".
     */
-  def frameSampleStub(bytes: Array[Byte], stride: Int): Seq[Array[Byte]] =
+  def frameSampleStub(bytes: Array[Byte], stride: Int): Seq[Array[Byte]] = {
+    require(stride > 0, s"stride must be positive, got $stride")
     bytes.grouped(64).zipWithIndex
       .collect { case (frame, i) if i % stride == 0 => frame }
       .toSeq
+  }
 
   /** Resize stage over the media column (mapPartitions, codec init
     * amortized per partition in a real decoder).

@@ -121,9 +121,9 @@ object Cc2Dataset {
   /** S3: crawl-index discovery — glob `<root>/&#42;/wat.paths.gz` on any
     * Hadoop filesystem (the reference's s3 variant,
     * cc2dataset/main.py:209-228; its http variant needs an external
-    * listing page and is driver-environment specific). Glob order is the
-    * FS listing order; the reference keeps the TAIL of it (newest crawls
-    * last) via readWatIndexFiles' shardCount.
+    * listing page and is driver-environment specific). Results are SORTED
+    * so that CC's date-stamped crawl names put the newest crawls last —
+    * the invariant readWatIndexFiles' tail-slice (shardCount) depends on.
     */
   def discoverCrawlIndexes(spark: SparkSession, rootGlob: String): Seq[String] = {
     val p = new Path(rootGlob)

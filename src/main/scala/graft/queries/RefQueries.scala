@@ -175,14 +175,14 @@ object RefQueries {
     // input is WARC framing) → rows-only check; Bench times it as the
     // extraction headline.
     "q_wat_extract" -> ((s, dir) => {
-      val wats = graft.wat.WatFixture.ensureBenchWats(16)
+      val wats = graft.wat.WatFixture.ensureFleet()
       graft.wat.WatExtract.fromPaths(s, wats, "image_only").toDF()
     }),
 
     // The pipeline's hot path end-to-end: extraction + uid dedup (the
     // stage-1 + stage-2 of a production run). Rows-only; benched.
     "q_wat_dedup" -> ((s, dir) => {
-      val wats = graft.wat.WatFixture.ensureBenchWats(16)
+      val wats = graft.wat.WatFixture.ensureFleet()
       Dedup.byKey(
         graft.wat.WatExtract.fromPaths(s, wats, "image_only").toDF(),
         Seq("uid"))
@@ -193,8 +193,7 @@ object RefQueries {
     // source. BASELINE.md pins the reference at ~50 s per WAT per core;
     // this is the comparable single-node number.
     "q_wat_extract_1file" -> ((s, dir) => {
-      val wat = graft.wat.WatFixture.ensureBenchWats(1,
-        nRecords = 20000, linksPerRecord = 20)
+      val wat = graft.wat.WatFixture.ensureSingle()
       graft.wat.WatExtract.fromPathsV2(s, wat, "image_only").toDF()
     })
   )

@@ -145,6 +145,18 @@ object WatFixture {
     */
   val GenVersion = 1
 
+  /** Canonical bench fixture shapes — referenced by BOTH the Bench warmup
+    * and the q_wat_* queries so they cannot drift apart.
+    */
+  val BenchFleet: (Int, Int, Int) = (16, 500, 20)     // files, records, links
+  val BenchSingle: (Int, Int, Int) = (1, 20000, 20)   // ~400k links, 1 task
+
+  def ensureFleet(): Seq[String] =
+    ensureBenchWats(BenchFleet._1, BenchFleet._2, BenchFleet._3)
+
+  def ensureSingle(): Seq[String] =
+    ensureBenchWats(BenchSingle._1, BenchSingle._2, BenchSingle._3)
+
   /** Idempotently materialize `n` deterministic bench WATs in tmp. */
   def ensureBenchWats(n: Int, nRecords: Int = 500,
       linksPerRecord: Int = 20): Seq[String] = {
@@ -156,7 +168,8 @@ object WatFixture {
       if (!f.exists()) {
         // write-then-rename: a process killed mid-generation must not
         // leave a truncated archive that a later run silently reuses
-        val tmp = new java.io.File(dir, f.getName + s".tmp-${ProcessHandle.current().pid()}")
+        val tmp = new java.io.File(dir, f.getName +
+          s".tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}-${System.nanoTime()}")
         syntheticWat(tmp.getAbsolutePath, nRecords, linksPerRecord,
           seed = 1000L + i)
         if (!tmp.renameTo(f) && !f.exists())
