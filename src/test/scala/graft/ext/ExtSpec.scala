@@ -32,6 +32,22 @@ class ExtSpec extends AnyFunSuite with SparkTestBase {
     assert(sig(1L) != sig(3L))
   }
 
+  test("typed MinHash aggregator over exploded tokens == HOF signature") {
+    import org.apache.spark.sql.functions.udaf
+    val hs = transform(array_distinct(split(col("text"), " ")),
+      w => graft.functions.Hashing.h32(w))
+    val hof = docs.select(col("doc_id") +:
+      NearDup.minhashSignature(hs, 4): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong).toSeq).toMap
+
+    val agg = udaf(new MinHashAgg(4))
+    val rows = docs
+      .select(col("doc_id"), explode(hs).as("h"))
+      .groupBy("doc_id").agg(agg(col("h")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(rows == hof)
+  }
+
   test("simhash: identical word sets share a signature; signature is 16-bit") {
     val sh = NearDup.simhash(docs, Seq("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
