@@ -51,8 +51,12 @@ object RelQueries {
       val li = table(s, dir, "lineitem")
         .select(col("l_orderkey"),
           (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("rev_u"))
-      li.join(broadcast(ord.join(broadcast(cust),
-            col("o_custkey") === col("c_custkey"))),
+      // Only the filtered dimension (customer) is broadcast-safe: the date
+      // filter keeps ~97% of orders, so orders⋈customer is NOT small at
+      // scale — no hint on the outer join; AQE picks shuffle-hash/sort-merge
+      // for lineitem⋈orders (or a runtime broadcast if stats allow).
+      li.join(ord.join(broadcast(cust),
+            col("o_custkey") === col("c_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg((sum(col("rev_u")) / 10000.0).as("revenue"))
@@ -93,13 +97,15 @@ object RelQueries {
     }),
 
     // Window top-k per group: one hash shuffle on the partition key, sort
-    // within partitions, early filter on rank.
+    // within partitions, early filter on rank. Customer is unfiltered here,
+    // so the join is hint-free — AQE broadcasts it when it is actually
+    // small, and falls back to shuffle join when the "dimension" grows.
     "q_window_topk" -> ((s, dir) => {
       val c = table(s, dir, "customer").select("c_custkey", "c_mktsegment")
       val o = table(s, dir, "orders")
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      o.join(c, col("o_custkey") === col("c_custkey"))
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= 3)
         .select(col("c_mktsegment"), col("rk").cast("long").as("rk"),
@@ -163,14 +169,20 @@ object RelQueries {
         .orderBy("l_returnflag")
     }),
 
-    // HLL sketch distinct (approx_count_distinct). Deterministic for
-    // fixed input but engine-specific — no cross-engine oracle; driver
-    // rows-only check.
+    // HLL sketch distinct (approx_count_distinct). The sketch value is
+    // engine-specific, so the oracle-comparable output is the exact
+    // distinct count plus a tolerance assertion the approx must satisfy:
+    // DuckDB computes the same exact count and literal TRUE, making the
+    // row hash-exact while still exercising the HLL operator.
     "q_approx_distinct" -> ((s, dir) => {
       table(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("exact_parts"), col("n"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+            col("exact_parts") < 0.05).as("within_tol"))
         .orderBy("l_returnflag")
     }),
 
@@ -290,6 +302,13 @@ object RelQueries {
         |  count(*) AS n,
         |  count(DISTINCT day(o_orderdate))::BIGINT AS n_days
         |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
+
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey)::BIGINT AS exact_parts,
+        |  count(*) AS n,
+        |  true AS within_tol
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_distinct_agg" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,
