@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.ops.Dedup
 
@@ -46,7 +47,19 @@ object Curation {
       .where(col("score") >= cfg.minScore && col("n_tokens") >= cfg.minTokens)
       .withColumn("bag_fp", TextAnalysis.bagFingerprint(text))
 
-    val exact = Dedup.firstPerKey(kept, Seq(col("bag_fp")), Seq(col("doc_id")))
+    // `exact` feeds BOTH the pair-finding subtree and the final anti-join;
+    // without a persist the whole quality+dedup lineage executes twice per
+    // action — a free 2× on a full-corpus curation run. Prune to the
+    // columns both consumers need before caching (the scoring
+    // intermediates and bag_fp would dominate the cached bytes), and use
+    // MEMORY_AND_DISK so oversized partitions spill instead of OOM-ing at
+    // scale. Cache scope is the curated plan's lifetime; callers doing
+    // repeated actions over the result should persist that result
+    // themselves.
+    val exact = Dedup
+      .firstPerKey(kept, Seq(col("bag_fp")), Seq(col("doc_id")))
+      .select("doc_id", "lang", "n_chars", "text", "n_tokens", "score")
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val blocked = exact.select(
       col("doc_id"), col("lang"),

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
@@ -106,33 +107,60 @@ object NearDup {
   }
 
   /** Exact Jaccard over blocked candidate pairs via an INVERTED INDEX:
-    * explode shingles, equi-join on (block, shingle), count matches per
-    * pair — intersection sizes fall out of a groupBy instead of a
-    * quadratic per-pair array_intersect. This is the shape that survives
-    * 100 TB: the join is an equi-shuffle on (block, shingle), pairs with
-    * zero overlap never materialize, and per-doc set sizes join back in
-    * as two cheap projections.
+    * hash each shingle to a 32-bit long, explode, equi-join on
+    * (block, shingle-hash), count matches per pair — intersection sizes
+    * fall out of a groupBy instead of a quadratic per-pair
+    * array_intersect. This is the shape that survives 100 TB:
+    *  - the shuffle key is an 8-byte long, not the shingle string itself,
+    *    so shuffle bytes are O(shingle count), not O(corpus re-serialized);
+    *  - ultra-common shingles ("of the") are dropped by a document-
+    *    frequency cutoff (`maxDf`, standard MinHashLSH stop-shingle
+    *    practice) before the self-join, capping per-bucket join fan-out at
+    *    maxDf² instead of letting one hot key go quadratic in block size;
+    *  - pairs with zero overlap never materialize, and per-doc set sizes
+    *    come from the same kept index as a cheap re-aggregation.
+    *
+    * Semantics: Jaccard over the df-filtered, HASHED shingle sets (the
+    * oracle hashes and filters identically, so results stay bit-exact
+    * cross-engine). Zero-overlap pairs are never emitted, hence
+    * minJaccard must be positive.
     *
     * Input: (doc_id, lang, bucket, sh: array<string> of DISTINCT shingles).
     * Output: (d1, d2, inter_size, union_size, jac) for jac >= minJaccard.
     */
-  def jaccardPairs(d: DataFrame, minJaccard: Double): DataFrame = {
-    val sizes = d.select(col("doc_id"), size(col("sh")).cast("long").as("sz"))
-    val ex = d.select(col("doc_id"), col("lang"), col("bucket"),
-      explode(col("sh")).as("s"))
-    val a = ex.select(col("doc_id").as("d1"), col("lang"), col("bucket"),
-      col("s"))
-    val b = ex.select(col("doc_id").as("d2"), col("lang"), col("bucket"),
-      col("s"))
-    val inter = a.join(b, Seq("lang", "bucket", "s"))
+  def jaccardPairs(d: DataFrame, minJaccard: Double,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    require(minJaccard > 0,
+      "minJaccard must be > 0: the inverted index only materializes " +
+        "overlapping pairs, so jac = 0 pairs are never emitted")
+    val hashed = d.select(col("doc_id"), col("lang"), col("bucket"),
+      array_distinct(transform(col("sh"), s => Hashing.h32(s))).as("hs"))
+    val ex0 = hashed.select(col("doc_id"), col("lang"), col("bucket"),
+      explode(col("hs")).as("s"))
+    // Stop-shingle cutoff: one windowed count per (block, shingle-hash) —
+    // a single hash shuffle, reused by the self-join below.
+    val ex =
+      if (maxDf == Int.MaxValue) ex0
+      else ex0
+        .withColumn("df", count(lit(1))
+          .over(Window.partitionBy("lang", "bucket", "s")))
+        .where(col("df") <= maxDf)
+        .drop("df")
+    // Per-doc kept-set size rides along WITH the index rows (one windowed
+    // count per doc_id) instead of being aggregated separately and joined
+    // back on d1/d2: two fewer shuffles, and the index subtree is consumed
+    // exactly twice (the two self-join sides — structurally identical, so
+    // the exchange is computed once and reused).
+    val withSz = ex.withColumn("sz",
+      count(lit(1)).over(Window.partitionBy("doc_id")))
+    val a = withSz.select(col("doc_id").as("d1"), col("sz").as("sz1"),
+      col("lang"), col("bucket"), col("s"))
+    val b = withSz.select(col("doc_id").as("d2"), col("sz").as("sz2"),
+      col("lang"), col("bucket"), col("s"))
+    a.join(b, Seq("lang", "bucket", "s"))
       .where(col("d1") < col("d2"))
-      .groupBy("d1", "d2")
+      .groupBy("d1", "sz1", "d2", "sz2")
       .agg(count(lit(1)).as("inter_size"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "d1")
-        .withColumnRenamed("sz", "sz1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2")
-        .withColumnRenamed("sz", "sz2"), "d2")
       .withColumn("union_size", col("sz1") + col("sz2") - col("inter_size"))
       .withColumn("jac", col("inter_size").cast("double") / col("union_size"))
       .where(col("jac") >= minJaccard)

@@ -106,7 +106,7 @@ object ExtQueries {
         col("doc_id"), col("lang"),
         floor(col("n_chars") / 50).cast("long").as("bucket"),
         NearDup.bigramShingles(TA.tokens(col("text"))).as("sh"))
-      NearDup.jaccardPairs(d, minJaccard = 0.6)
+      NearDup.jaccardPairs(d, minJaccard = 0.6, maxDf = 8)
         .orderBy("d1", "d2")
     }),
 
@@ -232,18 +232,24 @@ object ExtQueries {
        |    FROM kept) WHERE rn = 1),
        |blocked AS (
        |  SELECT doc_id, lang, floor(n_chars / 50)::BIGINT AS bucket,
-       |    list_distinct(list_transform(range(1, len($tokensSql)),
-       |      i -> $tokensSql[i] || ' ' || $tokensSql[i + 1])) AS shl
+       |    list_distinct(list_transform(
+       |      list_transform(range(1, len($tokensSql)),
+       |        i -> $tokensSql[i] || ' ' || $tokensSql[i + 1]),
+       |      x -> ${Hashing.h32Sql("x")})) AS hs
        |  FROM exact),
-       |pairs AS (
-       |  SELECT a.doc_id AS d1, b.doc_id AS d2,
-       |    len(list_filter(a.shl, x -> list_contains(b.shl, x)))::BIGINT AS i_sz,
-       |    (len(a.shl) + len(b.shl))::BIGINT
-       |      - len(list_filter(a.shl, x -> list_contains(b.shl, x)))::BIGINT AS u_sz
-       |  FROM blocked a JOIN blocked b
-       |    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |bex AS (SELECT doc_id, lang, bucket, unnest(hs) AS s FROM blocked),
+       |bsz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM bex GROUP BY doc_id),
+       |binter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*)::BIGINT AS i_sz
+       |  FROM bex a JOIN bex b
+       |    ON a.lang = b.lang AND a.bucket = b.bucket AND a.s = b.s
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
        |drops AS (
-       |  SELECT DISTINCT d2 FROM pairs WHERE i_sz::DOUBLE / u_sz >= 0.6)
+       |  SELECT DISTINCT d2 FROM binter
+       |  JOIN bsz s1 ON binter.d1 = s1.doc_id
+       |  JOIN bsz s2 ON binter.d2 = s2.doc_id
+       |  WHERE i_sz::DOUBLE / (s1.sz + s2.sz - i_sz) >= 0.6)
        |SELECT doc_id, lang, n_tokens, score FROM exact
        |WHERE doc_id NOT IN (SELECT d2 FROM drops)
        |ORDER BY doc_id""".stripMargin
@@ -388,23 +394,38 @@ object ExtQueries {
     "q_minhash_lsh" -> minhashOracle,
     "q_simhash" -> simhashOracle,
 
+    // Mirrors jaccardPairs exactly: same h32 shingle hashing, same df <= 8
+    // stop-shingle cutoff per (lang, bucket) block, same inverted-index
+    // intersection counting — both engines compute Jaccard over the
+    // df-filtered hashed shingle sets, so the compare is bit-exact.
     "q_ngram_jaccard" ->
       s"""WITH d AS (
          |  SELECT doc_id, lang, floor(n_chars / 50)::BIGINT AS bucket,
-         |    list_distinct(list_transform(range(1, len($tokensSql)),
-         |      i -> $tokensSql[i] || ' ' || $tokensSql[i + 1])) AS sh
+         |    list_distinct(list_transform(
+         |      list_transform(range(1, len($tokensSql)),
+         |        i -> $tokensSql[i] || ' ' || $tokensSql[i + 1]),
+         |      x -> ${Hashing.h32Sql("x")})) AS hs
          |  FROM documents),
-         |pairs AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
-         |    len(list_filter(a.sh, x -> list_contains(b.sh, x)))::BIGINT AS inter_size,
-         |    (len(a.sh) + len(b.sh))::BIGINT
-         |      - len(list_filter(a.sh, x -> list_contains(b.sh, x)))::BIGINT
-         |      AS union_size
-         |  FROM d a JOIN d b ON a.lang = b.lang AND a.bucket = b.bucket
-         |  WHERE a.doc_id < b.doc_id)
+         |ex0 AS (SELECT doc_id, lang, bucket, unnest(hs) AS s FROM d),
+         |ex AS (SELECT doc_id, lang, bucket, s FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY lang, bucket, s) AS df
+         |    FROM ex0) WHERE df <= 8),
+         |sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM ex GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*)::BIGINT AS inter_size
+         |  FROM ex a JOIN ex b
+         |    ON a.lang = b.lang AND a.bucket = b.bucket AND a.s = b.s
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT d1, d2, inter_size,
+         |    (s1.sz + s2.sz - inter_size)::BIGINT AS union_size
+         |  FROM inter
+         |  JOIN sz s1 ON inter.d1 = s1.doc_id
+         |  JOIN sz s2 ON inter.d2 = s2.doc_id)
          |SELECT d1, d2, inter_size, union_size,
          |  inter_size::DOUBLE / union_size AS jac
-         |FROM pairs WHERE inter_size::DOUBLE / union_size >= 0.6
+         |FROM j WHERE inter_size::DOUBLE / union_size >= 0.6
          |ORDER BY d1, d2""".stripMargin,
 
     "q_curation" -> curationOracle,
