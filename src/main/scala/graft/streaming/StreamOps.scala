@@ -66,13 +66,30 @@ object StreamOps {
     * session per user. Emits a session row whenever it is extended or
     * closed; `closed = true` rows are final (append-style consumers keep
     * those).
+    *
+    * State is BOUNDED: each update schedules an `EventTimeTimeout` at
+    * (last activity + gap), so a user who stops sending events gets a
+    * final `closed = true` row and their state entry removed once the
+    * watermark passes the gap — state is O(users active within one gap
+    * horizon), not O(all users ever seen). A later event from a
+    * timed-out user starts over at session_idx 1 (its prior closed rows
+    * are already final). `lateness` is the watermark delay — how far
+    * out-of-order event times may arrive before being dropped.
     */
-  def sessionize(events: Dataset[Evt], gapUs: Long = 1800L * 1000000L): Dataset[SessionOut] = {
+  def sessionize(events: Dataset[Evt], gapUs: Long = 1800L * 1000000L,
+      lateness: String = "30 minutes"): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
 
     def update(userId: Long, it: Iterator[Evt],
         state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        // inactivity expiry: finalize the open session, clear the entry
+        val cur = state.get
+        state.remove()
+        return Iterator.single(SessionOut(userId, cur.sessionIdx,
+          cur.nEvents, cur.startUs, cur.lastUs, closed = true))
+      }
       // events within a micro-batch are unordered — sort per group
       val evts = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
       if (evts.isEmpty) return Iterator.empty
@@ -90,13 +107,21 @@ object StreamOps {
         }
       }
       state.update(cur)
+      // expire at gap past last activity; the timeout timestamp must sit
+      // beyond the current watermark or the runtime rejects it
+      state.setTimeoutTimestamp(math.max(cur.lastUs / 1000L + gapUs / 1000L,
+        state.getCurrentWatermarkMs() + 1L))
       out += SessionOut(userId, cur.sessionIdx, cur.nEvents, cur.startUs,
         cur.lastUs, closed = false)
       out.iterator
     }
 
-    events.groupByKey(_.user_id)
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", lateness)
+      .as[Evt]
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(update)
+        GroupStateTimeout.EventTimeTimeout)(update)
   }
 }

@@ -10,7 +10,10 @@ import graft.SparkTestBase
 class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
-  private def us(minutes: Long): Long = minutes * 60L * 1000000L
+  // event times sit 20 h past the epoch: rows at/behind the watermark are
+  // dropped by watermarked stateful ops, and the initial watermark is 0,
+  // so a ts = 0 event would silently vanish
+  private def us(minutes: Long): Long = (minutes + 1200L) * 60L * 1000000L
 
   private val batch1 = Seq(
     // user 1: two events 5 min apart (one session)
@@ -53,6 +56,41 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     // user 2: one session, extended to 2 events, never closed
     assert(rows.contains((2L, 1L, 2L, false)))
     assert(!rows.exists(r => r._1 == 2L && r._4))
+  }
+
+  test("idle sessions close via event-time timeout and state is cleared") {
+    val in = Files.createTempDirectory("stream-timeout").toString
+    writeBatch(in, batch1, "b1")
+    val events = StreamOps.readEventStream(spark, s"$in/*")
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+      .as[StreamOps.Evt]
+    val q = StreamOps.sessionize(events).writeStream
+      .outputMode("append").format("memory").queryName("sessions_to")
+      .start()
+    q.processAllAvailable()
+    // a far-future event from another user advances the watermark...
+    writeBatch(in, Seq((6L, us(120), 99L, "click", 1.0)), "b2")
+    q.processAllAvailable()
+    // ...and the next batch runs with that watermark (90 min after
+    // lateness), firing the inactivity timeouts for users 1 and 2
+    writeBatch(in, Seq((7L, us(125), 99L, "click", 1.0)), "b3")
+    q.processAllAvailable()
+    // a returning timed-out user restarts at session_idx 1 — the state
+    // entry really was removed, not kept around
+    writeBatch(in, Seq((8L, us(126), 1L, "click", 1.0)), "b4")
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.sql("select * from sessions_to").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(5)))
+
+    // idle users 1 and 2 were closed by timeout with their final counts
+    assert(rows.contains((1L, 1L, 2L, true)))
+    assert(rows.contains((2L, 1L, 1L, true)))
+    // user 99 stayed active — never closed
+    assert(!rows.exists(r => r._1 == 99L && r._4))
+    // user 1's post-timeout event opened a fresh session_idx = 1
+    assert(rows.contains((1L, 1L, 1L, false)))
   }
 
   test("streaming dedup keeps one row per uid within the watermark horizon") {
