@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -151,6 +151,24 @@ object ExtQueries {
       graft.ext.Curation.curate(docsWithTokens(s, dir)).orderBy("doc_id")
     }),
 
+    // Typed-Aggregator MinHash over ROW-shaped tokens (exploded corpus) —
+    // same universal-hash family as the per-row HOF signature path in
+    // q_minhash_lsh, so the oracle is the same mix formula. The udaf is
+    // map-side combinable (constant K-long buffer, elementwise-min merge),
+    // so the shuffle carries one 8-long buffer per (partition, doc), not
+    // the token stream.
+    "q_minhash_agg" -> ((s, dir) => {
+      val mh = udaf(new graft.ext.MinHashAgg(8), Encoders.scalaLong)
+      val hashed = docsWithTokens(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(TA.tokens(col("text")))).as("w"))
+        .select(col("doc_id"), Hashing.h32(col("w")).as("h"))
+      hashed.groupBy("doc_id").agg(mh(col("h")).as("sig"))
+        .select(col("doc_id") +:
+          (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*)
+        .orderBy("doc_id")
+    }),
+
     // --- multimodal ---
     "q_multimodal_meta" -> ((s, dir) => {
       val bl = octet_length(encode(col("text"), "UTF-8")).cast("long")
@@ -207,6 +225,19 @@ object ExtQueries {
        |FROM bands GROUP BY band_id, band_key
        |HAVING count(*) > 1
        |ORDER BY band_id, band_key""".stripMargin
+  }
+
+  private def minhashAggOracle: String = {
+    val sigs = (0 until 8).map { i =>
+      s"list_aggregate(list_transform(hs, h -> ${Hashing.mixSql(i, "h")}), 'min') AS mh$i"
+    }.mkString(",\n    ")
+    s"""WITH hashed AS (
+       |  SELECT doc_id,
+       |    list_transform($dtokensSql, w -> ${Hashing.h32Sql("w")}) AS hs
+       |  FROM documents)
+       |SELECT doc_id,
+       |  $sigs
+       |FROM hashed ORDER BY doc_id""".stripMargin
   }
 
   private def curationOracle: String =
@@ -392,6 +423,7 @@ object ExtQueries {
          |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
 
     "q_minhash_lsh" -> minhashOracle,
+    "q_minhash_agg" -> minhashAggOracle,
     "q_simhash" -> simhashOracle,
 
     // Mirrors jaccardPairs exactly: same h32 shingle hashing, same df <= 8
