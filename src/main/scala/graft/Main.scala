@@ -44,11 +44,22 @@ object Main {
       case _ => () => SessionBuilder.local(cores, memGb)
     }
 
-    val cfg = Cc2Config(
-      outputPath = a("output_path"),
+    // absent count flags keep Cc2Config's reference-parity defaults
+    // (newest 1 index, 100 sampled WATs — README.md:54); the explicit
+    // sentinel "all" disables the cap. Mapping absent to None here would
+    // silently read every index file and shuffle millions of WAT paths.
+    val dflt = Cc2Config(outputPath = a("output_path"))
+    def countFlag(key: String, d: Option[Int]): Option[Int] =
+      a.get(key) match {
+        case None        => d
+        case Some("all") => None
+        case Some(v)     => Some(v.toInt)
+      }
+
+    val cfg = dflt.copy(
       documentType = a.getOrElse("document_type", "image"),
-      watIndexCount = a.get("wat_index_count").map(_.toInt),
-      watCount = a.get("wat_count").map(_.toInt),
+      watIndexCount = countFlag("wat_index_count", dflt.watIndexCount),
+      watCount = countFlag("wat_count", dflt.watCount),
       multipart = a.get("multipart").map(_.toInt),
       shuffle = a.get("shuffle").forall(_.toBoolean),
       resume = a.get("resume"),

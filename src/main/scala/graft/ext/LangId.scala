@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
 
 /** Character-bigram language identification — the classic n-gram
   * heuristic: build per-language bigram frequency profiles from sample
@@ -73,20 +74,26 @@ object LangId {
 
   /** Dataset stage: (id, text) → (id, pred_lang, confidence). The model
     * is broadcast; the prepared classifier is built once per partition.
+    * The id column keeps whatever type it has (long, string, struct, …) —
+    * rows pass through as Rows, so no encoder pins it to bigint.
     */
   def classifyColumn(df: DataFrame, idCol: String, textCol: String,
       model: Map[String, Profile]): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
-    df.select(idCol, textCol).as[(Long, String)]
-      .mapPartitions { it =>
-        val classify = LangId.classifier(bc.value)
-        it.map { case (id, text) =>
-          val (lang, conf) = classify(text)
-          (id, lang, conf)
-        }
+    val in = df.select(idCol, textCol)
+    require(in.schema.fields(1).dataType == StringType,
+      s"$textCol must be a string column, got ${in.schema.fields(1).dataType}")
+    val outSchema = StructType(Seq(
+      in.schema.fields.head,
+      StructField("pred_lang", StringType, nullable = false),
+      StructField("confidence", DoubleType, nullable = false)))
+    in.mapPartitions { it =>
+      val classify = LangId.classifier(bc.value)
+      it.map { r =>
+        val (lang, conf) = classify(if (r.isNullAt(1)) null else r.getString(1))
+        Row(r.get(0), lang, conf)
       }
-      .toDF(idCol, "pred_lang", "confidence")
+    }(Encoders.row(outSchema))
   }
 }

@@ -17,18 +17,24 @@ import graft.ops.UrlOps
   * reference null semantics: null rel → null; null/absent base → rel
   * unchanged (cc2dataset/main.py:107-110).
   */
-case class UrlResolve(left: Expression, right: Expression)
+case class UrlResolve(left: Expression, right: Expression,
+    baseFallback: Boolean = false)
     extends BinaryExpression {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = right.nullable
+
+  private def helperName: String =
+    if (baseFallback) "resolveBase" else "resolve"
 
   override def eval(input: InternalRow): Any = {
     val rel = right.eval(input)
     if (rel == null) return null
     val base = left.eval(input)
     if (base == null) return rel
-    UrlResolve.resolve(base.asInstanceOf[UTF8String], rel.asInstanceOf[UTF8String])
+    val b = base.asInstanceOf[UTF8String]
+    val r = rel.asInstanceOf[UTF8String]
+    if (baseFallback) UrlResolve.resolveBase(b, r) else UrlResolve.resolve(b, r)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -45,7 +51,7 @@ case class UrlResolve(left: Expression, right: Expression)
           if (${l.isNull}) {
             ${ev.value} = ${r.value};
           } else {
-            ${ev.value} = $helper.resolve(${l.value}, ${r.value});
+            ${ev.value} = $helper.$helperName(${l.value}, ${r.value});
           }
         }""")
   }
@@ -56,18 +62,28 @@ case class UrlResolve(left: Expression, right: Expression)
 }
 
 object UrlResolve {
-  /** Static entry point shared by interpreted eval and generated code. */
+  /** Static entry points shared by interpreted eval and generated code. */
   def resolve(base: UTF8String, rel: UTF8String): UTF8String =
     UTF8String.fromString(UrlOps.resolveUrl(base.toString, rel.toString))
+
+  def resolveBase(base: UTF8String, rel: UTF8String): UTF8String =
+    UTF8String.fromString(UrlOps.resolveBase(base.toString, rel.toString))
 }
 
 /** Session-level registration of graft's native functions. */
 object GraftFunctions {
   val UrlResolveName = "url_resolve"
+  val UrlResolveBaseName = "url_resolve_base"
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       UrlResolveName,
       (exprs: Seq[Expression]) => UrlResolve(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      UrlResolveBaseName,
+      (exprs: Seq[Expression]) =>
+        UrlResolve(exprs(0), exprs(1), baseFallback = true),
+      "built-in")
+  }
 }

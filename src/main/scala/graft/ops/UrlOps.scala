@@ -20,20 +20,36 @@ object UrlOps {
     * urljoin does on well-formed input: absolute rel, protocol-relative
     * (`//host/x`), root-relative (`/x`), and path-relative.
     */
-  def resolveUrl(base: String, rel: String): String = {
-    if (rel == null) return null
-    if (rel.startsWith("http://") || rel.startsWith("https://")) return rel
-    if (base == null || base.isEmpty) return rel
-    try {
-      val resolved = new java.net.URI(base).resolve(rel)
-      resolved.toString
-    } catch {
-      case _: Exception => rel
-    }
+  /** urljoin core: Some(resolved) on success, None when java.net.URI
+    * rejects either side (the reference's ValueError arm). Absolute rel
+    * and null/empty base are successes, not errors.
+    */
+  private[graft] def tryResolve(base: String, rel: String): Option[String] = {
+    if (rel.startsWith("http://") || rel.startsWith("https://")) Some(rel)
+    else if (base == null || base.isEmpty) Some(rel)
+    else
+      try Some(new java.net.URI(base).resolve(rel).toString)
+      catch { case _: Exception => None }
   }
+
+  def resolveUrl(base: String, rel: String): String =
+    if (rel == null) null else tryResolve(base, rel).getOrElse(rel)
+
+  /** Base-resolution failure arm: keep the PAGE url, not the head-base
+    * string. The reference's urljoin(page_url, head_base) ValueError
+    * handler leaves base = page_url (cc2dataset/main.py:158-164); falling
+    * back to the malformed `<base href>` value would poison resolution of
+    * every relative link on the page.
+    */
+  def resolveBase(pageUrl: String, headBase: String): String =
+    if (headBase == null) pageUrl
+    else tryResolve(pageUrl, headBase).getOrElse(pageUrl)
 
   private val resolveUdf =
     udf((base: String, rel: String) => resolveUrl(base, rel))
+
+  private val resolveBaseUdf =
+    udf((pageUrl: String, headBase: String) => resolveBase(pageUrl, headBase))
 
   /** X1/X2: absolutize a url column against a base column; absolute urls
     * pass through without invoking the UDF.
@@ -47,5 +63,5 @@ object UrlOps {
     */
   def effectiveBase(targetUri: Column, headBase: Column): Column =
     when(headBase.isNull, targetUri)
-      .otherwise(resolveUdf(targetUri, headBase))
+      .otherwise(resolveBaseUdf(targetUri, headBase))
 }

@@ -52,6 +52,8 @@ object WatExtract {
     graft.functions.GraftFunctions.register(spark)
     def resolve(base: org.apache.spark.sql.Column, rel: org.apache.spark.sql.Column) =
       call_function(graft.functions.GraftFunctions.UrlResolveName, base, rel)
+    def resolveBase(page: org.apache.spark.sql.Column, hb: org.apache.spark.sql.Column) =
+      call_function(graft.functions.GraftFunctions.UrlResolveBaseName, page, hb)
 
     val parsed = payloadDf
       .select(from_json(col("payload"), WatEnvelope.schema).as("r"))
@@ -67,9 +69,11 @@ object WatExtract {
       // struct null (PERMISSIVE), same drop — the reference's per-record
       // try/except (main.py:139-142).
       .where(col("links").isNotNull)
+      // base-fallback variant: an unparsable <base href> keeps the page
+      // url as base (main.py:158-164), not the malformed head-base string
       .withColumn("base",
         when(col("head_base").isNull, col("page_url"))
-          .otherwise(resolve(col("page_url"), col("head_base"))))
+          .otherwise(resolveBase(col("page_url"), col("head_base"))))
 
     val link = col("link")
     val (pred, altExpr) = LinkOps.forDocumentType(docType, link)

@@ -60,7 +60,18 @@ object WatReader {
     None
   }
 
-  /** Iterate all WARC records in a (possibly gzipped) byte stream. */
+  /** Iterate all WARC records in a (possibly gzipped) byte stream.
+    *
+    * Fault tolerance: any mid-file failure — truncated payload
+    * (EOFException), gzip CRC/format corruption, frame desync — ENDS this
+    * file's iteration instead of propagating. One bad archive among
+    * thousands must not abort the whole job: a thrown exception here
+    * reaches the Spark flatMap and fails the task deterministically on
+    * all retries. The reference skips the entire shard on any parse
+    * failure (cc2dataset/main.py:178-181 returns []); graft keeps the
+    * records already read — strictly more data, a documented parity
+    * delta.
+    */
   def records(raw: InputStream, gzipped: Boolean = true): Iterator[WarcRecord] = {
     val in = new BufferedInputStream(
       if (gzipped) new GZIPInputStream(raw, 1 << 16) else raw, 1 << 16)
@@ -71,9 +82,16 @@ object WatReader {
       private def advance(): Unit = {
         nextRec = null
         while (nextRec == null && !done) {
-          readRecord(in) match {
-            case Some(r) => nextRec = r
-            case None    => done = true
+          try {
+            readRecord(in) match {
+              case Some(r) => nextRec = r
+              case None    => done = true
+            }
+          } catch {
+            case e: Exception =>
+              System.err.println(
+                s"[wat] corrupt archive, keeping records read so far: $e")
+              done = true
           }
         }
       }

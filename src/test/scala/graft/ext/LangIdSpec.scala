@@ -46,4 +46,17 @@ class LangIdSpec extends AnyFunSuite with SparkTestBase {
       assert(got(id) == LangId.classify(model)(t)._1)
     }
   }
+
+  test("classifyColumn accepts non-bigint id columns") {
+    val texts = Seq(
+      ("a", "the weather is nice and the birds sing"),
+      ("b", "las palabras de esta frase son espanolas"),
+      ("c", null))
+    val got = LangId.classifyColumn(texts.toDF("doc_id", "text"),
+      "doc_id", "text", model)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("a") == "en")
+    assert(got("b") == "es")
+    assert(got("c") == "und") // null text is classified, not crashed on
+  }
 }

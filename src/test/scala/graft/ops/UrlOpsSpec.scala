@@ -33,6 +33,19 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(UrlOps.resolveUrl("https://ex.test/", null) == null)
   }
 
+  test("base resolution keeps the PAGE url on failure (main.py:158-164)") {
+    // malformed <base href> → base stays the page url, not the junk value
+    assert(UrlOps.resolveBase("https://ex.test/a/", "ht tp://bro ken")
+      == "https://ex.test/a/")
+    // well-formed head base resolves normally
+    assert(UrlOps.resolveBase("https://ex.test/a/page.html", "sub/")
+      == "https://ex.test/a/sub/")
+    assert(UrlOps.resolveBase("https://ex.test/a/", "https://cdn.test/b/")
+      == "https://cdn.test/b/")
+    // absent head base → page url
+    assert(UrlOps.resolveBase("https://ex.test/a/", null) == "https://ex.test/a/")
+  }
+
   test("property: resolution of an absolute url is the identity") {
     val absGen = for {
       scheme <- Gen.oneOf("http://", "https://")

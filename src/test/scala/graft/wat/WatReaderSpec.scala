@@ -54,6 +54,22 @@ class WatReaderSpec extends AnyFunSuite {
     assert(recs2.isEmpty)
   }
 
+  test("truncated payload and gzip corruption keep records read so far") {
+    val bytes = Files.readAllBytes(new File(fixturePath).toPath)
+    // chop the archive mid-payload: the cut record's EOFException (or the
+    // gzip CRC failure from the severed member) must not escape the
+    // iterator — a deterministic throw would fail the task on all 10
+    // retries and abort the job for one bad shard
+    val cut = bytes.take(bytes.length - 40)
+    val recs = WatReader.records(new java.io.ByteArrayInputStream(cut)).toList
+    assert(recs.nonEmpty && recs.size < WatFixture.records.size)
+
+    // arbitrary byte garbage after a valid prefix (invalid gzip member)
+    val junk = bytes ++ Array.tabulate[Byte](64)(i => (i * 37 + 11).toByte)
+    val recs2 = WatReader.records(new java.io.ByteArrayInputStream(junk)).toList
+    assert(recs2.size == WatFixture.records.size)
+  }
+
   test("fetch of a missing path retries then yields empty") {
     val t0 = System.nanoTime()
     val r = WatReader.fetchAllBytes(s"$tmp/nope.warc.wat.gz",
