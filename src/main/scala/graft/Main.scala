@@ -61,6 +61,7 @@ object Main {
       watIndexCount = countFlag("wat_index_count", dflt.watIndexCount),
       watCount = countFlag("wat_count", dflt.watCount),
       multipart = a.get("multipart").map(_.toInt),
+      sourceCcProtocol = a.getOrElse("source_cc_protocol", dflt.sourceCcProtocol),
       shuffle = a.get("shuffle").forall(_.toBoolean),
       resume = a.get("resume"),
       seed = a.get("seed").map(_.toLong).getOrElse(42L))
@@ -72,7 +73,13 @@ object Main {
         Cc2Dataset.readWatIndexFiles(spark, idx.split(',').toSeq,
           cfg.watIndexCount, cfg.watCount, cfg.seed)
       case (None, None) if cfg.resume.isDefined => Nil // manifest supplies them
-      case _ => sys.error("one of --wat_paths / --wat_index is required")
+      case (None, None) =>
+        // reference default: discover crawl indexes via the configured
+        // protocol (s3 bucket glob, or the credential-free http listing
+        // page), then tail-slice + sample (main.py:236-250)
+        val idx = Cc2Dataset.getCcWatLinks(spark, cfg.sourceCcProtocol)
+        Cc2Dataset.readWatIndexFiles(spark, idx,
+          cfg.watIndexCount, cfg.watCount, cfg.seed)
     }
 
     val (jobPath, n) = Cc2Dataset.run(cfg, wats, factory)

@@ -132,13 +132,65 @@ object Cc2Dataset {
       .getOrElse(Seq.empty)
   }
 
-  /** S4: one gzip'd text index file → WAT paths. */
+  /** S3 http variant + X6 (cc2dataset/main.py:215-227): scrape the
+    * get-started listing page, keep the `<li>s3://commoncrawl/crawl-data/`
+    * lines, rewrite them to https data URLs, strip `<wbr>` soft-break
+    * tags, and append `/wat.paths.gz`. Pure so the rewrite is testable
+    * without a network; order is the page's order, exactly as the
+    * reference returns it (its tail-slice then applies to that order).
+    * This is the credential-free onboarding path — no AWS account needed.
+    */
+  def parseCrawlListingPage(content: String): Seq[String] =
+    content.linesIterator
+      .map(_.replace("[WARC] ", ""))
+      .filter(_.contains("<li>s3://commoncrawl/crawl-data/"))
+      .map(_.split(" ")(0)
+        .replace("<li>s3://commoncrawl/", "https://data.commoncrawl.org/")
+        .replace("<wbr>", ""))
+      .map(e => (e + "/wat.paths.gz").replace("//wat", "/wat"))
+      .toSeq
+
+  /** Fetch + parse the crawl listing page over http(s). */
+  def discoverCrawlIndexesHttp(
+      pageUrl: String = "https://commoncrawl.org/the-data/get-started/"): Seq[String] = {
+    val conn = java.net.URI.create(pageUrl).toURL.openConnection()
+    conn.setConnectTimeout(30000)
+    conn.setReadTimeout(60000)
+    val in = conn.getInputStream
+    try parseCrawlListingPage(
+      scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+    finally in.close()
+  }
+
+  /** Protocol dispatch (cc2dataset/main.py:209-228): `s3` globs the
+    * crawl bucket via the Hadoop filesystem, `http` scrapes the public
+    * listing page.
+    */
+  def getCcWatLinks(spark: SparkSession, protocol: String,
+      s3Root: String = "s3a://commoncrawl/crawl-data/*/wat.paths.gz",
+      httpPage: String = "https://commoncrawl.org/the-data/get-started/"): Seq[String] =
+    protocol match {
+      case "s3"   => discoverCrawlIndexes(spark, s3Root)
+      case "http" => discoverCrawlIndexesHttp(httpPage)
+      case other  => throw new IllegalArgumentException(s"Unknown protocol $other")
+    }
+
+  /** S4: one gzip'd text index file → WAT paths. Index URLs from the
+    * http discovery path are plain https — streamed via URL, since no
+    * Hadoop FileSystem binds that scheme; everything else goes through
+    * the Hadoop filesystem (s3a, hdfs, file).
+    */
   def readWatIndexFile(spark: SparkSession, indexPath: String): Seq[String] = {
-    val p = new Path(indexPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val raw: java.io.InputStream =
+      if (indexPath.startsWith("http://") || indexPath.startsWith("https://"))
+        java.net.URI.create(indexPath).toURL.openStream()
+      else {
+        val p = new Path(indexPath)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+      }
     val in =
-      if (indexPath.endsWith(".gz")) new GZIPInputStream(fs.open(p))
-      else fs.open(p)
+      if (indexPath.endsWith(".gz")) new GZIPInputStream(raw)
+      else raw
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .filter(_.nonEmpty).toList
     finally in.close()

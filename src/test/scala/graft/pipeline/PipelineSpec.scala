@@ -107,6 +107,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(shuffled.sorted == lines.sorted)
   }
 
+  test("http crawl-index discovery rewrites the listing page to https urls") {
+    // the reference scrapes this page shape (main.py:215-227): crawl
+    // lines as <li>s3:// bullets, some with [WARC] prefixes and <wbr>
+    // soft breaks, plus non-crawl lines that must not match
+    val page =
+      """<html><body><ul>
+        |<li>s3://commoncrawl/crawl-data/CC-MAIN-2023-50/ - November 2023
+        |[WARC] <li>s3://commoncrawl/crawl-data/CC-<wbr>MAIN-2023-40/ - September 2023
+        |<li>s3://commoncrawl/projects/other/ - not crawl data
+        |<li>plain text line
+        |</ul></body></html>""".stripMargin
+
+    // pure rewrite (X6)
+    val parsed = Cc2Dataset.parseCrawlListingPage(page)
+    assert(parsed == Seq(
+      "https://data.commoncrawl.org/crawl-data/CC-MAIN-2023-50/wat.paths.gz",
+      "https://data.commoncrawl.org/crawl-data/CC-MAIN-2023-40/wat.paths.gz"))
+
+    // end-to-end over a local http server: discover -> read index -> sample
+    val watList = (1 to 5).map(i => s"crawl-data/CC-MAIN-2023-50/wat$i.warc.wat.gz")
+    val gzBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(watList.mkString("\n").getBytes("UTF-8")); gz.close()
+      bos.toByteArray
+    }
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def serve(path: String, body: Array[Byte]): Unit =
+      server.createContext(path, (ex: com.sun.net.httpserver.HttpExchange) => {
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body)
+        ex.close()
+      })
+    serve("/the-data/get-started/", page.getBytes("UTF-8"))
+    Seq("CC-MAIN-2023-50", "CC-MAIN-2023-40").foreach { c =>
+      serve(s"/crawl-data/$c/wat.paths.gz", gzBytes)
+    }
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val spark = factory()
+      val idx = Cc2Dataset.getCcWatLinks(spark, "http",
+        httpPage = s"$base/the-data/get-started/")
+        .map(_.replace("https://data.commoncrawl.org", base))
+      assert(idx.size == 2)
+      val sampled = Cc2Dataset.readWatIndexFiles(spark, idx,
+        shardCount = Some(1), watCount = Some(8), seed = 3L)
+      assert(sampled.size == 8)
+      assert(sampled.toSet.subsetOf(watList.toSet))
+    } finally server.stop(0)
+  }
+
   test("crawl-index discovery globs crawl dirs (S3 layout parity)") {
     val root = new File(tmp, "crawl-data")
     Seq("CC-MAIN-2023-06", "CC-MAIN-2023-14").foreach { crawl =>
