@@ -197,4 +197,37 @@ object WatFixture {
     "text" -> ((1, 1, PaperUid)),     // paper; a.pdf?x=1 rejected
     "video" -> ((1, 1, ClipUid))      // clip
   )
+
+  /** md5 over the FULL sorted extraction output (every row, every
+    * column) — the strongest driver-independent correctness signal for
+    * the WAT queries, which are not SQL-expressible over the fixture
+    * tables and therefore sit outside the DuckDB oracle gate.
+    */
+  def contentHash(rows: Seq[(String, String, String, String, String)]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.sorted.foreach { case (uid, url, alt, ccFile, pageUrl) =>
+      md.update(s"$uid|$url|$alt|$ccFile|$pageUrl\n".getBytes("UTF-8"))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Pinned [[contentHash]] per document type over the canonical
+    * handcrafted fixture ([[write]]).
+    */
+  val goldenContentHash: Map[String, String] = Map(
+    "image" -> "3b6e8db304b90e803b595cbeb0cb10e0",
+    "image_only" -> "2644f33a298edb37af47b9ec7deae422",
+    "audio" -> "5ec0d6208010867e18de0f852e625195",
+    "text" -> "8513280eb8b65c37e129ccd79ef85fb5",
+    "video" -> "57ec4e3483047742c3bdd028a68bdb85")
+
+  /** Pinned [[contentHash]] per document type over the deterministic
+    * 400k-link single-archive fixture ([[ensureSingle]]).
+    */
+  val goldenSingleContentHash: Map[String, String] = Map(
+    "image" -> "5713e2ae7b982da1c4400b8a6f449b88",
+    "image_only" -> "e2f61d6fe4355249a16daad3d9f0ecfc",
+    "audio" -> "7be9e4912c920ba553194180fcbcdfde",
+    "text" -> "f9bdc32ba97be20b81fd3053a62cb650",
+    "video" -> "9027d235b15eeeee288dfd78732cbd27")
 }

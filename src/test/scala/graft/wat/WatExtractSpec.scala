@@ -28,6 +28,19 @@ class WatExtractSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("full-content golden hashes pin extraction output for all doc types") {
+    def hash(paths: Seq[String], dt: String): String =
+      WatFixture.contentHash(
+        WatExtract.fromPaths(spark, paths, dt).collect().toSeq
+          .map(r => (r.uid, r.url, String.valueOf(r.alt), r.cc_filename,
+            r.page_url)))
+    for ((dt, want) <- WatFixture.goldenContentHash)
+      assert(hash(Seq(fixturePath), dt) == want, s"canonical fixture, $dt")
+    val single = WatFixture.ensureSingle()
+    for ((dt, want) <- WatFixture.goldenSingleContentHash)
+      assert(hash(single, dt) == want, s"400k-link fixture, $dt")
+  }
+
   test("malformed records and missing-ancestor records are dropped, not fatal") {
     // fixture contains 1 malformed + 3 missing-ancestor metadata records;
     // extraction still succeeds and only link-bearing records contribute
