@@ -35,7 +35,11 @@ object Bench {
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      // toRdd.count() materializes every output column through the full
+      // physical plan; a plain .count() would let Catalyst prune the
+      // projection (e.g. the md5 uid in q_wat_extract becomes dead code)
+      // and under-report real full-row cost
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
       catch { case e: Throwable =>
         failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
