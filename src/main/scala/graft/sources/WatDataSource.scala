@@ -68,14 +68,27 @@ class WatTable(paths: Seq[String]) extends Table with SupportsRead {
     new WatScanBuilder(paths)
 }
 
-class WatScanBuilder(paths: Seq[String]) extends ScanBuilder {
-  override def build(): Scan = new WatScan(paths)
+/** Column pruning: a projection that drops `payload` (counts,
+  * path-listing queries) skips the per-record UTF-8 payload decode —
+  * frames are still walked (row count = metadata records), but the
+  * dominant per-row cost disappears and `Explain` shows the pruned
+  * ReadSchema.
+  */
+class WatScanBuilder(paths: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = WatDataSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // preserve source field order regardless of projection order
+    val names = requiredSchema.fieldNames.toSet
+    required = StructType(WatDataSource.schema.filter(f => names(f.name)))
+  }
+  override def build(): Scan = new WatScan(paths, required)
 }
 
 case class WatInputPartition(path: String) extends InputPartition
 
-class WatScan(paths: Seq[String]) extends Scan with Batch {
-  override def readSchema(): StructType = WatDataSource.schema
+class WatScan(paths: Seq[String], required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     paths.map(WatInputPartition.apply).toArray
@@ -84,22 +97,31 @@ class WatScan(paths: Seq[String]) extends Scan with Batch {
     // time — executors must not fall back to a bare Configuration
     val conf = new org.apache.spark.util.SerializableConfiguration(
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
-    new WatReaderFactory(conf)
+    new WatReaderFactory(conf, required)
   }
 }
 
-class WatReaderFactory(conf: org.apache.spark.util.SerializableConfiguration)
-    extends PartitionReaderFactory {
+class WatReaderFactory(conf: org.apache.spark.util.SerializableConfiguration,
+    required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[WatInputPartition].path
+    val wantPath = required.fieldNames.contains("wat_path")
+    val wantPayload = required.fieldNames.contains("payload")
     new PartitionReader[InternalRow] {
-      private val it = WatReader.metadataPayloads(path, conf.value)
+      private val it = WatReader.metadataRecords(path, conf.value)
       private val pathUtf8 = UTF8String.fromString(path)
       private var current: UTF8String = _
       override def next(): Boolean =
-        if (it.hasNext) { current = UTF8String.fromString(it.next()); true }
-        else false
-      override def get(): InternalRow = InternalRow(pathUtf8, current)
+        if (it.hasNext) {
+          val rec = it.next()
+          if (wantPayload) current = UTF8String.fromString(rec.payloadString)
+          true
+        } else false
+      override def get(): InternalRow =
+        if (wantPath && wantPayload) InternalRow(pathUtf8, current)
+        else if (wantPath) InternalRow(pathUtf8)
+        else if (wantPayload) InternalRow(current)
+        else InternalRow.empty
       override def close(): Unit = ()
     }
   }

@@ -104,18 +104,24 @@ object WatReader {
     }
   }
 
-  /** Metadata-record JSON payloads of one WAT file (fetch + parse).
-    * Per-record error tolerance lives in the JSON layer downstream
-    * (cc2dataset/main.py:139-142); frame-level garbage ends the file.
+  /** Metadata records of one WAT file (fetch + frame parse), payload
+    * bytes undecoded — callers that only need record existence (pruned
+    * DSv2 scans, counts) skip the per-record UTF-8 decode entirely.
     */
-  def metadataPayloads(path: String, conf: Configuration = new Configuration()): Iterator[String] =
+  def metadataRecords(path: String, conf: Configuration = new Configuration()): Iterator[WarcRecord] =
     fetchAllBytes(path, conf) match {
       case None => Iterator.empty
       case Some(bytes) =>
         records(new ByteArrayInputStream(bytes))
           .filter(_.warcType.equalsIgnoreCase("metadata"))
-          .map(_.payloadString)
     }
+
+  /** Metadata-record JSON payloads of one WAT file (fetch + parse).
+    * Per-record error tolerance lives in the JSON layer downstream
+    * (cc2dataset/main.py:139-142); frame-level garbage ends the file.
+    */
+  def metadataPayloads(path: String, conf: Configuration = new Configuration()): Iterator[String] =
+    metadataRecords(path, conf).map(_.payloadString)
 
   // --- frame parsing ---
 

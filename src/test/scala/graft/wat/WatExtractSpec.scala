@@ -60,6 +60,22 @@ class WatExtractSpec extends AnyFunSuite with SparkTestBase {
     assert(viaV2.sameElements(viaFlatMap))
   }
 
+  test("DSv2 wat scan prunes the payload column") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val pruned = spark.read.format("wat").load(fixturePath).select("wat_path")
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    }.get
+    assert(scan.readSchema().fieldNames.toSeq == Seq("wat_path"))
+    assert(pruned.count() == WatFixture.records.size - 1) // rows unchanged
+    // full projection still reads both columns
+    val full = spark.read.format("wat").load(fixturePath)
+    val fullScan = full.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    }.get
+    assert(fullScan.readSchema().fieldNames.toSeq == Seq("wat_path", "payload"))
+  }
+
   test("two input files double the rows (one partition per file)") {
     val f2 = WatFixture.write(new File(tmp, "fixture2.warc.wat.gz").getAbsolutePath)
     val ds = WatExtract.payloads(spark, Seq(fixturePath, f2))
