@@ -61,6 +61,49 @@ object NearDup {
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .where(col("bucket_size") > 1)
 
+  /** End-to-end MinHash-LSH near-dup: band → bounded buckets → distinct
+    * candidate pairs → exact Jaccard verification over the full element
+    * sets. The standard two-phase shape: LSH prunes the search space to
+    * same-bucket pairs, the exact verify removes LSH's false positives.
+    *
+    * Scale design: buckets larger than `maxBucket` are dropped before
+    * pairing (a degenerate bucket — boilerplate pages, empty docs —
+    * would otherwise go quadratic; standard LSH practice), so the pair
+    * join fans out at most maxBucket² per bucket. Candidate pairs are
+    * deduped across bands before the verify join, and the verify joins
+    * on slim (id → element set) projections.
+    */
+  def lshNearDupPairs(df: DataFrame, idCol: Column, words: Column,
+      bands: Int, rowsPerBand: Int, maxBucket: Int,
+      minJaccard: Double): DataFrame = {
+    require(minJaccard > 0,
+      "minJaccard must be > 0: only same-bucket pairs are candidates")
+    val banded = lshBands(df, idCol, words, bands, rowsPerBand)
+    val keep = banded.groupBy("band_id", "band_key")
+      .agg(count(lit(1)).as("bucket_size"))
+      .where(col("bucket_size").between(2, maxBucket))
+      .select("band_id", "band_key")
+    val bounded = banded.join(keep, Seq("band_id", "band_key"))
+    val a = bounded.select(col("band_id"), col("band_key"),
+      col("doc_id").as("d1"))
+    val b = bounded.select(col("band_id"), col("band_key"),
+      col("doc_id").as("d2"))
+    val cand = a.join(b, Seq("band_id", "band_key"))
+      .where(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val tk = df.select(idCol.as("doc_id"), words.as("tk"))
+    val joined = cand
+      .join(tk.select(col("doc_id").as("d1"), col("tk").as("tk1")), "d1")
+      .join(tk.select(col("doc_id").as("d2"), col("tk").as("tk2")), "d2")
+    val (inter, union) = setOverlap(col("tk1"), col("tk2"))
+    joined
+      .withColumn("inter_size", inter)
+      .withColumn("union_size", union)
+      .withColumn("jac", col("inter_size").cast("double") / col("union_size"))
+      .where(col("jac") >= minJaccard)
+      .select("d1", "d2", "inter_size", "union_size", "jac")
+  }
+
   // --- SimHash ---
 
   /** Per-document SimHash over the distinct-token set (unit weights).

@@ -67,6 +67,31 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]+")).cast("long")
 
+  /** Gopher-style repetition signal: fraction of bigrams that are
+    * duplicates of an earlier bigram (1 − distinct/total). High values
+    * flag boilerplate and degenerate generated text. 0.0 for single-token
+    * docs (no bigrams).
+    */
+  def dupBigramRatio(text: Column): Column = {
+    val nBi = (size(tokens(text)) - 1).cast("long")
+    val nDist = size(NearDup.bigramShingles(tokens(text))).cast("long")
+    when(nBi > 0,
+      lit(1.0) - nDist.cast("double") / nBi.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Repetition signal: the most frequent token's share of all tokens.
+    * Per-row O(distinct × total) HOF — no shuffle, stays in codegen.
+    */
+  def topTokenShare(text: Column): Column = {
+    val tks = tokens(text)
+    val counts = transform(array_distinct(tks),
+      w => size(filter(tks, t => t === w)))
+    when(size(tks) > 0,
+      array_max(counts).cast("double") / size(tks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Order-SENSITIVE rolling (Karp–Rabin) fingerprint over the token
     * stream: fold h32(token) through acc*B + h mod M. Complements the
     * order-insensitive bagFingerprint — reordered documents get

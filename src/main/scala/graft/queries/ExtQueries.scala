@@ -151,6 +151,29 @@ object ExtQueries {
       graft.ext.Curation.curate(docsWithTokens(s, dir)).orderBy("doc_id")
     }),
 
+    // Two-phase near-dup: MinHash-LSH candidate generation (bounded
+    // buckets — degenerate buckets dropped before pairing) + exact
+    // Jaccard verification over the distinct-token sets. The composition
+    // every fuzzy-dedup pipeline runs; LSH prunes, verify kills the
+    // false positives.
+    "q_lsh_neardup" -> ((s, dir) => {
+      NearDup.lshNearDupPairs(docsWithTokens(s, dir), col("doc_id"),
+        TA.distinctTokens(col("text")), bands = 4, rowsPerBand = 2,
+        maxBucket = 10, minJaccard = 0.6)
+        .orderBy("d1", "d2")
+    }),
+
+    // Gopher-style repetition quality signals: duplicate-bigram fraction
+    // and top-token share — pure per-row HOFs, no shuffle.
+    "q_repetition" -> ((s, dir) => {
+      docsWithTokens(s, dir).select(
+        col("doc_id"),
+        TA.tokenCount(col("text")).as("n_tokens"),
+        TA.dupBigramRatio(col("text")).as("dup_bigram_ratio"),
+        TA.topTokenShare(col("text")).as("top_token_share"))
+        .orderBy("doc_id")
+    }),
+
     // Typed-Aggregator MinHash over ROW-shaped tokens (exploded corpus) —
     // same universal-hash family as the per-row HOF signature path in
     // q_minhash_lsh, so the oracle is the same mix formula. The udaf is
@@ -238,6 +261,49 @@ object ExtQueries {
        |SELECT doc_id,
        |  $sigs
        |FROM hashed ORDER BY doc_id""".stripMargin
+  }
+
+  // Mirrors lshNearDupPairs: same signature/band construction as
+  // minhashOracle, bucket-size cap 2..10, distinct candidate pairs,
+  // exact Jaccard over distinct-token sets.
+  private def lshNearDupOracle: String = {
+    val sigs = (0 until 8).map { i =>
+      s"list_aggregate(list_transform(hs, h -> ${Hashing.mixSql(i, "h")}), 'min') AS mh$i"
+    }.mkString(",\n    ")
+    val bandSel = (0 until 4).map { b =>
+      s"SELECT doc_id, ${b}::BIGINT AS band_id, mh${2 * b} || '_' || mh${2 * b + 1} AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH hashed AS (
+       |  SELECT doc_id,
+       |    list_transform($dtokensSql, w -> ${Hashing.h32Sql("w")}) AS hs
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigs
+       |  FROM hashed),
+       |bands0 AS (
+       |  $bandSel),
+       |keep AS (
+       |  SELECT band_id, band_key FROM bands0
+       |  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 10),
+       |bands AS (
+       |  SELECT b.* FROM bands0 b JOIN keep USING (band_id, band_key)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id),
+       |tk AS (SELECT doc_id, $dtokensSql AS tk FROM documents),
+       |v AS (
+       |  SELECT d1, d2,
+       |    len(list_filter(a.tk, x -> list_contains(b.tk, x)))::BIGINT AS inter_size,
+       |    (len(a.tk) + len(b.tk))::BIGINT
+       |      - len(list_filter(a.tk, x -> list_contains(b.tk, x)))::BIGINT AS union_size
+       |  FROM cand JOIN tk a ON cand.d1 = a.doc_id JOIN tk b ON cand.d2 = b.doc_id)
+       |SELECT d1, d2, inter_size, union_size,
+       |  inter_size::DOUBLE / union_size AS jac
+       |FROM v WHERE inter_size::DOUBLE / union_size >= 0.6
+       |ORDER BY d1, d2""".stripMargin
   }
 
   private def curationOracle: String =
@@ -424,6 +490,22 @@ object ExtQueries {
 
     "q_minhash_lsh" -> minhashOracle,
     "q_minhash_agg" -> minhashAggOracle,
+    "q_lsh_neardup" -> lshNearDupOracle,
+
+    "q_repetition" ->
+      s"""SELECT doc_id,
+         |  len($tokensSql)::BIGINT AS n_tokens,
+         |  CASE WHEN len($tokensSql) - 1 > 0 THEN
+         |    1.0 - len(list_distinct(list_transform(range(1, len($tokensSql)),
+         |      i -> $tokensSql[i] || ' ' || $tokensSql[i + 1])))::DOUBLE
+         |      / (len($tokensSql) - 1)::DOUBLE
+         |  ELSE 0.0 END AS dup_bigram_ratio,
+         |  CASE WHEN len($tokensSql) > 0 THEN
+         |    list_max(list_transform($dtokensSql,
+         |      w -> len(list_filter($tokensSql, t -> t = w))))::DOUBLE
+         |      / len($tokensSql)::DOUBLE
+         |  ELSE 0.0 END AS top_token_share
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_simhash" -> simhashOracle,
 
     // Mirrors jaccardPairs exactly: same h32 shingle hashing, same df <= 8

@@ -73,6 +73,34 @@ class ExtSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.getLong(0) == rows.getLong(1)) // same set
   }
 
+  test("lsh near-dup: same-set docs pair with jac 1.0; singletons don't") {
+    val pairs = NearDup.lshNearDupPairs(docs, col("doc_id"),
+      TextAnalysis.distinctTokens(col("text")), bands = 4, rowsPerBand = 2,
+      maxBucket = 10, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0))) // doc 3 shares no bucket
+    intercept[IllegalArgumentException] {
+      NearDup.lshNearDupPairs(docs, col("doc_id"),
+        TextAnalysis.distinctTokens(col("text")), 4, 2, 10, minJaccard = 0.0)
+    }
+  }
+
+  test("repetition signals: duplicate bigrams and top-token share") {
+    val d = Seq(
+      (1L, "a b a b a b"),   // bigrams: ab ba ab ba ab -> 2 distinct of 5
+      (2L, "x"),             // no bigrams -> ratio 0.0
+      (3L, "u v w x y z")    // all distinct
+    ).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"),
+      TextAnalysis.dupBigramRatio(col("text")).as("r"),
+      TextAnalysis.topTokenShare(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(got(1L) == ((1.0 - 2.0 / 5.0, 3.0 / 6.0)))
+    assert(got(2L) == ((0.0, 1.0)))
+    assert(got(3L) == ((0.0, 1.0 / 6.0)))
+  }
+
   test("cosine of a vector with itself is exactly 1.0 after quantization") {
     val emb = Seq((0L, Array(0.1f, -0.2f, 0.3f)), (1L, Array(0.5f, 0.5f, 0.1f)))
       .toDF("vec_id", "embedding")
