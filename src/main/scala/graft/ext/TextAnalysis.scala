@@ -102,11 +102,16 @@ object TextAnalysis {
   val RollB = 1000003L
   val RollM = 2147483647L // 2^31 - 1
 
-  def rollingFingerprint(text: Column): Column = {
-    val hs = transform(tokens(text), w => graft.functions.Hashing.h32(w))
-    aggregate(
-      slice(hs, lit(2), size(hs) - 1),
-      element_at(hs, 1),
-      (acc, h) => (acc * RollB + h) % RollM)
-  }
+  def rollingFingerprint(text: Column): Column =
+    rollingFromHashes(transform(tokens(text), w => graft.functions.Hashing.h32(w)))
+
+  /** Single-pass fold seeded by a −1 sentinel (h32 and the mix are both
+    * non-negative, so −1 unambiguously means "no element seen yet"). One
+    * reference to the hash array instead of three (slice/seed/size): a
+    * multiply-referenced non-attribute array expression would otherwise
+    * be duplicated into each consumer when projections collapse.
+    */
+  def rollingFromHashes(hs: Column): Column =
+    aggregate(hs, lit(-1L),
+      (acc, h) => when(acc < 0, h).otherwise((acc * RollB + h) % RollM))
 }
