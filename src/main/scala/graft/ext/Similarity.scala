@@ -104,6 +104,50 @@ object Similarity {
       .select("q_id", "rk", "n_id", "cos")
   }
 
+  /** Multi-probe cell assignment: the top-`probes` cells per vector by
+    * centroid cosine (ties by centroid id). Probing P cells instead of 1
+    * recovers the recall lost to near-boundary queries at P× the
+    * candidate cost — still (N/C)×Q×P, never N×Q. Corpus vectors keep
+    * single-cell assignment ([[ivfAssign]]); only the (small) query set
+    * fans out, so the probe rows ride in the same broadcast.
+    */
+  def ivfAssignProbes(vectors: DataFrame, centroids: DataFrame,
+      probes: Int): DataFrame = {
+    val cents = centroids.select(col("vec_id").as("c_id"), col("qv").as("cv"),
+      col("n2").as("cn2"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("c_id"))
+    vectors.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        cosine(dotq(col("qv"), col("cv")), col("n2"), col("cn2")))
+      .withColumn("probe_rk", row_number().over(w))
+      .where(col("probe_rk") <= probes)
+      .select(col("vec_id"), col("qv"), col("n2"), col("c_id").as("cell"))
+  }
+
+  /** Multi-probe IVF top-k: corpus assigned to single cells, queries
+    * probing their [[ivfAssignProbes]] cells. A neighbor lives in exactly
+    * one cell and a query's probe cells are distinct, so no candidate
+    * pair appears twice — the window ranks each candidate once.
+    */
+  def ivfTopKProbed(assigned: DataFrame, queryProbes: DataFrame,
+      k: Int): DataFrame = {
+    val qs = queryProbes.select(col("vec_id").as("q_id"),
+      col("qv").as("quv"), col("n2").as("qn2"), col("cell").as("q_cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    assigned
+      .select(col("vec_id").as("n_id"), col("qv").as("nv"),
+        col("n2").as("nn2"), col("cell"))
+      .join(broadcast(qs), col("cell") === col("q_cell"))
+      .where(col("n_id") =!= col("q_id"))
+      .withColumn("cos",
+        cosine(dotq(col("quv"), col("nv")), col("qn2"), col("nn2")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select("q_id", "rk", "n_id", "cos")
+  }
+
   /** Sign-bit signature over the first `bits` dimensions — an exact-dup
     * key for quantized embeddings and a coarse LSH bucket for near-dups.
     */

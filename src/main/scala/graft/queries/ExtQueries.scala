@@ -148,6 +148,19 @@ object ExtQueries {
         .orderBy("q_id", "rk")
     }),
 
+    // Multi-probe IVF: queries probe their top-2 cells — recall recovery
+    // for near-boundary queries at 2× candidate cost, still never N×Q.
+    "q_ann_ivf_mp" -> ((s, dir) => {
+      val p = Similarity.prepared(table(s, dir, "embeddings"), "vec_id",
+        "embedding")
+      val cents = p.where(col("vec_id") < 8)
+      val assigned = Similarity.ivfAssign(p, cents)
+      val qProbes = Similarity.ivfAssignProbes(
+        p.where(col("vec_id").between(8, 12)), cents, probes = 2)
+      Similarity.ivfTopKProbed(assigned, qProbes, k = 2)
+        .orderBy("q_id", "rk")
+    }),
+
     "q_ann_ivf" -> ((s, dir) => {
       val p = Similarity.prepared(table(s, dir, "embeddings"), "vec_id",
         "embedding")
@@ -444,6 +457,38 @@ object ExtQueries {
        |WHERE rk <= 2 ORDER BY q_id, rk""".stripMargin
   }
 
+  // Multi-probe variant: queries take probe ranks 1..2; corpus keeps
+  // rank-1 cells. A neighbor is in one cell and probe cells are
+  // distinct, so the candidate set has no duplicate pairs.
+  private def annIvfMpOracle: String = {
+    val adot = dotSql.format("v.qv", "c.qv")
+    val pdot = dotSql.format("q.quv", "a.qv")
+    s"""WITH $prepSql,
+       |cents AS (SELECT vec_id AS c_id, qv, n2 FROM p2 WHERE vec_id < 8),
+       |ranked_cells AS (
+       |  SELECT v.vec_id, v.qv, v.n2, c.c_id,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ($adot)::DOUBLE / sqrt((v.n2 * c.n2)::DOUBLE) DESC,
+       |               c.c_id) AS crk
+       |  FROM p2 v, cents c),
+       |assign AS (
+       |  SELECT vec_id, qv, n2, c_id AS cell FROM ranked_cells WHERE crk = 1),
+       |qs AS (
+       |  SELECT vec_id AS q_id, qv AS quv, n2 AS qn2, c_id AS q_cell
+       |  FROM ranked_cells WHERE vec_id BETWEEN 8 AND 12 AND crk <= 2),
+       |pairs AS (
+       |  SELECT q.q_id, a.vec_id AS n_id,
+       |    ($pdot)::DOUBLE / sqrt((q.qn2 * a.n2)::DOUBLE) AS cos
+       |  FROM assign a JOIN qs q ON a.cell = q.q_cell
+       |  WHERE a.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+       |  FROM pairs)
+       |SELECT q_id, rk::BIGINT AS rk, n_id, cos FROM ranked
+       |WHERE rk <= 2 ORDER BY q_id, rk""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_text_stats" ->
       s"""SELECT doc_id,
@@ -558,6 +603,7 @@ object ExtQueries {
     "q_embed_neardup" -> embedNearDupOracle,
     "q_cosine_topk" -> cosineTopkOracle,
     "q_ann_ivf" -> annIvfOracle,
+    "q_ann_ivf_mp" -> annIvfMpOracle,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

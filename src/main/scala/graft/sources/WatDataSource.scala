@@ -6,7 +6,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualTo, Filter, In, IsNotNull, Not, Or, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -73,16 +73,63 @@ class WatTable(paths: Seq[String]) extends Table with SupportsRead {
   * frames are still walked (row count = metadata records), but the
   * dominant per-row cost disappears and `Explain` shows the pruned
   * ReadSchema.
+  *
+  * Filter pushdown: `wat_path` is constant per partition, so any
+  * predicate over it alone can be decided at PLANNING time — matching
+  * archives become input partitions, the rest are never fetched. On a
+  * million-archive listing, `wat_path LIKE 'CC-MAIN-2023-50%'` turns
+  * into a partition prune instead of a full-corpus scan-and-discard.
   */
 class WatScanBuilder(paths: Seq[String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = WatDataSource.schema
+  private var accepted: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve source field order regardless of projection order
     val names = requiredSchema.fieldNames.toSet
     required = StructType(WatDataSource.schema.filter(f => names(f.name)))
   }
-  override def build(): Scan = new WatScan(paths, required)
+
+  private def pathOnly(f: Filter): Boolean = f match {
+    case EqualTo("wat_path", _: String)   => true
+    case In("wat_path", _)                => true
+    case StringStartsWith("wat_path", _)  => true
+    case StringEndsWith("wat_path", _)    => true
+    case StringContains("wat_path", _)    => true
+    case IsNotNull("wat_path")            => true
+    case And(l, r)                        => pathOnly(l) && pathOnly(r)
+    case Or(l, r)                         => pathOnly(l) && pathOnly(r)
+    case Not(c)                           => pathOnly(c)
+    case _                                => false
+  }
+
+  private def eval(f: Filter, p: String): Boolean = f match {
+    case EqualTo("wat_path", v: String)  => p == v
+    case In("wat_path", vs)              => vs.contains(p)
+    case StringStartsWith("wat_path", v) => p.startsWith(v)
+    case StringEndsWith("wat_path", v)   => p.endsWith(v)
+    case StringContains("wat_path", v)   => p.contains(v)
+    case IsNotNull("wat_path")           => true
+    case And(l, r)                       => eval(l, p) && eval(r, p)
+    case Or(l, r)                        => eval(l, p) || eval(r, p)
+    case Not(c)                          => !eval(c, p)
+    case _                               => true // unreachable: pathOnly gated
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, rest) = filters.partition(pathOnly)
+    accepted = ours
+    rest // payload predicates (and anything else) stay post-scan
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan = {
+    val kept = paths.filter(p => accepted.forall(eval(_, p)))
+    new WatScan(kept, required)
+  }
 }
 
 case class WatInputPartition(path: String) extends InputPartition

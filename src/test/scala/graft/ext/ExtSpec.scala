@@ -178,6 +178,29 @@ class ExtSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSeq == Seq(1L, 5L))
   }
 
+  test("multi-probe IVF recovers a neighbor that 1-probe misses") {
+    // centroids along the axes; query leans to c1 but its true nearest
+    // neighbor n lives in c2's cell — the classic near-boundary miss
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)),  // centroid c1
+      (2L, Seq(0.0f, 1.0f)),  // centroid c2
+      (3L, Seq(0.6f, 0.8f)),  // n: assigned to c2
+      (4L, Seq(0.8f, 0.6f))   // q: assigned to c1
+    ).toDF("vec_id", "embedding")
+    val p = Similarity.prepared(vecs, "vec_id", "embedding")
+    val cents = p.where(col("vec_id") <= 2)
+    val assigned = Similarity.ivfAssign(p, cents)
+    val oneProbe = Similarity.ivfTopK(assigned, col("vec_id") === 4, k = 1)
+      .collect().map(r => r.getLong(2))
+    assert(oneProbe.toSeq == Seq(1L)) // stuck with c1's cell-mates
+    val qProbes = Similarity.ivfAssignProbes(
+      p.where(col("vec_id") === 4), cents, probes = 2)
+    val twoProbe = Similarity.ivfTopKProbed(assigned, qProbes, k = 1)
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(twoProbe.map(_._1).toSeq == Seq(3L)) // true NN found
+    assert(twoProbe.head._2 > 0.95)             // cos(q, n) = 0.96
+  }
+
   test("sign signature uses only the first `bits` dimensions") {
     val emb = Seq((0L, Array(1f, -1f, 1f, 999f)), (1L, Array(1f, -1f, 1f, -999f)))
       .toDF("vec_id", "embedding")

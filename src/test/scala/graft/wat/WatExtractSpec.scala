@@ -82,4 +82,26 @@ class WatExtractSpec extends AnyFunSuite with SparkTestBase {
     assert(ds.rdd.getNumPartitions == 2)
     assert(WatExtract.fromPaths(spark, Seq(fixturePath, f2), "audio").count() == 4)
   }
+
+  test("DSv2 wat_path filters prune whole archives at planning time") {
+    import org.apache.spark.sql.functions.col
+    val f2 = WatFixture.write(new File(tmp, "fixture3.warc.wat.gz").getAbsolutePath)
+    val both = spark.read.format("wat").load(fixturePath, f2)
+    assert(both.rdd.getNumPartitions == 2)
+    // equality on wat_path → 1 partition, only that archive's rows
+    val one = both.where(col("wat_path") === f2)
+    assert(one.rdd.getNumPartitions == 1)
+    assert(one.count() == WatFixture.records.size - 1)
+    // suffix match that hits both files → still 2 partitions
+    val suffix = both.where(col("wat_path").endsWith(".warc.wat.gz"))
+    assert(suffix.rdd.getNumPartitions == 2)
+    // contradiction → zero partitions, zero rows, nothing fetched
+    val none = both.where(col("wat_path") === "nope")
+    assert(none.rdd.getNumPartitions == 0)
+    assert(none.count() == 0)
+    // payload predicates are NOT pushed: rows still filter correctly
+    val pay = both.where(col("payload").contains("graft-fixture"))
+    assert(pay.rdd.getNumPartitions == 2)
+    assert(pay.count() == 0) // warcinfo (the matching record) is non-metadata
+  }
 }
