@@ -175,6 +175,21 @@ object ExtQueries {
       graft.ext.Curation.curate(docsWithTokens(s, dir)).orderBy("doc_id")
     }),
 
+    // Fuzzy dedup: one survivor (deterministic min doc_id) per full
+    // MinHash signature — near-identical content incl. reorderings
+    // collapses; single hash shuffle on the signature.
+    "q_dedup_minhash" -> ((s, dir) => {
+      val hs = transform(array_distinct(TA.tokens(col("text"))),
+        w => Hashing.h32(w))
+      val d = docsWithTokens(s, dir).select(col("doc_id"),
+        concat_ws("_", NearDup.minhashSignature(hs, numHashes = 8): _*)
+          .as("sig"))
+      val w = Window.partitionBy("sig").orderBy("doc_id")
+      d.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("doc_id"), col("sig"))
+        .orderBy("doc_id")
+    }),
+
     // Two-phase near-dup: MinHash-LSH candidate generation (bounded
     // buckets — degenerate buckets dropped before pairing) + exact
     // Jaccard verification over the distinct-token sets. The composition
@@ -285,6 +300,26 @@ object ExtQueries {
        |SELECT doc_id,
        |  $sigs
        |FROM hashed ORDER BY doc_id""".stripMargin
+  }
+
+  private def dedupMinhashOracle: String = {
+    val sigs = (0 until 8).map { i =>
+      s"list_aggregate(list_transform(hs, h -> ${Hashing.mixSql(i, "h")}), 'min') AS mh$i"
+    }.mkString(",\n    ")
+    val sigCat = (0 until 8).map(i => s"mh$i").mkString(" || '_' || ")
+    s"""WITH hashed AS (
+       |  SELECT doc_id,
+       |    list_transform($dtokensSql, w -> ${Hashing.h32Sql("w")}) AS hs
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigs
+       |  FROM hashed),
+       |s2 AS (SELECT doc_id, $sigCat AS sig FROM sig)
+       |SELECT doc_id, sig FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY sig ORDER BY doc_id) AS rn
+       |  FROM s2) WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
   }
 
   // Mirrors lshNearDupPairs: same signature/band construction as
@@ -547,6 +582,7 @@ object ExtQueries {
     "q_minhash_lsh" -> minhashOracle,
     "q_minhash_agg" -> minhashAggOracle,
     "q_lsh_neardup" -> lshNearDupOracle,
+    "q_dedup_minhash" -> dedupMinhashOracle,
 
     "q_repetition" ->
       s"""SELECT doc_id,

@@ -62,6 +62,28 @@ object StreamOps {
     links.withWatermark(eventTimeCol, horizon)
       .dropDuplicatesWithinWatermark("uid")
 
+  /** Streaming FUZZY dedup: one survivor per MinHash signature within
+    * the watermark horizon. The per-row signature (8-member
+    * universal-hash family over the distinct-token set, same family as
+    * the batch path) is computed with HOFs — no shuffle, no state — and
+    * `dropDuplicatesWithinWatermark` keys bounded state on it: documents
+    * whose token sets agree on all 8 minima (near-identical content,
+    * reorderings included) collapse to the first arrival. State is
+    * O(distinct signatures per horizon), evicted by the watermark.
+    */
+  def fuzzyDedupStream(docs: DataFrame, textCol: String,
+      eventTimeCol: String, horizon: String = "1 hour"): DataFrame = {
+    val hs = transform(
+      array_distinct(split(col(textCol), " ")),
+      w => graft.functions.Hashing.h32(w))
+    val sig = concat_ws("_",
+      graft.ext.NearDup.minhashSignature(hs, numHashes = 8): _*)
+    docs
+      .withColumn("minhash_sig", sig)
+      .withWatermark(eventTimeCol, horizon)
+      .dropDuplicatesWithinWatermark("minhash_sig")
+  }
+
   /** Stateful sessionization: 30-min inactivity gap, state = the open
     * session per user. Emits a session row whenever it is extended or
     * closed; `closed = true` rows are final (append-style consumers keep

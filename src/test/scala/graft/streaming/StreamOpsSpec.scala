@@ -108,6 +108,25 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(uids.sorted.toSeq == Seq("u1", "u2", "u3"))
   }
 
+  test("streaming fuzzy dedup collapses reordered near-identical docs") {
+    val in = Files.createTempDirectory("stream-fuzzy").toString
+    Seq(
+      (1L, "the cat sat on the mat", us(0)),
+      (2L, "on the mat the cat sat", us(1)), // same token set as doc 1
+      (3L, "completely different words here", us(2)))
+      .toDF("doc_id", "text", "ts_us").coalesce(1).write.parquet(s"$in/b1")
+    val docs = spark.readStream
+      .schema("doc_id LONG, text STRING, ts_us LONG").parquet(s"$in/*")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = StreamOps.fuzzyDedupStream(docs, "text", "ts").writeStream
+      .outputMode("append").format("memory").queryName("fuzzy").start()
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.sql("select doc_id from fuzzy").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 3L)) // doc 2's signature matches doc 1's
+  }
+
   test("watermarked hourly aggregation matches the batch grouping") {
     val in = Files.createTempDirectory("stream-agg").toString
     writeBatch(in, batch1 ++ batch2, "all")
