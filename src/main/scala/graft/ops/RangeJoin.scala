@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range join — points against half-open intervals `[lo, hi)` — via a
+  * BUCKETED EQUI-JOIN: both sides hash into width-sized buckets (an
+  * interval registers in every bucket it overlaps), the join runs on
+  * the bucket key, and an exact refine filter drops false candidates.
+  *
+  * Spark plans a raw `p.key >= i.lo AND p.key < i.hi` join as a
+  * broadcast nested-loop — quadratic work and a non-starter at 100 TB.
+  * Bucketing turns it into one hash shuffle; per-bucket fan-out is
+  * bounded by (intervals overlapping the bucket) × (points in it), and
+  * interval duplication is ceil(span/width)+1 rows, small when `width`
+  * is chosen near the typical span.
+  */
+object RangeJoin {
+
+  /** Inner-join points to the intervals containing them.
+    * @param points    (pointCol, …) — pointCol integral (long)
+    * @param intervals (loCol, hiCol, …) — `[lo, hi)` half-open, long
+    * @param width     bucket width; pick ≈ the typical interval span
+    */
+  def pointInInterval(points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      width: Long): DataFrame = {
+    require(width > 0, "bucket width must be positive")
+    val p = points.withColumn("_bucket",
+      floor(col(pointCol) / width).cast("long"))
+    val i = intervals
+      .where(col(loCol) < col(hiCol)) // empty intervals match nothing
+      .withColumn("_bucket", explode(sequence(
+        floor(col(loCol) / width).cast("long"),
+        floor((col(hiCol) - 1) / width).cast("long"))))
+    p.join(i, Seq("_bucket"))
+      .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("_bucket")
+  }
+}

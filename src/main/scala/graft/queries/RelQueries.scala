@@ -198,6 +198,41 @@ object RelQueries {
     // Gap-based sessionization: lag + cumulative sum over one
     // (user-partitioned) window — a single shuffle on user_id, integer
     // microsecond math for exactness. 30-minute inactivity gap.
+    // As-of join composed as union + ONE window (ops.AsofJoin): for each
+    // view event, the latest purchase by the same user at or before it.
+    // One key shuffle + sort — never an inequality join.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+      val views = ev.where(col("event_type") === "view")
+        .select("event_id", "user_id", "ts_us")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("purchase_id"),
+          col("value").as("purchase_value"))
+      graft.ops.AsofJoin.asof(views, purchases, "user_id", "ts_us",
+        Seq("purchase_id", "purchase_value"), tieBreak = "purchase_id")
+        .orderBy("event_id")
+    }),
+
+    // Range join via bucketed equi-join (ops.RangeJoin): lineitems
+    // shipped within each order's first week — a hash shuffle on
+    // week-buckets + exact refine, where the naive inequality join
+    // would plan as broadcast nested-loop.
+    "q_range_join" -> ((s, dir) => {
+      val dayNo = (c: org.apache.spark.sql.Column) =>
+        datediff(c, lit("1970-01-01")).cast("long")
+      val li = table(s, dir, "lineitem")
+        .select(dayNo(col("l_shipdate")).as("ship_day"))
+      val ord = table(s, dir, "orders")
+        .select(col("o_orderkey"), dayNo(col("o_orderdate")).as("lo"))
+        .withColumn("hi", col("lo") + 7)
+      graft.ops.RangeJoin.pointInInterval(li, "ship_day", ord,
+        "lo", "hi", width = 7)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_shipped"))
+        .orderBy("o_orderkey")
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       val ev = events(s, dir)
         .withColumn("ts_us", unix_micros(col("ts")))
@@ -314,6 +349,46 @@ object RelQueries {
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,
         |  count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same union + window formulation, so tie semantics are identical by
+    // construction (right-before-left at equal ts, max purchase_id among
+    // equal-ts purchases, ROWS frame).
+    "q_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+        |    event_type, value
+        |  FROM events),
+        |u AS (
+        |  SELECT event_id, user_id, ts_us,
+        |    NULL::BIGINT AS purchase_id, NULL::DOUBLE AS purchase_value,
+        |    1 AS is_left
+        |  FROM ev WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT NULL, user_id, ts_us, event_id, value, 0
+        |  FROM ev WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT *,
+        |    last_value(purchase_id IGNORE NULLS) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY ts_us, is_left, purchase_id ASC NULLS FIRST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a_id,
+        |    last_value(purchase_value IGNORE NULLS) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY ts_us, is_left, purchase_id ASC NULLS FIRST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a_val
+        |  FROM u)
+        |SELECT event_id, user_id, ts_us,
+        |  a_id AS purchase_id, a_val AS purchase_value
+        |FROM w WHERE is_left = 1 ORDER BY event_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT o_orderkey, count(*) AS n_shipped
+        |FROM orders JOIN lineitem
+        |  ON date_diff('day', DATE '1970-01-01', l_shipdate::DATE)
+        |       >= date_diff('day', DATE '1970-01-01', o_orderdate::DATE)
+        |  AND date_diff('day', DATE '1970-01-01', l_shipdate::DATE)
+        |       < date_diff('day', DATE '1970-01-01', o_orderdate::DATE) + 7
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
 
     "q_sessionize" ->
       """WITH ev AS (

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class AsofRangeJoinSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("asof: equal-ts right matches, max tiebreak wins, no-prior is null") {
+    val left = Seq(
+      (10L, 1L, 100L), // after rights at 50 and 100 -> matches ts=100
+      (11L, 1L, 60L),  // between rights -> matches ts=50
+      (12L, 1L, 40L),  // before any right -> null
+      (13L, 2L, 100L)  // user 2: two rights at ts=100 -> max id (22) wins
+    ).toDF("event_id", "user_id", "ts_us")
+    val right = Seq(
+      (1L, 50L, 20L, 5.0),
+      (1L, 100L, 21L, 6.0),
+      (2L, 100L, 22L, 7.0),
+      (2L, 100L, 23L, 8.0)
+    ).toDF("user_id", "ts_us", "purchase_id", "purchase_value")
+    val got = AsofJoin.asof(left, right, "user_id", "ts_us",
+      Seq("purchase_id", "purchase_value"), tieBreak = "purchase_id")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getDouble(4)))))
+      .toMap
+    assert(got(10L) == Some((21L, 6.0)))
+    assert(got(11L) == Some((20L, 5.0)))
+    assert(got(12L) == None)
+    assert(got(13L) == Some((23L, 8.0))) // highest tiebreak at equal ts
+  }
+
+  test("range join: half-open bounds, bucket spanning, empty intervals") {
+    val points = Seq(0L, 6L, 7L, 13L, 14L, 20L).toDF("p")
+    val intervals = Seq(
+      (1L, 7L, 14L),  // [7,14): contains 7 and 13, not 14 or 6
+      (2L, 0L, 21L),  // spans 3 buckets at width 7: all points
+      (3L, 5L, 5L)    // empty: matches nothing
+    ).toDF("iv_id", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, "p", intervals,
+      "lo", "hi", width = 7)
+      .groupBy("iv_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 6L))
+    // and no duplicate (point, interval) pairs from multi-bucket spans
+    val pairs = RangeJoin.pointInInterval(points, "p", intervals,
+      "lo", "hi", width = 7).select("p", "iv_id").collect()
+    assert(pairs.length == pairs.distinct.length)
+  }
+}
