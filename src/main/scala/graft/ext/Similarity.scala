@@ -104,6 +104,37 @@ object Similarity {
       .select("q_id", "rk", "n_id", "cos")
   }
 
+  /** Deterministic Lloyd iterations to train IVF centroids: assign every
+    * vector to its nearest centroid by cosine ([[ivfAssign]] — broadcast
+    * centroids, never pairwise over the corpus), recompute each centroid
+    * as the elementwise floor-mean of its members' quantized vectors
+    * (integer `div` — exact, partitioning-independent), repeat. A cell
+    * that loses all members drops out (its id simply stops appearing).
+    *
+    * Per iteration: one broadcast join + one (cell, dim) hash
+    * aggregation with map-side partial sums — both scale linearly in
+    * corpus size. `iters` stacks lazy plans; keep it small (IVF needs
+    * rough cells, not converged k-means) or persist between rounds.
+    */
+  def kmeansCentroids(corpus: DataFrame, init: DataFrame,
+      iters: Int): DataFrame = {
+    var cents = init.select("vec_id", "qv", "n2")
+    (0 until iters).foreach { _ =>
+      val assigned = ivfAssign(corpus, cents)
+      val dims = assigned
+        .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("nx"))
+        .withColumn("m", expr("sx div nx"))
+      cents = dims.groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("vec_id"),
+          transform(col("pm"), s => s.getField("m")).as("qv"))
+        .withColumn("n2", norm2(col("qv")))
+    }
+    cents
+  }
+
   /** Multi-probe cell assignment: the top-`probes` cells per vector by
     * centroid cosine (ties by centroid id). Probing P cells instead of 1
     * recovers the recall lost to near-boundary queries at P× the

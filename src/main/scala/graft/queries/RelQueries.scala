@@ -122,6 +122,19 @@ object RelQueries {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     }),
 
+    // Cube (full grouping-sets lattice) with grouping_id to tell rollup
+    // nulls from data nulls.
+    "q_cube" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .cube(col("o_orderstatus"), year(col("o_orderdate")).cast("long").as("y"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          (sum(cents(col("o_totalprice"))) / 100.0).as("sum_price"))
+        .orderBy(col("gid"), asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("y"))
+        .select("gid", "o_orderstatus", "y", "n", "sum_price")
+    }),
+
     // Tumbling-window aggregate over the event stream (batch form; the
     // streaming form is graft.streaming with the same grouping).
     "q_hourly_agg" -> ((s, dir) => {
@@ -309,6 +322,15 @@ object RelQueries {
         |  sum(l_quantity::BIGINT)::BIGINT AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT grouping(o_orderstatus, y)::BIGINT AS gid,
+        |  o_orderstatus, y, count(*) AS n,
+        |  sum(round(o_totalprice*100)::BIGINT) / 100.0 AS sum_price
+        |FROM (SELECT o_orderstatus, year(o_orderdate)::BIGINT AS y,
+        |        o_totalprice FROM orders)
+        |GROUP BY CUBE (o_orderstatus, y)
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, y ASC NULLS FIRST""".stripMargin,
 
     "q_hourly_agg" ->
       """SELECT date_trunc('hour', ts::TIMESTAMP)::TIMESTAMP AS hour, event_type, count(*) AS n,

@@ -178,6 +178,21 @@ class ExtSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSeq == Seq(1L, 5L))
   }
 
+  test("kmeans centroid training converges to exact integer cluster means") {
+    // two tight clusters on orthogonal axes; init with one member of each
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.998f, 0.02f)), (3L, Seq(0.996f, -0.02f)),
+      (4L, Seq(0.0f, 1.0f)), (5L, Seq(0.02f, 0.998f)), (6L, Seq(-0.02f, 0.996f))
+    ).toDF("vec_id", "embedding")
+    val p = Similarity.prepared(vecs, "vec_id", "embedding")
+    val init = p.where(col("vec_id") === 1 || col("vec_id") === 4)
+    val cents = Similarity.kmeansCentroids(p, init, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // exact elementwise floor-means of the quantized members
+    assert(cents(1L) == Seq((1000L + 998L + 996L) / 3, (0L + 20L - 20L) / 3))
+    assert(cents(4L) == Seq((0L + 20L - 20L) / 3, (1000L + 998L + 996L) / 3))
+  }
+
   test("multi-probe IVF recovers a neighbor that 1-probe misses") {
     // centroids along the axes; query leans to c1 but its true nearest
     // neighbor n lives in c2's cell — the classic near-boundary miss
