@@ -175,6 +175,21 @@ object ExtQueries {
       graft.ext.Curation.curate(docsWithTokens(s, dir)).orderBy("doc_id")
     }),
 
+    // Deterministic hash sampling — the reproducible downsample every
+    // pipeline needs (same subset on every run/engine, no RNG state):
+    // keep docs whose salted h32 lands under the rate; per-language
+    // counts audit the stratification. Pure per-row predicate, pushes
+    // to the scan.
+    "q_hash_sample" -> ((s, dir) => {
+      docsWithTokens(s, dir)
+        .where(Hashing.h32(concat(lit("smp|"), col("doc_id").cast("string")))
+          % 100 < 10)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy("lang")
+    }),
+
     // Fuzzy dedup: one survivor (deterministic min doc_id) per full
     // MinHash signature — near-identical content incl. reorderings
     // collapses; single hash shuffle on the signature.
@@ -583,6 +598,13 @@ object ExtQueries {
     "q_minhash_agg" -> minhashAggOracle,
     "q_lsh_neardup" -> lshNearDupOracle,
     "q_dedup_minhash" -> dedupMinhashOracle,
+
+    "q_hash_sample" ->
+      s"""SELECT lang, count(*) AS n_sampled,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM documents
+         |WHERE ${Hashing.h32Sql("'smp|' || doc_id::VARCHAR")} % 100 < 10
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_repetition" ->
       s"""SELECT doc_id,
