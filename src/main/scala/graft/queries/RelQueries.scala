@@ -227,16 +227,22 @@ object RelQueries {
         .orderBy("event_id")
     }),
 
-    // Range join via bucketed equi-join (ops.RangeJoin): lineitems
-    // shipped within each order's first week — a hash shuffle on
-    // week-buckets + exact refine, where the naive inequality join
-    // would plan as broadcast nested-loop.
+    // Range join via bucketed equi-join (ops.RangeJoin): global
+    // lineitems shipped within each cohort order's first week — a hash
+    // shuffle on week-buckets + exact refine, where the naive inequality
+    // join would plan as broadcast nested-loop. The interval side is a
+    // deterministic 1% hash cohort: every order's week overlaps ~0.3% of
+    // ALL lineitems, so an unrestricted interval set makes the join's
+    // OUTPUT itself quadratic in scale — the cohort bounds output while
+    // the technique stays identical.
     "q_range_join" -> ((s, dir) => {
       val dayNo = (c: org.apache.spark.sql.Column) =>
         datediff(c, lit("1970-01-01")).cast("long")
       val li = table(s, dir, "lineitem")
         .select(dayNo(col("l_shipdate")).as("ship_day"))
       val ord = table(s, dir, "orders")
+        .where(graft.functions.Hashing.h32(
+          concat(lit("rj|"), col("o_orderkey").cast("string"))) % 100 === 0)
         .select(col("o_orderkey"), dayNo(col("o_orderdate")).as("lo"))
         .withColumn("hi", col("lo") + 7)
       graft.ops.RangeJoin.pointInInterval(li, "ship_day", ord,
@@ -404,8 +410,10 @@ object RelQueries {
         |FROM w WHERE is_left = 1 ORDER BY event_id""".stripMargin,
 
     "q_range_join" ->
-      """SELECT o_orderkey, count(*) AS n_shipped
-        |FROM orders JOIN lineitem
+      s"""SELECT o_orderkey, count(*) AS n_shipped
+        |FROM (SELECT * FROM orders
+        |      WHERE ${graft.functions.Hashing.h32Sql("'rj|' || o_orderkey::VARCHAR")} % 100 = 0)
+        |  JOIN lineitem
         |  ON date_diff('day', DATE '1970-01-01', l_shipdate::DATE)
         |       >= date_diff('day', DATE '1970-01-01', o_orderdate::DATE)
         |  AND date_diff('day', DATE '1970-01-01', l_shipdate::DATE)
