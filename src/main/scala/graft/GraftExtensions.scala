@@ -18,5 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("url_resolve"),
       new ExpressionInfo(classOf[UrlResolve].getName, "url_resolve"),
       (exprs: Seq[Expression]) => UrlResolve(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("url_resolve_base"),
+      new ExpressionInfo(classOf[UrlResolve].getName, "url_resolve_base"),
+      (exprs: Seq[Expression]) =>
+        UrlResolve(exprs.head, exprs(1), baseFallback = true)))
   }
 }

@@ -22,6 +22,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT url_resolve('https://ex.test/a/b/', 'img/c.jpg') AS u")
         .collect()(0).getString(0)
       assert(got == "https://ex.test/a/b/img/c.jpg")
+      // base-fallback variant: malformed head-base keeps the page url
+      val base = spark.sql(
+        "SELECT url_resolve_base('https://ex.test/a/', 'ht tp://bro ken') AS u")
+        .collect()(0).getString(0)
+      assert(base == "https://ex.test/a/")
     } finally spark.stop()
   }
 }
