@@ -32,13 +32,26 @@ object WatExtract {
     * executors — a bare `new Configuration()` would silently drop every
     * spark.hadoop.* setting.
     */
-  def payloads(spark: SparkSession, paths: Seq[String]): DataFrame = {
+  def payloads(spark: SparkSession, paths: Seq[String]): DataFrame =
+    payloads(spark, paths,
+      spark.sparkContext.longAccumulator("graft.wat.read_errors"))
+
+  /** Variant with a caller-supplied error accumulator: every corrupt or
+    * unfetchable archive bumps it (the shard itself contributes the
+    * records read before the failure, never a task abort), so a
+    * full-crawl run can audit how many of its million shards degraded —
+    * the operational signal the reference gets from its
+    * 'A shard failed to parse' log lines.
+    */
+  def payloads(spark: SparkSession, paths: Seq[String],
+      readErrors: org.apache.spark.util.LongAccumulator): DataFrame = {
     import spark.implicits._
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
     spark.createDataset(spark.sparkContext.parallelize(paths, math.max(1, paths.size)))
-      .flatMap(p => WatReader.metadataPayloads(p, confBc.value.value))
+      .flatMap(p => WatReader.metadataPayloads(p, confBc.value.value,
+        _ => readErrors.add(1L)))
       .toDF("payload")
   }
 

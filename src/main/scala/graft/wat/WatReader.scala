@@ -72,7 +72,8 @@ object WatReader {
     * records already read — strictly more data, a documented parity
     * delta.
     */
-  def records(raw: InputStream, gzipped: Boolean = true): Iterator[WarcRecord] = {
+  def records(raw: InputStream, gzipped: Boolean = true,
+      onCorrupt: Exception => Unit = WatReader.logCorrupt): Iterator[WarcRecord] = {
     val in = new BufferedInputStream(
       if (gzipped) new GZIPInputStream(raw, 1 << 16) else raw, 1 << 16)
     new Iterator[WarcRecord] {
@@ -89,8 +90,7 @@ object WatReader {
             }
           } catch {
             case e: Exception =>
-              System.err.println(
-                s"[wat] corrupt archive, keeping records read so far: $e")
+              onCorrupt(e)
               done = true
           }
         }
@@ -108,11 +108,14 @@ object WatReader {
     * bytes undecoded — callers that only need record existence (pruned
     * DSv2 scans, counts) skip the per-record UTF-8 decode entirely.
     */
-  def metadataRecords(path: String, conf: Configuration = new Configuration()): Iterator[WarcRecord] =
+  def metadataRecords(path: String, conf: Configuration = new Configuration(),
+      onCorrupt: Exception => Unit = WatReader.logCorrupt): Iterator[WarcRecord] =
     fetchAllBytes(path, conf) match {
-      case None => Iterator.empty
+      case None =>
+        onCorrupt(new java.io.IOException(s"fetch failed after retries: $path"))
+        Iterator.empty
       case Some(bytes) =>
-        records(new ByteArrayInputStream(bytes))
+        records(new ByteArrayInputStream(bytes), gzipped = true, onCorrupt)
           .filter(_.warcType.equalsIgnoreCase("metadata"))
     }
 
@@ -120,8 +123,12 @@ object WatReader {
     * Per-record error tolerance lives in the JSON layer downstream
     * (cc2dataset/main.py:139-142); frame-level garbage ends the file.
     */
-  def metadataPayloads(path: String, conf: Configuration = new Configuration()): Iterator[String] =
-    metadataRecords(path, conf).map(_.payloadString)
+  def metadataPayloads(path: String, conf: Configuration = new Configuration(),
+      onCorrupt: Exception => Unit = WatReader.logCorrupt): Iterator[String] =
+    metadataRecords(path, conf, onCorrupt).map(_.payloadString)
+
+  private def logCorrupt(e: Exception): Unit =
+    System.err.println(s"[wat] corrupt archive, keeping records read so far: $e")
 
   // --- frame parsing ---
 

@@ -33,6 +33,44 @@ class AsofRangeJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(got(13L) == Some((23L, 8.0))) // highest tiebreak at equal ts
   }
 
+  test("property: asof matches the naive latest-at-or-before definition") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      nL <- Gen.choose(5, 40)
+      nR <- Gen.choose(0, 40)
+      lefts <- Gen.listOfN(nL, for {
+        u <- Gen.choose(1L, 4L); t <- Gen.choose(0L, 50L)
+      } yield (u, t))
+      rights <- Gen.listOfN(nR, for {
+        u <- Gen.choose(1L, 4L); t <- Gen.choose(0L, 50L); v <- Gen.choose(0, 99)
+      } yield (u, t, v.toDouble))
+    } yield (lefts, rights)
+    (1 to 5).foreach { seed =>
+      val (lefts, rights) = gen.apply(Gen.Parameters.default, Seed(seed)).get
+      val left = lefts.zipWithIndex
+        .map { case ((u, t), i) => (i.toLong, u, t) }
+        .toDF("event_id", "user_id", "ts_us")
+      val right = rights.zipWithIndex
+        .map { case ((u, t, v), i) => (u, t, 1000L + i, v) }
+        .toDF("user_id", "ts_us", "purchase_id", "purchase_value")
+      val got = AsofJoin.asof(left, right, "user_id", "ts_us",
+        Seq("purchase_id", "purchase_value"), tieBreak = "purchase_id")
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      // naive: scan all rights per left row
+      val rightRows = rights.zipWithIndex
+        .map { case ((u, t, _), i) => (u, t, 1000L + i) }
+      lefts.zipWithIndex.foreach { case ((u, t), i) =>
+        val want = rightRows
+          .filter(r => r._1 == u && r._2 <= t)
+          .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+        assert(got(i.toLong) == want, s"seed=$seed left=$i")
+      }
+    }
+  }
+
   test("range join: half-open bounds, bucket spanning, empty intervals") {
     val points = Seq(0L, 6L, 7L, 13L, 14L, 20L).toDF("p")
     val intervals = Seq(

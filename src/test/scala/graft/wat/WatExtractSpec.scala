@@ -83,6 +83,18 @@ class WatExtractSpec extends AnyFunSuite with SparkTestBase {
     assert(WatExtract.fromPaths(spark, Seq(fixturePath, f2), "audio").count() == 4)
   }
 
+  test("read-error accumulator audits corrupt shards without task aborts") {
+    val good = fixturePath
+    val bytes = Files.readAllBytes(new File(good).toPath)
+    val cutFile = new File(tmp, "cut.warc.wat.gz")
+    Files.write(cutFile.toPath, bytes.take(bytes.length - 40))
+    val acc = spark.sparkContext.longAccumulator("test.read_errors")
+    val n = WatExtract.payloads(spark,
+      Seq(good, cutFile.getAbsolutePath), acc).count()
+    assert(acc.value == 1L) // truncated shard counted, good file clean
+    assert(n > WatFixture.records.size - 1) // cut shard still contributed
+  }
+
   test("DSv2 wat_path filters prune whole archives at planning time") {
     import org.apache.spark.sql.functions.col
     val f2 = WatFixture.write(new File(tmp, "fixture3.warc.wat.gz").getAbsolutePath)
