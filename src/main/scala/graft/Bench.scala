@@ -36,9 +36,14 @@ object Bench {
     graft.wat.WatFixture.ensureSingle()
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       "/root/testdata/sf0.001")
-    SparkEntry.queries.foreach { case (_, fn) =>
+    SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, warmDir).queryExecution.toRdd.count()
-      catch { case _: Throwable => () }
+      catch {
+        case e: Throwable =>
+          // a silently-skipped warmup would re-absorb janino compile
+          // costs into the timed numbers — say so
+          System.err.println(s"[bench] warmup $name failed ($warmDir): $e")
+      }
     }
 
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]

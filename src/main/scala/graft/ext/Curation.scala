@@ -30,9 +30,20 @@ object Curation {
       minJaccard: Double = 0.6)
 
   /** documents(doc_id, text, lang, n_chars) → curated
-    * (doc_id, lang, n_tokens, score).
+    * (doc_id, lang, n_tokens, score). The shared dedup lineage stays
+    * cached for the session; long-lived sessions curating many batches
+    * should use [[curateManaged]] and release each batch's cache.
     */
-  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame =
+    curateManaged(docs, cfg)._1
+
+  /** [[curate]] plus a release handle: invoke it after the curated
+    * result has been fully consumed (written/collected) to unpersist
+    * the internal cache — otherwise each call pins executor storage
+    * until session shutdown or LRU eviction.
+    */
+  def curateManaged(docs: DataFrame,
+      cfg: Config = Config()): (DataFrame, () => Unit) = {
     val text = col("text")
     val scored = docs.select(
       col("doc_id"), col("lang"), col("n_chars"), text,
@@ -68,7 +79,8 @@ object Curation {
     val drops = NearDup.jaccardPairs(blocked, cfg.minJaccard)
       .select(col("d2").as("doc_id")).distinct()
 
-    exact.join(drops, Seq("doc_id"), "left_anti")
+    val curated = exact.join(drops, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "n_tokens", "score")
+    (curated, () => { exact.unpersist(); () })
   }
 }

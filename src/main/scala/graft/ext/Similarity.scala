@@ -107,9 +107,11 @@ object Similarity {
   /** Deterministic Lloyd iterations to train IVF centroids: assign every
     * vector to its nearest centroid by cosine ([[ivfAssign]] — broadcast
     * centroids, never pairwise over the corpus), recompute each centroid
-    * as the elementwise floor-mean of its members' quantized vectors
-    * (integer `div` — exact, partitioning-independent), repeat. A cell
-    * that loses all members drops out (its id simply stops appearing).
+    * as the elementwise integer mean of its members' quantized vectors
+    * (SQL `div` — truncation toward zero, so a dimension whose sum is
+    * negative rounds toward 0 rather than down; exact and
+    * partitioning-independent either way), repeat. A cell that loses all
+    * members drops out (its id simply stops appearing).
     *
     * Per iteration: one broadcast join + one (cell, dim) hash
     * aggregation with map-side partial sums — both scale linearly in

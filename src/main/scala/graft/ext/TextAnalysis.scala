@@ -72,9 +72,16 @@ object TextAnalysis {
     * flag boilerplate and degenerate generated text. 0.0 for single-token
     * docs (no bigrams).
     */
-  def dupBigramRatio(text: Column): Column = {
-    val nBi = (size(tokens(text)) - 1).cast("long")
-    val nDist = size(NearDup.bigramShingles(tokens(text))).cast("long")
+  def dupBigramRatio(text: Column): Column =
+    dupBigramRatioFromTokens(tokens(text))
+
+  /** Token-array form: pass a STAGED (aliased-projection) tokens column
+    * on hot paths — a non-attribute array expression fed here would be
+    * re-inlined into both consumers.
+    */
+  def dupBigramRatioFromTokens(tks: Column): Column = {
+    val nBi = (size(tks) - 1).cast("long")
+    val nDist = size(NearDup.bigramShingles(tks)).cast("long")
     when(nBi > 0,
       lit(1.0) - nDist.cast("double") / nBi.cast("double"))
       .otherwise(lit(0.0))
@@ -83,8 +90,10 @@ object TextAnalysis {
   /** Repetition signal: the most frequent token's share of all tokens.
     * Per-row O(distinct × total) HOF — no shuffle, stays in codegen.
     */
-  def topTokenShare(text: Column): Column = {
-    val tks = tokens(text)
+  def topTokenShare(text: Column): Column =
+    topTokenShareFromTokens(tokens(text))
+
+  def topTokenShareFromTokens(tks: Column): Column = {
     val counts = transform(array_distinct(tks),
       w => size(filter(tks, t => t === w)))
     when(size(tks) > 0,

@@ -22,15 +22,22 @@ case class UrlResolve(left: Expression, right: Expression,
     extends BinaryExpression {
 
   override def dataType: DataType = StringType
-  override def nullable: Boolean = right.nullable
+  override def nullable: Boolean =
+    if (baseFallback) left.nullable && right.nullable
+    else right.nullable
 
   private def helperName: String =
     if (baseFallback) "resolveBase" else "resolve"
 
+  /** Null semantics differ by variant: the link form keeps the rel
+    * (null rel → null, null base → rel); the base form keeps the PAGE
+    * (null head-base → page url, matching UrlOps.resolveBase) — so SQL
+    * callers of url_resolve_base need no isNull guard of their own.
+    */
   override def eval(input: InternalRow): Any = {
     val rel = right.eval(input)
-    if (rel == null) return null
     val base = left.eval(input)
+    if (rel == null) return if (baseFallback) base else null
     if (base == null) return rel
     val b = base.asInstanceOf[UTF8String]
     val r = rel.asInstanceOf[UTF8String]
@@ -41,19 +48,35 @@ case class UrlResolve(left: Expression, right: Expression,
     val l = left.genCode(ctx)
     val r = right.genCode(ctx)
     val helper = "graft.functions.UrlResolve"
-    ev.copy(code =
-      code"""
-        ${r.code}
-        boolean ${ev.isNull} = ${r.isNull};
-        UTF8String ${ev.value} = null;
-        if (!${ev.isNull}) {
+    if (baseFallback) {
+      ev.copy(code =
+        code"""
+          ${r.code}
           ${l.code}
-          if (${l.isNull}) {
+          boolean ${ev.isNull} = ${r.isNull} && ${l.isNull};
+          UTF8String ${ev.value} = null;
+          if (${r.isNull}) {
+            if (!${l.isNull}) { ${ev.value} = ${l.value}; }
+          } else if (${l.isNull}) {
             ${ev.value} = ${r.value};
           } else {
-            ${ev.value} = $helper.$helperName(${l.value}, ${r.value});
-          }
-        }""")
+            ${ev.value} = $helper.resolveBase(${l.value}, ${r.value});
+          }""")
+    } else {
+      ev.copy(code =
+        code"""
+          ${r.code}
+          boolean ${ev.isNull} = ${r.isNull};
+          UTF8String ${ev.value} = null;
+          if (!${ev.isNull}) {
+            ${l.code}
+            if (${l.isNull}) {
+              ${ev.value} = ${r.value};
+            } else {
+              ${ev.value} = $helper.$helperName(${l.value}, ${r.value});
+            }
+          }""")
+    }
   }
 
   override protected def withNewChildrenInternal(

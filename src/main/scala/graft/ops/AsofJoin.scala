@@ -37,20 +37,23 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     require(rightPayload.forall(!leftCols.contains(_)),
       "right payload columns must not clash with left columns")
+    // The payload rides as ONE struct (null only on left rows), and a
+    // single last(ignoreNulls) carries it — carrying each column
+    // independently would mix columns from different right rows whenever
+    // a payload value is legitimately null (the later row's null column
+    // would be "filled" from an earlier row).
     val l = left.withColumn("_is_left", lit(1))
-    val r = right.select((Seq(key, ts) ++ rightPayload).map(col): _*)
+    val r = right.select(col(key), col(ts),
+      struct(rightPayload.map(col): _*).as("_payload"))
       .withColumn("_is_left", lit(0))
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts).asc, col("_is_left").asc,
-        col(tieBreak).asc_nulls_first)
+        col(s"_payload.$tieBreak").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightPayload.foldLeft(l.unionByName(r,
-        allowMissingColumns = true)) { (df, c) =>
-      df.withColumn(s"_asof_$c", last(col(c), ignoreNulls = true).over(w))
-    }
-    carried
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_asof", last(col("_payload"), ignoreNulls = true).over(w))
       .where(col("_is_left") === 1)
       .select(leftCols.map(col) ++
-        rightPayload.map(c => col(s"_asof_$c").as(c)): _*)
+        rightPayload.map(c => col(s"_asof.$c").as(c)): _*)
   }
 }

@@ -26,13 +26,21 @@ object RangeJoin {
       intervals: DataFrame, loCol: String, hiCol: String,
       width: Long): DataFrame = {
     require(width > 0, "bucket width must be positive")
-    val p = points.withColumn("_bucket",
-      floor(col(pointCol) / width).cast("long"))
+    // integer floor-division for bucket ids: `col / width` is DOUBLE
+    // division in Spark, which loses exactness for keys above 2^53
+    // (nanosecond timestamps) and would silently drop matches whose
+    // point and interval round into different buckets. pmod keeps the
+    // remainder non-negative, so the all-integer `div` is an exact floor
+    // for negative keys too.
+    def bucketOf(name: String): Column =
+      expr(s"(`$name` - pmod(`$name`, ${width}L)) div ${width}L")
+    val p = points.withColumn("_bucket", bucketOf(pointCol))
     val i = intervals
       .where(col(loCol) < col(hiCol)) // empty intervals match nothing
+      .withColumn("_hi1", col(hiCol) - 1)
       .withColumn("_bucket", explode(sequence(
-        floor(col(loCol) / width).cast("long"),
-        floor((col(hiCol) - 1) / width).cast("long"))))
+        bucketOf(loCol), bucketOf("_hi1"))))
+      .drop("_hi1")
     p.join(i, Seq("_bucket"))
       .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("_bucket")

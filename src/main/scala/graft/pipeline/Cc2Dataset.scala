@@ -182,15 +182,20 @@ object Cc2Dataset {
     */
   def readWatIndexFile(spark: SparkSession, indexPath: String): Seq[String] = {
     val raw: java.io.InputStream =
-      if (indexPath.startsWith("http://") || indexPath.startsWith("https://"))
-        java.net.URI.create(indexPath).toURL.openStream()
-      else {
+      if (indexPath.startsWith("http://") || indexPath.startsWith("https://")) {
+        val conn = java.net.URI.create(indexPath).toURL.openConnection()
+        conn.setConnectTimeout(30000) // a hung server must not block forever
+        conn.setReadTimeout(60000)
+        conn.getInputStream
+      } else {
         val p = new Path(indexPath)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
       }
+    // the GZIP constructor reads the header and throws on non-gzip bytes
+    // (an http error page) — close raw on that path too, not just after
     val in =
-      if (indexPath.endsWith(".gz")) new GZIPInputStream(raw)
-      else raw
+      try if (indexPath.endsWith(".gz")) new GZIPInputStream(raw) else raw
+      catch { case e: Throwable => raw.close(); throw e }
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .filter(_.nonEmpty).toList
     finally in.close()
@@ -210,6 +215,12 @@ object Cc2Dataset {
     val all = Await.result(
       Future.traverse(chosen.toList)(p => Future(readWatIndexFile(spark, p))),
       Duration.Inf).flatten
+    // an empty pool would otherwise surface as Random.nextInt(0)'s opaque
+    // "bound must be positive" — name the real failure (discovery came up
+    // empty or the index files had no entries)
+    require(all.nonEmpty,
+      s"no WAT paths found in index files ${chosen.mkString(", ")} — " +
+        "crawl-index discovery returned nothing or the indexes are empty")
     val rnd = new scala.util.Random(seed)
     watCount match {
       case Some(n) => Seq.fill(n)(all(rnd.nextInt(all.size)))

@@ -218,13 +218,17 @@ object ExtQueries {
     }),
 
     // Gopher-style repetition quality signals: duplicate-bigram fraction
-    // and top-token share — pure per-row HOFs, no shuffle.
+    // and top-token share — pure per-row HOFs, no shuffle. The token
+    // array is STAGED once and consumed as an attribute reference by all
+    // five uses (split would otherwise be re-inlined into each).
     "q_repetition" -> ((s, dir) => {
-      docsWithTokens(s, dir).select(
-        col("doc_id"),
-        TA.tokenCount(col("text")).as("n_tokens"),
-        TA.dupBigramRatio(col("text")).as("dup_bigram_ratio"),
-        TA.topTokenShare(col("text")).as("top_token_share"))
+      docsWithTokens(s, dir)
+        .select(col("doc_id"), TA.tokens(col("text")).as("tks"))
+        .select(
+          col("doc_id"),
+          size(col("tks")).cast("long").as("n_tokens"),
+          TA.dupBigramRatioFromTokens(col("tks")).as("dup_bigram_ratio"),
+          TA.topTokenShareFromTokens(col("tks")).as("top_token_share"))
         .orderBy("doc_id")
     }),
 

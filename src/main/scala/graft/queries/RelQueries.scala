@@ -396,17 +396,15 @@ object RelQueries {
         |  FROM ev WHERE event_type = 'purchase'),
         |w AS (
         |  SELECT *,
-        |    last_value(purchase_id IGNORE NULLS) OVER (
+        |    last_value(CASE WHEN is_left = 0 THEN
+        |        struct_pack(pid := purchase_id, pval := purchase_value)
+        |      END IGNORE NULLS) OVER (
         |      PARTITION BY user_id
         |      ORDER BY ts_us, is_left, purchase_id ASC NULLS FIRST
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a_id,
-        |    last_value(purchase_value IGNORE NULLS) OVER (
-        |      PARTITION BY user_id
-        |      ORDER BY ts_us, is_left, purchase_id ASC NULLS FIRST
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a_val
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ap
         |  FROM u)
         |SELECT event_id, user_id, ts_us,
-        |  a_id AS purchase_id, a_val AS purchase_value
+        |  ap.pid AS purchase_id, ap.pval AS purchase_value
         |FROM w WHERE is_left = 1 ORDER BY event_id""".stripMargin,
 
     "q_range_join" ->

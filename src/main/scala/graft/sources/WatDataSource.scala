@@ -94,7 +94,10 @@ class WatScanBuilder(paths: Seq[String])
 
   private def pathOnly(f: Filter): Boolean = f match {
     case EqualTo("wat_path", _: String)   => true
-    case In("wat_path", _)                => true
+    // a null In-list element makes NOT IN three-valued (UNKNOWN for
+    // non-matches) — two-valued eval below would wrongly keep rows, so
+    // leave those to Spark's post-scan filter
+    case In("wat_path", vs)               => vs != null && !vs.contains(null)
     case StringStartsWith("wat_path", _)  => true
     case StringEndsWith("wat_path", _)    => true
     case StringContains("wat_path", _)    => true

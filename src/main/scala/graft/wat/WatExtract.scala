@@ -82,11 +82,10 @@ object WatExtract {
       // struct null (PERMISSIVE), same drop — the reference's per-record
       // try/except (main.py:139-142).
       .where(col("links").isNotNull)
-      // base-fallback variant: an unparsable <base href> keeps the page
-      // url as base (main.py:158-164), not the malformed head-base string
-      .withColumn("base",
-        when(col("head_base").isNull, col("page_url"))
-          .otherwise(resolveBase(col("page_url"), col("head_base"))))
+      // base-fallback variant: an absent or unparsable <base href> keeps
+      // the page url as base (main.py:158-164) — null and error handling
+      // both live inside url_resolve_base
+      .withColumn("base", resolveBase(col("page_url"), col("head_base")))
 
     val link = col("link")
     val (pred, altExpr) = LinkOps.forDocumentType(docType, link)

@@ -33,6 +33,19 @@ class AsofRangeJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(got(13L) == Some((23L, 8.0))) // highest tiebreak at equal ts
   }
 
+  test("asof: a null payload VALUE stays with its own row, never mixed") {
+    val left = Seq((1L, 1L, 30L)).toDF("event_id", "user_id", "ts_us")
+    val right = Seq(
+      (1L, 10L, 30L, Option(5.0)),
+      (1L, 20L, 31L, Option.empty[Double]) // latest purchase has null value
+    ).toDF("user_id", "ts_us", "purchase_id", "purchase_value")
+    val r = AsofJoin.asof(left, right, "user_id", "ts_us",
+      Seq("purchase_id", "purchase_value"), tieBreak = "purchase_id")
+      .collect()(0)
+    assert(r.getLong(3) == 31L)
+    assert(r.isNullAt(4)) // NOT 5.0 filled in from the older purchase
+  }
+
   test("property: asof matches the naive latest-at-or-before definition") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
