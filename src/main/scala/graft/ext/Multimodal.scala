@@ -4,17 +4,20 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: media as opaque `binary` columns with typed
-  * metadata, plus a feature-extraction stage shaped like a real decoder
-  * pipeline.
+  * metadata, plus decode / resize / feature-extraction stages.
   *
-  * The image/audio codec libraries are not available in this environment,
-  * so `decodeStub` is a clearly-marked deterministic fake — but the
-  * Spark-side plumbing is the real design:
-  *  - media rides in a `binary` column next to a metadata struct
-  *    (mime/byte_len), exactly how 100 TB image datasets store shards;
-  *  - decode runs in `mapPartitions` so a real decoder would amortize
-  *    model/codec init once per partition (the Scala analog of a Pandas
-  *    UDF over mapInPandas);
+  * Decode is REAL for every format the JDK ships a codec for — PNG,
+  * JPEG, BMP, GIF via `javax.imageio` and WAV/PCM via a pure-byte RIFF
+  * parser (no external libraries involved). Only compressed VIDEO
+  * (MP4/WebM) has no JDK codec; its frame extraction remains a
+  * clearly-marked deterministic stub. Payloads that no decoder accepts
+  * fall back to the stub path, so the pipeline is total either way.
+  *
+  * Spark-side design:
+  *  - media rides in a `binary` column next to typed metadata, exactly
+  *    how 100 TB image datasets store shards;
+  *  - decode runs in `mapPartitions` so decoder init amortizes once per
+  *    partition (the Scala analog of a Pandas UDF over mapInPandas);
   *  - output is a fixed-width feature vector + dimensions, ready for the
   *    Similarity operators.
   */
@@ -26,6 +29,116 @@ object Multimodal {
       doc_id: Long, width: Int, height: Int, byte_len: Long,
       feature: Array[Float])
 
+  final case class AudioFeature(
+      doc_id: Long, sample_rate: Int, channels: Int, n_samples: Long,
+      mean_abs: Double)
+
+  // --- real decoders (JDK codecs only) ---
+
+  /** Real image decode via the JDK's built-in ImageIO codecs (PNG, JPEG,
+    * BMP, GIF): dimensions + an 8-float feature (mean luma per
+    * horizontal band). None when the payload is not a decodable image.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val bands = 8
+        val feature = Array.tabulate(bands) { b =>
+          val y0 = h.toLong * b / bands
+          val y1 = math.max(y0 + 1, h.toLong * (b + 1) / bands)
+          var sum = 0.0
+          var n = 0L
+          var y = y0
+          while (y < y1 && y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y.toInt)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val bl = rgb & 0xff
+              sum += (0.299 * r + 0.587 * g + 0.114 * bl) / 255.0
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          if (n == 0) 0f else (sum / n).toFloat
+        }
+        Some((w, h, feature))
+      }
+    } catch { case _: Exception => None }
+
+  /** Real image resize via AWT (headless-safe): decode, scale with
+    * drawImage, re-encode as PNG. None when the payload is not a
+    * decodable image.
+    */
+  def resizeImage(bytes: Array[Byte], targetW: Int,
+      targetH: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(targetW, targetH,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.drawImage(img, 0, 0, targetW, targetH, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case _: Exception => None }
+
+  /** Real WAV/PCM decode — a pure-byte RIFF parser (no codec library
+    * exists or is needed for uncompressed PCM): sample rate, channels,
+    * sample count, and mean absolute amplitude (normalized to [0,1]) of
+    * 16-bit samples. None for non-WAV payloads.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Long, Double)] = {
+    def u16(i: Int) = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def u32(i: Int) = (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+      ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+    def tag(i: Int) = new String(bytes, i, 4, "US-ASCII")
+    try {
+      if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var pos = 12
+      var rate = 0
+      var channels = 0
+      var bits = 0
+      var result: Option[(Int, Int, Long, Double)] = None
+      while (pos + 8 <= bytes.length && result.isEmpty) {
+        val id = tag(pos)
+        val sz = u32(pos + 4).toInt
+        if (id == "fmt ") {
+          channels = u16(pos + 10)
+          rate = u32(pos + 12).toInt
+          bits = u16(pos + 22)
+        } else if (id == "data" && bits == 16 && channels > 0) {
+          val end = math.min(bytes.length, pos + 8 + sz)
+          var i = pos + 8
+          var sum = 0.0
+          var n = 0L
+          while (i + 1 < end) {
+            val s = u16(i).toShort
+            sum += math.abs(s.toDouble) / 32768.0
+            n += 1
+            i += 2
+          }
+          result = Some((rate, channels,
+            n / math.max(1, channels), if (n == 0) 0.0 else sum / n))
+        }
+        pos += 8 + sz + (sz & 1) // chunks are 2-byte aligned
+      }
+      result
+    } catch { case _: Exception => None }
+  }
+
   /** Pack a text column as a binary media column (stand-in for image
     * bytes in the fixtures) with metadata.
     */
@@ -35,11 +148,11 @@ object Multimodal {
       encode(col(payloadCol), "UTF-8").as("bytes"),
       lit("application/octet-stream").as("mime"))
 
-  /** STUB decoder — deterministic fake standing in for an image decode
-    * (??? in spirit: no codec libs in this container). Derives pseudo
-    * dimensions and a 8-float feature from the bytes. Replace the body
-    * with a real decoder; the partition-wise batching, signature and
-    * schema are the production shape.
+  /** STUB decoder — deterministic fallback for payloads no JDK codec
+    * accepts (the fixtures' text bytes, and compressed video, which has
+    * no JDK decoder). Derives pseudo dimensions and an 8-float feature
+    * from the bytes so the pipeline stays total; decodable images never
+    * reach this path.
     */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
     val len = bytes.length
@@ -52,10 +165,9 @@ object Multimodal {
     (width, height, feature)
   }
 
-  /** STUB resize — deterministic fake of an image resize: real plumbing
-    * (binary in, binary out, new dimensions), fake pixels. A real
-    * implementation swaps the body for an actual scaler; the schema and
-    * partition-wise shape stay.
+  /** STUB resize — deterministic fallback for undecodable payloads:
+    * real plumbing (binary in, binary out, new dimensions), fake pixels.
+    * Decodable images go through [[resizeImage]] instead.
     */
   def resizeStub(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
     val out = new Array[Byte](math.max(1, (targetW * targetH) / 64))
@@ -67,8 +179,9 @@ object Multimodal {
     out
   }
 
-  /** STUB frame sampling — deterministic fake of video frame extraction:
-    * every `stride`-th 64-byte window of the payload becomes a "frame".
+  /** STUB frame sampling — deterministic fake of video frame extraction
+    * (compressed video is the one modality with NO JDK codec): every
+    * `stride`-th 64-byte window of the payload becomes a "frame".
     */
   def frameSampleStub(bytes: Array[Byte], stride: Int): Seq[Array[Byte]] = {
     require(stride > 0, s"stride must be positive, got $stride")
@@ -78,14 +191,17 @@ object Multimodal {
   }
 
   /** Resize stage over the media column (mapPartitions, codec init
-    * amortized per partition in a real decoder).
+    * amortized per partition): real AWT scaling for decodable images,
+    * stub fallback otherwise.
     */
   def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("doc_id", "bytes").as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, b) =>
-        (id, resizeStub(b, targetW, targetH), targetW, targetH)
+        val out = resizeImage(b, targetW, targetH)
+          .getOrElse(resizeStub(b, targetW, targetH))
+        (id, out, targetW, targetH)
       })
       .toDF("doc_id", "bytes", "width", "height")
   }
@@ -103,17 +219,35 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "frame")
   }
 
-  /** Partition-wise feature extraction over the media column. */
+  /** Partition-wise feature extraction over the media column: real
+    * ImageIO decode (PNG/JPEG/BMP/GIF) with stub fallback for payloads
+    * no JDK codec accepts.
+    */
   def extractFeatures(media: DataFrame): Dataset[MediaFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("doc_id", "bytes").as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition init happens HERE in a real decoder (codec/model)
+        // per-partition init happens HERE for decoders that need it
         it.map { case (id, bytes) =>
-          val (w, h, f) = decodeStub(bytes)
+          val (w, h, f) = decodeImage(bytes).getOrElse(decodeStub(bytes))
           MediaFeature(id, w, h, bytes.length.toLong, f)
         }
       }
+  }
+
+  /** Partition-wise audio feature extraction: real WAV/PCM parse; rows
+    * whose payload is not WAV are dropped (they belong to other
+    * modalities).
+    */
+  def extractAudioFeatures(media: DataFrame): Dataset[AudioFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeWav(bytes).map { case (rate, ch, n, meanAbs) =>
+          AudioFeature(id, rate, ch, n, meanAbs)
+        }
+      })
   }
 }

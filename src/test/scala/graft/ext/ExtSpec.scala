@@ -125,6 +125,56 @@ class ExtSpec extends AnyFunSuite with SparkTestBase {
     assert(top.toSeq == Seq((3L, 1L), (1L, 2L))) // 3 closest, then 1
   }
 
+  test("multimodal: real PNG decode, resize, and WAV parse via JDK codecs") {
+    // a 3x2 PNG: top row white, bottom row black
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 3).foreach { x =>
+      img.setRGB(x, 0, 0xffffff)
+      img.setRGB(x, 1, 0x000000)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    val (w, h, feat) = Multimodal.decodeImage(png).get
+    assert((w, h) == ((3, 2)))
+    assert(feat.head > 0.99f && feat.last < 0.01f) // white band, black band
+
+    val resized = Multimodal.resizeImage(png, 5, 4).get
+    val (rw, rh, _) = Multimodal.decodeImage(resized).get
+    assert((rw, rh) == ((5, 4)))
+
+    // distributed path: the PNG decodes for real, text falls back to stub
+    val media = Seq((1L, png), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "bytes")
+    val feats = Multimodal.extractFeatures(media)
+      .collect().map(f => f.doc_id -> ((f.width, f.height))).toMap
+    assert(feats(1L) == ((3, 2)))
+    assert(feats(2L)._1 >= 64) // stub pseudo-dimensions
+
+    // a minimal 16-bit mono 8kHz WAV: four samples of known amplitude
+    val samples = Seq[Short](16384, -16384, 16384, -16384)
+    val dataLen = samples.length * 2
+    val wav = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    wav.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(wav.putShort)
+    val (rate, ch, n, meanAbs) = Multimodal.decodeWav(wav.array()).get
+    assert((rate, ch, n) == ((8000, 1, 4L)))
+    assert(math.abs(meanAbs - 0.5) < 0.001) // 16384/32768
+
+    val audio = Seq((1L, wav.array()), (2L, png)).toDF("doc_id", "bytes")
+    val af = Multimodal.extractAudioFeatures(audio).collect()
+    assert(af.map(_.doc_id).toSeq == Seq(1L)) // PNG row dropped
+    assert(af.head.sample_rate == 8000)
+  }
+
   test("multimodal: stubbed decode is deterministic with fixed shape") {
     val media = Multimodal.asMedia(
       Seq((7L, "hello world")).toDF("doc_id", "text"), "doc_id", "text")
