@@ -211,6 +211,33 @@ object RelQueries {
     // Gap-based sessionization: lag + cumulative sum over one
     // (user-partitioned) window — a single shuffle on user_id, integer
     // microsecond math for exactness. 30-minute inactivity gap.
+    // Pivot: event counts per hour-of-day, one column per event type.
+    // Spark's pivot yields NULL for empty cells while the oracle's
+    // FILTER count yields 0 — coalesce pins the semantics to 0.
+    "q_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = events(s, dir)
+        .groupBy(hour(col("ts")).cast("long").as("hod"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("hod") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+        .orderBy("hod")
+    }),
+
+    // Semi-structured surface: JSON property extraction from the event
+    // props column (get_json_object — per-row, codegen'd), aggregated
+    // per event type.
+    "q_json_extract" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
     // As-of join composed as union + ONE window (ops.AsofJoin): for each
     // view event, the latest purchase by the same user at or before it.
     // One key shuffle + sort — never an inequality join.
@@ -376,6 +403,23 @@ object RelQueries {
     "q_distinct_agg" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,
         |  count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT hour(ts::TIMESTAMP)::BIGINT AS hod,
+        |  count(*) FILTER (event_type = 'click') AS n_click,
+        |  count(*) FILTER (event_type = 'error') AS n_error,
+        |  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (event_type = 'view') AS n_view
+        |FROM events GROUP BY 1 ORDER BY hod""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  count(json_extract(props, '$.k')) AS n_with_k,
+        |  sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+        |  min(json_extract(props, '$.k')::BIGINT) AS min_k,
+        |  max(json_extract(props, '$.k')::BIGINT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Same union + window formulation, so tie semantics are identical by
