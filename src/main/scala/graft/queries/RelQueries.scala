@@ -211,6 +211,21 @@ object RelQueries {
     // Gap-based sessionization: lag + cumulative sum over one
     // (user-partitioned) window — a single shuffle on user_id, integer
     // microsecond math for exactness. 30-minute inactivity gap.
+    // Unpivot (melt): wide lineitem measures to (measure, value) rows —
+    // integer cents so the stacked doubles stay oracle-exact.
+    "q_unpivot" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .where(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
+          cents(col("l_extendedprice")).as("price_c"),
+          cents(col("l_discount")).as("discount_c"),
+          cents(col("l_tax")).as("tax_c"))
+        .unpivot(Array(col("l_orderkey"), col("ln")),
+          Array(col("price_c"), col("discount_c"), col("tax_c")),
+          "measure", "value_c")
+        .orderBy("l_orderkey", "ln", "measure")
+    }),
+
     // Pivot: event counts per hour-of-day, one column per event type.
     // Spark's pivot yields NULL for empty cells while the oracle's
     // FILTER count yields 0 — coalesce pins the semantics to 0.
@@ -404,6 +419,21 @@ object RelQueries {
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,
         |  count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber::BIGINT AS ln,
+        |    round(l_extendedprice*100)::BIGINT AS price_c,
+        |    round(l_discount*100)::BIGINT AS discount_c,
+        |    round(l_tax*100)::BIGINT AS tax_c
+        |  FROM lineitem WHERE l_orderkey <= 100)
+        |SELECT l_orderkey, ln, measure, value_c FROM (
+        |  SELECT l_orderkey, ln, 'price_c' AS measure, price_c AS value_c FROM base
+        |  UNION ALL
+        |  SELECT l_orderkey, ln, 'discount_c', discount_c FROM base
+        |  UNION ALL
+        |  SELECT l_orderkey, ln, 'tax_c', tax_c FROM base)
+        |ORDER BY l_orderkey, ln, measure""".stripMargin,
 
     "q_pivot" ->
       """SELECT hour(ts::TIMESTAMP)::BIGINT AS hod,
