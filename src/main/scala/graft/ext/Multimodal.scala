@@ -115,6 +115,10 @@ object Multimodal {
       while (pos + 8 <= bytes.length && result.isEmpty) {
         val id = tag(pos)
         val sz = u32(pos + 4).toInt
+        // a hostile/corrupt chunk length (negative after truncation, or
+        // pointing past the payload) must not walk the cursor backwards
+        // into an infinite loop — treat as end of parseable input
+        if (sz < 0) return result
         if (id == "fmt ") {
           channels = u16(pos + 10)
           rate = u32(pos + 12).toInt

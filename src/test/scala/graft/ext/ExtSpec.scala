@@ -173,6 +173,11 @@ class ExtSpec extends AnyFunSuite with SparkTestBase {
     val af = Multimodal.extractAudioFeatures(audio).collect()
     assert(af.map(_.doc_id).toSeq == Seq(1L)) // PNG row dropped
     assert(af.head.sample_rate == 8000)
+
+    // hostile chunk length (0xFFFFFFFF) must terminate, not loop
+    val evil = wav.array().clone()
+    evil(16) = -1; evil(17) = -1; evil(18) = -1; evil(19) = -1
+    assert(Multimodal.decodeWav(evil).isEmpty)
   }
 
   test("multimodal: stubbed decode is deterministic with fixed shape") {
