@@ -3,9 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every SparkEntry query on SPARK_GRAFT_SF_DIR,
-  * one JSON line. A warmup pass (table counts + one trivial query) pulls
-  * session init, file-listing and codegen-compile costs out of the first
-  * measured query so per-query numbers reflect steady state.
+  * one JSON line. Warmup runs table counts plus EVERY query once at
+  * SPARK_GRAFT_WARM_DIR (default sf0.001) through the same toRdd sink,
+  * pulling session init, file listing, and per-query whole-stage-codegen
+  * compilation out of the timed pass so the numbers reflect steady-state
+  * execution.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

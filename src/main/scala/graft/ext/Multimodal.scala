@@ -98,7 +98,9 @@ object Multimodal {
   /** Real WAV/PCM decode — a pure-byte RIFF parser (no codec library
     * exists or is needed for uncompressed PCM): sample rate, channels,
     * sample count, and mean absolute amplitude (normalized to [0,1]) of
-    * 16-bit samples. None for non-WAV payloads.
+    * 16-bit samples. None for non-WAV payloads AND for WAVs whose
+    * sample format is not 16-bit PCM (8/24/32-bit and float variants
+    * are valid files this parser deliberately does not handle).
     */
   def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Long, Double)] = {
     def u16(i: Int) = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)

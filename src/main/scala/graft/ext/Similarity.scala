@@ -133,6 +133,11 @@ object Similarity {
         .select(col("cell").as("vec_id"),
           transform(col("pm"), s => s.getField("m")).as("qv"))
         .withColumn("n2", norm2(col("qv")))
+        // a cell whose member sums cancel to the zero vector would have
+        // n2 = 0 → NaN cosine next iteration, and Spark sorts NaN above
+        // every double, so the dead cell would swallow the whole corpus;
+        // drop it like an emptied cell instead
+        .where(col("n2") > 0)
     }
     cents
   }

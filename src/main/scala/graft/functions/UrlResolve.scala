@@ -36,8 +36,13 @@ case class UrlResolve(left: Expression, right: Expression,
     */
   override def eval(input: InternalRow): Any = {
     val rel = right.eval(input)
+    // the link form short-circuits on null rel WITHOUT touching left —
+    // matching its generated code, where l.code only runs in the
+    // non-null branch (a throwing base expression must behave the same
+    // interpreted and compiled)
+    if (rel == null && !baseFallback) return null
     val base = left.eval(input)
-    if (rel == null) return if (baseFallback) base else null
+    if (rel == null) return base
     if (base == null) return rel
     val b = base.asInstanceOf[UTF8String]
     val r = rel.asInstanceOf[UTF8String]

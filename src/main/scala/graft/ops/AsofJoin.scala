@@ -43,8 +43,13 @@ object AsofJoin {
     // a payload value is legitimately null (the later row's null column
     // would be "filled" from an earlier row).
     val l = left.withColumn("_is_left", lit(1))
-    val r = right.select(col(key), col(ts),
-      struct(rightPayload.map(col): _*).as("_payload"))
+    // a null-ts right row matches NOTHING: Spark's asc ordering is
+    // nulls-first, so without this filter its payload would be carried
+    // into every left row that has no real predecessor (and the engines'
+    // opposite null-ordering defaults would diverge)
+    val r = right.where(col(ts).isNotNull)
+      .select(col(key), col(ts),
+        struct(rightPayload.map(col): _*).as("_payload"))
       .withColumn("_is_left", lit(0))
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts).asc, col("_is_left").asc,

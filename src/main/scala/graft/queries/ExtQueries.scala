@@ -196,9 +196,13 @@ object ExtQueries {
     "q_dedup_minhash" -> ((s, dir) => {
       val hs = transform(array_distinct(TA.tokens(col("text"))),
         w => Hashing.h32(w))
-      val d = docsWithTokens(s, dir).select(col("doc_id"),
-        concat_ws("_", NearDup.minhashSignature(hs, numHashes = 8): _*)
-          .as("sig"))
+      // null text has no signature (concat_ws would give '' in Spark but
+      // NULL in the oracle, and unrelated null docs would collapse) —
+      // exclude it on both sides
+      val d = docsWithTokens(s, dir).where(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat_ws("_", NearDup.minhashSignature(hs, numHashes = 8): _*)
+            .as("sig"))
       val w = Window.partitionBy("sig").orderBy("doc_id")
       d.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
         .select(col("doc_id"), col("sig"))
@@ -329,7 +333,7 @@ object ExtQueries {
     s"""WITH hashed AS (
        |  SELECT doc_id,
        |    list_transform($dtokensSql, w -> ${Hashing.h32Sql("w")}) AS hs
-       |  FROM documents),
+       |  FROM documents WHERE text IS NOT NULL),
        |sig AS (
        |  SELECT doc_id,
        |    $sigs

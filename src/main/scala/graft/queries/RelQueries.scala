@@ -444,13 +444,18 @@ object RelQueries {
         |  count(*) FILTER (event_type = 'view') AS n_view
         |FROM events GROUP BY 1 ORDER BY hod""".stripMargin,
 
+    // TRY_CAST after extraction on both engines: a non-numeric k counts
+    // as absent (Spark's .cast("long") nulls it), never a hard error
     "q_json_extract" ->
-      """SELECT event_type,
-        |  count(json_extract(props, '$.k')) AS n_with_k,
-        |  sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
-        |  min(json_extract(props, '$.k')::BIGINT) AS min_k,
-        |  max(json_extract(props, '$.k')::BIGINT) AS max_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      """WITH e AS (
+        |  SELECT event_type,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type,
+        |  count(k) AS n_with_k,
+        |  sum(k)::BIGINT AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Same union + window formulation, so tie semantics are identical by
     // construction (right-before-left at equal ts, max purchase_id among
@@ -467,7 +472,7 @@ object RelQueries {
         |  FROM ev WHERE event_type = 'view'
         |  UNION ALL
         |  SELECT NULL, user_id, ts_us, event_id, value, 0
-        |  FROM ev WHERE event_type = 'purchase'),
+        |  FROM ev WHERE event_type = 'purchase' AND ts_us IS NOT NULL),
         |w AS (
         |  SELECT *,
         |    last_value(CASE WHEN is_left = 0 THEN
