@@ -1,0 +1,36 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Plan-shape regression guard over the ENTIRE query battery: no query
+  * may plan a CartesianProduct, and BroadcastNestedLoopJoin may appear
+  * only where it is the intended physical form of a broadcast crossJoin
+  * (similarity search scans the corpus once per broadcast query batch —
+  * that IS the design). Anything else showing up here is a scale
+  * regression: an equi-join that lost its keys, or a range predicate
+  * that stopped being bucketed.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // broadcast-crossJoin by design: brute-force top-k and IVF centroid
+  // assignment (broadcast queries / centroids against the corpus)
+  private val bnljAllowed = Set(
+    "q_cosine_topk", "q_ann_ivf", "q_ann_ivf_mp")
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+      if !name.startsWith("q_wat")) {
+    test(s"$name plans without cartesian products or stray nested loops") {
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+      if (!bnljAllowed(name)) {
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin outside the allowed set")
+      }
+    }
+  }
+}
