@@ -211,6 +211,37 @@ object RelQueries {
     // Gap-based sessionization: lag + cumulative sum over one
     // (user-partitioned) window — a single shuffle on user_id, integer
     // microsecond math for exactness. 30-minute inactivity gap.
+    // TPC-H Q5 shape: 6-table join (region→nation→customer/supplier→
+    // orders→lineitem) with the c_nationkey = s_nationkey local-supplier
+    // condition. Dimensions broadcast themselves via stats; the two fact
+    // joins are AQE's call — the point is Catalyst's join ordering over
+    // a realistic snowflake, with integer-cents revenue.
+    "q5_region_revenue" -> ((s, dir) => {
+      val region = table(s, dir, "region").where(col("r_name") === "ASIA")
+        .select("r_regionkey")
+      val nation = table(s, dir, "nation")
+        .select("n_nationkey", "n_regionkey", "n_name")
+      val cust = table(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val supp = table(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val ord = table(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+        .select("o_orderkey", "o_custkey")
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+            .as("rev_u"))
+      nation.join(region, col("n_regionkey") === col("r_regionkey"))
+        .join(supp, col("s_nationkey") === col("n_nationkey"))
+        .join(cust, col("c_nationkey") === col("s_nationkey"))
+        .join(ord, col("o_custkey") === col("c_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey") &&
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("n_name")
+        .agg((sum(col("rev_u")) / 10000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // Unpivot (melt): wide lineitem measures to (measure, value) rows —
     // integer cents so the stacked doubles stay oracle-exact.
     "q_unpivot" -> ((s, dir) => {
@@ -419,6 +450,19 @@ object RelQueries {
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,
         |  count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  sum(round(l_extendedprice*100)::BIGINT
+        |      * (100 - round(l_discount*100)::BIGINT))::BIGINT / 10000.0
+        |    AS revenue
+        |FROM region, nation, supplier, customer, orders, lineitem
+        |WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+        |  AND s_nationkey = n_nationkey AND c_nationkey = s_nationkey
+        |  AND o_custkey = c_custkey
+        |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+        |  AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q_unpivot" ->
       """WITH base AS (

@@ -62,6 +62,16 @@ object StreamOps {
     links.withWatermark(eventTimeCol, horizon)
       .dropDuplicatesWithinWatermark("uid")
 
+  /** Stream-static enrichment: each micro-batch equi-joins the
+    * (slowly-changing) static dimension — Spark re-plans per batch and
+    * broadcasts the dimension while it is small. The standard pattern
+    * for attaching user/document metadata to an event stream; inner
+    * equi-joins against static sides need no state and no watermark.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    stream.join(dim, Seq(key))
+
   /** Streaming FUZZY dedup: one survivor per MinHash signature within
     * the watermark horizon. The per-row signature (8-member
     * universal-hash family over the distinct-token set, same family as

@@ -108,6 +108,22 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(uids.sorted.toSeq == Seq("u1", "u2", "u3"))
   }
 
+  test("stream-static enrichment attaches dimension columns per batch") {
+    val in = Files.createTempDirectory("stream-enrich").toString
+    writeBatch(in, batch1, "b1")
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = StreamOps.enrichStream(
+      StreamOps.readEventStream(spark, s"$in/*"), dim, "user_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enriched").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("select user_id, tier from enriched").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "gold"), (2L, "basic")))
+    assert(spark.sql("select * from enriched").count() == batch1.size)
+  }
+
   test("streaming fuzzy dedup collapses reordered near-identical docs") {
     val in = Files.createTempDirectory("stream-fuzzy").toString
     Seq(
