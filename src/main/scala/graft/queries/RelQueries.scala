@@ -211,6 +211,45 @@ object RelQueries {
     // Gap-based sessionization: lag + cumulative sum over one
     // (user-partitioned) window — a single shuffle on user_id, integer
     // microsecond math for exactness. 30-minute inactivity gap.
+    // Sketch quantile (approx_percentile): same oracle trick as
+    // q_approx_distinct — the sketch value is engine-specific, so the
+    // comparable output is the exact interpolated percentile plus a
+    // tolerance boolean the sketch must satisfy.
+    "q_approx_quantile" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+            .as("approx_med"),
+          expr("percentile(l_quantity, 0.5)").as("exact_med"))
+        .select(col("l_returnflag"), col("exact_med"),
+          (abs(col("approx_med") - col("exact_med")) <= 1.0).as("within_tol"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Correlation WITHOUT float-order sensitivity: the five sufficient
+    // statistics are exact integer sums (whole-dollar prices keep every
+    // square inside long range), and the double formula is evaluated
+    // with identical structure on both engines — bit-exact, unlike
+    // corr() whose internal accumulation order differs per engine.
+    "q_corr" -> ((s, dir) => {
+      val qty = wholeUnits(col("l_quantity"))
+      // floor, not cast: Spark's double->long cast truncates while
+      // DuckDB's ::BIGINT rounds — floor is unambiguous on both
+      val price = floor(col("l_extendedprice")).cast("long")
+      val stats = table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(qty).as("sx"), sum(price).as("sy"),
+          sum(qty * price).as("sxy"), sum(qty * qty).as("sxx"),
+          sum(price * price).as("syy"))
+      val d = (c: String) => col(c).cast("double")
+      stats.select(col("l_returnflag"), col("n"),
+        ((d("n") * d("sxy") - d("sx") * d("sy")) /
+          sqrt((d("n") * d("sxx") - d("sx") * d("sx")) *
+            (d("n") * d("syy") - d("sy") * d("sy")))).as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // TPC-H Q5 shape: 6-table join (region→nation→customer/supplier→
     // orders→lineitem) with the c_nationkey = s_nationkey local-supplier
     // condition. Dimensions broadcast themselves via stats; the two fact
@@ -450,6 +489,28 @@ object RelQueries {
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,
         |  count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_approx_quantile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS exact_med,
+        |  true AS within_tol
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_corr" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(l_quantity::BIGINT)::BIGINT AS sx,
+        |    sum(floor(l_extendedprice)::BIGINT)::BIGINT AS sy,
+        |    sum(l_quantity::BIGINT * floor(l_extendedprice)::BIGINT)::BIGINT AS sxy,
+        |    sum(l_quantity::BIGINT * l_quantity::BIGINT)::BIGINT AS sxx,
+        |    sum(floor(l_extendedprice)::BIGINT * floor(l_extendedprice)::BIGINT)::BIGINT AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        |    sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+        |         (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+        |    AS corr_qty_price
+        |FROM s ORDER BY l_returnflag""".stripMargin,
 
     "q5_region_revenue" ->
       """SELECT n_name,
