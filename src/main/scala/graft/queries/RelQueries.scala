@@ -211,6 +211,23 @@ object RelQueries {
     // Gap-based sessionization: lag + cumulative sum over one
     // (user-partitioned) window — a single shuffle on user_id, integer
     // microsecond math for exactness. 30-minute inactivity gap.
+    // RANGE-frame rolling window: per-customer 7-day rolling order
+    // revenue — the frame is value-based (day numbers), so ties and
+    // gaps behave like real time-series analytics, not row counting.
+    "q_rolling_sum" -> ((s, dir) => {
+      val day = datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-6, 0)
+      table(s, dir, "orders")
+        .where(col("o_custkey") <= 500)
+        .select(col("o_orderkey"), col("o_custkey"), day.as("day"),
+          cents(col("o_totalprice")).as("price_c"))
+        .withColumn("rolling_7d",
+          (sum(col("price_c")).over(w) / 100.0))
+        .select("o_orderkey", "o_custkey", "day", "rolling_7d")
+        .orderBy("o_custkey", "day", "o_orderkey")
+    }),
+
     // Sketch quantile (approx_percentile): same oracle trick as
     // q_approx_distinct — the sketch value is engine-specific, so the
     // comparable output is the exact interpolated percentile plus a
@@ -489,6 +506,17 @@ object RelQueries {
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,
         |  count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_rolling_sum" ->
+      """SELECT o_orderkey, o_custkey,
+        |  date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT AS day,
+        |  sum(round(o_totalprice*100)::BIGINT) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate::DATE)
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT / 100.0
+        |    AS rolling_7d
+        |FROM orders WHERE o_custkey <= 500
+        |ORDER BY o_custkey, day, o_orderkey""".stripMargin,
 
     "q_approx_quantile" ->
       """SELECT l_returnflag,
