@@ -36,4 +36,12 @@ object QueryUtil {
 
   /** Integer-valued doubles (e.g. l_quantity) are exactly summable. */
   def wholeUnits(c: Column): Column = c.cast("long")
+
+  /** Discounted revenue in exact integer units: cents(price) ×
+    * (100 − cents(discount)). Sums of this divide by 10000.0 to get the
+    * dollar value. ONE definition shared by every revenue query — the
+    * rounding idiom must never drift between copies.
+    */
+  def revenueUnits(price: Column, discount: Column): Column =
+    cents(price) * (lit(100) - cents(discount))
 }

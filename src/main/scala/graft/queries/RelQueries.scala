@@ -50,7 +50,7 @@ object RelQueries {
         .select("o_orderkey", "o_custkey", "o_orderdate")
       val li = table(s, dir, "lineitem")
         .select(col("l_orderkey"),
-          (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("rev_u"))
+          revenueUnits(col("l_extendedprice"), col("l_discount")).as("rev_u"))
       // Only the filtered dimension (customer) is broadcast-safe: the date
       // filter keeps ~97% of orders, so orders⋈customer is NOT small at
       // scale — no hint on the outer join; AQE picks shuffle-hash/sort-merge
@@ -245,15 +245,17 @@ object RelQueries {
     }),
 
     // Correlation WITHOUT float-order sensitivity: the five sufficient
-    // statistics are exact integer sums (whole-dollar prices keep every
-    // square inside long range), and the double formula is evaluated
-    // with identical structure on both engines — bit-exact, unlike
-    // corr() whose internal accumulation order differs per engine.
+    // statistics are exact integer sums, and the double formula is
+    // evaluated with identical structure on both engines — bit-exact,
+    // unlike corr() whose internal accumulation order differs per
+    // engine. Prices are in hundred-dollar units so the SUM of squares
+    // (not just one square) stays inside long range out to extreme
+    // scale: max price² ≈ 1.1e6 × even 10^12 rows < 2^63.
     "q_corr" -> ((s, dir) => {
-      val qty = wholeUnits(col("l_quantity"))
-      // floor, not cast: Spark's double->long cast truncates while
-      // DuckDB's ::BIGINT rounds — floor is unambiguous on both
-      val price = floor(col("l_extendedprice")).cast("long")
+      // floor on both measures, not cast: Spark's double->long cast
+      // truncates while DuckDB's ::BIGINT rounds
+      val qty = floor(col("l_quantity")).cast("long")
+      val price = floor(col("l_extendedprice") / 100).cast("long")
       val stats = table(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), sum(qty).as("sx"), sum(price).as("sy"),
@@ -267,11 +269,15 @@ object RelQueries {
         .orderBy("l_returnflag")
     }),
 
-    // TPC-H Q5 shape: 6-table join (region→nation→customer/supplier→
-    // orders→lineitem) with the c_nationkey = s_nationkey local-supplier
-    // condition. Dimensions broadcast themselves via stats; the two fact
-    // joins are AQE's call — the point is Catalyst's join ordering over
-    // a realistic snowflake, with integer-cents revenue.
+    // TPC-H Q5 shape: 6-table snowflake with the c_nationkey =
+    // s_nationkey local-supplier condition. Join ORDER is load-bearing
+    // and hand-chosen (Catalyst does not reorder joins without CBO, and
+    // AQE changes strategies, never order): facts chain first
+    // (cust→orders→lineitem — each join is key-selective), supplier
+    // attaches on BOTH its conditions at once, and the tiny
+    // nation/region dims come last. Joining supplier⋈customer on
+    // nationkey alone first would pair every same-nation (supplier,
+    // customer) — a quadratic intermediate at scale.
     "q5_region_revenue" -> ((s, dir) => {
       val region = table(s, dir, "region").where(col("r_name") === "ASIA")
         .select("r_regionkey")
@@ -285,14 +291,13 @@ object RelQueries {
         .select("o_orderkey", "o_custkey")
       val li = table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"),
-          (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
-            .as("rev_u"))
-      nation.join(region, col("n_regionkey") === col("r_regionkey"))
-        .join(supp, col("s_nationkey") === col("n_nationkey"))
-        .join(cust, col("c_nationkey") === col("s_nationkey"))
-        .join(ord, col("o_custkey") === col("c_custkey"))
-        .join(li, col("l_orderkey") === col("o_orderkey") &&
-          col("l_suppkey") === col("s_suppkey"))
+          revenueUnits(col("l_extendedprice"), col("l_discount")).as("rev_u"))
+      ord.join(cust, col("o_custkey") === col("c_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .join(nation, col("n_nationkey") === col("s_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
         .agg((sum(col("rev_u")) / 10000.0).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
@@ -525,14 +530,17 @@ object RelQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_corr" ->
-      """WITH s AS (
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    floor(l_quantity)::BIGINT AS q,
+        |    floor(l_extendedprice / 100)::BIGINT AS p
+        |  FROM lineitem),
+        |s AS (
         |  SELECT l_returnflag, count(*) AS n,
-        |    sum(l_quantity::BIGINT)::BIGINT AS sx,
-        |    sum(floor(l_extendedprice)::BIGINT)::BIGINT AS sy,
-        |    sum(l_quantity::BIGINT * floor(l_extendedprice)::BIGINT)::BIGINT AS sxy,
-        |    sum(l_quantity::BIGINT * l_quantity::BIGINT)::BIGINT AS sxx,
-        |    sum(floor(l_extendedprice)::BIGINT * floor(l_extendedprice)::BIGINT)::BIGINT AS syy
-        |  FROM lineitem GROUP BY l_returnflag)
+        |    sum(q)::BIGINT AS sx, sum(p)::BIGINT AS sy,
+        |    sum(q * p)::BIGINT AS sxy,
+        |    sum(q * q)::BIGINT AS sxx, sum(p * p)::BIGINT AS syy
+        |  FROM m GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
         |  (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
         |    sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *

@@ -30,11 +30,25 @@ class PartitionLayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("PartitionFilters") &&
       plan.contains(s"isnotnull(lang"), s"no partition filter in:\n$plan")
 
-    // pruned scan reads only the matching directory's files
-    val scannedFiles = one.select(input_file_name()).distinct()
-      .collect().map(_.getString(0))
-    assert(scannedFiles.nonEmpty &&
-      scannedFiles.forall(_.contains(s"lang=${langs.head}")))
+    // PROVE pruning via the scan's own metrics: files read == files in
+    // the one matching directory, not the whole dataset. (Checking
+    // input_file_name() over surviving rows would be vacuous — a
+    // post-scan row filter also never shows foreign files.)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // execute THIS queryExecution (count() would build a fresh plan
+    // whose metrics are separate), then read its scan's metrics
+    val qe = one.queryExecution
+    qe.toRdd.count()
+    val scan = qe.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    val filesInMatchingDir = new java.io.File(s"$out/lang=${langs.head}")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val totalFiles = langs.map(l => new java.io.File(s"$out/lang=$l")
+      .listFiles().count(_.getName.endsWith(".parquet"))).sum
+    val scannedFiles = scan.metrics("numFiles").value
+    assert(scannedFiles == filesInMatchingDir && scannedFiles < totalFiles,
+      s"scan read $scannedFiles files; matching dir has $filesInMatchingDir of $totalFiles")
 
     // counts are partition-complete: sum over partitions == total
     val total = spark.read.parquet(out).count()
