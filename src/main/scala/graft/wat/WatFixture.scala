@@ -222,6 +222,17 @@ object WatFixture {
     "video" -> "57ec4e3483047742c3bdd028a68bdb85")
 
   /** Pinned [[contentHash]] per document type over the deterministic
+    * 16-archive bench fleet ([[ensureFleet]]) — the exact input of the
+    * rows-only q_wat_extract / q_wat_dedup driver queries.
+    */
+  val goldenFleetContentHash: Map[String, String] = Map(
+    "image" -> "6568d45fa9bb74eb0b3a873749ab1c3b",
+    "image_only" -> "6e573112dfd3ff42dcb71f0997fe4e9c",
+    "audio" -> "822b20fb9861382c751cd4b5ec8f2e07",
+    "text" -> "0b513ad1d306a8ad1ebac592f700d266",
+    "video" -> "d86f87eea7f9fb3ae104f4a11d93ca98")
+
+  /** Pinned [[contentHash]] per document type over the deterministic
     * 400k-link single-archive fixture ([[ensureSingle]]).
     */
   val goldenSingleContentHash: Map[String, String] = Map(

@@ -39,6 +39,11 @@ class WatExtractSpec extends AnyFunSuite with SparkTestBase {
     val single = WatFixture.ensureSingle()
     for ((dt, want) <- WatFixture.goldenSingleContentHash)
       assert(hash(single, dt) == want, s"400k-link fixture, $dt")
+    // the exact input of the rows-only q_wat_extract / q_wat_dedup
+    // driver queries — their full content is pinned here instead
+    val fleet = WatFixture.ensureFleet()
+    for ((dt, want) <- WatFixture.goldenFleetContentHash)
+      assert(hash(fleet, dt) == want, s"16-archive fleet, $dt")
   }
 
   test("malformed records and missing-ancestor records are dropped, not fatal") {
