@@ -30,12 +30,22 @@ object Curation {
       minJaccard: Double = 0.6)
 
   /** documents(doc_id, text, lang, n_chars) → curated
-    * (doc_id, lang, n_tokens, score). The shared dedup lineage stays
-    * cached for the session; long-lived sessions curating many batches
-    * should use [[curateManaged]] and release each batch's cache.
+    * (doc_id, lang, n_tokens, score), for single-shot callers: the
+    * curated result (pruned to the 4 output columns — far smaller than
+    * the dedup lineage) is materialized into its own cache and the
+    * internal lineage cache is released EAGERLY, so repeated calls never
+    * accumulate pinned lineage storage. The returned frame stays
+    * persisted for the caller's action(s) — `.unpersist()` it when done.
+    * Long-lived sessions wanting lazy composition should use
+    * [[curateManaged]] and release explicitly.
     */
-  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame =
-    curateManaged(docs, cfg)._1
+  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val (curated, release) = curateManaged(docs, cfg)
+    val out = curated.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    release()
+    out
+  }
 
   /** [[curate]] plus a release handle: invoke it after the curated
     * result has been fully consumed (written/collected) to unpersist

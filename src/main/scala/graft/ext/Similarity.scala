@@ -115,12 +115,16 @@ object Similarity {
     *
     * Per iteration: one broadcast join + one (cell, dim) hash
     * aggregation with map-side partial sums — both scale linearly in
-    * corpus size. `iters` stacks lazy plans; keep it small (IVF needs
-    * rough cells, not converged k-means) or persist between rounds.
+    * corpus size. Each round's centroid frame (tiny: C × dims longs) is
+    * persisted and materialized before the next round plans against it,
+    * so `iters` rounds never stack into one exponential lazy plan; the
+    * previous round's cache is released as soon as its successor exists.
+    * The RETURNED frame stays persisted — `.unpersist()` it when done.
     */
   def kmeansCentroids(corpus: DataFrame, init: DataFrame,
       iters: Int): DataFrame = {
     var cents = init.select("vec_id", "qv", "n2")
+    var prev: Option[DataFrame] = None
     (0 until iters).foreach { _ =>
       val assigned = ivfAssign(corpus, cents)
       val dims = assigned
@@ -138,6 +142,10 @@ object Similarity {
         // every double, so the dead cell would swallow the whole corpus;
         // drop it like an emptied cell instead
         .where(col("n2") > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cents.count() // materialize: the next round plans against the cache
+      prev.foreach(_.unpersist())
+      prev = Some(cents)
     }
     cents
   }
@@ -199,12 +207,27 @@ object Similarity {
     * over the corpus), exact quantized cosine verifies. The standard
     * bucket→verify shape that scales to 100 TB: bucket key is a shuffle
     * key, verification touches only bucket-mates.
+    *
+    * Degenerate-bucket cap (mirrors [[NearDup.lshNearDupPairs]]): with
+    * only 2^sigBits buckets, one hot bucket — near-zero embeddings,
+    * template content — would make the self-join quadratic in bucket
+    * size. Buckets outside [2, maxBucket] generate no candidates (size-1
+    * buckets never produced pairs anyway; oversized ones are dropped
+    * before pairing, standard LSH practice). The keep-side aggregation
+    * and both self-join inputs shuffle on the same `sig` key, so the
+    * exchange is computed once and reused.
     */
-  def nearDupPairs(p: DataFrame, sigBits: Int, minCos: Double): DataFrame = {
+  def nearDupPairs(p: DataFrame, sigBits: Int, minCos: Double,
+      maxBucket: Int = 1000): DataFrame = {
     val s = p.withColumn("sig", signSignature(col("qv"), sigBits))
-    val a = s.select(col("vec_id").as("d1"), col("qv").as("v1"),
+    val keep = s.groupBy("sig")
+      .agg(count(lit(1)).as("bucket_size"))
+      .where(col("bucket_size").between(2, maxBucket))
+      .select("sig")
+    val bounded = s.join(keep, "sig")
+    val a = bounded.select(col("vec_id").as("d1"), col("qv").as("v1"),
       col("n2").as("na"), col("sig"))
-    val b = s.select(col("vec_id").as("d2"), col("qv").as("v2"),
+    val b = bounded.select(col("vec_id").as("d2"), col("qv").as("v2"),
       col("n2").as("nb"), col("sig"))
     a.join(b, "sig")
       .where(col("d1") < col("d2"))

@@ -88,16 +88,32 @@ object TextAnalysis {
   }
 
   /** Repetition signal: the most frequent token's share of all tokens.
-    * Per-row O(distinct × total) HOF — no shuffle, stays in codegen.
+    * Per-row O(n log n) sort + run-length fold — no shuffle, stays in
+    * codegen.
     */
   def topTokenShare(text: Column): Column =
     topTokenShareFromTokens(tokens(text))
 
+  /** Sorted run-length fold: sort the tokens, then one linear fold
+    * tracking (previous token, current run length, best run length) —
+    * the longest run in the sorted array IS the max token frequency.
+    * O(n log n) per row, vs the naive count-per-distinct-token
+    * O(distinct × total) that goes ~10¹² comparisons on one adversarial
+    * 1M-token document. The "" sentinel with run = 0 is safe: a genuine
+    * "" token (consecutive spaces) extends the zero run to the correct
+    * count of 1.
+    */
   def topTokenShareFromTokens(tks: Column): Column = {
-    val counts = transform(array_distinct(tks),
-      w => size(filter(tks, t => t === w)))
+    val st = aggregate(array_sort(tks),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"),
+          acc.getField("run") + lit(1L)).otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      })
     when(size(tks) > 0,
-      array_max(counts).cast("double") / size(tks).cast("double"))
+      st.getField("best").cast("double") / size(tks).cast("double"))
       .otherwise(lit(0.0))
   }
 

@@ -37,6 +37,13 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     require(rightPayload.forall(!leftCols.contains(_)),
       "right payload columns must not clash with left columns")
+    // withColumn would silently OVERWRITE an input column with one of
+    // these names and corrupt the result — fail loudly instead
+    val reserved = Set("_is_left", "_payload", "_asof")
+    val clashes = (leftCols ++ right.columns).filter(reserved)
+    require(clashes.isEmpty,
+      s"input columns ${clashes.mkString(", ")} clash with internal " +
+        "working columns (_is_left, _payload, _asof) — rename them first")
     // The payload rides as ONE struct (null only on left rows), and a
     // single last(ignoreNulls) carries it — carrying each column
     // independently would mix columns from different right rows whenever

@@ -132,12 +132,28 @@ object ExtQueries {
         .orderBy("sig")
     }),
 
-    // embedding near-dup: sign-bucket LSH candidates + exact cosine verify
+    // embedding near-dup: sign-bucket LSH candidates (degenerate buckets
+    // dropped before pairing — the cap the oracle mirrors) + exact
+    // cosine verify
     "q_embed_neardup" -> ((s, dir) => {
       val p = Similarity.prepared(table(s, dir, "embeddings"), "vec_id",
         "embedding")
-      Similarity.nearDupPairs(p, sigBits = 12, minCos = 0.25)
+      Similarity.nearDupPairs(p, sigBits = 12, minCos = 0.25, maxBucket = 100)
         .orderBy("d1", "d2")
+    }),
+
+    // Lloyd k-means for IVF centroid training — 2 exact-integer rounds
+    // (argmax-by-cosine assignment, truncating `div` means), final
+    // centroids exploded to scalar (cell, pos, m) rows for the oracle.
+    "q_kmeans" -> ((s, dir) => {
+      val p = Similarity.prepared(table(s, dir, "embeddings"), "vec_id",
+        "embedding")
+      val cents = Similarity.kmeansCentroids(p, p.where(col("vec_id") < 8),
+        iters = 2)
+      cents.select(col("vec_id").as("cell"), posexplode(col("qv")))
+        .select(col("cell"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("m"))
+        .orderBy("cell", "pos")
     }),
 
     // --- similarity search ---
@@ -244,7 +260,10 @@ object ExtQueries {
     // the token stream.
     "q_minhash_agg" -> ((s, dir) => {
       val mh = udaf(new graft.ext.MinHashAgg(8), Encoders.scalaLong)
-      val hashed = docsWithTokens(s, dir)
+      // null text would be DROPPED by the explode here but emitted with
+      // NULL mh columns by the oracle's list_transform — exclude it on
+      // both sides (same guard as q_dedup_minhash)
+      val hashed = docsWithTokens(s, dir).where(col("text").isNotNull)
         .select(col("doc_id"),
           explode(array_distinct(TA.tokens(col("text")))).as("w"))
         .select(col("doc_id"), Hashing.h32(col("w")).as("h"))
@@ -319,7 +338,7 @@ object ExtQueries {
     s"""WITH hashed AS (
        |  SELECT doc_id,
        |    list_transform($dtokensSql, w -> ${Hashing.h32Sql("w")}) AS hs
-       |  FROM documents)
+       |  FROM documents WHERE text IS NOT NULL)
        |SELECT doc_id,
        |  $sigs
        |FROM hashed ORDER BY doc_id""".stripMargin
@@ -456,6 +475,8 @@ object ExtQueries {
   private val dotSql =
     "list_sum(list_transform(list_zip(%s, %s), p -> p[1] * p[2]))::BIGINT"
 
+  // Mirrors nearDupPairs incl. the degenerate-bucket cap: buckets with
+  // 2..100 members generate candidates, the rest are dropped pre-pairing.
   private def embedNearDupOracle: String = {
     val sig = (0 until 12)
       .map(b => s"CASE WHEN qv[${b + 1}] >= 0 THEN ${1L << b} ELSE 0 END")
@@ -463,11 +484,60 @@ object ExtQueries {
     val dot = dotSql.format("a.qv", "b.qv")
     s"""WITH $prepSql,
        |s AS (SELECT vec_id, qv, n2, ($sig)::BIGINT AS sig FROM p2),
+       |keep AS (
+       |  SELECT sig FROM s GROUP BY sig HAVING count(*) BETWEEN 2 AND 100),
+       |sk AS (SELECT s.* FROM s JOIN keep USING (sig)),
        |pairs AS (
        |  SELECT a.vec_id AS d1, b.vec_id AS d2,
        |    ($dot)::DOUBLE / sqrt((a.n2 * b.n2)::DOUBLE) AS cos
-       |  FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+       |  FROM sk a JOIN sk b ON a.sig = b.sig AND a.vec_id < b.vec_id)
        |SELECT d1, d2, cos FROM pairs WHERE cos >= 0.25 ORDER BY d1, d2""".stripMargin
+  }
+
+  // Two unrolled Lloyd rounds, each: rank-1 cell assignment (cosine DESC,
+  // centroid id ASC — the argmax tie-break ivfAssign uses), then exact
+  // per-(cell, dim) integer means with TRUNCATING division (DuckDB `//`
+  // floors, so negative sums route through -((-sx) // nx) to match
+  // Spark's `div`); cells that empty out or cancel to the zero vector
+  // drop. sum(BIGINT) is HUGEINT in DuckDB — cast the mean back.
+  private def kmeansOracle: String = {
+    def assign(cents: String, out: String): String = {
+      val adot = dotSql.format("v.qv", "c.qv")
+      s"""$out AS (
+         |  SELECT vec_id, qv, cell FROM (
+         |    SELECT v.vec_id, v.qv, c.vec_id AS cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ($adot)::DOUBLE / sqrt((v.n2 * c.n2)::DOUBLE) DESC,
+         |                 c.vec_id) AS crk
+         |    FROM p2 v, $cents c)
+         |  WHERE crk = 1)""".stripMargin
+    }
+    def step(a: String, out: String): String =
+      s"""${out}d AS (
+         |  SELECT cell, pos,
+         |    (CASE WHEN sum(x) >= 0 THEN sum(x) // count(*)
+         |          ELSE -((-sum(x)) // count(*)) END)::BIGINT AS m
+         |  FROM (SELECT cell, unnest(range(1, len(qv) + 1)) AS pos,
+         |          unnest(qv) AS x FROM $a)
+         |  GROUP BY cell, pos),
+         |${out}l AS (
+         |  SELECT cell AS vec_id, list(m ORDER BY pos) AS qv
+         |  FROM ${out}d GROUP BY cell),
+         |$out AS (
+         |  SELECT vec_id, qv,
+         |    list_sum(list_transform(qv, y -> y * y))::BIGINT AS n2
+         |  FROM ${out}l
+         |  WHERE list_sum(list_transform(qv, y -> y * y)) > 0)""".stripMargin
+    s"""WITH $prepSql,
+       |c0 AS (SELECT vec_id, qv, n2 FROM p2 WHERE vec_id < 8),
+       |${assign("c0", "a1")},
+       |${step("a1", "c1")},
+       |${assign("c1", "a2")},
+       |${step("a2", "c2")}
+       |SELECT vec_id AS cell, pos::BIGINT AS pos, m FROM (
+       |  SELECT vec_id, unnest(range(1, len(qv) + 1)) AS pos,
+       |    unnest(qv) AS m FROM c2)
+       |ORDER BY cell, pos""".stripMargin
   }
 
   private def cosineTopkOracle: String = {
@@ -670,6 +740,7 @@ object ExtQueries {
     "q_cosine_topk" -> cosineTopkOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_ann_ivf_mp" -> annIvfMpOracle,
+    "q_kmeans" -> kmeansOracle,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -248,6 +248,42 @@ class ExtSpec extends AnyFunSuite with SparkTestBase {
     assert(cents(4L) == Seq((0L + 20L - 20L) / 3, (1000L + 998L + 996L) / 3))
   }
 
+  test("embedding near-dup drops degenerate sign buckets before pairing") {
+    // 5 near-identical vectors share one sign bucket (the template-content
+    // hot bucket that would go quadratic at scale); 2 others share a cold
+    // bucket. maxBucket = 4 must drop the hot bucket ENTIRELY.
+    val hot = (1L to 5L).map(i => (i, Seq(1.0f, 0.01f * i)))
+    val cold = Seq((10L, Seq(-1.0f, -0.5f)), (11L, Seq(-0.99f, -0.52f)))
+    val p = Similarity.prepared(
+      (hot ++ cold).toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val capped = Similarity
+      .nearDupPairs(p, sigBits = 2, minCos = 0.9, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq == Seq((10L, 11L)))
+    val uncapped = Similarity
+      .nearDupPairs(p, sigBits = 2, minCos = 0.9, maxBucket = 100)
+    assert(uncapped.count() == 10L + 1L) // C(5,2) hot pairs + the cold pair
+  }
+
+  test("kmeans iters=5 completes per-round (no lazy-plan stacking)") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.998f, 0.02f)), (3L, Seq(0.996f, -0.02f)),
+      (4L, Seq(0.0f, 1.0f)), (5L, Seq(0.02f, 0.998f)), (6L, Seq(-0.02f, 0.996f))
+    ).toDF("vec_id", "embedding")
+    val p = Similarity.prepared(vecs, "vec_id", "embedding")
+    val init = p.where(col("vec_id") === 1 || col("vec_id") === 4)
+    val out = Similarity.kmeansCentroids(p, init, iters = 5)
+    // each round was materialized into a cache the next round plans
+    // against, so round 5's plan reads round 4's InMemoryRelation instead
+    // of a 5-deep recursive lineage
+    assert(out.storageLevel.useMemory)
+    val cents = out.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // converged at iter 2; later rounds are fixpoints of the same means
+    assert(cents(1L) == Seq((1000L + 998L + 996L) / 3, 0L))
+    assert(cents(4L) == Seq(0L, (1000L + 998L + 996L) / 3))
+    out.unpersist()
+  }
+
   test("multi-probe IVF recovers a neighbor that 1-probe misses") {
     // centroids along the axes; query leans to c1 but its true nearest
     // neighbor n lives in c2's cell — the classic near-boundary miss

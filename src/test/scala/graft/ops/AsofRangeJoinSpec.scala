@@ -84,6 +84,46 @@ class AsofRangeJoinSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("asof/range join: reserved internal column names are rejected") {
+    val left = Seq((1L, 1L, 10L)).toDF("event_id", "user_id", "ts_us")
+    val right = Seq((1L, 5L, 20L)).toDF("user_id", "ts_us", "purchase_id")
+    intercept[IllegalArgumentException] {
+      AsofJoin.asof(left.withColumn("_asof", lit(1)), right,
+        "user_id", "ts_us", Seq("purchase_id"), tieBreak = "purchase_id")
+    }
+    intercept[IllegalArgumentException] {
+      AsofJoin.asof(left, right.withColumn("_payload", lit(1)),
+        "user_id", "ts_us", Seq("purchase_id"), tieBreak = "purchase_id")
+    }
+    val points = Seq(1L).toDF("p")
+    val intervals = Seq((1L, 0L, 5L)).toDF("iv_id", "lo", "hi")
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points.withColumn("_bucket", lit(1)), "p",
+        intervals, "lo", "hi", width = 7)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, "p",
+        intervals.withColumn("_hi1", lit(1)), "lo", "hi", width = 7)
+    }
+  }
+
+  test("range join: span guard raises on overflow-wide dirty bounds") {
+    // lo near Long.MinValue with hi near Long.MaxValue: the raw span
+    // hi - lo overflows NEGATIVE, so a raw-span guard would pass and
+    // sequence() would blow up opaquely — the bucket-id guard must raise
+    // the named error instead
+    val points = Seq(1L).toDF("p")
+    val dirty = Seq((1L, Long.MinValue + 10L, Long.MaxValue - 10L))
+      .toDF("iv_id", "lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "p", dirty, "lo", "hi",
+        width = 1000L).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(e).contains("interval span exceeds"))
+  }
+
   test("range join: half-open bounds, bucket spanning, empty intervals") {
     val points = Seq(0L, 6L, 7L, 13L, 14L, 20L).toDF("p")
     val intervals = Seq(

@@ -17,9 +17,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
   private val sfDir = "/root/testdata/sf0.001"
 
   // broadcast-crossJoin by design: brute-force top-k and IVF centroid
-  // assignment (broadcast queries / centroids against the corpus)
+  // assignment (broadcast queries / centroids against the corpus);
+  // q_kmeans runs ivfAssign per Lloyd round
   private val bnljAllowed = Set(
-    "q_cosine_topk", "q_ann_ivf", "q_ann_ivf_mp")
+    "q_cosine_topk", "q_ann_ivf", "q_ann_ivf_mp", "q_kmeans")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !name.startsWith("q_wat")) {
