@@ -22,7 +22,16 @@ final case class Cc2Config(
     shuffle: Boolean = true,
     resume: Option[String] = None,
     seed: Long = 42L,
-    sourceCcProtocol: String = "s3")
+    sourceCcProtocol: String = "s3",
+    /** >1 runs that many multipart parts concurrently (each in its own
+      * `SparkSession.newSession()` over the shared context) instead of
+      * the reference's strictly sequential loop. Parts are independent
+      * (disjoint inputs, disjoint output dirs), so at fleet scale this
+      * keeps the cluster busy through each part's long scheduling tail.
+      * Sequential mode (the default) keeps reference parity including
+      * the session restart between parts.
+      */
+    partParallelism: Int = 1)
 
 /** Top-level orchestration (C1–C5, SURVEY.md §2.10): single-part and
   * multipart jobs, `_SUCCESS`-based resume, manifest, job-id pathing, and
@@ -60,16 +69,42 @@ object Cc2Dataset {
     */
   def processMultiPart(sparkFactory: () => SparkSession, watFiles: Seq[String],
       outputPath: String, docType: String, multipart: Int, shuffle: Boolean,
-      seed: Long, resume: Boolean): Long = {
+      seed: Long, resume: Boolean, partParallelism: Int = 1): Long = {
+    require(partParallelism >= 1, "partParallelism must be >= 1")
     val chunkSize = math.ceil(watFiles.size.toDouble / multipart).toInt
     val chunks = watFiles.grouped(chunkSize).toSeq
     val startAt =
       if (resume) PartMerge.lastSuccessfulPart(sparkFactory(), outputPath) + 1
       else 0
-    chunks.zipWithIndex.drop(startAt).foreach { case (chunk, i) =>
-      val spark = restartSession(sparkFactory) // C3
-      processOnePart(spark, chunk, s"$outputPath/part_$i", docType,
-        shuffle = false, seed)
+    val todo = chunks.zipWithIndex.drop(startAt)
+    if (partParallelism <= 1) {
+      // reference parity: strictly sequential, session restart per part
+      todo.foreach { case (chunk, i) =>
+        val spark = restartSession(sparkFactory) // C3
+        processOnePart(spark, chunk, s"$outputPath/part_$i", docType,
+          shuffle = false, seed)
+      }
+    } else {
+      // Parallel parts share ONE SparkContext; each gets an isolated
+      // `newSession()` (own SQL conf/temp views, shared executors) —
+      // contexts can't be restarted concurrently, so C3's restart
+      // hygiene is traded for in-flight overlap. Parts write disjoint
+      // part_<i> dirs, so completion order doesn't matter, and a
+      // failure in any part fails the whole call (Await rethrows).
+      val spark = restartSession(sparkFactory)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(partParallelism)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      try Await.result(
+        Future.traverse(todo.toList) { case (chunk, i) =>
+          Future {
+            processOnePart(spark.newSession(), chunk, s"$outputPath/part_$i",
+              docType, shuffle = false, seed)
+          }
+        }, Duration.Inf)
+      finally pool.shutdown()
     }
     val spark = restartSession(sparkFactory)
     val all = PartMerge.unionParts(spark,
@@ -111,7 +146,8 @@ object Cc2Dataset {
           config.shuffle, config.seed)
       case Some(m) =>
         processMultiPart(sparkFactory, wats, jobPath, config.documentType, m,
-          config.shuffle, config.seed, resume = config.resume.isDefined)
+          config.shuffle, config.seed, resume = config.resume.isDefined,
+          partParallelism = config.partParallelism)
     }
     (jobPath, n)
   }

@@ -42,6 +42,14 @@ object WatDataSource {
     StructField("wat_path", StringType, nullable = false),
     StructField("payload", StringType, nullable = false)))
 
+  /** Above this many archives, planInputPartitions batches several
+    * archives per partition (option `max_tasks` overrides): a 5M-archive
+    * listing must not create 5M scheduler tasks — driver-side task
+    * bookkeeping alone would dwarf the work. Below it, one archive per
+    * partition (the reference's one-task-per-WAT unit).
+    */
+  val DefaultMaxTasks: Int = 100000
+
   /** load(p1, p2, …) arrives as a JSON array under "paths"; load(p) as
     * "path". Parsed with Jackson — naive comma-splitting would mangle
     * paths containing commas or JSON escapes.
@@ -65,7 +73,10 @@ class WatTable(paths: Seq[String]) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WatScanBuilder(paths)
+    new WatScanBuilder(paths,
+      maxTasks = options.getInt("max_tasks", WatDataSource.DefaultMaxTasks),
+      streamThresholdBytes = options.getLong("stream_threshold_bytes",
+        Long.MaxValue))
 }
 
 /** Column pruning: a projection that drops `payload` (counts,
@@ -80,7 +91,9 @@ class WatTable(paths: Seq[String]) extends Table with SupportsRead {
   * million-archive listing, `wat_path LIKE 'CC-MAIN-2023-50%'` turns
   * into a partition prune instead of a full-corpus scan-and-discard.
   */
-class WatScanBuilder(paths: Seq[String])
+class WatScanBuilder(paths: Seq[String],
+    maxTasks: Int = WatDataSource.DefaultMaxTasks,
+    streamThresholdBytes: Long = Long.MaxValue)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = WatDataSource.schema
@@ -131,45 +144,73 @@ class WatScanBuilder(paths: Seq[String])
 
   override def build(): Scan = {
     val kept = paths.filter(p => accepted.forall(eval(_, p)))
-    new WatScan(kept, required)
+    new WatScan(kept, required, maxTasks, streamThresholdBytes)
   }
 }
 
-case class WatInputPartition(path: String) extends InputPartition
+/** One partition = one or more whole archives (each archive is one
+  * sequential fetch + gzip stream — never split WITHIN an archive).
+  */
+case class WatInputPartition(paths: Seq[String]) extends InputPartition
 
-class WatScan(paths: Seq[String], required: StructType) extends Scan with Batch {
+class WatScan(paths: Seq[String], required: StructType,
+    maxTasks: Int = WatDataSource.DefaultMaxTasks,
+    streamThresholdBytes: Long = Long.MaxValue) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** ≤ maxTasks archives → the reference's one-task-per-WAT unit.
+    * Above it, contiguous groups of ceil(n / maxTasks) archives share a
+    * partition: the scheduler sees at most maxTasks tasks however large
+    * the listing, and each task still processes archives strictly
+    * sequentially (the per-archive cost model is unchanged — fewer,
+    * longer tasks). Contiguous grouping keeps neighboring archives (same
+    * crawl prefix on CC layouts) in one task for S3 locality.
+    */
   override def planInputPartitions(): Array[InputPartition] =
-    paths.map(WatInputPartition.apply).toArray
+    if (paths.size <= maxTasks)
+      paths.map(p => WatInputPartition(Seq(p))).toArray
+    else {
+      val perTask = math.ceil(paths.size.toDouble / maxTasks).toInt
+      paths.grouped(perTask).map(WatInputPartition.apply).toArray
+    }
+
   override def createReaderFactory(): PartitionReaderFactory = {
     // capture the session Hadoop conf (S3A credentials/tuning) at planning
     // time — executors must not fall back to a bare Configuration
     val conf = new org.apache.spark.util.SerializableConfiguration(
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
-    new WatReaderFactory(conf, required)
+    new WatReaderFactory(conf, required, streamThresholdBytes)
   }
 }
 
 class WatReaderFactory(conf: org.apache.spark.util.SerializableConfiguration,
-    required: StructType) extends PartitionReaderFactory {
+    required: StructType, streamThresholdBytes: Long = Long.MaxValue)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val path = partition.asInstanceOf[WatInputPartition].path
+    val partPaths = partition.asInstanceOf[WatInputPartition].paths
     val wantPath = required.fieldNames.contains("wat_path")
     val wantPayload = required.fieldNames.contains("payload")
     new PartitionReader[InternalRow] {
-      private val it = WatReader.metadataRecords(path, conf.value)
-      private val pathUtf8 = UTF8String.fromString(path)
+      // archives in one partition are read strictly one after another;
+      // the current archive's path rides along without re-encoding per row
+      private val it = partPaths.iterator.flatMap { p =>
+        val u = UTF8String.fromString(p)
+        WatReader.metadataRecords(p, conf.value,
+          inMemoryLimitBytes = streamThresholdBytes).map(r => (u, r))
+      }
+      private var currentPath: UTF8String = _
       private var current: UTF8String = _
       override def next(): Boolean =
         if (it.hasNext) {
-          val rec = it.next()
+          val (u, rec) = it.next()
+          currentPath = u
           if (wantPayload) current = UTF8String.fromString(rec.payloadString)
           true
         } else false
       override def get(): InternalRow =
-        if (wantPath && wantPayload) InternalRow(pathUtf8, current)
-        else if (wantPath) InternalRow(pathUtf8)
+        if (wantPath && wantPayload) InternalRow(currentPath, current)
+        else if (wantPath) InternalRow(currentPath)
         else if (wantPayload) InternalRow(current)
         else InternalRow.empty
       override def close(): Unit = ()

@@ -94,6 +94,10 @@ object WatReader {
               done = true
           }
         }
+        // release the source as soon as the file is exhausted — the
+        // streaming-decode path holds a real remote/file handle, not a
+        // byte-array wrapper
+        if (done) try in.close() catch { case _: Exception => () }
       }
 
       advance()
@@ -104,20 +108,61 @@ object WatReader {
     }
   }
 
+  /** Open a path for streaming decode, retrying the OPEN like
+    * [[fetchAllBytes]] retries the fetch. Mid-stream failures are the
+    * stream consumer's problem ([[records]] ends the file's iteration) —
+    * a partially-read remote stream cannot be resumed without re-reading,
+    * which is exactly what whole-file mode is for.
+    */
+  def openStream(path: String, conf: Configuration = new Configuration(),
+      attempts: Int = 10, sleepMs: Long = 1000L): Option[InputStream] = {
+    var i = 0
+    while (i < attempts) {
+      try {
+        val p = new Path(path)
+        return Some(p.getFileSystem(conf).open(p))
+      } catch {
+        case _: Exception =>
+          i += 1
+          if (i < attempts) Thread.sleep(sleepMs)
+      }
+    }
+    None
+  }
+
   /** Metadata records of one WAT file (fetch + frame parse), payload
     * bytes undecoded — callers that only need record existence (pruned
     * DSv2 scans, counts) skip the per-record UTF-8 decode entirely.
+    *
+    * Memory bound: archives at or under `inMemoryLimitBytes` are fetched
+    * whole (reference parity — one sequential GET, in-buffer retries);
+    * anything larger is DECODED AS A STREAM, holding only the gzip
+    * window plus one record's payload at a time, so a single 10 GiB
+    * outlier in a listing of ~1 GiB archives cannot OOM its executor.
+    * The default keeps whole-file mode unconditionally (`Long.MaxValue`);
+    * the DSv2 source exposes it as `stream_threshold_bytes`.
     */
   def metadataRecords(path: String, conf: Configuration = new Configuration(),
-      onCorrupt: Exception => Unit = WatReader.logCorrupt): Iterator[WarcRecord] =
-    fetchAllBytes(path, conf) match {
+      onCorrupt: Exception => Unit = WatReader.logCorrupt,
+      inMemoryLimitBytes: Long = Long.MaxValue): Iterator[WarcRecord] = {
+    val size: Long =
+      if (inMemoryLimitBytes == Long.MaxValue) 0L // never probe in parity mode
+      else try {
+        val p = new Path(path)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      } catch { case _: Exception => 0L } // unknown size → whole-file mode
+    val source: Option[InputStream] =
+      if (size > inMemoryLimitBytes) openStream(path, conf)
+      else fetchAllBytes(path, conf).map(new ByteArrayInputStream(_))
+    source match {
       case None =>
         onCorrupt(new java.io.IOException(s"fetch failed after retries: $path"))
         Iterator.empty
-      case Some(bytes) =>
-        records(new ByteArrayInputStream(bytes), gzipped = true, onCorrupt)
+      case Some(in) =>
+        records(in, gzipped = true, onCorrupt)
           .filter(_.warcType.equalsIgnoreCase("metadata"))
     }
+  }
 
   /** Metadata-record JSON payloads of one WAT file (fetch + parse).
     * Per-record error tolerance lives in the JSON layer downstream

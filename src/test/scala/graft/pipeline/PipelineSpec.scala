@@ -79,6 +79,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("parallel multipart parts produce identical merged output") {
+    val wat5 = WatFixture.syntheticWat(
+      new File(tmp, "w5.warc.wat.gz").getAbsolutePath, 40, 10, seed = 15L)
+    val wat6 = WatFixture.syntheticWat(
+      new File(tmp, "w6.warc.wat.gz").getAbsolutePath, 40, 10, seed = 16L)
+    val seqOut = new File(tmp, "par_seq").getAbsolutePath
+    val parOut = new File(tmp, "par_par").getAbsolutePath
+    val (p1, n1) = Cc2Dataset.run(
+      Cc2Config(seqOut, "image", multipart = Some(2), shuffle = false),
+      Seq(wat5, wat6), factory)
+    val (p2, n2) = Cc2Dataset.run(
+      Cc2Config(parOut, "image", multipart = Some(2), shuffle = false,
+        partParallelism = 2),
+      Seq(wat5, wat6), factory)
+    assert(n1 == n2 && n1 > 0)
+    val spark = factory()
+    assert(new File(s"$p2/part_0/_SUCCESS").exists())
+    assert(new File(s"$p2/part_1/_SUCCESS").exists())
+    val a = spark.read.parquet(s"$p1/merged").select("uid", "url", "alt")
+      .collect().map(_.toString).sorted
+    val b = spark.read.parquet(s"$p2/merged").select("uid", "url", "alt")
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("resume without multipart is rejected (main.py:352-353)") {
     intercept[IllegalArgumentException] {
       Cc2Dataset.run(Cc2Config(outputPath = "/tmp/x", resume = Some("/tmp/x")),

@@ -100,6 +100,28 @@ class WatExtractSpec extends AnyFunSuite with SparkTestBase {
     assert(n > WatFixture.records.size - 1) // cut shard still contributed
   }
 
+  test("DSv2 batches archives per partition above max_tasks") {
+    val fleet = WatFixture.ensureFleet()
+    assert(fleet.size == 16)
+    val unbatched = spark.read.format("wat").load(fleet: _*)
+    assert(unbatched.rdd.getNumPartitions == 16) // below default threshold
+    val batched = spark.read.format("wat").option("max_tasks", 4)
+      .load(fleet: _*)
+    // 16 archives / 4 tasks → 4 partitions of 4 sequential archives
+    assert(batched.rdd.getNumPartitions == 4)
+    // extraction rows are IDENTICAL — batching changes scheduling, not data
+    assert(batched.count() == unbatched.count())
+    val a = batched.collect().map(_.toString).sorted
+    val b = unbatched.collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    // planning-time pushdown composes with batching: prune to 2 archives,
+    // then the 2 survivors fit under max_tasks → 2 single-archive tasks
+    import org.apache.spark.sql.functions.col
+    val two = batched.where(col("wat_path").isin(fleet(0), fleet(9)))
+    assert(two.rdd.getNumPartitions == 2)
+    assert(two.select("wat_path").distinct().count() == 2)
+  }
+
   test("DSv2 wat_path filters prune whole archives at planning time") {
     import org.apache.spark.sql.functions.col
     val f2 = WatFixture.write(new File(tmp, "fixture3.warc.wat.gz").getAbsolutePath)

@@ -70,6 +70,26 @@ class WatReaderSpec extends AnyFunSuite {
     assert(recs2.size == WatFixture.records.size)
   }
 
+  test("oversized archives stream-decode under a capped buffer") {
+    // a synthetic archive well above the 1 KiB in-memory limit: the
+    // streaming path must decode it record-for-record identically to
+    // whole-file mode, holding only one record's payload at a time
+    val big = WatFixture.syntheticWat(
+      new File(tmp, "big.warc.wat.gz").getAbsolutePath, 200, 10, seed = 9L)
+    assert(new File(big).length() > 1024)
+    val whole = WatReader.metadataRecords(big).toList
+    val streamed = WatReader.metadataRecords(big,
+      inMemoryLimitBytes = 1024L).toList
+    assert(streamed.size == whole.size && whole.size == 200)
+    assert(streamed.map(_.payloadString) == whole.map(_.payloadString))
+    assert(streamed.map(_.headers) == whole.map(_.headers))
+    // a small archive under the limit keeps whole-file (retrying) mode
+    val small = WatReader.metadataRecords(fixturePath,
+      inMemoryLimitBytes = 1 << 30).toList
+    assert(small.map(_.payloadString) ==
+      WatReader.metadataRecords(fixturePath).toList.map(_.payloadString))
+  }
+
   test("fetch of a missing path retries then yields empty") {
     val t0 = System.nanoTime()
     val r = WatReader.fetchAllBytes(s"$tmp/nope.warc.wat.gz",
