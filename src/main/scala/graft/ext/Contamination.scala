@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Corpus-level n-gram operators: exact duplicated-n-gram share (the
+  * Lee et al. "Deduplicating Training Data" signal — how much of each
+  * document is verbatim-repeated elsewhere in the corpus) and benchmark
+  * decontamination (the GPT-3-style n-gram overlap check that keeps eval
+  * sets out of training data).
+  *
+  * Scale design: every candidate structure is an 8-byte hashed n-gram
+  * key. The duplication share is one explode + one (gram → doc-frequency)
+  * hash aggregation + one equi-join back — shuffle bytes are
+  * O(gram count), never pairwise. Decontamination joins the corpus
+  * against a BROADCAST benchmark gram set: benchmark suites are tiny
+  * (thousands of docs) next to a 100 TB corpus, so the corpus side never
+  * shuffles at all.
+  */
+object Contamination {
+
+  /** Space-joined n-grams of a token array; empty when the document has
+    * fewer than n tokens. (sequence() must be guarded: with start > stop
+    * it counts DOWN, which would fabricate grams at negative indices.)
+    */
+  def ngrams(words: Column, n: Int): Column = {
+    require(n >= 1, "n-gram size must be >= 1")
+    val cnt = size(words) - (n - 1)
+    when(cnt > 0,
+      transform(sequence(lit(1), cnt),
+        i => concat_ws(" ", (0 until n).map(k => element_at(words, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct h32-hashed n-grams per document: (doc_id, g) rows.
+    *
+    * Shape matters here, measured at sf0.1 (5× total):
+    *  - the token array is STAGED as its own projection ([[ngrams]]
+    *    references it n + 1 times; a non-attribute array expression would
+    *    be re-inlined into every element_at);
+    *  - the grams are hashed AFTER the explode, in a plain Project, NOT
+    *    via transform(..., h32) before it: a hash inside the lambda runs
+    *    interpreted (higher-order functions don't codegen), and worse,
+    *    InferFiltersFromGenerate copies the whole generator expression
+    *    into a `size(...) > 0` filter below the Generate — with the hash
+    *    in the array that re-evaluates one md5 per gram per copy;
+    *  - per-document dedup is a (doc_id, g) aggregate after the explode
+    *    instead of array_distinct before it, for the same reason. The
+    *    extra exchange carries 16-byte rows and is reused by every
+    *    downstream consumer that shuffles on the same keys.
+    */
+  private def hashedGramRows(docs: DataFrame, idCol: String, words: Column,
+      n: Int): DataFrame =
+    docs.select(col(idCol), words.as("_tk"))
+      .select(col(idCol), explode(ngrams(col("_tk"), n)).as("gstr"))
+      .select(col(idCol), Hashing.h32(col("gstr")).as("g"))
+      .distinct()
+
+  /** Per-document duplicated-n-gram share: of a document's DISTINCT
+    * hashed n-grams, the fraction that occur in at least `minDf + 1`
+    * documents (minDf = 1 → "appears in any other document"). Documents
+    * with fewer than n tokens report 0 grams and share 0.0.
+    *
+    * Output: (doc_id, n_grams, dup_grams, dup_share).
+    */
+  def duplicatedNgramShare(docs: DataFrame, idCol: String, words: Column,
+      n: Int, minDf: Int = 1): DataFrame = {
+    val grams = hashedGramRows(docs, idCol, words, n)
+    // gram doc-frequency rides the index rows as a windowed count (one
+    // exchange on g) instead of a groupBy + join back — the gram subtree
+    // is consumed once, not twice
+    val withDf = grams.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("g")))
+    val perDoc = withDf
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") > minDf, 1L).otherwise(0L)).as("dup_grams"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
+      .withColumn("dup_share",
+        when(col("n_grams") > 0,
+          col("dup_grams").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Benchmark decontamination: corpus documents sharing at least one
+    * hashed n-gram with the benchmark set, with the count of distinct
+    * shared grams. The benchmark gram set is broadcast — the corpus-side
+    * plan is scan → explode → broadcast semi-ish join → one hash agg,
+    * with no corpus shuffle before the (tiny) per-hit aggregation.
+    *
+    * Output: (doc_id, n_hits) for hit documents only.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      words: Column, n: Int): DataFrame = {
+    val benchGrams = hashedGramRows(benchmark, idCol, words, n)
+      .select(col("g")).distinct()
+    hashedGramRows(corpus, idCol, words, n)
+      .join(broadcast(benchGrams), "g")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Multimodal, NearDup, Similarity, TextAnalysis => TA}
+import graft.ext.{Contamination, Multimodal, NearDup, Scrub, Similarity, TextAnalysis => TA}
 import graft.functions.Hashing
 import QueryUtil._
 
@@ -270,6 +270,48 @@ object ExtQueries {
       hashed.groupBy("doc_id").agg(mh(col("h")).as("sig"))
         .select(col("doc_id") +:
           (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*)
+        .orderBy("doc_id")
+    }),
+
+    // PII scrubbing end-to-end: the fixture carries no natural PII, so a
+    // deterministic email/phone/IP is injected per row (identically in
+    // the oracle) — the md5 of the redacted text pins exact span
+    // replacement, the counts pin detection.
+    "q_redact" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com tel +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" ip 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit("."), pmod(col("doc_id") * 7, lit(256)).cast("string"))
+      docsWithTokens(s, dir)
+        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          Scrub.emailCount(col("aug")).as("n_emails"),
+          Scrub.phoneCount(col("aug")).as("n_phones"),
+          Scrub.ipv4Count(col("aug")).as("n_ips"),
+          md5(Scrub.redact(col("aug"))).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Lee-et-al-style exact duplication signal: per document, the share
+    // of its distinct hashed 5-grams that occur in any OTHER document.
+    // One explode + one gram-frequency agg + one 8-byte-key join back.
+    "q_dup_ngrams" -> ((s, dir) => {
+      Contamination.duplicatedNgramShare(docsWithTokens(s, dir), "doc_id",
+        TA.tokens(col("text")), n = 5)
+        .orderBy("doc_id")
+    }),
+
+    // GPT-3-style benchmark decontamination: corpus docs (id >= 10)
+    // sharing any hashed 5-gram with the benchmark set (id < 10); the
+    // benchmark gram set is broadcast, the corpus never shuffles
+    // pre-aggregation.
+    "q_decontam" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir)
+      Contamination.decontaminate(
+        d.where(col("doc_id") >= 10), d.where(col("doc_id") < 10),
+        "doc_id", TA.tokens(col("text")), n = 5)
         .orderBy("doc_id")
     }),
 
@@ -617,7 +659,73 @@ object ExtQueries {
        |WHERE rk <= 2 ORDER BY q_id, rk""".stripMargin
   }
 
+  // Shared CTE prefix for the n-gram corpus operators: distinct h32-hashed
+  // 5-grams per document, exploded to (doc_id, g) rows — mirrors
+  // Contamination.hashedGramRows (DuckDB range(1, stop) is empty when
+  // stop <= 1, matching the sequence() guard).
+  private def gramRowsSql: String = {
+    val gram = (0 until 5).map(k => s"tk[i + $k]").mkString(" || ' ' || ")
+    s"""tk AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+       |gr AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    list_transform(range(1, len(tk) - 3), i -> $gram),
+       |    x -> ${Hashing.h32Sql("x")})) AS gs
+       |  FROM tk),
+       |e AS (SELECT doc_id, unnest(gs) AS g FROM gr)""".stripMargin
+  }
+
+  private def redactOracle: String = {
+    // DuckDB single-quoted strings pass backslashes through literally,
+    // so the Scala pattern constants embed as-is
+    val email = Scrub.EmailRegex
+    val phone = Scrub.PhoneRegex
+    val ip = Scrub.Ipv4Regex
+    s"""WITH aug0 AS (
+       |  SELECT doc_id, text || ' contact user' || doc_id::VARCHAR ||
+       |    '@mail.example.com tel +1-555-' ||
+       |    lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+       |    ' ip 10.0.' || (doc_id % 256)::VARCHAR || '.' ||
+       |    ((doc_id * 7) % 256)::VARCHAR AS aug
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(aug, '$email'))::BIGINT AS n_emails,
+       |  len(regexp_extract_all(aug, '$phone'))::BIGINT AS n_phones,
+       |  len(regexp_extract_all(aug, '$ip'))::BIGINT AS n_ips,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+       |    '$email', '<EMAIL>', 'g'),
+       |    '$phone', '<PHONE>', 'g'),
+       |    '$ip', '<IP>', 'g')) AS redacted_md5
+       |FROM aug0 ORDER BY doc_id""".stripMargin
+  }
+
+  private def dupNgramsOracle: String =
+    s"""WITH $gramRowsSql,
+       |d AS (SELECT g, count(*)::BIGINT AS df FROM e GROUP BY g),
+       |pd AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_grams,
+       |    sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_grams
+       |  FROM e JOIN d USING (g) GROUP BY doc_id)
+       |SELECT doc_id,
+       |  coalesce(n_grams, 0)::BIGINT AS n_grams,
+       |  coalesce(dup_grams, 0)::BIGINT AS dup_grams,
+       |  CASE WHEN coalesce(n_grams, 0) > 0
+       |    THEN coalesce(dup_grams, 0)::DOUBLE / coalesce(n_grams, 0)::DOUBLE
+       |    ELSE 0.0 END AS dup_share
+       |FROM documents LEFT JOIN pd USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  private def decontamOracle: String =
+    s"""WITH $gramRowsSql,
+       |bench AS (SELECT DISTINCT g FROM e WHERE doc_id < 10)
+       |SELECT doc_id, count(*)::BIGINT AS n_hits
+       |FROM e JOIN bench USING (g)
+       |WHERE doc_id >= 10 GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_redact" -> redactOracle,
+    "q_dup_ngrams" -> dupNgramsOracle,
+    "q_decontam" -> decontamOracle,
     "q_text_stats" ->
       s"""SELECT doc_id,
          |  len($tokensSql)::BIGINT AS n_tokens,

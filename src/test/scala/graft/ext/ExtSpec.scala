@@ -307,6 +307,61 @@ class ExtSpec extends AnyFunSuite with SparkTestBase {
     assert(twoProbe.head._2 > 0.95)             // cos(q, n) = 0.96
   }
 
+  test("scrub redacts emails, phones, and ipv4 in order") {
+    val rows = Seq(
+      (1L, "mail me at a.user+x@sub.example.org or call +41-22-730-5989"),
+      (2L, "server 192.168.1.10 and 10.0.0.1 but version 1.2 stays"),
+      (3L, "call 555-123-4567 ext nothing; user42@mail.example.com"),
+      (4L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"),
+      Scrub.redact(col("text")).as("r"),
+      Scrub.emailCount(col("text")).as("e"),
+      Scrub.phoneCount(col("text")).as("p"),
+      Scrub.ipv4Count(col("text")).as("i"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == (("mail me at <EMAIL> or call <PHONE>", 1L, 1L, 0L)))
+    assert(got(2L) == (("server <IP> and <IP> but version 1.2 stays", 0L, 0L, 2L)))
+    assert(got(3L) == (("call <PHONE> ext nothing; <EMAIL>", 1L, 1L, 0L)))
+    assert(got(4L) == (("no pii here at all", 0L, 0L, 0L)))
+  }
+
+  test("ngrams: short docs yield no grams, never negative-index grams") {
+    val d = Seq((1L, "a b c d e f"), (2L, "a b c"), (3L, "a")).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"),
+      Contamination.ngrams(split(col("text"), " "), 5).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("a b c d e", "b c d e f"))
+    assert(got(2L) == Seq.empty)
+    assert(got(3L) == Seq.empty)
+  }
+
+  test("duplicated-ngram share and decontamination find verbatim overlap") {
+    val d = Seq(
+      (1L, "q w e r t y u i"),              // benchmark doc
+      (2L, "x q w e r t y z"),              // shares "q w e r t" with 1
+      (3L, "m n o p s t u v"),              // disjoint
+      (4L, "a b")                           // too short: 0 grams
+    ).toDF("doc_id", "text")
+    val share = Contamination.duplicatedNgramShare(d, "doc_id",
+      split(col("text"), " "), n = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1: grams {qwert, werty, ertyu, rtyui}; doc 2 contains qwert+werty
+    assert(share(1L) == ((4L, 2L, 0.5)))
+    assert(share(2L) == ((4L, 2L, 0.5)))
+    assert(share(3L) == ((4L, 0L, 0.0)))
+    assert(share(4L) == ((0L, 0L, 0.0)))
+
+    val hits = Contamination.decontaminate(
+      d.where(col("doc_id") > 1), d.where(col("doc_id") === 1),
+      "doc_id", split(col("text"), " "), n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits.toSeq == Seq((2L, 2L))) // only doc 2, via 2 shared grams
+  }
+
   test("sign signature uses only the first `bits` dimensions") {
     val emb = Seq((0L, Array(1f, -1f, 1f, 999f)), (1L, Array(1f, -1f, 1f, -999f)))
       .toDF("vec_id", "embedding")
