@@ -14,8 +14,20 @@ import org.apache.spark.sql.functions._
   */
 object Hashing {
 
+  /** Native fused [[H32]] when a session is at hand to register it
+    * (self-registering, idempotent); the expression is bit-identical to
+    * the composed builtin form, just allocation-free. Falls back to the
+    * composed builtins only when no session is active on this thread
+    * (bare Column construction in tests).
+    */
   def h32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        GraftFunctions.register(s)
+        call_function(GraftFunctions.H32Name, c)
+      case None =>
+        conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    }
 
   /** Seeded variant: independent hash family member i (prefix-salted). */
   def h32Seeded(i: Int, c: Column): Column = h32(concat(lit(s"$i|"), c))

@@ -98,20 +98,24 @@ object UrlResolve {
     UTF8String.fromString(UrlOps.resolveBase(base.toString, rel.toString))
 }
 
-/** Session-level registration of graft's native functions. */
+/** Session-level registration of graft's native functions. Idempotent:
+  * already-registered sessions are left untouched (re-registering is
+  * harmless but warns noisily on every call).
+  */
 object GraftFunctions {
   val UrlResolveName = "url_resolve"
   val UrlResolveBaseName = "url_resolve_base"
+  val H32Name = "graft_h32"
 
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      UrlResolveName,
-      (exprs: Seq[Expression]) => UrlResolve(exprs(0), exprs(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      UrlResolveBaseName,
-      (exprs: Seq[Expression]) =>
-        UrlResolve(exprs(0), exprs(1), baseFallback = true),
-      "built-in")
+    val registry = spark.sessionState.functionRegistry
+    def put(name: String, builder: Seq[Expression] => Expression): Unit =
+      if (!registry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
+    put(UrlResolveName, exprs => UrlResolve(exprs(0), exprs(1)))
+    put(UrlResolveBaseName,
+      exprs => UrlResolve(exprs(0), exprs(1), baseFallback = true))
+    put(H32Name, exprs => H32(exprs.head))
   }
 }
