@@ -96,13 +96,18 @@ object Contamination {
     *
     * Output: (doc_id, n_hits) for hit documents only.
     */
+  /** The distinct hashed n-gram set of a benchmark corpus — one `g`
+    * column, the static side every decontamination join broadcasts
+    * (batch [[decontaminate]] and the streaming alert operator).
+    */
+  def benchmarkGrams(benchmark: DataFrame, idCol: String, words: Column,
+      n: Int): DataFrame =
+    hashedGramRows(benchmark, idCol, words, n).select(col("g")).distinct()
+
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
-      words: Column, n: Int): DataFrame = {
-    val benchGrams = hashedGramRows(benchmark, idCol, words, n)
-      .select(col("g")).distinct()
+      words: Column, n: Int): DataFrame =
     hashedGramRows(corpus, idCol, words, n)
-      .join(broadcast(benchGrams), "g")
+      .join(broadcast(benchmarkGrams(benchmark, idCol, words, n)), "g")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_hits"))
-  }
 }

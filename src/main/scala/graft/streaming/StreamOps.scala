@@ -94,6 +94,32 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("minhash_sig")
   }
 
+  /** Streaming benchmark decontamination ALERTS: documents in the stream
+    * that share any hashed n-gram with a STATIC benchmark set, emitted
+    * once per doc within the watermark horizon — the quarantine feed a
+    * training-data intake pipeline tails. Shape: per-row gram explode →
+    * stream-static equi-join against the (small, re-broadcast per
+    * micro-batch) benchmark gram set — stateless — then
+    * `dropDuplicatesWithinWatermark` collapses a doc's multiple gram
+    * hits; state is O(flagged docs per horizon), not O(stream).
+    */
+  def contaminationAlerts(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, eventTimeCol: String, n: Int = 5,
+      horizon: String = "1 hour"): DataFrame = {
+    val bench = graft.ext.Contamination.benchmarkGrams(
+      benchmark, idCol, split(col(textCol), " "), n)
+    docs
+      .select(col(idCol), col(eventTimeCol), split(col(textCol), " ").as("_tk"))
+      .select(col(idCol), col(eventTimeCol),
+        explode(graft.ext.Contamination.ngrams(col("_tk"), n)).as("gstr"))
+      .select(col(idCol), col(eventTimeCol),
+        graft.functions.Hashing.h32(col("gstr")).as("g"))
+      .join(broadcast(bench), "g")
+      .select(col(idCol), col(eventTimeCol))
+      .withWatermark(eventTimeCol, horizon)
+      .dropDuplicatesWithinWatermark(idCol)
+  }
+
   /** Stateful sessionization: 30-min inactivity gap, state = the open
     * session per user. Emits a session row whenever it is extended or
     * closed; `closed = true` rows are final (append-style consumers keep

@@ -60,7 +60,33 @@ object WatReader {
     None
   }
 
-  /** Iterate all WARC records in a (possibly gzipped) byte stream.
+  /** Codec sniffing by magic bytes: gzip (1f 8b) and zstd (28 b5 2f fd)
+    * members decode transparently (both multi-member/multi-frame — WARC
+    * archives concatenate one member per record); anything else passes
+    * through as plain bytes. CC publishes gzip; zstd mirrors and
+    * uncompressed local fixtures cost nothing extra to support since
+    * zstd-jni ships with Spark.
+    */
+  def decompressed(raw: InputStream): InputStream = {
+    val buf = new BufferedInputStream(raw, 1 << 16)
+    buf.mark(4)
+    val m = new Array[Byte](4)
+    var got = 0
+    var n = buf.read(m, got, 4 - got)
+    while (n > 0) { got += n; n = if (got < 4) buf.read(m, got, 4 - got) else 0 }
+    buf.reset()
+    if (got >= 2 && m(0) == 0x1f.toByte && m(1) == 0x8b.toByte)
+      new GZIPInputStream(buf, 1 << 16)
+    else if (got >= 4 && m(0) == 0x28.toByte && m(1) == 0xb5.toByte &&
+        m(2) == 0x2f.toByte && m(3) == 0xfd.toByte)
+      new com.github.luben.zstd.ZstdInputStream(buf)
+    else buf
+  }
+
+  /** Iterate all WARC records in a byte stream; compressed streams
+    * (gzip or zstd, per [[decompressed]]) are detected by magic bytes
+    * when `gzipped` is true (the name is historical — it means "sniff
+    * and decode compression", false = treat as plain WARC bytes).
     *
     * Fault tolerance: any mid-file failure — truncated payload
     * (EOFException), gzip CRC/format corruption, frame desync — ENDS this
@@ -75,7 +101,7 @@ object WatReader {
   def records(raw: InputStream, gzipped: Boolean = true,
       onCorrupt: Exception => Unit = WatReader.logCorrupt): Iterator[WarcRecord] = {
     val in = new BufferedInputStream(
-      if (gzipped) new GZIPInputStream(raw, 1 << 16) else raw, 1 << 16)
+      if (gzipped) decompressed(raw) else raw, 1 << 16)
     new Iterator[WarcRecord] {
       private var nextRec: WarcRecord = _
       private var done = false

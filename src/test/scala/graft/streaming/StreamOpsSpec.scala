@@ -143,6 +143,27 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(ids == Seq(1L, 3L)) // doc 2's signature matches doc 1's
   }
 
+  test("streaming contamination alerts flag benchmark-overlap docs once") {
+    val in = Files.createTempDirectory("stream-contam").toString
+    val bench = Seq((100L, "q w e r t y u i")).toDF("doc_id", "text")
+    Seq(
+      (1L, "x q w e r t y z", us(0)),       // shares 5-grams with benchmark
+      (2L, "m n o p s t u v", us(1)),       // clean
+      (3L, "z q w e r t y x", us(2)))       // also contaminated
+      .toDF("doc_id", "text", "ts_us").coalesce(1).write.parquet(s"$in/b1")
+    val docs = spark.readStream
+      .schema("doc_id LONG, text STRING, ts_us LONG").parquet(s"$in/*")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = StreamOps.contaminationAlerts(docs, bench, "doc_id", "text", "ts")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("contam").start()
+    q.processAllAvailable()
+    q.stop()
+    val flagged = spark.sql("select doc_id from contam").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(flagged == Seq(1L, 3L)) // one alert per doc, clean doc absent
+  }
+
   test("watermarked hourly aggregation matches the batch grouping") {
     val in = Files.createTempDirectory("stream-agg").toString
     writeBatch(in, batch1 ++ batch2, "all")

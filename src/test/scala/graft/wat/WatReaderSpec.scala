@@ -70,6 +70,35 @@ class WatReaderSpec extends AnyFunSuite {
     assert(recs2.size == WatFixture.records.size)
   }
 
+  test("codec sniffing: zstd members and plain bytes decode like gzip") {
+    val gzBytes = Files.readAllBytes(new File(fixturePath).toPath)
+    val want = WatReader.records(
+      new java.io.ByteArrayInputStream(gzBytes)).toList.map(_.payloadString)
+
+    // re-frame the same records as TWO concatenated zstd frames (WARC
+    // archives concatenate one member per record)
+    def plain(bytes: Array[Byte]): Array[Byte] = {
+      val all = new java.io.ByteArrayOutputStream()
+      val in = WatReader.decompressed(new java.io.ByteArrayInputStream(bytes))
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { all.write(buf, 0, n); n = in.read(buf) }
+      all.toByteArray
+    }
+    val raw = plain(gzBytes)
+    val half = raw.length / 2
+    val zstd = com.github.luben.zstd.Zstd.compress(raw.take(half)) ++
+      com.github.luben.zstd.Zstd.compress(raw.drop(half))
+    val gotZstd = WatReader.records(
+      new java.io.ByteArrayInputStream(zstd)).toList.map(_.payloadString)
+    assert(gotZstd == want)
+
+    // uncompressed WARC bytes pass straight through the sniffer
+    val gotPlain = WatReader.records(
+      new java.io.ByteArrayInputStream(raw)).toList.map(_.payloadString)
+    assert(gotPlain == want)
+  }
+
   test("oversized archives stream-decode under a capped buffer") {
     // a synthetic archive well above the 1 KiB in-memory limit: the
     // streaming path must decode it record-for-record identically to
