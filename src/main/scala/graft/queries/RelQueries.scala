@@ -19,6 +19,45 @@ object RelQueries {
   import RefQueries.QueryFn
 
   val queries: Map[String, QueryFn] = Map(
+    // Set operators (absent from the reference, SURVEY.md §2.12):
+    // INTERSECT/EXCEPT with DISTINCT semantics — Spark plans each as a
+    // left-semi/anti hash join over pre-distinct inputs; keys are the
+    // only shuffled payload.
+    "q_intersect" -> ((s, dir) => {
+      val ord = table(s, dir, "orders")
+      ord.where(year(col("o_orderdate")) === 1995).select("o_custkey")
+        .intersect(
+          ord.where(year(col("o_orderdate")) === 1996).select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
+    "q_except" -> ((s, dir) => {
+      val ord = table(s, dir, "orders")
+      ord.where(year(col("o_orderdate")) === 1995).select("o_custkey")
+        .except(
+          ord.where(year(col("o_orderdate")) === 1996).select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
+    // Navigation/distribution window functions over one (customer, date)
+    // sort: lag/lead/ntile/percent_rank share a single window frame —
+    // one hash shuffle + one sort, every function evaluated in the same
+    // pass. Integer keys only (no float money), deterministic tie-break
+    // by o_orderkey.
+    "q_window_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      table(s, dir, "orders")
+        .where(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+          lead(col("o_orderkey"), 1).over(w).as("next_key"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("prank"),
+          row_number().over(w).cast("long").as("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
     // TPC-H Q1 shape: single scan → partial+final hash agg (one shuffle on
     // the 6-value grouping key), all money math in exact cents.
     "q1_agg" -> ((s, dir) => {
@@ -408,6 +447,29 @@ object RelQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey, 1) OVER w AS prev_key,
+        |  lead(o_orderkey, 1) OVER w AS next_key,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS prank,
+        |  row_number() OVER w AS rn
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity::BIGINT)::BIGINT AS sum_qty,

@@ -34,4 +34,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  // positive shape assertions: the broadcasts that are load-bearing for
+  // the 100 TB story must actually plan as broadcasts
+  for (name <- Seq("q_broadcast_join", "q_decontam")) {
+    test(s"$name plans its small side as a broadcast") {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastExchange") ||
+        plan.contains("BroadcastHashJoin"),
+        s"$name lost its broadcast — the fact side would shuffle at scale")
+    }
+  }
+
+  test("q_intersect and q_except plan as semi/anti hash joins, not unions") {
+    val inter = SparkEntry.queries("q_intersect")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val except = SparkEntry.queries("q_except")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(inter.contains("LeftSemi"), "INTERSECT should plan a semi join")
+    assert(except.contains("LeftAnti"), "EXCEPT should plan an anti join")
+  }
 }
