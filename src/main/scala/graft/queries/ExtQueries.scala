@@ -315,6 +315,36 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // URL/domain analysis over deterministically synthesized URLs (the
+    // q_absolutize idiom): host → registered domain → TLD → path depth →
+    // blocklist verdict, the domain-level curation signals. The host is
+    // STAGED once — registeredDomain/tld re-reference it.
+    "q_url_parse" -> ((s, dir) => {
+      val url = when(col("doc_id") % 4 === 0,
+          concat(lit("https://img.cdn-ex.test/a/b/"),
+            col("doc_id").cast("string"), lit(".jpg")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("http://ex.test/"), col("doc_id").cast("string")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://deep.sub.spam-site.test/x/y/z/w?q="),
+            col("doc_id").cast("string")))
+        .otherwise(concat(lit("https://localhost/"),
+          col("doc_id").cast("string"), lit("/")))
+      docsWithTokens(s, dir)
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), col("url"),
+          graft.ext.UrlAnalysis.host(col("url")).as("host"))
+        .select(col("doc_id"),
+          col("host"),
+          graft.ext.UrlAnalysis.registeredDomain(col("host")).as("reg_domain"),
+          graft.ext.UrlAnalysis.tld(col("host")).as("tld"),
+          graft.ext.UrlAnalysis.pathDepth(col("url")).as("path_depth"),
+          graft.ext.UrlAnalysis.hasQuery(col("url")).as("has_query"),
+          graft.ext.UrlAnalysis.notBlocked(col("host"),
+            Seq("spam-site.test")).as("kept"))
+        .orderBy("doc_id")
+    }),
+
     // --- multimodal ---
     "q_multimodal_meta" -> ((s, dir) => {
       val bl = octet_length(encode(col("text"), "UTF-8")).cast("long")
@@ -722,7 +752,38 @@ object ExtQueries {
        |WHERE doc_id >= 10 GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  private def urlParseOracle: String = {
+    val hostRe = graft.ext.UrlAnalysis.HostRegex
+    val pathRe = graft.ext.UrlAnalysis.PathRegex
+    val regDom =
+      "CASE WHEN len(parts) >= 2 THEN parts[-2] || '.' || parts[-1] ELSE host END"
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 4
+       |      WHEN 0 THEN 'https://img.cdn-ex.test/a/b/' || doc_id || '.jpg'
+       |      WHEN 1 THEN 'http://ex.test/' || doc_id
+       |      WHEN 2 THEN 'https://deep.sub.spam-site.test/x/y/z/w?q=' || doc_id
+       |      ELSE 'https://localhost/' || doc_id || '/'
+       |    END AS url
+       |  FROM documents),
+       |h AS (SELECT doc_id, url,
+       |        regexp_extract(url, '$hostRe', 1) AS host FROM u),
+       |p AS (SELECT doc_id, host, string_split(host, '.') AS parts,
+       |        regexp_extract(url, '$pathRe', 1) AS path,
+       |        position('?' IN url) > 0 AS has_query
+       |      FROM h)
+       |SELECT doc_id, host,
+       |  $regDom AS reg_domain,
+       |  parts[-1] AS tld,
+       |  len(list_filter(string_split(path, '/'), x -> x <> ''))::BIGINT
+       |    AS path_depth,
+       |  has_query,
+       |  NOT ($regDom IN ('spam-site.test')) AS kept
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_url_parse" -> urlParseOracle,
     "q_redact" -> redactOracle,
     "q_dup_ngrams" -> dupNgramsOracle,
     "q_decontam" -> decontamOracle,

@@ -362,6 +362,31 @@ class ExtSpec extends AnyFunSuite with SparkTestBase {
     assert(hits.toSeq == Seq((2L, 2L))) // only doc 2, via 2 shared grams
   }
 
+  test("url analysis: host, registered domain, depth, blocklist") {
+    val rows = Seq(
+      (1L, "https://img.cdn.example.co/a/b/c.jpg?x=1"),
+      (2L, "http://localhost/just"),
+      (3L, "not a url at all"),
+      (4L, "ftp://files.archive.test/")
+    ).toDF("doc_id", "url")
+    val got = rows
+      .select(col("doc_id"), col("url"),
+        UrlAnalysis.host(col("url")).as("h"))
+      .select(col("doc_id"), col("h"),
+        UrlAnalysis.registeredDomain(col("h")).as("rd"),
+        UrlAnalysis.pathDepth(col("url")).as("d"),
+        UrlAnalysis.hasQuery(col("url")).as("q"),
+        UrlAnalysis.notBlocked(col("h"), Seq("example.co")).as("ok"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3), r.getBoolean(4),
+          r.getBoolean(5)))).toMap
+    assert(got(1L) == (("img.cdn.example.co", "example.co", 3L, true, false)))
+    assert(got(2L) == (("localhost", "localhost", 1L, false, true)))
+    assert(got(3L) == (("", "", 0L, false, true))) // non-URL: empty, kept
+    assert(got(4L) == (("files.archive.test", "archive.test", 0L, false, true)))
+  }
+
   test("sign signature uses only the first `bits` dimensions") {
     val emb = Seq((0L, Array(1f, -1f, 1f, 999f)), (1L, Array(1f, -1f, 1f, -999f)))
       .toDF("vec_id", "embedding")
