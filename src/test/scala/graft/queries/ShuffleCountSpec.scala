@@ -1,0 +1,52 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Exchange-count regression guard: the number of shuffles in a plan IS
+  * the scale story, so representative queries get a frozen upper bound.
+  * A refactor that sneaks in an extra Exchange (a lost partitioning, a
+  * join that stopped broadcasting, a window that no longer shares its
+  * sort) fails here long before a 100 TB run would page anyone.
+  *
+  * Counts are on the initial physical plan (AQE may later coalesce or
+  * convert, but never adds logical shuffles). Bounds are ceilings, not
+  * equalities — AQE/stats can legitimately REMOVE one.
+  */
+class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // query -> max allowed Exchange nodes (shuffle + broadcast exchanges
+  // are counted separately below; this bounds ShuffleExchange only)
+  private val bounds = Map(
+    "q_dedup_bykey" -> 2,        // dedup hash shuffle + deterministic orderBy
+    "q_dedup_first" -> 2,        // window partitionBy shuffle + orderBy
+    "q1_agg" -> 2,               // agg shuffle + final orderBy range exchange
+    "q_broadcast_join" -> 2,     // agg + orderBy; the join side must NOT shuffle
+    "q_hash_sample" -> 2,        // agg + orderBy; the filter rides the scan
+    "q_window_topk" -> 2,        // one window sort shuffle + final order
+    "q_window_funcs" -> 2,       // all window functions share one frame
+    "q_dedup_minhash" -> 2,      // signature window shuffle + final order
+    // (doc,g) distinct + per-doc agg + orderBy, plus the distinct on the
+    // TINY benchmark gram side; the corpus join itself is broadcast
+    "q_decontam" -> 4,
+    "q_union_dedup" -> 2         // multi-path scan unions WITHOUT a shuffle
+  )
+
+  for ((name, maxShuffles) <- bounds.toSeq.sortBy(_._1)) {
+    test(s"$name plans at most $maxShuffles shuffle exchange(s)") {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      // shuffle exchanges only — BroadcastExchange prints differently
+      // and is exactly what several of these queries SHOULD plan
+      val count =
+        "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+          .findAllIn(plan).size
+      assert(count <= maxShuffles,
+        s"$name plans $count shuffle exchanges (max $maxShuffles):\n" +
+          plan.take(3000))
+    }
+  }
+}
