@@ -176,6 +176,12 @@ object NearDup {
     require(minJaccard > 0,
       "minJaccard must be > 0: the inverted index only materializes " +
         "overlapping pairs, so jac = 0 pairs are never emitted")
+    // In-row array_distinct + per-element hash, NOT the explode-then-
+    // row-distinct shape Contamination uses: `sh` arrives as an attribute
+    // (callers stage it), so InferFiltersFromGenerate's generator copy
+    // only re-hashes (cheap with the fused native h32) — while a
+    // row-distinct would add a full extra shuffle of the exploded index.
+    // Measured equal at sf0.1; fewer shuffles wins at scale.
     val hashed = d.select(col("doc_id"), col("lang"), col("bucket"),
       array_distinct(transform(col("sh"), s => Hashing.h32(s))).as("hs"))
     val ex0 = hashed.select(col("doc_id"), col("lang"), col("bucket"),
