@@ -182,6 +182,25 @@ class WatScan(paths: Seq[String], required: StructType,
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
     new WatReaderFactory(conf, required, streamThresholdBytes)
   }
+
+  /** Corrupt-archive count surfaces in the SQL UI per scan — the DSv2
+    * form of the flatMap path's error accumulator: tolerated corruption
+    * must be VISIBLE, not just logged to executor stderr.
+    */
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new CorruptArchivesMetric)
+}
+
+class CorruptArchivesMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "corruptArchives"
+  override def description(): String =
+    "archives with tolerated corruption (kept records read so far)"
+}
+
+case class CorruptArchivesTaskMetric(value: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = "corruptArchives"
 }
 
 class WatReaderFactory(conf: org.apache.spark.util.SerializableConfiguration,
@@ -192,11 +211,16 @@ class WatReaderFactory(conf: org.apache.spark.util.SerializableConfiguration,
     val wantPath = required.fieldNames.contains("wat_path")
     val wantPayload = required.fieldNames.contains("payload")
     new PartitionReader[InternalRow] {
+      // corrupt archives end their own iteration (records read so far
+      // are kept) and bump this task metric — aggregated per scan in the
+      // SQL UI via CorruptArchivesMetric
+      private var corrupt = 0L
       // archives in one partition are read strictly one after another;
       // the current archive's path rides along without re-encoding per row
       private val it = partPaths.iterator.flatMap { p =>
         val u = UTF8String.fromString(p)
         WatReader.metadataRecords(p, conf.value,
+          onCorrupt = e => { corrupt += 1; WatReader.logCorruptDefault(e) },
           inMemoryLimitBytes = streamThresholdBytes).map(r => (u, r))
       }
       private var currentPath: UTF8String = _
@@ -214,6 +238,8 @@ class WatReaderFactory(conf: org.apache.spark.util.SerializableConfiguration,
         else if (wantPayload) InternalRow(current)
         else InternalRow.empty
       override def close(): Unit = ()
+      override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        Array(CorruptArchivesTaskMetric(corrupt))
     }
   }
 }

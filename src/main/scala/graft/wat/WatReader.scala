@@ -198,7 +198,12 @@ object WatReader {
       onCorrupt: Exception => Unit = WatReader.logCorrupt): Iterator[String] =
     metadataRecords(path, conf, onCorrupt).map(_.payloadString)
 
-  private def logCorrupt(e: Exception): Unit =
+  private def logCorrupt(e: Exception): Unit = logCorruptDefault(e)
+
+  /** Default corruption sink — public so callers composing their own
+    * `onCorrupt` (metrics counters, accumulators) can keep the log line.
+    */
+  def logCorruptDefault(e: Exception): Unit =
     System.err.println(s"[wat] corrupt archive, keeping records read so far: $e")
 
   // --- frame parsing ---

@@ -122,6 +122,27 @@ class WatExtractSpec extends AnyFunSuite with SparkTestBase {
     assert(two.select("wat_path").distinct().count() == 2)
   }
 
+  test("DSv2 reader reports corrupt archives via the custom task metric") {
+    val bytes = Files.readAllBytes(new File(fixturePath).toPath)
+    val cut = new File(tmp, "metric_cut.warc.wat.gz")
+    Files.write(cut.toPath, bytes.take(bytes.length - 40))
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val reader = new graft.sources.WatReaderFactory(conf,
+      graft.sources.WatDataSource.schema)
+      .createReader(graft.sources.WatInputPartition(
+        Seq(fixturePath, cut.getAbsolutePath)))
+    var rows = 0
+    while (reader.next()) rows += 1
+    val metric = reader.currentMetricsValues()
+      .find(_.name == "corruptArchives").get
+    assert(metric.value == 1L) // only the truncated archive counted
+    assert(rows > WatFixture.records.size - 1) // cut shard still contributed
+    // and the scan declares the metric so the UI can aggregate it
+    val scan = new graft.sources.WatScanBuilder(Seq(fixturePath)).build()
+    assert(scan.supportedCustomMetrics().exists(_.name == "corruptArchives"))
+  }
+
   test("DSv2 wat_path filters prune whole archives at planning time") {
     import org.apache.spark.sql.functions.col
     val f2 = WatFixture.write(new File(tmp, "fixture3.warc.wat.gz").getAbsolutePath)
