@@ -23,5 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[UrlResolve].getName, "url_resolve_base"),
       (exprs: Seq[Expression]) =>
         UrlResolve(exprs.head, exprs(1), baseFallback = true)))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.GraftFunctions.H32Name),
+      new ExpressionInfo(classOf[graft.functions.H32].getName,
+        graft.functions.GraftFunctions.H32Name),
+      (exprs: Seq[Expression]) => graft.functions.H32(exprs.head)))
   }
 }

@@ -27,6 +27,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT url_resolve_base('https://ex.test/a/', 'ht tp://bro ken') AS u")
         .collect()(0).getString(0)
       assert(base == "https://ex.test/a/")
+      // native hash injected too, equal to the composed md5 form
+      val h = spark.sql(
+        """SELECT graft_h32('abc') AS n,
+          |  cast(conv(substring(md5('abc'), 1, 8), 16, 10) AS bigint) AS c
+          |""".stripMargin).collect()(0)
+      assert(h.getLong(0) == h.getLong(1))
     } finally spark.stop()
   }
 }
