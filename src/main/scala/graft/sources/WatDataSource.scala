@@ -71,7 +71,7 @@ class WatTable(paths: Seq[String]) extends Table with SupportsRead {
   override def name(): String = s"wat(${paths.mkString(",")})"
   override def schema(): StructType = WatDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WatScanBuilder(paths,
       maxTasks = options.getInt("max_tasks", WatDataSource.DefaultMaxTasks),
@@ -144,7 +144,12 @@ class WatScanBuilder(paths: Seq[String],
 
   override def build(): Scan = {
     val kept = paths.filter(p => accepted.forall(eval(_, p)))
-    new WatScan(kept, required, maxTasks, streamThresholdBytes)
+    // streaming treats load() args as globs relisted per batch — the
+    // same predicate re-applies to each LISTED file there (filtering the
+    // glob string alone could neither prune nor admit correctly)
+    val filterSnapshot = accepted
+    new WatScan(kept, required, maxTasks, streamThresholdBytes,
+      listedFilter = p => filterSnapshot.forall(eval(_, p)))
   }
 }
 
@@ -155,7 +160,8 @@ case class WatInputPartition(paths: Seq[String]) extends InputPartition
 
 class WatScan(paths: Seq[String], required: StructType,
     maxTasks: Int = WatDataSource.DefaultMaxTasks,
-    streamThresholdBytes: Long = Long.MaxValue) extends Scan with Batch {
+    streamThresholdBytes: Long = Long.MaxValue,
+    listedFilter: String => Boolean = _ => true) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -189,6 +195,84 @@ class WatScan(paths: Seq[String], required: StructType,
     */
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new CorruptArchivesMetric)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    new WatMicroBatchStream(paths, conf, required, streamThresholdBytes,
+      listedFilter)
+  }
+}
+
+/** Offset = how many archives of the (sorted) listing are processed. */
+case class WatOffset(n: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"n":$n}"""
+}
+
+/** Structured Streaming WAT ingestion: each `load(...)` argument is a
+  * Hadoop glob relisted per micro-batch (a literal path globs to
+  * itself), the union is LEXICOGRAPHICALLY sorted, and the offset is a
+  * prefix length of that order — each archive is processed exactly
+  * once, new arrivals ride the next batch.
+  *
+  * Ordering contract (documented, checkpoint-stable): newly landed
+  * archives must sort AFTER already-processed ones, which date-stamped
+  * CC-style layouts (`CC-MAIN-2023-50/...`) satisfy; an archive that
+  * sorts into the processed prefix is never picked up. Offsets survive
+  * restarts (prefix length + deterministic relist).
+  */
+class WatMicroBatchStream(globs: Seq[String],
+    conf: org.apache.spark.util.SerializableConfiguration,
+    required: StructType, streamThresholdBytes: Long,
+    listedFilter: String => Boolean = _ => true)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  // the listing snapshot backing the current (start, end] plan; refreshed
+  // by latestOffset so planInputPartitions slices a consistent view
+  @volatile private var known: Seq[String] = Seq.empty
+
+  private def listNow(): Seq[String] = {
+    val fromGlobs = globs.flatMap { g =>
+      val p = new org.apache.hadoop.fs.Path(g)
+      val fs = p.getFileSystem(conf.value)
+      Option(fs.globStatus(p)).map(_.toSeq.map(_.getPath.toString))
+        .getOrElse(Seq.empty)
+    }
+    fromGlobs.distinct.filter(listedFilter).sorted
+  }
+
+  override def initialOffset(): Offset = WatOffset(0)
+
+  override def latestOffset(): Offset = {
+    val now = listNow()
+    // never let the snapshot shrink below what an offset already covers
+    // (a transiently unlistable file must not shift the prefix order)
+    if (now.size >= known.size) known = now
+    WatOffset(known.size)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[WatOffset].n
+    val e = end.asInstanceOf[WatOffset].n
+    known.slice(s, e).map(p => WatInputPartition(Seq(p))).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WatReaderFactory(conf, required, streamThresholdBytes)
+
+  override def deserializeOffset(json: String): Offset = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val off = WatOffset(node.get("n").asInt())
+    // restart path: rebuild the listing so planInputPartitions can slice
+    if (known.size < off.n) known = listNow()
+    off
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class CorruptArchivesMetric

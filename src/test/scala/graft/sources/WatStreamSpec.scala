@@ -1,0 +1,46 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.wat.WatFixture
+
+/** Structured Streaming over the wat source: the load() glob is
+  * relisted per micro-batch, each archive is ingested exactly once, and
+  * later-sorting arrivals ride the next batch.
+  */
+class WatStreamSpec extends AnyFunSuite with SparkTestBase {
+
+  private val metaPerArchive = WatFixture.records.size - 1 // warcinfo excluded
+
+  test("streaming wat source ingests newly landed archives exactly once") {
+    val dir = Files.createTempDirectory("watstream").toFile
+    WatFixture.write(new File(dir, "a1.warc.wat.gz").getAbsolutePath)
+    val q = spark.readStream.format("wat")
+      .load(s"${dir.getAbsolutePath}/*.warc.wat.gz")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("watstream").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("select * from watstream").count() ==
+        metaPerArchive.toLong)
+
+      // a new archive lands (sorts after a1) → exactly its rows appear
+      WatFixture.write(new File(dir, "a2.warc.wat.gz").getAbsolutePath)
+      q.processAllAvailable()
+      val perPath = spark
+        .sql("select wat_path, count(*) AS n from watstream group by wat_path")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(perPath.size == 2)
+      assert(perPath.values.forall(_ == metaPerArchive.toLong)) // no dups
+
+      // an idle relist adds nothing
+      q.processAllAvailable()
+      assert(spark.sql("select * from watstream").count() ==
+        2L * metaPerArchive)
+    } finally q.stop()
+  }
+}
