@@ -114,4 +114,23 @@ object WatExtract {
     */
   def fromPathsV2(spark: SparkSession, paths: Seq[String], docType: String): Dataset[DocLink] =
     extract(spark.read.format("wat").load(paths: _*).select("payload"), docType)
+
+  /** CONTINUOUS extraction: the streaming wat source (globs relisted per
+    * micro-batch, each archive exactly once) through the SAME relational
+    * extraction — `extract` is pure Catalyst, so batch and streaming
+    * share one code path. Pair with an append parquet sink + the batch
+    * merge-dedup (`Cc2Dataset.dedupRepartitionCount`) for the
+    * reference's multipart shape running as a live intake.
+    */
+  def extractStream(spark: SparkSession, globs: Seq[String],
+      docType: String): Dataset[DocLink] = {
+    // DataStreamReader.load takes one path; several globs ride the same
+    // "paths" JSON property the batch reader uses (WatDataSource.pathsFrom)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = om.createArrayNode()
+    globs.foreach(arr.add)
+    extract(spark.readStream.format("wat")
+      .option("paths", om.writeValueAsString(arr)).load().select("payload"),
+      docType)
+  }
 }

@@ -43,4 +43,32 @@ class WatStreamSpec extends AnyFunSuite with SparkTestBase {
         2L * metaPerArchive)
     } finally q.stop()
   }
+
+  test("continuous extraction == batch extraction, appended per batch") {
+    val dir = Files.createTempDirectory("watstream2").toFile
+    val a1 = WatFixture.write(new File(dir, "b1.warc.wat.gz").getAbsolutePath)
+    val out = new File(dir, "out").getAbsolutePath
+    val chk = new File(dir, "chk").getAbsolutePath
+    val q = graft.wat.WatExtract
+      .extractStream(spark, Seq(s"${dir.getAbsolutePath}/*.warc.wat.gz"), "image")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", chk).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(out)
+        .collect().map(_.toString).sorted
+      val batch = graft.wat.WatExtract.fromPaths(spark, Seq(a1), "image")
+        .toDF().collect().map(_.toString).sorted
+      assert(streamed.sameElements(batch))
+
+      // second archive lands → only its links append
+      val a2 = WatFixture.write(new File(dir, "b2.warc.wat.gz").getAbsolutePath)
+      q.processAllAvailable()
+      val both = graft.wat.WatExtract.fromPaths(spark, Seq(a1, a2), "image")
+        .toDF().collect().map(_.toString).sorted
+      val streamed2 = spark.read.parquet(out)
+        .collect().map(_.toString).sorted
+      assert(streamed2.sameElements(both))
+    } finally q.stop()
+  }
 }
