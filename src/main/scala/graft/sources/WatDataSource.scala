@@ -76,7 +76,8 @@ class WatTable(paths: Seq[String]) extends Table with SupportsRead {
     new WatScanBuilder(paths,
       maxTasks = options.getInt("max_tasks", WatDataSource.DefaultMaxTasks),
       streamThresholdBytes = options.getLong("stream_threshold_bytes",
-        Long.MaxValue))
+        Long.MaxValue),
+      maxFilesPerTrigger = options.getInt("max_files_per_trigger", 0))
 }
 
 /** Column pruning: a projection that drops `payload` (counts,
@@ -93,7 +94,8 @@ class WatTable(paths: Seq[String]) extends Table with SupportsRead {
   */
 class WatScanBuilder(paths: Seq[String],
     maxTasks: Int = WatDataSource.DefaultMaxTasks,
-    streamThresholdBytes: Long = Long.MaxValue)
+    streamThresholdBytes: Long = Long.MaxValue,
+    maxFilesPerTrigger: Int = 0)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = WatDataSource.schema
@@ -149,7 +151,8 @@ class WatScanBuilder(paths: Seq[String],
     // glob string alone could neither prune nor admit correctly)
     val filterSnapshot = accepted
     new WatScan(kept, required, maxTasks, streamThresholdBytes,
-      listedFilter = p => filterSnapshot.forall(eval(_, p)))
+      listedFilter = p => filterSnapshot.forall(eval(_, p)),
+      maxFilesPerTrigger = maxFilesPerTrigger)
   }
 }
 
@@ -161,7 +164,8 @@ case class WatInputPartition(paths: Seq[String]) extends InputPartition
 class WatScan(paths: Seq[String], required: StructType,
     maxTasks: Int = WatDataSource.DefaultMaxTasks,
     streamThresholdBytes: Long = Long.MaxValue,
-    listedFilter: String => Boolean = _ => true) extends Scan with Batch {
+    listedFilter: String => Boolean = _ => true,
+    maxFilesPerTrigger: Int = 0) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -201,7 +205,7 @@ class WatScan(paths: Seq[String], required: StructType,
     val conf = new org.apache.spark.util.SerializableConfiguration(
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
     new WatMicroBatchStream(paths, conf, required, streamThresholdBytes,
-      listedFilter)
+      listedFilter, maxFilesPerTrigger)
   }
 }
 
@@ -226,9 +230,11 @@ case class WatOffset(n: Int)
 class WatMicroBatchStream(globs: Seq[String],
     conf: org.apache.spark.util.SerializableConfiguration,
     required: StructType, streamThresholdBytes: Long,
-    listedFilter: String => Boolean = _ => true)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    listedFilter: String => Boolean = _ => true,
+    maxFilesPerTrigger: Int = 0)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   // the listing snapshot backing the current (start, end] plan; refreshed
   // by latestOffset so planInputPartitions slices a consistent view
@@ -253,6 +259,27 @@ class WatMicroBatchStream(globs: Seq[String],
     if (now.size >= known.size) known = now
     WatOffset(known.size)
   }
+
+  /** Admission control: `max_files_per_trigger` caps each micro-batch —
+    * a restart facing a 100k-archive backlog drains it in bounded
+    * batches (checkpoint progress, sink visibility, retry granularity)
+    * instead of planning one monster batch. 0 = unlimited.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxFilesPerTrigger > 0) ReadLimit.maxFiles(maxFilesPerTrigger)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val unlimited = latestOffset().asInstanceOf[WatOffset]
+    limit match {
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        WatOffset(math.min(unlimited.n,
+          start.asInstanceOf[WatOffset].n + mf.maxFiles()))
+      case _ => unlimited
+    }
+  }
+
+  override def reportLatestOffset(): Offset = WatOffset(known.size)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[WatOffset].n

@@ -44,6 +44,25 @@ class WatStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("max_files_per_trigger bounds each micro-batch") {
+    val dir = Files.createTempDirectory("watstream3").toFile
+    (1 to 3).foreach(i =>
+      WatFixture.write(new File(dir, s"c$i.warc.wat.gz").getAbsolutePath))
+    val q = spark.readStream.format("wat")
+      .option("max_files_per_trigger", 1)
+      .load(s"${dir.getAbsolutePath}/*.warc.wat.gz")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("watadmit").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("select * from watadmit").count() ==
+        3L * metaPerArchive) // backlog fully drained...
+      val batchSizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(batchSizes.length == 3) // ...in 3 bounded batches
+      assert(batchSizes.forall(_ == metaPerArchive.toLong))
+    } finally q.stop()
+  }
+
   test("continuous extraction == batch extraction, appended per batch") {
     val dir = Files.createTempDirectory("watstream2").toFile
     val a1 = WatFixture.write(new File(dir, "b1.warc.wat.gz").getAbsolutePath)
