@@ -345,6 +345,21 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Stratified quota sampling: at most K docs per language, chosen in
+    // deterministic salted-hash order (reproducible across runs and
+    // engines, no RNG state) — the downsample that balances a
+    // multilingual corpus. One window shuffle on lang.
+    "q_lang_quota" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy(
+        Hashing.h32(concat(lit("q|"), col("doc_id").cast("string"))),
+        col("doc_id"))
+      docsWithTokens(s, dir)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 40)
+        .select(col("doc_id"), col("lang"), col("rk"))
+        .orderBy("doc_id")
+    }),
+
     // --- multimodal ---
     "q_multimodal_meta" -> ((s, dir) => {
       val bl = octet_length(encode(col("text"), "UTF-8")).cast("long")
@@ -783,6 +798,15 @@ object ExtQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_lang_quota" ->
+      s"""SELECT doc_id, lang, rk FROM (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${Hashing.h32Sql("'q|' || doc_id::VARCHAR")}, doc_id)
+         |      AS rk
+         |  FROM documents)
+         |WHERE rk <= 40 ORDER BY doc_id""".stripMargin,
+
     "q_url_parse" -> urlParseOracle,
     "q_redact" -> redactOracle,
     "q_dup_ngrams" -> dupNgramsOracle,
