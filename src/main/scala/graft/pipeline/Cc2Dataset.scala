@@ -112,6 +112,36 @@ object Cc2Dataset {
     dedupRepartitionCount(all, s"$outputPath/merged", watFiles.size, shuffle, seed)
   }
 
+  /** Continuous intake: stream-extract every archive matching `globs`
+    * (each exactly once, new arrivals per micro-batch) into
+    * `{output}/raw` with a checkpoint, to be finished by
+    * [[mergeStreamed]] — the reference's multipart shape running as a
+    * live pipeline instead of a batch loop. The caller owns the
+    * returned query's lifecycle.
+    */
+  def startStreamingIntake(spark: SparkSession, globs: Seq[String],
+      docType: String, outputPath: String,
+      maxFilesPerTrigger: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    val opts =
+      if (maxFilesPerTrigger > 0)
+        Map("max_files_per_trigger" -> maxFilesPerTrigger.toString)
+      else Map.empty[String, String]
+    WatExtract.extractStream(spark, globs, docType, opts).toDF().writeStream
+      .outputMode("append").format("parquet")
+      .option("path", s"$outputPath/raw")
+      .option("checkpointLocation", s"$outputPath/_checkpoint")
+      .start()
+  }
+
+  /** The batch tail over everything the intake has landed so far:
+    * global dedup → optional seeded shuffle → bounded-file repartition →
+    * `{output}/merged` (identical semantics to the multipart merge).
+    */
+  def mergeStreamed(spark: SparkSession, outputPath: String, watCount: Int,
+      shuffle: Boolean, seed: Long): Long =
+    dedupRepartitionCount(spark.read.parquet(s"$outputPath/raw"),
+      s"$outputPath/merged", watCount, shuffle, seed)
+
   /** C3: stop any active session, rebuild via the injected factory
     * (cc2dataset/main.py:367-371).
     */

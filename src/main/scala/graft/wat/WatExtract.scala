@@ -123,13 +123,13 @@ object WatExtract {
     * reference's multipart shape running as a live intake.
     */
   def extractStream(spark: SparkSession, globs: Seq[String],
-      docType: String): Dataset[DocLink] = {
+      docType: String, options: Map[String, String] = Map.empty): Dataset[DocLink] = {
     // DataStreamReader.load takes one path; several globs ride the same
     // "paths" JSON property the batch reader uses (WatDataSource.pathsFrom)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val arr = om.createArrayNode()
     globs.foreach(arr.add)
-    extract(spark.readStream.format("wat")
+    extract(spark.readStream.format("wat").options(options)
       .option("paths", om.writeValueAsString(arr)).load().select("payload"),
       docType)
   }

@@ -104,6 +104,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("streaming intake + merge == batch pipeline output") {
+    val sdir = new File(tmp, "intake_src"); sdir.mkdirs()
+    val w7 = WatFixture.syntheticWat(
+      new File(sdir, "w7.warc.wat.gz").getAbsolutePath, 40, 10, seed = 25L)
+    val out = new File(tmp, "intake_out").getAbsolutePath
+    val spark = factory()
+    val q = Cc2Dataset.startStreamingIntake(spark,
+      Seq(s"${sdir.getAbsolutePath}/*.warc.wat.gz"), "image", out,
+      maxFilesPerTrigger = 1)
+    try {
+      q.processAllAvailable()
+      // a second archive lands while the intake runs
+      val w8 = WatFixture.syntheticWat(
+        new File(sdir, "w8.warc.wat.gz").getAbsolutePath, 40, 10, seed = 26L)
+      q.processAllAvailable()
+      val n = Cc2Dataset.mergeStreamed(spark, out, watCount = 2,
+        shuffle = false, seed = 1L)
+      val (batchPath, nBatch) = Cc2Dataset.run(
+        Cc2Config(new File(tmp, "intake_batch").getAbsolutePath, "image",
+          multipart = None, shuffle = false),
+        Seq(w7, w8), () => spark)
+      assert(n == nBatch && n > 0)
+      val a = spark.read.parquet(s"$out/merged").select("uid", "url", "alt")
+        .collect().map(_.toString).sorted
+      val b = spark.read.parquet(batchPath).select("uid", "url", "alt")
+        .collect().map(_.toString).sorted
+      assert(a.sameElements(b))
+    } finally q.stop()
+  }
+
   test("resume without multipart is rejected (main.py:352-353)") {
     intercept[IllegalArgumentException] {
       Cc2Dataset.run(Cc2Config(outputPath = "/tmp/x", resume = Some("/tmp/x")),
