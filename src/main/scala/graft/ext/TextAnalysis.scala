@@ -117,6 +117,25 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** Overlapping token-window chunk starts: 1, 1+stride, … while ≤ n.
+    * Pass a STAGED tokens column. Empty/null token arrays yield no
+    * chunks. (sequence() counts DOWN when start > stop — guard it.)
+    */
+  def chunkStarts(tks: Column, stride: Int): Column = {
+    require(stride >= 1, "stride must be >= 1")
+    val n = size(tks)
+    when(n >= 1, sequence(lit(1), n, lit(stride)))
+      .otherwise(array().cast("array<int>"))
+  }
+
+  /** One row per (doc, chunk): the window of `width` tokens starting at
+    * each [[chunkStarts]] offset (the final chunks may be shorter) —
+    * how corpora become fixed-context training examples. Pure per-row
+    * explode; no shuffle.
+    */
+  def chunkText(tks: Column, start: Column, width: Int): Column =
+    concat_ws(" ", slice(tks, start, lit(width)))
+
   /** Order-SENSITIVE rolling (Karp–Rabin) fingerprint over the token
     * stream: fold h32(token) through acc*B + h mod M. Complements the
     * order-insensitive bagFingerprint — reordered documents get

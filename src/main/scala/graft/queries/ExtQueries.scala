@@ -360,6 +360,39 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Document chunking: overlapping 20-token windows at stride 10 —
+    // how documents become fixed-context training examples. One staged
+    // token array, one posexplode of the start offsets; chunk content
+    // pinned by md5. Per-row, no shuffle.
+    "q_chunk" -> ((s, dir) => {
+      docsWithTokens(s, dir)
+        .select(col("doc_id"), TA.tokens(col("text")).as("tks"))
+        .select(col("doc_id"), col("tks"),
+          posexplode(TA.chunkStarts(col("tks"), stride = 10)))
+        .select(col("doc_id"),
+          (col("pos") + 1).cast("long").as("chunk_id"),
+          col("col").cast("long").as("start"),
+          size(slice(col("tks"), col("col"), lit(20))).cast("long")
+            .as("chunk_tokens"),
+          md5(TA.chunkText(col("tks"), col("col"), 20)).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // Sequence packing: greedy capacity bins of 256 tokens per language
+    // in deterministic doc order — short documents share a training
+    // sequence, never split across bins. One window shuffle on lang;
+    // bin = (running total BEFORE this doc) div capacity.
+    "q_pack" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docsWithTokens(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TA.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("bin", expr("(cum - n_tokens) div 256L"))
+        .orderBy("doc_id")
+    }),
+
     // --- multimodal ---
     "q_multimodal_meta" -> ((s, dir) => {
       val bl = octet_length(encode(col("text"), "UTF-8")).cast("long")
@@ -798,6 +831,31 @@ object ExtQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // chunk_id derives from the start offset ((start-1)/stride + 1) —
+    // DuckDB has no posexplode, but starts are exactly 1 + k*stride
+    "q_chunk" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+         |st AS (
+         |  SELECT doc_id, tk, unnest(range(1, len(tk) + 1, 10)) AS start
+         |  FROM tk)
+         |SELECT doc_id,
+         |  ((start - 1) // 10 + 1)::BIGINT AS chunk_id,
+         |  start::BIGINT AS start,
+         |  len(tk[start : start + 19])::BIGINT AS chunk_tokens,
+         |  md5(array_to_string(tk[start : start + 19], ' ')) AS chunk_md5
+         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_pack" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, lang, len($tokensSql)::BIGINT AS n_tokens,
+         |    sum(len($tokensSql)) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         |      AS cum
+         |  FROM documents)
+         |SELECT doc_id, lang, n_tokens, cum,
+         |  ((cum - n_tokens) // 256)::BIGINT AS bin
+         |FROM c ORDER BY doc_id""".stripMargin,
+
     "q_lang_quota" ->
       s"""SELECT doc_id, lang, rk FROM (
          |  SELECT doc_id, lang,
