@@ -154,6 +154,31 @@ object Multimodal {
       encode(col(payloadCol), "UTF-8").as("bytes"),
       lit("application/octet-stream").as("mime"))
 
+  /** Ingest a directory of media files as the standard media frame via
+    * Spark's builtin binaryFile source (one row per file, content as
+    * binary, scan-level pathGlobFilter pushdown): doc_id = h32 of the
+    * file path (stable across runs), mime guessed from the extension.
+    * The scalable on-ramp from object storage into [[extractFeatures]] /
+    * [[extractAudioFeatures]].
+    */
+  def readBinaryDir(spark: org.apache.spark.sql.SparkSession, path: String,
+      glob: String = "*"): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(path)
+      .select(
+        call_function(graft.functions.GraftFunctions.H32Name, col("path"))
+          .as("doc_id"),
+        col("content").as("bytes"),
+        when(lower(col("path")).endsWith(".png"), "image/png")
+          .when(lower(col("path")).rlike("\\.(jpg|jpeg)$"), "image/jpeg")
+          .when(lower(col("path")).endsWith(".gif"), "image/gif")
+          .when(lower(col("path")).endsWith(".bmp"), "image/bmp")
+          .when(lower(col("path")).endsWith(".wav"), "audio/wav")
+          .otherwise("application/octet-stream").as("mime"),
+        col("path"))
+  }
+
   /** STUB decoder — deterministic fallback for payloads no JDK codec
     * accepts (the fixtures' text bytes, and compressed video, which has
     * no JDK decoder). Derives pseudo dimensions and an 8-float feature

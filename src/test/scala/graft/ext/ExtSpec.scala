@@ -180,6 +180,24 @@ class ExtSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.decodeWav(evil).isEmpty)
   }
 
+  test("multimodal: binaryFile directory ingestion feeds real decode") {
+    val dir = java.nio.file.Files.createTempDirectory("mmdir").toFile
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    javax.imageio.ImageIO.write(img, "png", new java.io.File(dir, "a.png"))
+    java.nio.file.Files.write(new java.io.File(dir, "b.txt").toPath,
+      "not media".getBytes("UTF-8"))
+    val media = Multimodal.readBinaryDir(spark, dir.getAbsolutePath)
+    assert(media.count() == 2)
+    val pngOnly = Multimodal.readBinaryDir(spark, dir.getAbsolutePath, "*.png")
+    assert(pngOnly.count() == 1) // glob pushes to the file listing
+    val row = pngOnly.collect()(0)
+    assert(row.getAs[String]("mime") == "image/png")
+    val feats = Multimodal.extractFeatures(pngOnly)
+      .collect().map(f => (f.width, f.height))
+    assert(feats.toSeq == Seq((4, 4))) // REAL decode, not the stub
+  }
+
   test("multimodal: stubbed decode is deterministic with fixed shape") {
     val media = Multimodal.asMedia(
       Seq((7L, "hello world")).toDF("doc_id", "text"), "doc_id", "text")
