@@ -405,6 +405,44 @@ class ExtSpec extends AnyFunSuite with SparkTestBase {
     assert(got(4L) == (("files.archive.test", "archive.test", 0L, false, true)))
   }
 
+  test("property: sorted-fold topTokenShare == naive max-frequency") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.oneOf("a", "b", "bb", "", "c c", "Z")
+    val gen = Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, word))
+    val rows = (1 to 40).map { seed =>
+      val ws = gen.apply(Gen.Parameters.default, Seed(seed)).get
+      (seed.toLong, ws.mkString(" "))
+    }
+    val got = rows.toDF("id", "text")
+      .select(col("id"), TextAnalysis.topTokenShare(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, text) =>
+      val tks = text.split(" ", -1).toSeq
+      val want =
+        if (tks.isEmpty) 0.0
+        else tks.groupBy(identity).values.map(_.size).max.toDouble / tks.size
+      assert(got(id) == want, s"id=$id text='$text'")
+    }
+  }
+
+  test("property: stride-== -width chunks partition the document exactly") {
+    val d = Seq((1L, "a b c d e f g"), (2L, "x y z"), (3L, "solo"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("tks"))
+    val chunks = d
+      .select(col("doc_id"), col("text"), col("tks"),
+        posexplode(TextAnalysis.chunkStarts(col("tks"), stride = 3)))
+      .select(col("doc_id"), col("text"), col("pos"),
+        TextAnalysis.chunkText(col("tks"), col("col"), 3).as("chunk"))
+      .collect().groupBy(_.getLong(0))
+    chunks.foreach { case (_, rows) =>
+      val text = rows.head.getString(1)
+      val rebuilt = rows.sortBy(_.getInt(2)).map(_.getString(3)).mkString(" ")
+      assert(rebuilt == text) // non-overlapping chunks cover, no gaps
+    }
+  }
+
   test("sign signature uses only the first `bits` dimensions") {
     val emb = Seq((0L, Array(1f, -1f, 1f, 999f)), (1L, Array(1f, -1f, 1f, -999f)))
       .toDF("vec_id", "embedding")
