@@ -32,7 +32,11 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // (doc,g) distinct + per-doc agg + orderBy, plus the distinct on the
     // TINY benchmark gram side; the corpus join itself is broadcast
     "q_decontam" -> 4,
-    "q_union_dedup" -> 2         // multi-path scan unions WITHOUT a shuffle
+    "q_union_dedup" -> 2,        // multi-path scan unions WITHOUT a shuffle
+    "q_chunk" -> 1,              // generate + per-row projections; orderBy only
+    "q_pack" -> 2,               // lang window + final order
+    "q_url_parse" -> 1,          // pure per-row parsing; orderBy only
+    "q_lang_quota" -> 2          // window (with WindowGroupLimit pushdown) + order
   )
 
   for ((name, maxShuffles) <- bounds.toSeq.sortBy(_._1)) {
