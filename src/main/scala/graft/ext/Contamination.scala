@@ -110,4 +110,50 @@ object Contamination {
       .join(broadcast(benchmarkGrams(benchmark, idCol, words, n)), "g")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_hits"))
+
+  /** Bloom-prefiltered EXACT key anti-join: drop every corpus row whose
+    * `keyCol` appears in `blockset`, with a bloom filter carrying the
+    * brunt of the work. The result is exact regardless of the bloom's
+    * false-positive rate — the bloom only decides which rows take the
+    * cheap path:
+    *
+    *  - `might_contain == false` (the overwhelming majority at corpus
+    *    scale): PROVABLY clean, kept without ever touching a join.
+    *  - `might_contain == true` (true hits + the small FP tail): settled
+    *    by a real anti-join against the distinct key set.
+    *
+    * Why not just broadcast-anti-join everything: a broadcast hash
+    * relation stores the full key set per executor (a 1 B-key blockset
+    * is tens of GB — unbroadcastable, forcing a full corpus shuffle),
+    * while the equivalent bloom at 1% FPP is ~1.2 GB and the anti-join
+    * then only sees the candidate sliver. This is Catalyst's own
+    * InjectRuntimeFilter trade, made explicit and composable.
+    *
+    * NULL keys never match anything (SQL join semantics) and would
+    * diverge from `NOT IN` oracles — callers must pre-filter null keys;
+    * this function asserts nothing and simply keeps them (anti-join
+    * semantics).
+    *
+    * Uses Catalyst's BloomFilterAggregate/BloomFilterMightContain via a
+    * scalar subquery, so the whole thing stays one declarative plan (the
+    * subquery result is computed once and reused across both branches).
+    */
+  def bloomAntiJoin(corpus: DataFrame, blockset: DataFrame, keyCol: String,
+      estimatedItems: Long = 1000000L): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.{BloomAggName, BloomMightContainName}
+    val bloom = blockset
+      .agg(call_function(BloomAggName, xxhash64(col(keyCol)),
+        lit(estimatedItems)).as("bf"))
+    // bloom_filter_agg over ZERO rows yields NULL, and might_contain(NULL)
+    // is NULL — which would route every row into neither branch; an empty
+    // blockset must mean "nothing blocked", i.e. maybe = false
+    val maybe = coalesce(call_function(BloomMightContainName, bloom.scalar(),
+      xxhash64(col(keyCol))), lit(false))
+    val clean = corpus.where(!maybe)
+    val candidates = corpus.where(maybe)
+      .join(blockset.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    clean.unionByName(candidates)
+  }
 }

@@ -106,6 +106,8 @@ object GraftFunctions {
   val UrlResolveName = "url_resolve"
   val UrlResolveBaseName = "url_resolve_base"
   val H32Name = "graft_h32"
+  val BloomAggName = "graft_bloom_agg"
+  val BloomMightContainName = "graft_bloom_might_contain"
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -117,5 +119,24 @@ object GraftFunctions {
     put(UrlResolveBaseName,
       exprs => UrlResolve(exprs(0), exprs(1), baseFallback = true))
     put(H32Name, exprs => H32(exprs.head))
+    // Catalyst's own bloom-filter pair (the expressions behind
+    // InjectRuntimeFilter), surfaced for explicit use: build a filter
+    // over a key column with bloom_agg, probe it with might_contain.
+    // Both are internal-but-public classes; the analyzer wraps the
+    // aggregate, codegen handles the probe.
+    put(BloomAggName, {
+      case Seq(c) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(c)
+      case Seq(c, n) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(c, n)
+      case exprs =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+    })
+    put(BloomMightContainName, exprs =>
+      org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)))
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Contamination, Multimodal, NearDup, Scrub, Similarity, TextAnalysis => TA}
+import graft.ext.{Clustering, Contamination, Multimodal, NearDup, Scrub, Similarity, TextAnalysis => TA}
 import graft.functions.Hashing
 import QueryUtil._
 
@@ -237,6 +237,32 @@ object ExtQueries {
         .orderBy("d1", "d2")
     }),
 
+    // Pairs → clusters: connected components (min-label propagation)
+    // over the verified LSH near-dup pair graph. A~B and B~C put
+    // {A,B,C} in ONE cluster labeled by its min doc id — the transitive
+    // closure pairwise dedup misses. Oracle = recursive CTE.
+    "q_neardup_cluster" -> ((s, dir) => {
+      val pairs = NearDup.lshNearDupPairs(docsWithTokens(s, dir),
+        col("doc_id"), TA.distinctTokens(col("text")), bands = 4,
+        rowsPerBand = 2, maxBucket = 10, minJaccard = 0.6)
+      Clustering.connectedComponents(pairs).orderBy("doc_id")
+    }),
+
+    // Fuzzy dedup, completed: drop every non-minimum member of each
+    // near-dup component; docs outside the duplicate graph survive
+    // untouched (left_anti against the loser set — the corpus never
+    // joins against itself).
+    "q_cluster_dedup" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir)
+      val pairs = NearDup.lshNearDupPairs(d, col("doc_id"),
+        TA.distinctTokens(col("text")), bands = 4, rowsPerBand = 2,
+        maxBucket = 10, minJaccard = 0.6)
+      Clustering.clusterDedup(
+        d.select(col("doc_id"), col("lang"), col("n_chars")),
+        pairs, "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition quality signals: duplicate-bigram fraction
     // and top-token share — pure per-row HOFs, no shuffle. The token
     // array is STAGED once and consumed as an attribute reference by all
@@ -312,6 +338,24 @@ object ExtQueries {
       Contamination.decontaminate(
         d.where(col("doc_id") >= 10), d.where(col("doc_id") < 10),
         "doc_id", TA.tokens(col("text")), n = 5)
+        .orderBy("doc_id")
+    }),
+
+    // Exact-fingerprint decontamination behind a bloom prefilter: drop
+    // corpus docs whose md5(text) appears in the benchmark set (id < 10).
+    // The bloom settles most rows without any join; the survivors of
+    // might_contain get an exact anti-join, so the result is EXACTLY the
+    // plain anti-join the oracle runs — bloom quality affects cost only.
+    // Null texts are excluded on both sides (NULL poisons NOT IN).
+    "q_bloom_decontam" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir).where(col("text").isNotNull)
+        .withColumn("fp", md5(col("text")))
+      Contamination.bloomAntiJoin(
+        d.where(col("doc_id") >= 10)
+          .select("fp", "doc_id", "lang", "n_chars"),
+        d.where(col("doc_id") < 10).select("fp"),
+        "fp", estimatedItems = 1000L)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")
     }),
 
@@ -487,14 +531,17 @@ object ExtQueries {
   // Mirrors lshNearDupPairs: same signature/band construction as
   // minhashOracle, bucket-size cap 2..10, distinct candidate pairs,
   // exact Jaccard over distinct-token sets.
-  private def lshNearDupOracle: String = {
+  /** CTE chain ending in `p(d1, d2, inter_size, union_size, jac)` — the
+    * verified LSH near-dup pairs; shared by the pair and cluster oracles.
+    */
+  private def lshPairsCtes: String = {
     val sigs = (0 until 8).map { i =>
       s"list_aggregate(list_transform(hs, h -> ${Hashing.mixSql(i, "h")}), 'min') AS mh$i"
     }.mkString(",\n    ")
     val bandSel = (0 until 4).map { b =>
       s"SELECT doc_id, ${b}::BIGINT AS band_id, mh${2 * b} || '_' || mh${2 * b + 1} AS band_key FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH hashed AS (
+    s"""hashed AS (
        |  SELECT doc_id,
        |    list_transform($dtokensSql, w -> ${Hashing.h32Sql("w")}) AS hs
        |  FROM documents),
@@ -520,12 +567,47 @@ object ExtQueries {
        |    len(list_filter(a.tk, x -> list_contains(b.tk, x)))::BIGINT AS inter_size,
        |    (len(a.tk) + len(b.tk))::BIGINT
        |      - len(list_filter(a.tk, x -> list_contains(b.tk, x)))::BIGINT AS union_size
-       |  FROM cand JOIN tk a ON cand.d1 = a.doc_id JOIN tk b ON cand.d2 = b.doc_id)
-       |SELECT d1, d2, inter_size, union_size,
-       |  inter_size::DOUBLE / union_size AS jac
-       |FROM v WHERE inter_size::DOUBLE / union_size >= 0.6
-       |ORDER BY d1, d2""".stripMargin
+       |  FROM cand JOIN tk a ON cand.d1 = a.doc_id JOIN tk b ON cand.d2 = b.doc_id),
+       |p AS (
+       |  SELECT d1, d2, inter_size, union_size,
+       |    inter_size::DOUBLE / union_size AS jac
+       |  FROM v WHERE inter_size::DOUBLE / union_size >= 0.6)""".stripMargin
   }
+
+  private def lshNearDupOracle: String =
+    s"""WITH $lshPairsCtes
+       |SELECT d1, d2, inter_size, union_size, jac FROM p
+       |ORDER BY d1, d2""".stripMargin
+
+  /** Exact connected components of the pair graph via a recursive CTE:
+    * reach(doc, lab) = every label in doc's component (edges are
+    * symmetrized; UNION dedups so the recursion terminates), so
+    * min(lab) per doc is the component minimum — the same fixpoint
+    * Clustering.connectedComponents propagates to.
+    */
+  private def ccCtes: String =
+    s"""$lshPairsCtes,
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM p
+       |  UNION SELECT d2, d1 FROM p),
+       |reach(doc, lab) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc),
+       |cc AS (
+       |  SELECT doc AS doc_id, min(lab) AS cluster_id FROM reach
+       |  GROUP BY doc)""".stripMargin
+
+  private def neardupClusterOracle: String =
+    s"""WITH RECURSIVE $ccCtes
+       |SELECT doc_id, cluster_id FROM cc ORDER BY doc_id""".stripMargin
+
+  private def clusterDedupOracle: String =
+    s"""WITH RECURSIVE $ccCtes
+       |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+       |WHERE d.doc_id NOT IN
+       |  (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   private def curationOracle: String =
     s"""WITH c AS (
@@ -869,6 +951,14 @@ object ExtQueries {
     "q_redact" -> redactOracle,
     "q_dup_ngrams" -> dupNgramsOracle,
     "q_decontam" -> decontamOracle,
+    "q_bloom_decontam" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, n_chars, md5(text) AS fp
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT doc_id, lang, n_chars FROM d
+         |WHERE doc_id >= 10
+         |  AND fp NOT IN (SELECT fp FROM d WHERE doc_id < 10)
+         |ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       s"""SELECT doc_id,
          |  len($tokensSql)::BIGINT AS n_tokens,
@@ -926,6 +1016,8 @@ object ExtQueries {
     "q_minhash_lsh" -> minhashOracle,
     "q_minhash_agg" -> minhashAggOracle,
     "q_lsh_neardup" -> lshNearDupOracle,
+    "q_neardup_cluster" -> neardupClusterOracle,
+    "q_cluster_dedup" -> clusterDedupOracle,
     "q_dedup_minhash" -> dedupMinhashOracle,
 
     "q_hash_sample" ->

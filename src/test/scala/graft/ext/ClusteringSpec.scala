@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class ClusteringSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def cc(pairs: Seq[(Long, Long)], maxIters: Int = 25) =
+    Clustering.connectedComponents(pairs.toDF("d1", "d2"),
+      maxIters = maxIters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("transitive chain collapses to one cluster under min label") {
+    // 1-2, 2-3, 3-4: pairwise dedup sees three pairs; the component is one
+    val got = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("disjoint components keep separate minimum labels") {
+    val got = cc(Seq((5L, 9L), (2L, 7L), (7L, 3L)))
+    assert(got == Map(5L -> 5L, 9L -> 5L, 2L -> 2L, 7L -> 2L, 3L -> 2L))
+  }
+
+  test("long path converges within diameter rounds and duplicate/reversed edges are harmless") {
+    val chain = (1L until 12L).map(i => (i + 1, i)) // reversed order edges
+    val dups = chain ++ chain.map { case (a, b) => (b, a) }
+    val got = cc(dups, maxIters = 15)
+    assert(got.keySet == (1L to 12L).toSet)
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("non-convergence fails loudly instead of returning wrong labels") {
+    val chain = (1L to 9L).map(i => (i, i + 1))
+    intercept[IllegalStateException] {
+      Clustering.connectedComponents(chain.toDF("d1", "d2"), maxIters = 2)
+        .collect()
+    }
+  }
+
+  test("clusterDedup keeps non-members and the min member of each component") {
+    val docs = (1L to 6L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 4L), (5L, 6L)).toDF("d1", "d2")
+    val kept = Clustering.clusterDedup(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    // component {1,2,4} -> keep 1; {5,6} -> keep 5; 3 untouched
+    assert(kept == Set(1L, 3L, 5L))
+  }
+
+  test("cluster query and oracle stay releasable: no storage pinned after collect") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("d1", "d2")
+    Clustering.connectedComponents(pairs).collect()
+    // the loop unpersists every round frame except the returned one;
+    // returned frame is unpersisted lazily by GC — assert nothing ELSE
+    // is pinned (edges + intermediate rounds released)
+    val pinned = spark.sparkContext.getPersistentRDDs.size
+    assert(pinned <= 1, s"expected <=1 pinned RDD, got $pinned")
+  }
+}
