@@ -235,4 +235,82 @@ object Similarity {
       .where(col("cos") >= minCos)
       .select("d1", "d2", "cos")
   }
+
+  // --- product quantization (PQ) ---
+
+  /** Exact squared L2 between two quantized subvectors. */
+  private def d2q(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Explode prepared vectors into `m` equal subvectors:
+    * (id, sub_id, sv). Dimension must divide evenly by m (64-dim
+    * embeddings, m=4 → 16-dim subvectors). Pure per-row HOFs — no
+    * shuffle.
+    */
+  def pqSubvectors(p: DataFrame, m: Int, idAs: String = "vec_id"): DataFrame = {
+    val sd = (size(col("qv")) / m).cast("int")
+    p.select(col("vec_id").as(idAs),
+        explode(sequence(lit(0), lit(m - 1))).as("sub_id"),
+        col("qv"))
+      .select(col(idAs), col("sub_id"),
+        slice(col("qv"), col("sub_id") * sd + 1, sd).as("sv"))
+  }
+
+  /** Deterministic sampled codebook: the donor vectors (a small, caller-
+    * chosen subset — e.g. `vec_id < 16`) each contribute their subvectors
+    * as centroids, giving (sub_id, code, cv) with code = donor id. A
+    * production pipeline would train each subspace with
+    * [[kmeansCentroids]]; sampling keeps the codebook reproducible and
+    * cross-engine checkable while exercising the identical encode/ADC
+    * machinery. Codebooks are tiny (m × k × subdim longs) — always
+    * broadcast.
+    */
+  def pqCodebook(donors: DataFrame, m: Int): DataFrame =
+    pqSubvectors(donors, m, idAs = "code")
+      .select(col("sub_id"), col("code"), col("sv").as("cv"))
+
+  /** PQ encoding: each vector's subvector → nearest codebook centroid by
+    * exact squared L2 (ties to the smallest code). Output (vec_id,
+    * sub_id, code) — the m-byte-per-vector compressed representation.
+    * One broadcast join + one map-side-combinable min_by agg; the corpus
+    * never shuffles on anything wider than (vec_id, sub_id).
+    */
+  def pqEncode(p: DataFrame, codebook: DataFrame, m: Int): DataFrame =
+    pqSubvectors(p, m)
+      .join(broadcast(codebook), "sub_id")
+      .withColumn("d2", d2q(col("sv"), col("cv")))
+      .groupBy("vec_id", "sub_id")
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+
+  /** Asymmetric-distance (ADC) top-k: the query keeps its EXACT
+    * subvectors; every corpus vector is represented only by its codes.
+    * Per query a (m × k)-entry distance table is precomputed
+    * (query-subvector ↔ centroid), then each neighbor's approximate
+    * distance is the sum of m table lookups — the scan touches m small
+    * ints per vector instead of the full float vector, which is PQ's
+    * memory-bandwidth win at corpus scale.
+    *
+    * Plan shape: distance table = (small queries) × (tiny codebook),
+    * broadcast; codes join it on (sub_id, code) with no corpus-side
+    * pre-shuffle; the (q_id, n_id) sum is one hash agg with map-side
+    * partials; top-k is a per-query window over k·|Q| surviving rows.
+    */
+  def pqTopK(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
+      m: Int, topK: Int): DataFrame = {
+    val qsub = pqSubvectors(queries, m, idAs = "q_id")
+    val table = qsub.join(codebook, "sub_id")
+      .select(col("q_id"), col("sub_id"), col("code"),
+        d2q(col("sv"), col("cv")).as("td2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("ad2"), col("n_id"))
+    codes.select(col("vec_id").as("n_id"), col("sub_id"), col("code"))
+      .join(broadcast(table), Seq("sub_id", "code"))
+      .where(col("n_id") =!= col("q_id"))
+      .groupBy("q_id", "n_id")
+      .agg(sum(col("td2")).as("ad2"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= topK)
+      .select("q_id", "rk", "n_id", "ad2")
+  }
 }

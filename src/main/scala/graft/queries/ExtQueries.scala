@@ -177,6 +177,21 @@ object ExtQueries {
         .orderBy("q_id", "rk")
     }),
 
+    // Product quantization ANN: 64-dim vectors compressed to 4 subspace
+    // codes (sampled codebook, donors vec_id < 16), queries ranked by
+    // asymmetric distance — m table lookups per neighbor instead of a
+    // full-vector scan, PQ's memory-bandwidth win at corpus scale. All
+    // arithmetic exact integer squared-L2 on milli-quantized vectors.
+    "q_ann_pq" -> ((s, dir) => {
+      val p = Similarity.prepared(table(s, dir, "embeddings"), "vec_id",
+        "embedding")
+      val cb = Similarity.pqCodebook(p.where(col("vec_id") < 16), m = 4)
+      val codes = Similarity.pqEncode(p, cb, m = 4)
+      Similarity.pqTopK(codes, cb, p.where(col("vec_id") < 5), m = 4,
+        topK = 3)
+        .orderBy("q_id", "rk")
+    }),
+
     "q_ann_ivf" -> ((s, dir) => {
       val p = Similarity.prepared(table(s, dir, "embeddings"), "vec_id",
         "embedding")
@@ -742,6 +757,43 @@ object ExtQueries {
        |ORDER BY cell, pos""".stripMargin
   }
 
+  // Mirrors pqSubvectors/pqCodebook/pqEncode/pqTopK: same donor set,
+  // same argmin tie-break (d2 then code), same ADC sum. list_sum over
+  // BIGINT is HUGEINT in DuckDB — cast at every aggregate boundary.
+  private def annPqOracle: String = {
+    val d2 = "list_sum(list_transform(list_zip(%s, %s), p -> (p[1]-p[2])*(p[1]-p[2])))"
+    s"""WITH $prepSql,
+       |sub AS (
+       |  SELECT vec_id, s.sub_id,
+       |    qv[(s.sub_id*(len(qv)//4))+1 : (s.sub_id+1)*(len(qv)//4)] AS sv
+       |  FROM p2, (SELECT unnest(range(4)) AS sub_id) s),
+       |cb AS (
+       |  SELECT sub_id, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 16),
+       |enc AS (
+       |  SELECT vec_id, sub_id, code FROM (
+       |    SELECT v.vec_id, v.sub_id, c.code,
+       |      row_number() OVER (PARTITION BY v.vec_id, v.sub_id
+       |        ORDER BY ${d2.format("v.sv", "c.cv")}, c.code) AS crk
+       |    FROM sub v JOIN cb c ON v.sub_id = c.sub_id)
+       |  WHERE crk = 1),
+       |tbl AS (
+       |  SELECT q.vec_id AS q_id, q.sub_id, c.code,
+       |    (${d2.format("q.sv", "c.cv")})::BIGINT AS td2
+       |  FROM sub q JOIN cb c ON q.sub_id = c.sub_id
+       |  WHERE q.vec_id < 5),
+       |ad AS (
+       |  SELECT t.q_id, e.vec_id AS n_id, sum(t.td2)::BIGINT AS ad2
+       |  FROM enc e JOIN tbl t ON e.sub_id = t.sub_id AND e.code = t.code
+       |  WHERE e.vec_id <> t.q_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT q_id, n_id, ad2,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY ad2, n_id) AS rk
+       |  FROM ad)
+       |SELECT q_id, rk::BIGINT AS rk, n_id, ad2 FROM ranked WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   private def cosineTopkOracle: String = {
     val dot = dotSql.format("q.qv", "c.qv")
     s"""WITH $prepSql,
@@ -1082,6 +1134,7 @@ object ExtQueries {
     "q_embed_neardup" -> embedNearDupOracle,
     "q_cosine_topk" -> cosineTopkOracle,
     "q_ann_ivf" -> annIvfOracle,
+    "q_ann_pq" -> annPqOracle,
     "q_ann_ivf_mp" -> annIvfMpOracle,
     "q_kmeans" -> kmeansOracle,
 

@@ -451,4 +451,31 @@ class ExtSpec extends AnyFunSuite with SparkTestBase {
     assert(sigs(0) == sigs(1)) // dim 4 ignored
     assert(sigs(0) == (1L | 4L))
   }
+
+  test("PQ: donor vectors encode to their own codes; ADC ranks an exact copy first") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 1f)),
+      (1L, Array(0f, 1f, 1f, 0f)),
+      (2L, Array(1f, 0.1f, 0.1f, 1f)), // near donor 0
+      (3L, Array(1f, 0f, 0f, 1f))      // exact copy of donor 0
+    ).toDF("vec_id", "embedding")
+    val p = Similarity.prepared(emb, "vec_id", "embedding")
+    val cb = Similarity.pqCodebook(p.where(col("vec_id") < 2), m = 2)
+    val codes = Similarity.pqEncode(p, cb, m = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // donors 0/1 must reproduce themselves in every subspace
+    for (d <- 0L to 1L; s <- 0 to 1) assert(codes((d, s)) == d)
+    // 2 and 3 sit nearest donor 0 in both subspaces
+    for (v <- 2L to 3L; s <- 0 to 1) assert(codes((v, s)) == 0L)
+
+    val top = Similarity.pqTopK(codes = Similarity.pqEncode(p, cb, m = 2),
+      codebook = cb, queries = p.where(col("vec_id") === 3), m = 2, topK = 3)
+      .orderBy("rk").collect()
+    // neighbor 0 shares vec 3's codes with table distance 0 → rank by id:
+    // ad2(0)=0 exactly; 2 encodes to code 0 too, ad2 = d2(q, donor0) = 0
+    // as well (ADC distance is to the CODEBOOK entry, not the neighbor) —
+    // ties break by n_id
+    assert(top.map(_.getLong(2)).take(2).toSeq == Seq(0L, 2L))
+    assert(top.take(2).forall(_.getLong(3) == 0L))
+  }
 }
