@@ -7,7 +7,9 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_WARM_DIR (default sf0.001) through the same toRdd sink,
   * pulling session init, file listing, and per-query whole-stage-codegen
   * compilation out of the timed pass so the numbers reflect steady-state
-  * execution.
+  * execution. Each query then reports the MIN over
+  * SPARK_GRAFT_BENCH_PASSES (default 2) timed runs, so a transient
+  * host-contention spike can't masquerade as a plan regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -49,18 +51,30 @@ object Bench {
     }
 
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // each query is timed as the MIN of `passes` runs: a transient
+    // CPU-contention spike on the bench host (observed 2-20x inflation on
+    // individual queries in shared-machine runs) lands on one pass, not
+    // both, and the min reports the query's real steady-state cost
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // toRdd.count() materializes every output column through the full
-      // physical plan; a plain .count() would let Catalyst prune the
-      // projection (e.g. the md5 uid in q_wat_extract becomes dead code)
-      // and under-report real full-row cost
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to passes).flatMap { _ =>
+        val t0 = System.nanoTime()
+        // toRdd.count() materializes every output column through the full
+        // physical plan; a plain .count() would let Catalyst prune the
+        // projection (e.g. the md5 uid in q_wat_extract becomes dead code)
+        // and under-report real full-row cost
+        try {
+          fn(spark, sfDir).queryExecution.toRdd.count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          if (!failed.contains(name)) {
+            failed += name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          None
+        }
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (if (times.isEmpty) 0.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

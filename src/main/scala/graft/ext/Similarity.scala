@@ -236,6 +236,51 @@ object Similarity {
       .select("d1", "d2", "cos")
   }
 
+  /** Semantic deduplication (the SemDeDup recipe — Abbas et al. 2023,
+    * arXiv:2303.09540): partition the embedding space by nearest centroid
+    * ([[ivfAssign]] — broadcast centroids, never pairwise over the
+    * corpus), then inside each cell drop every vector whose exact cosine
+    * to a LOWER-id cell-mate is ≥ `minCos`. The survivor rule is the
+    * deterministic greedy "keep the minimum id of every ε-neighborhood":
+    * near-identical *meaning* collapses even when no token overlaps —
+    * the gap exact/MinHash/SimHash dedup can't close.
+    *
+    * Scale design: candidate generation is the cell equi-join, so
+    * pairwise work is confined to cells (corpus/C per cell when centroids
+    * are trained — [[kmeansCentroids]]); cells outside [2, maxCell]
+    * generate no candidates (singletons pair with nothing; a degenerate
+    * hot cell — near-zero or boilerplate embeddings — would go quadratic,
+    * same cap as [[nearDupPairs]]). Both self-join sides and the
+    * keep-side count shuffle on the same `cell` key: one exchange,
+    * reused. Vectors in capped-out cells survive unexamined — at
+    * production scale that cell's centroid needs splitting, which is a
+    * training concern, not a dedup-pass concern.
+    *
+    * Returns the surviving (vec_id, cell) rows.
+    */
+  def semDedup(p: DataFrame, centroids: DataFrame, minCos: Double,
+      maxCell: Int = 10000): DataFrame = {
+    val assigned = ivfAssign(p, centroids)
+    val keep = assigned.groupBy("cell")
+      .agg(count(lit(1)).as("cell_size"))
+      .where(col("cell_size").between(2, maxCell))
+      .select("cell")
+    val bounded = assigned.join(keep, "cell")
+    val a = bounded.select(col("vec_id").as("d1"), col("qv").as("v1"),
+      col("n2").as("na"), col("cell"))
+    val b = bounded.select(col("vec_id").as("d2"), col("qv").as("v2"),
+      col("n2").as("nb"), col("cell"))
+    val losers = a.join(b, "cell")
+      .where(col("d1") < col("d2"))
+      .withColumn("cos",
+        cosine(dotq(col("v1"), col("v2")), col("na"), col("nb")))
+      .where(col("cos") >= minCos)
+      .select(col("d2").as("vec_id"))
+      .distinct()
+    assigned.join(losers, Seq("vec_id"), "left_anti")
+      .select("vec_id", "cell")
+  }
+
   // --- product quantization (PQ) ---
 
   /** Exact squared L2 between two quantized subvectors. */

@@ -103,18 +103,64 @@ object TextAnalysis {
     * "" token (consecutive spaces) extends the zero run to the correct
     * count of 1.
     */
-  def topTokenShareFromTokens(tks: Column): Column = {
-    val st = aggregate(array_sort(tks),
+  def topTokenShareFromTokens(tks: Column): Column =
+    when(size(tks) > 0,
+      maxTokenRunFromTokens(tks).cast("double") / size(tks).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** The max token frequency itself (a LONG — exact, so thresholds can be
+    * cross-multiplied instead of compared as floats): longest run in the
+    * sorted token array. 0 for an empty array.
+    */
+  def maxTokenRunFromTokens(tks: Column): Column =
+    aggregate(array_sort(tks),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
       (acc, t) => {
         val run = when(t === acc.getField("prev"),
           acc.getField("run") + lit(1L)).otherwise(lit(1L))
         struct(t.as("prev"), run.as("run"),
           greatest(acc.getField("best"), run).as("best"))
-      })
-    when(size(tks) > 0,
-      st.getField("best").cast("double") / size(tks).cast("double"))
-      .otherwise(lit(0.0))
+      }).getField("best")
+
+  /** Total characters across tokens — exact long, the numerator of mean
+    * word length (kept as a sum so thresholds cross-multiply). */
+  def tokenCharsFromTokens(tks: Column): Column =
+    aggregate(transform(tks, t => length(t).cast("long")), lit(0L),
+      (acc, x) => acc + x)
+
+  /** Gopher-style rule gate (Rae et al. 2021, arXiv:2112.11446 — the
+    * rule-based document filter, as opposed to [[qualityScore]]'s soft
+    * score): per-rule boolean verdicts plus the conjunction. EVERY
+    * threshold compares exact integers (cross-multiplied longs), never
+    * floats, so the verdicts are bit-identical across engines and
+    * partitionings. Pass a STAGED tokens column. Pure per-row
+    * expressions — no shuffle, scales embarrassingly.
+    *
+    * Rules: token count within [minTokens, maxTokens]; mean token length
+    * within [3, 10] chars; duplicate-bigram fraction ≤ 30%; top token ≤
+    * 20% of all tokens; at least one stopword.
+    */
+  def gopherGate(tks: Column, minTokens: Long = 10L,
+      maxTokens: Long = 1000L): Column = {
+    val n = size(tks).cast("long")
+    val chars = tokenCharsFromTokens(tks)
+    val nBi = (size(tks) - 1).cast("long")
+    val nDistBi = size(NearDup.bigramShingles(tks)).cast("long")
+    val maxRun = maxTokenRunFromTokens(tks)
+    val stops = size(filter(tks, t => t.isin(Stopwords: _*))).cast("long")
+    val rLen = n.between(minTokens, maxTokens)
+    // 3 <= chars/n <= 10  ⇔  3n <= chars AND chars <= 10n
+    val rWordLen = n > 0 && chars >= n * 3 && chars <= n * 10
+    // (nBi - nDist)/nBi <= 0.3  ⇔  10*(nBi - nDist) <= 3*nBi
+    val rDupBigram = nBi <= 0 || (nBi - nDistBi) * 10 <= nBi * 3
+    // maxRun/n <= 0.2  ⇔  5*maxRun <= n
+    val rTopShare = n > 0 && maxRun * 5 <= n
+    val rStopword = stops >= 1
+    struct(
+      rLen.as("r_len"), rWordLen.as("r_word_len"),
+      rDupBigram.as("r_dup_bigram"), rTopShare.as("r_top_share"),
+      rStopword.as("r_stopword"),
+      (rLen && rWordLen && rDupBigram && rTopShare && rStopword).as("kept"))
   }
 
   /** Overlapping token-window chunk starts: 1, 1+stride, … while ≤ n.

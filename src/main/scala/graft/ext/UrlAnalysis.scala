@@ -45,4 +45,54 @@ object UrlAnalysis {
     */
   def notBlocked(h: Column, blocked: Seq[String]): Column =
     !registeredDomain(h).isin(blocked: _*)
+
+  // --- canonicalization ---
+
+  /** Query-parameter prefixes that never identify content: analytics
+    * campaign tags and click ids. Matched against `name=` at the start
+    * of each parameter.
+    */
+  val TrackingParamRegex = "^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid|ref)="
+
+  /** Group 1 = "?query" (with the '?'), "" when absent. Fragment never
+    * captured. */
+  val QueryRegex = "^[^?#]*\\?([^#]*)"
+
+  /** Canonical form of an absolute http(s) URL — the dedup key that
+    * collapses the crawl-side noise that makes one page look like many:
+    *
+    *  - scheme and host lowercased,
+    *  - explicit default port dropped (`:80` for http, `:443` https),
+    *  - fragment dropped (never sent to the server),
+    *  - tracking parameters dropped ([[TrackingParamRegex]]),
+    *  - surviving query parameters SORTED (param order is
+    *    server-irrelevant but crawler-visible),
+    *  - empty path normalized to "/".
+    *
+    * Pure Column expressions end to end — per-row, no shuffle, pushes
+    * through whole-stage codegen; canonical-key dedup is then one hash
+    * aggregation. URL-decoding equivalence (%41 vs A) is deliberately
+    * out of scope: decoding reserved characters changes semantics, so
+    * canonicalizers that normalize percent-encoding do it tablewise —
+    * a different, riskier trade.
+    *
+    * Expects a STAGED url column (referenced several times).
+    */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val h0 = lower(host(url))
+    val h = when(scheme === "http" && h0.endsWith(":80"),
+        h0.substr(lit(1), length(h0) - 3))
+      .when(scheme === "https" && h0.endsWith(":443"),
+        h0.substr(lit(1), length(h0) - 4))
+      .otherwise(h0)
+    val path = regexp_extract(url, PathRegex, 1)
+    val normPath = when(path === "", lit("/")).otherwise(path)
+    val query = regexp_extract(url, QueryRegex, 1)
+    val keptParams = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamRegex)))
+    val normQuery = when(size(keptParams) > 0,
+      concat(lit("?"), array_join(keptParams, "&"))).otherwise(lit(""))
+    concat(scheme, lit("://"), h, normPath, normQuery)
+  }
 }

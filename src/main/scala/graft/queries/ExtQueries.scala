@@ -278,6 +278,89 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Semantic dedup (SemDeDup): nearest-centroid cells (sampled
+    // centroids, the IVF idiom) confine the pairwise cosine check; any
+    // vector with cosine >= 0.35 to a lower-id cell-mate drops
+    // (synthetic embeddings are near-orthogonal — max within-cell cosine
+    // ~0.49 — so the production-typical 0.9 would never fire here). The gap
+    // token-based dedup can't close: near-identical MEANING, zero
+    // token overlap.
+    "q_semdedup" -> ((s, dir) => {
+      val p = Similarity.prepared(table(s, dir, "embeddings"), "vec_id",
+        "embedding")
+      Similarity.semDedup(p, p.where(col("vec_id") < 8), minCos = 0.35,
+        maxCell = 400)
+        .orderBy("vec_id")
+    }),
+
+    // Corpus-wide paragraph dedup (the C4/Lee-et-al line-dedup step):
+    // documents are segmented into deterministic 12-token paragraphs
+    // (identically in the oracle), every paragraph seen earlier at
+    // (doc_id, pos) order is removed, documents reassembled. clean_md5
+    // pins the exact surviving text.
+    "q_para_dedup" -> ((s, dir) => {
+      val W = 12
+      val seg = docsWithTokens(s, dir)
+        .select(col("doc_id"), TA.tokens(col("text")).as("tks"))
+        .select(col("doc_id"),
+          when(size(col("tks")) > 0,
+            transform(sequence(lit(1), ((size(col("tks")) + W - 1)
+              .cast("long") / W).cast("int")),
+              i => concat_ws(" ", slice(col("tks"), (i - 1) * W + 1, lit(W)))))
+            .otherwise(array().cast("array<string>")).as("paras"))
+      graft.ext.Paragraphs.dedupParagraphs(seg, "doc_id", col("paras"),
+        delim = " ")
+        .select(col("doc_id"), col("n_paras"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher rule gate: hard per-rule boolean verdicts (token count,
+    // mean word length, duplicate-bigram fraction, top-token share,
+    // stopword presence) — every threshold an exact integer
+    // cross-multiplication, so verdicts are bit-identical across
+    // engines. Pure per-row; no shuffle.
+    "q_gopher_gate" -> ((s, dir) => {
+      docsWithTokens(s, dir)
+        .select(col("doc_id"), TA.tokens(col("text")).as("tks"))
+        .select(col("doc_id"), TA.gopherGate(col("tks"),
+          minTokens = 20L, maxTokens = 500L).as("g"))
+        .select(col("doc_id"), col("g.r_len").as("r_len"),
+          col("g.r_word_len").as("r_word_len"),
+          col("g.r_dup_bigram").as("r_dup_bigram"),
+          col("g.r_top_share").as("r_top_share"),
+          col("g.r_stopword").as("r_stopword"), col("g.kept").as("kept"))
+        .orderBy("doc_id")
+    }),
+
+    // URL canonicalization + canonical-key dedup: deterministic messy
+    // URLs (tracking params, shuffled param order, default ports,
+    // fragments, mixed-case hosts) collapse to one canonical form;
+    // is_canon marks the (min doc_id) survivor per canonical key.
+    "q_url_canon" -> ((s, dir) => {
+      // docs 2k and 2k+1 are ONE logical URL wearing crawl noise:
+      // tracking params, shuffled param order, explicit default port,
+      // fragment, mixed-case host. doc_id % 7 == 0 rows take a distinct
+      // http+:80+no-query shape so both scheme/port strip paths execute.
+      val grp = (col("doc_id") / 2).cast("long").cast("string")
+      val u = when(col("doc_id") % 7 === 0,
+          concat(lit("http://Mixed.Case.test:80/p/"), grp, lit("#x")))
+        .when(col("doc_id") % 2 === 0,
+          concat(lit("https://WWW.example.test:443/a/b?z=1&g="), grp,
+            lit("&a=2&utm_source=f")))
+        .otherwise(
+          concat(lit("https://www.example.test/a/b?a=2&gclid=x&g="), grp,
+            lit("&z=1")))
+      val w = Window.partitionBy("canon").orderBy("doc_id")
+      docsWithTokens(s, dir)
+        .select(col("doc_id"), u.as("url"))
+        .select(col("doc_id"), col("url"),
+          graft.ext.UrlAnalysis.canonicalUrl(col("url")).as("canon"))
+        .withColumn("is_canon", row_number().over(w) === 1)
+        .select(col("doc_id"), col("canon"), col("is_canon"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition quality signals: duplicate-bigram fraction
     // and top-token share — pure per-row HOFs, no shuffle. The token
     // array is STAGED once and consumed as an attribute reference by all
@@ -711,6 +794,141 @@ object ExtQueries {
        |SELECT d1, d2, cos FROM pairs WHERE cos >= 0.25 ORDER BY d1, d2""".stripMargin
   }
 
+  // Mirrors semDedup: rank-1 cell assignment (the annIvfOracle idiom),
+  // cell-size cap, within-cell pairs with exact quantized cosine, losers
+  // = higher id of any pair at/above threshold, survivors by anti-join.
+  private def semDedupOracle: String = {
+    val adot = dotSql.format("v.qv", "c.qv")
+    val pdot = dotSql.format("a.qv", "b.qv")
+    s"""WITH $prepSql,
+       |cents AS (SELECT vec_id AS c_id, qv, n2 FROM p2 WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id, qv, n2, c_id AS cell FROM (
+       |    SELECT v.vec_id, v.qv, v.n2, c.c_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ($adot)::DOUBLE / sqrt((v.n2 * c.n2)::DOUBLE) DESC,
+       |                 c.c_id) AS crk
+       |    FROM p2 v, cents c)
+       |  WHERE crk = 1),
+       |keep AS (
+       |  SELECT cell FROM assign GROUP BY cell
+       |  HAVING count(*) BETWEEN 2 AND 400),
+       |bounded AS (SELECT a.* FROM assign a JOIN keep USING (cell)),
+       |losers AS (
+       |  SELECT DISTINCT b.vec_id FROM bounded a JOIN bounded b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ($pdot)::DOUBLE / sqrt((a.n2 * b.n2)::DOUBLE) >= 0.35)
+       |SELECT vec_id, cell FROM assign
+       |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  // Mirrors q_para_dedup end to end: the same 12-token segmentation, the
+  // same md5 paragraph key, first occurrence at global (doc_id, pos)
+  // order, documents reassembled in position order. Zero-token docs
+  // can't occur with the FILTERed unnest — resurrected via left join.
+  private def paraDedupOracle: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, $tokensSql AS tks FROM documents),
+       |seg AS (
+       |  SELECT doc_id, unnest(range(0, (len(tks) + 11) // 12)) AS i, tks
+       |  FROM tk),
+       |par AS (
+       |  SELECT doc_id, i AS pos,
+       |    array_to_string(tks[i * 12 + 1 : i * 12 + 12], ' ') AS para
+       |  FROM seg),
+       |flagged AS (
+       |  SELECT doc_id, pos, para,
+       |    row_number() OVER (PARTITION BY md5(para)
+       |      ORDER BY doc_id, pos) AS rn
+       |  FROM par),
+       |agg AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_paras,
+       |    sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |    md5(coalesce(array_to_string(
+       |      list(para ORDER BY pos) FILTER (WHERE rn = 1), ' '), ''))
+       |      AS clean_md5
+       |  FROM flagged GROUP BY doc_id)
+       |SELECT t.doc_id, coalesce(a.n_paras, 0)::BIGINT AS n_paras,
+       |  coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+       |  coalesce(a.clean_md5, md5('')) AS clean_md5
+       |FROM tk t LEFT JOIN agg a ON t.doc_id = a.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
+  // Mirrors gopherGate: every threshold the same exact-integer
+  // cross-multiplication; max token frequency via the naive
+  // count-per-distinct (same integers as Spark's sorted run fold).
+  private def gopherGateOracle: String = {
+    val n = s"len($tokensSql)"
+    val chars = s"list_sum(list_transform($tokensSql, t -> len(t)))"
+    val nBi = s"($n - 1)"
+    val nDistBi = s"len(list_distinct(list_transform(range(1, $n), " +
+      s"i -> $tokensSql[i] || ' ' || $tokensSql[i + 1])))"
+    val maxRun = s"list_max(list_transform($dtokensSql, " +
+      s"w -> len(list_filter($tokensSql, t -> t = w))))"
+    val stops = s"len(list_filter($tokensSql, t -> t IN ($stopSql)))"
+    s"""SELECT doc_id,
+       |  ($n BETWEEN 20 AND 500) AS r_len,
+       |  ($n > 0 AND $chars >= $n * 3 AND $chars <= $n * 10) AS r_word_len,
+       |  ($nBi <= 0 OR ($nBi - $nDistBi) * 10 <= $nBi * 3) AS r_dup_bigram,
+       |  ($n > 0 AND $maxRun * 5 <= $n) AS r_top_share,
+       |  ($stops >= 1) AS r_stopword,
+       |  (($n BETWEEN 20 AND 500)
+       |    AND ($n > 0 AND $chars >= $n * 3 AND $chars <= $n * 10)
+       |    AND ($nBi <= 0 OR ($nBi - $nDistBi) * 10 <= $nBi * 3)
+       |    AND ($n > 0 AND $maxRun * 5 <= $n)
+       |    AND ($stops >= 1)) AS kept
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // Mirrors q_url_canon: same synthesized URLs, same canonicalization
+  // steps (lowercase scheme/host, default-port strip, fragment drop,
+  // tracking-param filter, param sort, empty path -> "/"), same
+  // min-doc_id survivor rule.
+  private def urlCanonOracle: String =
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN
+       |      'http://Mixed.Case.test:80/p/' || (doc_id // 2)::VARCHAR || '#x'
+       |    WHEN doc_id % 2 = 0 THEN
+       |      'https://WWW.example.test:443/a/b?z=1&g=' ||
+       |        (doc_id // 2)::VARCHAR || '&a=2&utm_source=f'
+       |    ELSE
+       |      'https://www.example.test/a/b?a=2&gclid=x&g=' ||
+       |        (doc_id // 2)::VARCHAR || '&z=1' END AS url
+       |  FROM documents),
+       |parts AS (
+       |  SELECT doc_id,
+       |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+       |      AS scheme,
+       |    lower(regexp_extract(url,
+       |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS h0,
+       |    regexp_extract(url,
+       |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+       |    list_sort(list_filter(
+       |      string_split(regexp_extract(url, '^[^?#]*\\?([^#]*)', 1), '&'),
+       |      p -> p <> '' AND NOT regexp_matches(p,
+       |        '^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid|ref)=')))
+       |      AS kept_params
+       |  FROM u),
+       |canon AS (
+       |  SELECT doc_id,
+       |    scheme || '://' ||
+       |    (CASE WHEN scheme = 'http' AND h0 LIKE '%:80'
+       |       THEN substr(h0, 1, len(h0) - 3)
+       |     WHEN scheme = 'https' AND h0 LIKE '%:443'
+       |       THEN substr(h0, 1, len(h0) - 4)
+       |     ELSE h0 END) ||
+       |    (CASE WHEN path = '' THEN '/' ELSE path END) ||
+       |    (CASE WHEN len(kept_params) > 0
+       |       THEN '?' || array_to_string(kept_params, '&')
+       |     ELSE '' END) AS canon
+       |  FROM parts)
+       |SELECT doc_id, canon,
+       |  (row_number() OVER (PARTITION BY canon ORDER BY doc_id) = 1)
+       |    AS is_canon
+       |FROM canon ORDER BY doc_id""".stripMargin
+
   // Two unrolled Lloyd rounds, each: rank-1 cell assignment (cosine DESC,
   // centroid id ASC — the argmax tie-break ivfAssign uses), then exact
   // per-(cell, dim) integer means with TRUNCATING division (DuckDB `//`
@@ -1137,6 +1355,10 @@ object ExtQueries {
     "q_ann_pq" -> annPqOracle,
     "q_ann_ivf_mp" -> annIvfMpOracle,
     "q_kmeans" -> kmeansOracle,
+    "q_semdedup" -> semDedupOracle,
+    "q_para_dedup" -> paraDedupOracle,
+    "q_gopher_gate" -> gopherGateOracle,
+    "q_url_canon" -> urlCanonOracle,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -1,0 +1,162 @@
+package graft.ext
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Round-5 curation operators: semantic dedup, paragraph dedup, URL
+  * canonicalization, and the Gopher rule gate.
+  */
+class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // --- semDedup ---
+
+  private def prep(rows: Seq[(Long, Seq[Float])]) =
+    Similarity.prepared(
+      rows.toDF("vec_id", "embedding"), "vec_id", "embedding")
+
+  test("semDedup drops the higher id of a near-identical pair, keeps the rest") {
+    // centroid 0 ~ (1,0); centroid 1 ~ (0,1). 10/11 are near-identical in
+    // cell 0; 12 is distinct in cell 1.
+    val corpus = prep(Seq(
+      0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f), // doubling as centroids
+      10L -> Seq(0.9f, 0.1f), 11L -> Seq(0.9f, 0.11f),
+      12L -> Seq(0.1f, 0.95f)))
+    val cents = prep(Seq(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f)))
+    val kept = Similarity.semDedup(corpus, cents, minCos = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    // within cell 0: cos(10,11) ~ 0.99994 >= 0.999 -> 11 drops;
+    // cos(0,10) ~ 0.9939 and cos(0,11) ~ 0.9926 stay below the bar;
+    // cell 1: cos(1,12) ~ 0.9945 -> 12 survives
+    assert(kept == Set(0L, 1L, 10L, 12L))
+  }
+
+  test("semDedup: a cell larger than maxCell generates no candidates (cap)") {
+    val corpus = prep((0L to 5L).map(i => i -> Seq(1f, 0.001f * i)))
+    val cents = prep(Seq(0L -> Seq(1f, 0f)))
+    // all 6 vectors share one cell; cap at 5 -> nothing examined
+    val kept = Similarity.semDedup(corpus, cents, minCos = 0.5, maxCell = 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == (0L to 5L).toSet)
+    // without the cap the near-identical vectors collapse to the min id
+    val uncapped = Similarity.semDedup(corpus, cents, minCos = 0.5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(uncapped == Set(0L))
+  }
+
+  test("semDedup keeps singletons (cells of one pair with nothing)") {
+    val corpus = prep(Seq(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f)))
+    val cents = prep(Seq(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f)))
+    val kept = Similarity.semDedup(corpus, cents, minCos = 0.1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L))
+  }
+
+  // --- paragraph dedup ---
+
+  private def paraDedup(rows: Seq[(Long, Seq[String])]) =
+    Paragraphs.dedupParagraphs(rows.toDF("doc_id", "paras"), "doc_id",
+      col("paras"))
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+
+  test("a paragraph seen earlier is removed from every later document") {
+    val got = paraDedup(Seq(
+      1L -> Seq("alpha beta", "gamma"),
+      2L -> Seq("gamma", "delta"),
+      3L -> Seq("delta", "alpha beta", "epsilon")))
+    assert(got === Array(
+      (1L, 2L, 2L, "alpha beta\ngamma"),
+      (2L, 2L, 1L, "delta"),
+      (3L, 3L, 1L, "epsilon")))
+  }
+
+  test("first occurrence is by (doc_id, pos), repeats inside one doc collapse") {
+    val got = paraDedup(Seq(1L -> Seq("x", "y", "x", "x")))
+    assert(got === Array((1L, 4L, 2L, "x\ny")))
+  }
+
+  test("all-duplicate and empty documents survive with empty text") {
+    val got = paraDedup(Seq(
+      1L -> Seq("x"),
+      2L -> Seq("x"),
+      3L -> Seq.empty[String]))
+    assert(got === Array(
+      (1L, 1L, 1L, "x"),
+      (2L, 1L, 0L, ""),
+      (3L, 0L, 0L, "")))
+  }
+
+  // --- URL canonicalization ---
+
+  private def canon(url: String): String =
+    Seq(url).toDF("url")
+      .select(UrlAnalysis.canonicalUrl(col("url")).as("c"))
+      .as[String].head()
+
+  test("canonicalUrl lowercases scheme+host and strips default ports") {
+    assert(canon("HTTPS://WWW.Example.COM:443/Path") ===
+      "https://www.example.com/Path")
+    assert(canon("http://a.test:80/x") === "http://a.test/x")
+    // non-default port survives
+    assert(canon("http://a.test:8080/x") === "http://a.test:8080/x")
+    // https on :80 is NOT a default port
+    assert(canon("https://a.test:80/x") === "https://a.test:80/x")
+  }
+
+  test("canonicalUrl drops fragment + tracking params and sorts the rest") {
+    assert(canon("https://a.test/p?z=1&utm_source=x&a=2#frag") ===
+      "https://a.test/p?a=2&z=1")
+    assert(canon("https://a.test/p?gclid=abc&fbclid=d") === "https://a.test/p")
+    // ref is tracking; a parameter merely CONTAINING ref= is not
+    assert(canon("https://a.test/p?ref=nav&href=x") ===
+      "https://a.test/p?href=x")
+  }
+
+  test("canonicalUrl normalizes empty path to / and keeps case in path/query") {
+    assert(canon("https://A.test") === "https://a.test/")
+    assert(canon("https://a.test?b=1") === "https://a.test/?b=1")
+    assert(canon("https://a.test/CaseSensitive?Q=Vv") ===
+      "https://a.test/CaseSensitive?Q=Vv")
+  }
+
+  // --- gopher gate ---
+
+  private def gate(text: String, minTokens: Long = 2L,
+      maxTokens: Long = 1000L): Row =
+    Seq(text).toDF("text")
+      .select(TextAnalysis.gopherGate(split(col("text"), " "), minTokens,
+        maxTokens).as("g"))
+      .select("g.*").head()
+
+  test("gopherGate thresholds are inclusive and exact") {
+    // 5 tokens of length exactly 3 -> mean 3.0, inclusive lower bound
+    val r1 = gate("aaa bbb ccc ddd the")
+    assert(r1.getAs[Boolean]("r_word_len"))
+    assert(r1.getAs[Boolean]("r_stopword"))
+    assert(r1.getAs[Boolean]("kept"))
+    // top share exactly 1/5 = 0.2 passes; 2/5 fails
+    assert(gate("the b c d e").getAs[Boolean]("r_top_share"))
+    assert(!gate("the the c d e").getAs[Boolean]("r_top_share"))
+    // mean length 2.8 < 3 fails
+    assert(!gate("aa bbb ccc ddd the").getAs[Boolean]("r_word_len"))
+  }
+
+  test("gopherGate flags repetition and missing stopwords independently") {
+    val r = gate("foo foo foo foo foo foo")
+    assert(!r.getAs[Boolean]("r_dup_bigram"))
+    assert(!r.getAs[Boolean]("r_top_share"))
+    assert(!r.getAs[Boolean]("r_stopword"))
+    assert(r.getAs[Boolean]("r_len"))
+    assert(!r.getAs[Boolean]("kept"))
+  }
+
+  test("gopherGate token-count bounds") {
+    assert(!gate("the aaa", minTokens = 3L).getAs[Boolean]("r_len"))
+    assert(!gate("the aaa bbb ccc", maxTokens = 3L).getAs[Boolean]("r_len"))
+  }
+}
