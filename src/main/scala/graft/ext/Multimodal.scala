@@ -145,6 +145,82 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Luma grid of a decoded image scaled to w×h via AWT (the same
+    * headless-safe path as [[resizeImage]]): row-major doubles in [0,1].
+    */
+  private def lumaGrid(img: java.awt.image.BufferedImage, w: Int,
+      h: Int): Array[Double] = {
+    val out = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    g.drawImage(img, 0, 0, w, h, null)
+    g.dispose()
+    Array.tabulate(w * h) { i =>
+      val rgb = out.getRGB(i % w, i / w)
+      val r = (rgb >> 16) & 0xff
+      val gg = (rgb >> 8) & 0xff
+      val b = rgb & 0xff
+      (0.299 * r + 0.587 * gg + 0.114 * b) / 255.0
+    }
+  }
+
+  /** 64-bit average hash (aHash): 8×8 luma grid, bit i set when pixel i
+    * is at or above the grid mean. Identical images hash identically;
+    * rescaled/re-encoded copies land within a few bits. None when no JDK
+    * codec accepts the payload.
+    */
+  def aHash(bytes: Array[Byte]): Option[Long] =
+    try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))).map { img =>
+        val g = lumaGrid(img, 8, 8)
+        val mean = g.sum / g.length
+        g.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+          if (v >= mean) acc | (1L << i) else acc
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** 64-bit difference hash (dHash): 9×8 luma grid, bit set when the
+    * left pixel is brighter than its right neighbor — gradient structure,
+    * more robust than aHash to global brightness shifts.
+    */
+  def dHash(bytes: Array[Byte]): Option[Long] =
+    try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))).map { img =>
+        val g = lumaGrid(img, 9, 8)
+        var acc = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (g(y * 9 + x) > g(y * 9 + x + 1))
+              acc |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        acc
+      }
+    } catch { case _: Exception => None }
+
+  /** Perceptual-hash stage over the media column (mapPartitions, codec
+    * init amortized per partition): (doc_id, a_hash, d_hash), null
+    * hashes for payloads no JDK codec decodes. Feed the result to
+    * [[NearDup.hammingNearDupPairs]] (bands = 4, bandBits = 16,
+    * maxDist ≤ 3) for corpus-scale visual near-dup detection.
+    */
+  def perceptualHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        (id, aHash(b), dHash(b))
+      })
+      .toDF("doc_id", "a_hash", "d_hash")
+  }
+
   /** Pack a text column as a binary media column (stand-in for image
     * bytes in the fixtures) with metadata.
     */

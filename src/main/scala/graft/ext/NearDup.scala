@@ -128,6 +128,60 @@ object NearDup {
     agged.select(idCols.map(col) :+ sig.as("simhash"): _*)
   }
 
+  /** Near-dup pairs over any fixed-width bit-signature column (SimHash,
+    * perceptual image hashes, sign signatures): banded Hamming LSH.
+    * The signature is cut into `bands` runs of `bandBits` bits; by
+    * pigeonhole, two signatures within Hamming distance < `bands` agree
+    * on at least one full band, so the band value is an EXACT equi-join
+    * candidate key — candidate generation is a hash shuffle, never
+    * pairwise over the corpus. Candidates are verified with the exact
+    * popcount distance (`bit_count(xor)` — codegen'd, identical in the
+    * DuckDB oracle).
+    *
+    * `maxDist < bands` is required for lossless recall (distance ≥ bands
+    * can disagree everywhere); buckets outside [2, maxBucket] generate no
+    * candidates (the same degenerate-bucket cap as the MinHash and
+    * sign-signature paths — a stuck band value, e.g. all-zero hashes,
+    * would otherwise go quadratic).
+    */
+  def hammingNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+      bands: Int, bandBits: Int, maxDist: Int,
+      maxBucket: Int = 10000): DataFrame = {
+    require(maxDist < bands,
+      s"pigeonhole recall needs maxDist < bands (got $maxDist >= $bands)")
+    // shiftrightunsigned + mask keeps band keys non-negative even when
+    // the full 64-bit signature has its sign bit set
+    require(bands * bandBits <= 64, "banded bits must fit a long")
+    val mask = (1L << bandBits) - 1
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col(hashCol), b * bandBits)
+          .bitwiseAND(lit(mask)).as("key"))
+    }
+    val banded = hashes
+      .select(col(idCol).as("hid"), col(hashCol).as("h"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("hid"), col("h"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val keep = banded.groupBy("band", "key")
+      .agg(count(lit(1)).as("n"))
+      .where(col("n").between(2, maxBucket))
+      .select("band", "key")
+    val bounded = banded.join(keep, Seq("band", "key"))
+    val a = bounded.select(col("band"), col("key"),
+      col("hid").as("d1"), col("h").as("h1"))
+    val b = bounded.select(col("band"), col("key"),
+      col("hid").as("d2"), col("h").as("h2"))
+    a.join(b, Seq("band", "key"))
+      .where(col("d1") < col("d2"))
+      // one pair can collide in several bands — dedup before verify
+      .select("d1", "d2", "h1", "h2").distinct()
+      .withColumn("dist",
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
+      .where(col("dist") <= maxDist)
+      .select("d1", "d2", "dist")
+  }
+
   // --- n-gram Jaccard ---
 
   /** Distinct bigram shingles of a token array. */

@@ -112,6 +112,29 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Banded Hamming LSH over bit signatures (the SimHash/perceptual-
+    // hash pair-finder): planted 48-bit signatures — groups of 5 docs
+    // share a base hash with 0..4 low bits flipped, so same-group pairs
+    // sit within distance 4 and cross-group pairs are random (~24).
+    // bands=4 x 12 bits, verify bit_count(xor) <= 3: pigeonhole recall
+    // is exact for the kept distances, and the 0-vs-15 noise pair
+    // (distance 4) shows the verify threshold cutting.
+    "q_phash_neardup" -> ((s, dir) => {
+      val grp = (col("doc_id") / 5).cast("long").cast("string")
+      val base = Hashing.h32(concat(lit("pg|"), grp)) * 65536L +
+        pmod(Hashing.h32(concat(lit("pq|"), grp)), lit(65536L))
+      val noise = when(col("doc_id") % 5 === 1, 1L)
+        .when(col("doc_id") % 5 === 2, 3L)
+        .when(col("doc_id") % 5 === 3, 7L)
+        .when(col("doc_id") % 5 === 4, 15L)
+        .otherwise(0L)
+      val hashed = docsWithTokens(s, dir)
+        .select(col("doc_id"), base.bitwiseXOR(noise).as("phash"))
+      NearDup.hammingNearDupPairs(hashed, "doc_id", "phash",
+        bands = 4, bandBits = 12, maxDist = 3, maxBucket = 100)
+        .orderBy("d1", "d2")
+    }),
+
     "q_ngram_jaccard" -> ((s, dir) => {
       val d = docsWithTokens(s, dir).select(
         col("doc_id"), col("lang"),
@@ -794,6 +817,36 @@ object ExtQueries {
        |SELECT d1, d2, cos FROM pairs WHERE cos >= 0.25 ORDER BY d1, d2""".stripMargin
   }
 
+  // Mirrors hammingNearDupPairs + the planted signature construction:
+  // same h32 base, same CASE noise, same 12-bit banding (arithmetic >>
+  // equals unsigned >> for these non-negative 48-bit values), same
+  // [2,100] bucket cap, same bit_count(xor) <= 3 verify.
+  private def phashNearDupOracle: String = {
+    val base = s"${Hashing.h32Sql("'pg|' || (doc_id // 5)::VARCHAR")} * 65536 + " +
+      s"(${Hashing.h32Sql("'pq|' || (doc_id // 5)::VARCHAR")} % 65536)"
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    xor(($base)::BIGINT,
+       |      CASE doc_id % 5 WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 7
+       |        WHEN 4 THEN 15 ELSE 0 END) AS phash
+       |  FROM documents),
+       |banded AS (
+       |  SELECT doc_id, phash, b.band,
+       |    (phash >> (b.band * 12)) & 4095 AS key
+       |  FROM h, (SELECT unnest(range(4)) AS band) b),
+       |keep AS (
+       |  SELECT band, key FROM banded GROUP BY band, key
+       |  HAVING count(*) BETWEEN 2 AND 100),
+       |bounded AS (SELECT x.* FROM banded x JOIN keep USING (band, key)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |    a.phash AS h1, b.phash AS h2
+       |  FROM bounded a JOIN bounded b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT d1, d2, bit_count(xor(h1, h2))::BIGINT AS dist FROM cand
+       |WHERE bit_count(xor(h1, h2)) <= 3 ORDER BY d1, d2""".stripMargin
+  }
+
   // Mirrors semDedup: rank-1 cell assignment (the annIvfOracle idiom),
   // cell-size cap, within-cell pairs with exact quantized cosine, losers
   // = higher id of any pair at/above threshold, survivors by anti-join.
@@ -1356,6 +1409,7 @@ object ExtQueries {
     "q_ann_ivf_mp" -> annIvfMpOracle,
     "q_kmeans" -> kmeansOracle,
     "q_semdedup" -> semDedupOracle,
+    "q_phash_neardup" -> phashNearDupOracle,
     "q_para_dedup" -> paraDedupOracle,
     "q_gopher_gate" -> gopherGateOracle,
     "q_url_canon" -> urlCanonOracle,

@@ -159,4 +159,86 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(!gate("the aaa", minTokens = 3L).getAs[Boolean]("r_len"))
     assert(!gate("the aaa bbb ccc", maxTokens = 3L).getAs[Boolean]("r_len"))
   }
+
+  // --- perceptual hashes + banded hamming LSH ---
+
+  private def pngOf(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("aHash/dHash: identical bytes collide, a rescaled copy stays within a few bits, opposites differ widely") {
+    // a horizontal gradient with a dark band — structure both hashes see
+    val grad = pngOf(64, 64)((x, y) =>
+      if (y >= 24 && y < 40) 0x000000
+      else { val v = x * 4; (v << 16) | (v << 8) | v })
+    val rescaled = Multimodal.resizeImage(grad, 32, 32).get
+    val inverse = pngOf(64, 64)((x, y) =>
+      if (y >= 24 && y < 40) 0xffffff
+      else { val v = 255 - x * 4; (v << 16) | (v << 8) | v })
+
+    val (a1, a2, a3) = (Multimodal.aHash(grad).get,
+      Multimodal.aHash(rescaled).get, Multimodal.aHash(inverse).get)
+    assert(Multimodal.aHash(grad).get == a1) // deterministic
+    assert(java.lang.Long.bitCount(a1 ^ a2) <= 6,
+      s"rescaled copy drifted ${java.lang.Long.bitCount(a1 ^ a2)} bits")
+    assert(java.lang.Long.bitCount(a1 ^ a3) >= 20,
+      s"inverse image unexpectedly close: ${java.lang.Long.bitCount(a1 ^ a3)}")
+
+    val (d1, d2) = (Multimodal.dHash(grad).get, Multimodal.dHash(rescaled).get)
+    assert(java.lang.Long.bitCount(d1 ^ d2) <= 6)
+    // non-image payloads yield no hash
+    assert(Multimodal.aHash("text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.dHash("text".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("perceptualHashes + hammingNearDupPairs find the visual near-dup pair") {
+    val grad = pngOf(64, 64)((x, y) =>
+      if (y >= 24 && y < 40) 0x000000
+      else { val v = x * 4; (v << 16) | (v << 8) | v })
+    val rescaled = Multimodal.resizeImage(grad, 32, 32).get
+    val inverse = pngOf(64, 64)((x, y) =>
+      if (y >= 24 && y < 40) 0xffffff
+      else { val v = 255 - x * 4; (v << 16) | (v << 8) | v })
+    val media = Seq((1L, grad), (2L, rescaled), (3L, inverse),
+      (4L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "bytes")
+    val hashes = Multimodal.perceptualHashes(media)
+    assert(hashes.where(col("a_hash").isNull).select("doc_id")
+      .as[Long].collect().toSeq == Seq(4L))
+    val pairs = NearDup.hammingNearDupPairs(
+      hashes.where(col("a_hash").isNotNull), "doc_id", "a_hash",
+      bands = 4, bandBits = 16, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
+  test("hammingNearDupPairs: pigeonhole recall, threshold cut, bucket cap, multi-band dedup") {
+    val rows = Seq(
+      10L -> 0x0F0F0F0F0F0FL,       // base
+      11L -> 0x0F0F0F0F0F0EL,       // distance 1 from base
+      12L -> 0x0F0F0F0F0F00L,       // distance 4 from 10, 3 from 11
+      20L -> 0x111111111111L).toDF("id", "h")
+    val got = NearDup.hammingNearDupPairs(rows, "id", "h",
+      bands = 4, bandBits = 12, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // (10,11) collide in THREE bands but appear once, at distance 1;
+    // (10,12) at distance 4 is cut by the verify; (11,12) survives at 3;
+    // 20 pairs with nothing
+    assert(got == Set((10L, 11L, 1L), (11L, 12L, 3L)))
+    // cap: four identical hashes -> every band bucket holds 4 > maxBucket
+    val hot = Seq(1L, 2L, 3L, 4L).map(_ -> 0xABCL).toDF("id", "h")
+    val capped = NearDup.hammingNearDupPairs(hot, "id", "h",
+      bands = 4, bandBits = 12, maxDist = 3, maxBucket = 3)
+    assert(capped.count() == 0)
+    // invalid parameters fail loudly
+    intercept[IllegalArgumentException] {
+      NearDup.hammingNearDupPairs(rows, "id", "h",
+        bands = 4, bandBits = 12, maxDist = 4)
+    }
+  }
 }
