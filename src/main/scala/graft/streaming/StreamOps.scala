@@ -120,6 +120,29 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(idCol)
   }
 
+  /** Stream-stream interval join — the attribution shape (click within
+    * `window` after its impression). Both sides are watermarked and the
+    * join condition carries an explicit event-time interval, which is
+    * what lets the engine EVICT state: an unbounded-time stream-stream
+    * join would buffer both streams forever. State per side is
+    * O(events within watermark + interval horizon).
+    *
+    * `left`/`right` must already carry event-time columns `leftTs` /
+    * `rightTs`; the join matches `leftKey = rightKey AND rightTs in
+    * [leftTs, leftTs + window]`.
+    */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      window: String = "10 minutes",
+      lateness: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $window"))
+  }
+
   /** Stateful sessionization: 30-min inactivity gap, state = the open
     * session per user. Emits a session row whenever it is extended or
     * closed; `closed = true` rows are final (append-style consumers keep

@@ -164,6 +164,37 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(flagged == Seq(1L, 3L)) // one alert per doc, clean doc absent
   }
 
+  test("stream-stream interval join attributes clicks to impressions within the window") {
+    val dirL = Files.createTempDirectory("imp-in").toString
+    val dirR = Files.createTempDirectory("clk-in").toString
+    // impressions: ad 1 at t=0, ad 2 at t=0
+    Seq((1L, us(0)), (2L, us(0)))
+      .toDF("ad_id", "imp_us").coalesce(1).write.parquet(s"$dirL/b1")
+    // clicks: ad 1 at t=5 (inside 10-min window), ad 2 at t=30 (outside),
+    // ad 3 at t=5 (no impression)
+    Seq((1L, us(5)), (2L, us(30)), (3L, us(5)))
+      .toDF("click_ad", "clk_us").coalesce(1).write.parquet(s"$dirR/b1")
+
+    val imps = spark.readStream
+      .schema("ad_id LONG, imp_us LONG").parquet(s"$dirL/*")
+      .withColumn("imp_ts", timestamp_micros(col("imp_us")))
+    val clicks = spark.readStream
+      .schema("click_ad LONG, clk_us LONG").parquet(s"$dirR/*")
+      .withColumn("clk_ts", timestamp_micros(col("clk_us")))
+
+    val q = StreamOps.intervalJoinStreams(imps, clicks,
+      "ad_id", "click_ad", "imp_ts", "clk_ts", window = "10 minutes")
+      .select("ad_id", "imp_us", "clk_us")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attributed").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.sql("select ad_id, clk_us from attributed").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, us(5))))
+  }
+
   test("watermarked hourly aggregation matches the batch grouping") {
     val in = Files.createTempDirectory("stream-agg").toString
     writeBatch(in, batch1 ++ batch2, "all")
