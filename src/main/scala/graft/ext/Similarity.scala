@@ -256,6 +256,14 @@ object Similarity {
     * production scale that cell's centroid needs splitting, which is a
     * training concern, not a dedup-pass concern.
     *
+    * The assignment subtree is consumed four times (keep-side count,
+    * both self-join sides, the survivor anti-join) but its argmax
+    * aggregation always requires the same hashpartitioning(vec_id), so
+    * ReuseExchange collapses the four copies onto ONE map-side
+    * crossJoin + partial-agg execution (verified: 3 ReusedExchange
+    * nodes in the final adaptive plan) — only the cheap reduce-side
+    * final agg re-runs per consumer.
+    *
     * Returns the surviving (vec_id, cell) rows.
     */
   def semDedup(p: DataFrame, centroids: DataFrame, minCos: Double,

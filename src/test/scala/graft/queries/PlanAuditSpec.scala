@@ -18,9 +18,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
 
   // broadcast-crossJoin by design: brute-force top-k and IVF centroid
   // assignment (broadcast queries / centroids against the corpus);
-  // q_kmeans runs ivfAssign per Lloyd round
+  // q_kmeans runs ivfAssign per Lloyd round, q_semdedup once
   private val bnljAllowed = Set(
-    "q_cosine_topk", "q_ann_ivf", "q_ann_ivf_mp", "q_kmeans")
+    "q_cosine_topk", "q_ann_ivf", "q_ann_ivf_mp", "q_kmeans", "q_semdedup")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !name.startsWith("q_wat")) {

@@ -36,7 +36,19 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     "q_chunk" -> 1,              // generate + per-row projections; orderBy only
     "q_pack" -> 2,               // lang window + final order
     "q_url_parse" -> 1,          // pure per-row parsing; orderBy only
-    "q_lang_quota" -> 2          // window (with WindowGroupLimit pushdown) + order
+    "q_lang_quota" -> 2,         // window (with WindowGroupLimit pushdown) + order
+    "q_gopher_gate" -> 1,        // pure per-row rule gate; orderBy only
+    "q_url_canon" -> 2,          // canonical-key window + final order
+    "q_para_dedup" -> 3,         // md5(para) window + per-doc rebuild + order
+    "q_phash_neardup" -> 4,      // band-bucket agg/join + pair distinct + order
+    // 11 Exchange NODES, but the expensive assignment exchange is
+    // written once and ReusedExchange-d by all four consumers — see
+    // Similarity.semDedup scaladoc
+    "q_semdedup" -> 11,
+    "q_neardup_cluster" -> 1,    // converged label frame read from cache + order
+    "q_cluster_dedup" -> 3,      // loser set build + anti join + order
+    "q_bloom_decontam" -> 8,     // bloom scalar subquery + exact anti-join tail
+    "q_ann_pq" -> 4              // encode min_by agg + ADC agg + topk window + order
   )
 
   for ((name, maxShuffles) <- bounds.toSeq.sortBy(_._1)) {
