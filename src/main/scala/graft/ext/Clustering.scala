@@ -42,13 +42,22 @@ object Clustering {
     * union them in if needed, see [[clusterDedup]]).
     *
     * Each round's label frame is re-rooted at its cached RDD
-    * (`createDataFrame(rdd, schema)`): `labels` is referenced three
-    * times per round (union, neighbor join, convergence join), so
-    * persist alone — which caches data but leaves the logical plan
-    * intact — would triple the plan per round and go exponential in
-    * analysis cost. Re-rooting truncates the plan to a leaf, the
-    * standard shape for iterative Spark algorithms. The RETURNED frame
-    * stays backed by its cached RDD for the caller's action(s).
+    * (`createDataFrame(rdd, schema)`): `labels` is referenced twice per
+    * round (own-label union, neighbor join), so persist alone — which
+    * caches data but leaves the logical plan intact — would double the
+    * plan per round and go exponential in analysis cost. Re-rooting
+    * truncates the plan to a leaf, the standard shape for iterative
+    * Spark algorithms. The RETURNED frame stays backed by its cached RDD
+    * for the caller's action(s).
+    *
+    * Convergence detection: labels only ever DECREASE (each round takes
+    * a min over a superset that includes the old label), so the exact
+    * label sum strictly decreases until the fixpoint and is equal iff no
+    * label moved. Comparing sums costs one map-side-combinable aggregate
+    * on the frame the round must materialize anyway — where a
+    * changed-row check would add a whole extra join against the previous
+    * round's labels. decimal(38,0) keeps the sum exact (id sums overflow
+    * a long at corpus scale).
     */
   def connectedComponents(pairs: DataFrame, d1: String = "d1",
       d2: String = "d2", maxIters: Int = 25): DataFrame = {
@@ -69,6 +78,11 @@ object Clustering {
         .distinct()
         .withColumn("label", col("node")))
 
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
+        .head().getDecimal(0)
+
+    var prevSum = labelSum(labels) // also materializes the seed cache
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
@@ -79,16 +93,14 @@ object Clustering {
       val (next, nextRdd) = rooted(
         labels.union(fromNeighbors)
           .groupBy("node").agg(min("label").as("label")))
-      // labels only ever decrease, so "no row decreased" == fixpoint;
-      // this count is also the action that materializes `next`'s cache
-      val changed = next
-        .join(labels.withColumnRenamed("label", "prev"), "node")
-        .where(col("label") < col("prev"))
-        .count()
+      // this aggregate is also the action that materializes `next`'s
+      // cache; equal sums == fixpoint (labels only ever decrease)
+      val nextSum = labelSum(next)
       labelsRdd.unpersist()
       labels = next
       labelsRdd = nextRdd
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iters += 1
     }
     edges.unpersist()
