@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Dataset-assembly operators — the last mile between a curated corpus
+  * and a training run: deterministic split assignment, source-weighted
+  * mixing, and per-document top terms.
+  *
+  * Everything is per-row arithmetic over the shared cross-engine h32
+  * hash (no RNG state): the same document lands in the same split/
+  * replica set on every run, every engine, every partitioning — the
+  * property that makes a 100 TB materialization resumable and
+  * auditable.
+  */
+object Assembly {
+
+  /** Deterministic split assignment from cumulative percentage cuts:
+    * `cuts = Seq("train" -> 90, "val" -> 95)` sends h32-percentiles
+    * [0,90) to train, [90,95) to val, the rest to `last`. Pure per-row
+    * expression; at scale this is a free column on the write path
+    * (partitionBy("split") gives physically separated outputs).
+    */
+  def splitColumn(key: Column, salt: String,
+      cuts: Seq[(String, Int)], last: String): Column = {
+    require(cuts.nonEmpty && cuts.map(_._2) == cuts.map(_._2).sorted,
+      "cuts must be ascending cumulative percentages")
+    val pct = Hashing.h32(concat(lit(salt + "|"), key.cast("string"))) % 100
+    cuts.foldRight(lit(last): Column) { case ((name, cut), rest) =>
+      when(pct < cut, name).otherwise(rest)
+    }
+  }
+
+  /** Source-weighted replication for training-mix assembly: weight
+    * 2500 (milli-units = 2.5x) emits 2 whole replicas of every row plus
+    * a third for the deterministic half of rows whose fractional hash
+    * lands under .5. Weight 0 drops the source. One generator, no
+    * shuffle — the canonical "upsample Wikipedia 3x, downsample CC to
+    * 0.1x" mix step, reproducible across runs and engines.
+    *
+    * Output: the input row repeated with `replica` = 0..k-1.
+    */
+  def weightedReplicas(df: DataFrame, keyCol: String, weightMillis: Column,
+      salt: String = "mix"): DataFrame = {
+    val whole = (weightMillis / 1000L).cast("long")
+    val fracMillis = weightMillis % 1000L
+    val extra = when(
+      Hashing.h32(concat(lit(salt + "|"), col(keyCol).cast("string")))
+        % 1000 < fracMillis, 1L).otherwise(0L)
+    val k = (whole + extra).cast("int")
+    df.withColumn("_k", k)
+      .where(col("_k") > 0)
+      .withColumn("replica",
+        explode(transform(sequence(lit(0), col("_k") - 1),
+          i => i.cast("long"))))
+      .drop("_k")
+  }
+
+  /** Per-document top-k terms ranked by an ALL-INTEGER tf-idf ordering:
+    * term frequency DESC (more of the document), document frequency ASC
+    * (rarer in the corpus), token ASC (total tie-break). Integer ranking
+    * carries the same signal as tf·log(N/df) without cross-engine float
+    * risk. One (doc, token) aggregation, document frequency as a window
+    * over the SAME rows (exchange on token), one per-doc rank window.
+    */
+  def topTerms(docs: DataFrame, idCol: String, tokens: Column,
+      k: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(tokens).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("token")))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    withDf
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col(idCol), col("rk"), col("token"), col("tf"), col("df"))
+  }
+}

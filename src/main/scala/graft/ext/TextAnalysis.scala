@@ -122,6 +122,18 @@ object TextAnalysis {
           greatest(acc.getField("best"), run).as("best"))
       }).getField("best")
 
+  /** Canonical text normalization — the cheap pass every corpus takes
+    * before hashing/dedup so cosmetic variants collapse: lowercase,
+    * control characters (tabs/newlines/DEL) to spaces, space runs
+    * collapsed, ends trimmed. Pure codegen'd string expressions; the
+    * character class is hex-escaped so Java regex and RE2 (the DuckDB
+    * oracle) read it identically.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[\\x00-\\x1F\\x7F]", " "),
+      " +", " "))
+
   /** Total characters across tokens — exact long, the numerator of mean
     * word length (kept as a sum so thresholds cross-multiply). */
   def tokenCharsFromTokens(tks: Column): Column =

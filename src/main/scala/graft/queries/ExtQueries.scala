@@ -301,6 +301,57 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Deterministic train/val/test split: h32 percentile cuts 90/95 —
+    // the same doc lands in the same split on every run/engine. Pure
+    // per-row; at scale the column drives partitionBy("split") writes.
+    "q_split" -> ((s, dir) => {
+      docsWithTokens(s, dir)
+        .select(col("doc_id"), col("lang"),
+          graft.ext.Assembly.splitColumn(col("doc_id"), "sp",
+            Seq("train" -> 90, "val" -> 95), "test").as("split"))
+        .orderBy("doc_id")
+    }),
+
+    // Source-weighted mix assembly: per-source milli-weights (2.5x /
+    // 0.5x / 1x by source index mod 3) expand to whole replicas plus a
+    // deterministic hash-fraction replica — the upsample/downsample
+    // step that assembles a training mix. One generator, no shuffle.
+    "q_mix" -> ((s, dir) => {
+      val idx = regexp_extract(col("source"), "src([0-9]+)", 1).cast("int")
+      val wm = when(idx % 3 === 0, 2500L)
+        .when(idx % 3 === 1, 500L)
+        .otherwise(1000L)
+      graft.ext.Assembly.weightedReplicas(
+        docsWithTokens(s, dir).select(col("doc_id"), col("source"), wm.as("wm")),
+        "doc_id", col("wm"))
+        .select(col("doc_id"), col("source"), col("replica"))
+        .orderBy("doc_id", "replica")
+    }),
+
+    // Text normalization: deterministic noise (leading/trailing spaces,
+    // uppercase, a tab) injected identically on both engines, then the
+    // canonical lowercase/control-strip/space-collapse/trim pass; md5
+    // pins exact output.
+    "q_normalize" -> ((s, dir) => {
+      val noisy = concat(lit("  "), upper(col("text")), lit("\t"),
+        lit("END  "))
+      docsWithTokens(s, dir)
+        .select(col("doc_id"), TA.normalizeText(noisy).as("norm"))
+        .select(col("doc_id"), md5(col("norm")).as("norm_md5"),
+          length(col("norm")).cast("long").as("n_chars_norm"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-document top-3 terms by all-integer tf-idf ordering (tf DESC,
+    // corpus df ASC, token ASC) — same signal as tf*log(N/df) without
+    // cross-engine float risk. df rides the tf rows as a window over
+    // token (one exchange), then one per-doc rank window.
+    "q_topterms" -> ((s, dir) => {
+      graft.ext.Assembly.topTerms(docsWithTokens(s, dir), "doc_id",
+        TA.tokens(col("text")), k = 3)
+        .orderBy("doc_id", "rk")
+    }),
+
     // Semantic dedup (SemDeDup): nearest-centroid cells (sampled
     // centroids, the IVF idiom) confine the pairwise cosine check; any
     // vector with cosine >= 0.35 to a lower-id cell-mate drops
@@ -816,6 +867,39 @@ object ExtQueries {
        |  FROM sk a JOIN sk b ON a.sig = b.sig AND a.vec_id < b.vec_id)
        |SELECT d1, d2, cos FROM pairs WHERE cos >= 0.25 ORDER BY d1, d2""".stripMargin
   }
+
+  // Mirrors Assembly.weightedReplicas: same milli-weight CASE, same
+  // whole//1000 + hash-fraction extra, same 0..k-1 replica unnest.
+  private def mixOracle: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, source,
+       |    CASE (regexp_extract(source, 'src([0-9]+)', 1))::INT % 3
+       |      WHEN 0 THEN 2500 WHEN 1 THEN 500 ELSE 1000 END AS wm
+       |  FROM documents),
+       |k AS (
+       |  SELECT doc_id, source,
+       |    (wm // 1000) + (CASE WHEN
+       |      ${Hashing.h32Sql("'mix|' || doc_id::VARCHAR")} % 1000 < wm % 1000
+       |      THEN 1 ELSE 0 END) AS k
+       |  FROM w)
+       |SELECT doc_id, source, unnest(range(k))::BIGINT AS replica
+       |FROM k WHERE k > 0 ORDER BY doc_id, replica""".stripMargin
+
+  // Mirrors Assembly.topTerms: identical integer ordering (tf DESC,
+  // df ASC, token ASC).
+  private def topTermsOracle: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, token, count(*)::BIGINT AS tf FROM (
+       |    SELECT doc_id, unnest($tokensSql) AS token FROM documents)
+       |  GROUP BY doc_id, token),
+       |wd AS (
+       |  SELECT *, count(*) OVER (PARTITION BY token)::BIGINT AS df
+       |  FROM tf),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY tf DESC, df ASC, token ASC) AS rk FROM wd)
+       |SELECT doc_id, rk::BIGINT AS rk, token, tf, df FROM r
+       |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
   // Mirrors hammingNearDupPairs + the planted signature construction:
   // same h32 base, same CASE noise, same 12-bit banding (arithmetic >>
@@ -1410,6 +1494,26 @@ object ExtQueries {
     "q_kmeans" -> kmeansOracle,
     "q_semdedup" -> semDedupOracle,
     "q_phash_neardup" -> phashNearDupOracle,
+    "q_mix" -> mixOracle,
+    "q_topterms" -> topTermsOracle,
+
+    "q_split" ->
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN ${Hashing.h32Sql("'sp|' || doc_id::VARCHAR")} % 100 < 90
+         |    THEN 'train'
+         |  WHEN ${Hashing.h32Sql("'sp|' || doc_id::VARCHAR")} % 100 < 95
+         |    THEN 'val'
+         |  ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_normalize" ->
+      s"""SELECT doc_id, md5(norm) AS norm_md5,
+         |  length(norm)::BIGINT AS n_chars_norm FROM (
+         |  SELECT doc_id, trim(regexp_replace(regexp_replace(
+         |    lower('  ' || upper(text) || chr(9) || 'END  '),
+         |    '[\\x00-\\x1F\\x7F]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
     "q_para_dedup" -> paraDedupOracle,
     "q_gopher_gate" -> gopherGateOracle,
     "q_url_canon" -> urlCanonOracle,

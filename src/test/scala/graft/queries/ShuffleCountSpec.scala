@@ -48,7 +48,11 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     "q_neardup_cluster" -> 1,    // converged label frame read from cache + order
     "q_cluster_dedup" -> 3,      // loser set build + anti join + order
     "q_bloom_decontam" -> 8,     // bloom scalar subquery + exact anti-join tail
-    "q_ann_pq" -> 4              // encode min_by agg + ADC agg + topk window + order
+    "q_ann_pq" -> 4,             // encode min_by agg + ADC agg + topk window + order
+    "q_split" -> 1,              // pure per-row split hash; orderBy only
+    "q_mix" -> 1,                // per-row replica generator; orderBy only
+    "q_normalize" -> 1,          // per-row string pass; orderBy only
+    "q_topterms" -> 4            // tf agg + token-df window + doc rank window + order
   )
 
   for ((name, maxShuffles) <- bounds.toSeq.sortBy(_._1)) {
