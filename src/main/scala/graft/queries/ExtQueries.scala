@@ -964,9 +964,12 @@ object ExtQueries {
   // same md5 paragraph key, first occurrence at global (doc_id, pos)
   // order, documents reassembled in position order. Zero-token docs
   // can't occur with the FILTERed unnest — resurrected via left join.
-  private def paraDedupOracle: String =
-    s"""WITH tk AS (
-       |  SELECT doc_id, $tokensSql AS tks FROM documents),
+  // `src` parameterizes the input relation so the composed pipeline
+  // oracle (q_assembly) can run the identical CTE chain over its gated
+  // subset.
+  private def paraDedupSql(src: String): String =
+    s"""tk AS (
+       |  SELECT doc_id, $tokensSql AS tks FROM $src),
        |seg AS (
        |  SELECT doc_id, unnest(range(0, (len(tks) + 11) // 12)) AS i, tks
        |  FROM tk),
@@ -985,7 +988,10 @@ object ExtQueries {
        |    md5(coalesce(array_to_string(
        |      list(para ORDER BY pos) FILTER (WHERE rn = 1), ' '), ''))
        |      AS clean_md5
-       |  FROM flagged GROUP BY doc_id)
+       |  FROM flagged GROUP BY doc_id)""".stripMargin
+
+  private def paraDedupOracle: String =
+    s"""WITH ${paraDedupSql("documents")}
        |SELECT t.doc_id, coalesce(a.n_paras, 0)::BIGINT AS n_paras,
        |  coalesce(a.n_kept, 0)::BIGINT AS n_kept,
        |  coalesce(a.clean_md5, md5('')) AS clean_md5
