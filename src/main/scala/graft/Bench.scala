@@ -74,13 +74,23 @@ object Bench {
           None
         }
       }
-      name -> (if (times.isEmpty) 0.0 else times.min)
+      (name, times)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // headline per query = min over passes (a transient contention spike
+    // lands on one pass, the min is steady-state); every pass time is
+    // ALSO emitted so a reader can separate contention (pass variance)
+    // from plan regression (all passes slow). A query with zero
+    // successful passes reports null, never 0.0 — a 0.0 would read as a
+    // huge speedup to a baseline comparator instead of a failure.
+    val qs = results.map { case (k, ts) =>
+      "\"" + k + "\":" + (if (ts.isEmpty) "null" else ts.min.toString)
+    }.mkString("{", ",", "}")
+    val passJson = results.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val total = results.flatMap { case (_, ts) => ts.minOption }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

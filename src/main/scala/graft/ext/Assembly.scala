@@ -26,8 +26,13 @@ object Assembly {
     */
   def splitColumn(key: Column, salt: String,
       cuts: Seq[(String, Int)], last: String): Column = {
-    require(cuts.nonEmpty && cuts.map(_._2) == cuts.map(_._2).sorted,
-      "cuts must be ascending cumulative percentages")
+    // strictly increasing and inside (0,100): duplicate cuts would make a
+    // split name unreachable, and a cut >= 100 would silently starve
+    // every later split and `last`
+    require(cuts.nonEmpty &&
+      cuts.map(_._2).sliding(2).forall(s => s.size < 2 || s(0) < s(1)) &&
+      cuts.forall { case (_, c) => c > 0 && c < 100 },
+      "cuts must be strictly increasing cumulative percentages in (0,100)")
     val pct = Hashing.h32(concat(lit(salt + "|"), key.cast("string"))) % 100
     cuts.foldRight(lit(last): Column) { case ((name, cut), rest) =>
       when(pct < cut, name).otherwise(rest)
@@ -63,8 +68,17 @@ object Assembly {
     * term frequency DESC (more of the document), document frequency ASC
     * (rarer in the corpus), token ASC (total tie-break). Integer ranking
     * carries the same signal as tf·log(N/df) without cross-engine float
-    * risk. One (doc, token) aggregation, document frequency as a window
-    * over the SAME rows (exchange on token), one per-doc rank window.
+    * risk.
+    *
+    * Shape: one (doc, token) aggregation, document frequency as a
+    * COMBINABLE `groupBy(token).count()` joined back onto the tf rows,
+    * one per-doc rank window (bounded by document vocabulary). The df
+    * side MUST NOT be a `count over Window.partitionBy(token)`: a
+    * stopword's group is corpus-document-count-sized and a window has no
+    * map-side partial — at 100 TB that is a single-task sort over ~every
+    * document. The groupBy collapses the hot token in map-side partials;
+    * the join-back on token is AQE-skew-splittable (the df side is one
+    * row per token, so replicating it across split partitions is free).
     */
   def topTerms(docs: DataFrame, idCol: String, tokens: Column,
       k: Int): DataFrame = {
@@ -72,8 +86,8 @@ object Assembly {
       .select(col(idCol), explode(tokens).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val withDf = tf.withColumn("df",
-      count(lit(1)).over(Window.partitionBy("token")))
+    val dfCounts = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val withDf = tf.join(dfCounts, "token")
     val w = Window.partitionBy(idCol)
       .orderBy(col("tf").desc, col("df").asc, col("token").asc)
     withDf

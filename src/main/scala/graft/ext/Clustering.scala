@@ -78,8 +78,11 @@ object Clustering {
         .distinct()
         .withColumn("label", col("node")))
 
+    // coalesce: sum over ZERO rows is null — an empty pair set (a clean
+    // corpus) must converge on round 1 with sum 0, not NPE in compareTo
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("s"))
         .head().getDecimal(0)
 
     var prevSum = labelSum(labels) // also materializes the seed cache

@@ -254,7 +254,11 @@ object Similarity {
     * keep-side count shuffle on the same `cell` key: one exchange,
     * reused. Vectors in capped-out cells survive unexamined — at
     * production scale that cell's centroid needs splitting, which is a
-    * training concern, not a dedup-pass concern.
+    * training concern, not a dedup-pass concern. That blind spot is
+    * MEASURABLE: [[semDedupAudited]] also returns the capped-cell audit
+    * frame (how many cells blew the cap, how many vectors went
+    * unexamined) so a 100 TB run sees the number instead of trusting
+    * the scaladoc.
     *
     * The assignment subtree is consumed four times (keep-side count,
     * both self-join sides, the survivor anti-join) but its argmax
@@ -267,10 +271,30 @@ object Similarity {
     * Returns the surviving (vec_id, cell) rows.
     */
   def semDedup(p: DataFrame, centroids: DataFrame, minCos: Double,
-      maxCell: Int = 10000): DataFrame = {
+      maxCell: Int = 10000): DataFrame =
+    semDedupAudited(p, centroids, minCos, maxCell)._1
+
+  /** [[semDedup]] plus its blind-spot audit: the second frame is ONE row
+    * `(n_capped_cells, n_unexamined_vectors)` — cells whose population
+    * exceeded `maxCell` and therefore generated no candidate pairs, and
+    * the vectors inside them that survived UNEXAMINED. Production runs
+    * should alert when the unexamined count is material (the fix is
+    * retraining/splitting those centroids, not raising the cap into
+    * quadratic pair generation). The audit rides the same cell-count
+    * aggregate the survivor path already plans (ReuseExchange collapses
+    * the scan), and costs nothing unless actually executed.
+    */
+  def semDedupAudited(p: DataFrame, centroids: DataFrame, minCos: Double,
+      maxCell: Int = 10000): (DataFrame, DataFrame) = {
     val assigned = ivfAssign(p, centroids)
-    val keep = assigned.groupBy("cell")
+    val cellSizes = assigned.groupBy("cell")
       .agg(count(lit(1)).as("cell_size"))
+    val capped = cellSizes.where(col("cell_size") > maxCell)
+      .agg(
+        count(lit(1)).as("n_capped_cells"),
+        // sum over zero rows is null, not 0 — a clean run must say "0"
+        coalesce(sum(col("cell_size")), lit(0L)).as("n_unexamined_vectors"))
+    val keep = cellSizes
       .where(col("cell_size").between(2, maxCell))
       .select("cell")
     val bounded = assigned.join(keep, "cell")
@@ -285,8 +309,9 @@ object Similarity {
       .where(col("cos") >= minCos)
       .select(col("d2").as("vec_id"))
       .distinct()
-    assigned.join(losers, Seq("vec_id"), "left_anti")
+    val survivors = assigned.join(losers, Seq("vec_id"), "left_anti")
       .select("vec_id", "cell")
+    (survivors, capped)
   }
 
   // --- product quantization (PQ) ---

@@ -38,6 +38,28 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Hot-key-safe deterministic first-per-key: same survivor as
+    * [[firstPerKey]] (the row minimizing `tieBreak` within each key
+    * group — `tieBreak` must be a total order within a key for the
+    * result to be deterministic), but via a COMBINABLE
+    * `min_by(row, tieBreak)` aggregation instead of a `row_number`
+    * window. The difference at scale: a window has no map-side partial,
+    * so a degenerate hot key (one uid carrying 10^8 rows — empty-alt
+    * hashes, boilerplate signatures) lands its whole group in ONE
+    * window partition as a single-task sort. `min_by` reduces each map
+    * task's slice of the hot key to one candidate row before the
+    * exchange, so the reducer sees O(tasks) rows per key, not O(rows).
+    * Use this for keys with unbounded duplication (dedup-by-content
+    * signatures); [[firstPerKey]] remains fine for bounded groups.
+    */
+  def firstPerKeyAgg(df: DataFrame, keys: Seq[Column],
+      tieBreak: Seq[Column]): DataFrame = {
+    val rowStruct = struct(df.columns.map(col): _*)
+    df.groupBy(keys: _*)
+      .agg(min_by(rowStruct, struct(tieBreak: _*)).as("__row"))
+      .select(col("__row.*"))
+  }
+
   /** Skew-resistant two-phase dedup: phase 1 dedups on (key, salt) —
     * spreading a hot key over `saltBuckets` reducers — phase 2 collapses
     * the ≤saltBuckets survivors per key. Same arbitrary-survivor

@@ -257,8 +257,10 @@ object ExtQueries {
         .select(col("doc_id"),
           concat_ws("_", NearDup.minhashSignature(hs, numHashes = 8): _*)
             .as("sig"))
-      val w = Window.partitionBy("sig").orderBy("doc_id")
-      d.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      // hot-key-safe survivor pick: a boilerplate signature shared by
+      // 10^8 docs collapses in map-side min_by partials instead of
+      // single-partition row_number sorting (Dedup.firstPerKeyAgg)
+      graft.ops.Dedup.firstPerKeyAgg(d, Seq(col("sig")), Seq(col("doc_id")))
         .select(col("doc_id"), col("sig"))
         .orderBy("doc_id")
     }),
@@ -870,10 +872,14 @@ object ExtQueries {
 
   // Mirrors Assembly.weightedReplicas: same milli-weight CASE, same
   // whole//1000 + hash-fraction extra, same 0..k-1 replica unnest.
+  // try_cast, not ::INT: a source not matching 'src[0-9]+' extracts ''
+  // — Spark's cast null-coalesces into the ELSE branch while ''::INT
+  // would ERROR in DuckDB; try_cast gives NULL % 3 = NULL → ELSE, the
+  // same branch Spark takes.
   private def mixOracle: String =
     s"""WITH w AS (
        |  SELECT doc_id, source,
-       |    CASE (regexp_extract(source, 'src([0-9]+)', 1))::INT % 3
+       |    CASE try_cast(regexp_extract(source, 'src([0-9]+)', 1) AS INT) % 3
        |      WHEN 0 THEN 2500 WHEN 1 THEN 500 ELSE 1000 END AS wm
        |  FROM documents),
        |k AS (

@@ -137,10 +137,13 @@ object StreamOps {
       lateness: String = "30 minutes"): DataFrame = {
     val l = left.withWatermark(leftTs, lateness)
     val r = right.withWatermark(rightTs, lateness)
+    // resolve each column against its own side: bare col(...) would be
+    // ambiguous (or silently self-referencing) whenever the two streams
+    // share a key or timestamp column name
     l.join(r,
-      col(leftKey) === col(rightKey) &&
-        col(rightTs) >= col(leftTs) &&
-        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $window"))
+      l(leftKey) === r(rightKey) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $window"))
   }
 
   /** Stateful sessionization: 30-min inactivity gap, state = the open

@@ -68,6 +68,31 @@ class AssemblySpec extends AnyFunSuite with SparkTestBase {
       (3L, 1L, "z", 1L, 1L), (3L, 2L, "common", 1L, 3L)))
   }
 
+  test("splitColumn rejects duplicate and out-of-range cuts") {
+    // duplicate cut -> 'b' unreachable
+    intercept[IllegalArgumentException] {
+      Assembly.splitColumn(col("id"), "sp", Seq("a" -> 90, "b" -> 90), "c")
+    }
+    // 0 never matches (pct >= 0 is the floor)
+    intercept[IllegalArgumentException] {
+      Assembly.splitColumn(col("id"), "sp", Seq("a" -> 0), "c")
+    }
+    // 100 starves `last` entirely
+    intercept[IllegalArgumentException] {
+      Assembly.splitColumn(col("id"), "sp", Seq("a" -> 100), "c")
+    }
+  }
+
+  test("topTerms df is combinable aggregation; only the per-doc rank window remains") {
+    val docs = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val plan = Assembly.topTerms(docs, "doc_id", split(col("text"), " "), 2)
+      .queryExecution.executedPlan.toString
+    assert("Window \\[".r.findAllIn(plan).size === 1,
+      s"expected exactly one window (the per-doc rank):\n${plan.take(2000)}")
+    assert(plan.contains("partial_count"),
+      "token document frequency should plan a map-side partial count")
+  }
+
   test("normalizeText lowercases, strips controls, collapses spaces, trims") {
     val got = Seq("  Hello\tWORLD   x\n\n ", "ok").toDF("t")
       .select(TextAnalysis.normalizeText(col("t")).as("n"))

@@ -49,6 +49,17 @@ class ClusteringSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Set(1L, 3L, 5L))
   }
 
+  test("empty pair set converges cleanly: no clusters, clusterDedup keeps every doc") {
+    // a clean corpus produces ZERO near-dup pairs — the label sum must
+    // coalesce to 0 (sum over no rows is null) instead of NPE-ing
+    val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(Clustering.connectedComponents(empty).count() === 0L)
+    val docs = (1L to 4L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val kept = Clustering.clusterDedup(docs, empty, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == (1L to 4L).toSet)
+  }
+
   test("cluster query and oracle stay releasable: no storage pinned after collect") {
     // earlier tests (and other suites on the shared session) may still
     // hold GC-pending cached RDDs, so assert the DELTA of this one call:

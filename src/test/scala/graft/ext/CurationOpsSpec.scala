@@ -91,6 +91,45 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
       (3L, 0L, 0L, "")))
   }
 
+  test("a hot paragraph planted in EVERY document keeps exactly its first occurrence") {
+    // the distribution this operator exists for: one boilerplate block
+    // repeated across the whole corpus — previously a single-partition
+    // row_number sort over the entire hot group
+    val got = paraDedup((1L to 200L).map(i =>
+      i -> Seq("cookie banner", s"unique $i")))
+    assert(got.length === 200)
+    assert(got.count(_._4.contains("cookie banner")) === 1)
+    assert(got.head === ((1L, 2L, 2L, "cookie banner\nunique 1")))
+    assert(got.tail.forall { case (id, np, nk, t) =>
+      np == 2L && nk == 1L && t == s"unique $id" })
+  }
+
+  test("dedupParagraphs survivor pick is a combinable aggregation, not a hot-key window") {
+    val plan = Paragraphs.dedupParagraphs(
+      Seq(1L -> Seq("a")).toDF("doc_id", "paras"), "doc_id", col("paras"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("row_number"),
+      "hot-key row_number window crept back into dedupParagraphs")
+    assert(plan.contains("partial_min"),
+      s"expected a map-side partial min on ph:\n${plan.take(2000)}")
+  }
+
+  test("semDedupAudited counts capped-out cells and their unexamined vectors") {
+    val corpus = prep((0L to 5L).map(i => i -> Seq(1f, 0.001f * i)) :+
+      (10L -> Seq(0f, 1f)))
+    val cents = prep(Seq(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f)))
+    // cell 0 holds 6 vectors, cap 5 -> capped out; cell 1 is a singleton
+    val (kept, audit) = Similarity.semDedupAudited(corpus, cents,
+      minCos = 0.5, maxCell = 5)
+    assert(kept.count() === 7L) // everything survives UNEXAMINED
+    val a = audit.head()
+    assert(a.getLong(0) === 1L && a.getLong(1) === 6L)
+    // uncapped run: the audit must say 0/0, not null
+    val (_, clean) = Similarity.semDedupAudited(corpus, cents, minCos = 0.5)
+    val c = clean.head()
+    assert(c.getLong(0) === 0L && c.getLong(1) === 0L)
+  }
+
   // --- URL canonicalization ---
 
   private def canon(url: String): String =

@@ -28,7 +28,7 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     "q_hash_sample" -> 2,        // agg + orderBy; the filter rides the scan
     "q_window_topk" -> 2,        // one window sort shuffle + final order
     "q_window_funcs" -> 2,       // all window functions share one frame
-    "q_dedup_minhash" -> 2,      // signature window shuffle + final order
+    "q_dedup_minhash" -> 2,      // combinable min_by sig agg + final order
     // (doc,g) distinct + per-doc agg + orderBy, plus the distinct on the
     // TINY benchmark gram side; the corpus join itself is broadcast
     "q_decontam" -> 4,
@@ -39,7 +39,10 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     "q_lang_quota" -> 2,         // window (with WindowGroupLimit pushdown) + order
     "q_gopher_gate" -> 1,        // pure per-row rule gate; orderBy only
     "q_url_canon" -> 2,          // canonical-key window + final order
-    "q_para_dedup" -> 3,         // md5(para) window + per-doc rebuild + order
+    // combinable min-struct first-occurrence agg + unique-key join-back
+    // + per-doc rebuild + order (ph agg has map-side partials — the old
+    // ph row_number window was a hot-key scale hazard)
+    "q_para_dedup" -> 3,
     "q_phash_neardup" -> 4,      // band-bucket agg/join + pair distinct + order
     // 11 Exchange NODES, but the expensive assignment exchange is
     // written once and ReusedExchange-d by all four consumers — see
@@ -52,7 +55,11 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     "q_split" -> 1,              // pure per-row split hash; orderBy only
     "q_mix" -> 1,                // per-row replica generator; orderBy only
     "q_normalize" -> 1,          // per-row string pass; orderBy only
-    "q_topterms" -> 4            // tf agg + token-df window + doc rank window + order
+    // tf agg + combinable token-df agg + df join-back + doc rank window
+    // + order: one MORE exchange than the old token-df window shape, but
+    // every one is skew-safe (the window had a stopword's whole corpus
+    // group in a single partition; the join is AQE-skew-splittable)
+    "q_topterms" -> 5
   )
 
   for ((name, maxShuffles) <- bounds.toSeq.sortBy(_._1)) {

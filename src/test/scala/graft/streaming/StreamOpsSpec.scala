@@ -195,6 +195,28 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set((1L, us(5))))
   }
 
+  test("interval join resolves key/ts columns per side even when names collide") {
+    // both streams name their key `k` and timestamp `ts`: a bare
+    // col("k") === col("k") would be ambiguous (or self-referencing);
+    // the join must resolve each column against its own side
+    val dirL = Files.createTempDirectory("ij-l").toString
+    val dirR = Files.createTempDirectory("ij-r").toString
+    Seq((1L, us(0))).toDF("k", "t_us").coalesce(1).write.parquet(s"$dirL/b1")
+    Seq((1L, us(5)), (1L, us(30))).toDF("k", "t_us")
+      .coalesce(1).write.parquet(s"$dirR/b1")
+    def rd(dir: String) = spark.readStream
+      .schema("k LONG, t_us LONG").parquet(s"$dir/*")
+      .withColumn("ts", timestamp_micros(col("t_us")))
+    val joined = StreamOps.intervalJoinStreams(rd(dirL), rd(dirR),
+      "k", "k", "ts", "ts", window = "10 minutes")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ij_collide").start()
+    q.processAllAvailable()
+    q.stop()
+    // only the t=5 right row lands inside the 10-minute interval
+    assert(spark.sql("select * from ij_collide").count() === 1L)
+  }
+
   test("watermarked hourly aggregation matches the batch grouping") {
     val in = Files.createTempDirectory("stream-agg").toString
     writeBatch(in, batch1 ++ batch2, "all")

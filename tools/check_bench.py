@@ -40,6 +40,9 @@ def main() -> int:
 
     regressions, improved, new = [], 0, []
     for name, sec in sorted(bench["queries"].items()):
+        if sec is None:
+            # failed query: reported separately via bench["failed"]
+            continue
         if name not in baseline:
             new.append(name)
             continue
