@@ -77,8 +77,13 @@ object Curation {
     // scale. Cache scope is the curated plan's lifetime; callers doing
     // repeated actions over the result should persist that result
     // themselves.
+    // hot-key-safe survivor pick: bag_fp is content-derived, so a
+    // boilerplate vocabulary repeated corpus-wide is a degenerate key —
+    // min_by partials collapse it map-side where a row_number window
+    // would single-task-sort the whole group (and pay an in-partition
+    // sort even unskewed)
     val exact = Dedup
-      .firstPerKey(kept, Seq(col("bag_fp")), Seq(col("doc_id")))
+      .firstPerKeyAgg(kept, Seq(col("bag_fp")), Seq(col("doc_id")))
       .select("doc_id", "lang", "n_chars", "text", "n_tokens", "score")
       .persist(StorageLevel.MEMORY_AND_DISK)
 

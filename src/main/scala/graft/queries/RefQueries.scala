@@ -195,6 +195,19 @@ object RefQueries {
     "q_wat_extract_1file" -> ((s, dir) => {
       val wat = graft.wat.WatFixture.ensureSingle()
       graft.wat.WatExtract.fromPathsV2(s, wat, "image_only").toDF()
+    }),
+
+    // The WAT pipeline's relational TAIL under the full DuckDB oracle:
+    // extraction itself is WARC-framed (rows-only + golden md5s), but
+    // its output dumped once to parquet (WatFixture.ensureTailParquet —
+    // deterministic, committed) makes the stage-2 dedup+sort SQL-
+    // expressible on both engines. Survivor pick is the hot-key-safe
+    // min_by aggregation (Dedup.firstPerKeyAgg) with a total tie-break.
+    "q_wat_tail" -> ((s, dir) => {
+      val path = graft.wat.WatFixture.ensureTailParquet(s)
+      Dedup.firstPerKeyAgg(s.read.parquet(path), Seq(col("uid")),
+        Seq(col("cc_filename"), col("page_url"), col("url"), col("alt")))
+        .orderBy("uid")
     })
   )
 
@@ -270,7 +283,17 @@ object RefQueries {
         |  END AS abs_url
         |FROM documents WHERE doc_id % 5 <> 4 ORDER BY doc_id""".stripMargin,
 
-    "q_repartition_count" -> "SELECT count(*) AS n FROM events"
+    "q_repartition_count" -> "SELECT count(*) AS n FROM events",
     // q_shuffle: intentionally no oracle (random output order)
+
+    // q_wat_extract*/q_wat_dedup: no oracle (WARC-framed input) — the
+    // tail is oracled here instead, over the committed fleet-extraction
+    // parquet (same absolute path on both engines).
+    "q_wat_tail" ->
+      s"""SELECT uid, url, alt, cc_filename, page_url FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY uid
+         |    ORDER BY cc_filename, page_url, url, alt) AS rn
+         |  FROM read_parquet('${graft.wat.WatFixture.TailParquetPath}'))
+         |WHERE rn = 1 ORDER BY uid""".stripMargin
   )
 }

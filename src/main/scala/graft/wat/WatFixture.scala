@@ -180,6 +180,48 @@ object WatFixture {
     }
   }
 
+  /** Committed location of the fleet extraction's relational frame —
+    * the bridge that brings the WAT pipeline's TAIL under the DuckDB
+    * oracle gate: extraction itself is WARC-framed (not SQL-expressible
+    * over the fixture tables), but dumped to parquet once, the
+    * dedup+sort tail is plain SQL on both engines. Absolute so the
+    * Spark read and the driver's DuckDB `read_parquet` resolve the same
+    * file regardless of their working directories.
+    */
+  val TailParquetPath: String =
+    new java.io.File("tools/wat_tail.parquet").getAbsolutePath
+
+  /** Idempotently materialize [[TailParquetPath]]: image_only extraction
+    * over the deterministic 16-archive fleet, globally sorted, one
+    * parquet file. Regeneration is value-identical (seeded archives +
+    * total sort), so a missing file self-heals to the same table.
+    */
+  def ensureTailParquet(spark: org.apache.spark.sql.SparkSession): String =
+    synchronized {
+      val target = new java.io.File(TailParquetPath)
+      if (!target.exists()) {
+        val df = WatExtract.fromPaths(spark, ensureFleet(), "image_only").toDF()
+        val tmp = java.nio.file.Files.createTempDirectory("wat-tail").toFile
+        val outDir = new java.io.File(tmp, "p")
+        df.orderBy("uid", "cc_filename", "page_url", "url", "alt")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(outDir.getAbsolutePath)
+        val part = outDir.listFiles()
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new java.io.IOException(
+            s"no parquet part written under $outDir"))
+        Option(target.getParentFile).foreach(_.mkdirs())
+        // write-then-rename, same crash-safety story as ensureBenchWats
+        val stage = new java.io.File(target.getParentFile,
+          target.getName + s".tmp-${System.nanoTime()}")
+        java.nio.file.Files.move(part.toPath, stage.toPath)
+        if (!stage.renameTo(target) && !target.exists())
+          throw new java.io.IOException(s"could not materialize $target")
+        stage.delete()
+      }
+      TailParquetPath
+    }
+
   // golden expectations (uids independently computed with Python hashlib)
   val CatUid = "6bb4b7d5a170364d6fe9aecdc44b6844"
   val DogUid = "c5509f4c09d168b342ee3392a9daabd0"
