@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** URL/domain analysis for corpus curation: host extraction, a
@@ -45,6 +46,34 @@ object UrlAnalysis {
     */
   def notBlocked(h: Column, blocked: Seq[String]): Column =
     !registeredDomain(h).isin(blocked: _*)
+
+  /** Per-registered-domain cap — the CC-curation staple that stops one
+    * prolific host from dominating a corpus: keep at most `k` rows per
+    * registered domain, chosen in deterministic salted-hash order over
+    * `idCol` (reproducible across runs/engines, no RNG state; `idCol`
+    * breaks hash ties totally). Adds `reg_domain` and `rk` (1-based
+    * keep rank).
+    *
+    * Scale design: the rank filter sits ADJACENT to its window, so the
+    * optimizer plans a WindowGroupLimit — each map task prunes to its
+    * local top-k per domain BEFORE the shuffle, which is what keeps a
+    * hot domain (10^8 pages of one site) from landing its whole group
+    * in a single window partition. TopKGroupLimitSpec freezes this.
+    */
+  def capPerDomain(df: DataFrame, urlCol: String, idCol: String, k: Int,
+      salt: String = "dom"): DataFrame = {
+    val staged = df
+      .withColumn("__host", host(col(urlCol)))
+      .withColumn("reg_domain", registeredDomain(col("__host")))
+      .drop("__host")
+    val w = Window.partitionBy("reg_domain").orderBy(
+      graft.functions.Hashing.h32(
+        concat(lit(salt + "|"), col(idCol).cast("string"))),
+      col(idCol))
+    staged
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+  }
 
   // --- canonicalization ---
 

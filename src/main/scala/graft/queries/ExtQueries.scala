@@ -265,6 +265,36 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Soft dedup: duplication-DISCOUNT weights instead of row deletion —
+    // every copy survives carrying weight_milli = floor(1000/copies), so
+    // a massively duplicated document contributes one document's worth
+    // of training signal. The trade pipelines take when hard dedup would
+    // distort the source mix. One combinable count + skew-splittable
+    // join-back; all-integer weights.
+    "q_soft_dedup" -> ((s, dir) => {
+      val b = docsWithTokens(s, dir).select(col("doc_id"),
+        TA.bagFingerprint(col("text")).as("bag_fp"))
+      graft.ext.Weighting.softDedupWeights(b, Seq("bag_fp"))
+        .select(col("doc_id"), col("copies"), col("weight_milli"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-domain cap: at most K docs per registered domain, chosen in
+    // deterministic salted-hash order — the curation staple that stops
+    // one prolific host from dominating the corpus. The rank filter
+    // plans a WindowGroupLimit (map-side top-k per domain before the
+    // shuffle), so a hot domain never single-tasks.
+    "q_domain_cap" -> ((s, dir) => {
+      val url = concat(lit("https://sub"),
+        (col("doc_id") % 5).cast("string"), lit("."), col("source"),
+        lit(".example/p/"), col("doc_id").cast("string"))
+      graft.ext.UrlAnalysis.capPerDomain(
+        docsWithTokens(s, dir).select(col("doc_id"), url.as("url")),
+        "url", "doc_id", k = 20)
+        .select(col("doc_id"), col("reg_domain"), col("rk"))
+        .orderBy("doc_id")
+    }),
+
     // Two-phase near-dup: MinHash-LSH candidate generation (bounded
     // buckets — degenerate buckets dropped before pairing) + exact
     // Jaccard verification over the distinct-token sets. The composition
@@ -427,13 +457,18 @@ object ExtQueries {
         .otherwise(
           concat(lit("https://www.example.test/a/b?a=2&gclid=x&g="), grp,
             lit("&z=1")))
-      val w = Window.partitionBy("canon").orderBy("doc_id")
-      docsWithTokens(s, dir)
+      // survivor flag via combinable min + join-back, not a row_number
+      // window: a viral URL duplicated corpus-wide is a hot canonical
+      // key, and min(doc_id) collapses it in map-side partials
+      val withCanon = docsWithTokens(s, dir)
         .select(col("doc_id"), u.as("url"))
         .select(col("doc_id"), col("url"),
           graft.ext.UrlAnalysis.canonicalUrl(col("url")).as("canon"))
-        .withColumn("is_canon", row_number().over(w) === 1)
-        .select(col("doc_id"), col("canon"), col("is_canon"))
+      val canonMin = withCanon.groupBy("canon")
+        .agg(min(col("doc_id")).as("_cmin"))
+      withCanon.join(canonMin, "canon")
+        .select(col("doc_id"), col("canon"),
+          (col("doc_id") === col("_cmin")).as("is_canon"))
         .orderBy("doc_id")
     }),
 
@@ -1301,6 +1336,42 @@ object ExtQueries {
        |WHERE doc_id >= 10 GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // Mirrors Weighting.softDedupWeights over the bag fingerprint:
+  // same combinable count, same integer milli-weight floor.
+  private def softDedupOracle: String =
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(list_sort($dtokensSql), ' ')) AS bag_fp
+       |  FROM documents),
+       |c AS (
+       |  SELECT bag_fp, count(*)::BIGINT AS copies FROM b GROUP BY bag_fp)
+       |SELECT b.doc_id, c.copies, (1000 // c.copies)::BIGINT AS weight_milli
+       |FROM b JOIN c USING (bag_fp) ORDER BY doc_id""".stripMargin
+
+  // Mirrors UrlAnalysis.capPerDomain: same synthetic URL, same last-two-
+  // label registered domain, same salted-h32 keep order.
+  private def domainCapOracle: String = {
+    val hostRe = graft.ext.UrlAnalysis.HostRegex
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    'https://sub' || (doc_id % 5)::VARCHAR || '.' || source ||
+       |      '.example/p/' || doc_id::VARCHAR AS url
+       |  FROM documents),
+       |h AS (SELECT doc_id, regexp_extract(url, '$hostRe', 1) AS host
+       |      FROM u),
+       |p AS (SELECT doc_id, host, string_split(host, '.') AS parts FROM h),
+       |d AS (SELECT doc_id,
+       |        CASE WHEN len(parts) >= 2 THEN parts[-2] || '.' || parts[-1]
+       |             ELSE host END AS reg_domain FROM p),
+       |r AS (SELECT doc_id, reg_domain,
+       |        row_number() OVER (PARTITION BY reg_domain
+       |          ORDER BY ${Hashing.h32Sql("'dom|' || doc_id::VARCHAR")},
+       |            doc_id) AS rk
+       |      FROM d)
+       |SELECT doc_id, reg_domain, rk::BIGINT AS rk FROM r
+       |WHERE rk <= 20 ORDER BY doc_id""".stripMargin
+  }
+
   private def urlParseOracle: String = {
     val hostRe = graft.ext.UrlAnalysis.HostRegex
     val pathRe = graft.ext.UrlAnalysis.PathRegex
@@ -1438,6 +1509,8 @@ object ExtQueries {
     "q_neardup_cluster" -> neardupClusterOracle,
     "q_cluster_dedup" -> clusterDedupOracle,
     "q_dedup_minhash" -> dedupMinhashOracle,
+    "q_soft_dedup" -> softDedupOracle,
+    "q_domain_cap" -> domainCapOracle,
 
     "q_hash_sample" ->
       s"""SELECT lang, count(*) AS n_sampled,

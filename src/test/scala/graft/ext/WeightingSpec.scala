@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class WeightingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("softDedupWeights discounts every copy by its duplication count") {
+    val df = Seq(
+      (1L, "fpA"), (2L, "fpA"), (3L, "fpA"), // 3 copies -> 333 each
+      (4L, "fpB"), // unique -> 1000
+      (5L, "fpC"), (6L, "fpC")) // 2 copies -> 500 each
+      .toDF("doc_id", "fp")
+    val got = Weighting.softDedupWeights(df, Seq("fp"))
+      .select("doc_id", "copies", "weight_milli")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 3L, 333L), (2L, 3L, 333L), (3L, 3L, 333L),
+      (4L, 1L, 1000L), (5L, 2L, 500L), (6L, 2L, 500L)))
+  }
+
+  test("softDedupWeights counts are a combinable aggregation") {
+    val df = Seq((1L, "a")).toDF("doc_id", "fp")
+    val plan = Weighting.softDedupWeights(df, Seq("fp"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"))
+  }
+
+  test("capPerDomain keeps at most k per registered domain, deterministically") {
+    val df = (1L to 10L).map { i =>
+      val dom = if (i <= 7) "big.test" else "small.test"
+      (i, s"https://www$i.$dom/page/$i")
+    }.toDF("doc_id", "url")
+    val got = UrlAnalysis.capPerDomain(df, "url", "doc_id", k = 3)
+      .select("doc_id", "reg_domain", "rk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byDom = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byDom("big.test") === 3) // 7 candidates capped to 3
+    assert(byDom("small.test") === 3) // all 3 kept
+    assert(got.forall(_._3 <= 3))
+    // deterministic: identical keep set on re-run
+    val again = UrlAnalysis.capPerDomain(df, "url", "doc_id", k = 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == got.map(_._1).sorted.toSeq)
+  }
+
+  test("capPerDomain prunes map-side via WindowGroupLimit") {
+    // needs more input rows than k: the optimizer (correctly) skips the
+    // group-limit when the child's maxRows is already within the limit
+    val df = (1L to 10L).map(i => (i, s"https://a.test/$i"))
+      .toDF("doc_id", "url")
+    val plan = UrlAnalysis.capPerDomain(df, "url", "doc_id", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter lost its group-limit pushdown:\n${plan.take(2000)}")
+  }
+}

@@ -38,7 +38,9 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     "q_url_parse" -> 1,          // pure per-row parsing; orderBy only
     "q_lang_quota" -> 2,         // window (with WindowGroupLimit pushdown) + order
     "q_gopher_gate" -> 1,        // pure per-row rule gate; orderBy only
-    "q_url_canon" -> 2,          // canonical-key window + final order
+    // combinable canonical-key min agg + join-back + final order (one
+    // more exchange than the old canon window, all skew-safe)
+    "q_url_canon" -> 3,
     // combinable min-struct first-occurrence agg + unique-key join-back
     // + per-doc rebuild + order (ph agg has map-side partials — the old
     // ph row_number window was a hot-key scale hazard)
