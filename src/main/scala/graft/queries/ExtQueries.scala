@@ -295,6 +295,19 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Hashed-feature importance scoring (integer DSIR): rank corpus docs
+    // by hashed-unigram similarity to a target subset (docs 0-24 as the
+    // "curated domain") relative to the raw corpus — the data-SELECTION
+    // step that shifts a training mix toward a domain without a model.
+    // All-integer milli-ratios; combinable aggs; bucket join skew-safe.
+    "q_dsir" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir)
+      graft.ext.Weighting.importanceScores(
+        d, "doc_id", TA.tokens(col("text")),
+        d.where(col("doc_id") < 25), TA.tokens(col("text")))
+        .orderBy("doc_id")
+    }),
+
     // Two-phase near-dup: MinHash-LSH candidate generation (bounded
     // buckets — degenerate buckets dropped before pairing) + exact
     // Jaccard verification over the distinct-token sets. The composition
@@ -1372,6 +1385,38 @@ object ExtQueries {
        |WHERE rk <= 20 ORDER BY doc_id""".stripMargin
   }
 
+  // Mirrors Weighting.importanceScores: same h32 buckets, same exact
+  // integer ratio floor (HUGEINT keeps the product exact like Spark's
+  // decimal(38,0)), same count-weighted integer mean.
+  private def dsirOracle: String = {
+    val b = 65536
+    val h = Hashing.h32Sql("tok")
+    s"""WITH ctok AS (
+       |  SELECT doc_id, $h % $b AS b FROM (
+       |    SELECT doc_id, unnest($tokensSql) AS tok FROM documents)),
+       |dbt AS (
+       |  SELECT doc_id, b, count(*)::BIGINT AS cnt FROM ctok GROUP BY 1, 2),
+       |cb AS (SELECT b, sum(cnt)::BIGINT AS cb FROM dbt GROUP BY b),
+       |ttok AS (
+       |  SELECT $h % $b AS b FROM (
+       |    SELECT unnest($tokensSql) AS tok FROM documents
+       |    WHERE doc_id < 25)),
+       |tb AS (SELECT b, count(*)::BIGINT AS tb FROM ttok GROUP BY b),
+       |tot AS (SELECT (SELECT sum(cb) FROM cb) AS ct_total,
+       |               (SELECT count(*) FROM ttok) AS tt_total),
+       |r AS (
+       |  SELECT cb.b,
+       |    ((coalesce(tb.tb, 0)::HUGEINT * ct_total::HUGEINT * 1000) //
+       |     (cb.cb::HUGEINT * tt_total::HUGEINT))::BIGINT AS ratio_milli
+       |  FROM cb LEFT JOIN tb USING (b), tot),
+       |s AS (
+       |  SELECT doc_id, sum(cnt)::BIGINT AS n_tok,
+       |    sum(cnt * ratio_milli)::BIGINT AS sum_ratio
+       |  FROM dbt JOIN r USING (b) GROUP BY doc_id)
+       |SELECT doc_id, n_tok, (sum_ratio // n_tok)::BIGINT AS importance_milli
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   private def urlParseOracle: String = {
     val hostRe = graft.ext.UrlAnalysis.HostRegex
     val pathRe = graft.ext.UrlAnalysis.PathRegex
@@ -1511,6 +1556,7 @@ object ExtQueries {
     "q_dedup_minhash" -> dedupMinhashOracle,
     "q_soft_dedup" -> softDedupOracle,
     "q_domain_cap" -> domainCapOracle,
+    "q_dsir" -> dsirOracle,
 
     "q_hash_sample" ->
       s"""SELECT lang, count(*) AS n_sampled,

@@ -30,6 +30,43 @@ class WeightingSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("partial_count"))
   }
 
+  test("importanceScores ranks target-like documents above corpus-like ones") {
+    // corpus: 3 "code" docs, 3 "prose" docs; target = the code docs.
+    // A code-vocabulary doc must out-score a prose one.
+    val corpus = Seq(
+      (1L, "def func return class import"),
+      (2L, "def class lambda yield import"),
+      (3L, "return yield func lambda def"),
+      (4L, "the cat sat on the mat"),
+      (5L, "a dog ran in the park"),
+      (6L, "rain fell on the green hill"))
+      .toDF("doc_id", "text")
+    val target = corpus.where(col("doc_id") <= 3)
+    val got = Weighting.importanceScores(corpus, "doc_id",
+      split(col("text"), " "), target, split(col("text"), " "))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(Seq(1L, 2L, 3L).map(got).min > Seq(4L, 5L, 6L).map(got).max)
+    // a token absent from the target contributes ratio 0, so an
+    // all-prose doc with zero target overlap scores low but exists
+    assert(got.keySet == (1L to 6L).toSet)
+  }
+
+  test("importanceScores is exactly reproducible (integer, no float drift)") {
+    val corpus = Seq((1L, "x y z"), (2L, "x q r"), (3L, "q r s"))
+      .toDF("doc_id", "text")
+    val target = corpus.where(col("doc_id") === 1)
+    def run() = Weighting.importanceScores(corpus, "doc_id",
+      split(col("text"), " "), target, split(col("text"), " "))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(run() == run())
+    // Ct=9, Tt=3; x occurs twice in the corpus (docs 1,2) so its ratio
+    // is (1*9*1000)/(2*3)=1500; y,z are corpus-unique: (1*9*1000)/(1*3)
+    // =3000 each. doc 1 = mean(1500,3000,3000) = 2500 (exact integers,
+    // no bucket collisions among 6 tokens in 65536)
+    assert(run().head == ((1L, 3L, 2500L)))
+  }
+
   test("capPerDomain keeps at most k per registered domain, deterministically") {
     val df = (1L to 10L).map { i =>
       val dom = if (i <= 7) "big.test" else "small.test"
