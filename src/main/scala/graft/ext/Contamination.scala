@@ -111,6 +111,43 @@ object Contamination {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_hits"))
 
+  /** Cross-split leakage audit — the post-assignment check that a
+    * train/val/test split did not leave near-verbatim eval text in
+    * train: for every TRAIN document, how many of its distinct hashed
+    * n-grams also occur anywhere outside the train split. Run after
+    * [[Assembly.splitColumn]]; a nonzero tail means eval answers are
+    * memorizable from train and the split needs document- or
+    * cluster-level grouping instead of row-level hashing.
+    *
+    * Scale design: one explode + per-(doc,g) distinct (combinable);
+    * the eval gram set is a distinct projection of the SAME gram rows
+    * (no second corpus pass); the leak join is equi on the 8-byte gram
+    * hash — unlike [[decontaminate]]'s broadcast benchmark, the eval
+    * side here is a corpus-scale fraction, so it stays a shuffle join
+    * (skew on a boilerplate gram splits under AQE). Train documents
+    * with fewer than n tokens have no grams and are absent.
+    *
+    * Output: (idCol, n_grams, leaked_grams) for train documents.
+    */
+  def splitLeakage(docs: DataFrame, idCol: String, words: Column,
+      split: Column, trainName: String, n: Int = 5): DataFrame = {
+    val staged = docs
+      .select(col(idCol), split.as("_split"), words.as("_tk"))
+      .select(col(idCol), col("_split"),
+        explode(ngrams(col("_tk"), n)).as("gstr"))
+      .select(col(idCol), col("_split"), Hashing.h32(col("gstr")).as("g"))
+      .distinct()
+    val evalGrams = staged.where(col("_split") =!= trainName)
+      .select("g").distinct()
+    val train = staged.where(col("_split") === trainName)
+    val leaked = train.join(evalGrams, Seq("g"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("leaked_grams"))
+    train.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+      .join(leaked, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("leaked_grams"), lit(0L)).as("leaked_grams"))
+  }
+
   /** Bloom-prefiltered EXACT key anti-join: drop every corpus row whose
     * `keyCol` appears in `blockset`, with a bloom filter carrying the
     * brunt of the work. The result is exact regardless of the bloom's

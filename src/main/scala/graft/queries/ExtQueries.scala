@@ -308,6 +308,20 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Cross-split leakage audit: after the deterministic train/val/test
+    // split, count per TRAIN doc the distinct 5-grams that also occur in
+    // any eval split — the check that eval text is not memorizable from
+    // train. Eval gram side is corpus-scale, so a shuffle equi-join on
+    // the 8-byte gram hash (AQE-splittable), not a broadcast.
+    "q_split_leakage" -> ((s, dir) => {
+      val sp = graft.ext.Assembly.splitColumn(col("doc_id"), "sp",
+        Seq("train" -> 90, "val" -> 95), "test")
+      graft.ext.Contamination.splitLeakage(
+        docsWithTokens(s, dir), "doc_id", TA.tokens(col("text")), sp,
+        "train")
+        .orderBy("doc_id")
+    }),
+
     // Two-phase near-dup: MinHash-LSH candidate generation (bounded
     // buckets — degenerate buckets dropped before pairing) + exact
     // Jaccard verification over the distinct-token sets. The composition
@@ -1417,6 +1431,36 @@ object ExtQueries {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  // Mirrors Contamination.splitLeakage: same split CASE, same 5-gram
+  // construction as gramRowsSql, same train-vs-eval distinct-gram join.
+  private def splitLeakageOracle: String = {
+    val gram = (0 until 5).map(k => s"tk[i + $k]").mkString(" || ' ' || ")
+    val splitCase =
+      s"""CASE WHEN ${Hashing.h32Sql("'sp|' || doc_id::VARCHAR")} % 100 < 90
+         |    THEN 'train'
+         |  WHEN ${Hashing.h32Sql("'sp|' || doc_id::VARCHAR")} % 100 < 95
+         |    THEN 'val'
+         |  ELSE 'test' END""".stripMargin
+    s"""WITH tk AS (
+       |  SELECT doc_id, $splitCase AS split, $tokensSql AS tk
+       |  FROM documents),
+       |gr AS (
+       |  SELECT doc_id, split, list_distinct(list_transform(
+       |    list_transform(range(1, len(tk) - 3), i -> $gram),
+       |    x -> ${Hashing.h32Sql("x")})) AS gs
+       |  FROM tk),
+       |e AS (SELECT doc_id, split, unnest(gs) AS g FROM gr),
+       |ev AS (SELECT DISTINCT g FROM e WHERE split <> 'train'),
+       |tr AS (SELECT doc_id, g FROM e WHERE split = 'train'),
+       |lk AS (SELECT doc_id, count(*)::BIGINT AS leaked_grams
+       |       FROM tr JOIN ev USING (g) GROUP BY doc_id),
+       |ng AS (SELECT doc_id, count(*)::BIGINT AS n_grams
+       |       FROM tr GROUP BY doc_id)
+       |SELECT ng.doc_id, ng.n_grams,
+       |  coalesce(lk.leaked_grams, 0)::BIGINT AS leaked_grams
+       |FROM ng LEFT JOIN lk USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   private def urlParseOracle: String = {
     val hostRe = graft.ext.UrlAnalysis.HostRegex
     val pathRe = graft.ext.UrlAnalysis.PathRegex
@@ -1557,6 +1601,7 @@ object ExtQueries {
     "q_soft_dedup" -> softDedupOracle,
     "q_domain_cap" -> domainCapOracle,
     "q_dsir" -> dsirOracle,
+    "q_split_leakage" -> splitLeakageOracle,
 
     "q_hash_sample" ->
       s"""SELECT lang, count(*) AS n_sampled,

@@ -380,6 +380,21 @@ class ExtSpec extends AnyFunSuite with SparkTestBase {
     assert(hits.toSeq == Seq((2L, 2L))) // only doc 2, via 2 shared grams
   }
 
+  test("splitLeakage counts train grams that appear in any eval split") {
+    // explicit split column: 1,2 train; 3 val; 4 test
+    val d = Seq(
+      (1L, "q w e r t y u i", "train"), // shares "q w e r t","w e r t y" w/ 3
+      (2L, "m n o p s t u v", "train"), // disjoint from eval -> 0 leaked
+      (3L, "x q w e r t y z", "val"),
+      (4L, "m m m m", "test") // too short: no grams
+    ).toDF("doc_id", "text", "split")
+    val got = Contamination.splitLeakage(d, "doc_id",
+      split(col("text"), " "), col("split"), "train")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 4L, 2L), (2L, 4L, 0L)))
+  }
+
   test("url analysis: host, registered domain, depth, blocklist") {
     val rows = Seq(
       (1L, "https://img.cdn.example.co/a/b/c.jpg?x=1"),
