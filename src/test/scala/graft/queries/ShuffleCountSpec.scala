@@ -61,7 +61,18 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // + order: one MORE exchange than the old token-df window shape, but
     // every one is skew-safe (the window had a stopword's whole corpus
     // group in a single partition; the join is AQE-skew-splittable)
-    "q_topterms" -> 5
+    "q_topterms" -> 5,
+    "q_soft_dedup" -> 2,         // combinable copies agg + join-back + order
+    "q_domain_cap" -> 2,         // domain window (WindowGroupLimit) + order
+    "q_wat_tail" -> 2,           // min_by uid agg + final order
+    // gram distinct + eval-side distinct + leak join + two per-doc aggs
+    // + order; all combinable or equi-join on the 8-byte gram hash
+    "q_split_leakage" -> 6,
+    // dbt agg, cb regroup, target grams, two 1-row total aggs
+    // (SinglePartition over one row each), ratio join, scoring join,
+    // final agg, order — wide but every exchange is combinable,
+    // bucket-bounded (<= 65536 rows), or 1-row
+    "q_dsir" -> 11
   )
 
   for ((name, maxShuffles) <- bounds.toSeq.sortBy(_._1)) {
