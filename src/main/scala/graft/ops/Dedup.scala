@@ -29,7 +29,10 @@ object Dedup {
 
   /** Deterministic dedup: keep the first row per key ordered by
     * `tieBreak`. One shuffle (window partitionBy = hash exchange) + one
-    * in-partition sort; no global sort.
+    * in-partition sort; no global sort. Fine for BOUNDED key groups;
+    * for keys with unbounded duplication (content signatures,
+    * boilerplate hashes) use [[firstPerKeyAgg]] — a window has no
+    * map-side partial, so a hot key becomes a single-task sort.
     */
   def firstPerKey(df: DataFrame, keys: Seq[Column], tieBreak: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keys: _*).orderBy(tieBreak: _*)

@@ -426,6 +426,17 @@ object ExtQueries {
         .orderBy("vec_id")
     }),
 
+    // SemDeDup's blind-spot AUDIT, oracle-proven: how many cells blew
+    // the pairwise cap and how many vectors inside them survived
+    // UNEXAMINED (maxCell=50 so the synthetic cells actually cap). A
+    // production run alerts on this number instead of trusting docs.
+    "q_semdedup_audit" -> ((s, dir) => {
+      val p = Similarity.prepared(table(s, dir, "embeddings"), "vec_id",
+        "embedding")
+      Similarity.semDedupAudited(p, p.where(col("vec_id") < 8),
+        minCos = 0.35, maxCell = 50)._2
+    }),
+
     // Corpus-wide paragraph dedup (the C4/Lee-et-al line-dedup step):
     // documents are segmented into deterministic 12-token paragraphs
     // (identically in the oracle), every paragraph seen earlier at
@@ -1026,6 +1037,28 @@ object ExtQueries {
        |SELECT vec_id, cell FROM assign
        |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
        |ORDER BY vec_id""".stripMargin
+  }
+
+  // Mirrors Similarity.semDedupAudited's audit frame: same nearest-
+  // centroid assignment as semDedupOracle, capped-cell count + vector
+  // sum at maxCell = 50.
+  private def semDedupAuditOracle: String = {
+    val adot = dotSql.format("v.qv", "c.qv")
+    s"""WITH $prepSql,
+       |cents AS (SELECT vec_id AS c_id, qv, n2 FROM p2 WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT v.vec_id, c.c_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ($adot)::DOUBLE / sqrt((v.n2 * c.n2)::DOUBLE) DESC,
+       |                 c.c_id) AS crk
+       |    FROM p2 v, cents c)
+       |  WHERE crk = 1),
+       |cs AS (SELECT cell, count(*)::BIGINT AS cell_size
+       |       FROM assign GROUP BY cell)
+       |SELECT count(*)::BIGINT AS n_capped_cells,
+       |  coalesce(sum(cell_size), 0)::BIGINT AS n_unexamined_vectors
+       |FROM cs WHERE cell_size > 50""".stripMargin
   }
 
   // Mirrors q_para_dedup end to end: the same 12-token segmentation, the
@@ -1669,6 +1702,7 @@ object ExtQueries {
     "q_ann_ivf_mp" -> annIvfMpOracle,
     "q_kmeans" -> kmeansOracle,
     "q_semdedup" -> semDedupOracle,
+    "q_semdedup_audit" -> semDedupAuditOracle,
     "q_phash_neardup" -> phashNearDupOracle,
     "q_mix" -> mixOracle,
     "q_topterms" -> topTermsOracle,

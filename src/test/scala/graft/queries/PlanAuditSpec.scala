@@ -20,7 +20,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
   // assignment (broadcast queries / centroids against the corpus);
   // q_kmeans runs ivfAssign per Lloyd round, q_semdedup once
   private val bnljAllowed = Set(
-    "q_cosine_topk", "q_ann_ivf", "q_ann_ivf_mp", "q_kmeans", "q_semdedup")
+    "q_cosine_topk", "q_ann_ivf", "q_ann_ivf_mp", "q_kmeans", "q_semdedup",
+    "q_semdedup_audit")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !name.startsWith("q_wat")) {
