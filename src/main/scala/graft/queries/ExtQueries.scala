@@ -459,6 +459,32 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // The composed ASSEMBLY pipeline under ONE oracle: Gopher gate →
+    // corpus-wide paragraph dedup over the gated subset → deterministic
+    // split assignment. Every stage is individually oracled elsewhere;
+    // this query proves the composition (stage boundaries, schema
+    // threading, filter-before-dedup ordering) end to end.
+    "q_assembly" -> ((s, dir) => {
+      val W = 12
+      val gated = docsWithTokens(s, dir)
+        .select(col("doc_id"), TA.tokens(col("text")).as("tks"))
+        .where(TA.gopherGate(col("tks"), minTokens = 20L,
+          maxTokens = 500L).getField("kept"))
+      val seg = gated.select(col("doc_id"),
+        when(size(col("tks")) > 0,
+          transform(sequence(lit(1), ((size(col("tks")) + W - 1)
+            .cast("long") / W).cast("int")),
+            i => concat_ws(" ", slice(col("tks"), (i - 1) * W + 1, lit(W)))))
+          .otherwise(array().cast("array<string>")).as("paras"))
+      graft.ext.Paragraphs.dedupParagraphs(seg, "doc_id", col("paras"),
+        delim = " ")
+        .select(col("doc_id"), col("n_paras"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+        .withColumn("split", graft.ext.Assembly.splitColumn(col("doc_id"),
+          "sp", Seq("train" -> 90, "val" -> 95), "test"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher rule gate: hard per-rule boolean verdicts (token count,
     // mean word length, duplicate-bigram fraction, top-token share,
     // stopword presence) — every threshold an exact integer
@@ -1102,7 +1128,9 @@ object ExtQueries {
   // Mirrors gopherGate: every threshold the same exact-integer
   // cross-multiplication; max token frequency via the naive
   // count-per-distinct (same integers as Spark's sorted run fold).
-  private def gopherGateOracle: String = {
+  // The five rule fragments (and the conjunction, reused by the
+  // composed q_assembly oracle) are built once here.
+  private lazy val gopherRulesSql: Seq[String] = {
     val n = s"len($tokensSql)"
     val chars = s"list_sum(list_transform($tokensSql, t -> len(t)))"
     val nBi = s"($n - 1)"
@@ -1111,17 +1139,27 @@ object ExtQueries {
     val maxRun = s"list_max(list_transform($dtokensSql, " +
       s"w -> len(list_filter($tokensSql, t -> t = w))))"
     val stops = s"len(list_filter($tokensSql, t -> t IN ($stopSql)))"
+    Seq(
+      s"($n BETWEEN 20 AND 500)",
+      s"($n > 0 AND $chars >= $n * 3 AND $chars <= $n * 10)",
+      s"($nBi <= 0 OR ($nBi - $nDistBi) * 10 <= $nBi * 3)",
+      s"($n > 0 AND $maxRun * 5 <= $n)",
+      s"($stops >= 1)")
+  }
+
+  private def gopherKeptSql: String =
+    gopherRulesSql.mkString("(", "\n    AND ", ")")
+
+  private def gopherGateOracle: String = {
+    val Seq(rLen, rWordLen, rDupBigram, rTopShare, rStopword) =
+      gopherRulesSql
     s"""SELECT doc_id,
-       |  ($n BETWEEN 20 AND 500) AS r_len,
-       |  ($n > 0 AND $chars >= $n * 3 AND $chars <= $n * 10) AS r_word_len,
-       |  ($nBi <= 0 OR ($nBi - $nDistBi) * 10 <= $nBi * 3) AS r_dup_bigram,
-       |  ($n > 0 AND $maxRun * 5 <= $n) AS r_top_share,
-       |  ($stops >= 1) AS r_stopword,
-       |  (($n BETWEEN 20 AND 500)
-       |    AND ($n > 0 AND $chars >= $n * 3 AND $chars <= $n * 10)
-       |    AND ($nBi <= 0 OR ($nBi - $nDistBi) * 10 <= $nBi * 3)
-       |    AND ($n > 0 AND $maxRun * 5 <= $n)
-       |    AND ($stops >= 1)) AS kept
+       |  $rLen AS r_len,
+       |  $rWordLen AS r_word_len,
+       |  $rDupBigram AS r_dup_bigram,
+       |  $rTopShare AS r_top_share,
+       |  $rStopword AS r_stopword,
+       |  $gopherKeptSql AS kept
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
@@ -1494,6 +1532,25 @@ object ExtQueries {
        |FROM ng LEFT JOIN lk USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
+  // Mirrors q_assembly's composition: the SAME kept-conjunction as the
+  // gate oracle, the SAME paragraph-dedup CTE chain (parameterized over
+  // the gated relation), the SAME split CASE — proving the stages
+  // compose identically on both engines.
+  private def assemblyOracle: String =
+    s"""WITH gated AS (
+       |  SELECT doc_id, text FROM documents WHERE $gopherKeptSql),
+       |${paraDedupSql("gated")}
+       |SELECT t.doc_id, coalesce(a.n_paras, 0)::BIGINT AS n_paras,
+       |  coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+       |  coalesce(a.clean_md5, md5('')) AS clean_md5,
+       |  CASE WHEN ${Hashing.h32Sql("'sp|' || t.doc_id::VARCHAR")} % 100 < 90
+       |    THEN 'train'
+       |  WHEN ${Hashing.h32Sql("'sp|' || t.doc_id::VARCHAR")} % 100 < 95
+       |    THEN 'val'
+       |  ELSE 'test' END AS split
+       |FROM tk t LEFT JOIN agg a ON t.doc_id = a.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   private def urlParseOracle: String = {
     val hostRe = graft.ext.UrlAnalysis.HostRegex
     val pathRe = graft.ext.UrlAnalysis.PathRegex
@@ -1703,6 +1760,7 @@ object ExtQueries {
     "q_kmeans" -> kmeansOracle,
     "q_semdedup" -> semDedupOracle,
     "q_semdedup_audit" -> semDedupAuditOracle,
+    "q_assembly" -> assemblyOracle,
     "q_phash_neardup" -> phashNearDupOracle,
     "q_mix" -> mixOracle,
     "q_topterms" -> topTermsOracle,
