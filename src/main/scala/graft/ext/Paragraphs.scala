@@ -11,20 +11,31 @@ import org.apache.spark.sql.functions._
   * navigation blocks, cookie banners, licence footers repeated across
   * millions of otherwise-distinct pages.
   *
-  * Scale design: one posexplode (no shuffle); first occurrence per
-  * paragraph hash is a COMBINABLE `min(struct(doc_id, pos))` aggregation
-  * — map-side partials collapse a boilerplate paragraph repeated across
-  * millions of pages into one row per task BEFORE the shuffle, which is
-  * exactly the distribution this operator exists to catch. (A
-  * `row_number` window over the hash would put that whole hot group into
-  * a single window partition — no partial aggregation exists for
-  * row_number.) The survivor set then joins back on the UNIQUE
-  * (doc_id, pos) key — no skew is possible on a unique key — and one
-  * per-document aggregation rebuilds the text. First-occurrence choice
-  * is the global (doc_id, pos) minimum — deterministic across
-  * partitionings and engines, identical to ordering by (doc_id, pos)
-  * since struct comparison is lexicographic over its fields. The dedup
-  * key is md5 (128-bit): corpus-scale paragraph counts make 32-bit keys
+  * Scale design — the corpus is exploded and aggregated ONCE:
+  *
+  *  - First occurrence per paragraph hash is a COMBINABLE
+  *    `min(struct(doc_id, pos, para))` aggregation: map-side partials
+  *    collapse a boilerplate paragraph repeated across millions of
+  *    pages into one row per task BEFORE the exchange on the hash —
+  *    exactly the distribution this operator exists to catch. (A
+  *    `row_number` window over the hash would put that whole hot group
+  *    into a single window partition — no partial aggregation exists
+  *    for row_number.) The min is decided by (doc_id, pos) alone —
+  *    struct comparison is lexicographic and (doc_id, pos) is unique,
+  *    so the trailing text field never arbitrates; it simply RIDES the
+  *    aggregation so survivors rebuild without a join back to the
+  *    exploded corpus (a join-back would compute the upstream twice —
+  *    measured 2x on gated compositions — and re-shuffle the corpus).
+  *  - Documents then rebuild from the SURVIVOR rows only (one
+  *    aggregation keyed by doc id), and per-document paragraph counts
+  *    come from the input array lengths — no second explode. Documents
+  *    whose every paragraph lost (or with zero paragraphs) resurrect
+  *    via the left join from `docs`, which is keyed by the unique doc
+  *    id — no skew possible.
+  *
+  * First-occurrence choice is the global (doc_id, pos) minimum —
+  * deterministic across partitionings and engines. The dedup key is
+  * md5 (128-bit): corpus-scale paragraph counts make 32-bit keys
   * collision-prone, and a collision here would DELETE innocent text.
   */
 object Paragraphs {
@@ -32,38 +43,37 @@ object Paragraphs {
   /** Per-document paragraph dedup over `paras` (an array<string> column).
     * Output: (id, n_paras, n_kept, clean_text) where clean_text joins the
     * surviving paragraphs with `delim` in original order. Documents with
-    * zero paragraphs survive with n_paras = 0 and empty text.
+    * zero paragraphs survive with n_paras = 0 and empty text. Null
+    * elements inside `paras` are ignored (never counted, never kept),
+    * matching SQL aggregate null semantics.
     */
   def dedupParagraphs(docs: DataFrame, idCol: String, paras: Column,
       delim: String = "\n"): DataFrame = {
-    // posexplode_outer keeps zero-paragraph documents alive as a single
-    // null-para row (counted by nothing, never "kept")
-    val exploded = docs
-      .select(col(idCol), posexplode_outer(paras).as(Seq("pos", "para")))
-    // hot-key-safe first occurrence: min(struct) has map-side partials,
-    // so a paragraph in 10^8 documents reduces to one row per map task
-    // before the exchange on ph
-    val firstOcc = exploded
+    // survivors: one combinable aggregation over the exploded corpus —
+    // the ONLY pass that touches paragraph text
+    val survivors = docs
+      .select(col(idCol), posexplode(paras).as(Seq("pos", "para")))
       .where(col("para").isNotNull)
       .groupBy(md5(col("para")).as("ph"))
-      .agg(min(struct(col(idCol).as("_fid"), col("pos").as("_fpos")))
-        .as("f"))
-      .select(col("f._fid").as("_fid"), col("f._fpos").as("_fpos"))
-    // join-back on the UNIQUE (doc_id, pos) key — one match per survivor,
-    // no hot key regardless of how skewed the paragraph distribution is
-    val marked = exploded.join(
-      firstOcc.withColumn("_keep", lit(1)),
-      col(idCol) === col("_fid") && col("pos") === col("_fpos"), "left")
-    val keptStruct = when(col("_keep") === 1, struct(col("pos"), col("para")))
-    marked.groupBy(col(idCol))
-      .agg(
-        count(col("para")).as("n_paras"),
-        sum(when(col("_keep") === 1, 1L).otherwise(0L)).as("n_kept"),
-        // collect_list skips nulls; array_sort restores document order
-        // (pos is unique within a doc, so the struct sort is total)
-        array_sort(collect_list(keptStruct)).as("kp"))
-      .select(col(idCol), col("n_paras"), col("n_kept"),
+      .agg(min(struct(col(idCol).as("_fid"), col("pos").as("_fpos"),
+        col("para").as("_fpara"))).as("f"))
+      .select(col("f._fid").as(idCol), col("f._fpos").as("pos"),
+        col("f._fpara").as("para"))
+    val rebuilt = survivors.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        // array_sort restores document order (pos is unique in a doc)
+        array_sort(collect_list(struct(col("pos"), col("para"))))
+          .as("kp"))
+      .select(col(idCol), col("n_kept"),
         concat_ws(delim,
           transform(col("kp"), s => s.getField("para"))).as("clean_text"))
+    docs
+      .select(col(idCol),
+        coalesce(size(filter(paras, p => p.isNotNull)), lit(0))
+          .cast("long").as("n_paras"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 }
