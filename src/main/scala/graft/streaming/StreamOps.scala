@@ -19,6 +19,11 @@ object StreamOps {
 
   final case class Evt(user_id: Long, ts_us: Long, event_id: Long)
 
+  final case class Keyed(key: String, ts_us: Long, id: Long)
+  final case class CapState(admitted: Long)
+  final case class Admitted(key: String, ts_us: Long, id: Long,
+      admit_rank: Long)
+
   final case class SessionState(
       sessionIdx: Long, startUs: Long, lastUs: Long, nEvents: Long)
 
@@ -144,6 +149,61 @@ object StreamOps {
       l(leftKey) === r(rightKey) &&
         r(rightTs) >= l(leftTs) &&
         r(rightTs) <= l(leftTs) + expr(s"INTERVAL $window"))
+  }
+
+  /** Streaming per-key admission cap — [[graft.ext.UrlAnalysis]]'s
+    * per-domain cap in streaming form: admit at most `k` rows per key,
+    * then drop, with the counter expiring `horizonUs` past the
+    * watermark — the intake rate limiter that stops one hot domain
+    * from flooding a continuous crawl pipeline. Admission is
+    * arrival-ordered across micro-batches (deterministic (ts_us, id)
+    * order within a batch); `admit_rank` is the 1-based running rank.
+    *
+    * State is ONE counter per key seen within the horizon, removed by
+    * event-time timeout — O(active keys), never O(stream). Unlike the
+    * batch form (global salted-hash pick over all candidates), a
+    * stream cannot rank rows it has not seen yet, so first-arrival IS
+    * the correct online semantics.
+    */
+  def capPerKeyStream(rows: Dataset[Keyed], k: Int,
+      horizonUs: Long = 3600L * 1000000L,
+      lateness: String = "30 minutes"): Dataset[Admitted] = {
+    require(k > 0, "admission cap must be positive")
+    val spark = rows.sparkSession
+    import spark.implicits._
+
+    def update(key: String, it: Iterator[Keyed],
+        state: GroupState[CapState]): Iterator[Admitted] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        return Iterator.empty
+      }
+      val prev = state.getOption.map(_.admitted).getOrElse(0L)
+      val room = math.max(0L, k - prev).toInt
+      // micro-batch rows are unordered — admit in (ts_us, id) order
+      val rowsSeq = it.toSeq.sortBy(r => (r.ts_us, r.id))
+      val admitted = rowsSeq.take(room)
+      if (admitted.nonEmpty) state.update(CapState(prev + admitted.size))
+      if (state.exists) {
+        // expire one horizon past the latest activity, in EVENT time
+        // (the initial watermark is 0 — anchoring to it would let the
+        // first real watermark advance blow away live counters), and
+        // always beyond the current watermark or the runtime rejects it
+        state.setTimeoutTimestamp(math.max(
+          rowsSeq.last.ts_us / 1000L + horizonUs / 1000L,
+          state.getCurrentWatermarkMs() + 1L))
+      }
+      admitted.iterator.zipWithIndex.map { case (r, i) =>
+        Admitted(r.key, r.ts_us, r.id, prev + i + 1) }
+    }
+
+    rows.toDF()
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", lateness)
+      .as[Keyed]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
   }
 
   /** Stateful sessionization: 30-min inactivity gap, state = the open

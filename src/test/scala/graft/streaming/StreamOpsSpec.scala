@@ -195,6 +195,30 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set((1L, us(5))))
   }
 
+  test("capPerKeyStream admits at most k per key across micro-batches") {
+    val in = Files.createTempDirectory("cap-in").toString
+    // batch 1: domain a sends 2 (both admitted), domain b sends 1
+    Seq(("a.test", us(0), 1L), ("a.test", us(1), 2L), ("b.test", us(0), 10L))
+      .toDF("key", "ts_us", "id").coalesce(1).write.parquet(s"$in/b1")
+    val q = StreamOps.capPerKeyStream(
+      spark.readStream.schema("key STRING, ts_us LONG, id LONG")
+        .parquet(s"$in/*").as[StreamOps.Keyed], k = 3)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("capped").start()
+    q.processAllAvailable()
+    // batch 2: domain a sends 3 more — only ONE seat left under k=3,
+    // taken by the earliest (ts, id)
+    Seq(("a.test", us(2), 3L), ("a.test", us(3), 4L), ("a.test", us(4), 5L))
+      .toDF("key", "ts_us", "id").coalesce(1).write.parquet(s"$in/b2")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("select key, id, admit_rank from capped").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("a.test", 1L, 1L), ("a.test", 2L, 2L), ("b.test", 10L, 1L),
+      ("a.test", 3L, 3L)))
+  }
+
   test("interval join resolves key/ts columns per side even when names collide") {
     // both streams name their key `k` and timestamp `ts`: a bare
     // col("k") === col("k") would be ambiguous (or self-referencing);
