@@ -104,6 +104,24 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
       np == 2L && nk == 1L && t == s"unique $id" })
   }
 
+  test("dedupParagraphs matches a sequential reference on random corpora") {
+    // oracle-independent: a plain Scala walk in (doc_id, pos) order,
+    // first occurrence wins — the declarative min-struct plan must
+    // reproduce it exactly on heavily-duplicated random corpora
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val corpus = (1L to (1 + rnd.nextInt(12)).toLong).map { id =>
+        id -> Seq.fill(rnd.nextInt(6))(s"p${rnd.nextInt(5)}")
+      }
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expect = corpus.sortBy(_._1).map { case (id, ps) =>
+        val kept = ps.filter(p => seen.add(p))
+        (id, ps.size.toLong, kept.size.toLong, kept.mkString("\n"))
+      }
+      assert(paraDedup(corpus).toSeq == expect, s"trial $trial: $corpus")
+    }
+  }
+
   test("dedupParagraphs survivor pick is a combinable aggregation, not a hot-key window") {
     val plan = Paragraphs.dedupParagraphs(
       Seq(1L -> Seq("a")).toDF("doc_id", "paras"), "doc_id", col("paras"))

@@ -39,6 +39,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("row_number"))
   }
 
+  test("firstPerKeyAgg equals firstPerKey on random data") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      // uniq makes the tie-break total, so both variants are
+      // deterministic and must agree row-for-row
+      val rows = (1 to 300).map(i =>
+        (s"k${rnd.nextInt(8)}", rnd.nextInt(20).toLong, i.toLong))
+      val df = rows.toDF("key", "ord", "uniq")
+      def dump(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      val viaWindow = dump(Dedup.firstPerKey(df, Seq(col("key")),
+        Seq(col("ord"), col("uniq"))))
+      val viaAgg = dump(Dedup.firstPerKeyAgg(df, Seq(col("key")),
+        Seq(col("ord"), col("uniq"))))
+      assert(viaAgg == viaWindow, s"trial $trial")
+    }
+  }
+
   test("multi-column tie-break orders lexicographically like the window variant") {
     val df = Seq(
       ("k", 2L, 1L, "a"), ("k", 1L, 9L, "b"), ("k", 1L, 3L, "c"))
