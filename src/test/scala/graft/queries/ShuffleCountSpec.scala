@@ -72,7 +72,13 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // (SinglePartition over one row each), ratio join, scoring join,
     // final agg, order — wide but every exchange is combinable,
     // bucket-bounded (<= 65536 rows), or 1-row
-    "q_dsir" -> 11
+    "q_dsir" -> 11,
+    // gate -> para-dedup -> split composition: ph min agg + survivor
+    // rebuild + doc join-back + order (the gate and split are per-row)
+    "q_assembly" -> 3,
+    // cell-size agg over the broadcast-crossJoin assignment + 1-row
+    // capped-cell aggregate
+    "q_semdedup_audit" -> 3
   )
 
   for ((name, maxShuffles) <- bounds.toSeq.sortBy(_._1)) {
