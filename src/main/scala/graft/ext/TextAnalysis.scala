@@ -194,6 +194,33 @@ object TextAnalysis {
   def chunkText(tks: Column, start: Column, width: Int): Column =
     concat_ws(" ", slice(tks, start, lit(width)))
 
+  /** Content-defined chunk segmentation (the CDC idea from dedup
+    * storage systems, applied to token streams): a token whose h32 is
+    * ≡ 0 mod 2^maskBits CLOSES a chunk, so boundaries depend only on
+    * local content — an insertion early in a document shifts every
+    * fixed-stride chunk but leaves all CDC chunks after the next
+    * boundary identical, which is what makes chunk-level dedup
+    * ([[Paragraphs.dedupParagraphs]] over these segments) robust to
+    * edits. Expected chunk length = 2^maskBits tokens. Pure per-row
+    * HOFs — no shuffle; empty/null token arrays yield no chunks.
+    */
+  def cdcSegments(tks: Column, maskBits: Int): Column = {
+    require(maskBits >= 1 && maskBits <= 20, "maskBits in [1,20]")
+    val m = 1 << maskBits
+    val n = size(tks)
+    val bpos = filter(sequence(lit(1), n), i =>
+      pmod(graft.functions.Hashing.h32(element_at(tks, i)), lit(m)) === 0)
+    val starts = concat(array(lit(1)), transform(bpos, b => b + 1))
+    val ends = concat(bpos, array(n))
+    // zip (start, end) ranges; a trailing boundary at n leaves an empty
+    // (n+1, n) range — dropped by the s <= e guard
+    when(n >= 1,
+      filter(zip_with(starts, ends, (s, e) =>
+        when(s <= e, concat_ws(" ", slice(tks, s, e - s + 1)))),
+        c => c.isNotNull))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Order-SENSITIVE rolling (Karp–Rabin) fingerprint over the token
     * stream: fold h32(token) through acc*B + h mod M. Complements the
     * order-insensitive bagFingerprint — reordered documents get

@@ -485,6 +485,21 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Content-defined chunk dedup: CDC boundaries (h32 % 16 == 0 closes
+    // a chunk) feed the SAME paragraph-dedup machinery — unlike fixed
+    // 12-token windows, an early edit only disturbs chunks up to the
+    // next boundary, so repeated passages still collapse. Shows the
+    // dedup tail is segmentation-agnostic.
+    "q_cdc_dedup" -> ((s, dir) => {
+      val seg = docsWithTokens(s, dir).select(col("doc_id"),
+        TA.cdcSegments(TA.tokens(col("text")), maskBits = 4).as("paras"))
+      graft.ext.Paragraphs.dedupParagraphs(seg, "doc_id", col("paras"),
+        delim = " ")
+        .select(col("doc_id"), col("n_paras"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Gopher rule gate: hard per-rule boolean verdicts (token count,
     // mean word length, duplicate-bigram fraction, top-token share,
     // stopword presence) — every threshold an exact integer
@@ -1094,6 +1109,22 @@ object ExtQueries {
   // `src` parameterizes the input relation so the composed pipeline
   // oracle (q_assembly) can run the identical CTE chain over its gated
   // subset.
+  // dedup tail shared by every segmentation (12-token fixed stride and
+  // content-defined chunks): expects a `par(doc_id, pos, para)` CTE.
+  private def paraDedupTailSql: String =
+    """flagged AS (
+      |  SELECT doc_id, pos, para,
+      |    row_number() OVER (PARTITION BY md5(para)
+      |      ORDER BY doc_id, pos) AS rn
+      |  FROM par),
+      |agg AS (
+      |  SELECT doc_id, count(*)::BIGINT AS n_paras,
+      |    sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+      |    md5(coalesce(array_to_string(
+      |      list(para ORDER BY pos) FILTER (WHERE rn = 1), ' '), ''))
+      |      AS clean_md5
+      |  FROM flagged GROUP BY doc_id)""".stripMargin
+
   private def paraDedupSql(src: String): String =
     s"""tk AS (
        |  SELECT doc_id, $tokensSql AS tks FROM $src),
@@ -1104,18 +1135,7 @@ object ExtQueries {
        |  SELECT doc_id, i AS pos,
        |    array_to_string(tks[i * 12 + 1 : i * 12 + 12], ' ') AS para
        |  FROM seg),
-       |flagged AS (
-       |  SELECT doc_id, pos, para,
-       |    row_number() OVER (PARTITION BY md5(para)
-       |      ORDER BY doc_id, pos) AS rn
-       |  FROM par),
-       |agg AS (
-       |  SELECT doc_id, count(*)::BIGINT AS n_paras,
-       |    sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
-       |    md5(coalesce(array_to_string(
-       |      list(para ORDER BY pos) FILTER (WHERE rn = 1), ' '), ''))
-       |      AS clean_md5
-       |  FROM flagged GROUP BY doc_id)""".stripMargin
+       |$paraDedupTailSql""".stripMargin
 
   private def paraDedupOracle: String =
     s"""WITH ${paraDedupSql("documents")}
@@ -1124,6 +1144,37 @@ object ExtQueries {
        |  coalesce(a.clean_md5, md5('')) AS clean_md5
        |FROM tk t LEFT JOIN agg a ON t.doc_id = a.doc_id
        |ORDER BY t.doc_id""".stripMargin
+
+  // Mirrors TextAnalysis.cdcSegments + Paragraphs.dedupParagraphs: the
+  // same h32 % 16 boundary rule, the same shared dedup tail.
+  private def cdcDedupOracle: String = {
+    val h = Hashing.h32Sql("tks[i]")
+    s"""WITH tk AS (
+       |  SELECT doc_id, $tokensSql AS tks FROM documents),
+       |bp AS (
+       |  SELECT doc_id, tks,
+       |    list_filter(range(1, len(tks) + 1), i -> $h % 16 = 0) AS bpos
+       |  FROM tk),
+       |se AS (
+       |  SELECT doc_id, tks,
+       |    list_prepend(1, list_transform(bpos, b -> b + 1)) AS starts,
+       |    list_append(bpos, len(tks)) AS ends
+       |  FROM bp),
+       |par0 AS (
+       |  SELECT doc_id, unnest(range(1, len(starts) + 1)) AS j,
+       |    tks, starts, ends
+       |  FROM se),
+       |par AS (
+       |  SELECT doc_id, j - 1 AS pos,
+       |    array_to_string(tks[starts[j] : ends[j]], ' ') AS para
+       |  FROM par0 WHERE starts[j] <= ends[j]),
+       |$paraDedupTailSql
+       |SELECT t.doc_id, coalesce(a.n_paras, 0)::BIGINT AS n_paras,
+       |  coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+       |  coalesce(a.clean_md5, md5('')) AS clean_md5
+       |FROM tk t LEFT JOIN agg a ON t.doc_id = a.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
 
   // Mirrors gopherGate: every threshold the same exact-integer
   // cross-multiplication; max token frequency via the naive
@@ -1761,6 +1812,7 @@ object ExtQueries {
     "q_semdedup" -> semDedupOracle,
     "q_semdedup_audit" -> semDedupAuditOracle,
     "q_assembly" -> assemblyOracle,
+    "q_cdc_dedup" -> cdcDedupOracle,
     "q_phash_neardup" -> phashNearDupOracle,
     "q_mix" -> mixOracle,
     "q_topterms" -> topTermsOracle,

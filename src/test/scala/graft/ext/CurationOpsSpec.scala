@@ -148,6 +148,30 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(c.getLong(0) === 0L && c.getLong(1) === 0L)
   }
 
+  test("cdcSegments: boundaries are content-defined and edit-local") {
+    def segs(text: String, bits: Int = 4): Seq[String] =
+      Seq(text).toDF("t")
+        .select(TextAnalysis.cdcSegments(split(col("t"), " "), bits).as("s"))
+        .collect()(0).getSeq[String](0)
+    // reconstruction: chunks concatenated == original token stream
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    assert(segs(t).mkString(" ") === t)
+    // maskBits=1 (every token with even h32 closes a chunk) still
+    // reconstructs; empty text has no chunks
+    assert(segs(t, bits = 1).mkString(" ") === t)
+    assert(segs("").mkString(" ") === "")
+    // edit-locality: an inserted PREFIX shifts fixed windows but CDC
+    // suffix chunks after the first boundary are unchanged
+    val base = segs(t, bits = 1)
+    val edited = segs("zzz " + t, bits = 1)
+    assert(base.nonEmpty && edited.nonEmpty)
+    if (base.size > 1) {
+      // every base chunk except possibly the first survives verbatim
+      assert(base.tail.forall(edited.contains),
+        s"suffix chunks not preserved: base=$base edited=$edited")
+    }
+  }
+
   // --- URL canonicalization ---
 
   private def canon(url: String): String =

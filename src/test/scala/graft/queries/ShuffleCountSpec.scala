@@ -41,10 +41,11 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // combinable canonical-key min agg + join-back + final order (one
     // more exchange than the old canon window, all skew-safe)
     "q_url_canon" -> 3,
-    // combinable min-struct first-occurrence agg + unique-key join-back
-    // + per-doc rebuild + order (ph agg has map-side partials — the old
+    // combinable min-struct first-occurrence agg + survivor rebuild +
+    // doc join-back + order (ph agg has map-side partials — the old
     // ph row_number window was a hot-key scale hazard)
     "q_para_dedup" -> 3,
+    "q_cdc_dedup" -> 3,          // same dedup tail over CDC segments
     "q_phash_neardup" -> 4,      // band-bucket agg/join + pair distinct + order
     // 11 Exchange NODES, but the expensive assignment exchange is
     // written once and ReusedExchange-d by all four consumers — see
