@@ -49,10 +49,32 @@ object Paragraphs {
     */
   def dedupParagraphs(docs: DataFrame, idCol: String, paras: Column,
       delim: String = "\n"): DataFrame = {
-    // survivors: one combinable aggregation over the exploded corpus —
+    // posexplode_OUTER, deliberately: a plain explode would let
+    // InferFiltersFromGenerate copy the entire `paras` expression into
+    // a size(..) > 0 filter under the Generate — re-evaluating a
+    // possibly-expensive segmentation once more per row. The outer
+    // form generates a null row instead, dropped by the cheap
+    // attribute filter inside dedupParagraphRows.
+    val parRows = docs
+      .select(col(idCol), posexplode_outer(paras).as(Seq("pos", "para")))
+    val counts = docs.select(col(idCol),
+      coalesce(size(filter(paras, p => p.isNotNull)), lit(0))
+        .cast("long").as("n_paras"))
+    dedupParagraphRows(parRows, counts, idCol, delim)
+  }
+
+  /** Row-level entry — for callers whose segmentation is itself
+    * relational (e.g. content-defined chunks built from exploded
+    * tokens), so the paragraph text is produced exactly once.
+    * `parRows` = (idCol, pos, para) with pos unique per document (null
+    * paras ignored); `docCounts` = (idCol, n_paras) and must cover
+    * EVERY document — zero-paragraph documents resurrect from it.
+    */
+  def dedupParagraphRows(parRows: DataFrame, docCounts: DataFrame,
+      idCol: String, delim: String = "\n"): DataFrame = {
+    // survivors: one combinable aggregation over the paragraph rows —
     // the ONLY pass that touches paragraph text
-    val survivors = docs
-      .select(col(idCol), posexplode(paras).as(Seq("pos", "para")))
+    val survivors = parRows
       .where(col("para").isNotNull)
       .groupBy(md5(col("para")).as("ph"))
       .agg(min(struct(col(idCol).as("_fid"), col("pos").as("_fpos"),
@@ -67,10 +89,7 @@ object Paragraphs {
       .select(col(idCol), col("n_kept"),
         concat_ws(delim,
           transform(col("kp"), s => s.getField("para"))).as("clean_text"))
-    docs
-      .select(col(idCol),
-        coalesce(size(filter(paras, p => p.isNotNull)), lit(0))
-          .cast("long").as("n_paras"))
+    docCounts
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), col("n_paras"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),

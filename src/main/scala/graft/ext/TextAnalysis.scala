@@ -203,6 +203,14 @@ object TextAnalysis {
     * ([[Paragraphs.dedupParagraphs]] over these segments) robust to
     * edits. Expected chunk length = 2^maskBits tokens. Pure per-row
     * HOFs — no shuffle; empty/null token arrays yield no chunks.
+    *
+    * PERF: the h32 inside the lambda runs interpreted (HOFs don't
+    * codegen) and the expression can be re-evaluated around a
+    * Generate — for corpus-scale chunk dedup use the relational shape
+    * instead (explode tokens → codegen'd boundary flag → doc-bounded
+    * running count → group to chunks, as q_cdc_dedup does, feeding
+    * [[Paragraphs.dedupParagraphRows]]); it measured ~10x faster at
+    * sf0.1. This array form is for per-row use on already-small data.
     */
   def cdcSegments(tks: Column, maskBits: Int): Column = {
     require(maskBits >= 1 && maskBits <= 20, "maskBits in [1,20]")

@@ -488,12 +488,40 @@ object ExtQueries {
     // Content-defined chunk dedup: CDC boundaries (h32 % 16 == 0 closes
     // a chunk) feed the SAME paragraph-dedup machinery — unlike fixed
     // 12-token windows, an early edit only disturbs chunks up to the
-    // next boundary, so repeated passages still collapse. Shows the
-    // dedup tail is segmentation-agnostic.
+    // next boundary, so repeated passages still collapse. Built
+    // RELATIONALLY (hash-after-explode, the Contamination lesson): the
+    // per-token md5 runs codegen'd in a Project, the chunk id is a
+    // doc-bounded running boundary count, and the paragraph text is
+    // produced exactly once — the array-HOF form (interpreted h32 in a
+    // lambda, triple-evaluated around the Generate) measured 10x
+    // slower at sf0.1.
     "q_cdc_dedup" -> ((s, dir) => {
-      val seg = docsWithTokens(s, dir).select(col("doc_id"),
-        TA.cdcSegments(TA.tokens(col("text")), maskBits = 4).as("paras"))
-      graft.ext.Paragraphs.dedupParagraphs(seg, "doc_id", col("paras"),
+      val toks = docsWithTokens(s, dir)
+        .select(col("doc_id"),
+          posexplode_outer(TA.tokens(col("text"))).as(Seq("tpos", "tok")))
+      val flagged = toks.withColumn("b",
+        when(col("tok").isNotNull &&
+          Hashing.h32(col("tok")) % 16 === 0, 1L).otherwise(0L))
+      // chunk id = boundaries strictly before this token (doc-bounded
+      // window: group size = document length, never corpus-scale)
+      val w = Window.partitionBy("doc_id").orderBy("tpos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val parRows = flagged.where(col("tok").isNotNull)
+        .withColumn("pos", coalesce(sum(col("b")).over(w), lit(0L))
+          .cast("int"))
+        .groupBy(col("doc_id"), col("pos"))
+        .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("tpos"), col("tok")))),
+          s => s.getField("tok"))).as("para"))
+      // n_chunks = boundaries + 1, unless the LAST token is a boundary
+      val counts = flagged.groupBy(col("doc_id"))
+        .agg(count(col("tok")).as("_nt"), sum(col("b")).as("_nb"),
+          max_by(col("b"), col("tpos")).as("_lastb"))
+        .select(col("doc_id"),
+          when(col("_nt") === 0, 0L)
+            .otherwise(col("_nb") + lit(1L) - col("_lastb"))
+            .as("n_paras"))
+      graft.ext.Paragraphs.dedupParagraphRows(parRows, counts, "doc_id",
         delim = " ")
         .select(col("doc_id"), col("n_paras"), col("n_kept"),
           md5(col("clean_text")).as("clean_md5"))

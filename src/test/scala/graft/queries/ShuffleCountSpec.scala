@@ -45,7 +45,11 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // doc join-back + order (ph agg has map-side partials — the old
     // ph row_number window was a hot-key scale hazard)
     "q_para_dedup" -> 3,
-    "q_cdc_dedup" -> 3,          // same dedup tail over CDC segments
+    // relational CDC build (doc-bounded chunk window + chunk agg + doc
+    // counts) + the shared dedup tail; two more exchanges than the
+    // array form but ~7x faster (hash-after-explode runs codegen'd
+    // once instead of an interpreted lambda evaluated three times)
+    "q_cdc_dedup" -> 5,
     "q_phash_neardup" -> 4,      // band-bucket agg/join + pair distinct + order
     // 11 Exchange NODES, but the expensive assignment exchange is
     // written once and ReusedExchange-d by all four consumers — see
