@@ -60,10 +60,14 @@ object RefQueries {
         .orderBy("lang")
     }),
 
-    // A1 deterministic variant — first row per key by explicit tie-break.
+    // A1 deterministic variant — first row per key by explicit
+    // tie-break, via the hot-key-safe min_by aggregation: a language
+    // key partitions the corpus into a handful of corpus-scale groups,
+    // exactly the shape a row_number window single-tasks (the window
+    // variant keeps parity coverage in DedupSpec).
     "q_dedup_first" -> ((s, dir) => {
       val d = table(s, dir, "documents")
-      Dedup.firstPerKey(d, Seq(col("lang")), Seq(col("doc_id")))
+      Dedup.firstPerKeyAgg(d, Seq(col("lang")), Seq(col("doc_id")))
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     }),

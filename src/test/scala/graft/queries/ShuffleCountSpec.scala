@@ -22,7 +22,7 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
   // are counted separately below; this bounds ShuffleExchange only)
   private val bounds = Map(
     "q_dedup_bykey" -> 2,        // dedup hash shuffle + deterministic orderBy
-    "q_dedup_first" -> 2,        // window partitionBy shuffle + orderBy
+    "q_dedup_first" -> 2,        // combinable min_by agg + orderBy
     "q1_agg" -> 2,               // agg shuffle + final orderBy range exchange
     "q_broadcast_join" -> 2,     // agg + orderBy; the join side must NOT shuffle
     "q_hash_sample" -> 2,        // agg + orderBy; the filter rides the scan
