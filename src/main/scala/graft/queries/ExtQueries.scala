@@ -742,12 +742,36 @@ object ExtQueries {
     // in deterministic doc order — short documents share a training
     // sequence, never split across bins. One window shuffle on lang;
     // bin = (running total BEFORE this doc) div capacity.
+    // NOTE: the running sum is a single window partition per language —
+    // a hot language at corpus scale single-tasks it. q_pack keeps the
+    // globally-sequential semantics (bins numbered across the whole
+    // language); q_pack_sharded below is the scale path.
     "q_pack" -> ((s, dir) => {
       val w = Window.partitionBy("lang").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       docsWithTokens(s, dir)
         .select(col("doc_id"), col("lang"),
           TA.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("bin", expr("(cum - n_tokens) div 256L"))
+        .orderBy("doc_id")
+    }),
+
+    // Scale-safe packing: bins are LOCAL to (lang, shard), with the
+    // shard a deterministic hash bucket — what a production
+    // materialization actually wants (each output shard packs its own
+    // sequences; bin ids need not be globally sequential). Window
+    // groups shrink by the shard count, which scales with the cluster,
+    // so no hot language ever single-tasks.
+    "q_pack_sharded" -> ((s, dir) => {
+      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docsWithTokens(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TA.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("shard",
+          pmod(Hashing.h32(concat(lit("pk|"), col("doc_id").cast("string"))),
+            lit(8L)))
         .withColumn("cum", sum(col("n_tokens")).over(w))
         .withColumn("bin", expr("(cum - n_tokens) div 256L"))
         .orderBy("doc_id")
@@ -1683,6 +1707,21 @@ object ExtQueries {
          |      AS cum
          |  FROM documents)
          |SELECT doc_id, lang, n_tokens, cum,
+         |  ((cum - n_tokens) // 256)::BIGINT AS bin
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_pack_sharded" ->
+      s"""WITH s0 AS (
+         |  SELECT doc_id, lang, len($tokensSql)::BIGINT AS n_tokens,
+         |    ${Hashing.h32Sql("'pk|' || doc_id::VARCHAR")} % 8 AS shard
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, n_tokens, shard,
+         |    sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         |      AS cum
+         |  FROM s0)
+         |SELECT doc_id, lang, n_tokens, shard, cum,
          |  ((cum - n_tokens) // 256)::BIGINT AS bin
          |FROM c ORDER BY doc_id""".stripMargin,
 
