@@ -68,11 +68,15 @@ object Contamination {
   def duplicatedNgramShare(docs: DataFrame, idCol: String, words: Column,
       n: Int, minDf: Int = 1): DataFrame = {
     val grams = hashedGramRows(docs, idCol, words, n)
-    // gram doc-frequency rides the index rows as a windowed count (one
-    // exchange on g) instead of a groupBy + join back — the gram subtree
-    // is consumed once, not twice
-    val withDf = grams.withColumn("df",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("g")))
+    // gram doc-frequency via a COMBINABLE groupBy + join-back, not a
+    // count-over-window on g: the very grams this signal exists to
+    // flag (boilerplate repeated corpus-wide) are hot keys, and a
+    // window puts each one's whole group in a single partition with no
+    // map-side partial. The join is AQE-skew-splittable (df side is
+    // one row per gram); the gram subtree being consumed twice is
+    // map-side-only duplication (the same trade as Assembly.topTerms).
+    val gramDf = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val withDf = grams.join(gramDf, "g")
     val perDoc = withDf
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_grams"),
