@@ -360,6 +360,26 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Cluster-aware split: split keys are CONNECTED-COMPONENT labels,
+    // not doc ids, so a whole near-dup cluster lands in one split —
+    // the fix for what q_split_leakage measures (row-hash splits leave
+    // near-verbatim eval text in train). Docs outside the duplicate
+    // graph are their own singleton cluster.
+    "q_cluster_split" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir)
+      val pairs = NearDup.lshNearDupPairs(d, col("doc_id"),
+        TA.distinctTokens(col("text")), bands = 4, rowsPerBand = 2,
+        maxBucket = 10, minJaccard = 0.6)
+      val cc = Clustering.connectedComponents(pairs)
+      d.select(col("doc_id"))
+        .join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .withColumn("split", graft.ext.Assembly.splitColumn(
+          col("cluster_id"), "sp", Seq("train" -> 90, "val" -> 95), "test"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic train/val/test split: h32 percentile cuts 90/95 —
     // the same doc lands in the same split on every run/engine. Pure
     // per-row; at scale the column drives partitionBy("split") writes.
@@ -941,6 +961,21 @@ object ExtQueries {
   private def neardupClusterOracle: String =
     s"""WITH RECURSIVE $ccCtes
        |SELECT doc_id, cluster_id FROM cc ORDER BY doc_id""".stripMargin
+
+  // Mirrors q_cluster_split: the SAME recursive-CTE components as the
+  // cluster oracles, the SAME split CASE keyed on the cluster label.
+  private def clusterSplitOracle: String =
+    s"""WITH RECURSIVE $ccCtes,
+       |lab AS (
+       |  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN ${Hashing.h32Sql("'sp|' || cluster_id::VARCHAR")} % 100
+       |      < 90 THEN 'train'
+       |    WHEN ${Hashing.h32Sql("'sp|' || cluster_id::VARCHAR")} % 100
+       |      < 95 THEN 'val'
+       |    ELSE 'test' END AS split
+       |FROM lab ORDER BY doc_id""".stripMargin
 
   private def clusterDedupOracle: String =
     s"""WITH RECURSIVE $ccCtes
@@ -1804,6 +1839,7 @@ object ExtQueries {
     "q_minhash_agg" -> minhashAggOracle,
     "q_lsh_neardup" -> lshNearDupOracle,
     "q_neardup_cluster" -> neardupClusterOracle,
+    "q_cluster_split" -> clusterSplitOracle,
     "q_cluster_dedup" -> clusterDedupOracle,
     "q_dedup_minhash" -> dedupMinhashOracle,
     "q_soft_dedup" -> softDedupOracle,
