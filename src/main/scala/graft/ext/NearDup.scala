@@ -23,6 +23,35 @@ object NearDup {
 
   // --- MinHash / LSH ---
 
+  /** Probability that a pair with Jaccard similarity `j` shares at
+    * least one LSH band: 1 - (1 - j^rows)^bands — the s-curve that
+    * governs banding recall/precision.
+    */
+  def bandHitProbability(j: Double, bands: Int, rowsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(j, rowsPerBand), bands)
+
+  /** Pick (bands, rowsPerBand) for a signature budget of `numHashes`
+    * members and a target similarity threshold: among the exact
+    * factorizations b*r = numHashes, choose the one whose s-curve
+    * inflection (1/b)^(1/r) sits closest to `threshold` — pairs above
+    * the threshold are likely candidates, pairs well below mostly are
+    * not. Driver-side arithmetic; feed the result to [[lshBands]].
+    */
+  def bandingFor(numHashes: Int, threshold: Double): (Int, Int) = {
+    require(numHashes >= 1 && threshold > 0.0 && threshold < 1.0,
+      "need numHashes >= 1 and threshold in (0,1)")
+    val options = (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map { b =>
+        val r = numHashes / b
+        (b, r, math.pow(1.0 / b, 1.0 / r))
+      }
+    val (b, r, _) = options.minBy { case (_, _, inflection) =>
+      math.abs(inflection - threshold)
+    }
+    (b, r)
+  }
+
   /** K-member minhash signature columns over a PRE-HASHED element column
     * (`hs` = array<long> of h32 values): each member is a linear mix of
     * the shared base hash — one md5 per element total, not one per

@@ -22,6 +22,29 @@ class ExtSpec extends AnyFunSuite with SparkTestBase {
     assert(fp(1L) != fp(3L))
   }
 
+  test("banding math: s-curve is monotone and bandingFor hits the threshold") {
+    // monotone in j: more similar pairs are more likely candidates
+    val ps = (1 to 9).map(i => NearDup.bandHitProbability(i / 10.0, 4, 2))
+    assert(ps == ps.sorted)
+    // bandingFor picks a factorization whose inflection ~ threshold
+    val (b, r) = NearDup.bandingFor(numHashes = 8, threshold = 0.5)
+    assert(b * r == 8)
+    assert(math.abs(math.pow(1.0 / b, 1.0 / r) - 0.5) < 0.25)
+    // extremes: near-exact threshold wants many rows per band (high
+    // precision); loose threshold wants many bands (high recall)
+    val (bHi, rHi) = NearDup.bandingFor(16, 0.95)
+    val (bLo, rLo) = NearDup.bandingFor(16, 0.1)
+    assert(rHi > rLo && bLo > bHi)
+    // property over random budgets: every result factorizes exactly
+    val rnd = new scala.util.Random(3)
+    for (_ <- 1 to 20) {
+      val n = 1 + rnd.nextInt(64)
+      val t = 0.05 + rnd.nextDouble() * 0.9
+      val (bb, rr) = NearDup.bandingFor(n, t)
+      assert(bb * rr == n && bb >= 1 && rr >= 1)
+    }
+  }
+
   test("minhash signature is set-based (word order invariant)") {
     val hs = transform(array_distinct(split(col("text"), " ")),
       w => graft.functions.Hashing.h32(w))
