@@ -265,6 +265,25 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental ingestion dedup — the DAILY operational mode: an
+    // incoming batch (docs >= 400 here) dedups against the historical
+    // corpus fingerprint set (an anti-join on the content fingerprint;
+    // at scale that store is billions of keys — unbroadcastable, which
+    // is exactly what Contamination.bloomAntiJoin's bloom-prefilter
+    // path exists for), then first-per-key within the batch itself.
+    "q_incremental_dedup" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir).select(col("doc_id"),
+        TA.bagFingerprint(col("text")).as("bag_fp"))
+      val existing = d.where(col("doc_id") < 400)
+      val incoming = d.where(col("doc_id") >= 400)
+      val novel = incoming.join(
+        existing.select("bag_fp").distinct(), Seq("bag_fp"), "left_anti")
+      graft.ops.Dedup.firstPerKeyAgg(novel, Seq(col("bag_fp")),
+        Seq(col("doc_id")))
+        .select("doc_id", "bag_fp")
+        .orderBy("doc_id")
+    }),
+
     // Soft dedup: duplication-DISCOUNT weights instead of row deletion —
     // every copy survives carrying weight_milli = floor(1000/copies), so
     // a massively duplicated document contributes one document's worth
@@ -1584,6 +1603,24 @@ object ExtQueries {
        |SELECT b.doc_id, c.copies, (1000 // c.copies)::BIGINT AS weight_milli
        |FROM b JOIN c USING (bag_fp) ORDER BY doc_id""".stripMargin
 
+  // Mirrors the incremental mode: same fingerprint, same anti-join
+  // against the historical set, same batch-internal survivor pick.
+  private def incrementalDedupOracle: String =
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(list_sort($dtokensSql), ' ')) AS bag_fp
+       |  FROM documents),
+       |ex AS (SELECT DISTINCT bag_fp FROM b WHERE doc_id < 400),
+       |inc AS (SELECT * FROM b WHERE doc_id >= 400),
+       |novel AS (
+       |  SELECT * FROM inc
+       |  WHERE bag_fp NOT IN (SELECT bag_fp FROM ex)),
+       |r AS (
+       |  SELECT doc_id, bag_fp,
+       |    row_number() OVER (PARTITION BY bag_fp ORDER BY doc_id) AS rn
+       |  FROM novel)
+       |SELECT doc_id, bag_fp FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   // Mirrors UrlAnalysis.capPerDomain: same synthetic URL, same last-two-
   // label registered domain, same salted-h32 keep order.
   private def domainCapOracle: String = {
@@ -1843,6 +1880,7 @@ object ExtQueries {
     "q_cluster_dedup" -> clusterDedupOracle,
     "q_dedup_minhash" -> dedupMinhashOracle,
     "q_soft_dedup" -> softDedupOracle,
+    "q_incremental_dedup" -> incrementalDedupOracle,
     "q_domain_cap" -> domainCapOracle,
     "q_dsir" -> dsirOracle,
     "q_split_leakage" -> splitLeakageOracle,
