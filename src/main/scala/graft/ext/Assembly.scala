@@ -84,6 +84,10 @@ object Assembly {
       k: Int): DataFrame = {
     val tf = docs
       .select(col(idCol), explode(tokens).as("token"))
+      // null tokens are not terms — and the df join-back below would
+      // silently drop them mid-pipeline otherwise (null keys never
+      // equi-join); make the semantics explicit instead
+      .where(col("token").isNotNull)
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
     val dfCounts = tf.groupBy("token").agg(count(lit(1)).as("df"))

@@ -144,12 +144,15 @@ object Contamination {
     val evalGrams = staged.where(col("_split") =!= trainName)
       .select("g").distinct()
     val train = staged.where(col("_split") === trainName)
-    val leaked = train.join(evalGrams, Seq("g"))
-      .groupBy(col(idCol)).agg(count(lit(1)).as("leaked_grams"))
-    train.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
-      .join(leaked, Seq(idCol), "left")
-      .select(col(idCol), col("n_grams"),
-        coalesce(col("leaked_grams"), lit(0L)).as("leaked_grams"))
+    // one left join + ONE per-doc aggregation: evalGrams is distinct,
+    // so each train gram matches at most once and the hit marker sums
+    // to the leak count — a separate inner-join aggregate plus a
+    // doc-level re-join would spend two more exchanges for the same
+    // answer
+    train.join(evalGrams.withColumn("_hit", lit(1L)), Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0L))).as("leaked_grams"))
   }
 
   /** Bloom-prefiltered EXACT key anti-join: drop every corpus row whose

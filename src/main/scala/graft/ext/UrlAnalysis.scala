@@ -62,6 +62,8 @@ object UrlAnalysis {
     */
   def capPerDomain(df: DataFrame, urlCol: String, idCol: String, k: Int,
       salt: String = "dom"): DataFrame = {
+    require(!Seq("__host", "reg_domain", "rk").exists(df.columns.contains),
+      "capPerDomain writes __host/reg_domain/rk — input must not carry them")
     val staged = df
       .withColumn("__host", host(col(urlCol)))
       .withColumn("reg_domain", registeredDomain(col("__host")))

@@ -31,9 +31,19 @@ object Weighting {
       scaleMilli: Long = 1000L): DataFrame = {
     val counts = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("copies"))
-    df.join(counts, keys)
-      .withColumn("weight_milli",
-        (lit(scaleMilli) / col("copies")).cast("long"))
+      .withColumnsRenamed(keys.map(k => k -> s"__cnt_$k").toMap)
+    // NULL-SAFE equality: "every copy survives" must include rows with
+    // a null key (e.g. a fingerprint of absent text) — a plain
+    // equi-join would silently DELETE them, the one thing a soft dedup
+    // promises not to do. groupBy already treats null as a group.
+    val cond = keys.map(k => df(k) <=> counts(s"__cnt_$k"))
+      .reduce(_ && _)
+    df.join(counts, cond)
+      .drop(keys.map(k => s"__cnt_$k"): _*)
+      // integral div, not `/`: Divide casts to double, and a caller's
+      // large scaleMilli would break the promised cross-engine
+      // bit-identity with the oracle's exact integer division
+      .withColumn("weight_milli", expr(s"$scaleMilli div copies"))
   }
 
   /** Hashed-feature importance scoring — the data-SELECTION step (the

@@ -1117,6 +1117,7 @@ object ExtQueries {
     s"""WITH tf AS (
        |  SELECT doc_id, token, count(*)::BIGINT AS tf FROM (
        |    SELECT doc_id, unnest($tokensSql) AS token FROM documents)
+       |  WHERE token IS NOT NULL
        |  GROUP BY doc_id, token),
        |wd AS (
        |  SELECT *, count(*) OVER (PARTITION BY token)::BIGINT AS df

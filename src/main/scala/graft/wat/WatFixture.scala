@@ -218,6 +218,13 @@ object WatFixture {
         if (!stage.renameTo(target) && !target.exists())
           throw new java.io.IOException(s"could not materialize $target")
         stage.delete()
+        // the temp write dir only held Spark's _SUCCESS/.crc leftovers
+        // once the part file moved out — don't leak it per regeneration
+        def rmr(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rmr))
+          f.delete()
+        }
+        rmr(tmp)
       }
       TailParquetPath
     }

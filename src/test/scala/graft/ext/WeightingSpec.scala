@@ -23,6 +23,19 @@ class WeightingSpec extends AnyFunSuite with SparkTestBase {
       (4L, 1L, 1000L), (5L, 2L, 500L), (6L, 2L, 500L)))
   }
 
+  test("softDedupWeights keeps null-keyed rows (null-safe join)") {
+    // a fingerprint of absent text is null — soft dedup must NOT
+    // silently delete those rows (the one thing it promises)
+    val df = Seq((1L, Some("fpA")), (2L, None), (3L, None))
+      .toDF("doc_id", "fp")
+    val got = Weighting.softDedupWeights(df, Seq("fp"))
+      .select("doc_id", "copies", "weight_milli")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1L, 1000L), (2L, 2L, 500L),
+      (3L, 2L, 500L)))
+  }
+
   test("softDedupWeights counts are a combinable aggregation") {
     val df = Seq((1L, "a")).toDF("doc_id", "fp")
     val plan = Weighting.softDedupWeights(df, Seq("fp"))

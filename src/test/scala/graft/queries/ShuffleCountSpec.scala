@@ -70,9 +70,10 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     "q_soft_dedup" -> 2,         // combinable copies agg + join-back + order
     "q_domain_cap" -> 2,         // domain window (WindowGroupLimit) + order
     "q_wat_tail" -> 2,           // min_by uid agg + final order
-    // gram distinct + eval-side distinct + leak join + two per-doc aggs
-    // + order; all combinable or equi-join on the 8-byte gram hash
-    "q_split_leakage" -> 6,
+    // gram distinct + eval-side distinct + ONE left leak join + one
+    // per-doc agg + order; all combinable or equi-join on the 8-byte
+    // gram hash
+    "q_split_leakage" -> 5,
     // dbt agg, cb regroup, target grams, two 1-row total aggs
     // (SinglePartition over one row each), ratio join, scoring join,
     // final agg, order — wide but every exchange is combinable,
