@@ -219,6 +219,38 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
       ("a.test", 3L, 3L)))
   }
 
+  test("capPerKeyStream state survives a checkpointed query restart") {
+    val in = Files.createTempDirectory("cap-ckpt-in").toString
+    val ckpt = Files.createTempDirectory("cap-ckpt").toString
+    def capped() = StreamOps.capPerKeyStream(
+      spark.readStream.schema("key STRING, ts_us LONG, id LONG")
+        .parquet(s"$in/*").as[StreamOps.Keyed], k = 2)
+    val out = Files.createTempDirectory("cap-ckpt-out").toString
+    // memory sink can't recover from a checkpoint — use the file sink
+    def run(): Unit = {
+      val q = capped().writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    // run 1: admit both seats for domain a, then STOP the query
+    Seq(("a.test", us(0), 1L), ("a.test", us(1), 2L))
+      .toDF("key", "ts_us", "id").coalesce(1).write.parquet(s"$in/b1")
+    run()
+    assert(spark.read.parquet(out).count() === 2L)
+    // run 2: SAME checkpoint — the recovered counter must refuse the
+    // next arrival (a fresh query would wrongly re-admit up to k)
+    Seq(("a.test", us(2), 3L), ("b.test", us(2), 9L))
+      .toDF("key", "ts_us", "id").coalesce(1).write.parquet(s"$in/b2")
+    run()
+    val got = spark.read.parquet(out)
+      .select("key", "id", "admit_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // only the new-domain row lands; a.test's quota was spent in run 1
+    assert(got == Set(("a.test", 1L, 1L), ("a.test", 2L, 2L),
+      ("b.test", 9L, 1L)))
+  }
+
   test("interval join resolves key/ts columns per side even when names collide") {
     // both streams name their key `k` and timestamp `ts`: a bare
     // col("k") === col("k") would be ambiguous (or self-referencing);
