@@ -29,6 +29,11 @@ object Weighting {
     */
   def softDedupWeights(df: DataFrame, keys: Seq[String],
       scaleMilli: Long = 1000L): DataFrame = {
+    require(keys.nonEmpty, "softDedupWeights needs at least one key")
+    val reserved = keys.map(k => s"__cnt_$k") ++ Seq("copies", "weight_milli")
+    require(!reserved.exists(df.columns.contains),
+      s"softDedupWeights writes ${reserved.mkString("/")} — " +
+        "input must not carry them")
     val counts = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("copies"))
       .withColumnsRenamed(keys.map(k => k -> s"__cnt_$k").toMap)

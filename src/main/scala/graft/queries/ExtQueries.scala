@@ -1606,6 +1606,9 @@ object ExtQueries {
 
   // Mirrors the incremental mode: same fingerprint, same anti-join
   // against the historical set, same batch-internal survivor pick.
+  // NOT EXISTS, never NOT IN: one NULL in the historical set would
+  // make NOT IN return zero rows (NULL poisons NOT IN) where Spark's
+  // left_anti keeps every non-matching row.
   private def incrementalDedupOracle: String =
     s"""WITH b AS (
        |  SELECT doc_id,
@@ -1614,8 +1617,9 @@ object ExtQueries {
        |ex AS (SELECT DISTINCT bag_fp FROM b WHERE doc_id < 400),
        |inc AS (SELECT * FROM b WHERE doc_id >= 400),
        |novel AS (
-       |  SELECT * FROM inc
-       |  WHERE bag_fp NOT IN (SELECT bag_fp FROM ex)),
+       |  SELECT inc.* FROM inc
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM ex WHERE ex.bag_fp = inc.bag_fp)),
        |r AS (
        |  SELECT doc_id, bag_fp,
        |    row_number() OVER (PARTITION BY bag_fp ORDER BY doc_id) AS rn

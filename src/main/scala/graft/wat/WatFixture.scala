@@ -202,29 +202,32 @@ object WatFixture {
       if (!target.exists()) {
         val df = WatExtract.fromPaths(spark, ensureFleet(), "image_only").toDF()
         val tmp = java.nio.file.Files.createTempDirectory("wat-tail").toFile
-        val outDir = new java.io.File(tmp, "p")
-        df.orderBy("uid", "cc_filename", "page_url", "url", "alt")
-          .coalesce(1).write.mode("overwrite")
-          .parquet(outDir.getAbsolutePath)
-        val part = outDir.listFiles()
-          .find(_.getName.endsWith(".parquet"))
-          .getOrElse(throw new java.io.IOException(
-            s"no parquet part written under $outDir"))
-        Option(target.getParentFile).foreach(_.mkdirs())
-        // write-then-rename, same crash-safety story as ensureBenchWats
-        val stage = new java.io.File(target.getParentFile,
-          target.getName + s".tmp-${System.nanoTime()}")
-        java.nio.file.Files.move(part.toPath, stage.toPath)
-        if (!stage.renameTo(target) && !target.exists())
-          throw new java.io.IOException(s"could not materialize $target")
-        stage.delete()
-        // the temp write dir only held Spark's _SUCCESS/.crc leftovers
-        // once the part file moved out — don't leak it per regeneration
-        def rmr(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rmr))
-          f.delete()
+        // finally, not success-path-only: the failure throws below would
+        // otherwise leak the temp dir per failed regeneration
+        try {
+          val outDir = new java.io.File(tmp, "p")
+          df.orderBy("uid", "cc_filename", "page_url", "url", "alt")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(outDir.getAbsolutePath)
+          val part = outDir.listFiles()
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(throw new java.io.IOException(
+              s"no parquet part written under $outDir"))
+          Option(target.getParentFile).foreach(_.mkdirs())
+          // write-then-rename, same crash-safety story as ensureBenchWats
+          val stage = new java.io.File(target.getParentFile,
+            target.getName + s".tmp-${System.nanoTime()}")
+          java.nio.file.Files.move(part.toPath, stage.toPath)
+          if (!stage.renameTo(target) && !target.exists())
+            throw new java.io.IOException(s"could not materialize $target")
+          stage.delete()
+        } finally {
+          def rmr(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rmr))
+            f.delete()
+          }
+          rmr(tmp)
         }
-        rmr(tmp)
       }
       TailParquetPath
     }
