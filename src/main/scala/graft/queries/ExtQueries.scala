@@ -1593,11 +1593,15 @@ object ExtQueries {
        |ORDER BY doc_id""".stripMargin
 
   // Mirrors Weighting.softDedupWeights over the bag fingerprint:
-  // same combinable count, same integer milli-weight floor.
+  // same combinable count, same integer milli-weight floor. coalesce:
+  // Spark's concat_ws never returns null, so a null-text doc
+  // fingerprints to md5('') — mirror that, or one null in a KEY set
+  // diverges the whole join.
   private def softDedupOracle: String =
     s"""WITH b AS (
        |  SELECT doc_id,
-       |    md5(array_to_string(list_sort($dtokensSql), ' ')) AS bag_fp
+       |    md5(coalesce(array_to_string(list_sort($dtokensSql), ' '), ''))
+       |      AS bag_fp
        |  FROM documents),
        |c AS (
        |  SELECT bag_fp, count(*)::BIGINT AS copies FROM b GROUP BY bag_fp)
@@ -1612,7 +1616,8 @@ object ExtQueries {
   private def incrementalDedupOracle: String =
     s"""WITH b AS (
        |  SELECT doc_id,
-       |    md5(array_to_string(list_sort($dtokensSql), ' ')) AS bag_fp
+       |    md5(coalesce(array_to_string(list_sort($dtokensSql), ' '), ''))
+       |      AS bag_fp
        |  FROM documents),
        |ex AS (SELECT DISTINCT bag_fp FROM b WHERE doc_id < 400),
        |inc AS (SELECT * FROM b WHERE doc_id >= 400),
