@@ -51,6 +51,31 @@ object Weighting {
       .withColumn("weight_milli", expr(s"$scaleMilli div copies"))
   }
 
+  /** Temperature-balanced source weights at α = 1/2 — the multilingual
+    * mix-balancing step (sampling probability ∝ n^α flattens the
+    * head): each group's weight_milli is
+    * floor(sqrt(n) * scaleMilli / Σ sqrt(n)). α is FIXED at 1/2
+    * because IEEE-754 sqrt is correctly rounded, so floor(sqrt(n)) is
+    * bit-identical on every engine for n < 2^53 — a general pow(n, α)
+    * is not, and this library's determinism policy excludes it. Feed
+    * the result to [[weightedReplicas]] via a broadcast join on the
+    * group column.
+    *
+    * One combinable count + a 1-row broadcast total — nothing here
+    * scales with the corpus beyond the first aggregation.
+    */
+  def temperatureWeights(df: DataFrame, groupCol: String,
+      scaleMilli: Long = 1000L): DataFrame = {
+    val s = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("_s", floor(sqrt(col("n_docs"))).cast("long"))
+    val total = s.agg(sum(col("_s")).as("_t"))
+      .withColumn("_k", (col("_t") * 0L).cast("int"))
+    s.withColumn("_k", (col("_s") * 0L).cast("int"))
+      .join(broadcast(total), "_k")
+      .select(col(groupCol), col("n_docs"),
+        expr(s"(_s * $scaleMilli) div _t").as("weight_milli"))
+  }
+
   /** Hashed-feature importance scoring — the data-SELECTION step (the
     * DSIR idea, Xie et al. 2023, arXiv:2302.03169): score every corpus
     * document by how much its hashed unigram distribution resembles a

@@ -284,6 +284,16 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Temperature mix balancing (α = 1/2): per-language weights
+    // ∝ sqrt(n)/Σsqrt(n) flatten the head language — integer-exact
+    // cross-engine because IEEE sqrt is correctly rounded. The
+    // data-DERIVED companion to q_mix's static weights.
+    "q_mix_temperature" -> ((s, dir) => {
+      graft.ext.Weighting.temperatureWeights(
+        docsWithTokens(s, dir), "lang")
+        .orderBy("lang")
+    }),
+
     // Soft dedup: duplication-DISCOUNT weights instead of row deletion —
     // every copy survives carrying weight_milli = floor(1000/copies), so
     // a massively duplicated document contributes one document's worth
@@ -1891,6 +1901,15 @@ object ExtQueries {
     "q_dedup_minhash" -> dedupMinhashOracle,
     "q_soft_dedup" -> softDedupOracle,
     "q_incremental_dedup" -> incrementalDedupOracle,
+    "q_mix_temperature" ->
+      """WITH c AS (
+        |  SELECT lang, count(*)::BIGINT AS n_docs
+        |  FROM documents GROUP BY lang),
+        |s AS (SELECT lang, n_docs,
+        |        floor(sqrt(n_docs))::BIGINT AS sq FROM c),
+        |t AS (SELECT sum(sq)::BIGINT AS tt FROM s)
+        |SELECT lang, n_docs, ((sq * 1000) // tt)::BIGINT AS weight_milli
+        |FROM s, t ORDER BY lang""".stripMargin,
     "q_domain_cap" -> domainCapOracle,
     "q_dsir" -> dsirOracle,
     "q_split_leakage" -> splitLeakageOracle,

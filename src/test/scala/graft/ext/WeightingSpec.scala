@@ -43,6 +43,19 @@ class WeightingSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("partial_count"))
   }
 
+  test("temperatureWeights flattens the head group (alpha = 1/2)") {
+    // 100 'big' docs vs 4 'small': raw share 96%, sqrt share 10/12
+    val df = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 104).map(i => (i.toLong, "small"))).toDF("id", "src")
+    val got = Weighting.temperatureWeights(df, "src")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got("big") == ((100L, 10L * 1000L / 12L))) // 833
+    assert(got("small") == ((4L, 2L * 1000L / 12L))) // 166
+    // temperature pulled big's share below its raw 96%
+    assert(got("big")._2 < 960L && got("big")._2 > got("small")._2)
+  }
+
   test("importanceScores ranks target-like documents above corpus-like ones") {
     // corpus: 3 "code" docs, 3 "prose" docs; target = the code docs.
     // A code-vocabulary doc must out-score a prose one.
