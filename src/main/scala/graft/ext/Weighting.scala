@@ -51,29 +51,46 @@ object Weighting {
       .withColumn("weight_milli", expr(s"$scaleMilli div copies"))
   }
 
+  /** Attach a DATA-derived constant join key: the non-foldable zero
+    * (`x * 0`, never `lit(0)`) that lets a 1-row totals frame ride a
+    * broadcast HASH join — a foldable literal key constant-folds the
+    * join condition to `true` and degrades the plan back to the
+    * BroadcastNestedLoopJoin that PlanAuditSpec forbids.
+    */
+  private def withConstKey(df: DataFrame, from: String): DataFrame =
+    df.withColumn("_k", (col(from) * 0L).cast("int"))
+
   /** Temperature-balanced source weights at α = 1/2 — the multilingual
     * mix-balancing step (sampling probability ∝ n^α flattens the
     * head): each group's weight_milli is
-    * floor(sqrt(n) * scaleMilli / Σ sqrt(n)). α is FIXED at 1/2
-    * because IEEE-754 sqrt is correctly rounded, so floor(sqrt(n)) is
-    * bit-identical on every engine for n < 2^53 — a general pow(n, α)
-    * is not, and this library's determinism policy excludes it. Feed
-    * the result to [[weightedReplicas]] via a broadcast join on the
-    * group column.
+    * `(floor(sqrt(n)) * scaleMilli) div Σ floor(sqrt(n))`, clamped to
+    * at least 1. Note the floor happens BEFORE scaling (so n = 1..3
+    * all weigh as sq = 1 — a coarse staircase for tiny groups), and
+    * the clamp exists because a vanishing tail share would otherwise
+    * round to weight 0 and [[weightedReplicas]] would then DELETE the
+    * very low-resource group this operator exists to protect. α is
+    * FIXED at 1/2 because IEEE-754 sqrt is correctly rounded, so
+    * floor(sqrt(n)) is bit-identical on every engine for n < 2^53 — a
+    * general pow(n, α) is not, and this library's determinism policy
+    * excludes it.
     *
     * One combinable count + a 1-row broadcast total — nothing here
     * scales with the corpus beyond the first aggregation.
     */
   def temperatureWeights(df: DataFrame, groupCol: String,
       scaleMilli: Long = 1000L): DataFrame = {
+    val written = Seq("n_docs", "_s", "_k", "weight_milli")
+    require(!written.exists(c => df.columns.contains(c) || groupCol == c),
+      s"temperatureWeights writes ${written.mkString("/")} — " +
+        "input must not carry them")
     val s = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
       .withColumn("_s", floor(sqrt(col("n_docs"))).cast("long"))
-    val total = s.agg(sum(col("_s")).as("_t"))
-      .withColumn("_k", (col("_t") * 0L).cast("int"))
-    s.withColumn("_k", (col("_s") * 0L).cast("int"))
+    val total = withConstKey(s.agg(sum(col("_s")).as("_t")), "_t")
+    withConstKey(s, "_s")
       .join(broadcast(total), "_k")
       .select(col(groupCol), col("n_docs"),
-        expr(s"(_s * $scaleMilli) div _t").as("weight_milli"))
+        greatest(expr(s"(_s * $scaleMilli) div _t"), lit(1L))
+          .as("weight_milli"))
   }
 
   /** Hashed-feature importance scoring — the data-SELECTION step (the
@@ -117,18 +134,14 @@ object Weighting {
       .select(explode(targetTokens).as("tok"))
       .select(pmod(Hashing.h32(col("tok")), lit(buckets.toLong)).as("b"))
       .groupBy("b").agg(count(lit(1)).as("tb"))
-    // totals ride constant-key broadcast equi-joins (BroadcastHashJoin,
-    // not a nested-loop cross product — PlanAuditSpec forbids stray
-    // NLJs). The key is DATA-derived (x*0), not lit(0): a foldable
-    // literal key constant-folds to `true` and degrades back to a
-    // nested loop.
-    val cTotal = cb.agg(sum(col("cb")).as("ct_total"))
-      .withColumn("_k", (col("ct_total") * 0L).cast("int"))
-    val tTotal = tb.agg(sum(col("tb")).as("tt_total"))
-      .withColumn("_k", (col("tt_total") * 0L).cast("int"))
-    val ratios = cb.join(tb, Seq("b"), "left")
-      .na.fill(0L, Seq("tb"))
-      .withColumn("_k", (col("cb") * 0L).cast("int"))
+    // totals ride constant-key broadcast equi-joins via withConstKey
+    // (BroadcastHashJoin, never a nested-loop cross product)
+    val cTotal = withConstKey(cb.agg(sum(col("cb")).as("ct_total")),
+      "ct_total")
+    val tTotal = withConstKey(tb.agg(sum(col("tb")).as("tt_total")),
+      "tt_total")
+    val ratios = withConstKey(
+      cb.join(tb, Seq("b"), "left").na.fill(0L, Seq("tb")), "cb")
       .join(broadcast(cTotal), "_k")
       .join(broadcast(tTotal), "_k")
       .select(col("b"), expr(

@@ -1879,7 +1879,8 @@ object ExtQueries {
 
     "q_fingerprint" ->
       s"""SELECT doc_id,
-         |  md5(array_to_string(list_sort($dtokensSql), ' ')) AS bag_fp,
+         |  md5(coalesce(array_to_string(list_sort($dtokensSql), ' '), ''))
+         |    AS bag_fp,
          |  list_aggregate(list_transform($tokensSql, w -> md5(w)), 'min') AS min_fp,
          |  list_reduce(list_transform($tokensSql, w -> ${Hashing.h32Sql("w")}),
          |    (a, h) -> (a * ${TA.RollB} + h) % ${TA.RollM}) AS roll_fp,
@@ -1908,7 +1909,8 @@ object ExtQueries {
         |s AS (SELECT lang, n_docs,
         |        floor(sqrt(n_docs))::BIGINT AS sq FROM c),
         |t AS (SELECT sum(sq)::BIGINT AS tt FROM s)
-        |SELECT lang, n_docs, ((sq * 1000) // tt)::BIGINT AS weight_milli
+        |SELECT lang, n_docs,
+        |  greatest((sq * 1000) // tt, 1)::BIGINT AS weight_milli
         |FROM s, t ORDER BY lang""".stripMargin,
     "q_domain_cap" -> domainCapOracle,
     "q_dsir" -> dsirOracle,

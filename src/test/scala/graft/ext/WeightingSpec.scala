@@ -56,6 +56,22 @@ class WeightingSpec extends AnyFunSuite with SparkTestBase {
     assert(got("big")._2 < 960L && got("big")._2 > got("small")._2)
   }
 
+  test("temperatureWeights clamps a vanishing tail group to weight 1, not 0") {
+    // head sq dwarfs tail sq so the tail's integer share rounds to 0 —
+    // a 0 weight would make weightedReplicas DELETE the low-resource
+    // group this operator exists to protect
+    val df = ((1 to 5000).map(i => (i.toLong, "head")) ++
+      Seq((9001L, "tail"))).toDF("id", "src")
+    val got = Weighting.temperatureWeights(df, "src")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // head sq = 70, tail sq = 1, total 71: tail share 1000/71 = 14;
+    // shrink the scale to force the rounding edge
+    val tiny = Weighting.temperatureWeights(df, "src", scaleMilli = 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(tiny("tail") === 1L) // (1*10) div 71 = 0 -> clamped
+    assert(got("tail") === 14L)
+  }
+
   test("importanceScores ranks target-like documents above corpus-like ones") {
     // corpus: 3 "code" docs, 3 "prose" docs; target = the code docs.
     // A code-vocabulary doc must out-score a prose one.
