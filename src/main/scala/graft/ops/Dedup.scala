@@ -57,6 +57,15 @@ object Dedup {
     */
   def firstPerKeyAgg(df: DataFrame, keys: Seq[Column],
       tieBreak: Seq[Column]): DataFrame = {
+    // guard the name this operator writes (mirrors Weighting/UrlAnalysis):
+    // an input already carrying __row — or duplicate column names from a
+    // prior join — would make the struct build or __row.* expansion
+    // silently misresolve
+    require(!df.columns.contains("__row"),
+      "firstPerKeyAgg: input already has a __row column")
+    require(df.columns.distinct.length == df.columns.length,
+      s"firstPerKeyAgg: duplicate column names in input: " +
+        df.columns.diff(df.columns.distinct).mkString(", "))
     val rowStruct = struct(df.columns.map(col): _*)
     df.groupBy(keys: _*)
       .agg(min_by(rowStruct, struct(tieBreak: _*)).as("__row"))

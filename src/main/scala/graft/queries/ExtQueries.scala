@@ -565,7 +565,12 @@ object ExtQueries {
       // n_chunks = boundaries + 1, unless the LAST token is a boundary
       val counts = flagged.groupBy(col("doc_id"))
         .agg(count(col("tok")).as("_nt"), sum(col("b")).as("_nb"),
-          max_by(col("b"), col("tpos")).as("_lastb"))
+          // last boundary flag over the NULL-FILTERED rows (max_by skips
+          // null ordering keys) — the same row set the chunk build uses;
+          // taking it over all exploded rows would overcount n_paras by 1
+          // if a token array ever ended with nulls after a boundary token
+          max_by(col("b"), when(col("tok").isNotNull, col("tpos")))
+            .as("_lastb"))
         .select(col("doc_id"),
           when(col("_nt") === 0, 0L)
             .otherwise(col("_nb") + lit(1L) - col("_lastb"))

@@ -180,19 +180,30 @@ object StreamOps {
       }
       val prev = state.getOption.map(_.admitted).getOrElse(0L)
       val room = math.max(0L, k - prev).toInt
+      // expire one horizon past the latest activity, in EVENT time
+      // (the initial watermark is 0 — anchoring to it would let the
+      // first real watermark advance blow away live counters), and
+      // always beyond the current watermark or the runtime rejects it
+      def refreshTimeout(maxTsUs: Long): Unit =
+        state.setTimeoutTimestamp(math.max(
+          maxTsUs / 1000L + horizonUs / 1000L,
+          state.getCurrentWatermarkMs() + 1L))
+      if (room == 0) {
+        // cap exhausted — this is exactly the flooded hot key the
+        // operator exists to throttle, so don't materialize or sort its
+        // batch slice: stream the iterator for the max ts_us the timeout
+        // refresh needs and admit nothing. O(1) memory, O(n) CPU.
+        var maxTs = Long.MinValue
+        it.foreach(r => if (r.ts_us > maxTs) maxTs = r.ts_us)
+        if (maxTs != Long.MinValue) refreshTimeout(maxTs)
+        return Iterator.empty
+      }
       // micro-batch rows are unordered — admit in (ts_us, id) order
       val rowsSeq = it.toSeq.sortBy(r => (r.ts_us, r.id))
       val admitted = rowsSeq.take(room)
       if (admitted.nonEmpty) state.update(CapState(prev + admitted.size))
-      if (state.exists) {
-        // expire one horizon past the latest activity, in EVENT time
-        // (the initial watermark is 0 — anchoring to it would let the
-        // first real watermark advance blow away live counters), and
-        // always beyond the current watermark or the runtime rejects it
-        state.setTimeoutTimestamp(math.max(
-          rowsSeq.last.ts_us / 1000L + horizonUs / 1000L,
-          state.getCurrentWatermarkMs() + 1L))
-      }
+      if (state.exists)
+        refreshTimeout(rowsSeq.iterator.map(_.ts_us).max)
       admitted.iterator.zipWithIndex.map { case (r, i) =>
         Admitted(r.key, r.ts_us, r.id, prev + i + 1) }
     }

@@ -66,4 +66,19 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       Seq(col("o1"), col("o2"))).collect()
     assert(got.length === 1 && got(0).getString(3) === "c")
   }
+
+  test("firstPerKeyAgg rejects inputs that collide with its __row scratch name") {
+    val clash = Seq(("k", 1L)).toDF("key", "__row")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.firstPerKeyAgg(clash, Seq(col("key")), Seq(col("__row")))
+    }
+    assert(e.getMessage.contains("__row"))
+    // duplicate column names (the post-join hazard) are rejected too
+    val a = Seq(("k", 1L)).toDF("key", "v")
+    val dup = a.select(col("key"), col("v"), col("v"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.firstPerKeyAgg(dup, Seq(col("key")), Seq(lit(1)))
+    }
+    assert(e2.getMessage.contains("duplicate"))
+  }
 }
