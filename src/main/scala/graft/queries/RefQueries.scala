@@ -183,13 +183,24 @@ object RefQueries {
       graft.wat.WatExtract.fromPaths(s, wats, "image_only").toDF()
     }),
 
-    // The pipeline's hot path end-to-end: extraction + uid dedup (the
-    // stage-1 + stage-2 of a production run). Rows-only; benched.
+    // The pipeline's hot path end-to-end — extraction + uid dedup (the
+    // stage-1 + stage-2 of a production run) — now under the FULL
+    // DuckDB oracle: the survivor pick is deterministic (hot-key-safe
+    // min_by over a total tie-break, same as the production-shaped
+    // q_wat_tail), so LIVE extraction over the 16-archive fleet + dedup
+    // must hash-equal DuckDB running the identical dedup over the
+    // committed extraction parquet. Only the WARC framing itself
+    // (pinned by golden md5s ×5 doc types) stays outside SQL.
     "q_wat_dedup" -> ((s, dir) => {
+      // the oracle side reads the committed tail parquet — materialize
+      // it first so both engines see the same table
+      graft.wat.WatFixture.ensureTailParquet(s)
       val wats = graft.wat.WatFixture.ensureFleet()
-      Dedup.byKey(
+      Dedup.firstPerKeyAgg(
         graft.wat.WatExtract.fromPaths(s, wats, "image_only").toDF(),
-        Seq("uid"))
+        Seq(col("uid")),
+        Seq(col("cc_filename"), col("page_url"), col("url"), col("alt")))
+        .orderBy("uid")
     }),
 
     // Single-archive throughput at reference-WAT link volume (~400k
@@ -290,10 +301,21 @@ object RefQueries {
     "q_repartition_count" -> "SELECT count(*) AS n FROM events",
     // q_shuffle: intentionally no oracle (random output order)
 
-    // q_wat_extract*/q_wat_dedup: no oracle (WARC-framed input) — the
-    // tail is oracled here instead, over the committed fleet-extraction
+    // q_wat_extract*: no oracle (WARC-framed input) — the tail is
+    // oracled below instead, over the committed fleet-extraction
     // parquet (same absolute path on both engines).
     "q_wat_tail" ->
+      s"""SELECT uid, url, alt, cc_filename, page_url FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY uid
+         |    ORDER BY cc_filename, page_url, url, alt) AS rn
+         |  FROM read_parquet('${graft.wat.WatFixture.TailParquetPath}'))
+         |WHERE rn = 1 ORDER BY uid""".stripMargin,
+
+    // q_wat_dedup: the Spark side runs LIVE extraction over the WAT
+    // fleet; the oracle runs the same deterministic dedup over the
+    // committed dump of that extraction. Hash equality therefore proves
+    // extraction + dedup end-to-end, not just the dedup.
+    "q_wat_dedup" ->
       s"""SELECT uid, url, alt, cc_filename, page_url FROM (
          |  SELECT *, row_number() OVER (PARTITION BY uid
          |    ORDER BY cc_filename, page_url, url, alt) AS rn
