@@ -36,6 +36,24 @@ import org.apache.spark.storage.StorageLevel
   */
 object Clustering {
 
+  /** Strategy selector for [[connectedComponents]]. */
+  sealed trait CcStrategy
+  object CcStrategy {
+    /** Min-label propagation — rounds = graph diameter. The default:
+      * near-dup graphs are quasi-cliques (short diameter), where this
+      * beats alternating-star on constant factors (two shuffles/round,
+      * no edge-set rewrite).
+      */
+    case object MinLabel extends CcStrategy
+    /** Alternating large-star/small-star (Kiveris et al., SoCC '14) —
+      * O(log² n) rounds regardless of diameter. The escape hatch for
+      * adversarial long-chain graphs where MinLabel's diameter-bounded
+      * loop would hit `maxIters` (e.g. a 10k-node path converges here
+      * in ~10 rounds vs 10k).
+      */
+    case object AlternatingStar extends CcStrategy
+  }
+
   /** `pairs(d1, d2)` → `(doc_id, cluster_id)` where cluster_id is the
     * minimum doc id of the connected component. Only ids present in some
     * pair appear (singletons are trivially their own cluster — callers
@@ -60,18 +78,33 @@ object Clustering {
     * a long at corpus scale).
     */
   def connectedComponents(pairs: DataFrame, d1: String = "d1",
-      d2: String = "d2", maxIters: Int = 25): DataFrame = {
-    val spark = pairs.sparkSession
+      d2: String = "d2", maxIters: Int = 25,
+      strategy: CcStrategy = CcStrategy.MinLabel): DataFrame =
+    strategy match {
+      case CcStrategy.MinLabel =>
+        minLabelCC(pairs, d1, d2, maxIters)
+      case CcStrategy.AlternatingStar =>
+        alternatingStarCC(pairs, d1, d2, maxIters)
+    }
+
+  /** Plan-truncation helper for iterative algorithms: persist the frame's
+    * RDD and re-root a new frame at it. Persist alone caches data but
+    * leaves the logical plan intact, so a frame referenced twice per
+    * round doubles the plan every round and goes exponential in analysis
+    * cost; re-rooting truncates to a leaf.
+    */
+  private def rooted(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+
+  private def minLabelCC(pairs: DataFrame, d1: String,
+      d2: String, maxIters: Int): DataFrame = {
     val edges = pairs
       .select(col(d1).as("src"), col(d2).as("dst"))
       .union(pairs.select(col(d2).as("src"), col(d1).as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-
-    def rooted(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-      val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-      (spark.createDataFrame(rdd, df.schema), rdd)
-    }
 
     var (labels, labelsRdd) = rooted(
       edges.select(col("src").as("node"))
@@ -114,6 +147,105 @@ object Clustering {
           "graph diameter exceeds maxIters; raise it")
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Alternating large-star/small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC '14, Algorithm 4).
+    * Converges in O(log² n) rounds INDEPENDENT of graph diameter — the
+    * opt-in strategy for adversarial long-chain graphs where min-label
+    * propagation (rounds = diameter) would hit `maxIters`.
+    *
+    * Edge set is kept CANONICAL throughout: (src, dst) with src > dst,
+    * distinct, no self-loops. Per round:
+    *  - large-star: every node u computes m = min(Γ⁺(u)) over the
+    *    symmetric neighborhood and re-points each LARGER neighbor
+    *    v > u at m (one groupBy + one join on src);
+    *  - small-star: every node u re-points itself and its smaller
+    *    neighbors at m = min(N≤(u) ∪ {u}) (same shape).
+    *  Both emissions satisfy new_src > new_dst by construction (m is a
+    *  minimum), so canonical form is preserved without re-sorting.
+    *
+    * Fixpoint = the edge set is EXACTLY the star forest rooted at
+    * component minima; detected by set equality (|E'| = |E| and
+    * E' \ E = ∅ — both sides are distinct frames). The equality check
+    * is one extra anti-join per round over the EDGE frame — affordable
+    * because near-dup edge sets are orders of magnitude smaller than
+    * the corpus, and (unlike min-label's monotone label sum) no cheap
+    * monotone witness exists for the star fixpoint: an edge rewrite can
+    * leave every per-node minimum unchanged, so a label-sum check would
+    * declare convergence early.
+    *
+    * Same persist/re-root lineage discipline and fail-loud `maxIters`
+    * as [[minLabelCC]]; same output contract (every node appearing in
+    * some pair, labeled with its component minimum).
+    */
+  private def alternatingStarCC(pairs: DataFrame, d1: String,
+      d2: String, maxIters: Int): DataFrame = {
+    val sym = pairs
+      .select(col(d1).as("src"), col(d2).as("dst"))
+      .union(pairs.select(col(d2).as("src"), col(d1).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // node universe is fixed up front: self-paired nodes carry no
+    // canonical edge but must still appear in the output (as their own
+    // cluster), exactly as in min-label
+    val (nodes, nodesRdd) = rooted(
+      sym.select(col("src").as("node")).distinct())
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = s.groupBy("src")
+        .agg(least(min(col("dst")), col("src")).as("m"))
+      // m = min(Γ⁺(u)); re-point every larger neighbor at it
+      s.join(mins, "src")
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // canonical e: dst < src, so dst IS the ≤-neighborhood
+      val mins = e.groupBy("src").agg(min(col("dst")).as("m"))
+      val withM = e.join(mins, "src")
+      withM.select(col("dst").as("src"), col("m").as("dst"))
+        .union(mins.select(col("src"), col("m").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    var (edges, edgesRdd) = rooted(
+      sym.where(col("src") > col("dst")))
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0L
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      val (next, nextRdd) = rooted(smallStar(largeStar(edges)))
+      val nextCount = next.count() // materializes the round's cache
+      converged = nextCount == edgeCount &&
+        next.except(edges).isEmpty
+      edgesRdd.unpersist()
+      edges = next
+      edgesRdd = nextRdd
+      edgeCount = nextCount
+      iters += 1
+    }
+    if (!converged) {
+      edgesRdd.unpersist(); nodesRdd.unpersist(); sym.unpersist()
+      throw new IllegalStateException(
+        s"alternatingStarCC did not converge in $maxIters rounds — " +
+          "raise maxIters (expected O(log² n) rounds)")
+    }
+    // star fixpoint: every non-root points at exactly its component
+    // minimum; roots (and self-paired singletons) don't appear as src
+    val out = nodes
+      .join(edges.groupBy("src").agg(min(col("dst")).as("_lab"))
+          .withColumnRenamed("src", "node"),
+        Seq("node"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("_lab"), col("node")).as("cluster_id"))
+    sym.unpersist()
+    out
   }
 
   /** Fuzzy dedup, completed: keep every document that is either outside

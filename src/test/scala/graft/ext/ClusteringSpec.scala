@@ -40,6 +40,47 @@ class ClusteringSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  private def ccStar(pairs: Seq[(Long, Long)], maxIters: Int = 25) =
+    Clustering.connectedComponents(pairs.toDF("d1", "d2"),
+      maxIters = maxIters, strategy = Clustering.CcStrategy.AlternatingStar)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("alternating-star converges on a 10k-node path where min-label would exhaust maxIters") {
+    // diameter 9999: min-label needs ~10k rounds; alternating-star is
+    // O(log² n) and must finish well inside the default 25
+    val n = 10000L
+    val chain = (1L until n).map(i => (i, i + 1))
+    intercept[IllegalStateException] {
+      // min-label at the SAME budget fails loudly — this is exactly the
+      // adversarial shape the opt-in strategy exists for
+      Clustering.connectedComponents(chain.toDF("d1", "d2"), maxIters = 25)
+        .collect()
+    }
+    val got = ccStar(chain)
+    assert(got.size === n)
+    assert(got.values.toSet === Set(1L))
+  }
+
+  test("alternating-star matches min-label on random multi-component graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val pairs = Seq.fill(60)(
+        (rnd.nextInt(40).toLong + 1, rnd.nextInt(40).toLong + 1))
+      val viaStar = ccStar(pairs)
+      val viaMin = cc(pairs)
+      assert(viaStar === viaMin, s"trial $trial: $pairs")
+    }
+  }
+
+  test("alternating-star handles disjoint components, self-pairs and empty input") {
+    val got = ccStar(Seq((5L, 9L), (2L, 7L), (7L, 3L), (11L, 11L)))
+    assert(got === Map(5L -> 5L, 9L -> 5L, 2L -> 2L, 7L -> 2L, 3L -> 2L,
+      11L -> 11L))
+    val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(Clustering.connectedComponents(empty,
+      strategy = Clustering.CcStrategy.AlternatingStar).count() === 0L)
+  }
+
   test("clusterDedup keeps non-members and the min member of each component") {
     val docs = (1L to 6L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 4L), (5L, 6L)).toDF("d1", "d2")
