@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-probe harness: measures how the most expensive queries actually
+  * scale, instead of arguing from plan shape alone.
+  *
+  * `main(baseDir, outDir, factor)` (defaults: sf0.1, /tmp/graft_sf1, 10)
+  *  1. synthesizes a `factor`× fixture set under `outDir` (idempotent);
+  *  2. times the probe queries at BOTH scales in one JVM (warmed, min of
+  *     2 passes, full-plan `toRdd.count()` — same methodology as
+  *     [[Bench]]);
+  *  3. prints one JSON line with per-query seconds at each scale and the
+  *     t(scaled)/t(base) ratio.
+  *
+  * Scaling model: `factor` INDEPENDENT base-shaped corpora unioned — the
+  * honest linear model for a web corpus (10× the crawl ≈ 10× the
+  * documents at the same duplication rate; dup clusters grow in COUNT,
+  * not size). Concretely, per replica k:
+  *  - fact tables shift every key by k·(max_key+1), preserving join
+  *    fan-outs and referential integrity (dims region/nation are copied
+  *    as-is, like TPC-H scaling);
+  *  - `documents.text` is Caesar-rotated by k over [a-zA-Z] (codegen'd
+  *    `translate`): token lengths, counts, and per-doc structure are
+  *    preserved exactly, while replica vocabularies become disjoint — so
+  *    near-dup/n-gram queries see `factor`× more documents and clusters
+  *    of the SAME size, not `factor`×-bigger cliques of identical docs
+  *    (replicating text verbatim would measure a pathology, not scale);
+  *  - `embeddings` get a deterministic ±0.01 per-dimension jitter keyed
+  *    on (vec_id, k, position), separating replicas without moving the
+  *    overall distribution.
+  * `events` is not replicated: its TIMESTAMP(NANOS) physical type can't
+  * round-trip through a Spark write, and no probe query reads it.
+  *
+  * q_wat_extract_1file's cost axis is the archive, not the sf dir, so at
+  * the scaled point it runs over a single synthetic WAT with `factor`×
+  * the records (same links/record) through the same DSv2 path.
+  */
+object ScaleProbe {
+
+  /** The 10 most expensive queries per the round-6 plan audit + the two
+    * relational/text headliners — the set the scaling verdict is read
+    * from.
+    */
+  val ProbeQueries: Seq[String] = Seq(
+    "q5_region_revenue", "q_gopher_gate", "q_dup_ngrams", "q_ngram_jaccard",
+    "q_semdedup", "q_cluster_dedup", "q_cluster_split", "q_neardup_cluster",
+    "q_assembly", "q_wat_extract_1file")
+
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private val Upper = Lower.toUpperCase
+
+  /** Caesar-rotate letters by k — length/count-preserving, vocabulary-
+    * disjoint across k (identity at k=0).
+    */
+  private def rot(c: Column, k: Int): Column = {
+    val s = k % 26
+    if (s == 0) c
+    else translate(c, Lower + Upper,
+      Lower.drop(s) + Lower.take(s) + Upper.drop(s) + Upper.take(s))
+  }
+
+  private def span(df: DataFrame, key: String): Long =
+    df.agg(coalesce(max(col(key)), lit(0L)).cast("long")).head().getLong(0) + 1L
+
+  /** Union of `factor` per-replica frames (replica 0 = the base rows). */
+  private def replicas(factor: Int)(mk: Int => DataFrame): DataFrame =
+    (0 until factor).map(mk).reduce(_ unionByName _)
+
+  def generate(spark: SparkSession, baseDir: String, outDir: String,
+      factor: Int): Unit = {
+    val marker = new java.io.File(outDir, s"_SCALE_OK_$factor")
+    if (marker.exists()) return
+    new java.io.File(outDir).mkdirs()
+    def base(t: String) = spark.read.parquet(s"$baseDir/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+
+    // dims: fixed, exactly like TPC-H scaling
+    write(base("region"), "region")
+    write(base("nation"), "nation")
+
+    val spanCust = span(base("customer"), "c_custkey")
+    val spanSupp = span(base("supplier"), "s_suppkey")
+    val spanPart = span(base("part"), "p_partkey")
+    val spanOrd = span(base("orders"), "o_orderkey")
+
+    write(replicas(factor) { k =>
+      base("customer").withColumn("c_custkey",
+        col("c_custkey") + lit(k * spanCust))
+    }, "customer")
+    write(replicas(factor) { k =>
+      base("supplier").withColumn("s_suppkey",
+        col("s_suppkey") + lit(k * spanSupp))
+    }, "supplier")
+    write(replicas(factor) { k =>
+      base("part").withColumn("p_partkey",
+        col("p_partkey") + lit(k * spanPart))
+    }, "part")
+    write(replicas(factor) { k =>
+      base("orders")
+        .withColumn("o_orderkey", col("o_orderkey") + lit(k * spanOrd))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * spanCust))
+    }, "orders")
+    write(replicas(factor) { k =>
+      base("lineitem")
+        .withColumn("l_orderkey", col("l_orderkey") + lit(k * spanOrd))
+        .withColumn("l_partkey", col("l_partkey") + lit(k * spanPart))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(k * spanSupp))
+    }, "lineitem")
+
+    val spanDoc = span(base("documents"), "doc_id")
+    write(replicas(factor) { k =>
+      base("documents")
+        .withColumn("doc_id", col("doc_id") + lit(k * spanDoc))
+        .withColumn("text", rot(col("text"), k))
+    }, "documents")
+
+    val spanVec = span(base("embeddings"), "vec_id")
+    write(replicas(factor) { k =>
+      base("embeddings")
+        .withColumn("vec_id", col("vec_id") + lit(k * spanVec))
+        .withColumn("embedding",
+          // zip positions in so the jitter varies per dimension
+          zip_with(col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (x, i) => x + ((pmod(hash(col("vec_id"), lit(k), i),
+              lit(2001)) - lit(1000)).cast("float") / lit(100000.0f))))
+    }, "embeddings")
+
+    require(marker.createNewFile() || marker.exists(),
+      s"could not write scale marker $marker")
+  }
+
+  /** WAT archive with `factor`× the single-file bench records. */
+  private def scaledWat(factor: Int): Seq[String] = {
+    val (n, rec, links) = graft.wat.WatFixture.BenchSingle
+    graft.wat.WatFixture.ensureBenchWats(n, rec * factor, links)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // comma-separated override for targeted probes (default: the full set)
+    val probeQueries = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(ProbeQueries)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    generate(spark, baseDir, outDir, factor)
+    graft.wat.WatFixture.ensureSingle()
+    scaledWat(factor)
+
+    // warmup: same rationale as Bench — pull codegen compile + file
+    // listing out of the timed passes
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
+    probeQueries.foreach { name =>
+      try SparkEntry.queries(name)(spark, warmDir)
+        .queryExecution.toRdd.count()
+      catch { case e: Throwable =>
+        System.err.println(s"[probe] warmup $name failed: $e")
+      }
+    }
+
+    def timeQuery(name: String, dir: String, scaled: Boolean): Option[Double] = {
+      def frame(): DataFrame =
+        if (name == "q_wat_extract_1file" && scaled)
+          graft.wat.WatExtract.fromPathsV2(spark, scaledWat(factor),
+            "image_only").toDF()
+        else SparkEntry.queries(name)(spark, dir)
+      val times = (1 to passes).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          frame().queryExecution.toRdd.count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[probe] $name failed at $dir: ${e.getMessage}")
+          None
+        }
+      }
+      times.minOption
+    }
+
+    val rows = probeQueries.map { name =>
+      val tBase = timeQuery(name, baseDir, scaled = false)
+      val tScaled = timeQuery(name, outDir, scaled = true)
+      val ratio = for (b <- tBase; s <- tScaled) yield s / b
+      (name, tBase, tScaled, ratio)
+    }
+    def j(o: Option[Double]) = o.map(v => f"$v%.3f").getOrElse("null")
+    val body = rows.map { case (n, b, s, r) =>
+      s""""$n":{"base":${j(b)},"scaled":${j(s)},"ratio":${j(r)}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe","factor":$factor,"base":"$baseDir","scaled":"$outDir","queries":$body}""")
+    spark.stop()
+  }
+}
