@@ -212,6 +212,18 @@ object RefQueries {
       graft.wat.WatExtract.fromPathsV2(s, wat, "image_only").toDF()
     }),
 
+    // Fleet-scale extraction through the DSv2 `max_tasks` batching path:
+    // 64 archives capped at 16 tasks (4 archives per partition) — the
+    // shape a production listing takes when archive count >> sane task
+    // count. Rows-only by nature (WARC framing); content pinned by the
+    // golden fleet-64 md5 + batched-vs-unbatched parity in
+    // WatExtractSpec. Benched for the per-archive amortized time.
+    "q_wat_extract_fleet64" -> ((s, dir) => {
+      val wats = graft.wat.WatFixture.ensureFleet64()
+      graft.wat.WatExtract.fromPathsV2Batched(s, wats, "image_only",
+        maxTasks = 16).toDF()
+    }),
+
     // The WAT pipeline's relational TAIL under the full DuckDB oracle:
     // extraction itself is WARC-framed (rows-only + golden md5s), but
     // its output dumped once to parquet (WatFixture.ensureTailParquet —

@@ -115,6 +115,17 @@ object WatExtract {
   def fromPathsV2(spark: SparkSession, paths: Seq[String], docType: String): Dataset[DocLink] =
     extract(spark.read.format("wat").load(paths: _*).select("payload"), docType)
 
+  /** [[fromPathsV2]] with an explicit `max_tasks` cap — the fleet-scale
+    * shape: above the cap the source batches contiguous archive groups
+    * into shared partitions, so a million-archive listing plans a
+    * bounded task count instead of a task per WAT
+    * (`WatDataSource.DefaultMaxTasks` scaladoc).
+    */
+  def fromPathsV2Batched(spark: SparkSession, paths: Seq[String],
+      docType: String, maxTasks: Int): Dataset[DocLink] =
+    extract(spark.read.format("wat").option("max_tasks", maxTasks)
+      .load(paths: _*).select("payload"), docType)
+
   /** CONTINUOUS extraction: the streaming wat source (globs relisted per
     * micro-batch, each archive exactly once) through the SAME relational
     * extraction — `extract` is pure Catalyst, so batch and streaming

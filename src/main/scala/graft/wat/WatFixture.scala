@@ -157,6 +157,14 @@ object WatFixture {
   def ensureSingle(): Seq[String] =
     ensureBenchWats(BenchSingle._1, BenchSingle._2, BenchSingle._3)
 
+  /** 64-archive fleet for the `max_tasks` batching bench — same
+    * per-archive shape as [[ensureFleet]] (its first 16 files ARE the
+    * fleet: the series is seeded per index, so extending it is
+    * value-stable).
+    */
+  def ensureFleet64(): Seq[String] =
+    ensureBenchWats(64, BenchFleet._2, BenchFleet._3)
+
   /** Idempotently materialize `n` deterministic bench WATs in tmp. */
   def ensureBenchWats(n: Int, nRecords: Int = 500,
       linksPerRecord: Int = 20): Seq[String] = {
@@ -299,6 +307,12 @@ object WatFixture {
     "audio" -> "822b20fb9861382c751cd4b5ec8f2e07",
     "text" -> "0b513ad1d306a8ad1ebac592f700d266",
     "video" -> "d86f87eea7f9fb3ae104f4a11d93ca98")
+
+  /** Pinned [[contentHash]] (image_only) over the 64-archive fleet
+    * ([[ensureFleet64]]) — the input of the rows-only
+    * q_wat_extract_fleet64 driver query (DSv2 `max_tasks` batching).
+    */
+  val goldenFleet64Hash: String = "92a4085554b1fa57e8afca70b8f45408"
 
   /** Pinned [[contentHash]] per document type over the deterministic
     * 400k-link single-archive fixture ([[ensureSingle]]).

@@ -46,6 +46,29 @@ class WatExtractSpec extends AnyFunSuite with SparkTestBase {
       assert(hash(fleet, dt) == want, s"16-archive fleet, $dt")
   }
 
+  test("fleet64 batched extraction: 16 tasks, parity with per-archive path, pinned content") {
+    val fleet64 = WatFixture.ensureFleet64()
+    assert(fleet64.size == 64)
+    assert(fleet64.take(16) == WatFixture.ensureFleet(),
+      "the 64-archive series must extend the 16-archive fleet value-stably")
+    val batched = WatExtract.fromPathsV2Batched(spark, fleet64,
+      "image_only", maxTasks = 16)
+    // the raw source plans exactly max_tasks partitions (4 archives each)
+    assert(spark.read.format("wat").option("max_tasks", 16)
+      .load(fleet64: _*).rdd.getNumPartitions == 16)
+    val got = batched.collect().toSeq
+      .map(r => (r.uid, r.url, String.valueOf(r.alt), r.cc_filename,
+        r.page_url))
+    // batching must not change CONTENT — only task grouping
+    val unbatched = WatExtract.fromPaths(spark, fleet64, "image_only")
+      .collect().toSeq
+      .map(r => (r.uid, r.url, String.valueOf(r.alt), r.cc_filename,
+        r.page_url))
+    assert(got.sorted == unbatched.sorted)
+    assert(WatFixture.contentHash(got) == WatFixture.goldenFleet64Hash,
+      s"fleet64 content drifted: ${WatFixture.contentHash(got)}")
+  }
+
   test("malformed records and missing-ancestor records are dropped, not fatal") {
     // fixture contains 1 malformed + 3 missing-ancestor metadata records;
     // extraction still succeeds and only link-bearing records contribute
