@@ -64,7 +64,13 @@ object Main {
       sourceCcProtocol = a.getOrElse("source_cc_protocol", dflt.sourceCcProtocol),
       shuffle = a.get("shuffle").forall(_.toBoolean),
       resume = a.get("resume"),
-      seed = a.get("seed").map(_.toLong).getOrElse(42L))
+      seed = a.get("seed").map(_.toLong).getOrElse(42L),
+      // beyond-reference knobs: concurrent multipart parts and the
+      // big-archive streaming-decode threshold (Cc2Config scaladoc)
+      partParallelism = a.get("part_parallelism").map(_.toInt)
+        .getOrElse(dflt.partParallelism),
+      streamThresholdBytes = a.get("stream_threshold_bytes").map(_.toLong)
+        .getOrElse(dflt.streamThresholdBytes))
 
     val spark = factory()
     val wats: Seq[String] = (a.get("wat_paths"), a.get("wat_index")) match {

@@ -31,7 +31,14 @@ final case class Cc2Config(
       * Sequential mode (the default) keeps reference parity including
       * the session restart between parts.
       */
-    partParallelism: Int = 1)
+    partParallelism: Int = 1,
+    /** Archives larger than this decode as a stream (gzip window + one
+      * record resident) instead of whole-file — the OOM guard for a
+      * 10 GiB outlier in a listing of ~1 GiB archives. Default keeps
+      * reference-parity whole-file mode (`WatReader.metadataRecords`);
+      * mirrors the DSv2 source's `stream_threshold_bytes` option.
+      */
+    streamThresholdBytes: Long = Long.MaxValue)
 
 /** Top-level orchestration (C1–C5, SURVEY.md §2.10): single-part and
   * multipart jobs, `_SUCCESS`-based resume, manifest, job-id pathing, and
@@ -58,8 +65,10 @@ object Cc2Dataset {
 
   /** C1: one part end-to-end (cc2dataset/main.py:269-287). */
   def processOnePart(spark: SparkSession, watFiles: Seq[String],
-      outputPath: String, docType: String, shuffle: Boolean, seed: Long): Long = {
-    val links = WatExtract.fromPaths(spark, watFiles, docType)
+      outputPath: String, docType: String, shuffle: Boolean, seed: Long,
+      streamThresholdBytes: Long = Long.MaxValue): Long = {
+    val links = WatExtract.fromPaths(spark, watFiles, docType,
+      streamThresholdBytes)
     dedupRepartitionCount(links.toDF(), outputPath, watFiles.size, shuffle, seed)
   }
 
@@ -69,7 +78,8 @@ object Cc2Dataset {
     */
   def processMultiPart(sparkFactory: () => SparkSession, watFiles: Seq[String],
       outputPath: String, docType: String, multipart: Int, shuffle: Boolean,
-      seed: Long, resume: Boolean, partParallelism: Int = 1): Long = {
+      seed: Long, resume: Boolean, partParallelism: Int = 1,
+      streamThresholdBytes: Long = Long.MaxValue): Long = {
     require(partParallelism >= 1, "partParallelism must be >= 1")
     val chunkSize = math.ceil(watFiles.size.toDouble / multipart).toInt
     val chunks = watFiles.grouped(chunkSize).toSeq
@@ -82,7 +92,7 @@ object Cc2Dataset {
       todo.foreach { case (chunk, i) =>
         val spark = restartSession(sparkFactory) // C3
         processOnePart(spark, chunk, s"$outputPath/part_$i", docType,
-          shuffle = false, seed)
+          shuffle = false, seed, streamThresholdBytes)
       }
     } else {
       // Parallel parts share ONE SparkContext; each gets an isolated
@@ -101,7 +111,7 @@ object Cc2Dataset {
         Future.traverse(todo.toList) { case (chunk, i) =>
           Future {
             processOnePart(spark.newSession(), chunk, s"$outputPath/part_$i",
-              docType, shuffle = false, seed)
+              docType, shuffle = false, seed, streamThresholdBytes)
           }
         }, Duration.Inf)
       finally pool.shutdown()
@@ -173,11 +183,12 @@ object Cc2Dataset {
     val n = config.multipart match {
       case None | Some(1) =>
         processOnePart(spark, wats, jobPath, config.documentType,
-          config.shuffle, config.seed)
+          config.shuffle, config.seed, config.streamThresholdBytes)
       case Some(m) =>
         processMultiPart(sparkFactory, wats, jobPath, config.documentType, m,
           config.shuffle, config.seed, resume = config.resume.isDefined,
-          partParallelism = config.partParallelism)
+          partParallelism = config.partParallelism,
+          streamThresholdBytes = config.streamThresholdBytes)
     }
     (jobPath, n)
   }

@@ -44,14 +44,15 @@ object WatExtract {
     * 'A shard failed to parse' log lines.
     */
   def payloads(spark: SparkSession, paths: Seq[String],
-      readErrors: org.apache.spark.util.LongAccumulator): DataFrame = {
+      readErrors: org.apache.spark.util.LongAccumulator,
+      streamThresholdBytes: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
     spark.createDataset(spark.sparkContext.parallelize(paths, math.max(1, paths.size)))
       .flatMap(p => WatReader.metadataPayloads(p, confBc.value.value,
-        _ => readErrors.add(1L)))
+        _ => readErrors.add(1L), streamThresholdBytes))
       .toDF("payload")
   }
 
@@ -105,9 +106,16 @@ object WatExtract {
       .as[DocLink]
   }
 
-  /** End-to-end: WAT paths → deduplicatable DocLink dataset. */
-  def fromPaths(spark: SparkSession, paths: Seq[String], docType: String): Dataset[DocLink] =
-    extract(payloads(spark, paths), docType)
+  /** End-to-end: WAT paths → deduplicatable DocLink dataset.
+    * `streamThresholdBytes`: archives above it decode as a stream
+    * instead of whole-file (WatReader.metadataRecords memory bound);
+    * the default keeps reference-parity whole-file mode.
+    */
+  def fromPaths(spark: SparkSession, paths: Seq[String], docType: String,
+      streamThresholdBytes: Long = Long.MaxValue): Dataset[DocLink] =
+    extract(payloads(spark, paths,
+      spark.sparkContext.longAccumulator("graft.wat.read_errors"),
+      streamThresholdBytes), docType)
 
   /** Same via the DataSourceV2 `wat` format (graft.sources.WatDataSource):
     * the source plans one partition per archive; extraction is identical.

@@ -195,8 +195,10 @@ object WatReader {
     * (cc2dataset/main.py:139-142); frame-level garbage ends the file.
     */
   def metadataPayloads(path: String, conf: Configuration = new Configuration(),
-      onCorrupt: Exception => Unit = WatReader.logCorrupt): Iterator[String] =
-    metadataRecords(path, conf, onCorrupt).map(_.payloadString)
+      onCorrupt: Exception => Unit = WatReader.logCorrupt,
+      inMemoryLimitBytes: Long = Long.MaxValue): Iterator[String] =
+    metadataRecords(path, conf, onCorrupt, inMemoryLimitBytes)
+      .map(_.payloadString)
 
   private def logCorrupt(e: Exception): Unit = logCorruptDefault(e)
 

@@ -134,6 +134,43 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CLI battery: multipart(2) + parallel parts + streaming decode + resume, all via flags") {
+    // non-default knobs through the C5 surface: part_parallelism=2 (both
+    // parts in flight on one context), stream_threshold_bytes=1 (every
+    // archive over the threshold -> forced streaming decode), audio doc
+    // type. Output must be identical to whole-file sequential mode.
+    val out = new File(tmp, "out_cli").getAbsolutePath
+    def runCli(args: String*): (String, Long) = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+        graft.Main.main(args.toArray)
+      }
+      val json = buf.toString("UTF-8").linesIterator
+        .find(_.startsWith("{\"output\""))
+        .getOrElse(fail(s"no result JSON in CLI output:\n$buf"))
+      val path = json.split("\"")(3)
+      val rows = json.split(":").last.stripSuffix("}").trim.toLong
+      (path, rows)
+    }
+    val (jobPath, n) = runCli(
+      "--output_path", out, "--document_type", "audio",
+      "--wat_paths", s"$wat1,$wat2", "--multipart", "2",
+      "--part_parallelism", "2", "--stream_threshold_bytes", "1",
+      "--shuffle", "false")
+    assert(n == 2) // audio golden post-dedup, identical to whole-file mode
+    assert(new File(s"$jobPath/part_0/_SUCCESS").exists())
+    assert(new File(s"$jobPath/part_1/_SUCCESS").exists())
+    assert(new File(s"$jobPath/merged/_SUCCESS").exists())
+    // resume through the CLI: parts complete -> only the merge re-runs,
+    // same job path, same count (wat inputs come from the manifest)
+    val (resumePath, n2) = runCli(
+      "--output_path", out, "--document_type", "audio",
+      "--multipart", "2", "--resume", jobPath,
+      "--stream_threshold_bytes", "1", "--shuffle", "false")
+    assert(resumePath == jobPath)
+    assert(n2 == 2)
+  }
+
   test("resume without multipart is rejected (main.py:352-353)") {
     intercept[IllegalArgumentException] {
       Cc2Dataset.run(Cc2Config(outputPath = "/tmp/x", resume = Some("/tmp/x")),
