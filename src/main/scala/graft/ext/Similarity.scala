@@ -104,6 +104,27 @@ object Similarity {
       .select("q_id", "rk", "n_id", "cos")
   }
 
+  /** Recall@k scorecard: how much of the EXACT neighbor list an
+    * approximate index recovered, per query. The quality gauge every
+    * ANN deployment needs before trusting its parameters (nprobe,
+    * bands, cell count) at corpus scale — run it on a bounded query
+    * SAMPLE (both inputs are per-query top-k lists, so the frame is
+    * O(|queries|·k), never corpus-sized; the join is an equi-join on
+    * (q_id, n_id)). Integer milli-recall keeps the score bit-identical
+    * across engines.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = exact.select(col("q_id"), col("n_id"))
+      .join(approx.select(col("q_id"), col("n_id"))
+          .withColumn("__hit", lit(1L)),
+        Seq("q_id", "n_id"), "left")
+    hits.groupBy("q_id")
+      .agg(count(lit(1L)).as("n_true"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .select(col("q_id"), col("n_true"), col("n_hit"),
+        expr("(n_hit * 1000) div n_true").as("recall_milli"))
+  }
+
   /** Deterministic Lloyd iterations to train IVF centroids: assign every
     * vector to its nearest centroid by cosine ([[ivfAssign]] — broadcast
     * centroids, never pairwise over the corpus), recompute each centroid

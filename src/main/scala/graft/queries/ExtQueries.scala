@@ -223,6 +223,22 @@ object ExtQueries {
         .orderBy("q_id", "rk")
     }),
 
+    // ANN quality scorecard: recall@2 of the 1-probe IVF index against
+    // brute-force ground truth on the same query sample — the
+    // measurement that justifies (or indicts) index parameters before a
+    // corpus-scale rollout. Both inputs are bounded per-query top-k
+    // frames; the corpus is touched once per side.
+    "q_ann_recall" -> ((s, dir) => {
+      val p = Similarity.prepared(table(s, dir, "embeddings"), "vec_id",
+        "embedding")
+      val assigned = Similarity.ivfAssign(p, p.where(col("vec_id") < 8))
+      val approx = Similarity.ivfTopK(assigned,
+        col("vec_id").between(8, 12), k = 2)
+      val exact = Similarity.bruteForceTopK(p,
+        p.where(col("vec_id").between(8, 12)), k = 2)
+      Similarity.recallAtK(approx, exact).orderBy("q_id")
+    }),
+
     // --- end-to-end curation (quality gate → exact bag-dedup →
     //     verified near-dup removal), all stages oracle-proven ---
     "q_curation" -> ((s, dir) => {
@@ -372,6 +388,19 @@ object ExtQueries {
         col("doc_id"), TA.distinctTokens(col("text")), bands = 4,
         rowsPerBand = 2, maxBucket = 10, minJaccard = 0.6)
       Clustering.connectedComponents(pairs).orderBy("doc_id")
+    }),
+
+    // Same component labels via the O(log² n) alternating large-star/
+    // small-star strategy (the opt-in for adversarial long-diameter
+    // graphs) — SAME oracle as q_neardup_cluster, so the strategy's
+    // equivalence to min-label is proven by DuckDB hash, not just the
+    // random-graph parity spec.
+    "q_cluster_star" -> ((s, dir) => {
+      val pairs = NearDup.lshNearDupPairs(docsWithTokens(s, dir),
+        col("doc_id"), TA.distinctTokens(col("text")), bands = 4,
+        rowsPerBand = 2, maxBucket = 10, minJaccard = 0.6)
+      Clustering.connectedComponents(pairs,
+        strategy = Clustering.CcStrategy.AlternatingStar).orderBy("doc_id")
     }),
 
     // Fuzzy dedup, completed: drop every non-minimum member of each
@@ -1512,6 +1541,53 @@ object ExtQueries {
        |WHERE rk <= 2 ORDER BY q_id, rk""".stripMargin
   }
 
+  // Recall@2 of 1-probe IVF vs brute-force ground truth: the ivf CTEs
+  // mirror annIvfOracle, the exact side cosineTopkOracle's pair scan
+  // restricted to the same query sample; integer milli-recall via //.
+  private def annRecallOracle: String = {
+    val adot = dotSql.format("v.qv", "c.qv")
+    val pdot = dotSql.format("q.quv", "a.qv")
+    val bdot = dotSql.format("q.quv", "c.qv")
+    s"""WITH $prepSql,
+       |cents AS (SELECT vec_id AS c_id, qv, n2 FROM p2 WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id, qv, n2, c_id AS cell FROM (
+       |    SELECT v.vec_id, v.qv, v.n2, c.c_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ($adot)::DOUBLE / sqrt((v.n2 * c.n2)::DOUBLE) DESC,
+       |                 c.c_id) AS crk
+       |    FROM p2 v, cents c)
+       |  WHERE crk = 1),
+       |qs AS (
+       |  SELECT vec_id AS q_id, qv AS quv, n2 AS qn2, cell AS q_cell
+       |  FROM assign WHERE vec_id BETWEEN 8 AND 12),
+       |ivf AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.q_id, a.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ($pdot)::DOUBLE / sqrt((q.qn2 * a.n2)::DOUBLE) DESC,
+       |                 a.vec_id) AS rk
+       |    FROM assign a JOIN qs q ON a.cell = q.q_cell
+       |    WHERE a.vec_id <> q.q_id)
+       |  WHERE rk <= 2),
+       |exact AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.q_id, c.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ($bdot)::DOUBLE / sqrt((q.qn2 * c.n2)::DOUBLE) DESC,
+       |                 c.vec_id) AS rk
+       |    FROM qs q, p2 c
+       |    WHERE c.vec_id <> q.q_id)
+       |  WHERE rk <= 2)
+       |SELECT e.q_id,
+       |  count(*)::BIGINT AS n_true,
+       |  sum(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+       |  ((sum(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END) * 1000)
+       |    // count(*))::BIGINT AS recall_milli
+       |FROM exact e LEFT JOIN ivf i ON e.q_id = i.q_id AND e.n_id = i.n_id
+       |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+  }
+
   // Multi-probe variant: queries take probe ranks 1..2; corpus keeps
   // rank-1 cells. A neighbor is in one cell and probe cells are
   // distinct, so the candidate set has no duplicate pairs.
@@ -1902,6 +1978,7 @@ object ExtQueries {
     "q_minhash_agg" -> minhashAggOracle,
     "q_lsh_neardup" -> lshNearDupOracle,
     "q_neardup_cluster" -> neardupClusterOracle,
+    "q_cluster_star" -> neardupClusterOracle,
     "q_cluster_split" -> clusterSplitOracle,
     "q_cluster_dedup" -> clusterDedupOracle,
     "q_dedup_minhash" -> dedupMinhashOracle,
@@ -1983,6 +2060,7 @@ object ExtQueries {
     "q_embed_neardup" -> embedNearDupOracle,
     "q_cosine_topk" -> cosineTopkOracle,
     "q_ann_ivf" -> annIvfOracle,
+    "q_ann_recall" -> annRecallOracle,
     "q_ann_pq" -> annPqOracle,
     "q_ann_ivf_mp" -> annIvfMpOracle,
     "q_kmeans" -> kmeansOracle,
