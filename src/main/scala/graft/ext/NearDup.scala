@@ -298,4 +298,53 @@ object NearDup {
       .where(col("jac") >= minJaccard)
       .select("d1", "d2", "inter_size", "union_size", "jac")
   }
+
+  /** Directed containment pairs over a hashed-shingle inverted index:
+    * containment(d1 ⊆ d2) = |grams(d1) ∩ grams(d2)| / |grams(d1)|. The
+    * inclusion signal symmetric Jaccard structurally misses: a short
+    * document quoted whole inside a long one has containment ≈ 1 but
+    * Jaccard ≈ |short|/|long| ≈ 0 — exactly the syndication/boilerplate-
+    * wrapping shape a crawl corpus is full of. Output is DIRECTED
+    * (d1 = contained, d2 = container; both orientations can appear).
+    *
+    * Scale shape (DESIGN.md): gram doc-frequency via a COMBINABLE
+    * groupBy + AQE-skew-splittable join-back (a boilerplate gram is a
+    * hot key; `maxDf` then drops it from the index entirely, bounding
+    * the self-join fan-out at df²); per-doc kept-set size via a
+    * doc_id-partitioned window (structurally bounded — a doc has at
+    * most its own gram count). Only docs with ≥ `minGrams` kept grams
+    * participate on EITHER side (a 2-gram doc "contained" in anything
+    * is noise, and a tiny container is symmetric noise). Integer
+    * milli-containment keeps the verdict bit-identical across engines.
+    */
+  def containmentPairs(d: DataFrame, minContainMilli: Long = 800L,
+      maxDf: Int = Int.MaxValue, minGrams: Long = 1L): DataFrame = {
+    require(minContainMilli > 0,
+      "minContainMilli must be > 0: the inverted index only materializes " +
+        "overlapping pairs, so containment = 0 pairs are never emitted")
+    val hashed = d.select(col("doc_id"), col("lang"),
+      array_distinct(transform(col("sh"), s => Hashing.h32(s))).as("hs"))
+    val ex0 = hashed.select(col("doc_id"), col("lang"),
+      explode(col("hs")).as("s"))
+    val ex =
+      if (maxDf == Int.MaxValue) ex0
+      else {
+        val dfs = ex0.groupBy("lang", "s").agg(count(lit(1)).as("__df"))
+        ex0.join(dfs, Seq("lang", "s"))
+          .where(col("__df") <= maxDf).drop("__df")
+      }
+    val withSz = ex
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .where(col("sz") >= minGrams)
+    val a = withSz.select(col("doc_id").as("d1"), col("sz").as("sz1"),
+      col("lang"), col("s"))
+    val b = withSz.select(col("doc_id").as("d2"), col("lang"), col("s"))
+    a.join(b, Seq("lang", "s"))
+      .where(col("d1") =!= col("d2"))
+      .groupBy("d1", "sz1", "d2")
+      .agg(count(lit(1)).as("inter_size"))
+      .withColumn("contain_milli", expr("(inter_size * 1000) div sz1"))
+      .where(col("contain_milli") >= minContainMilli)
+      .select("d1", "d2", "inter_size", "sz1", "contain_milli")
+  }
 }

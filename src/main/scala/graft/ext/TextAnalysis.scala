@@ -21,6 +21,17 @@ object TextAnalysis {
 
   def distinctTokens(text: Column): Column = array_distinct(tokens(text))
 
+  /** Character bigrams of `text` (order preserved, duplicates kept;
+    * empty for null or single-character text). The guard matters:
+    * `sequence(1, n)` with n < 1 would generate a DESCENDING sequence
+    * in Spark, not an empty one.
+    */
+  def charBigrams(text: Column): Column =
+    when(text.isNotNull && length(text) >= 2,
+      transform(sequence(lit(1), length(text) - 1),
+        i => text.substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   def distinctTokenCount(text: Column): Column =

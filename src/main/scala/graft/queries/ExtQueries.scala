@@ -144,6 +144,44 @@ object ExtQueries {
         .orderBy("d1", "d2")
     }),
 
+    // Directed doc-in-doc containment — the syndication/quote-inclusion
+    // signal Jaccard misses when sizes differ (a fully-quoted short doc
+    // has containment ~1000 but Jaccard ~0). No length bucketing (the
+    // container is DELIBERATELY allowed to be much larger); lang is the
+    // only blocking key.
+    "q_containment" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir).select(
+        col("doc_id"), col("lang"),
+        NearDup.bigramShingles(TA.tokens(col("text"))).as("sh"))
+      NearDup.containmentPairs(d, minContainMilli = 600L, maxDf = 8,
+        minGrams = 3L)
+        .orderBy("d1", "d2")
+    }),
+
+    // Gibberish / encoding-damage detector: per-doc share of distinct
+    // char bigrams unseen in a held-out reference sample's vocabulary
+    // (doc_id % 10 = 0). All-integer milli rate; the vocabulary is
+    // bounded by charset² so its side of the join broadcasts.
+    "q_oov_bigrams" -> ((s, dir) => {
+      val docs = docsWithTokens(s, dir)
+      val bi = docs.select(col("doc_id"),
+        array_distinct(TA.charBigrams(col("text"))).as("bs"))
+      val ex = bi.select(col("doc_id"), explode(col("bs")).as("b"))
+      val vocab = ex.where(col("doc_id") % 10 === 0)
+        .select(col("b"), lit(1L).as("__in_vocab")).distinct()
+      val agg = ex.join(broadcast(vocab), Seq("b"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bi"),
+          count(when(col("__in_vocab").isNull, 1)).as("n_oov"))
+      docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bi"), lit(0L)).as("n_bi"),
+          coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+          coalesce(expr("(n_oov * 1000) div n_bi"), lit(0L))
+            .as("oov_milli"))
+        .orderBy("doc_id")
+    }),
+
     "q_embed_sig" -> ((s, dir) => {
       table(s, dir, "embeddings")
         .select(col("vec_id"),
@@ -1541,6 +1579,61 @@ object ExtQueries {
        |WHERE rk <= 2 ORDER BY q_id, rk""".stripMargin
   }
 
+  // Directed containment: q_ngram_jaccard's bigram-shingle index without
+  // the length bucketing (the container may be any size), df via
+  // groupBy-join (not window), both endpoints gated on minGrams.
+  private def containmentOracle: String = {
+    val gram = s"$tokensSql[i] || ' ' || $tokensSql[i + 1]"
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    list_distinct(list_transform(
+       |      list_transform(range(1, len($tokensSql)), i -> $gram),
+       |      x -> ${Hashing.h32Sql("x")})) AS hs
+       |  FROM documents),
+       |ex0 AS (SELECT doc_id, lang, unnest(hs) AS s FROM d),
+       |dfs AS (SELECT lang, s, count(*) AS df FROM ex0 GROUP BY 1, 2),
+       |ex AS (
+       |  SELECT e.doc_id, e.lang, e.s FROM ex0 e
+       |  JOIN dfs f ON e.lang = f.lang AND e.s = f.s WHERE f.df <= 8),
+       |sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM ex GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*)::BIGINT AS inter_size
+       |  FROM ex a JOIN ex b ON a.lang = b.lang AND a.s = b.s
+       |  WHERE a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT i.d1, i.d2, i.inter_size, z1.sz AS sz1,
+       |  ((i.inter_size * 1000) // z1.sz)::BIGINT AS contain_milli
+       |FROM inter i
+       |JOIN sz z1 ON z1.doc_id = i.d1 AND z1.sz >= 3
+       |JOIN sz z2 ON z2.doc_id = i.d2 AND z2.sz >= 3
+       |WHERE ((i.inter_size * 1000) // z1.sz) >= 600
+       |ORDER BY d1, d2""".stripMargin
+  }
+
+  // Char-bigram OOV rate vs the held-out doc_id % 10 = 0 vocabulary;
+  // range(1, length) mirrors the Spark sequence(1, length-1) guard.
+  private def oovBigramsOracle: String =
+    """WITH bi AS (
+      |  SELECT doc_id,
+      |    CASE WHEN text IS NOT NULL AND length(text) >= 2
+      |      THEN list_distinct(list_transform(range(1, length(text)),
+      |        i -> substr(text, i, 2)))
+      |      ELSE []::VARCHAR[] END AS bs
+      |  FROM documents),
+      |ex AS (SELECT doc_id, unnest(bs) AS b FROM bi),
+      |vocab AS (SELECT DISTINCT b FROM ex WHERE doc_id % 10 = 0),
+      |agg AS (
+      |  SELECT e.doc_id, count(*)::BIGINT AS n_bi,
+      |    sum(CASE WHEN v.b IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+      |  FROM ex e LEFT JOIN vocab v ON e.b = v.b
+      |  GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(a.n_bi, 0)::BIGINT AS n_bi,
+      |  coalesce(a.n_oov, 0)::BIGINT AS n_oov,
+      |  coalesce((a.n_oov * 1000) // a.n_bi, 0)::BIGINT AS oov_milli
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   // Recall@2 of 1-probe IVF vs brute-force ground truth: the ivf CTEs
   // mirror annIvfOracle, the exact side cosineTopkOracle's pair scan
   // restricted to the same query sample; integer milli-recall via //.
@@ -2061,6 +2154,8 @@ object ExtQueries {
     "q_cosine_topk" -> cosineTopkOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_ann_recall" -> annRecallOracle,
+    "q_containment" -> containmentOracle,
+    "q_oov_bigrams" -> oovBigramsOracle,
     "q_ann_pq" -> annPqOracle,
     "q_ann_ivf_mp" -> annIvfMpOracle,
     "q_kmeans" -> kmeansOracle,

@@ -516,4 +516,34 @@ class ExtSpec extends AnyFunSuite with SparkTestBase {
     assert(top.map(_.getLong(2)).take(2).toSeq == Seq(0L, 2L))
     assert(top.take(2).forall(_.getLong(3) == 0L))
   }
+
+  test("charBigrams: order kept, duplicates kept, degenerate inputs empty") {
+    val got = Seq(("abca", 1), ("x", 2), (null: String, 3), ("", 4))
+      .toDF("text", "id")
+      .select(col("id"), TextAnalysis.charBigrams(col("text")).as("b"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    assert(got(1) == Seq("ab", "bc", "ca"))
+    assert(got(2) == Seq.empty && got(3) == Seq.empty && got(4) == Seq.empty)
+  }
+
+  test("containmentPairs: quoted-short-in-long found where Jaccard misses it") {
+    // doc 1 is fully contained in doc 2 (plus 2's own tail); doc 3 is
+    // unrelated. Jaccard(1,2) = 4/12 — under any reasonable threshold —
+    // but containment(1 ⊆ 2) = 1000.
+    val docs = Seq(
+      (1L, "en", "a b c d e"),
+      (2L, "en", "a b c d e p q r s t u v w x"),
+      (3L, "en", "m n o m n o m n o"))
+      .toDF("doc_id", "lang", "text")
+      .select(col("doc_id"), col("lang"),
+        NearDup.bigramShingles(TextAnalysis.tokens(col("text"))).as("sh"))
+    val got = NearDup.containmentPairs(docs, minContainMilli = 900L,
+      maxDf = 10, minGrams = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 2L, 1000L))) // directed: 2 ⊄ 1
+    // and the symmetric jaccard on the same input stays silent
+    val jac = NearDup.jaccardPairs(
+      docs.withColumn("bucket", lit(0L)), minJaccard = 0.5, maxDf = 10)
+    assert(jac.where(col("d1") === 1L && col("d2") === 2L).count() == 0L)
+  }
 }
