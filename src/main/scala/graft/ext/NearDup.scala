@@ -347,4 +347,71 @@ object NearDup {
       .where(col("contain_milli") >= minContainMilli)
       .select("d1", "d2", "inter_size", "sz1", "contain_milli")
   }
+
+  /** Position capacity for the winnowing (hash, pos) encoding: grams per
+    * document must stay below 2^20 (~1M). A 100 TB corpus can exceed
+    * that on pathological megadocuments — callers gate on document
+    * length first (the Gopher max-token rule already does).
+    */
+  private val WinnowPosBits = 20
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD '03 — the
+    * MOSS algorithm): hash every ORDERED k-gram, slide a window of `w`
+    * consecutive hashes, keep each window's minimum; distinct kept
+    * hashes are the document's fingerprints. Guarantees: any shared
+    * substring of ≥ w + k - 1 tokens contributes at least one SHARED
+    * fingerprint, while only ~2/(w+1) of all grams are kept — robust
+    * partial-overlap detection at a fraction of the index size, the
+    * right tool when containment/Jaccard over full gram sets is too
+    * expensive.
+    *
+    * `d` = (doc_id, sh): ORDERED gram strings (duplicates kept —
+    * positions are the algorithm; build with [[Contamination.ngrams]],
+    * not a distinct shingle set). The window min is taken over
+    * h·2^20 + pos, i.e. ties break to the earliest position,
+    * deterministically. Both window functions partition by doc_id —
+    * structurally bounded groups (DESIGN.md rule 1.2) sharing ONE
+    * exchange. Docs with fewer than w full windows yield no
+    * fingerprints (the classic full-window definition).
+    */
+  def winnowFingerprints(d: DataFrame, w: Int): DataFrame = {
+    require(w >= 1, "winnow window must be >= 1")
+    val B = 1L << WinnowPosBits
+    // hash AFTER the explode, in a plain Project (codegen'd once) — the
+    // Contamination shape lesson; a transform-lambda h32 runs
+    // interpreted and re-evaluates around the Generate
+    val g = d.select(col("doc_id"), posexplode(col("sh")).as(Seq("pos", "gstr")))
+      .select(col("doc_id"), col("pos"), Hashing.h32(col("gstr")).as("h"))
+    val perDoc = Window.partitionBy("doc_id")
+    val sliding = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    g.withColumn("n", count(lit(1)).over(perDoc))
+      .withColumn("we", min(col("h") * B + col("pos")).over(sliding))
+      .where(col("pos") <= col("n") - w) // full windows only (pos 0-based)
+      .select(col("doc_id"), expr(s"we div $B").as("fp"))
+      .distinct()
+  }
+
+  /** Candidate pairs sharing ≥ `minShared` winnowing fingerprints.
+    * Fingerprint doc-frequency cutoff (combinable groupBy + join-back)
+    * drops boilerplate fingerprints before the self-join, bounding
+    * fan-out at df² exactly as in [[containmentPairs]].
+    */
+  def winnowPairs(d: DataFrame, w: Int, maxDf: Int = Int.MaxValue,
+      minShared: Long = 1L): DataFrame = {
+    val fps = winnowFingerprints(d, w)
+    val kept =
+      if (maxDf == Int.MaxValue) fps
+      else {
+        val dfs = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+        fps.join(dfs, Seq("fp")).where(col("__df") <= maxDf).drop("__df")
+      }
+    val a = kept.select(col("doc_id").as("d1"), col("fp"))
+    val b = kept.select(col("doc_id").as("d2"), col("fp"))
+    a.join(b, Seq("fp"))
+      .where(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .select("d1", "d2", "n_shared")
+  }
 }

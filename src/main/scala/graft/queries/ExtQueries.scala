@@ -158,6 +158,17 @@ object ExtQueries {
         .orderBy("d1", "d2")
     }),
 
+    // Winnowing (MOSS) fingerprint pairs: ordered 3-gram hashes, window
+    // w=4 minima as fingerprints, pairs sharing >= 2 after a df cutoff.
+    // The robust partial-overlap detector at ~2/(w+1) of the full-index
+    // cost; any shared run of >= 6 tokens leaves a shared fingerprint.
+    "q_winnow" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir).select(col("doc_id"),
+        Contamination.ngrams(TA.tokens(col("text")), 3).as("sh"))
+      NearDup.winnowPairs(d, w = 4, maxDf = 8, minShared = 2L)
+        .orderBy("d1", "d2")
+    }),
+
     // Gibberish / encoding-damage detector: per-doc share of distinct
     // char bigrams unseen in a held-out reference sample's vocabulary
     // (doc_id % 10 = 0). All-integer milli rate; the vocabulary is
@@ -1634,6 +1645,44 @@ object ExtQueries {
       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // Winnowing: ordered 3-grams with 0-based positions (struct-unnest for
+  // ordinality), sliding 4-window min over h*2^20+pos, full windows
+  // only, distinct decoded hashes, df cutoff, shared-fp pair count.
+  private def winnowOracle: String = {
+    val gram = "tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]"
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+       |g0 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(tk) - 2 > 0
+       |      THEN list_transform(range(1, len(tk) - 1), i -> $gram)
+       |      ELSE []::VARCHAR[] END AS gs
+       |  FROM tk),
+       |eu AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(gs) + 1),
+       |    i -> {'i': i, 'g': gs[i]})) AS u
+       |  FROM g0),
+       |e AS (
+       |  SELECT doc_id, u.i - 1 AS pos,
+       |    ${Hashing.h32Sql("u.g")} AS h
+       |  FROM eu),
+       |wmin AS (
+       |  SELECT doc_id, pos,
+       |    count(*) OVER (PARTITION BY doc_id) AS n,
+       |    min(h * 1048576 + pos) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS we
+       |  FROM e),
+       |fps AS (
+       |  SELECT DISTINCT doc_id, (we // 1048576)::BIGINT AS fp
+       |  FROM wmin WHERE pos <= n - 4),
+       |dfs AS (SELECT fp, count(*) AS df FROM fps GROUP BY 1),
+       |kept AS (
+       |  SELECT f.doc_id, f.fp FROM fps f JOIN dfs USING (fp)
+       |  WHERE df <= 8)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*)::BIGINT AS n_shared
+       |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY d1, d2""".stripMargin
+  }
+
   // Recall@2 of 1-probe IVF vs brute-force ground truth: the ivf CTEs
   // mirror annIvfOracle, the exact side cosineTopkOracle's pair scan
   // restricted to the same query sample; integer milli-recall via //.
@@ -2155,6 +2204,7 @@ object ExtQueries {
     "q_ann_ivf" -> annIvfOracle,
     "q_ann_recall" -> annRecallOracle,
     "q_containment" -> containmentOracle,
+    "q_winnow" -> winnowOracle,
     "q_oov_bigrams" -> oovBigramsOracle,
     "q_ann_pq" -> annPqOracle,
     "q_ann_ivf_mp" -> annIvfMpOracle,

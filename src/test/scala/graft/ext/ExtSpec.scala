@@ -526,6 +526,32 @@ class ExtSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2) == Seq.empty && got(3) == Seq.empty && got(4) == Seq.empty)
   }
 
+  test("winnowing: shared run >= w+k-1 tokens guarantees a shared fingerprint") {
+    // w=4, k=3: any shared substring of >= 6 tokens must leave at least
+    // one common fingerprint. Docs 1/2 share exactly such a run inside
+    // otherwise-disjoint text; doc 3 shares nothing.
+    val shared = "one two three four five six"
+    def doc(id: Long, text: String) = (id, text)
+    val docs = Seq(
+      doc(1L, s"alpha beta $shared gamma delta"),
+      doc(2L, s"p q r s $shared t u v"),
+      doc(3L, "completely different words here entirely now"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Contamination.ngrams(TextAnalysis.tokens(col("text")), 3).as("sh"))
+    val fps = NearDup.winnowFingerprints(docs, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "guaranteed shared fingerprint missing")
+    assert((fps(1L) & fps.getOrElse(3L, Set.empty)).isEmpty)
+    // density: winnowing keeps a strict subset of the gram hashes
+    assert(fps(1L).size < 9) // doc 1 has 9 full windows over 12 grams
+    // pair detection end-to-end
+    val pairs = NearDup.winnowPairs(docs, w = 4, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
   test("containmentPairs: quoted-short-in-long found where Jaccard misses it") {
     // doc 1 is fully contained in doc 2 (plus 2's own tail); doc 3 is
     // unrelated. Jaccard(1,2) = 4/12 — under any reasonable threshold —
