@@ -90,4 +90,44 @@ class WatStreamSpec extends AnyFunSuite with SparkTestBase {
       assert(streamed2.sameElements(both))
     } finally q.stop()
   }
+
+  test("manifest-notification intake: new manifests drive extraction, no prefix relist") {
+    val dir = Files.createTempDirectory("watmanifest").toFile
+    val archives = new File(dir, "archives"); archives.mkdirs()
+    val manifests = new File(dir, "manifests"); manifests.mkdirs()
+    val a1 = WatFixture.write(new File(archives, "m1.warc.wat.gz").getAbsolutePath)
+    val a2 = WatFixture.write(new File(archives, "m2.warc.wat.gz").getAbsolutePath)
+    // manifest 1 announces both archives; comments/blanks are ignored
+    java.nio.file.Files.write(new File(manifests, "wat.paths.1").toPath,
+      s"# crawl batch 1\n$a1\n\n$a2\n".getBytes("UTF-8"))
+    val out = new File(dir, "out").getAbsolutePath
+    val chk = new File(dir, "chk").getAbsolutePath
+    val q = graft.wat.WatExtract
+      .extractStreamFromManifests(spark,
+        s"${manifests.getAbsolutePath}/wat.paths.*", "image")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", chk).start()
+    try {
+      q.processAllAvailable()
+      val batch = graft.wat.WatExtract.fromPaths(spark, Seq(a1, a2), "image")
+        .toDF().collect().map(_.toString).sorted
+      assert(spark.read.parquet(out).collect().map(_.toString).sorted
+        .sameElements(batch))
+
+      // a new manifest lands announcing a third archive → only it appends
+      val a3 = WatFixture.write(new File(archives, "m3.warc.wat.gz").getAbsolutePath)
+      java.nio.file.Files.write(new File(manifests, "wat.paths.2").toPath,
+        s"$a3\n".getBytes("UTF-8"))
+      q.processAllAvailable()
+      val all = graft.wat.WatExtract.fromPaths(spark, Seq(a1, a2, a3), "image")
+        .toDF().collect().map(_.toString).sorted
+      assert(spark.read.parquet(out).collect().map(_.toString).sorted
+        .sameElements(all))
+
+      // idle trigger adds nothing (the manifest log, not a re-listing,
+      // decides what is new)
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() == all.length.toLong)
+    } finally q.stop()
+  }
 }
