@@ -365,22 +365,29 @@ object NearDup {
     * right tool when containment/Jaccard over full gram sets is too
     * expensive.
     *
-    * `d` = (doc_id, sh): ORDERED gram strings (duplicates kept —
-    * positions are the algorithm; build with [[Contamination.ngrams]],
-    * not a distinct shingle set). The window min is taken over
-    * h·2^20 + pos, i.e. ties break to the earliest position,
-    * deterministically. Both window functions partition by doc_id —
-    * structurally bounded groups (DESIGN.md rule 1.2) sharing ONE
-    * exchange. Docs with fewer than w full windows yield no
-    * fingerprints (the classic full-window definition).
+    * Takes the raw token column and STAGES it as its own projection
+    * before building ordered k-grams (duplicates kept — positions are
+    * the algorithm): `ngrams` references its input k + 1 times, and a
+    * non-attribute array expression would be re-inlined into every
+    * `element_at`, re-splitting the text per gram element — O(len²)
+    * per document (measured 10.7 s → 0.9 s at sf0.1 for the explode
+    * stage alone). The window min is taken over h·2^20 + pos, i.e.
+    * ties break to the earliest position, deterministically. Both
+    * window functions partition by doc_id — structurally bounded
+    * groups (DESIGN.md rule 1.2) sharing ONE exchange. Docs with fewer
+    * than w full windows yield no fingerprints (the classic
+    * full-window definition).
     */
-  def winnowFingerprints(d: DataFrame, w: Int): DataFrame = {
+  def winnowFingerprints(docs: DataFrame, idCol: String, words: Column,
+      k: Int, w: Int): DataFrame = {
     require(w >= 1, "winnow window must be >= 1")
     val B = 1L << WinnowPosBits
     // hash AFTER the explode, in a plain Project (codegen'd once) — the
     // Contamination shape lesson; a transform-lambda h32 runs
     // interpreted and re-evaluates around the Generate
-    val g = d.select(col("doc_id"), posexplode(col("sh")).as(Seq("pos", "gstr")))
+    val g = docs.select(col(idCol).as("doc_id"), words.as("_tk"))
+      .select(col("doc_id"), Contamination.ngrams(col("_tk"), k).as("sh"))
+      .select(col("doc_id"), posexplode(col("sh")).as(Seq("pos", "gstr")))
       .select(col("doc_id"), col("pos"), Hashing.h32(col("gstr")).as("h"))
     val perDoc = Window.partitionBy("doc_id")
     val sliding = Window.partitionBy("doc_id").orderBy("pos")
@@ -397,9 +404,10 @@ object NearDup {
     * drops boilerplate fingerprints before the self-join, bounding
     * fan-out at df² exactly as in [[containmentPairs]].
     */
-  def winnowPairs(d: DataFrame, w: Int, maxDf: Int = Int.MaxValue,
+  def winnowPairs(docs: DataFrame, idCol: String, words: Column, k: Int,
+      w: Int, maxDf: Int = Int.MaxValue,
       minShared: Long = 1L): DataFrame = {
-    val fps = winnowFingerprints(d, w)
+    val fps = winnowFingerprints(docs, idCol, words, k, w)
     val kept =
       if (maxDf == Int.MaxValue) fps
       else {

@@ -163,9 +163,8 @@ object ExtQueries {
     // The robust partial-overlap detector at ~2/(w+1) of the full-index
     // cost; any shared run of >= 6 tokens leaves a shared fingerprint.
     "q_winnow" -> ((s, dir) => {
-      val d = docsWithTokens(s, dir).select(col("doc_id"),
-        Contamination.ngrams(TA.tokens(col("text")), 3).as("sh"))
-      NearDup.winnowPairs(d, w = 4, maxDf = 8, minShared = 2L)
+      NearDup.winnowPairs(docsWithTokens(s, dir), "doc_id",
+        TA.tokens(col("text")), k = 3, w = 4, maxDf = 8, minShared = 2L)
         .orderBy("d1", "d2")
     }),
 

@@ -537,9 +537,8 @@ class ExtSpec extends AnyFunSuite with SparkTestBase {
       doc(2L, s"p q r s $shared t u v"),
       doc(3L, "completely different words here entirely now"))
       .toDF("doc_id", "text")
-      .select(col("doc_id"),
-        Contamination.ngrams(TextAnalysis.tokens(col("text")), 3).as("sh"))
-    val fps = NearDup.winnowFingerprints(docs, w = 4)
+    val fps = NearDup.winnowFingerprints(docs, "doc_id",
+        TextAnalysis.tokens(col("text")), k = 3, w = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert((fps(1L) & fps(2L)).nonEmpty, "guaranteed shared fingerprint missing")
@@ -547,7 +546,8 @@ class ExtSpec extends AnyFunSuite with SparkTestBase {
     // density: winnowing keeps a strict subset of the gram hashes
     assert(fps(1L).size < 9) // doc 1 has 9 full windows over 12 grams
     // pair detection end-to-end
-    val pairs = NearDup.winnowPairs(docs, w = 4, minShared = 1L)
+    val pairs = NearDup.winnowPairs(docs, "doc_id",
+        TextAnalysis.tokens(col("text")), k = 3, w = 4, minShared = 1L)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
