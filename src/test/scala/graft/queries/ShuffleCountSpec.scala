@@ -84,7 +84,21 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     "q_assembly" -> 3,
     // cell-size agg over the broadcast-crossJoin assignment + 1-row
     // capped-cell aggregate
-    "q_semdedup_audit" -> 3
+    "q_semdedup_audit" -> 3,
+    // winnowing: doc-partitioned window stack (1 exchange) evaluated
+    // per consumer (df agg + two self-join sides share via reuse),
+    // fp-keyed df agg/join, pair agg, final order
+    "q_winnow" -> 7,
+    // containment: gram df agg + join-back, per-doc size window, pair
+    // agg, final order
+    "q_containment" -> 5,
+    // oov: vocab distinct (broadcast side), per-doc agg, doc join-back,
+    // final order — the bigram explode itself never shuffles
+    "q_oov_bigrams" -> 4,
+    // alternating-star: converged star frame from cache + label agg +
+    // final order (per-round exchanges live inside the loop's actions,
+    // not the returned plan)
+    "q_cluster_star" -> 3
   )
 
   for ((name, maxShuffles) <- bounds.toSeq.sortBy(_._1)) {
