@@ -677,6 +677,28 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // One-pass corpus report card: the per-language health metrics every
+    // curation run reads first (volume, null damage, token mass, gate
+    // pass rate) in a SINGLE combinable aggregation — one shuffle for
+    // the whole report, however many metrics ride it.
+    "q_corpus_report" -> ((s, dir) => {
+      docsWithTokens(s, dir)
+        .select(col("lang"), col("text"), col("n_chars"),
+          TA.tokens(col("text")).as("tks"))
+        .withColumn("kept",
+          TA.gopherGate(col("tks"), minTokens = 20L, maxTokens = 500L)
+            .getField("kept"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("text").isNull, 1)).as("n_null_text"),
+          sum(when(col("tks").isNotNull, size(col("tks"))).otherwise(0))
+            .cast("long").as("n_tokens"),
+          coalesce(sum(col("n_chars")), lit(0L)).cast("long").as("sum_chars"),
+          count(when(col("kept"), 1)).as("n_gopher_pass"))
+        .orderBy("lang")
+    }),
+
     // URL canonicalization + canonical-key dedup: deterministic messy
     // URLs (tracking params, shuffled param order, default ports,
     // fragments, mixed-case hosts) collapse to one canonical form;
@@ -2235,6 +2257,17 @@ object ExtQueries {
          |ORDER BY doc_id""".stripMargin,
     "q_para_dedup" -> paraDedupOracle,
     "q_gopher_gate" -> gopherGateOracle,
+    "q_corpus_report" ->
+      s"""SELECT lang,
+         |  count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_null_text,
+         |  sum(CASE WHEN text IS NULL THEN 0
+         |      ELSE len(string_split(text, ' ')) END)::BIGINT AS n_tokens,
+         |  coalesce(sum(n_chars), 0)::BIGINT AS sum_chars,
+         |  sum(CASE WHEN $gopherKeptSql THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_gopher_pass
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_url_canon" -> urlCanonOracle,
 
     "q_multimodal_meta" ->
