@@ -51,14 +51,21 @@ object ScaleProbe {
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
   private val Upper = Lower.toUpperCase
 
-  /** Caesar-rotate letters by k — length/count-preserving, vocabulary-
-    * disjoint across k (identity at k=0).
+  /** Per-replica letter substitution — length/count-preserving,
+    * vocabulary-disjoint across k (identity at k=0). Replicas 0-25 are
+    * Caesar rotations; 26-51 are the same rotations with CASE FLIPPED,
+    * so no two replicas under 52 share a vocabulary (a bare `k % 26`
+    * would make replica 26 a verbatim copy of replica 0 — exactly the
+    * clique pathology this model exists to avoid). Factors above 52 are
+    * rejected rather than silently degenerating.
     */
   private def rot(c: Column, k: Int): Column = {
+    require(k < 52, s"replica $k: substitution period is 52")
     val s = k % 26
-    if (s == 0) c
-    else translate(c, Lower + Upper,
-      Lower.drop(s) + Lower.take(s) + Upper.drop(s) + Upper.take(s))
+    val (lo, up) = (Lower.drop(s) + Lower.take(s), Upper.drop(s) + Upper.take(s))
+    if (k == 0) c
+    else if (k < 26) translate(c, Lower + Upper, lo + up)
+    else translate(c, Lower + Upper, up + lo) // case-flipped rotation
   }
 
   private def span(df: DataFrame, key: String): Long =
@@ -68,11 +75,24 @@ object ScaleProbe {
   private def replicas(factor: Int)(mk: Int => DataFrame): DataFrame =
     (0 until factor).map(mk).reduce(_ unionByName _)
 
+  /** Bump when the replication model changes — stale fixture sets from
+    * an older generator must regenerate, not silently mis-measure.
+    */
+  private val GenVersion = 2
+
   def generate(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int): Unit = {
-    val marker = new java.io.File(outDir, s"_SCALE_OK_$factor")
+    require(factor >= 1 && factor <= 52,
+      s"factor $factor outside [1, 52] (substitution period)")
+    val dir = new java.io.File(outDir)
+    val marker = new java.io.File(dir, s"_SCALE_OK_v${GenVersion}_$factor")
     if (marker.exists()) return
-    new java.io.File(outDir).mkdirs()
+    // a marker for a DIFFERENT factor or generator version means the
+    // shared data dir holds wrong-scale tables — regenerate and drop
+    // the stale markers, never reuse silently
+    Option(dir.listFiles()).foreach(_.filter(_.getName.startsWith("_SCALE_OK"))
+      .foreach(_.delete()))
+    dir.mkdirs()
     def base(t: String) = spark.read.parquet(s"$baseDir/$t.parquet")
     def write(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
@@ -119,14 +139,18 @@ object ScaleProbe {
 
     val spanVec = span(base("embeddings"), "vec_id")
     write(replicas(factor) { k =>
-      base("embeddings")
+      val shifted = base("embeddings")
         .withColumn("vec_id", col("vec_id") + lit(k * spanVec))
-        .withColumn("embedding",
-          // zip positions in so the jitter varies per dimension
-          zip_with(col("embedding"),
-            sequence(lit(0), size(col("embedding")) - 1),
-            (x, i) => x + ((pmod(hash(col("vec_id"), lit(k), i),
-              lit(2001)) - lit(1000)).cast("float") / lit(100000.0f))))
+      // replica 0 must be BYTE-IDENTICAL to the base (the superset
+      // premise the q_semdedup under-parallelization argument rests
+      // on) — only k > 0 replicas get the separating jitter
+      if (k == 0) shifted
+      else shifted.withColumn("embedding",
+        // zip positions in so the jitter varies per dimension
+        zip_with(col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => x + ((pmod(hash(col("vec_id"), lit(k), i),
+            lit(2001)) - lit(1000)).cast("float") / lit(100000.0f))))
     }, "embeddings")
 
     require(marker.createNewFile() || marker.exists(),

@@ -188,9 +188,12 @@ object Clustering {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // node universe is fixed up front: self-paired nodes carry no
     // canonical edge but must still appear in the output (as their own
-    // cluster), exactly as in min-label
+    // cluster), exactly as in min-label. Materialize it NOW — sym is
+    // unpersisted before the caller's first action, and a lazy nodes
+    // frame would recompute the corpus-sized symmetrize+distinct then.
     val (nodes, nodesRdd) = rooted(
       sym.select(col("src").as("node")).distinct())
+    nodesRdd.count()
 
     def largeStar(e: DataFrame): DataFrame = {
       val s = e.union(e.select(col("dst").as("src"), col("src").as("dst")))

@@ -393,6 +393,13 @@ object NearDup {
     val sliding = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.currentRow, w - 1)
     g.withColumn("n", count(lit(1)).over(perDoc))
+      // fail LOUDLY on a megadocument that would overflow the position
+      // bits: pos >= 2^20 would bleed into the hash and silently
+      // fabricate fingerprints. assert_true is null on success, so the
+      // coalesce keeps the filter a pass-through.
+      .where(coalesce(assert_true(col("n") <= lit(B),
+        lit(s"winnowFingerprints: document exceeds $B grams — " +
+          "gate document length first")), lit(true)))
       .withColumn("we", min(col("h") * B + col("pos")).over(sliding))
       .where(col("pos") <= col("n") - w) // full windows only (pos 0-based)
       .select(col("doc_id"), expr(s"we div $B").as("fp"))

@@ -196,13 +196,15 @@ object WatFixture {
     * Spark read and the driver's DuckDB `read_parquet` resolve the same
     * file regardless of their working directories.
     */
-  val TailParquetPath: String = {
-    // anchor to the repo root, not the JVM working directory: launched
-    // from anywhere else, a bare relative path would silently ignore the
-    // committed fixture and regenerate elsewhere. Precedence: explicit
-    // override (prop, then env) → nearest ancestor of cwd containing
-    // build.sbt (the repo marker) → cwd as the last resort.
-    val root = sys.props.get("graft.repo.root")
+  /** Repo root for committed-fixture paths: anchored here, not at the
+    * JVM working directory — launched from anywhere else, a bare
+    * relative path would silently ignore a committed fixture and
+    * regenerate elsewhere. Precedence: explicit override (prop, then
+    * env) → nearest ancestor of cwd containing build.sbt (the repo
+    * marker) → cwd as the last resort.
+    */
+  private[graft] def repoRoot: java.io.File =
+    sys.props.get("graft.repo.root")
       .orElse(sys.env.get("GRAFT_REPO_ROOT"))
       .map(new java.io.File(_))
       .orElse {
@@ -211,9 +213,10 @@ object WatFixture {
           .find(d => new java.io.File(d, "build.sbt").isFile)
       }
       .getOrElse(new java.io.File(".").getCanonicalFile)
-    new java.io.File(new java.io.File(root, "tools"), "wat_tail.parquet")
+
+  val TailParquetPath: String =
+    new java.io.File(new java.io.File(repoRoot, "tools"), "wat_tail.parquet")
       .getAbsolutePath
-  }
 
   /** Idempotently materialize [[TailParquetPath]]: image_only extraction
     * over the deterministic 16-archive fleet, globally sorted, one

@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.functions._
-import org.scalacheck.{Gen, Prop, Test => ScTest}
+import org.scalacheck.Gen
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
@@ -14,12 +14,6 @@ import graft.SparkTestBase
   */
 class GramPropertySpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
-
-  private def checkProp(prop: Prop, min: Int = 30): Unit = {
-    val res = ScTest.check(
-      ScTest.Parameters.default.withMinSuccessfulTests(min), prop)
-    assert(res.passed, res.status.toString)
-  }
 
   private val token: Gen[String] = Gen.oneOf(
     "a", "bb", "word", "x1", "É", "多", "%", "", "tok")

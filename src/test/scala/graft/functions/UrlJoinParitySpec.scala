@@ -29,7 +29,13 @@ class UrlJoinParitySpec extends AnyFunSuite with SparkTestBase {
       python: String, status: String, note: String)
 
   private def loadVectors(): Seq[Vec] = {
-    val src = scala.io.Source.fromFile("tools/urljoin_vectors.tsv", "UTF-8")
+    // repo-root anchored, not cwd-relative — same hazard TailParquetPath
+    // guards against (an IDE/sandbox runner with a different cwd would
+    // otherwise miss the committed corpus)
+    val path = new java.io.File(
+      new java.io.File(graft.wat.WatFixture.repoRoot, "tools"),
+      "urljoin_vectors.tsv")
+    val src = scala.io.Source.fromFile(path, "UTF-8")
     try src.getLines()
       .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
       .map { l =>
