@@ -100,8 +100,20 @@ object WatReader {
     */
   def records(raw: InputStream, gzipped: Boolean = true,
       onCorrupt: Exception => Unit = WatReader.logCorrupt): Iterator[WarcRecord] = {
-    val in = new BufferedInputStream(
-      if (gzipped) decompressed(raw) else raw, 1 << 16)
+    // GZIPInputStream's CONSTRUCTOR reads the first member's header, so
+    // an archive truncated inside its opening bytes throws here — before
+    // the iterator's guarded advance() exists. Same contract as mid-file
+    // corruption: signal and yield nothing, never propagate (found by
+    // the truncation-sweep fuzz; an unguarded construction failed the
+    // task deterministically for a sub-10-byte shard).
+    val in =
+      try new BufferedInputStream(
+        if (gzipped) decompressed(raw) else raw, 1 << 16)
+      catch {
+        case e: Exception =>
+          onCorrupt(e)
+          return Iterator.empty
+      }
     new Iterator[WarcRecord] {
       private var nextRec: WarcRecord = _
       private var done = false

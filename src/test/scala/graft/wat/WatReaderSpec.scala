@@ -70,6 +70,46 @@ class WatReaderSpec extends AnyFunSuite {
     assert(recs2.size == WatFixture.records.size)
   }
 
+  test("truncation sweep: every cut point yields a clean record PREFIX, never a throw") {
+    // the fixed-offset cases above pick two cut points; a production
+    // fetch can sever the stream ANYWHERE — sweep seeded random offsets
+    // plus the boundary cases and require the strongest property: the
+    // surviving records are exactly a prefix of the full read
+    val bytes = Files.readAllBytes(new File(fixturePath).toPath)
+    val fullPayloads = WatReader.records(
+      new java.io.ByteArrayInputStream(bytes)).toList.map(_.payloadString)
+    val rnd = new scala.util.Random(99)
+    val cuts = Seq(0, 1, 17, bytes.length - 1) ++
+      Seq.fill(60)(rnd.nextInt(bytes.length))
+    cuts.foreach { c =>
+      val recs = WatReader.records(
+        new java.io.ByteArrayInputStream(bytes.take(c))).toList
+      assert(recs.size <= fullPayloads.size, s"cut=$c")
+      assert(recs.map(_.payloadString) == fullPayloads.take(recs.size),
+        s"cut=$c: surviving records are not a prefix of the full read")
+    }
+  }
+
+  test("single-byte corruption sweep never escapes the iterator") {
+    // one flipped byte anywhere (gzip header, deflate stream, CRC,
+    // framing) must degrade — fewer/different records — but never throw:
+    // a deterministic throw retries 10x and aborts the job for one bad
+    // shard
+    val bytes = Files.readAllBytes(new File(fixturePath).toPath)
+    val full = WatReader.records(
+      new java.io.ByteArrayInputStream(bytes)).toList.size
+    val rnd = new scala.util.Random(7)
+    (0 until 60).foreach { _ =>
+      val pos = rnd.nextInt(bytes.length)
+      val mutated = bytes.clone()
+      mutated(pos) = (mutated(pos) ^ (1 << rnd.nextInt(8))).toByte
+      val n = WatReader.records(
+        new java.io.ByteArrayInputStream(mutated)).toList.size
+      assert(n <= full + WatFixture.records.size,
+        s"flip at $pos fabricated records")
+    }
+  }
+
   test("codec sniffing: zstd members and plain bytes decode like gzip") {
     val gzBytes = Files.readAllBytes(new File(fixturePath).toPath)
     val want = WatReader.records(
