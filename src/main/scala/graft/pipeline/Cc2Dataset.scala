@@ -143,6 +143,23 @@ object Cc2Dataset {
       .start()
   }
 
+  /** [[startStreamingIntake]] with MANIFEST-notification discovery
+    * (WatExtract.extractStreamFromManifests): the stream watches a
+    * small manifest directory instead of re-listing the archive prefix
+    * every trigger — at crawl scale the 5M-object relist dominates
+    * discovery cost, while crawl publishers already drop `wat.paths`
+    * manifests. Same sink/checkpoint/merge contract as the glob form.
+    */
+  def startManifestIntake(spark: SparkSession, manifestGlob: String,
+      docType: String, outputPath: String,
+      maxFilesPerTrigger: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    WatExtract.extractStreamFromManifests(spark, manifestGlob, docType,
+      maxFilesPerTrigger).toDF().writeStream
+      .outputMode("append").format("parquet")
+      .option("path", s"$outputPath/raw")
+      .option("checkpointLocation", s"$outputPath/_checkpoint")
+      .start()
+
   /** The batch tail over everything the intake has landed so far:
     * global dedup → optional seeded shuffle → bounded-file repartition →
     * `{output}/merged` (identical semantics to the multipart merge).

@@ -134,6 +134,40 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("manifest intake + merge == batch pipeline output") {
+    val adir = new File(tmp, "mintake_arch"); adir.mkdirs()
+    val mdir = new File(tmp, "mintake_man"); mdir.mkdirs()
+    val w9 = WatFixture.syntheticWat(
+      new File(adir, "w9.warc.wat.gz").getAbsolutePath, 40, 10, seed = 27L)
+    val out = new File(tmp, "mintake_out").getAbsolutePath
+    val spark = factory()
+    java.nio.file.Files.write(new File(mdir, "wat.paths.1").toPath,
+      s"$w9\n".getBytes("UTF-8"))
+    val q = Cc2Dataset.startManifestIntake(spark,
+      s"${mdir.getAbsolutePath}/wat.paths.*", "image", out)
+    try {
+      q.processAllAvailable()
+      // a second manifest lands while the intake runs
+      val w10 = WatFixture.syntheticWat(
+        new File(adir, "w10.warc.wat.gz").getAbsolutePath, 40, 10, seed = 28L)
+      java.nio.file.Files.write(new File(mdir, "wat.paths.2").toPath,
+        s"$w10\n".getBytes("UTF-8"))
+      q.processAllAvailable()
+      val n = Cc2Dataset.mergeStreamed(spark, out, watCount = 2,
+        shuffle = false, seed = 1L)
+      val (batchPath, nBatch) = Cc2Dataset.run(
+        Cc2Config(new File(tmp, "mintake_batch").getAbsolutePath, "image",
+          multipart = None, shuffle = false),
+        Seq(w9, w10), () => spark)
+      assert(n == nBatch && n > 0)
+      val a = spark.read.parquet(s"$out/merged").select("uid", "url", "alt")
+        .collect().map(_.toString).sorted
+      val b = spark.read.parquet(batchPath).select("uid", "url", "alt")
+        .collect().map(_.toString).sorted
+      assert(a.sameElements(b))
+    } finally q.stop()
+  }
+
   test("CLI battery: multipart(2) + parallel parts + streaming decode + resume, all via flags") {
     // non-default knobs through the C5 surface: part_parallelism=2 (both
     // parts in flight on one context), stream_threshold_bytes=1 (every
