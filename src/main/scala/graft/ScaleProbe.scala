@@ -85,7 +85,14 @@ object ScaleProbe {
     require(factor >= 1 && factor <= 52,
       s"factor $factor outside [1, 52] (substitution period)")
     val dir = new java.io.File(outDir)
-    val marker = new java.io.File(dir, s"_SCALE_OK_v${GenVersion}_$factor")
+    // the marker must pin EVERY input of the generation — version,
+    // factor, AND base corpus — or a rerun against a different baseDir
+    // would silently reuse wrong-scale tables
+    val baseTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(baseDir).getCanonicalPath.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    val marker = new java.io.File(dir,
+      s"_SCALE_OK_v${GenVersion}_${factor}_$baseTag")
     if (marker.exists()) return
     // a marker for a DIFFERENT factor or generator version means the
     // shared data dir holds wrong-scale tables — regenerate and drop

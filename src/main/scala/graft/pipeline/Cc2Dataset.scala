@@ -136,12 +136,21 @@ object Cc2Dataset {
       if (maxFilesPerTrigger > 0)
         Map("max_files_per_trigger" -> maxFilesPerTrigger.toString)
       else Map.empty[String, String]
-    WatExtract.extractStream(spark, globs, docType, opts).toDF().writeStream
+    startIntakeSink(WatExtract.extractStream(spark, globs, docType, opts),
+      outputPath)
+  }
+
+  /** Shared intake sink: both discovery modes land in `{output}/raw`
+    * with one checkpoint, so [[mergeStreamed]] works identically and a
+    * sink change cannot diverge between them.
+    */
+  private def startIntakeSink(links: org.apache.spark.sql.Dataset[graft.model.DocLink],
+      outputPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    links.toDF().writeStream
       .outputMode("append").format("parquet")
       .option("path", s"$outputPath/raw")
       .option("checkpointLocation", s"$outputPath/_checkpoint")
       .start()
-  }
 
   /** [[startStreamingIntake]] with MANIFEST-notification discovery
     * (WatExtract.extractStreamFromManifests): the stream watches a
@@ -152,13 +161,12 @@ object Cc2Dataset {
     */
   def startManifestIntake(spark: SparkSession, manifestGlob: String,
       docType: String, outputPath: String,
-      maxFilesPerTrigger: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
-    WatExtract.extractStreamFromManifests(spark, manifestGlob, docType,
-      maxFilesPerTrigger).toDF().writeStream
-      .outputMode("append").format("parquet")
-      .option("path", s"$outputPath/raw")
-      .option("checkpointLocation", s"$outputPath/_checkpoint")
-      .start()
+      maxFilesPerTrigger: Int = 0,
+      fetchParallelism: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    startIntakeSink(
+      WatExtract.extractStreamFromManifests(spark, manifestGlob, docType,
+        maxFilesPerTrigger, fetchParallelism),
+      outputPath)
 
   /** The batch tail over everything the intake has landed so far:
     * global dedup → optional seeded shuffle → bounded-file repartition →

@@ -111,6 +111,12 @@ object WatReader {
         if (gzipped) decompressed(raw) else raw, 1 << 16)
       catch {
         case e: Exception =>
+          // close the UNDERLYING stream before yielding nothing: the
+          // advance() close only exists once construction succeeds, and
+          // on the streaming-decode path `raw` is a real FS/S3 handle —
+          // leaking one per corrupt shard exhausts descriptors on a
+          // crawl with many truncated archives
+          try raw.close() catch { case _: Exception => () }
           onCorrupt(e)
           return Iterator.empty
       }
