@@ -242,15 +242,22 @@ object Cc2Dataset {
     * reference returns it (its tail-slice then applies to that order).
     * This is the credential-free onboarding path — no AWS account needed.
     */
-  def parseCrawlListingPage(content: String): Seq[String] =
+  def parseCrawlListingPage(content: String): Seq[String] = {
+    // anchored EXTRACTION, not the reference's replace-chain
+    // (main.py:222-233): on a junk-prefixed line the replace chain
+    // fabricates a garbage-prefixed URL that fails only at fetch time
+    // (found by the hostile-HTML fuzz); the regex emits either a
+    // well-formed index url or nothing. Identical output on the real
+    // page's well-formed lines (parity pinned by the local-http spec).
+    val crawlRef = "s3://commoncrawl/(crawl-data/[^<\\s\"]+)".r
     content.linesIterator
-      .map(_.replace("[WARC] ", ""))
+      .map(_.replace("[WARC] ", "").replace("<wbr>", ""))
       .filter(_.contains("<li>s3://commoncrawl/crawl-data/"))
-      .map(_.split(" ")(0)
-        .replace("<li>s3://commoncrawl/", "https://data.commoncrawl.org/")
-        .replace("<wbr>", ""))
-      .map(e => (e + "/wat.paths.gz").replace("//wat", "/wat"))
+      .flatMap(l => crawlRef.findFirstMatchIn(l).map(_.group(1)))
+      .map(d => "https://data.commoncrawl.org/" + d.stripSuffix("/") +
+        "/wat.paths.gz")
       .toSeq
+  }
 
   /** Fetch + parse the crawl listing page over http(s). */
   def discoverCrawlIndexesHttp(

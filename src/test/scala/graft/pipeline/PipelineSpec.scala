@@ -205,6 +205,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(n2 == 2)
   }
 
+  test("listing-page parser is total on hostile HTML and emits only well-formed index urls") {
+    val rnd = new scala.util.Random(31)
+    val frags = Seq("<li>", "s3://commoncrawl/crawl-data/", "CC-MAIN-",
+      "<wbr>", " ", "\n", "[WARC] ", "<html>", " ", "crawl-data",
+      "s3://elsewhere/x", "<li>s3://commoncrawl/notcrawl", "é", "</li>")
+    (0 until 200).foreach { _ =>
+      val html = Seq.fill(rnd.nextInt(30))(frags(rnd.nextInt(frags.size)))
+        .mkString
+      val out = Cc2Dataset.parseCrawlListingPage(html) // must not throw
+      out.foreach { u =>
+        assert(u.startsWith("https://data.commoncrawl.org/crawl-data/"),
+          s"bad scheme/host from input '$html': $u")
+        assert(u.endsWith("/wat.paths.gz"), s"bad suffix: $u")
+        assert(!u.contains("<wbr>"), s"unstripped wbr: $u")
+      }
+    }
+  }
+
+  test("truncated gzip index file fails LOUDLY (discovery must not silently shrink)") {
+    // extraction degrades gracefully per-shard, but DISCOVERY losing
+    // paths silently would shrink the whole job's input — a truncated
+    // index must throw, not return a prefix
+    val good = new File(tmp, "idx.paths.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(good))
+    out.write((1 to 50).map(i => s"crawl-data/wat-$i.warc.wat.gz\n")
+      .mkString.getBytes("UTF-8"))
+    out.close()
+    val bytes = Files.readAllBytes(good.toPath)
+    val cut = new File(tmp, "idx_cut.paths.gz")
+    Files.write(cut.toPath, bytes.take(bytes.length / 2))
+    val spark = factory()
+    // intact file reads fully
+    assert(Cc2Dataset.readWatIndexFile(spark, good.getAbsolutePath).size == 50)
+    intercept[Exception] {
+      Cc2Dataset.readWatIndexFile(spark, cut.getAbsolutePath)
+    }
+  }
+
   test("resume without multipart is rejected (main.py:352-353)") {
     intercept[IllegalArgumentException] {
       Cc2Dataset.run(Cc2Config(outputPath = "/tmp/x", resume = Some("/tmp/x")),
