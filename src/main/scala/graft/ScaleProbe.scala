@@ -153,9 +153,13 @@ object ScaleProbe {
       // on) — only k > 0 replicas get the separating jitter
       if (k == 0) shifted
       else shifted.withColumn("embedding",
-        // zip positions in so the jitter varies per dimension
-        zip_with(col("embedding"),
-          sequence(lit(0), size(col("embedding")) - 1),
+        // positional transform so the jitter varies per dimension.
+        // NOT zip_with over sequence(0, size-1): on an empty array
+        // sequence(0, -1) counts DOWN to [0, -1] and zip_with would
+        // null-pad a 2-element array where an empty one belongs. The
+        // index lambda yields identical values on non-empty arrays
+        // (same hash inputs), so existing fixture sets stay valid.
+        transform(col("embedding"),
           (x, i) => x + ((pmod(hash(col("vec_id"), lit(k), i),
             lit(2001)) - lit(1000)).cast("float") / lit(100000.0f))))
     }, "embeddings")

@@ -26,12 +26,18 @@ object TextAnalysis {
     * char-split + two slices zipped, NOT per-position `substr(i, 2)`:
     * char-indexed substr on UTF-8 seeks from the string start, so a
     * position loop is O(len²) per document (measured 5.5 s → linear at
-    * sf0.1).
+    * sf0.1). Slice lengths come from `length(text)`, not `size(cs)`:
+    * `split(text, "")` drops its trailing empty element only on
+    * Spark >= 3.4 (SPARK-40194), and sizing the slices off the string
+    * itself keeps the bigram set identical under either split
+    * semantics instead of silently emitting a spurious 1-char tail
+    * "bigram" on older engines.
     */
   def charBigrams(text: Column): Column = {
     val cs = split(text, "")
     when(text.isNotNull && length(text) >= 2,
-      zip_with(slice(cs, lit(1), size(cs) - 1), slice(cs, lit(2), size(cs) - 1),
+      zip_with(slice(cs, lit(1), length(text) - 1),
+        slice(cs, lit(2), length(text) - 1),
         (a, b) => concat(a, b)))
       .otherwise(array().cast("array<string>"))
   }

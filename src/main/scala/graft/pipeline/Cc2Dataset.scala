@@ -249,14 +249,20 @@ object Cc2Dataset {
     // (found by the hostile-HTML fuzz); the regex emits either a
     // well-formed index url or nothing. Identical output on the real
     // page's well-formed lines (parity pinned by the local-http spec).
-    val crawlRef = "s3://commoncrawl/(crawl-data/[^<\\s\"]+)".r
+    val crawlRef = "<li>s3://commoncrawl/(crawl-data/[^<\\s\"]+)".r
     content.linesIterator
       .map(_.replace("[WARC] ", "").replace("<wbr>", ""))
       .filter(_.contains("<li>s3://commoncrawl/crawl-data/"))
-      .flatMap(l => crawlRef.findFirstMatchIn(l).map(_.group(1)))
+      // ALL matches per physical line, not the first: a minified page
+      // puts many <li> entries on one line, and first-match-only would
+      // silently shrink discovery. Anchoring on the <li> prefix also
+      // stops a stray non-list-item mention earlier in the line from
+      // shadowing the real entries. Order is the page's order; dedup
+      // keeps the first occurrence (real pages list each crawl once).
+      .flatMap(l => crawlRef.findAllMatchIn(l).map(_.group(1)))
       .map(d => "https://data.commoncrawl.org/" + d.stripSuffix("/") +
         "/wat.paths.gz")
-      .toSeq
+      .toSeq.distinct
   }
 
   /** Fetch + parse the crawl listing page over http(s). */

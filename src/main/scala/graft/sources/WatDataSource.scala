@@ -327,12 +327,18 @@ class WatReaderFactory(conf: org.apache.spark.util.SerializableConfiguration,
       // SQL UI via CorruptArchivesMetric
       private var corrupt = 0L
       // archives in one partition are read strictly one after another;
-      // the current archive's path rides along without re-encoding per row
+      // the current archive's path rides along without re-encoding per row.
+      // `active` tracks the archive currently being decoded: the flatMap
+      // advances to the next path only after the previous iterator is
+      // exhausted (which closes its own source), so at most one is live.
+      private var active: graft.wat.ClosingIterator[graft.wat.WarcRecord] = _
       private val it = partPaths.iterator.flatMap { p =>
         val u = UTF8String.fromString(p)
-        WatReader.metadataRecords(p, conf.value,
+        val inner = WatReader.metadataRecords(p, conf.value,
           onCorrupt = e => { corrupt += 1; WatReader.logCorruptDefault(e) },
-          inMemoryLimitBytes = streamThresholdBytes).map(r => (u, r))
+          inMemoryLimitBytes = streamThresholdBytes)
+        active = inner
+        inner.map(r => (u, r))
       }
       private var currentPath: UTF8String = _
       private var current: UTF8String = _
@@ -348,7 +354,13 @@ class WatReaderFactory(conf: org.apache.spark.util.SerializableConfiguration,
         else if (wantPath) InternalRow(currentPath)
         else if (wantPayload) InternalRow(current)
         else InternalRow.empty
-      override def close(): Unit = ()
+      // Spark calls close() on task end even when the scan stops early
+      // (limit pushdown, take, kill): release the in-flight archive's
+      // source — on the streaming-decode path that's a real FS/S3
+      // handle, and leaking one per early-terminated task exhausts
+      // descriptors. Exhausted iterators already closed themselves;
+      // ClosingIterator.close() is idempotent either way.
+      override def close(): Unit = if (active != null) active.close()
       override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
         Array(CorruptArchivesTaskMetric(corrupt))
     }

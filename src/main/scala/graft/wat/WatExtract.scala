@@ -51,8 +51,16 @@ object WatExtract {
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
     spark.createDataset(spark.sparkContext.parallelize(paths, math.max(1, paths.size)))
-      .flatMap(p => WatReader.metadataPayloads(p, confBc.value.value,
-        _ => readErrors.add(1L), streamThresholdBytes))
+      .flatMap { p =>
+        val it = WatReader.metadataPayloads(p, confBc.value.value,
+          _ => readErrors.add(1L), streamThresholdBytes)
+        // a limit/take/kill ends the task without exhausting the
+        // iterator; on the streaming-decode path that strands an open
+        // FS/S3 handle — close (idempotently) at task completion
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => it.close()))
+        it
+      }
       .toDF("payload")
   }
 
@@ -190,7 +198,13 @@ object WatExtract {
       .filter(p => p.nonEmpty && !p.startsWith("#"))
       .repartition(par)
     val payloads = paths
-      .flatMap(p => WatReader.metadataPayloads(p, confBc.value.value))
+      .flatMap { p =>
+        val it = WatReader.metadataPayloads(p, confBc.value.value)
+        // same early-termination handle release as the batch path
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => it.close()))
+        it
+      }
       .toDF("payload")
     extract(payloads, docType)
   }

@@ -13,6 +13,32 @@ final case class WarcRecord(headers: Map[String, String], payload: Array[Byte]) 
   def payloadString: String = new String(payload, StandardCharsets.UTF_8)
 }
 
+/** Iterator owning an underlying stream/handle. The reader iterators
+  * release their source on EXHAUSTION, but an early-terminated scan
+  * (limit pushdown, `take`, task kill, mid-partition exception) never
+  * exhausts them — on the streaming-decode path that strands one open
+  * FS/S3 handle per in-flight archive, the same descriptor-exhaustion
+  * hazard the corrupt-construction guard closes `raw` for. `close()` is
+  * idempotent and safe at any point of iteration; callers that may stop
+  * early (the DSv2 PartitionReader, the flatMap task-completion
+  * listener) call it unconditionally.
+  */
+final class ClosingIterator[A](underlying: Iterator[A], closeFn: () => Unit)
+    extends Iterator[A] with AutoCloseable {
+  private[this] var closed = false
+  override def hasNext: Boolean = underlying.hasNext
+  override def next(): A = underlying.next()
+  override def close(): Unit = if (!closed) {
+    closed = true
+    try closeFn() catch { case _: Exception => () }
+  }
+}
+
+object ClosingIterator {
+  def empty[A]: ClosingIterator[A] =
+    new ClosingIterator[A](Iterator.empty, () => ())
+}
+
 /** Minimal WARC/1.x frame reader for `.warc.wat.gz` archives.
   *
   * Mirrors what the reference gets from fastwarc with
@@ -99,7 +125,7 @@ object WatReader {
     * delta.
     */
   def records(raw: InputStream, gzipped: Boolean = true,
-      onCorrupt: Exception => Unit = WatReader.logCorrupt): Iterator[WarcRecord] = {
+      onCorrupt: Exception => Unit = WatReader.logCorrupt): ClosingIterator[WarcRecord] = {
     // GZIPInputStream's CONSTRUCTOR reads the first member's header, so
     // an archive truncated inside its opening bytes throws here — before
     // the iterator's guarded advance() exists. Same contract as mid-file
@@ -118,9 +144,9 @@ object WatReader {
           // crawl with many truncated archives
           try raw.close() catch { case _: Exception => () }
           onCorrupt(e)
-          return Iterator.empty
+          return ClosingIterator.empty
       }
-    new Iterator[WarcRecord] {
+    val base = new Iterator[WarcRecord] {
       private var nextRec: WarcRecord = _
       private var done = false
 
@@ -150,6 +176,9 @@ object WatReader {
         val r = nextRec; advance(); r
       }
     }
+    // exhaustion closes `in` inside advance(); the ClosingIterator close
+    // covers early termination (double-close of an InputStream is a no-op)
+    new ClosingIterator(base, () => in.close())
   }
 
   /** Open a path for streaming decode, retrying the OPEN like
@@ -188,7 +217,7 @@ object WatReader {
     */
   def metadataRecords(path: String, conf: Configuration = new Configuration(),
       onCorrupt: Exception => Unit = WatReader.logCorrupt,
-      inMemoryLimitBytes: Long = Long.MaxValue): Iterator[WarcRecord] = {
+      inMemoryLimitBytes: Long = Long.MaxValue): ClosingIterator[WarcRecord] = {
     val size: Long =
       if (inMemoryLimitBytes == Long.MaxValue) 0L // never probe in parity mode
       else try {
@@ -201,10 +230,12 @@ object WatReader {
     source match {
       case None =>
         onCorrupt(new java.io.IOException(s"fetch failed after retries: $path"))
-        Iterator.empty
+        ClosingIterator.empty
       case Some(in) =>
-        records(in, gzipped = true, onCorrupt)
-          .filter(_.warcType.equalsIgnoreCase("metadata"))
+        val recs = records(in, gzipped = true, onCorrupt)
+        new ClosingIterator(
+          recs.filter(_.warcType.equalsIgnoreCase("metadata")),
+          () => recs.close())
     }
   }
 
@@ -214,9 +245,10 @@ object WatReader {
     */
   def metadataPayloads(path: String, conf: Configuration = new Configuration(),
       onCorrupt: Exception => Unit = WatReader.logCorrupt,
-      inMemoryLimitBytes: Long = Long.MaxValue): Iterator[String] =
-    metadataRecords(path, conf, onCorrupt, inMemoryLimitBytes)
-      .map(_.payloadString)
+      inMemoryLimitBytes: Long = Long.MaxValue): ClosingIterator[String] = {
+    val recs = metadataRecords(path, conf, onCorrupt, inMemoryLimitBytes)
+    new ClosingIterator(recs.map(_.payloadString), () => recs.close())
+  }
 
   private def logCorrupt(e: Exception): Unit = logCorruptDefault(e)
 

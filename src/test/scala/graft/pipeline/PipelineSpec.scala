@@ -223,6 +223,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("minified listing: every <li> entry on one physical line survives") {
+    // a minified page puts many entries on one line — first-match-only
+    // parsing silently shrank discovery to one crawl per line
+    val minified = "<ul><li>s3://commoncrawl/crawl-data/CC-MAIN-2024-10/</li>" +
+      "<li>s3://commoncrawl/crawl-data/CC-MAIN-2024-05/</li>" +
+      "<li>s3://commoncrawl/crawl-data/CC-MAIN-2023-50/</li></ul>"
+    assert(Cc2Dataset.parseCrawlListingPage(minified) == Seq(
+      "https://data.commoncrawl.org/crawl-data/CC-MAIN-2024-10/wat.paths.gz",
+      "https://data.commoncrawl.org/crawl-data/CC-MAIN-2024-05/wat.paths.gz",
+      "https://data.commoncrawl.org/crawl-data/CC-MAIN-2023-50/wat.paths.gz"))
+    // a bare (non-<li>) mention earlier in the line must not shadow or
+    // join the real entries, and duplicates keep first-occurrence order
+    val shadow = "see s3://commoncrawl/crawl-data/PROSE-MENTION/ docs " +
+      "<li>s3://commoncrawl/crawl-data/CC-MAIN-2023-50/</li>" +
+      "<li>s3://commoncrawl/crawl-data/CC-MAIN-2023-50/</li>"
+    assert(Cc2Dataset.parseCrawlListingPage(shadow) == Seq(
+      "https://data.commoncrawl.org/crawl-data/CC-MAIN-2023-50/wat.paths.gz"))
+  }
+
   test("truncated gzip index file fails LOUDLY (discovery must not silently shrink)") {
     // extraction degrades gracefully per-shard, but DISCOVERY losing
     // paths silently would shrink the whole job's input — a truncated

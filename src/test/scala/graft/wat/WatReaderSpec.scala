@@ -161,6 +161,45 @@ class WatReaderSpec extends AnyFunSuite {
       WatReader.metadataRecords(fixturePath).toList.map(_.payloadString))
   }
 
+  test("close() releases the source of a partially-consumed iterator") {
+    // the early-termination shape (limit pushdown, take, task kill): a
+    // reader that stops before exhaustion must release the underlying
+    // handle via close(), not wait for an exhaustion that never comes
+    val bytes = Files.readAllBytes(new File(fixturePath).toPath)
+    var closed = 0
+    val raw = new java.io.ByteArrayInputStream(bytes) {
+      override def close(): Unit = { closed += 1; super.close() }
+    }
+    val it = WatReader.records(raw)
+    assert(it.hasNext)
+    it.next() // consume ONE record of several, then stop
+    assert(closed == 0)
+    it.close()
+    assert(closed == 1)
+    it.close() // idempotent
+    assert(closed == 1)
+
+    // exhaustion alone still closes (the pre-existing contract)
+    var closed2 = 0
+    val raw2 = new java.io.ByteArrayInputStream(bytes) {
+      override def close(): Unit = { closed2 += 1; super.close() }
+    }
+    val all = WatReader.records(raw2).toList
+    assert(all.nonEmpty && closed2 >= 1)
+
+    // the path-level iterator delegates close through filter/map wrappers
+    val mp = WatReader.metadataPayloads(fixturePath)
+    assert(mp.hasNext)
+    mp.next()
+    mp.close() // must not throw; releases the byte-array source
+    // streaming-decode mode holds a REAL file handle — close must release
+    // it mid-iteration (the descriptor-exhaustion hazard this guards)
+    val ms = WatReader.metadataRecords(fixturePath, inMemoryLimitBytes = 1L)
+    assert(ms.hasNext)
+    ms.next()
+    ms.close()
+  }
+
   test("fetch of a missing path retries then yields empty") {
     val t0 = System.nanoTime()
     val r = WatReader.fetchAllBytes(s"$tmp/nope.warc.wat.gz",
