@@ -35,6 +35,14 @@ def main() -> int:
         print("check_bench: no bench JSON line found in input", file=sys.stderr)
         return 2
     bench = json.loads(m.group(0))
+    if "queries" not in bench and bench.get("sidecar"):
+        # the stdout line is the short form (totals + slowest only, sized
+        # to survive tail-clipped captures); the full per-query map lives
+        # in the repo-anchored sidecar Bench writes alongside it
+        import os
+        side = os.path.join(os.path.dirname(sys.path[0] or "."),
+                            bench["sidecar"])
+        bench = json.loads(open(side).read())
     base = json.load(open(f"{sys.path[0]}/bench_baseline.json"))
     baseline = base["queries"]
 
