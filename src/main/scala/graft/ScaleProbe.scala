@@ -80,8 +80,23 @@ object ScaleProbe {
     */
   private val GenVersion = 2
 
+  /** One fixed 12-token paragraph — aligned with q_para_dedup's
+    * positional 12-token segmentation, so prefixing it makes it EVERY
+    * affected document's paragraph 0: one paragraph key carried by 30%
+    * of the corpus, the DESIGN.md adversary executed at volume.
+    */
+  val HotParagraph: String =
+    "shared boilerplate navigation header terms privacy cookie consent banner copyright notice"
+
+  /** Text of the 1% exact-duplicate rows: identical (lang, text) ⇒
+    * identical md5 uid across the whole corpus — one dedup key at 1%
+    * of corpus volume.
+    */
+  val HotDupText: String =
+    "hot duplicate document body repeated verbatim across the corpus for the degenerate key probe"
+
   def generate(spark: SparkSession, baseDir: String, outDir: String,
-      factor: Int): Unit = {
+      factor: Int, hotKey: Boolean = false): Unit = {
     require(factor >= 1 && factor <= 52,
       s"factor $factor outside [1, 52] (substitution period)")
     val dir = new java.io.File(outDir)
@@ -91,8 +106,9 @@ object ScaleProbe {
     val baseTag = java.security.MessageDigest.getInstance("MD5")
       .digest(new java.io.File(baseDir).getCanonicalPath.getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
+    val hkTag = if (hotKey) "_hk" else ""
     val marker = new java.io.File(dir,
-      s"_SCALE_OK_v${GenVersion}_${factor}_$baseTag")
+      s"_SCALE_OK_v${GenVersion}_${factor}_$baseTag$hkTag")
     if (marker.exists()) return
     // a marker for a DIFFERENT factor or generator version means the
     // shared data dir holds wrong-scale tables — regenerate and drop
@@ -138,11 +154,27 @@ object ScaleProbe {
     }, "lineitem")
 
     val spanDoc = span(base("documents"), "doc_id")
-    write(replicas(factor) { k =>
+    val docsScaled = replicas(factor) { k =>
       base("documents")
         .withColumn("doc_id", col("doc_id") + lit(k * spanDoc))
         .withColumn("text", rot(col("text"), k))
-    }, "documents")
+    }
+    // hot-key variant: the DESIGN.md adversary executed at volume.
+    // 1% of rows become one VERBATIM document (identical (lang, text) ⇒
+    // one md5-uid dedup key at 1% of corpus volume); a further ~30%
+    // get one fixed 12-token paragraph PREFIXED (segment-aligned, so
+    // paragraph/ngram queries see one gram/paragraph key carried by a
+    // third of the corpus). Everything else — ids, counts, the other
+    // tables — matches the uniform fixture, so wall-clock deltas are
+    // attributable to the degenerate keys alone.
+    write(
+      if (!hotKey) docsScaled
+      else docsScaled.withColumn("text",
+        when(pmod(col("doc_id"), lit(100)) === 0, lit(HotDupText))
+          .when(pmod(col("doc_id"), lit(10)) < 3,
+            concat(lit(HotParagraph + " "), col("text")))
+          .otherwise(col("text"))),
+      "documents")
 
     val spanVec = span(base("embeddings"), "vec_id")
     write(replicas(factor) { k =>
@@ -174,6 +206,32 @@ object ScaleProbe {
     graft.wat.WatFixture.ensureBenchWats(n, rec * factor, links)
   }
 
+  /** Per-task metrics accumulated across the probe: spill volumes and
+    * task failures. TaskEnd-based so numbers flush as tasks finish; the
+    * probe snapshots before/after each query (with a short listener-bus
+    * settle) to attribute spill per query.
+    */
+  private final class SpillListener
+      extends org.apache.spark.scheduler.SparkListener {
+    val memSpilled = new java.util.concurrent.atomic.AtomicLong
+    val diskSpilled = new java.util.concurrent.atomic.AtomicLong
+    val taskFailures = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        memSpilled.addAndGet(m.memoryBytesSpilled)
+        diskSpilled.addAndGet(m.diskBytesSpilled)
+      }
+      te.reason match {
+        case org.apache.spark.Success => ()
+        case _ => taskFailures.incrementAndGet()
+      }
+    }
+    def snapshot(): (Long, Long, Long) =
+      (memSpilled.get, diskSpilled.get, taskFailures.get)
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(1).getOrElse("/tmp/graft_sf1")
@@ -184,15 +242,45 @@ object ScaleProbe {
     val probeQueries = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(ProbeQueries)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER switches execution regime. `local-cluster[n,c,m]`
+    // runs n SEPARATE executor JVMs with c cores and m MB each — real
+    // inter-executor shuffle (serialize → write shuffle files → fetch
+    // over the block transfer service) instead of local[*]'s
+    // shared-memory pass-through. That is the first regime a 100 TB
+    // deployment actually hits and the one local[32] cannot exercise.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    // skip the base-scale timing (memory sweeps care only about the
+    // scaled point; base at 8 GB heap would measure nothing new)
+    val scaledOnly = sys.env.get("SPARK_GRAFT_SCALED_ONLY").contains("1")
+    // degenerate-key fixture variant (see generate): compare its wall
+    // against the uniform run at the same volume to price skew
+    val hotKey = sys.env.get("SPARK_GRAFT_HOTKEY").contains("1")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val clusterMode = master.startsWith("local-cluster")
+    if (clusterMode) {
+      // worker memory (MB) from local-cluster[n, c, mem]: executors must
+      // request exactly what the worker offers (default 1g would both
+      // under-use large workers and over-ask small ones)
+      val mem = master.stripPrefix("local-cluster[").stripSuffix("]")
+        .split(",")(2).trim
+      builder
+        .config("spark.executor.memory", s"${mem}m")
+        // forked executor JVMs need the application classes; the driver
+        // fork's full classpath (graft classes + spark jars) is exactly
+        // the right set
+        .config("spark.executor.extraClassPath",
+          sys.props.getOrElse("java.class.path", ""))
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val spill = new SpillListener
+    spark.sparkContext.addSparkListener(spill)
 
-    generate(spark, baseDir, outDir, factor)
+    generate(spark, baseDir, outDir, factor, hotKey = hotKey)
     graft.wat.WatFixture.ensureSingle()
     scaledWat(factor)
 
@@ -208,12 +296,18 @@ object ScaleProbe {
       }
     }
 
-    def timeQuery(name: String, dir: String, scaled: Boolean): Option[Double] = {
+    /** (min wall, spilled MB across all passes, failed tasks) — spill and
+      * failure deltas read from the listener with a short settle so
+      * in-flight TaskEnd events land before the snapshot.
+      */
+    def timeQuery(name: String, dir: String,
+        scaled: Boolean): (Option[Double], Double, Long) = {
       def frame(): DataFrame =
         if (name == "q_wat_extract_1file" && scaled)
           graft.wat.WatExtract.fromPathsV2(spark, scaledWat(factor),
             "image_only").toDF()
         else SparkEntry.queries(name)(spark, dir)
+      val (m0, d0, f0) = spill.snapshot()
       val times = (1 to passes).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
@@ -224,20 +318,23 @@ object ScaleProbe {
           None
         }
       }
-      times.minOption
+      Thread.sleep(300) // listener-bus settle
+      val (m1, d1, f1) = spill.snapshot()
+      (times.minOption, ((m1 - m0) + (d1 - d0)) / 1e6, f1 - f0)
     }
 
     val rows = probeQueries.map { name =>
-      val tBase = timeQuery(name, baseDir, scaled = false)
-      val tScaled = timeQuery(name, outDir, scaled = true)
+      val tBase =
+        if (scaledOnly) None else timeQuery(name, baseDir, scaled = false)._1
+      val (tScaled, spillMb, failedTasks) = timeQuery(name, outDir, scaled = true)
       val ratio = for (b <- tBase; s <- tScaled) yield s / b
-      (name, tBase, tScaled, ratio)
+      (name, tBase, tScaled, ratio, spillMb, failedTasks)
     }
     def j(o: Option[Double]) = o.map(v => f"$v%.3f").getOrElse("null")
-    val body = rows.map { case (n, b, s, r) =>
-      s""""$n":{"base":${j(b)},"scaled":${j(s)},"ratio":${j(r)}}"""
+    val body = rows.map { case (n, b, s, r, sp, ft) =>
+      f""""$n":{"base":${j(b)},"scaled":${j(s)},"ratio":${j(r)},"spill_mb":$sp%.1f,"failed_tasks":$ft}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_probe","factor":$factor,"base":"$baseDir","scaled":"$outDir","queries":$body}""")
+    println(s"""{"metric":"scale_probe","factor":$factor,"master":"$master","hotkey":$hotKey,"base":"$baseDir","scaled":"$outDir","queries":$body}""")
     spark.stop()
   }
 }

@@ -35,8 +35,14 @@ object WatFixture {
   }
 
   private def envelope(pageUrl: String, headBase: Option[String],
-      links: Seq[(String, String, String, String)]): String = {
-    // link tuple: (path, url, alt, text); empty strings omitted
+      links: Seq[(String, String, String, String)],
+      respExtras: String = "", htmlExtras: String = ""): String = {
+    // link tuple: (path, url, alt, text); empty strings omitted.
+    // respExtras / htmlExtras inject additional (schema-invisible) JSON
+    // keys into HTTP-Response-Metadata / HTML-Metadata — the realistic-
+    // envelope bloat real CC records carry (full response headers, Head
+    // title/metas/scripts) that the extraction never navigates. Must end
+    // with ", " when non-empty.
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val linkJson = links.map { case (path, url, alt, text) =>
       val fields = Seq(
@@ -54,8 +60,8 @@ object WatFixture {
        |    "WARC-Header-Metadata": {"WARC-Target-URI": "${esc(pageUrl)}"},
        |    "Payload-Metadata": {
        |      "HTTP-Response-Metadata": {
-       |        "HTML-Metadata": {
-       |          $baseJson"Links": $linkJson
+       |        $respExtras"HTML-Metadata": {
+       |          $baseJson$htmlExtras"Links": $linkJson
        |        }
        |      }
        |    }
@@ -112,9 +118,19 @@ object WatFixture {
   /** Deterministic synthetic WAT of arbitrary size (seeded) — for
     * extraction throughput benchmarks. Each record carries a mix of
     * image/audio/text/video/relative links.
+    *
+    * `bloatUnits` > 0 pads every record with realistic NEVER-NAVIGATED
+    * envelope fields (full response headers, Head title/metas/scripts —
+    * the shapes surrounding the reference's navigation,
+    * cc2dataset/main.py:144-164): real CC records are dominated by such
+    * metadata, while the lean fixture is nearly all Links. The padding
+    * draws from its own Random so the LINK STREAM IS BYTE-IDENTICAL to
+    * the lean fixture at the same seed — extraction output (and its
+    * golden hashes) must not change, only the JSON lex-and-skip cost.
+    * Each unit adds ~1 KB; ~10 units ≈ the 10× envelope-bloat probe.
     */
   def syntheticWat(path: String, nRecords: Int, linksPerRecord: Int,
-      seed: Long): String = {
+      seed: Long, bloatUnits: Int = 0): String = {
     val rnd = new scala.util.Random(seed)
     val out = new FileOutputStream(path)
     try {
@@ -130,9 +146,26 @@ object WatFixture {
             case _ => ("A@/href", s"//video.test/clip$n.mp4", "", s"clip $n")
           }
         }
+        val (respEx, htmlEx) =
+          if (bloatUnits <= 0) ("", "")
+          else {
+            val b = new scala.util.Random(seed * 31 + r) // own stream
+            val headers = (s""""Headers": {"Content-Type": "text/html; charset=UTF-8", """ +
+              s""""Server": "nginx/1.${b.nextInt(30)}", "X-Request-Id": "${b.nextLong().toHexString}", """ +
+              s""""Cache-Control": "max-age=${b.nextInt(86400)}", "Set-Cookie": "sess=${b.nextLong().toHexString}; Path=/"}, """) +
+              s""""Headers-Length": "${200 + b.nextInt(800)}", "Entity-Length": "${5000 + b.nextInt(90000)}", """
+            val metas = (0 until bloatUnits).map { i =>
+              s"""{"name": "meta-$i", "content": "${(0 until 10).map(_ => s"v${b.nextInt(1000)}").mkString(" ")}"}"""
+            }.mkString("[", ", ", "]")
+            val scripts = (0 until bloatUnits * 6).map { i =>
+              s"""{"path": "SCRIPT@/src", "url": "https://static.site${b.nextInt(100)}.test/js/app-$i-${b.nextLong().toHexString}.min.js"}"""
+            }.mkString("[", ", ", "]")
+            (headers,
+              s""""Title": "page $r ${b.nextLong().toHexString}", "Metas": $metas, "Scripts": $scripts, """)
+          }
         out.write(gzipMember(warcRecord("metadata",
           envelope(page, if (r % 3 == 0) Some(s"https://base$r.test/b/") else None,
-            links),
+            links, respEx, htmlEx),
           Some(page))))
       }
     } finally out.close()
@@ -165,21 +198,25 @@ object WatFixture {
   def ensureFleet64(): Seq[String] =
     ensureBenchWats(64, BenchFleet._2, BenchFleet._3)
 
-  /** Idempotently materialize `n` deterministic bench WATs in tmp. */
+  /** Idempotently materialize `n` deterministic bench WATs in tmp.
+    * `bloatUnits` variants (same seeds → same link stream, fatter
+    * envelopes) cache under distinct names.
+    */
   def ensureBenchWats(n: Int, nRecords: Int = 500,
-      linksPerRecord: Int = 20): Seq[String] = {
+      linksPerRecord: Int = 20, bloatUnits: Int = 0): Seq[String] = {
     val dir = new java.io.File(
       System.getProperty("java.io.tmpdir"), s"graft-bench-wats-v$GenVersion")
     dir.mkdirs()
+    val tag = if (bloatUnits > 0) s"-b$bloatUnits" else ""
     (0 until n).map { i =>
-      val f = new java.io.File(dir, s"bench-$nRecords-$linksPerRecord-$i.warc.wat.gz")
+      val f = new java.io.File(dir, s"bench-$nRecords-$linksPerRecord-$i$tag.warc.wat.gz")
       if (!f.exists()) {
         // write-then-rename: a process killed mid-generation must not
         // leave a truncated archive that a later run silently reuses
         val tmp = new java.io.File(dir, f.getName +
           s".tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}-${System.nanoTime()}")
         syntheticWat(tmp.getAbsolutePath, nRecords, linksPerRecord,
-          seed = 1000L + i)
+          seed = 1000L + i, bloatUnits = bloatUnits)
         if (!tmp.renameTo(f) && !f.exists())
           throw new java.io.IOException(s"could not materialize $f")
         tmp.delete()
