@@ -64,7 +64,18 @@ object Contamination {
     */
   private def hashedGramRows(docs: DataFrame, idCol: String, words: Column,
       n: Int): DataFrame =
-    docs.select(col(idCol), words.as("_tk"))
+    docs
+      // explicit, not inference-dependent: downstream this subtree is
+      // consumed TWICE (per-doc rows + df counts), and the outer join
+      // infers isnotnull(id) into only ONE branch — structurally
+      // different twins can't share their exchange, so the explode and
+      // its shuffle ran twice (found via the local-cluster probe, where
+      // the doubled exchange serializes for real). Filtering at the
+      // source makes the branches canonical twins and AQE reuses the
+      // stage. Null-id docs were no-ops anyway: they could feed df
+      // counts but never receive a result row (null joins nothing).
+      .where(col(idCol).isNotNull)
+      .select(col(idCol), words.as("_tk"))
       .select(col(idCol), explode(ngrams(col("_tk"), n)).as("gstr"))
       .select(col(idCol), Hashing.h32(col("gstr")).as("g"))
       .distinct()

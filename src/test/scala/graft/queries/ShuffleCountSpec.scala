@@ -101,6 +101,22 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     "q_cluster_star" -> 3
   )
 
+  test("q_dup_ngrams reuses the duplicated gram subtree's exchange") {
+    // the gram subtree is consumed twice (per-doc rows + df counts);
+    // the branches must stay CANONICAL TWINS so AQE shares one explode
+    // + one shuffle. This broke silently once: the outer join inferred
+    // isnotnull(doc_id) into only one branch, the twins diverged, and
+    // the whole explode ran twice — invisible at local[32] wall-clock,
+    // 2.4x on the multi-JVM probe. hashedGramRows now filters at the
+    // source; this pins the ReusedExchange in the final adaptive plan.
+    val df = SparkEntry.queries("q_dup_ngrams")(spark, sfDir)
+    df.queryExecution.toRdd.count() // finalize AQE
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("ReusedExchange".r.findAllIn(fin).nonEmpty,
+      s"no ReusedExchange in q_dup_ngrams final plan:\n${fin.take(3000)}")
+  }
+
   for ((name, maxShuffles) <- bounds.toSeq.sortBy(_._1)) {
     test(s"$name plans at most $maxShuffles shuffle exchange(s)") {
       val plan = SparkEntry.queries(name)(spark, sfDir)
