@@ -384,8 +384,15 @@ object NearDup {
     val B = 1L << WinnowPosBits
     // hash AFTER the explode, in a plain Project (codegen'd once) — the
     // Contamination shape lesson; a transform-lambda h32 runs
-    // interpreted and re-evaluates around the Generate
-    val g = docs.select(col(idCol).as("doc_id"), words.as("_tk"))
+    // interpreted and re-evaluates around the Generate.
+    // isnotnull(id) is explicit, not inference-dependent: winnowPairs
+    // consumes this subtree THREE ways (df counts + both self-join
+    // sides), and only the join sides infer the constraint — divergent
+    // twins lose AQE exchange reuse and re-run the explode + window
+    // per branch (the round-8 Contamination lesson; found by the
+    // fleet-wide ReuseAudit).
+    val g = docs.where(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"), words.as("_tk"))
       .select(col("doc_id"), Contamination.ngrams(col("_tk"), k).as("sh"))
       .select(col("doc_id"), posexplode(col("sh")).as(Seq("pos", "gstr")))
       .select(col("doc_id"), col("pos"), Hashing.h32(col("gstr")).as("h"))

@@ -127,6 +127,14 @@ object Weighting {
       .select(col(idCol), explode(tokens).as("tok"))
       .select(col(idCol),
         pmod(Hashing.h32(col("tok")), lit(buckets.toLong)).as("b"))
+      // explicit, not inference-dependent: cb is consumed by BOTH the
+      // total (plain agg — no constraints) and the ratio join (infers
+      // isnotnull(b)); divergent twin subtrees lose AQE exchange reuse
+      // and re-run the token explode per branch (the round-8
+      // Contamination lesson, found by ReuseAudit). A null bucket (null
+      // token) was inconsistent anyway: counted in cb totals but
+      // dropped by the inner ratio join.
+      .where(col("b").isNotNull)
       .groupBy(col(idCol), col("b"))
       .agg(count(lit(1)).as("cnt"))
     val cb = dbt.groupBy("b").agg(sum(col("cnt")).as("cb"))

@@ -1,0 +1,104 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Fleet-wide screen for the defect class the round-8 local-cluster
+  * probe caught in q_dup_ngrams: a subtree consumed by several branches
+  * whose exchanges SHOULD be shared (AQE stage reuse / ReuseExchange)
+  * but silently are not — each copy re-runs its whole map side and
+  * re-shuffles, invisible at local[32] wall-clock and 2×+ under real
+  * serialization.
+  *
+  * Method: finalize every query's adaptive plan, normalize away expr
+  * ids / plan ids / codegen ids, fingerprint each non-reused shuffle
+  * exchange by its normalized subtree head (the exchange line plus the
+  * next few plan lines), and report fingerprints occurring more than
+  * once. A hit is a CANDIDATE (same head, different deep children is
+  * possible), so hits get eyeballed — but a clean run is strong
+  * evidence no duplicated-exchange work exists in the battery.
+  *
+  * Usage: `runMain graft.tools.ReuseAudit [sfDir] [headLines]`
+  */
+object ReuseAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.001")
+    val headLines = args.lift(1).map(_.toInt).getOrElse(4)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def normalize(s: String): String = s
+      .replaceAll("#\\d+", "#")
+      .replaceAll("plan_id=\\d+", "plan_id=")
+      .replaceAll("\\*\\(\\d+\\)", "*")
+      .replaceAll("QueryStage \\d+", "QueryStage")
+      .replaceAll("^[\\s:+-]+", "")
+
+    var flagged = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, dir)
+        df.queryExecution.toRdd.count() // finalize AQE
+        val fin = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        val lines = fin.linesIterator.toVector
+        def indent(l: String): Int = l.indexWhere(c => !" :+-".contains(c))
+        // lines inside an InMemoryRelation printout are the CACHED
+        // subtree — computed once at cache time, reused thereafter; an
+        // exchange printed there is not duplicated work (q_kmeans
+        // false-positive class)
+        val cached = Array.fill(lines.size)(false)
+        var cacheIndent = -1
+        lines.zipWithIndex.foreach { case (l, i) =>
+          val ind = indent(l)
+          if (cacheIndent >= 0 && ind >= 0 && ind <= cacheIndent)
+            cacheIndent = -1
+          if (cacheIndent >= 0) cached(i) = true
+          if (cacheIndent < 0 && l.contains("InMemoryRelation"))
+            cacheIndent = ind
+        }
+        // a copy whose SCANS carry different pushed filters is filter
+        // pushdown through the branch — beneficial duplication, not a
+        // lost reuse (q_ann_ivf false-positive class): fingerprint the
+        // exchange head PLUS the normalized scan set of its subtree
+        def subtreeScans(i: Int): String = {
+          val d = indent(lines(i))
+          val end = lines.indices.indexWhere(
+            j => j > i && indent(lines(j)) >= 0 && indent(lines(j)) <= d)
+          val stop = if (end < 0) lines.size else end
+          lines.slice(i + 1, stop).filter(_.contains("Scan "))
+            .map(normalize).sorted.mkString("~")
+        }
+        val prints = lines.zipWithIndex.collect {
+          case (l, i) if (l.contains("Exchange hashpartitioning") ||
+              l.contains("Exchange rangepartitioning")) && !cached(i) =>
+            (i, lines.slice(i, i + headLines).map(normalize).mkString("|") +
+              "||" + subtreeScans(i))
+        }.filterNot { case (i, _) =>
+          i > 0 && lines(i - 1).contains("ReusedExchange")
+        }
+        val dups = prints.groupBy(_._2).filter(_._2.size > 1)
+        if (dups.nonEmpty) {
+          flagged += 1
+          println(s"[reuse-audit] $name: ${dups.size} duplicated exchange " +
+            s"fingerprint(s)")
+          dups.foreach { case (fp, occ) =>
+            println(s"  x${occ.size}: ${fp.split('|').head.take(140)}")
+          }
+        }
+      } catch {
+        case e: Throwable =>
+          println(s"[reuse-audit] $name FAILED to plan: ${e.getMessage}")
+      }
+    }
+    println(s"""{"metric":"reuse_audit","flagged":$flagged,"sf":"$dir"}""")
+    spark.stop()
+  }
+}

@@ -101,20 +101,32 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     "q_cluster_star" -> 3
   )
 
-  test("q_dup_ngrams reuses the duplicated gram subtree's exchange") {
-    // the gram subtree is consumed twice (per-doc rows + df counts);
-    // the branches must stay CANONICAL TWINS so AQE shares one explode
-    // + one shuffle. This broke silently once: the outer join inferred
-    // isnotnull(doc_id) into only one branch, the twins diverged, and
-    // the whole explode ran twice — invisible at local[32] wall-clock,
-    // 2.4x on the multi-JVM probe. hashedGramRows now filters at the
-    // source; this pins the ReusedExchange in the final adaptive plan.
-    val df = SparkEntry.queries("q_dup_ngrams")(spark, sfDir)
-    df.queryExecution.toRdd.count() // finalize AQE
-    val fin = df.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==")(0)
-    assert("ReusedExchange".r.findAllIn(fin).nonEmpty,
-      s"no ReusedExchange in q_dup_ngrams final plan:\n${fin.take(3000)}")
+  // A subtree consumed by several branches only shares its exchange if
+  // the branches stay CANONICAL TWINS. This broke silently three times
+  // (found by tools/ReuseAudit's fleet screen): the outer join inferred
+  // isnotnull(key) into only the join-side branches, the agg-side twin
+  // diverged, and the whole explode + shuffle ran once per consumer —
+  // invisible at local[32] wall-clock (in-memory shuffle), 2.4x under
+  // the multi-JVM probe. Each query now materializes the constraint at
+  // the source; this pins the minimum ReusedExchange count in the final
+  // adaptive plan.
+  private val minReused = Map(
+    "q_dup_ngrams" -> 1, // gram subtree: per-doc rows + df counts
+    "q_winnow" -> 2,     // fingerprint window stack: df counts + 2 join sides
+    "q_dsir" -> 2        // (doc,bucket) counts: bucket totals + ratio join
+  )
+
+  for ((name, min) <- minReused.toSeq.sortBy(_._1)) {
+    test(s"$name reuses its shared subtree exchanges (>= $min)") {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.queryExecution.toRdd.count() // finalize AQE
+      val fin = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val n = "ReusedExchange".r.findAllIn(fin).size
+      assert(n >= min,
+        s"$name final plan has $n ReusedExchange (expected >= $min):\n" +
+          fin.take(3000))
+    }
   }
 
   for ((name, maxShuffles) <- bounds.toSeq.sortBy(_._1)) {
