@@ -24,17 +24,35 @@ object Contamination {
   /** Space-joined n-grams of a token array; empty when the document has
     * fewer than n tokens.
     *
-    * Built as n-1 `zip_with`s over shifted `slice`s, NOT a
-    * `transform(sequence(...), i -> concat_ws(element_at × n))`: higher-
-    * order lambdas run interpreted, and the element_at/concat_ws body
-    * measured ~10× slower than the zip_with form at sf0.1 (6.6 s vs
-    * 0.7 s for the bare gram explode — `tools/WinnowProbe2`). The
-    * `when` guard matters doubly: it keeps the empty case from
-    * evaluating slice with a non-positive length, and `concat` (unlike
-    * the old concat_ws) null-propagates exactly like the DuckDB
-    * oracle's `||`.
+    * Preferred form: the native codegen [[graft.functions.WordNGrams]]
+    * (one pass, one `concatWs` per gram, whole-stage-codegen'd). The
+    * composed fallback — n-1 `zip_with`s over shifted `slice`s — is
+    * kept for bare Column construction with no active session, and as
+    * the semantic reference the native form is property-tested against
+    * (NGramsParitySpec). History of the composed form's own shape: NOT
+    * a `transform(sequence(...), i -> concat_ws(element_at × n))` —
+    * higher-order lambdas run interpreted, and the element_at/concat_ws
+    * body measured ~10× slower than the zip_with form at sf0.1 (6.6 s
+    * vs 0.7 s for the bare gram explode — `tools/WinnowProbe2`). The
+    * `when` guard keeps the empty case from evaluating slice with a
+    * non-positive length, and `concat` (unlike concat_ws)
+    * null-propagates exactly like the DuckDB oracle's `||`.
     */
   def ngrams(words: Column, n: Int): Column = {
+    require(n >= 1, "n-gram size must be >= 1")
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.functions.GraftFunctions.register(s)
+        call_function(graft.functions.GraftFunctions.NGramsName,
+          words, lit(n))
+      case None => ngramsComposed(words, n)
+    }
+  }
+
+  /** Composed-builtin reference form of [[ngrams]]; semantics pinned
+    * equal to the native expression by NGramsParitySpec.
+    */
+  def ngramsComposed(words: Column, n: Int): Column = {
     require(n >= 1, "n-gram size must be >= 1")
     val cnt = size(words) - (n - 1)
     val joined = (1 until n).foldLeft(slice(words, lit(1), cnt)) {

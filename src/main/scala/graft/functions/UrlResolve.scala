@@ -106,6 +106,7 @@ object GraftFunctions {
   val UrlResolveName = "url_resolve"
   val UrlResolveBaseName = "url_resolve_base"
   val H32Name = "graft_h32"
+  val NGramsName = "graft_ngrams"
   val BloomAggName = "graft_bloom_agg"
   val BloomMightContainName = "graft_bloom_might_contain"
 
@@ -119,6 +120,15 @@ object GraftFunctions {
     put(UrlResolveBaseName,
       exprs => UrlResolve(exprs(0), exprs(1), baseFallback = true))
     put(H32Name, exprs => H32(exprs.head))
+    put(NGramsName, { exprs =>
+      val n = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+          v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"$NGramsName n must be a literal, got $other")
+      }
+      WordNGrams(exprs(0), n)
+    })
     // Catalyst's own bloom-filter pair (the expressions behind
     // InjectRuntimeFilter), surfaced for explicit use: build a filter
     // over a key column with bloom_agg, probe it with might_contain.
