@@ -15,16 +15,25 @@ object QueryUtil {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads via
-    * the nanosAsLong legacy conf. Values carry µs precision, so normalize
-    * to a proper TimestampType via integer `div` (double division would
-    * lose precision above 2^53 ns). Oracle side mirrors with
-    * `ts::TIMESTAMP` (ns → µs truncation).
+  /** `events.ts` arrives in one of two physical shapes depending on the
+    * generator vintage: parquet TIMESTAMP(NANOS) (readable only as a
+    * nanos long via the legacy conf — normalize with integer `div`, since
+    * double division loses precision above 2^53 ns) or a native
+    * TIMESTAMP(MICROS) column (isAdjustedToUTC=false → TIMESTAMP_NTZ in
+    * Spark). Normalize both to session-TZ TimestampType so every
+    * downstream query sees one type; the session TZ is UTC
+    * (SessionBuilder), so the NTZ→TZ cast is value-preserving and the
+    * DuckDB oracle's `ts::TIMESTAMP` lands on identical instants.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Exact cents: 2-decimal doubles → bigint. round() kills the ~1e-9
