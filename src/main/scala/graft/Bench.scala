@@ -54,16 +54,25 @@ object Bench {
     // class, so the timed pass measures steady-state execution instead
     // of charging each query its one-time janino compile (~1-2 s for the
     // biggest plans)
+    // the warmup prelude must never kill the run: a fixture-schema drift
+    // here (r8: events.ts changed physical type under us) would otherwise
+    // zero the ENTIRE artifact instead of failing the affected queries,
+    // which the timed loop already reports per-query
+    def warmTouch(what: String)(body: => Unit): Unit =
+      try body catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] warmup touch $what failed: $e")
+      }
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings").foreach { t =>
-      spark.read.parquet(s"$sfDir/$t.parquet").count()
+      warmTouch(t)(spark.read.parquet(s"$sfDir/$t.parquet").count())
     }
-    graft.queries.QueryUtil.events(spark, sfDir).count()
+    warmTouch("events")(graft.queries.QueryUtil.events(spark, sfDir).count())
     // materialize synthetic WAT fixtures outside the timed window — on a
     // cold container generation would otherwise inflate the first
     // extraction query's number
-    graft.wat.WatFixture.ensureFleet()
-    graft.wat.WatFixture.ensureSingle()
+    warmTouch("wat-fleet")(graft.wat.WatFixture.ensureFleet())
+    warmTouch("wat-single")(graft.wat.WatFixture.ensureSingle())
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       "/root/testdata/sf0.001")
     SparkEntry.queries.foreach { case (name, fn) =>

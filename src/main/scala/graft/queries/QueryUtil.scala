@@ -27,14 +27,22 @@ object QueryUtil {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(spark, dir, "events")
+    normalizeTs(table(spark, dir, "events"))
+  }
+
+  /** Dispatch on the physical type `ts` arrived as (see [[events]]);
+    * factored out so the vintage matrix is unit-testable without
+    * authoring parquet files Spark cannot write (TIMESTAMP(NANOS)). */
+  def normalizeTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // nanos-as-long vintage: integer div keeps full precision
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ =>
+        // NTZ (µs, isAdjustedToUTC=false) or already TimestampType;
+        // session TZ is UTC so the cast is value-preserving
         raw.withColumn("ts", col("ts").cast("timestamp"))
     }
-  }
 
   /** Exact cents: 2-decimal doubles → bigint. round() kills the ~1e-9
     * binary-representation error; both Spark and DuckDB land on the same
