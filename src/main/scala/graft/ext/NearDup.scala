@@ -102,11 +102,14 @@ object NearDup {
     * deduped across bands before the verify join, and the verify joins
     * on slim (id → element set) projections.
     */
-  def lshNearDupPairs(df: DataFrame, idCol: Column, words: Column,
-      bands: Int, rowsPerBand: Int, maxBucket: Int,
-      minJaccard: Double): DataFrame = {
-    require(minJaccard > 0,
-      "minJaccard must be > 0: only same-bucket pairs are candidates")
+  /** Distinct LSH candidate pairs (d1 < d2) — banding + bounded buckets
+    * WITHOUT the Jaccard verify. Exposed separately so a recall audit
+    * can measure candidate generation directly (the verify stage is
+    * config-independent, so candidate-set recall equals verified-pair
+    * recall for a deterministic verify).
+    */
+  def lshCandidatePairs(df: DataFrame, idCol: Column, words: Column,
+      bands: Int, rowsPerBand: Int, maxBucket: Int): DataFrame = {
     val banded = lshBands(df, idCol, words, bands, rowsPerBand)
     val keep = banded.groupBy("band_id", "band_key")
       .agg(count(lit(1)).as("bucket_size"))
@@ -117,9 +120,18 @@ object NearDup {
       col("doc_id").as("d1"))
     val b = bounded.select(col("band_id"), col("band_key"),
       col("doc_id").as("d2"))
-    val cand = a.join(b, Seq("band_id", "band_key"))
+    a.join(b, Seq("band_id", "band_key"))
       .where(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
+  }
+
+  def lshNearDupPairs(df: DataFrame, idCol: Column, words: Column,
+      bands: Int, rowsPerBand: Int, maxBucket: Int,
+      minJaccard: Double): DataFrame = {
+    require(minJaccard > 0,
+      "minJaccard must be > 0: only same-bucket pairs are candidates")
+    val cand = lshCandidatePairs(df, idCol, words, bands, rowsPerBand,
+      maxBucket)
     val tk = df.select(idCol.as("doc_id"), words.as("tk"))
     val joined = cand
       .join(tk.select(col("doc_id").as("d1"), col("tk").as("tk1")), "d1")

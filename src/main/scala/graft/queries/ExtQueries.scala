@@ -940,6 +940,54 @@ object ExtQueries {
         (lit(64L) + (bl * 7) % 417).as("height"),
         ascii(substring(col("text"), 1, 1)).cast("long").as("luma"))
         .orderBy("doc_id")
+    }),
+
+    // --- corpus-relative term scoring (graft.ext.Ranking) ---
+
+    // Top-5 keywords per doc by integer TF-IDF (exact rational idf
+    // N/df — log-free so the score is bit-identical cross-engine).
+    // df = combinable agg over tf rows + join-back; top-k = rank window
+    // over the doc-bounded term partition.
+    "q_tfidf" -> ((s, dir) => {
+      graft.ext.Ranking.tfIdfTopK(
+        docsWithTokens(s, dir).where(col("text").isNotNull),
+        col("doc_id"), TA.tokens(col("text")), k = 5)
+        .orderBy("doc_id", "rk")
+    }),
+
+    // BM25 retrieval ranking against a fixed query-term set, milli-
+    // scaled integer arithmetic throughout (decimal(38,0) product ≙
+    // oracle HUGEINT). Top-20 docs by (score desc, doc_id).
+    "q_bm25" -> ((s, dir) => {
+      graft.ext.Ranking.bm25(
+        docsWithTokens(s, dir).where(col("text").isNotNull),
+        col("doc_id"), TA.tokens(col("text")),
+        Seq("spark", "merge", "vector"))
+        .orderBy(col("score_milli").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // LSH recall audit — the text-side sibling of q_ann_recall: measure
+    // the production banding's CANDIDATE GENERATION (4 bands × 2 rows)
+    // against verified true pairs from a high-recall reference banding
+    // (8 × 1; candidate prob 1−(1−j)^8 ≈ 0.9997 at j = 0.6). The verify
+    // stage is config-independent and deterministic, so candidate-set
+    // recall equals verified-pair recall — one Jaccard pass, not two.
+    // recall_milli is integer-exact. Both sides are banded LSH: the
+    // audit costs ~2 dedup runs, never an all-pairs pass.
+    "q_lsh_recall" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir)
+      val tks = TA.distinctTokens(col("text"))
+      val truth = NearDup.lshNearDupPairs(d, col("doc_id"), tks,
+        bands = 8, rowsPerBand = 1, maxBucket = 10, minJaccard = 0.6)
+        .select("d1", "d2")
+      val prodCand = NearDup.lshCandidatePairs(d, col("doc_id"), tks,
+        bands = 4, rowsPerBand = 2, maxBucket = 10)
+        .withColumn("f", lit(1L))
+      truth.join(prodCand, Seq("d1", "d2"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          coalesce(sum("f"), lit(0L)).as("n_found"))
+        .withColumn("recall_milli", expr("n_found * 1000 div n_true"))
     })
   )
 
@@ -1071,6 +1119,117 @@ object ExtQueries {
     s"""WITH $lshPairsCtes
        |SELECT d1, d2, inter_size, union_size, jac FROM p
        |ORDER BY d1, d2""".stripMargin
+
+  /** [[lshPairsCtes]] generalized to any (bands, rowsPerBand) with
+    * prefixed CTE names, so two configurations can coexist in one
+    * statement (the q_lsh_recall audit). Ends in `<p>p(d1, d2, ...)`.
+    */
+  private def lshPairsCtesFor(p: String, bands: Int,
+      rowsPerBand: Int): String = {
+    val sigs = (0 until bands * rowsPerBand).map { i =>
+      s"list_aggregate(list_transform(hs, h -> ${Hashing.mixSql(i, "h")}), 'min') AS mh$i"
+    }.mkString(",\n    ")
+    val bandSel = (0 until bands).map { b =>
+      val key = (0 until rowsPerBand)
+        .map(r => s"mh${b * rowsPerBand + r}::VARCHAR")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, ${b}::BIGINT AS band_id, $key AS band_key FROM ${p}sig"
+    }.mkString("\n  UNION ALL ")
+    s"""${p}hashed AS (
+       |  SELECT doc_id,
+       |    list_transform($dtokensSql, w -> ${Hashing.h32Sql("w")}) AS hs
+       |  FROM documents),
+       |${p}sig AS (
+       |  SELECT doc_id,
+       |    $sigs
+       |  FROM ${p}hashed),
+       |${p}bands0 AS (
+       |  $bandSel),
+       |${p}keep AS (
+       |  SELECT band_id, band_key FROM ${p}bands0
+       |  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 10),
+       |${p}bands AS (
+       |  SELECT b.* FROM ${p}bands0 b JOIN ${p}keep USING (band_id, band_key)),
+       |${p}cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM ${p}bands a JOIN ${p}bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id),
+       |${p}tk AS (SELECT doc_id, $dtokensSql AS tk FROM documents),
+       |${p}v AS (
+       |  SELECT d1, d2,
+       |    len(list_filter(a.tk, x -> list_contains(b.tk, x)))::BIGINT AS inter_size,
+       |    (len(a.tk) + len(b.tk))::BIGINT
+       |      - len(list_filter(a.tk, x -> list_contains(b.tk, x)))::BIGINT AS union_size
+       |  FROM ${p}cand JOIN ${p}tk a ON ${p}cand.d1 = a.doc_id
+       |    JOIN ${p}tk b ON ${p}cand.d2 = b.doc_id),
+       |${p}p AS (
+       |  SELECT d1, d2 FROM ${p}v
+       |  WHERE inter_size::DOUBLE / union_size >= 0.6)""".stripMargin
+  }
+
+  // Mirrors q_lsh_recall: verified truth pairs from the reference
+  // banding (8×1), CANDIDATE pairs from the production banding (4×2 —
+  // the q_cand CTE, pre-verify); integer-exact recall. Unreferenced
+  // CTEs of the q_ chain (tk/v/p) are never evaluated.
+  private def lshRecallOracle: String =
+    s"""WITH ${lshPairsCtesFor("t_", 8, 1)},
+       |${lshPairsCtesFor("q_", 4, 2)},
+       |sel AS (
+       |  SELECT t.d1, t.d2, CASE WHEN q.d1 IS NULL THEN 0 ELSE 1 END AS f
+       |  FROM t_p t LEFT JOIN q_cand q ON t.d1 = q.d1 AND t.d2 = q.d2)
+       |SELECT count(*)::BIGINT AS n_true, sum(f)::BIGINT AS n_found,
+       |  ((sum(f) * 1000) // count(*))::BIGINT AS recall_milli
+       |FROM sel""".stripMargin
+
+  // Mirrors Ranking.tfIdfTopK: same exact rational idf, same floor div,
+  // same (score desc, token) rank order.
+  private def tfidfOracle: String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |ex AS (SELECT doc_id, unnest($tokensSql) AS token FROM d),
+       |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+       |       FROM ex GROUP BY 1, 2),
+       |dfx AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       |nn AS (SELECT count(*)::BIGINT AS n_docs FROM d),
+       |sc AS (SELECT doc_id, token, tf, df,
+       |         ((tf * n_docs * 1000) // df)::BIGINT AS score_milli
+       |       FROM tf JOIN dfx USING (token) CROSS JOIN nn),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY score_milli DESC, token) AS rk FROM sc)
+       |SELECT doc_id, token, tf, df, score_milli, rk::BIGINT AS rk
+       |FROM r WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin
+
+  // Mirrors Ranking.bm25: identical milli-scaled integer pipeline;
+  // HUGEINT product ≙ Spark decimal(38,0).
+  private def bm25Oracle: String =
+    s"""WITH d AS (SELECT doc_id, $tokensSql AS tks FROM documents
+       |           WHERE text IS NOT NULL),
+       |lens AS (SELECT doc_id, len(tks)::BIGINT AS dl FROM d),
+       |tot AS (SELECT count(*)::BIGINT AS n_docs,
+       |          ((sum(dl)::BIGINT * 1000) // count(*))::BIGINT AS avgdl_milli
+       |        FROM lens),
+       |ex AS (SELECT doc_id, unnest(tks) AS token FROM d),
+       |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM ex
+       |       WHERE token IN ('spark', 'merge', 'vector') GROUP BY 1, 2),
+       |dfx AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       |sc AS (
+       |  SELECT tf.doc_id,
+       |    (((2 * n_docs - 2 * df + 1) * 1000) // (2 * df + 1))::BIGINT
+       |      AS idf_milli,
+       |    (250 + ((750 * dl * 1000) // avgdl_milli))::BIGINT AS inner_milli,
+       |    tf.tf, dl
+       |  FROM tf JOIN dfx USING (token) JOIN lens ON tf.doc_id = lens.doc_id
+       |  CROSS JOIN tot),
+       |tm AS (
+       |  SELECT doc_id,
+       |    ((idf_milli::HUGEINT * tf * 2200)
+       |      // (tf * 1000 + ((1200 * inner_milli) // 1000)))::BIGINT
+       |      AS term_milli
+       |  FROM sc)
+       |SELECT doc_id, sum(term_milli)::BIGINT AS score_milli,
+       |  count(*)::BIGINT AS n_terms_hit
+       |FROM tm GROUP BY doc_id
+       |ORDER BY score_milli DESC, doc_id LIMIT 20""".stripMargin
 
   /** Exact connected components of the pair graph via a recursive CTE:
     * reach(doc, lab) = every label in doc's component (edges are
@@ -2160,6 +2319,9 @@ object ExtQueries {
     "q_domain_cap" -> domainCapOracle,
     "q_dsir" -> dsirOracle,
     "q_split_leakage" -> splitLeakageOracle,
+    "q_tfidf" -> tfidfOracle,
+    "q_bm25" -> bm25Oracle,
+    "q_lsh_recall" -> lshRecallOracle,
 
     "q_hash_sample" ->
       s"""SELECT lang, count(*) AS n_sampled,

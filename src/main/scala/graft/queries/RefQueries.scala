@@ -235,6 +235,29 @@ object RefQueries {
       Dedup.firstPerKeyAgg(s.read.parquet(path), Seq(col("uid")),
         Seq(col("cc_filename"), col("page_url"), col("url"), col("alt")))
         .orderBy("uid")
+    }),
+
+    // Host-level link graph over the extracted corpus — the crawl
+    // analytics staple (which hosts embed whose assets): edges =
+    // (host(page_url) → host(url)), per-edge link count + distinct
+    // source pages, top-100 edges. Scale shape: per-row host extraction
+    // feeds ONE combinable groupBy (count-distinct is Spark's standard
+    // two-phase expand); top-100 is TakeOrdered (per-partition heap +
+    // driver merge), never a global sort.
+    "q_domain_graph" -> ((s, dir) => {
+      val path = graft.wat.WatFixture.ensureTailParquet(s)
+      val host = (u: org.apache.spark.sql.Column) =>
+        lower(graft.ext.UrlAnalysis.host(u))
+      s.read.parquet(path)
+        .select(host(col("page_url")).as("src"), host(col("url")).as("dst"),
+          col("page_url"))
+        .where(col("src") =!= "" && col("dst") =!= "" &&
+          col("src") =!= col("dst"))
+        .groupBy("src", "dst")
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("page_url")).as("n_pages"))
+        .orderBy(col("n_links").desc, col("src"), col("dst"))
+        .limit(100)
     })
   )
 
@@ -332,6 +355,23 @@ object RefQueries {
          |  SELECT *, row_number() OVER (PARTITION BY uid
          |    ORDER BY cc_filename, page_url, url, alt) AS rn
          |  FROM read_parquet('${graft.wat.WatFixture.TailParquetPath}'))
-         |WHERE rn = 1 ORDER BY uid""".stripMargin
+         |WHERE rn = 1 ORDER BY uid""".stripMargin,
+
+    // Mirrors q_domain_graph: same HostRegex, same edge filter, same
+    // total (n_links desc, src, dst) order for the top-100 cut.
+    "q_domain_graph" ->
+      s"""WITH e AS (
+         |  SELECT lower(regexp_extract(page_url,
+         |           '${graft.ext.UrlAnalysis.HostRegex}', 1)) AS src,
+         |         lower(regexp_extract(url,
+         |           '${graft.ext.UrlAnalysis.HostRegex}', 1)) AS dst,
+         |         page_url
+         |  FROM read_parquet('${graft.wat.WatFixture.TailParquetPath}')),
+         |f AS (SELECT * FROM e
+         |      WHERE src <> '' AND dst <> '' AND src <> dst)
+         |SELECT src, dst, count(*)::BIGINT AS n_links,
+         |  count(DISTINCT page_url)::BIGINT AS n_pages
+         |FROM f GROUP BY src, dst
+         |ORDER BY n_links DESC, src, dst LIMIT 100""".stripMargin
   )
 }

@@ -26,7 +26,8 @@ class TopKGroupLimitSpec extends AnyFunSuite with SparkTestBase {
     "q_ann_pq", // ADC candidates per query
     "q_window_topk", // revenue top-3 per region
     "q_lang_quota", // per-language quota over the whole corpus
-    "q_domain_cap" // per-registered-domain cap (hot-domain hazard)
+    "q_domain_cap", // per-registered-domain cap (hot-domain hazard)
+    "q_tfidf" // top-5 terms per doc (bounded partitions, but keep pruned)
   )
 
   for (name <- topkQueries) {
