@@ -30,8 +30,9 @@ import org.apache.spark.sql.functions._
   *  - `embeddings` get a deterministic ±0.01 per-dimension jitter keyed
   *    on (vec_id, k, position), separating replicas without moving the
   *    overall distribution.
-  * `events` is not replicated: its TIMESTAMP(NANOS) physical type can't
-  * round-trip through a Spark write, and no probe query reads it.
+  * `events` is not replicated: no probe query reads it (and the older
+  *   TIMESTAMP(NANOS) fixture vintage could not round-trip a Spark
+  *   write at all — see QueryUtil.normalizeTs).
   *
   * q_wat_extract_1file's cost axis is the archive, not the sf dir, so at
   * the scaled point it runs over a single synthetic WAT with `factor`×
@@ -40,13 +41,15 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
 
   /** The 10 most expensive queries per the round-6 plan audit + the two
-    * relational/text headliners — the set the scaling verdict is read
-    * from.
+    * relational/text headliners + the round-9 additions whose cost axis
+    * is the documents corpus (q_lsh_recall runs TWO banded LSH configs;
+    * q_tfidf is the corpus-wide tf/df join-back) — the set the scaling
+    * verdict is read from.
     */
   val ProbeQueries: Seq[String] = Seq(
     "q5_region_revenue", "q_gopher_gate", "q_dup_ngrams", "q_ngram_jaccard",
     "q_semdedup", "q_cluster_dedup", "q_cluster_split", "q_neardup_cluster",
-    "q_assembly", "q_wat_extract_1file")
+    "q_assembly", "q_wat_extract_1file", "q_tfidf", "q_lsh_recall")
 
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
   private val Upper = Lower.toUpperCase

@@ -98,7 +98,21 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // alternating-star: converged star frame from cache + label agg +
     // final order (per-round exchanges live inside the loop's actions,
     // not the returned plan)
-    "q_cluster_star" -> 3
+    "q_cluster_star" -> 3,
+    // tf agg + df agg + df join-back + doc rank window + final order,
+    // plus the 1-row N aggregate (SinglePartition over one row)
+    "q_tfidf" -> 6,
+    // tf agg (pre-filtered to query terms) + df agg + dl join + final
+    // per-doc agg, plus the 1-row totals aggregate; the totals ride a
+    // broadcast, never a shuffle of the fact side
+    "q_bm25" -> 5,
+    // two LSH configs x (bucket agg + candidate distinct) + the truth
+    // verify join + 1-row recall aggregate; both configs are banded —
+    // nothing here fans out beyond maxBucket^2 per bucket
+    "q_lsh_recall" -> 7,
+    // edge agg (count-distinct two-phase expand) over per-row host
+    // extraction; top-100 is TakeOrdered, NOT a range exchange
+    "q_domain_graph" -> 2
   )
 
   // A subtree consumed by several branches only shares its exchange if
