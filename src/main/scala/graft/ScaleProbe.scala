@@ -30,9 +30,10 @@ import org.apache.spark.sql.functions._
   *  - `embeddings` get a deterministic ±0.01 per-dimension jitter keyed
   *    on (vec_id, k, position), separating replicas without moving the
   *    overall distribution.
-  * `events` is not replicated: no probe query reads it (and the older
-  *   TIMESTAMP(NANOS) fixture vintage could not round-trip a Spark
-  *   write at all — see QueryUtil.normalizeTs).
+  * `events` replicas shift event_id and user_id, keeping ts — 10× rows
+  *   in the same wall-clock window, i.e. 10× traffic as the windowed/
+  *   temporal queries would actually see it (possible since the
+  *   fixtures moved to TIMESTAMP(MICROS); see QueryUtil.normalizeTs).
   *
   * q_wat_extract_1file's cost axis is the archive, not the sf dir, so at
   * the scaled point it runs over a single synthetic WAT with `factor`×
@@ -81,7 +82,7 @@ object ScaleProbe {
   /** Bump when the replication model changes — stale fixture sets from
     * an older generator must regenerate, not silently mis-measure.
     */
-  private val GenVersion = 2
+  private val GenVersion = 3
 
   /** One fixed 12-token paragraph — aligned with q_para_dedup's
     * positional 12-token segmentation, so prefixing it makes it EVERY
@@ -178,6 +179,23 @@ object ScaleProbe {
             concat(lit(HotParagraph + " "), col("text")))
           .otherwise(col("text"))),
       "documents")
+
+    // events: replicas shift event_id AND user_id (per-user partitions —
+    // sessions, rolling frames — keep their base size; counts grow),
+    // while ts stays put: 10× the corpus in the same wall-clock window
+    // IS what 10× traffic looks like to the windowed/temporal queries.
+    // Readable since the fixtures moved to TIMESTAMP(MICROS)
+    // (QueryUtil.normalizeTs); the old NANOS vintage could not
+    // round-trip a Spark write, which is why events replication is
+    // GenVersion 3+.
+    val evBase = graft.queries.QueryUtil.events(spark, baseDir)
+    val spanEv = span(evBase, "event_id")
+    val spanUser = span(evBase, "user_id")
+    write(replicas(factor) { k =>
+      evBase
+        .withColumn("event_id", col("event_id") + lit(k * spanEv))
+        .withColumn("user_id", col("user_id") + lit(k * spanUser))
+    }, "events")
 
     val spanVec = span(base("embeddings"), "vec_id")
     write(replicas(factor) { k =>
