@@ -451,6 +451,51 @@ object ExtQueries {
         strategy = Clustering.CcStrategy.AlternatingStar).orderBy("doc_id")
     }),
 
+    // Cluster-size histogram — the dedup analytics readout (how much
+    // of the corpus sits in how-big duplicate groups): component sizes
+    // from the SAME pair graph, then a second combinable agg over
+    // sizes. Covers only docs IN the pair graph (singletons are the
+    // complement and carry no dedup cost). Two grouped aggs, both
+    // combinable — no per-cluster window anywhere.
+    "q_cluster_stats" -> ((s, dir) => {
+      val pairs = NearDup.lshNearDupPairs(docsWithTokens(s, dir),
+        col("doc_id"), TA.distinctTokens(col("text")), bands = 4,
+        rowsPerBand = 2, maxBucket = 10, minJaccard = 0.6)
+      Clustering.connectedComponents(pairs)
+        .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"),
+          (count(lit(1)) * col("sz")).as("n_docs"))
+        .orderBy("sz")
+    }),
+
+    // MinHash estimator quality audit — prices "are 8 hashes enough":
+    // for every verified near-dup pair, the signature-agreement
+    // estimate (matches × 1000/8) beside the exact Jaccard in milli.
+    // Pairs come bounded from LSH (never all-pairs); signatures join
+    // back per side on the doc key.
+    "q_minhash_est" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir)
+      val tks = TA.distinctTokens(col("text"))
+      val hs = transform(tks, w => Hashing.h32(w))
+      val sig = d.select(col("doc_id") +:
+        NearDup.minhashSignature(hs, numHashes = 8): _*)
+      val s1 = sig.toDF("d1" +: (0 until 8).map(i => s"a$i"): _*)
+      val s2 = sig.toDF("d2" +: (0 until 8).map(i => s"b$i"): _*)
+      val matches = (0 until 8)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      NearDup.lshNearDupPairs(d, col("doc_id"), tks, bands = 4,
+        rowsPerBand = 2, maxBucket = 10, minJaccard = 0.6)
+        .select("d1", "d2", "inter_size", "union_size")
+        .join(s1, "d1").join(s2, "d2")
+        .withColumn("est_milli", matches * lit(125L))
+        .withColumn("exact_milli", expr("inter_size * 1000 div union_size"))
+        .withColumn("abs_err_milli",
+          abs(col("est_milli") - col("exact_milli")))
+        .select("d1", "d2", "est_milli", "exact_milli", "abs_err_milli")
+        .orderBy("d1", "d2")
+    }),
+
     // Fuzzy dedup, completed: drop every non-minimum member of each
     // near-dup component; docs outside the duplicate graph survive
     // untouched (left_anti against the loser set — the corpus never
@@ -1253,6 +1298,34 @@ object ExtQueries {
   private def neardupClusterOracle: String =
     s"""WITH RECURSIVE $ccCtes
        |SELECT doc_id, cluster_id FROM cc ORDER BY doc_id""".stripMargin
+
+  // Mirrors q_cluster_stats: same recursive components, sizes, then the
+  // size histogram.
+  private def clusterStatsOracle: String =
+    s"""WITH RECURSIVE $ccCtes,
+       |szs AS (SELECT cluster_id, count(*)::BIGINT AS sz
+       |        FROM cc GROUP BY 1)
+       |SELECT sz, count(*)::BIGINT AS n_clusters,
+       |  (count(*) * sz)::BIGINT AS n_docs
+       |FROM szs GROUP BY sz ORDER BY sz""".stripMargin
+
+  // Mirrors q_minhash_est: same signatures (sig CTE of lshPairsCtes),
+  // same verified pairs, matches × 125 vs the exact integer Jaccard.
+  private def minhashEstOracle: String = {
+    val matches = (0 until 8)
+      .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $lshPairsCtes,
+       |m AS (
+       |  SELECT p.d1, p.d2,
+       |    (($matches) * 125)::BIGINT AS est_milli,
+       |    ((p.inter_size * 1000) // p.union_size)::BIGINT AS exact_milli
+       |  FROM p JOIN sig a ON p.d1 = a.doc_id
+       |         JOIN sig b ON p.d2 = b.doc_id)
+       |SELECT d1, d2, est_milli, exact_milli,
+       |  abs(est_milli - exact_milli)::BIGINT AS abs_err_milli
+       |FROM m ORDER BY d1, d2""".stripMargin
+  }
 
   // Mirrors q_cluster_split: the SAME recursive-CTE components as the
   // cluster oracles, the SAME split CASE keyed on the cluster label.
@@ -2322,6 +2395,8 @@ object ExtQueries {
     "q_tfidf" -> tfidfOracle,
     "q_bm25" -> bm25Oracle,
     "q_lsh_recall" -> lshRecallOracle,
+    "q_cluster_stats" -> clusterStatsOracle,
+    "q_minhash_est" -> minhashEstOracle,
 
     "q_hash_sample" ->
       s"""SELECT lang, count(*) AS n_sampled,

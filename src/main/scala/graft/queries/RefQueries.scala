@@ -258,6 +258,31 @@ object RefQueries {
           countDistinct(col("page_url")).as("n_pages"))
         .orderBy(col("n_links").desc, col("src"), col("dst"))
         .limit(100)
+    }),
+
+    // Per-host degree table (the CDN / tracker / hub detector): out-
+    // degree from pages on the host, in-degree from links TO the host,
+    // full-outer joined so pure asset hosts (in only) and pure page
+    // hosts (out only) both appear. Two combinable aggs + one join on
+    // the host key; top-100 by total links via TakeOrdered.
+    "q_host_degree" -> ((s, dir) => {
+      val path = graft.wat.WatFixture.ensureTailParquet(s)
+      val host = (u: org.apache.spark.sql.Column) =>
+        lower(graft.ext.UrlAnalysis.host(u))
+      val t = s.read.parquet(path)
+        .select(host(col("page_url")).as("src"), host(col("url")).as("dst"))
+        .where(col("src") =!= "" && col("dst") =!= "")
+      val out = t.groupBy(col("src").as("host"))
+        .agg(count(lit(1)).as("out_links"),
+          countDistinct(col("dst")).as("out_hosts"))
+      val in = t.groupBy(col("dst").as("host"))
+        .agg(count(lit(1)).as("in_links"),
+          countDistinct(col("src")).as("in_hosts"))
+      out.join(in, Seq("host"), "full_outer")
+        .na.fill(0L,
+          Seq("out_links", "out_hosts", "in_links", "in_hosts"))
+        .orderBy((col("in_links") + col("out_links")).desc, col("host"))
+        .limit(100)
     })
   )
 
@@ -372,6 +397,31 @@ object RefQueries {
          |SELECT src, dst, count(*)::BIGINT AS n_links,
          |  count(DISTINCT page_url)::BIGINT AS n_pages
          |FROM f GROUP BY src, dst
-         |ORDER BY n_links DESC, src, dst LIMIT 100""".stripMargin
+         |ORDER BY n_links DESC, src, dst LIMIT 100""".stripMargin,
+
+    // Mirrors q_host_degree: same host extraction, same full-outer
+    // degree join, same (total links desc, host) top-100 cut.
+    "q_host_degree" ->
+      s"""WITH e AS (
+         |  SELECT lower(regexp_extract(page_url,
+         |           '${graft.ext.UrlAnalysis.HostRegex}', 1)) AS src,
+         |         lower(regexp_extract(url,
+         |           '${graft.ext.UrlAnalysis.HostRegex}', 1)) AS dst
+         |  FROM read_parquet('${graft.wat.WatFixture.TailParquetPath}')),
+         |f AS (SELECT * FROM e WHERE src <> '' AND dst <> ''),
+         |o AS (SELECT src AS host, count(*)::BIGINT AS out_links,
+         |        count(DISTINCT dst)::BIGINT AS out_hosts
+         |      FROM f GROUP BY 1),
+         |i AS (SELECT dst AS host, count(*)::BIGINT AS in_links,
+         |        count(DISTINCT src)::BIGINT AS in_hosts
+         |      FROM f GROUP BY 1)
+         |SELECT coalesce(o.host, i.host) AS host,
+         |  coalesce(out_links, 0)::BIGINT AS out_links,
+         |  coalesce(out_hosts, 0)::BIGINT AS out_hosts,
+         |  coalesce(in_links, 0)::BIGINT AS in_links,
+         |  coalesce(in_hosts, 0)::BIGINT AS in_hosts
+         |FROM o FULL JOIN i ON o.host = i.host
+         |ORDER BY coalesce(in_links, 0) + coalesce(out_links, 0) DESC,
+         |  host LIMIT 100""".stripMargin
   )
 }

@@ -112,7 +112,16 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     "q_lsh_recall" -> 7,
     // edge agg (count-distinct two-phase expand) over per-row host
     // extraction; top-100 is TakeOrdered, NOT a range exchange
-    "q_domain_graph" -> 2
+    "q_domain_graph" -> 2,
+    // converged label frame from cache + size agg + histogram agg +
+    // order; both aggs combinable
+    "q_cluster_stats" -> 3,
+    // verified-pair frame + two signature join-backs on the doc key +
+    // final order; the estimate itself is a per-row projection
+    "q_minhash_est" -> 4,
+    // out-degree agg + in-degree agg (count-distinct two-phase) +
+    // full-outer host join; top-100 is TakeOrdered
+    "q_host_degree" -> 4
   )
 
   // A subtree consumed by several branches only shares its exchange if
