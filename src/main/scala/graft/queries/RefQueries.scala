@@ -283,10 +283,52 @@ object RefQueries {
           Seq("out_links", "out_hosts", "in_links", "in_hosts"))
         .orderBy((col("in_links") + col("out_links")).desc, col("host"))
         .limit(100)
+    }),
+
+    // Host centrality: 3 power iterations of integer-exact PageRank
+    // over the distinct host edge list — the link-graph importance
+    // signal crawl prioritization and seed selection read. Every rank
+    // is a micro-scaled integer, bit-identical to the oracle's
+    // unrolled-CTE mirror.
+    "q_pagerank" -> ((s, dir) => {
+      val path = graft.wat.WatFixture.ensureTailParquet(s)
+      val edges = graft.ext.LinkGraph.hostEdges(
+        s.read.parquet(path), col("page_url"), col("url"))
+      graft.ext.LinkGraph.pagerankMicro(edges, iters = 3)
+        .orderBy("host")
     })
   )
 
+  // Mirrors q_pagerank: same edge list, same micro-integer recurrence,
+  // 3 unrolled iterations (generated, not hand-copied).
+  private def pagerankOracle: String = {
+    val re = graft.ext.UrlAnalysis.HostRegex
+    val path = graft.wat.WatFixture.TailParquetPath
+    val iters = (0 until 3).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst, (r$k.r // od.od) AS c
+         |  FROM e JOIN r$k ON e.src = r$k.host JOIN od ON e.src = od.src),
+         |s$k AS (SELECT dst, sum(c)::BIGINT AS s FROM c$k GROUP BY 1),
+         |r${k + 1} AS (
+         |  SELECT n.host,
+         |    (150000 + (850 * coalesce(s$k.s, 0)) // 1000)::BIGINT AS r
+         |  FROM n LEFT JOIN s$k ON n.host = s$k.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT lower(regexp_extract(page_url, '$re', 1)) AS src,
+       |         lower(regexp_extract(url, '$re', 1)) AS dst
+       |  FROM read_parquet('$path')),
+       |e AS (SELECT DISTINCT src, dst FROM e0
+       |      WHERE src <> '' AND dst <> '' AND src <> dst),
+       |n AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+       |od AS (SELECT src, count(*)::BIGINT AS od FROM e GROUP BY 1),
+       |r0 AS (SELECT host, 1000000::BIGINT AS r FROM n),
+       |$iters
+       |SELECT host, r AS rank_micro FROM r3 ORDER BY host""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_pagerank" -> pagerankOracle,
     "q_uid_hash" ->
       "SELECT doc_id, md5(lang || text) AS uid FROM documents ORDER BY doc_id",
 

@@ -31,7 +31,11 @@ object ReuseAudit {
   val Allowed: Map[String, String] = Map(
     "q_lsh_recall" -> ("two LSH configs (8x1 truth vs 4x2 prod) both end " +
       "in distinct(d1,d2) over the same scans; band construction between " +
-      "scan and exchange differs, so the exchanges are not equal plans")
+      "scan and exchange differs, so the exchanges are not equal plans"),
+    "q_pagerank" -> ("each power iteration shuffles its contribution sum " +
+      "on dst with DIFFERENT rank values upstream (same head + scan " +
+      "set, different subtrees); the shared edges/nodes/outdeg frames DO " +
+      "reuse (ReusedExchange on the host key)")
   )
 
   def main(args: Array[String]): Unit = {
@@ -89,8 +93,14 @@ object ReuseAudit {
             .map(normalize).sorted.mkString("~")
         }
         val prints = lines.zipWithIndex.collect {
+          // a ReusedExchange node can print its referenced exchange
+          // INLINE on the same line ("ReusedExchange [...], Exchange
+          // hashpartitioning(...)") — that line IS successful reuse,
+          // not an exchange occurrence (q_pagerank false-positive
+          // class, two reuse pointers at one host exchange)
           case (l, i) if (l.contains("Exchange hashpartitioning") ||
-              l.contains("Exchange rangepartitioning")) && !cached(i) =>
+              l.contains("Exchange rangepartitioning")) && !cached(i) &&
+              !l.contains("ReusedExchange") =>
             (i, lines.slice(i, i + headLines).map(normalize).mkString("|") +
               "||" + subtreeScans(i))
         }.filterNot { case (i, _) =>

@@ -121,7 +121,12 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     "q_minhash_est" -> 4,
     // out-degree agg + in-degree agg (count-distinct two-phase) +
     // full-outer host join; top-100 is TakeOrdered
-    "q_host_degree" -> 4
+    "q_host_degree" -> 4,
+    // 3 unrolled power iterations x (edge-rank join + dst sum + node
+    // left-join) over recomputed edges/nodes/od subtrees in the
+    // INITIAL plan; at execution the identical frames collapse to
+    // ReusedExchange (asserted by ReuseAudit + the min below)
+    "q_pagerank" -> 25
   )
 
   // A subtree consumed by several branches only shares its exchange if
@@ -136,7 +141,8 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
   private val minReused = Map(
     "q_dup_ngrams" -> 1, // gram subtree: per-doc rows + df counts
     "q_winnow" -> 2,     // fingerprint window stack: df counts + 2 join sides
-    "q_dsir" -> 2        // (doc,bucket) counts: bucket totals + ratio join
+    "q_dsir" -> 2,       // (doc,bucket) counts: bucket totals + ratio join
+    "q_pagerank" -> 2    // edges/nodes/od frames shared across iterations
   )
 
   for ((name, min) <- minReused.toSeq.sortBy(_._1)) {
