@@ -39,4 +39,20 @@ class ScanPruningSpec extends AnyFunSuite with SparkTestBase {
     assert(plan("q_dedup_minhash").contains("PushedFilters: [IsNotNull(text)"),
       "the text IS NOT NULL guard should reach the parquet reader")
   }
+
+  test("q_pagerank prunes the WAT tail scan to its two url columns") {
+    val p = plan("q_pagerank")
+    assert(p.contains("ReadSchema:"), "expected a parquet scan")
+    // the tail parquet carries uid/url/alt/cc_filename/page_url; the
+    // edge list touches only page_url + url — alt and uid in the
+    // ReadSchema would be 3/5 of the scan wasted
+    assert(!p.contains("alt:string") && !p.contains("uid:string"),
+      "host-graph queries must scan only page_url/url:\n" + p.take(2000))
+  }
+
+  test("q_domain_graph keeps page_url but prunes uid/alt") {
+    val p = plan("q_domain_graph")
+    assert(!p.contains("alt:string") && !p.contains("uid:string"),
+      "q_domain_graph reads page_url/url only:\n" + p.take(2000))
+  }
 }
