@@ -50,7 +50,8 @@ object ScaleProbe {
   val ProbeQueries: Seq[String] = Seq(
     "q5_region_revenue", "q_gopher_gate", "q_dup_ngrams", "q_ngram_jaccard",
     "q_semdedup", "q_cluster_dedup", "q_cluster_split", "q_neardup_cluster",
-    "q_assembly", "q_wat_extract_1file", "q_tfidf", "q_lsh_recall")
+    "q_assembly", "q_wat_extract_1file", "q_tfidf", "q_lsh_recall",
+    "q_sessionize", "q_range_join")
 
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
   private val Upper = Lower.toUpperCase

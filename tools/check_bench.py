@@ -64,9 +64,28 @@ def main() -> int:
     print(f"{len(bench['queries'])} queries: {improved} faster than baseline, "
           f"{len(new)} new ({', '.join(new) if new else '-'}), "
           f"{len(regressions)} regressed")
+    # adjudicate each wall regression against the per-pass [wall, cpu]
+    # pairs Bench emits: host contention inflates wall while process-CPU
+    # stays at the quiet level (the work is unchanged, just scheduled
+    # late), a plan regression inflates both. Three rounds of manual
+    # forensics (r5 q_date_parts, r6-r7 q_semdedup) are what this
+    # automates — see VERDICT r7 "what's missing" item 3.
+    passes = bench.get("passes", {})
     for name, b, sec in regressions:
+        verdict = ""
+        ps = passes.get(name) or []
+        walls = [p[0] for p in ps if p]
+        cpus = [p[1] for p in ps if p and len(p) > 1]
+        if walls and cpus:
+            # min-CPU pass ~ the query's real work; if the min-WALL pass
+            # cost >2x its own cpu AND another pass ran the same cpu in
+            # much less wall, the host was contended
+            if min(walls) > 2 * min(cpus) and max(walls) / min(walls) > 1.5:
+                verdict = "  [pass variance + wall>>cpu: likely host contention]"
+            elif len(walls) > 1 and max(walls) / min(walls) > 2:
+                verdict = "  [high pass variance: rerun on a quiet host]"
         print(f"  REGRESSION {name}: {b:.2f}s -> {sec:.2f}s "
-              f"({sec / b:.1f}x, limit {THRESHOLD}x)")
+              f"({sec / b:.1f}x, limit {THRESHOLD}x){verdict}")
     if bench.get("failed"):
         print(f"  FAILED queries in bench run: {bench['failed']}")
         return 1
