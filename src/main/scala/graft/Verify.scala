@@ -7,12 +7,26 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER (same knob as ScaleProbe): local-cluster[n,c,m]
+    // runs the WHOLE oracle battery with executors in separate JVMs —
+    // the correctness companion to the perf probes (a non-serializable
+    // expression or a partitioning-dependent result shows here, never
+    // in local[*])
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      val mem = master.stripPrefix("local-cluster[").stripSuffix("]")
+        .split(",")(2).trim
+      builder
+        .config("spark.executor.memory", s"${mem}m")
+        .config("spark.executor.extraClassPath",
+          sys.props.getOrElse("java.class.path", ""))
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
