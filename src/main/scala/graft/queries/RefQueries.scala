@@ -285,6 +285,24 @@ object RefQueries {
         .limit(100)
     }),
 
+    // Schema-evolution scan — the long-lived-dataset reality: era-1
+    // shards wrote (uid, url), era-2 added alt + page_url. One
+    // mergeSchema multi-path read unions both vintages (missing
+    // columns null-filled at scan time, no rewrite of old shards);
+    // per-era damage is visible as the non-null counts. The capability
+    // a 100 TB corpus accumulated over years of pipeline versions
+    // depends on.
+    "q_schema_union" -> ((s, dir) => {
+      val root = graft.wat.WatFixture.ensureEvoShards(s)
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$root/era1", s"$root/era2")
+        .groupBy(substring(col("uid"), 1, 1).as("uid_prefix"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("alt")).as("n_with_alt"),
+          count(col("page_url")).as("n_with_page"))
+        .orderBy("uid_prefix")
+    }),
+
     // Host centrality: 3 power iterations of integer-exact PageRank
     // over the distinct host edge list — the link-graph importance
     // signal crawl prioritization and seed selection read. Every rank
@@ -329,6 +347,20 @@ object RefQueries {
 
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> pagerankOracle,
+
+    // Mirrors q_schema_union: union_by_name ≙ mergeSchema (missing
+    // era-1 columns null-filled), same per-prefix non-null counts.
+    "q_schema_union" ->
+      s"""WITH u AS (
+         |  SELECT uid, alt, page_url FROM read_parquet(
+         |    ['${graft.wat.WatFixture.EvoShardsPath}/era1/*.parquet',
+         |     '${graft.wat.WatFixture.EvoShardsPath}/era2/*.parquet'],
+         |    union_by_name=true))
+         |SELECT substring(uid, 1, 1) AS uid_prefix,
+         |  count(*)::BIGINT AS n_rows,
+         |  count(alt)::BIGINT AS n_with_alt,
+         |  count(page_url)::BIGINT AS n_with_page
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_uid_hash" ->
       "SELECT doc_id, md5(lang || text) AS uid FROM documents ORDER BY doc_id",
 

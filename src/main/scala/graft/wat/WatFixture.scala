@@ -296,6 +296,37 @@ object WatFixture {
       TailParquetPath
     }
 
+  /** Two-era corpus shards for the schema-evolution scan: era 1 wrote
+    * (uid, url), era 2 added alt + page_url — the shape a long-lived
+    * output dataset actually takes as the pipeline grows columns.
+    */
+  val EvoShardsPath: String =
+    new java.io.File(new java.io.File(repoRoot, "tools"), "evo_shards")
+      .getAbsolutePath
+
+  /** Idempotently materialize [[EvoShardsPath]]/era{1,2}: deterministic
+    * halves of the committed tail parquet (split on the uid hex prefix)
+    * with era-1 columns pruned. Self-healing like the tail itself.
+    */
+  def ensureEvoShards(spark: org.apache.spark.sql.SparkSession): String =
+    synchronized {
+      import org.apache.spark.sql.functions.col
+      val root = new java.io.File(EvoShardsPath)
+      val done = new java.io.File(root, "_EVO_OK")
+      if (!done.exists()) {
+        val tail = spark.read.parquet(ensureTailParquet(spark))
+        tail.where(col("uid") < "8").select("uid", "url")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(new java.io.File(root, "era1").getAbsolutePath)
+        tail.where(col("uid") >= "8")
+          .select("uid", "url", "alt", "page_url")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(new java.io.File(root, "era2").getAbsolutePath)
+        java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+      }
+      EvoShardsPath
+    }
+
   // golden expectations (uids independently computed with Python hashlib)
   val CatUid = "6bb4b7d5a170364d6fe9aecdc44b6844"
   val DogUid = "c5509f4c09d168b342ee3392a9daabd0"
