@@ -126,7 +126,10 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // left-join) over recomputed edges/nodes/od subtrees in the
     // INITIAL plan; at execution the identical frames collapse to
     // ReusedExchange (asserted by ReuseAudit + the min below)
-    "q_pagerank" -> 25
+    "q_pagerank" -> 25,
+    // multi-era mergeSchema scan feeds ONE combinable agg + order —
+    // schema union must stay a scan-time concern, never a shuffle
+    "q_schema_union" -> 2
   )
 
   // A subtree consumed by several branches only shares its exchange if
