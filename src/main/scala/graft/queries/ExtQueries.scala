@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Clustering, Contamination, Multimodal, NearDup, Scrub, Similarity, TextAnalysis => TA}
+import graft.ext.{Clustering, Contamination, Multimodal, NearDup, Scrub, Similarity, SubstringDedup, TextAnalysis => TA}
 import graft.functions.Hashing
 import QueryUtil._
 
@@ -1033,6 +1033,26 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_true"),
           coalesce(sum("f"), lit(0L)).as("n_found"))
         .withColumn("recall_milli", expr("n_found * 1000 div n_true"))
+    }),
+
+    // Substring-level dedup (Lee et al. arXiv:2107.06499 ExactSubstr,
+    // gram-lattice form — see graft.ext.SubstringDedup): maximal spans
+    // of token positions covered by a 5-gram occurring >= 2 times
+    // corpus-wide (within-doc repetition counts, like a suffix array).
+    "q_dup_spans" -> ((s, dir) => {
+      SubstringDedup.duplicatedSpans(
+        docsWithTokens(s, dir), "doc_id", TA.tokens(col("text")),
+        n = 5, minCount = 2)
+        .orderBy("doc_id", "span_start")
+    }),
+
+    // The transform itself: documents with every duplicated span cut
+    // out; clean_fp = md5 of the surviving space-joined tokens.
+    "q_substring_dedup" -> ((s, dir) => {
+      SubstringDedup.removeDuplicatedSpans(
+        docsWithTokens(s, dir), "doc_id", TA.tokens(col("text")),
+        n = 5, minCount = 2)
+        .orderBy("doc_id")
     })
   )
 
@@ -2513,6 +2533,66 @@ object ExtQueries {
         |  64 + octet_length(encode(text))::BIGINT % 577 AS width,
         |  64 + (octet_length(encode(text))::BIGINT * 7) % 417 AS height,
         |  ascii(substr(text, 1, 1))::BIGINT AS luma
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dup_spans" -> dupSpansOracle,
+    "q_substring_dedup" -> substringDedupOracle
   )
+
+  /** Shared CTE prefix for the substring-dedup pair: 0-based positioned
+    * 5-grams, corpus occurrence counts, duplicated start positions.
+    * Gram text built with `||` (null-propagating, = Spark `concat`);
+    * DuckDB list slices are 1-based inclusive, positions re-based to 0
+    * to match posexplode.
+    */
+  private def dupStartsSqlPrefix: String = {
+    val gram = (0 until 5).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, $tokensSql AS t FROM documents
+       |  WHERE doc_id IS NOT NULL),
+       |gr AS (
+       |  SELECT doc_id,
+       |    unnest(range(1, len(t) - 3)) - 1 AS pos,
+       |    unnest(list_transform(range(1, len(t) - 3), i -> $gram)) AS gstr
+       |  FROM tk),
+       |gh AS (SELECT doc_id, pos::BIGINT AS pos,
+       |         ${Hashing.h32Sql("gstr")} AS g FROM gr),
+       |oc AS (SELECT g, count(*) AS occ FROM gh GROUP BY g),
+       |d AS (SELECT doc_id, pos FROM gh JOIN oc USING (g)
+       |      WHERE occ >= 2)""".stripMargin
+  }
+
+  private def dupSpansOracle: String =
+    s"""$dupStartsSqlPrefix,
+       |f AS (SELECT doc_id, pos,
+       |        CASE WHEN pos <= lag(pos) OVER
+       |            (PARTITION BY doc_id ORDER BY pos) + 5
+       |          THEN 0 ELSE 1 END AS nf
+       |      FROM d),
+       |i AS (SELECT doc_id, pos,
+       |        sum(nf) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS UNBOUNDED PRECEDING) AS isl
+       |      FROM f)
+       |SELECT doc_id, min(pos)::BIGINT AS span_start,
+       |  (max(pos) + 4)::BIGINT AS span_end, count(*)::BIGINT AS n_starts
+       |FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin
+
+  private def substringDedupOracle: String =
+    s"""$dupStartsSqlPrefix,
+       |cov AS (SELECT DISTINCT doc_id, idx FROM (
+       |  SELECT doc_id, unnest(range(pos, pos + 5)) AS idx FROM d)),
+       |tox AS (SELECT doc_id,
+       |          unnest(range(1, len(t) + 1)) - 1 AS idx,
+       |          unnest(t) AS token
+       |        FROM tk),
+       |kept AS (SELECT x.doc_id, count(*)::BIGINT AS n_kept,
+       |           md5(array_to_string(list(x.token ORDER BY x.idx), ' '))
+       |             AS clean_fp
+       |         FROM tox x LEFT JOIN cov c
+       |           ON x.doc_id = c.doc_id AND x.idx = c.idx
+       |         WHERE c.idx IS NULL GROUP BY x.doc_id)
+       |SELECT tk.doc_id, len(t)::BIGINT AS n_tokens,
+       |  (len(t) - coalesce(n_kept, 0))::BIGINT AS n_removed,
+       |  coalesce(clean_fp, md5('')) AS clean_fp
+       |FROM tk LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin
 }

