@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Clustering, Contamination, Multimodal, NearDup, Scrub, Similarity, SubstringDedup, TextAnalysis => TA}
+import graft.ext.{Clustering, Contamination, Multimodal, NearDup, Scrub, Similarity, Sketches, SubstringDedup, TextAnalysis => TA}
 import graft.functions.Hashing
 import QueryUtil._
 
@@ -1053,6 +1053,18 @@ object ExtQueries {
         docsWithTokens(s, dir), "doc_id", TA.tokens(col("text")),
         n = 5, minCount = 2)
         .orderBy("doc_id")
+    }),
+
+    // Heavy hitters via a mergeable Misra-Gries sketch (capacity 63)
+    // + exact recount of the <= 63 candidates: output is EXACTLY the
+    // tokens with count*64 > stream length, but the full-vocabulary
+    // aggregation never runs (see graft.ext.Sketches).
+    "q_heavy_hitters" -> ((s, dir) => {
+      Sketches.heavyHitters(
+        docsWithTokens(s, dir)
+          .select(explode(TA.tokens(col("text"))).as("token")),
+        m = 63)
+        .orderBy("item")
     })
   )
 
@@ -2536,7 +2548,15 @@ object ExtQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_dup_spans" -> dupSpansOracle,
-    "q_substring_dedup" -> substringDedupOracle
+    "q_substring_dedup" -> substringDedupOracle,
+
+    "q_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest($tokensSql) AS token FROM documents),
+         |tot AS (SELECT count(*)::BIGINT AS n_total FROM t),
+         |c AS (SELECT token AS item, count(*)::BIGINT AS n
+         |      FROM t GROUP BY token)
+         |SELECT item, n FROM c, tot
+         |WHERE n * 64 > n_total ORDER BY item""".stripMargin
   )
 
   /** Shared CTE prefix for the substring-dedup pair: 0-based positioned
