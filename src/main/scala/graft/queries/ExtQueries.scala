@@ -1065,6 +1065,15 @@ object ExtQueries {
           .select(explode(TA.tokens(col("text"))).as("token")),
         m = 63)
         .orderBy("item")
+    }),
+
+    // fastText-shaped linear quality filter (hashed weights, mean
+    // pooling, integer milli arithmetic — graft.ext.QualityModel).
+    "q_quality_lr" -> ((s, dir) => {
+      graft.ext.QualityModel.hashedScore(
+        docsWithTokens(s, dir), "doc_id", TA.tokens(col("text")),
+        biasMilli = 50L)
+        .orderBy("doc_id")
     })
   )
 
@@ -2556,7 +2565,21 @@ object ExtQueries {
          |c AS (SELECT token AS item, count(*)::BIGINT AS n
          |      FROM t GROUP BY token)
          |SELECT item, n FROM c, tot
-         |WHERE n * 64 > n_total ORDER BY item""".stripMargin
+         |WHERE n * 64 > n_total ORDER BY item""".stripMargin,
+
+    "q_quality_lr" ->
+      s"""WITH t AS (SELECT doc_id, unnest($tokensSql) AS token
+         |           FROM documents WHERE doc_id IS NOT NULL),
+         |s AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |        sum(${graft.ext.QualityModel.hashedWeightSql("token")})::BIGINT
+         |          AS wsum
+         |      FROM t GROUP BY doc_id),
+         |sc AS (SELECT doc_id, n_tokens,
+         |         ((wsum + 50) // n_tokens)::BIGINT AS score_milli
+         |       FROM s)
+         |SELECT doc_id, n_tokens, score_milli,
+         |  CASE WHEN score_milli >= 0 THEN 'keep' ELSE 'drop' END AS label
+         |FROM sc ORDER BY doc_id""".stripMargin
   )
 
   /** Shared CTE prefix for the substring-dedup pair: 0-based positioned
