@@ -1074,6 +1074,19 @@ object ExtQueries {
         docsWithTokens(s, dir), "doc_id", TA.tokens(col("text")),
         biasMilli = 50L)
         .orderBy("doc_id")
+    }),
+
+    // Z-order (Morton) interleave — the multi-dim data-skipping layout
+    // key (graft.ops.ZOrder; layout pruning itself pinned by ZOrderSpec
+    // min/max-box test). First 100 events in z order.
+    "q_zorder" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          cents(col("value")).as("value_c"))
+        .withColumn("z", graft.ops.ZOrder.interleave2(
+          col("user_id"), col("value_c"), 16))
+        .orderBy("z", "event_id")
+        .limit(100)
     })
   )
 
@@ -2579,7 +2592,15 @@ object ExtQueries {
          |       FROM s)
          |SELECT doc_id, n_tokens, score_milli,
          |  CASE WHEN score_milli >= 0 THEN 'keep' ELSE 'drop' END AS label
-         |FROM sc ORDER BY doc_id""".stripMargin
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_zorder" ->
+      s"""WITH e AS (SELECT event_id, user_id,
+         |             round(value*100)::BIGINT AS value_c FROM events)
+         |SELECT event_id, user_id, value_c,
+         |  ${graft.ops.ZOrder.interleave2Sql("user_id", "value_c", 16)}::BIGINT
+         |    AS z
+         |FROM e ORDER BY z, event_id LIMIT 100""".stripMargin
   )
 
   /** Shared CTE prefix for the substring-dedup pair: 0-based positioned
