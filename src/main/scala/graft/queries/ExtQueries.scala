@@ -1076,6 +1076,14 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Corpus-trained bigram-LM surprisal (the CCNet/KenLM perplexity
+    // filter, integer-exact via floor-log2 — graft.ext.LanguageModel).
+    "q_surprisal" -> ((s, dir) => {
+      graft.ext.LanguageModel.bigramSurprisal(
+        docsWithTokens(s, dir), "doc_id", TA.tokens(col("text")))
+        .orderBy("doc_id")
+    }),
+
     // Z-order (Morton) interleave — the multi-dim data-skipping layout
     // key (graft.ops.ZOrder; layout pruning itself pinned by ZOrderSpec
     // min/max-box test). First 100 events in z order.
@@ -2593,6 +2601,28 @@ object ExtQueries {
          |SELECT doc_id, n_tokens, score_milli,
          |  CASE WHEN score_milli >= 0 THEN 'keep' ELSE 'drop' END AS label
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_surprisal" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents
+         |            WHERE doc_id IS NOT NULL),
+         |b AS (SELECT doc_id,
+         |        unnest(list_transform(range(1, len(t)),
+         |          i -> t[i] || ' ' || t[i+1])) AS bg
+         |      FROM tk),
+         |base AS (SELECT doc_id, ${Hashing.h32Sql("bg")} AS bgh,
+         |           ${Hashing.h32Sql("split_part(bg, ' ', 1)")} AS w1h
+         |         FROM b),
+         |c2 AS (SELECT bgh, count(*) AS c2 FROM base GROUP BY bgh),
+         |c1 AS (SELECT w1h, count(*) AS c1 FROM base GROUP BY w1h),
+         |j AS (SELECT doc_id,
+         |        ${graft.ext.LanguageModel.ilog2Sql("c1")}
+         |          - ${graft.ext.LanguageModel.ilog2Sql("c2")} AS bits
+         |      FROM base JOIN c2 USING (bgh) JOIN c1 USING (w1h)),
+         |s AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         |        sum(bits)::BIGINT AS total_bits FROM j GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, total_bits,
+         |  ((total_bits * 1000) // n_bigrams)::BIGINT AS score_milli_bits
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_zorder" ->
       s"""WITH e AS (SELECT event_id, user_id,
