@@ -129,7 +129,25 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     "q_pagerank" -> 25,
     // multi-era mergeSchema scan feeds ONE combinable agg + order —
     // schema union must stay a scan-time concern, never a shuffle
-    "q_schema_union" -> 2
+    "q_schema_union" -> 2,
+    // positioned grams -> occ agg + join-back + doc-bounded island
+    // window + span agg + order; no corpus-scale window partitions
+    "q_dup_spans" -> 6,
+    // + covered-offset distinct, token anti-join, per-doc rebuild agg,
+    // doc left join — every join equi on (doc_id[, idx])
+    "q_substring_dedup" -> 9,
+    // MG sketch global agg (partial -> single partition) + candidate
+    // recount agg + 1-row total + order; the candidate join and the
+    // total ride broadcasts, never a corpus shuffle
+    "q_heavy_hitters" -> 6,
+    // one explode -> per-doc (sum, count) agg + order
+    "q_quality_lr" -> 3,
+    // c2 agg + c1 agg + two join-back probes + per-doc agg + order —
+    // the groupBy+join-back idiom twice (bigram and first-word keys)
+    "q_surprisal" -> 7,
+    // per-row Morton interleave + TakeOrdered: NO exchange at all —
+    // orderBy+limit must never become a range shuffle
+    "q_zorder" -> 0
   )
 
   // A subtree consumed by several branches only shares its exchange if
