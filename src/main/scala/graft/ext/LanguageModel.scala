@@ -32,6 +32,52 @@ object LanguageModel {
 
   def ilog2Sql(expr: String): String = s"(length(bin($expr)) - 1)"
 
+  /** Top collocations by integer pointwise mutual information: for
+    * each bigram, lift_milli = (C2 × N × 1000) div (C1(w1·) × C1(·w2))
+    * — the exact rational form of PMI's argument N·P(w1w2)/(P(w1)P(w2))
+    * (log-free: log is monotone, so the ratio ranks identically and
+    * stays bit-exact cross-engine; the DESIGN.md idiom). `minCount`
+    * cuts singleton noise before the join-backs, which also bounds the
+    * c2 side of every join.
+    *
+    * Scale shape: identical to [[bigramSurprisal]] (combinable counts,
+    * equi join-backs) except grouped on the bigram TEXT — collocation
+    * extraction must emit the phrase, and a string groupBy is the
+    * topTerms precedent. N rides a 1-row broadcast. Counts here are
+    * longs; a corpus where C2×N overflows 2^63 (≈ both over ~3×10^9)
+    * needs the bm25 decimal(38,0) idiom.
+    *
+    * Output: (bigram, c2, c1a, c1b, lift_milli) top-k by
+    * (lift desc, bigram).
+    */
+  def collocations(docs: DataFrame, idCol: String, tokens: Column,
+      minCount: Int = 5, k: Int = 25): DataFrame = {
+    val base = docs
+      .where(col(idCol).isNotNull)
+      .select(explode(Contamination.ngrams(tokens, 2)).as("bigram"))
+      .select(col("bigram"),
+        substring_index(col("bigram"), " ", 1).as("_w1"),
+        substring_index(col("bigram"), " ", -1).as("_w2"))
+      .where(col("bigram").isNotNull &&
+        col("_w1").isNotNull && col("_w2").isNotNull)
+    val c2 = base.groupBy("bigram")
+      .agg(count(lit(1)).as("c2"),
+        // w1/w2 are functions of the bigram: carry them through the
+        // agg (min of a constant-per-group) instead of re-splitting
+        min("_w1").as("_w1"), min("_w2").as("_w2"))
+      .where(col("c2") >= minCount)
+    val c1a = base.groupBy("_w1").agg(count(lit(1)).as("c1a"))
+    val c1b = base.groupBy("_w2").agg(count(lit(1)).as("c1b"))
+    val n = base.agg(count(lit(1)).as("n_total"))
+    c2.join(c1a, "_w1")
+      .join(c1b, "_w2")
+      .join(broadcast(n)) // 1-row cross, BNLJ by intent
+      .select(col("bigram"), col("c2"), col("c1a"), col("c1b"),
+        expr("(c2 * n_total * 1000) div (c1a * c1b)").as("lift_milli"))
+      .orderBy(col("lift_milli").desc, col("bigram"))
+      .limit(k)
+  }
+
   /** (idCol, n_bigrams, total_bits, score_milli_bits) per document —
     * score = mean surprisal in milli-bits per bigram,
     * (1000 × Σ bits) div n_bigrams. Documents with < 2 tokens have no
@@ -57,8 +103,17 @@ object LanguageModel {
       // minReused lesson); h32 is never null, but the OPTIMIZER only
       // knows that if the filter is explicit
       .where(col("bgh").isNotNull && col("w1h").isNotNull)
-    val c2 = base.groupBy("bgh").agg(count(lit(1)).as("c2"))
-    val c1 = base.groupBy("w1h").agg(count(lit(1)).as("c1"))
+    // ONE pair-grouped aggregation over the exploded stream; both count
+    // tables then derive from the tiny gram-space frame (w1h is in the
+    // GROUP KEY, not carried by min — exact even when two bigrams
+    // collide on bgh, because the oracle merges those the same way).
+    // This costs one extra gram-space agg but cuts the third full
+    // explode+hash pass over the corpus — measured 10.6 s → ~7 s at
+    // the ×10 probe, the op's cost being pure per-bigram map compute.
+    val pairCounts = base.groupBy("bgh", "w1h")
+      .agg(count(lit(1)).as("_cp"))
+    val c2 = pairCounts.groupBy("bgh").agg(sum("_cp").as("c2"))
+    val c1 = pairCounts.groupBy("w1h").agg(sum("_cp").as("c1"))
     base
       .join(c2, "bgh")
       .join(c1, "w1h")

@@ -1084,6 +1084,14 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Collocation extraction: top-25 bigrams by integer PMI lift
+    // (graft.ext.LanguageModel.collocations), df-cut at 5.
+    "q_collocations" -> ((s, dir) => {
+      graft.ext.LanguageModel.collocations(
+        docsWithTokens(s, dir), "doc_id", TA.tokens(col("text")),
+        minCount = 5, k = 25)
+    }),
+
     // Z-order (Morton) interleave — the multi-dim data-skipping layout
     // key (graft.ops.ZOrder; layout pruning itself pinned by ZOrderSpec
     // min/max-box test). First 100 events in z order.
@@ -2623,6 +2631,24 @@ object ExtQueries {
          |SELECT doc_id, n_bigrams, total_bits,
          |  ((total_bits * 1000) // n_bigrams)::BIGINT AS score_milli_bits
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_collocations" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents
+         |            WHERE doc_id IS NOT NULL),
+         |b AS (SELECT unnest(list_transform(range(1, len(t)),
+         |        i -> t[i] || ' ' || t[i+1])) AS bigram FROM tk),
+         |base AS (SELECT bigram, split_part(bigram, ' ', 1) AS w1,
+         |           split_part(bigram, ' ', 2) AS w2 FROM b),
+         |cc2 AS (SELECT bigram, w1, w2, count(*)::BIGINT AS c2
+         |        FROM base GROUP BY bigram, w1, w2
+         |        HAVING count(*) >= 5),
+         |c1a AS (SELECT w1, count(*)::BIGINT AS c1a FROM base GROUP BY w1),
+         |c1b AS (SELECT w2, count(*)::BIGINT AS c1b FROM base GROUP BY w2),
+         |n AS (SELECT count(*)::BIGINT AS n_total FROM base)
+         |SELECT bigram, c2, c1a, c1b,
+         |  ((c2 * n_total * 1000) // (c1a * c1b))::BIGINT AS lift_milli
+         |FROM cc2 JOIN c1a USING (w1) JOIN c1b USING (w2), n
+         |ORDER BY lift_milli DESC, bigram LIMIT 25""".stripMargin,
 
     "q_zorder" ->
       s"""WITH e AS (SELECT event_id, user_id,

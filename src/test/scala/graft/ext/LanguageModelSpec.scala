@@ -53,4 +53,28 @@ class LanguageModelSpec extends AnyFunSuite with SparkTestBase {
     assert(scores(99L) == 625L)
     assert(scores(99L) > scores(1L))
   }
+
+  test("collocations: bound phrase outranks frequent-word pairings") {
+    // "new york" always together (6x); "of the" frequent but both words
+    // are everywhere, diluting the lift.
+    val docs = (1L to 6L).map(i => (i, "new york is one of the cities of the east")) ++
+      Seq((7L, "the best of the rest of the lot"))
+    val out = LanguageModel.collocations(docs.toDF("doc_id", "text"),
+      "doc_id", split(col("text"), " "), minCount = 5, k = 5)
+      .collect()
+    val byBigram = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // "new york": c2=6, c1a(new·)=6, c1b(·york)=6, N = 6*9 + 7 = 61
+    //   lift = (6*61*1000) div 36 = 10166
+    assert(byBigram("new york") == ((6L, 6L, 6L, 10166L)))
+    // "of the": c2 = 12+2? per common doc "of the" occurs 2x (x6) plus
+    // doc 7 has "of the" 2x -> c2=14; c1a(of·)=14, c1b(·the)=14
+    //   lift = (14*61*1000) div 196 = 4357
+    assert(byBigram("of the") == ((14L, 14L, 14L, 4357L)))
+    // ranking: the fully bound phrases tie on top (all 6/6/6), ordered
+    // by bigram text; the diluted "of the" ranks below all of them
+    assert(out.take(3).map(_.getString(0)).toSeq ==
+      Seq("is one", "new york", "york is"))
+    assert(out.take(3).forall(_.getLong(4) == 10166L))
+  }
 }
