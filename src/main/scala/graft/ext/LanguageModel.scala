@@ -60,15 +60,18 @@ object LanguageModel {
         substring_index(col("bigram"), " ", -1).as("_w2"))
       .where(col("bigram").isNotNull &&
         col("_w1").isNotNull && col("_w2").isNotNull)
-    val c2 = base.groupBy("bigram")
-      .agg(count(lit(1)).as("c2"),
-        // w1/w2 are functions of the bigram: carry them through the
-        // agg (min of a constant-per-group) instead of re-splitting
-        min("_w1").as("_w1"), min("_w2").as("_w2"))
-      .where(col("c2") >= minCount)
-    val c1a = base.groupBy("_w1").agg(count(lit(1)).as("c1a"))
-    val c1b = base.groupBy("_w2").agg(count(lit(1)).as("c1b"))
-    val n = base.agg(count(lit(1)).as("n_total"))
+    // ONE corpus pass: the (bigram, w1, w2) aggregation (w1/w2 are
+    // functions of the bigram, so adding them to the group key changes
+    // nothing) — marginal counts, the total, AND the c2 table all
+    // derive from the tiny gram-space frame. The surprisal lesson one
+    // op over: per-gram map compute is the entire cost of these
+    // operators, so every avoided re-explode is a full corpus pass.
+    val pair = base.groupBy("bigram", "_w1", "_w2")
+      .agg(count(lit(1)).as("c2"))
+    val c2 = pair.where(col("c2") >= minCount)
+    val c1a = pair.groupBy("_w1").agg(sum("c2").as("c1a"))
+    val c1b = pair.groupBy("_w2").agg(sum("c2").as("c1b"))
+    val n = pair.agg(sum("c2").as("n_total"))
     c2.join(c1a, "_w1")
       .join(c1b, "_w2")
       .join(broadcast(n)) // 1-row cross, BNLJ by intent

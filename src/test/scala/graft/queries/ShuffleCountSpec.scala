@@ -147,7 +147,11 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     "q_surprisal" -> 7,
     // per-row Morton interleave + TakeOrdered: NO exchange at all —
     // orderBy+limit must never become a range shuffle
-    "q_zorder" -> 0
+    "q_zorder" -> 0,
+    // ONE corpus-pass pair agg; marginals/total/c2 all derive from the
+    // gram-space frame (its exchange reused, see minReused); top-k is
+    // TakeOrdered
+    "q_collocations" -> 8
   )
 
   // A subtree consumed by several branches only shares its exchange if
@@ -163,7 +167,10 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     "q_dup_ngrams" -> 1, // gram subtree: per-doc rows + df counts
     "q_winnow" -> 2,     // fingerprint window stack: df counts + 2 join sides
     "q_dsir" -> 2,       // (doc,bucket) counts: bucket totals + ratio join
-    "q_pagerank" -> 2    // edges/nodes/od frames shared across iterations
+    "q_pagerank" -> 2,   // edges/nodes/od frames shared across iterations
+    // the (bigram, w1, w2) pair agg is consumed by c2 filter + both
+    // marginals + the 1-row total: one original exchange, 3 reuses
+    "q_collocations" -> 3
   )
 
   for ((name, min) <- minReused.toSeq.sortBy(_._1)) {
