@@ -237,6 +237,25 @@ object RefQueries {
         .orderBy("uid")
     }),
 
+    // The caption-set view — what a cc2dataset consumer actually builds
+    // downstream: per target URL, how many pages link it, with how many
+    // distinct captions (multi-caption images are the curation signal).
+    // One combinable agg (count-distincts are the standard two-phase
+    // expand); top-100 via TakeOrdered.
+    "q_anchor_agg" -> ((s, dir) => {
+      val path = graft.wat.WatFixture.ensureTailParquet(s)
+      s.read.parquet(path)
+        .where(col("url").isNotNull && col("alt").isNotNull &&
+          col("alt") =!= "")
+        .groupBy("url")
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("page_url")).as("n_pages"),
+          countDistinct(col("alt")).as("n_alts"),
+          min(col("alt")).as("first_alt"))
+        .orderBy(col("n_links").desc, col("url"))
+        .limit(100)
+    }),
+
     // Host-level link graph over the extracted corpus — the crawl
     // analytics staple (which hosts embed whose assets): edges =
     // (host(page_url) → host(url)), per-edge link count + distinct
@@ -455,6 +474,15 @@ object RefQueries {
          |    ORDER BY cc_filename, page_url, url, alt) AS rn
          |  FROM read_parquet('${graft.wat.WatFixture.TailParquetPath}'))
          |WHERE rn = 1 ORDER BY uid""".stripMargin,
+
+    "q_anchor_agg" ->
+      s"""SELECT url, count(*)::BIGINT AS n_links,
+         |  count(DISTINCT page_url)::BIGINT AS n_pages,
+         |  count(DISTINCT alt)::BIGINT AS n_alts,
+         |  min(alt) AS first_alt
+         |FROM read_parquet('${graft.wat.WatFixture.TailParquetPath}')
+         |WHERE url IS NOT NULL AND alt IS NOT NULL AND alt <> ''
+         |GROUP BY url ORDER BY n_links DESC, url LIMIT 100""".stripMargin,
 
     // Mirrors q_domain_graph: same HostRegex, same edge filter, same
     // total (n_links desc, src, dst) order for the top-100 cut.
