@@ -56,6 +56,30 @@ object StreamOps {
       .select(col("w.start").as("hour"), col("event_type"), col("n"),
         col("sum_value"))
 
+  /** Per-window heavy hitters via the mergeable Misra-Gries sketch
+    * ([[graft.ext.Sketches.MisraGries]] as a streaming UDAF): each
+    * tumbling window emits its candidate set (every item above
+    * n/(m+1) of the window's traffic is guaranteed present) plus the
+    * window's stream length so a consumer can recount-and-threshold
+    * exactly, batch-style. State per window is the ≤ m-entry sketch
+    * buffer — bounded regardless of token cardinality, which is the
+    * whole point at intake scale (a windowed groupBy(token) would
+    * hold state per distinct token per window horizon).
+    */
+  def heavyHitterStream(rows: DataFrame, tokenCol: String,
+      eventTimeCol: String, m: Int, windowDur: String,
+      lateness: String): DataFrame = {
+    val mg = udaf(new graft.ext.Sketches.MisraGries(m),
+      org.apache.spark.sql.Encoders.STRING)
+    rows
+      .withWatermark(eventTimeCol, lateness)
+      .groupBy(window(col(eventTimeCol), windowDur).as("w"))
+      .agg(mg(col(tokenCol)).as("candidates"),
+        count(lit(1)).as("n_total"))
+      .select(col("w.start").as("window_start"), col("candidates"),
+        col("n_total"))
+  }
+
   /** Streaming exact dedup — the pipeline's A1 in streaming form.
     * `dropDuplicatesWithinWatermark` is required for bounded state: plain
     * `dropDuplicates("uid")` would never evict (the event-time column is
