@@ -395,6 +395,40 @@ object Similarity {
     * pre-shuffle; the (q_id, n_id) sum is one hash agg with map-side
     * partials; top-k is a per-query window over k·|Q| surviving rows.
     */
+  /** IVF-PQ (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011): the composed production ANN shape — the IVF
+    * coarse quantizer restricts each query's ADC scan to its own cell,
+    * so the scan touches (corpus/cells) × m codes instead of the whole
+    * code table, and the PQ codes keep the per-vector memory at m
+    * small ints. Composition of [[ivfAssign]] + [[pqEncode]] +
+    * [[pqTopK]]'s ADC with a cell-consistency predicate; the cell map
+    * joins equi on the vector id, the distance table (now carrying the
+    * query's cell) stays broadcast.
+    */
+  def ivfPqTopK(assigned: DataFrame, codes: DataFrame, codebook: DataFrame,
+      queryIds: Column, m: Int, topK: Int): DataFrame = {
+    val queries = assigned.where(queryIds).select(col("vec_id"), col("qv"))
+    val qcells = assigned.where(queryIds)
+      .select(col("vec_id").as("q_id"), col("cell").as("q_cell"))
+    val qsub = pqSubvectors(queries, m, idAs = "q_id")
+    val table = qsub.join(codebook, "sub_id")
+      .select(col("q_id"), col("sub_id"), col("code"),
+        d2q(col("sv"), col("cv")).as("td2"))
+      .join(qcells, "q_id")
+    val ncells = assigned.select(col("vec_id").as("n_id"), col("cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("ad2"), col("n_id"))
+    codes.select(col("vec_id").as("n_id"), col("sub_id"), col("code"))
+      .join(ncells, "n_id")
+      .join(broadcast(table), Seq("sub_id", "code"))
+      .where(col("n_id") =!= col("q_id") && col("cell") === col("q_cell"))
+      .groupBy("q_id", "n_id")
+      .agg(sum(col("td2")).as("ad2"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= topK)
+      .select("q_id", "rk", "n_id", "ad2")
+  }
+
   def pqTopK(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
       m: Int, topK: Int): DataFrame = {
     val qsub = pqSubvectors(queries, m, idAs = "q_id")

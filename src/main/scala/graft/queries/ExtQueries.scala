@@ -263,6 +263,21 @@ object ExtQueries {
         .orderBy("q_id", "rk")
     }),
 
+    // IVF-PQ composed (the production ANN shape): coarse cells restrict
+    // each query's ADC scan to its own cell; same centroids as
+    // q_ann_ivf, same codebook as q_ann_pq.
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val p = Similarity.prepared(table(s, dir, "embeddings"), "vec_id",
+        "embedding")
+      val cents = p.where(col("vec_id") < 8)
+      val assigned = Similarity.ivfAssign(p, cents)
+      val cb = Similarity.pqCodebook(p.where(col("vec_id") < 16), m = 4)
+      val codes = Similarity.pqEncode(p, cb, m = 4)
+      Similarity.ivfPqTopK(assigned, codes, cb,
+        col("vec_id").between(8, 12), m = 4, topK = 3)
+        .orderBy("q_id", "rk")
+    }),
+
     "q_ann_ivf" -> ((s, dir) => {
       val p = Similarity.prepared(table(s, dir, "embeddings"), "vec_id",
         "embedding")
@@ -1868,6 +1883,58 @@ object ExtQueries {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  /** IVF assign CTEs (annIvfOracle's) + PQ ADC CTEs (annPqOracle's)
+    * with the cell-consistency predicate — the IVF-PQ composition.
+    */
+  private def annIvfPqOracle: String = {
+    val adot = dotSql.format("v.qv", "c.qv")
+    val d2 = "list_sum(list_transform(list_zip(%s, %s), p -> (p[1]-p[2])*(p[1]-p[2])))"
+    s"""WITH $prepSql,
+       |cents AS (SELECT vec_id AS c_id, qv, n2 FROM p2 WHERE vec_id < 8),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT v.vec_id, c.c_id AS cell,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ($adot)::DOUBLE / sqrt((v.n2 * c.n2)::DOUBLE) DESC,
+       |                 c.c_id) AS crk
+       |    FROM p2 v, cents c)
+       |  WHERE crk = 1),
+       |sub AS (
+       |  SELECT vec_id, s.sub_id,
+       |    qv[(s.sub_id*(len(qv)//4))+1 : (s.sub_id+1)*(len(qv)//4)] AS sv
+       |  FROM p2, (SELECT unnest(range(4)) AS sub_id) s),
+       |cb AS (
+       |  SELECT sub_id, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 16),
+       |enc AS (
+       |  SELECT vec_id, sub_id, code FROM (
+       |    SELECT v.vec_id, v.sub_id, c.code,
+       |      row_number() OVER (PARTITION BY v.vec_id, v.sub_id
+       |        ORDER BY ${d2.format("v.sv", "c.cv")}, c.code) AS crk
+       |    FROM sub v JOIN cb c ON v.sub_id = c.sub_id)
+       |  WHERE crk = 1),
+       |tbl AS (
+       |  SELECT q.vec_id AS q_id, q.sub_id, c.code,
+       |    (${d2.format("q.sv", "c.cv")})::BIGINT AS td2
+       |  FROM sub q JOIN cb c ON q.sub_id = c.sub_id
+       |  WHERE q.vec_id BETWEEN 8 AND 12),
+       |qc AS (SELECT vec_id AS q_id, cell AS q_cell FROM assign
+       |       WHERE vec_id BETWEEN 8 AND 12),
+       |ad AS (
+       |  SELECT t.q_id, e.vec_id AS n_id, sum(t.td2)::BIGINT AS ad2
+       |  FROM enc e
+       |  JOIN tbl t ON e.sub_id = t.sub_id AND e.code = t.code
+       |  JOIN qc ON qc.q_id = t.q_id
+       |  JOIN assign nc ON nc.vec_id = e.vec_id
+       |  WHERE e.vec_id <> t.q_id AND nc.cell = qc.q_cell
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT q_id, n_id, ad2,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY ad2, n_id) AS rk
+       |  FROM ad)
+       |SELECT q_id, rk::BIGINT AS rk, n_id, ad2 FROM ranked WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   private def cosineTopkOracle: String = {
     val dot = dotSql.format("q.qv", "c.qv")
     s"""WITH $prepSql,
@@ -2535,6 +2602,7 @@ object ExtQueries {
     "q_winnow" -> winnowOracle,
     "q_oov_bigrams" -> oovBigramsOracle,
     "q_ann_pq" -> annPqOracle,
+    "q_ann_ivfpq" -> annIvfPqOracle,
     "q_ann_ivf_mp" -> annIvfMpOracle,
     "q_kmeans" -> kmeansOracle,
     "q_semdedup" -> semDedupOracle,
