@@ -64,4 +64,46 @@ object LinkGraph {
     }
     ranks.select(col("host"), col("r").as("rank_micro"))
   }
+
+  /** Integer HITS (Kleinberg, "Authoritative Sources in a Hyperlinked
+    * Environment", JACM 1999) — hub/authority scores, `iters` full
+    * mutual-reinforcement rounds UNNORMALIZED: with hub₀ = 1,
+    *
+    *   auth_k(a) = Σ_{b→a} hub_{k-1}(b)
+    *   hub_k(b)  = Σ_{b→a} auth_k(a)
+    *
+    * Normalization only rescales (ranking identical), and skipping it
+    * keeps every value an exact integer on any engine; magnitudes grow
+    * like (max degree)² per round, so the guard keeps iters small —
+    * degrees up to ~10⁴ stay far inside int64 at iters ≤ 2.
+    *
+    * Scale shape: same as [[pagerankMicro]] — per round two equi-joins
+    * of the edge list with the score frames + two combinable sums; hub
+    * keys are many rows through a hash agg, never a window.
+    */
+  def hitsScores(edges: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 3,
+      s"iters $iters outside [1, 3]: unnormalized integer scores grow " +
+        "~(max degree)^2 per round; normalize-and-persist beyond that")
+    val nodes = edges.select(col("src").as("host"))
+      .union(edges.select(col("dst").as("host"))).distinct()
+    var hub = nodes.select(col("host"), lit(1L).as("h"))
+    var auth = nodes.select(col("host"), lit(0L).as("a"))
+    for (_ <- 1 to iters) {
+      val aSum = edges
+        .join(hub.withColumnRenamed("host", "src"), "src")
+        .groupBy("dst").agg(sum("h").as("s"))
+      auth = nodes
+        .join(aSum.withColumnRenamed("dst", "host"), Seq("host"), "left")
+        .select(col("host"), coalesce(col("s"), lit(0L)).as("a"))
+      val hSum = edges
+        .join(auth.withColumnRenamed("host", "dst"), "dst")
+        .groupBy("src").agg(sum("a").as("s"))
+      hub = nodes
+        .join(hSum.withColumnRenamed("src", "host"), Seq("host"), "left")
+        .select(col("host"), coalesce(col("s"), lit(0L)).as("h"))
+    }
+    auth.join(hub, "host")
+      .select(col("host"), col("a").as("authority"), col("h").as("hub"))
+  }
 }

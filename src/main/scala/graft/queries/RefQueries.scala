@@ -333,6 +333,16 @@ object RefQueries {
         s.read.parquet(path), col("page_url"), col("url"))
       graft.ext.LinkGraph.pagerankMicro(edges, iters = 3)
         .orderBy("host")
+    }),
+
+    // HITS hubs & authorities over the same edge list (Kleinberg '99):
+    // 2 unnormalized mutual-reinforcement rounds, exact integers.
+    "q_hits" -> ((s, dir) => {
+      val path = graft.wat.WatFixture.ensureTailParquet(s)
+      val edges = graft.ext.LinkGraph.hostEdges(
+        s.read.parquet(path), col("page_url"), col("url"))
+      graft.ext.LinkGraph.hitsScores(edges, iters = 2)
+        .orderBy("host")
     })
   )
 
@@ -364,8 +374,41 @@ object RefQueries {
        |SELECT host, r AS rank_micro FROM r3 ORDER BY host""".stripMargin
   }
 
+  // Mirrors q_hits: same edge list, 2 unrolled unnormalized rounds.
+  private def hitsOracle: String = {
+    val re = graft.ext.UrlAnalysis.HostRegex
+    val path = graft.wat.WatFixture.TailParquetPath
+    val iters = (0 until 2).map { k =>
+      s"""a${k + 1} AS (
+         |  SELECT n.host, coalesce(x.s, 0)::BIGINT AS a
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst, sum(h$k.h)::BIGINT AS s
+         |    FROM e JOIN h$k ON e.src = h$k.host GROUP BY 1) x
+         |    ON n.host = x.dst),
+         |h${k + 1} AS (
+         |  SELECT n.host, coalesce(y.s, 0)::BIGINT AS h
+         |  FROM n LEFT JOIN (
+         |    SELECT e.src, sum(a${k + 1}.a)::BIGINT AS s
+         |    FROM e JOIN a${k + 1} ON e.dst = a${k + 1}.host GROUP BY 1) y
+         |    ON n.host = y.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT lower(regexp_extract(page_url, '$re', 1)) AS src,
+       |         lower(regexp_extract(url, '$re', 1)) AS dst
+       |  FROM read_parquet('$path')),
+       |e AS (SELECT DISTINCT src, dst FROM e0
+       |      WHERE src <> '' AND dst <> '' AND src <> dst),
+       |n AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT host, 1::BIGINT AS h FROM n),
+       |$iters
+       |SELECT n.host, a2.a AS authority, h2.h AS hub
+       |FROM n JOIN a2 ON n.host = a2.host JOIN h2 ON n.host = h2.host
+       |ORDER BY n.host""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> pagerankOracle,
+    "q_hits" -> hitsOracle,
 
     // Mirrors q_schema_union: union_by_name ≙ mergeSchema (missing
     // era-1 columns null-filled), same per-prefix non-null counts.
