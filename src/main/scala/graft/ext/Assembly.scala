@@ -64,6 +64,31 @@ object Assembly {
       .drop("_k")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement — priority
+    * sampling (Duffield/Lund/Thorup, JACM 2007): each row gets priority
+    * q = w / u with u uniform in (0, 1], and the k highest-priority
+    * rows form the sample (inclusion probability ≈ proportional to
+    * weight, heavy items near-certain). Here u is the seeded per-key
+    * hash fraction (h32+1)/2^32, so the "randomness" is reproducible
+    * on any engine and re-runs pick the SAME sample — the repo's
+    * hash-sampling standard (q_hash_sample) extended to weights.
+    *
+    * priority = (w_milli << 32) div (h32(salt|key) + 1), exact integer;
+    * w_milli up to ~2×10^6 stays inside int64. One per-row projection
+    * + TakeOrdered top-k: no shuffle at any size.
+    */
+  def prioritySample(df: DataFrame, keyCol: String, weightMillis: Column,
+      k: Int, salt: String = "ps"): DataFrame = {
+    val h = Hashing.h32(concat(lit(salt + "|"), col(keyCol).cast("string")))
+    df.withColumn("_w", weightMillis.cast("long"))
+      .where(col("_w") > 0)
+      .withColumn("_h", h)
+      .withColumn("priority", expr(s"(_w * ${1L << 32}) div (_h + 1)"))
+      .drop("_w", "_h")
+      .orderBy(col("priority").desc, col(keyCol))
+      .limit(k)
+  }
+
   /** Per-document top-k terms ranked by an ALL-INTEGER tf-idf ordering:
     * term frequency DESC (more of the document), document frequency ASC
     * (rarer in the corpus), token ASC (total tie-break). Integer ranking

@@ -1099,6 +1099,15 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Deterministic weighted sampling without replacement (priority
+    // sampling, Duffield et al. — graft.ext.Assembly.prioritySample):
+    // 50 docs weighted by length, reproducible on any engine.
+    "q_weighted_sample" -> ((s, dir) => {
+      graft.ext.Assembly.prioritySample(
+        docsWithTokens(s, dir).select("doc_id", "n_chars"),
+        "doc_id", col("n_chars"), k = 50)
+    }),
+
     // Collocation extraction: top-25 bigrams by integer PMI lift
     // (graft.ext.LanguageModel.collocations), df-cut at 5.
     "q_collocations" -> ((s, dir) => {
@@ -2699,6 +2708,15 @@ object ExtQueries {
          |SELECT doc_id, n_bigrams, total_bits,
          |  ((total_bits * 1000) // n_bigrams)::BIGINT AS score_milli_bits
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id, n_chars,
+         |    ((n_chars * ${1L << 32}) //
+         |      (${Hashing.h32Sql("'ps|' || doc_id::VARCHAR")} + 1))::BIGINT
+         |      AS priority
+         |  FROM documents WHERE n_chars > 0)
+         |SELECT doc_id, n_chars, priority FROM d
+         |ORDER BY priority DESC, doc_id LIMIT 50""".stripMargin,
 
     "q_collocations" ->
       s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents

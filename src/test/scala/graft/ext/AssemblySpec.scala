@@ -99,4 +99,25 @@ class AssemblySpec extends AnyFunSuite with SparkTestBase {
       .as[String].collect().toSeq
     assert(got == Seq("hello world x", "ok"))
   }
+
+  test("prioritySample matches the driver-side priority formula and drops weight<=0") {
+    def h32(s: String): Long = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s).take(8), 16)
+    val rows = (1L to 200L).map(i =>
+      (i, if (i % 7 == 0) 0L else 10L + (i % 13) * 100L))
+    val want = rows.filter(_._2 > 0)
+      .map { case (id, w) =>
+        (id, w, (w * (1L << 32)) / (h32(s"ps|$id") + 1)) }
+      .sortBy { case (id, _, p) => (-p, id) }
+      .take(20)
+    val got = Assembly.prioritySample(rows.toDF("doc_id", "w"),
+      "doc_id", col("w"), k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // determinism across evaluations
+    val again = Assembly.prioritySample(rows.toDF("doc_id", "w"),
+      "doc_id", col("w"), k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(again == got)
+  }
 }
