@@ -35,7 +35,12 @@ object ReuseAudit {
     "q_pagerank" -> ("each power iteration shuffles its contribution sum " +
       "on dst with DIFFERENT rank values upstream (same head + scan " +
       "set, different subtrees); the shared edges/nodes/outdeg frames DO " +
-      "reuse (ReusedExchange on the host key)")
+      "reuse (ReusedExchange on the host key)"),
+    "q_hits" -> ("same class as q_pagerank: each mutual-reinforcement " +
+      "round shuffles its hub-sum on src with DIFFERENT auth values " +
+      "upstream; the shared distinct-edge and node-set frames DO reuse " +
+      "(ReusedExchange x3 on (src,dst), x5 on host — pinned in " +
+      "ShuffleCountSpec minReused)")
   )
 
   def main(args: Array[String]): Unit = {

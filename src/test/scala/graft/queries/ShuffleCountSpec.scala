@@ -151,7 +151,19 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // ONE corpus-pass pair agg; marginals/total/c2 all derive from the
     // gram-space frame (its exchange reused, see minReused); top-k is
     // TakeOrdered
-    "q_collocations" -> 8
+    "q_collocations" -> 8,
+    // 2 unrolled HITS rounds x (2 edge joins + 2 sums + 2 node
+    // left-joins) all recomputed in the INITIAL plan (reuse collapses
+    // the edge/node frames at execution — see minReused), like
+    // q_pagerank's 25 but two frames per round
+    "q_hits" -> 45,
+    // IVF assign agg + PQ encode agg + cell maps + ADC pair agg +
+    // top-k window + order
+    "q_ann_ivfpq" -> 10,
+    // one agg (count-distincts = two-phase expand) + TakeOrdered
+    "q_anchor_agg" -> 4,
+    // per-row priority + TakeOrdered: no exchange at all
+    "q_weighted_sample" -> 0
   )
 
   // A subtree consumed by several branches only shares its exchange if
@@ -170,7 +182,10 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     "q_pagerank" -> 2,   // edges/nodes/od frames shared across iterations
     // the (bigram, w1, w2) pair agg is consumed by c2 filter + both
     // marginals + the 1-row total: one original exchange, 3 reuses
-    "q_collocations" -> 3
+    "q_collocations" -> 3,
+    // distinct-edge frame x3 + node-set frame x5 across the 2 unrolled
+    // mutual-reinforcement rounds
+    "q_hits" -> 6
   )
 
   for ((name, min) <- minReused.toSeq.sortBy(_._1)) {
