@@ -1099,6 +1099,15 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Positional phrase search (graft.ext.Search): postings alignment
+    // via (doc, pos-i) equi-joins — no regex scan, no token-value join.
+    "q_phrase_search" -> ((s, dir) => {
+      graft.ext.Search.phraseMatches(
+        docsWithTokens(s, dir), "doc_id", TA.tokens(col("text")),
+        Seq("slow", "hash", "batch"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic weighted sampling without replacement (priority
     // sampling, Duffield et al. — graft.ext.Assembly.prioritySample):
     // 50 docs weighted by length, reproducible on any engine.
@@ -2708,6 +2717,19 @@ object ExtQueries {
          |SELECT doc_id, n_bigrams, total_bits,
          |  ((total_bits * 1000) // n_bigrams)::BIGINT AS score_milli_bits
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_phrase_search" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents
+         |            WHERE doc_id IS NOT NULL),
+         |tox AS (SELECT doc_id,
+         |          unnest(range(1, len(t) + 1)) - 1 AS pos,
+         |          unnest(t) AS token FROM tk),
+         |p0 AS (SELECT doc_id, pos AS p0 FROM tox WHERE token = 'slow'),
+         |p1 AS (SELECT doc_id, pos - 1 AS p0 FROM tox WHERE token = 'hash'),
+         |p2 AS (SELECT doc_id, pos - 2 AS p0 FROM tox WHERE token = 'batch')
+         |SELECT doc_id, count(*)::BIGINT AS n_matches
+         |FROM p0 JOIN p1 USING (doc_id, p0) JOIN p2 USING (doc_id, p0)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_weighted_sample" ->
       s"""WITH d AS (SELECT doc_id, n_chars,
