@@ -39,3 +39,36 @@ object Search {
       .agg(count(lit(1)).as("n_matches"))
   }
 }
+
+/** Snapshot reconciliation — the crawl-over-crawl diff every
+  * incremental pipeline runs before deciding what to re-process: a
+  * FULL OUTER join of two corpus snapshots on the document key,
+  * comparing content fingerprints. One equi-join on the key (both
+  * sides shuffle once, AQE-skew-splittable), fingerprints computed
+  * per-row; no state, no windows.
+  */
+object SnapshotDiff {
+
+  /** (idCol, status) per document across the union of both snapshots:
+    * `added` (v2 only), `removed` (v1 only), `changed` (both, different
+    * fingerprint), `same`. Fingerprint column must be non-null on
+    * present rows.
+    */
+  def diff(v1: DataFrame, v2: DataFrame, idCol: String,
+      fpCol: String): DataFrame = {
+    val a = v1.select(col(idCol), col(fpCol).as("_fp1"))
+    val b = v2.select(col(idCol), col(fpCol).as("_fp2"))
+    a.join(b, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_fp1").isNull, "added")
+          .when(col("_fp2").isNull, "removed")
+          .when(col("_fp1") === col("_fp2"), "same")
+          .otherwise("changed").as("status"))
+  }
+
+  /** The roll-up consumers alert on: (status, n_docs). */
+  def diffSummary(v1: DataFrame, v2: DataFrame, idCol: String,
+      fpCol: String): DataFrame =
+    diff(v1, v2, idCol, fpCol)
+      .groupBy("status").agg(count(lit(1)).as("n_docs"))
+}

@@ -1099,6 +1099,24 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Snapshot reconciliation (graft.ext.SnapshotDiff): two simulated
+    // crawl snapshots of the same corpus (v1 drops doc_id%10==0, v2
+    // drops %10==1 and edits %5==2) full-outer reconciled by content
+    // md5 — the added/removed/changed/same census an incremental
+    // pipeline alerts on.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+      val v1 = d.where(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+      val v2 = d.where(col("doc_id") % 10 =!= 1)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 5 === 2,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+            .as("fp"))
+      graft.ext.SnapshotDiff.diff(v1, v2, "doc_id", "fp")
+        .orderBy("doc_id")
+    }),
+
     // Positional phrase search (graft.ext.Search): postings alignment
     // via (doc, pos-i) equi-joins — no regex scan, no token-value join.
     "q_phrase_search" -> ((s, dir) => {
@@ -2717,6 +2735,22 @@ object ExtQueries {
          |SELECT doc_id, n_bigrams, total_bits,
          |  ((total_bits * 1000) // n_bigrams)::BIGINT AS score_milli_bits
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE doc_id IS NOT NULL),
+        |v1 AS (SELECT doc_id, md5(text) AS fp1 FROM d
+        |       WHERE doc_id % 10 <> 0),
+        |v2 AS (SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 5 = 2 THEN text || ' v2'
+        |             ELSE text END) AS fp2
+        |       FROM d WHERE doc_id % 10 <> 1)
+        |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN fp1 IS NULL THEN 'added'
+        |       WHEN fp2 IS NULL THEN 'removed'
+        |       WHEN fp1 = fp2 THEN 'same' ELSE 'changed' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q_phrase_search" ->
       s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents
