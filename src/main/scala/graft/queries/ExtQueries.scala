@@ -1099,6 +1099,14 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Distributed BPE tokenizer training (graft.ext.BpeTrainer): the
+    // learned merge list after 3 rounds over the word-type table.
+    "q_bpe_train" -> ((s, dir) => {
+      graft.ext.BpeTrainer.learnMerges(
+        docsWithTokens(s, dir), "doc_id", TA.tokens(col("text")),
+        rounds = 3)
+    }),
+
     // Snapshot reconciliation (graft.ext.SnapshotDiff): two simulated
     // crawl snapshots of the same corpus (v1 drops doc_id%10==0, v2
     // drops %10==1 and edits %5==2) full-outer reconciled by content
@@ -2736,6 +2744,8 @@ object ExtQueries {
          |  ((total_bits * 1000) // n_bigrams)::BIGINT AS score_milli_bits
          |FROM s ORDER BY doc_id""".stripMargin,
 
+    "q_bpe_train" -> bpeTrainOracle,
+
     "q_snapshot_diff" ->
       """WITH d AS (SELECT doc_id, text FROM documents
         |           WHERE doc_id IS NOT NULL),
@@ -2800,6 +2810,61 @@ object ExtQueries {
          |    AS z
          |FROM e ORDER BY z, event_id LIMIT 100""".stripMargin
   )
+
+  /** Mirrors q_bpe_train: word-type table + 3 generated merge-round
+    * CTE blocks — identical greedy-island arithmetic to
+    * graft.ext.BpeTrainer (odd island ranks merge).
+    */
+  private def bpeTrainOracle: String = {
+    def round(r: Int): String =
+      s"""pr$r AS (SELECT w, freq,
+         |    unnest(range(1, len(syms))) AS p,
+         |    unnest(list_transform(range(1, len(syms)), i -> syms[i])) AS s1,
+         |    unnest(list_transform(range(1, len(syms)), i -> syms[i+1])) AS s2
+         |  FROM t$r),
+         |top$r AS (SELECT s1, s2, sum(freq)::BIGINT AS pf FROM pr$r
+         |  GROUP BY 1, 2 ORDER BY pf DESC, s1, s2 LIMIT 1),
+         |m$r AS (SELECT p.w, p.p FROM pr$r p
+         |  JOIN top$r t ON p.s1 = t.s1 AND p.s2 = t.s2),
+         |i$r AS (SELECT w, p,
+         |    CASE WHEN p <= lag(p) OVER (PARTITION BY w ORDER BY p) + 1
+         |      THEN 0 ELSE 1 END AS nf
+         |  FROM m$r),
+         |ii$r AS (SELECT w, p, sum(nf) OVER (PARTITION BY w ORDER BY p
+         |    ROWS UNBOUNDED PRECEDING) AS isl FROM i$r),
+         |ch$r AS (SELECT w, p FROM (
+         |    SELECT w, p, row_number() OVER (PARTITION BY w, isl
+         |      ORDER BY p) AS rn FROM ii$r)
+         |  WHERE rn % 2 = 1),
+         |po$r AS (SELECT w, freq, unnest(range(1, len(syms) + 1)) AS p,
+         |    unnest(syms) AS sym FROM t$r),
+         |t${r + 1} AS (
+         |  SELECT po.w, min(po.freq) AS freq,
+         |    list(CASE WHEN ch.p IS NOT NULL THEN po.sym || nx.sym
+         |         ELSE po.sym END ORDER BY po.p) AS syms
+         |  FROM po$r po
+         |  LEFT JOIN ch$r ch ON po.w = ch.w AND po.p = ch.p
+         |  LEFT JOIN ch$r cc ON po.w = cc.w AND po.p = cc.p + 1
+         |  LEFT JOIN po$r nx ON po.w = nx.w AND nx.p = po.p + 1
+         |  WHERE cc.p IS NULL
+         |  GROUP BY po.w)""".stripMargin
+    s"""WITH c AS (
+       |  SELECT w, count(*)::BIGINT AS freq FROM (
+       |    SELECT unnest($tokensSql) AS w FROM documents
+       |    WHERE doc_id IS NOT NULL)
+       |  WHERE w IS NOT NULL AND w <> '' GROUP BY w),
+       |t0 AS (SELECT w, freq,
+       |    list_transform(range(1, length(w) + 1),
+       |      i -> substr(w, i::INT, 1)) AS syms
+       |  FROM c),
+       |${round(0)},
+       |${round(1)},
+       |${round(2)}
+       |SELECT 1::BIGINT AS round, s1, s2, pf FROM top0
+       |UNION ALL SELECT 2::BIGINT, s1, s2, pf FROM top1
+       |UNION ALL SELECT 3::BIGINT, s1, s2, pf FROM top2
+       |ORDER BY round""".stripMargin
+  }
 
   /** Shared CTE prefix for the substring-dedup pair: 0-based positioned
     * 5-grams, corpus occurrence counts, duplicated start positions.

@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class BpeTrainerSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  /** Naive serial BPE reference: greedy left-to-right merge, ties by
+    * (count desc, s1, s2).
+    */
+  private def refBpe(words: Map[String, Long],
+      rounds: Int): Seq[(String, String, Long)] = {
+    var types: Map[List[String], Long] = words.map { case (w, f) =>
+      w.map(_.toString).toList -> f
+    }.groupMapReduce(_._1)(_._2)(_ + _)
+    (1 to rounds).flatMap { _ =>
+      val counts = types.toSeq.flatMap { case (syms, f) =>
+        syms.zip(syms.tail).map(p => (p, f))
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      if (counts.isEmpty) None
+      else {
+        val ((s1, s2), pf) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        def mergeList(syms: List[String]): List[String] = syms match {
+          case a :: b :: rest if a == s1 && b == s2 =>
+            (a + b) :: mergeList(rest)
+          case a :: rest => a :: mergeList(rest)
+          case Nil => Nil
+        }
+        types = types.toSeq.map { case (syms, f) => (mergeList(syms), f) }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+        Some((s1, s2, pf))
+      }
+    }
+  }
+
+  test("hand corpus: aaab x2 + ab — run-overlap greedy semantics") {
+    // round 1: (a,a)=4 beats (a,b)=3; greedy merges only the FIRST
+    //   overlapping (a,a) in "aaab" -> [aa, a, b]
+    // round 2: (a,b)=3 (aaab's a·b f2 + ab f1) beats (aa,a)=2
+    // round 3: (aa,ab)=2
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val got = BpeTrainer.learnMerges(docs, "doc_id",
+      split(col("text"), " "), rounds = 3)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "a", "a", 4L),
+      (2L, "a", "b", 3L),
+      (3L, "aa", "ab", 2L)))
+  }
+
+  test("distributed == serial reference on random corpora") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val vocab = Seq.fill(12)(
+        (1 to (1 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(3)).toChar)
+          .mkString)
+      val words = vocab.groupBy(identity).view
+        .mapValues(_.size.toLong * (1 + rnd.nextInt(3))).toMap
+      val text = words.toSeq.flatMap { case (w, f) =>
+        Seq.fill(f.toInt)(w)
+      }.mkString(" ")
+      val got = BpeTrainer.learnMerges(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id",
+        split(col("text"), " "), rounds = 3)
+        .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+      val want = refBpe(words, 3)
+      assert(got.toSeq == want, s"trial $trial words=$words")
+    }
+  }
+
+  test("single-char and empty tokens are handled (no pairs, no crash)") {
+    val docs = Seq((1L, "x y  z x")).toDF("doc_id", "text") // "" from double space
+    val got = BpeTrainer.learnMerges(docs, "doc_id",
+      split(col("text"), " "), rounds = 1).collect()
+    assert(got.isEmpty) // no adjacent pairs anywhere -> no merge rows
+  }
+}
