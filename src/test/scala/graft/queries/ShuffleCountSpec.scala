@@ -163,7 +163,15 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // one agg (count-distincts = two-phase expand) + TakeOrdered
     "q_anchor_agg" -> 4,
     // per-row priority + TakeOrdered: no exchange at all
-    "q_weighted_sample" -> 0
+    "q_weighted_sample" -> 0,
+    // postings chain: (doc,pos) equi-joins + per-doc count + order
+    "q_phrase_search" -> 6,
+    // one full-outer key join + order
+    "q_snapshot_diff" -> 4,
+    // the returned merge list is a LocalRelation — the distributed
+    // work runs in per-round jobs during construction (driver-held
+    // merge state, see BpeTrainer.learnMerges)
+    "q_bpe_train" -> 0
   )
 
   // A subtree consumed by several branches only shares its exchange if
