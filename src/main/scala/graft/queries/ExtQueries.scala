@@ -1099,6 +1099,35 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // The round-9 operators COMPOSED under one oracle (the q_assembly
+    // pattern): linear-classifier quality gate -> substring-dedup
+    // removal over the kept corpus -> bigram-LM surprisal trained on
+    // the kept corpus. Corpus-relative stages (gram occurrence counts,
+    // LM counts) see only survivors — the composition is the
+    // semantics, not three independent queries.
+    "q_curate_compose" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+      val toks = TA.tokens(col("text"))
+      val scored = graft.ext.QualityModel
+        .hashedScore(d, "doc_id", toks, biasMilli = 50L)
+        .where(col("label") === "keep")
+        .select(col("doc_id"), col("score_milli"))
+      val kept = d.select(col("doc_id"), col("text")).join(scored, "doc_id")
+      val cleaned = SubstringDedup
+        .removeDuplicatedSpans(kept, "doc_id", toks, n = 5, minCount = 2)
+        .select(col("doc_id"), col("n_removed"), col("clean_fp"))
+      val lm = graft.ext.LanguageModel
+        .bigramSurprisal(kept, "doc_id", toks)
+        .select(col("doc_id"), col("score_milli_bits"))
+      kept.select(col("doc_id"), col("score_milli"))
+        .join(cleaned, "doc_id")
+        .join(lm, Seq("doc_id"), "left") // < 2-token docs have no LM row
+        .select(col("doc_id"), col("score_milli"), col("n_removed"),
+          col("clean_fp"),
+          coalesce(col("score_milli_bits"), lit(-1L)).as("lm_milli_bits"))
+        .orderBy("doc_id")
+    }),
+
     // Distributed BPE tokenizer training (graft.ext.BpeTrainer): the
     // learned merge list after 3 rounds over the word-type table.
     "q_bpe_train" -> ((s, dir) => {
@@ -2745,6 +2774,7 @@ object ExtQueries {
          |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_bpe_train" -> bpeTrainOracle,
+    "q_curate_compose" -> curateComposeOracle,
 
     "q_snapshot_diff" ->
       """WITH d AS (SELECT doc_id, text FROM documents
@@ -2810,6 +2840,73 @@ object ExtQueries {
          |    AS z
          |FROM e ORDER BY z, event_id LIMIT 100""".stripMargin
   )
+
+  /** Mirrors q_curate_compose: the same three stages chained, every
+    * formula fragment shared with the per-stage oracles
+    * (hashedWeightSql / h32Sql / ilog2Sql), corpus-relative counts
+    * computed over the KEPT corpus.
+    */
+  private def curateComposeOracle: String = {
+    val gram = (0 until 5).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+    s"""WITH dq AS (SELECT doc_id, text FROM documents
+       |            WHERE doc_id IS NOT NULL),
+       |tw AS (SELECT doc_id, unnest($tokensSql) AS token FROM dq),
+       |sq AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |         sum(${graft.ext.QualityModel.hashedWeightSql("token")})::BIGINT
+       |           AS wsum
+       |       FROM tw GROUP BY doc_id),
+       |ki AS (SELECT doc_id, ((wsum + 50) // n_tokens)::BIGINT AS score_milli
+       |       FROM sq WHERE ((wsum + 50) // n_tokens) >= 0),
+       |kept AS (SELECT d.doc_id, d.text, k.score_milli
+       |         FROM dq d JOIN ki k USING (doc_id)),
+       |tk AS (SELECT doc_id, $tokensSql AS t FROM kept),
+       |gr AS (SELECT doc_id,
+       |         unnest(range(1, len(t) - 3)) - 1 AS pos,
+       |         unnest(list_transform(range(1, len(t) - 3), i -> $gram))
+       |           AS gstr
+       |       FROM tk),
+       |gh AS (SELECT doc_id, pos::BIGINT AS pos,
+       |         ${Hashing.h32Sql("gstr")} AS g FROM gr),
+       |oc AS (SELECT g, count(*) AS occ FROM gh GROUP BY g),
+       |ds AS (SELECT doc_id, pos FROM gh JOIN oc USING (g)
+       |       WHERE occ >= 2),
+       |cov AS (SELECT DISTINCT doc_id, idx FROM (
+       |  SELECT doc_id, unnest(range(pos, pos + 5)) AS idx FROM ds)),
+       |tox AS (SELECT doc_id,
+       |          unnest(range(1, len(t) + 1)) - 1 AS idx,
+       |          unnest(t) AS token
+       |        FROM tk),
+       |kp AS (SELECT x.doc_id, count(*)::BIGINT AS n_kept,
+       |         md5(array_to_string(list(x.token ORDER BY x.idx), ' '))
+       |           AS clean_fp
+       |       FROM tox x LEFT JOIN cov c
+       |         ON x.doc_id = c.doc_id AND x.idx = c.idx
+       |       WHERE c.idx IS NULL GROUP BY x.doc_id),
+       |cl AS (SELECT tk.doc_id,
+       |         (len(t) - coalesce(n_kept, 0))::BIGINT AS n_removed,
+       |         coalesce(clean_fp, md5('')) AS clean_fp
+       |       FROM tk LEFT JOIN kp USING (doc_id)),
+       |b AS (SELECT doc_id,
+       |        unnest(list_transform(range(1, len(t)),
+       |          i -> t[i] || ' ' || t[i+1])) AS bg
+       |      FROM tk),
+       |lmb AS (SELECT doc_id, ${Hashing.h32Sql("bg")} AS bgh,
+       |          ${Hashing.h32Sql("split_part(bg, ' ', 1)")} AS w1h
+       |        FROM b),
+       |c2 AS (SELECT bgh, count(*) AS c2 FROM lmb GROUP BY bgh),
+       |c1 AS (SELECT w1h, count(*) AS c1 FROM lmb GROUP BY w1h),
+       |j AS (SELECT doc_id,
+       |        ${graft.ext.LanguageModel.ilog2Sql("c1")}
+       |          - ${graft.ext.LanguageModel.ilog2Sql("c2")} AS bits
+       |      FROM lmb JOIN c2 USING (bgh) JOIN c1 USING (w1h)),
+       |lm AS (SELECT doc_id, count(*)::BIGINT AS nb,
+       |         sum(bits)::BIGINT AS tb FROM j GROUP BY doc_id)
+       |SELECT k.doc_id, k.score_milli, cl.n_removed, cl.clean_fp,
+       |  coalesce((lm.tb * 1000) // lm.nb, -1)::BIGINT AS lm_milli_bits
+       |FROM ki k JOIN cl ON k.doc_id = cl.doc_id
+       |LEFT JOIN lm ON k.doc_id = lm.doc_id
+       |ORDER BY k.doc_id""".stripMargin
+  }
 
   /** Mirrors q_bpe_train: word-type table + 3 generated merge-round
     * CTE blocks — identical greedy-island arithmetic to
