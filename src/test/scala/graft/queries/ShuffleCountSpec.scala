@@ -171,7 +171,11 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // the returned merge list is a LocalRelation — the distributed
     // work runs in per-round jobs during construction (driver-held
     // merge state, see BpeTrainer.learnMerges)
-    "q_bpe_train" -> 0
+    "q_bpe_train" -> 0,
+    // three chained stages (quality agg + span-dedup stack + LM pair
+    // agg) + the final doc joins + order — every exchange combinable
+    // or keyed on doc_id
+    "q_curate_compose" -> 18
   )
 
   // A subtree consumed by several branches only shares its exchange if
