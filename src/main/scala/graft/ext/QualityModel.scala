@@ -67,6 +67,37 @@ object QualityModel {
       idCol, biasMilli)
   }
 
+  /** Feature-hashing document embedding (Weinberger et al., "Feature
+    * Hashing for Large Scale Multitask Learning", ICML 2009 — the
+    * fastText input layer): dims integer components, component j =
+    * Σ_tokens (h32("e{j}|" + token) % 2001 − 1000). No vocabulary, no
+    * model file, bit-exact on any engine — the cheap on-ramp that
+    * turns a text corpus into vectors for the ANN/semantic-dedup
+    * stack when no trained encoder is at hand.
+    *
+    * Shape: one explode; all dims hashed in ONE codegen'd Project
+    * (never inside an array lambda — the InferFiltersFromGenerate
+    * re-evaluation trap); one combinable multi-sum aggregation.
+    * Output: (idCol, v0..v{dims-1}).
+    */
+  def hashedEmbedding(docs: DataFrame, idCol: String, tokens: Column,
+      dims: Int): DataFrame = {
+    require(dims >= 1 && dims <= 64, s"dims $dims outside [1, 64]")
+    val exploded = docs.where(col(idCol).isNotNull)
+      .select(col(idCol), explode(tokens).as("_tok"))
+    val withDims = exploded.select(
+      col(idCol) +: (0 until dims).map { j =>
+        (Hashing.h32(concat(lit(s"e$j|"), col("_tok"))) % 2001 - 1000)
+          .as(s"_w$j")
+      }: _*)
+    withDims.groupBy(idCol)
+      .agg(sum(s"_w0").as("v0"),
+        (1 until dims).map(j => sum(s"_w$j").as(s"v$j")): _*)
+  }
+
+  def hashedEmbeddingSql(j: Int, tokenExpr: String): String =
+    s"${Hashing.h32Sql(s"'e$j|' || $tokenExpr")} % 2001 - 1000"
+
   private def finish(tokenWeights: DataFrame, idCol: String,
       biasMilli: Long): DataFrame =
     tokenWeights

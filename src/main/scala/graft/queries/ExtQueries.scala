@@ -1099,6 +1099,15 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Feature-hashing document embeddings (Weinberger '09 / fastText
+    // input layer): 8 integer dims from token hashes — the vector
+    // on-ramp for the ANN stack when no trained encoder exists.
+    "q_hash_embed" -> ((s, dir) => {
+      graft.ext.QualityModel.hashedEmbedding(
+        docsWithTokens(s, dir), "doc_id", TA.tokens(col("text")), dims = 8)
+        .orderBy("doc_id")
+    }),
+
     // The round-9 operators COMPOSED under one oracle (the q_assembly
     // pattern): linear-classifier quality gate -> substring-dedup
     // removal over the kept corpus -> bigram-LM surprisal trained on
@@ -2775,6 +2784,17 @@ object ExtQueries {
 
     "q_bpe_train" -> bpeTrainOracle,
     "q_curate_compose" -> curateComposeOracle,
+
+    "q_hash_embed" -> {
+      val sums = (0 until 8).map(j =>
+        s"sum(${graft.ext.QualityModel.hashedEmbeddingSql(j, "token")})::BIGINT AS v$j")
+        .mkString(",\n         |  ")
+      s"""WITH t AS (SELECT doc_id, unnest($tokensSql) AS token
+         |           FROM documents WHERE doc_id IS NOT NULL)
+         |SELECT doc_id,
+         |  $sums
+         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "q_snapshot_diff" ->
       """WITH d AS (SELECT doc_id, text FROM documents
