@@ -28,5 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.H32].getName,
         graft.functions.GraftFunctions.H32Name),
       (exprs: Seq[Expression]) => graft.functions.H32(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.GraftFunctions.NfcName),
+      new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName,
+        graft.functions.GraftFunctions.NfcName),
+      (exprs: Seq[Expression]) => graft.functions.NfcNormalize(exprs.head)))
   }
 }

@@ -155,6 +155,24 @@ object TextAnalysis {
       regexp_replace(lower(text), "[\\x00-\\x1F\\x7F]", " "),
       " +", " "))
 
+  /** Unicode NFC (native codegen [[graft.functions.NfcNormalize]] —
+    * Spark has no builtin; mirrors DuckDB's `nfc_normalize` exactly).
+    * Composed/decomposed variants of the same visible text must hash
+    * together before any fingerprint-based dedup. UDF fallback only
+    * for bare Column construction with no active session (tests).
+    */
+  def nfc(text: Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.functions.GraftFunctions.register(s)
+        call_function(graft.functions.GraftFunctions.NfcName, text)
+      case None =>
+        udf((x: String) =>
+          if (x == null) null
+          else java.text.Normalizer.normalize(x,
+            java.text.Normalizer.Form.NFC)).apply(text)
+    }
+
   /** Total characters across tokens — exact long, the numerator of mean
     * word length (kept as a sum so thresholds cross-multiply). */
   def tokenCharsFromTokens(tks: Column): Column =

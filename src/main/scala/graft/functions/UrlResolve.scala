@@ -109,6 +109,7 @@ object GraftFunctions {
   val NGramsName = "graft_ngrams"
   val BloomAggName = "graft_bloom_agg"
   val BloomMightContainName = "graft_bloom_might_contain"
+  val NfcName = "nfc_normalize"
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -148,5 +149,7 @@ object GraftFunctions {
     put(BloomMightContainName, exprs =>
       org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(exprs(0), exprs(1)))
+    // same name as the DuckDB builtin it mirrors
+    put(NfcName, exprs => NfcNormalize(exprs.head))
   }
 }

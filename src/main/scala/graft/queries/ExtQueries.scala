@@ -1099,6 +1099,24 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Unicode NFC canonicalization (native codegen expression; Spark
+    // has no builtin — TA.nfc ≙ DuckDB nfc_normalize). Decomposed
+    // (e + U+0301) and precomposed (U+00E9) suffixes are injected
+    // deterministically; after NFC both arms fingerprint identically.
+    "q_nfc_normalize" -> ((s, dir) => {
+      val suffix = when(col("doc_id") % 3 === 0, lit(" café"))
+        .when(col("doc_id") % 3 === 1, lit(" café"))
+        .otherwise(lit(""))
+      val t = concat(col("text"), suffix)
+      docsWithTokens(s, dir)
+        .where(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          length(t).as("len_raw"),
+          length(TA.nfc(t)).as("len_nfc"),
+          md5(TA.nfc(t)).as("fp_nfc"))
+        .orderBy("doc_id")
+    }),
+
     // Feature-hashing document embeddings (Weinberger '09 / fastText
     // input layer): 8 integer dims from token hashes — the vector
     // on-ramp for the ANN stack when no trained encoder exists.
@@ -2784,6 +2802,17 @@ object ExtQueries {
 
     "q_bpe_train" -> bpeTrainOracle,
     "q_curate_compose" -> curateComposeOracle,
+
+    "q_nfc_normalize" ->
+      """WITH d AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769)
+        |                 WHEN doc_id % 3 = 1 THEN ' caf' || chr(233)
+        |                 ELSE '' END AS t
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT doc_id, length(t)::INT AS len_raw,
+        |  length(nfc_normalize(t))::INT AS len_nfc,
+        |  md5(nfc_normalize(t)) AS fp_nfc
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_hash_embed" -> {
       val sums = (0 until 8).map(j =>
