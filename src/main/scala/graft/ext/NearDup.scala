@@ -125,6 +125,49 @@ object NearDup {
       .select("d1", "d2").distinct()
   }
 
+  /** Incremental near-dup: verified LSH matches of a NEW batch against
+    * a HISTORICAL corpus (the daily-intake sibling of the exact
+    * anti-join in q_incremental_dedup — near-verbatim rewrites of
+    * already-ingested documents, not just byte-identical ones). Both
+    * sides band with the SAME configuration; candidates are the
+    * cross-corpus band-key join. The bucket cap applies to the
+    * HISTORY side only: a boilerplate bucket in a years-deep corpus
+    * would fan every matching batch doc out by its size, while batch
+    * buckets are day-sized. No lower bound here (unlike within-corpus
+    * pairing, where a singleton bucket cannot form a pair, a singleton
+    * HISTORY bucket + one batch doc is exactly a candidate).
+    *
+    * Output: (new_id, old_id, inter_size, union_size, jac), verified
+    * at `minJaccard`.
+    */
+  def incrementalNearDupPairs(batch: DataFrame, history: DataFrame,
+      idCol: Column, words: Column, bands: Int, rowsPerBand: Int,
+      maxBucket: Int, minJaccard: Double): DataFrame = {
+    require(minJaccard > 0,
+      "minJaccard must be > 0: only same-bucket pairs are candidates")
+    val bb = lshBands(batch, idCol, words, bands, rowsPerBand)
+      .select(col("band_id"), col("band_key"), col("doc_id").as("new_id"))
+    val bh0 = lshBands(history, idCol, words, bands, rowsPerBand)
+    val keep = bh0.groupBy("band_id", "band_key")
+      .agg(count(lit(1)).as("bucket_size"))
+      .where(col("bucket_size") <= maxBucket)
+      .select("band_id", "band_key")
+    val bh = bh0.join(keep, Seq("band_id", "band_key"))
+      .select(col("band_id"), col("band_key"), col("doc_id").as("old_id"))
+    val cand = bb.join(bh, Seq("band_id", "band_key"))
+      .select("new_id", "old_id").distinct()
+    val tkN = batch.select(idCol.as("new_id"), words.as("tk1"))
+    val tkO = history.select(idCol.as("old_id"), words.as("tk2"))
+    val joined = cand.join(tkN, "new_id").join(tkO, "old_id")
+    val (inter, union) = setOverlap(col("tk1"), col("tk2"))
+    joined
+      .withColumn("inter_size", inter)
+      .withColumn("union_size", union)
+      .withColumn("jac", col("inter_size").cast("double") / col("union_size"))
+      .where(col("jac") >= minJaccard)
+      .select("new_id", "old_id", "inter_size", "union_size", "jac")
+  }
+
   def lshNearDupPairs(df: DataFrame, idCol: Column, words: Column,
       bands: Int, rowsPerBand: Int, maxBucket: Int,
       minJaccard: Double): DataFrame = {

@@ -1099,6 +1099,20 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental near-dup: the daily batch (doc_id%4==0) LSH-checked
+    // against the historical corpus (rest) — near-verbatim rewrites of
+    // already-ingested docs, the fuzzy sibling of q_incremental_dedup.
+    "q_incremental_neardup" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir)
+      val tks = TA.distinctTokens(col("text"))
+      NearDup.incrementalNearDupPairs(
+        d.where(col("doc_id") % 4 === 0),
+        d.where(col("doc_id") % 4 =!= 0),
+        col("doc_id"), tks,
+        bands = 4, rowsPerBand = 2, maxBucket = 10, minJaccard = 0.6)
+        .orderBy("new_id", "old_id")
+    }),
+
     // Unicode NFC canonicalization (native codegen expression; Spark
     // has no builtin — TA.nfc ≙ DuckDB nfc_normalize). Decomposed
     // (e + U+0301) and precomposed (U+00E9) suffixes are injected
@@ -1343,6 +1357,55 @@ object ExtQueries {
        |  SELECT d1, d2, inter_size, union_size,
        |    inter_size::DOUBLE / union_size AS jac
        |  FROM v WHERE inter_size::DOUBLE / union_size >= 0.6)""".stripMargin
+  }
+
+  /** Mirrors q_incremental_neardup: one shared signature table, bands
+    * split into batch (doc_id%4=0) and history, cap on HISTORY buckets
+    * only, cross-corpus candidate join, same Jaccard verify.
+    */
+  private def incrementalNearDupOracle: String = {
+    val sigs = (0 until 8).map { i =>
+      s"list_aggregate(list_transform(hs, h -> ${Hashing.mixSql(i, "h")}), 'min') AS mh$i"
+    }.mkString(",\n    ")
+    val bandSel = (0 until 4).map { b =>
+      val key = (0 until 2).map(r => s"mh${b * 2 + r}::VARCHAR")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, ${b}::BIGINT AS band_id, $key AS band_key FROM isig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ihashed AS (
+       |  SELECT doc_id,
+       |    list_transform($dtokensSql, w -> ${Hashing.h32Sql("w")}) AS hs
+       |  FROM documents),
+       |isig AS (
+       |  SELECT doc_id,
+       |    $sigs
+       |  FROM ihashed),
+       |ibands0 AS (
+       |  $bandSel),
+       |bb AS (SELECT doc_id AS new_id, band_id, band_key FROM ibands0
+       |       WHERE doc_id % 4 = 0),
+       |bh0 AS (SELECT doc_id AS old_id, band_id, band_key FROM ibands0
+       |        WHERE doc_id % 4 <> 0),
+       |ikeep AS (SELECT band_id, band_key FROM bh0
+       |          GROUP BY 1, 2 HAVING count(*) <= 10),
+       |bh AS (SELECT b.* FROM bh0 b JOIN ikeep USING (band_id, band_key)),
+       |icand AS (
+       |  SELECT DISTINCT new_id, old_id
+       |  FROM bb JOIN bh USING (band_id, band_key)),
+       |itk AS (SELECT doc_id, $dtokensSql AS tk FROM documents),
+       |iv AS (
+       |  SELECT new_id, old_id,
+       |    len(list_filter(a.tk, x -> list_contains(b.tk, x)))::BIGINT
+       |      AS inter_size,
+       |    (len(a.tk) + len(b.tk))::BIGINT
+       |      - len(list_filter(a.tk, x -> list_contains(b.tk, x)))::BIGINT
+       |      AS union_size
+       |  FROM icand JOIN itk a ON icand.new_id = a.doc_id
+       |    JOIN itk b ON icand.old_id = b.doc_id)
+       |SELECT new_id, old_id, inter_size, union_size,
+       |  inter_size::DOUBLE / union_size AS jac
+       |FROM iv WHERE inter_size::DOUBLE / union_size >= 0.6
+       |ORDER BY new_id, old_id""".stripMargin
   }
 
   private def lshNearDupOracle: String =
@@ -2802,6 +2865,8 @@ object ExtQueries {
 
     "q_bpe_train" -> bpeTrainOracle,
     "q_curate_compose" -> curateComposeOracle,
+
+    "q_incremental_neardup" -> incrementalNearDupOracle,
 
     "q_nfc_normalize" ->
       """WITH d AS (SELECT doc_id,
