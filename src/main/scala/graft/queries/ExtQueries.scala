@@ -1099,6 +1099,26 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Source-level curation rollup (the RefinedWeb-style decision one
+    // level above documents): per source, doc count, integer mean LR
+    // score, kept share, and the keep/review verdict.
+    "q_source_quality" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+      val scored = graft.ext.QualityModel.hashedScore(
+        d, "doc_id", TA.tokens(col("text")), biasMilli = 50L)
+      d.select(col("doc_id"), col("source"))
+        .join(scored, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(score_milli) div count(1)").as("mean_score_milli"),
+          sum(when(col("label") === "keep", 1L).otherwise(0L)).as("n_keep"))
+        .withColumn("keep_share_milli", expr("n_keep * 1000 div n_docs"))
+        .withColumn("verdict",
+          when(col("keep_share_milli") >= 500, "keep_source")
+            .otherwise("review"))
+        .orderBy("source")
+    }),
+
     // Incremental near-dup: the daily batch (doc_id%4==0) LSH-checked
     // against the historical corpus (rest) — near-verbatim rewrites of
     // already-ingested docs, the fuzzy sibling of q_incremental_dedup.
@@ -2867,6 +2887,29 @@ object ExtQueries {
     "q_curate_compose" -> curateComposeOracle,
 
     "q_incremental_neardup" -> incrementalNearDupOracle,
+
+    "q_source_quality" ->
+      s"""WITH t AS (SELECT doc_id, unnest($tokensSql) AS token
+         |           FROM documents WHERE doc_id IS NOT NULL),
+         |s AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |        sum(${graft.ext.QualityModel.hashedWeightSql("token")})::BIGINT
+         |          AS wsum
+         |      FROM t GROUP BY doc_id),
+         |sc AS (SELECT doc_id,
+         |         ((wsum + 50) // n_tokens)::BIGINT AS score_milli
+         |       FROM s),
+         |j AS (SELECT d.source, sc.score_milli FROM documents d
+         |      JOIN sc ON d.doc_id = sc.doc_id),
+         |g AS (SELECT source, count(*)::BIGINT AS n_docs,
+         |        (sum(score_milli) // count(*))::BIGINT AS mean_score_milli,
+         |        sum(CASE WHEN score_milli >= 0 THEN 1 ELSE 0 END)::BIGINT
+         |          AS n_keep
+         |      FROM j GROUP BY source)
+         |SELECT source, n_docs, mean_score_milli, n_keep,
+         |  (n_keep * 1000 // n_docs)::BIGINT AS keep_share_milli,
+         |  CASE WHEN (n_keep * 1000 // n_docs) >= 500 THEN 'keep_source'
+         |       ELSE 'review' END AS verdict
+         |FROM g ORDER BY source""".stripMargin,
 
     "q_nfc_normalize" ->
       """WITH d AS (SELECT doc_id,
