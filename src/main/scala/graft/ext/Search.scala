@@ -21,20 +21,34 @@ object Search {
 
   /** (idCol, n_matches) for documents containing `phrase` at least
     * once; n_matches counts distinct start positions.
+    *
+    * ONE corpus pass (DESIGN.md rule 8 — the first version joined k
+    * per-word posting frames, i.e. k scans): each exploded token
+    * broadcast-joins the tiny (word, offset) phrase table — a token
+    * occurring at several phrase offsets contributes one row per
+    * offset — and a start position p0 = pos − offset is a match iff
+    * ALL k offsets appear in its group. `isin` prunes non-phrase
+    * tokens before the join.
     */
   def phraseMatches(docs: DataFrame, idCol: String, tokens: Column,
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one token")
-    val toks = docs
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val phraseTable = phrase.zipWithIndex
+      .map { case (w, i) => (w, i.toLong) }.toDF("token", "_off")
+    docs
       .where(col(idCol).isNotNull)
       .select(col(idCol), posexplode(tokens))
       .select(col(idCol), col("pos").cast("long").as("pos"),
         col("col").as("token"))
-    val parts = phrase.zipWithIndex.map { case (w, i) =>
-      toks.where(col("token") === w)
-        .select(col(idCol), (col("pos") - i).as("p0"))
-    }
-    parts.reduce((a, b) => a.join(b, Seq(idCol, "p0")))
+      .where(col("token").isin(phrase.distinct: _*))
+      .join(broadcast(phraseTable), "token")
+      .select(col(idCol), (col("pos") - col("_off")).as("p0"), col("_off"))
+      .where(col("p0") >= 0)
+      .groupBy(col(idCol), col("p0"))
+      .agg(countDistinct(col("_off")).as("_n_off"))
+      .where(col("_n_off") === phrase.size)
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_matches"))
   }

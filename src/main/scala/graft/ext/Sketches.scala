@@ -92,19 +92,21 @@ object Sketches {
       case cs => throw new IllegalArgumentException(
         s"heavyHitters expects one column, got ${cs.mkString(",")}")
     }
-    val spark = items.sparkSession
-    import spark.implicits._
     val stream = items.where(col(itemCol).isNotNull)
       .select(col(itemCol).cast("string").as("item"))
-    val candidates = stream.as[String]
-      .select(new MisraGries(m).toColumn) // typed select — one Array[String] row
-      .toDF("cand")
-      .select(explode(col("cand")).as("item"))
-    val total = stream.agg(count(lit(1)).as("n_total"))
-    stream.join(broadcast(candidates), "item")
+    // sketch AND stream length in ONE aggregation over ONE scan
+    // (DESIGN.md rule 8: never re-scan for something a pass already
+    // knows); the 1-row result explodes into a <= m-row broadcast
+    // carrying the total, so the recount join is a plain broadcast
+    // HASH join on the item key — no BNLJ anywhere
+    val mg = udaf(new MisraGries(m),
+      org.apache.spark.sql.Encoders.STRING)
+    val candTotal = stream
+      .agg(mg(col("item")).as("cand"), count(lit(1)).as("n_total"))
+      .select(explode(col("cand")).as("item"), col("n_total"))
+    stream.join(broadcast(candTotal), "item")
       .groupBy("item")
-      .agg(count(lit(1)).as("n"))
-      .join(broadcast(total)) // 1-row cross, BNLJ by intent
+      .agg(count(lit(1)).as("n"), min("n_total").as("n_total"))
       .where(col("n") * (m + 1) > col("n_total"))
       .select(col("item"), col("n"))
   }

@@ -20,13 +20,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
   // assignment (broadcast queries / centroids against the corpus);
   // q_kmeans runs ivfAssign per Lloyd round, q_semdedup once,
   // q_ann_recall composes both sides (IVF index + brute-force truth);
-  // q_tfidf/q_bm25/q_heavy_hitters broadcast a 1-ROW corpus-totals
-  // aggregate (N, avgdl, stream length) to every scored row — the
-  // canonical scalar-broadcast shape
+  // q_tfidf/q_bm25/q_collocations broadcast a 1-ROW corpus-totals
+  // aggregate (N, avgdl) to every scored row — the canonical
+  // scalar-broadcast shape (q_heavy_hitters USED to be here; its
+  // total now rides the exploded candidate broadcast, hash-joined)
   private val bnljAllowed = Set(
     "q_cosine_topk", "q_ann_ivf", "q_ann_ivf_mp", "q_kmeans", "q_semdedup",
     "q_semdedup_audit", "q_ann_recall", "q_tfidf", "q_bm25",
-    "q_heavy_hitters", "q_collocations", "q_ann_ivfpq")
+    "q_collocations", "q_ann_ivfpq")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !name.startsWith("q_wat")) {
