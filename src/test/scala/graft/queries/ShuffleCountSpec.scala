@@ -175,7 +175,17 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // three chained stages (quality agg + span-dedup stack + LM pair
     // agg) + the final doc joins + order — every exchange combinable
     // or keyed on doc_id
-    "q_curate_compose" -> 18
+    "q_curate_compose" -> 18,
+    // per-row native NFC + one range order; the normalize itself must
+    // never shuffle
+    "q_nfc_normalize" -> 1,
+    // one explode + one combinable multi-sum agg + order
+    "q_hash_embed" -> 3,
+    // two banding stacks + history-bucket cap + cross join + verify
+    // joins + distinct + order
+    "q_incremental_neardup" -> 12,
+    // per-doc score agg + source join + source agg + order
+    "q_source_quality" -> 5
   )
 
   // A subtree consumed by several branches only shares its exchange if
