@@ -262,4 +262,31 @@ object Clustering {
       .select(col("doc_id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Quality-aware cluster dedup: keep each duplicate cluster's
+    * BEST-scoring member (ties to the smallest id) instead of
+    * [[clusterDedup]]'s min-label representative — "keep the best
+    * duplicate, not the first". Docs outside the duplicate graph are
+    * their own singleton cluster and always survive.
+    *
+    * Survivor selection is a combinable `max_by((score, -id))`
+    * aggregation per cluster — hot-cluster-safe (a boilerplate cluster
+    * is many rows through map-side partials, never one partition's
+    * window), the [[graft.ops.Dedup.firstPerKeyAgg]] standard.
+    */
+  def clusterBest(docs: DataFrame, pairs: DataFrame, idCol: String,
+      scoreCol: String, maxIters: Int = 25): DataFrame = {
+    val labels = connectedComponents(pairs, maxIters = maxIters)
+      .withColumnRenamed("doc_id", idCol)
+    val labeled = docs
+      .join(labels, Seq(idCol), "left")
+      .withColumn("_cl", coalesce(col("cluster_id"), col(idCol)))
+      .drop("cluster_id")
+    val winners = labeled.groupBy("_cl")
+      .agg(max_by(col(idCol), struct(col(scoreCol), -col(idCol)))
+        .as("_win"))
+    labeled.join(winners, "_cl")
+      .where(col(idCol) === col("_win"))
+      .drop("_cl", "_win")
+  }
 }

@@ -1099,6 +1099,22 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Quality-aware cluster dedup: each near-dup cluster keeps its
+    // BEST-scoring member (classifier score, ties to smallest id) —
+    // "keep the best duplicate, not the first".
+    "q_cluster_best" -> ((s, dir) => {
+      val d = docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+      val pairs = NearDup.lshNearDupPairs(d, col("doc_id"),
+        TA.distinctTokens(col("text")), bands = 4, rowsPerBand = 2,
+        maxBucket = 10, minJaccard = 0.6)
+      val scored = d.select(col("doc_id"))
+        .join(graft.ext.QualityModel.hashedScore(
+          d, "doc_id", TA.tokens(col("text")), biasMilli = 50L)
+          .select(col("doc_id"), col("score_milli")), "doc_id")
+      Clustering.clusterBest(scored, pairs, "doc_id", "score_milli")
+        .orderBy("doc_id")
+    }),
+
     // Source-level curation rollup (the RefinedWeb-style decision one
     // level above documents): per source, doc count, integer mean LR
     // score, kept share, and the keep/review verdict.
@@ -1562,6 +1578,31 @@ object ExtQueries {
        |cc AS (
        |  SELECT doc AS doc_id, min(lab) AS cluster_id FROM reach
        |  GROUP BY doc)""".stripMargin
+
+  // Mirrors q_cluster_best: the SAME recursive components + the SAME
+  // classifier score, winner by (score desc, doc_id) per cluster.
+  private def clusterBestOracle: String =
+    s"""WITH RECURSIVE $ccCtes,
+       |tq AS (SELECT doc_id, unnest($tokensSql) AS token
+       |       FROM documents WHERE doc_id IS NOT NULL),
+       |sq AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |         sum(${graft.ext.QualityModel.hashedWeightSql("token")})::BIGINT
+       |           AS wsum
+       |       FROM tq GROUP BY doc_id),
+       |sc AS (SELECT doc_id,
+       |         ((wsum + 50) // n_tokens)::BIGINT AS score_milli FROM sq),
+       |lab AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cl
+       |        FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+       |        WHERE d.doc_id IS NOT NULL),
+       |j AS (SELECT lab.doc_id, lab.cl, sc.score_milli
+       |      FROM lab JOIN sc ON lab.doc_id = sc.doc_id),
+       |w AS (SELECT cl, doc_id AS win FROM (
+       |        SELECT cl, doc_id, row_number() OVER (PARTITION BY cl
+       |          ORDER BY score_milli DESC, doc_id) AS rn FROM j)
+       |      WHERE rn = 1)
+       |SELECT j.doc_id, j.score_milli FROM j
+       |JOIN w ON j.cl = w.cl AND j.doc_id = w.win
+       |ORDER BY j.doc_id""".stripMargin
 
   private def neardupClusterOracle: String =
     s"""WITH RECURSIVE $ccCtes
@@ -2696,6 +2737,7 @@ object ExtQueries {
     "q_cluster_star" -> neardupClusterOracle,
     "q_cluster_split" -> clusterSplitOracle,
     "q_cluster_dedup" -> clusterDedupOracle,
+    "q_cluster_best" -> clusterBestOracle,
     "q_dedup_minhash" -> dedupMinhashOracle,
     "q_soft_dedup" -> softDedupOracle,
     "q_incremental_dedup" -> incrementalDedupOracle,
