@@ -335,6 +335,20 @@ object RefQueries {
         .orderBy("host")
     }),
 
+    // Per-archive observability rollup — the ops table a fleet operator
+    // reads after every crawl batch: rows, distinct pages, distinct
+    // target urls, caption coverage, per archive file.
+    "q_archive_stats" -> ((s, dir) => {
+      val path = graft.wat.WatFixture.ensureTailParquet(s)
+      s.read.parquet(path)
+        .groupBy("cc_filename")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("page_url")).as("n_pages"),
+          countDistinct(col("url")).as("n_urls"),
+          sum(when(col("alt") =!= "", 1L).otherwise(0L)).as("n_captioned"))
+        .orderBy("cc_filename")
+    }),
+
     // HITS hubs & authorities over the same edge list (Kleinberg '99):
     // 2 unnormalized mutual-reinforcement rounds, exact integers.
     "q_hits" -> ((s, dir) => {
@@ -517,6 +531,14 @@ object RefQueries {
          |    ORDER BY cc_filename, page_url, url, alt) AS rn
          |  FROM read_parquet('${graft.wat.WatFixture.TailParquetPath}'))
          |WHERE rn = 1 ORDER BY uid""".stripMargin,
+
+    "q_archive_stats" ->
+      s"""SELECT cc_filename, count(*)::BIGINT AS n_rows,
+         |  count(DISTINCT page_url)::BIGINT AS n_pages,
+         |  count(DISTINCT url)::BIGINT AS n_urls,
+         |  sum(CASE WHEN alt <> '' THEN 1 ELSE 0 END)::BIGINT AS n_captioned
+         |FROM read_parquet('${graft.wat.WatFixture.TailParquetPath}')
+         |GROUP BY cc_filename ORDER BY cc_filename""".stripMargin,
 
     "q_anchor_agg" ->
       s"""SELECT url, count(*)::BIGINT AS n_links,
