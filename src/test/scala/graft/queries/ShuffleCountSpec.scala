@@ -185,7 +185,10 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // joins + distinct + order
     "q_incremental_neardup" -> 12,
     // per-doc score agg + source join + source agg + order
-    "q_source_quality" -> 5
+    "q_source_quality" -> 5,
+    // one combinable agg (count-distinct two-phase) + order over the
+    // extracted tail
+    "q_archive_stats" -> 5
   )
 
   // A subtree consumed by several branches only shares its exchange if
