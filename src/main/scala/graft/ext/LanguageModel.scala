@@ -32,6 +32,43 @@ object LanguageModel {
 
   def ilog2Sql(expr: String): String = s"(length(bin($expr)) - 1)"
 
+  /** CCNet head/middle/tail bucketing (Wenzek et al. 2019 §4.3): split
+    * the corpus into perplexity terciles — head = lowest-surprisal
+    * third. Thresholds are EXACT rank-based quantiles computed without
+    * any corpus-wide sort: cumulate counts over DISTINCT score values
+    * (surprisal is milli-bit-quantized, so the score DOMAIN is bounded
+    * — a window over it is a bounded-domain window, DESIGN.md rule 1,
+    * regardless of corpus size), then t_p = min score whose cumulative
+    * count reaches ceil(p·n). The two thresholds ride a 1-row
+    * broadcast; bucketing is per-row.
+    *
+    * Output: (idCol, score_milli_bits, bucket) with bucket in
+    * {head, middle, tail}.
+    */
+  def surprisalBuckets(docs: DataFrame, idCol: String, tokens: Column): DataFrame = {
+    val scored = bigramSurprisal(docs, idCol, tokens)
+      .select(col(idCol), col("score_milli_bits"))
+    val dist = scored.groupBy("score_milli_bits")
+      .agg(count(lit(1)).as("_c"))
+    val cum = dist.withColumn("_cum",
+      sum("_c").over(org.apache.spark.sql.expressions.Window
+        .orderBy("score_milli_bits")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+    val thresholds = cum
+      .join(broadcast(scored.agg(count(lit(1)).as("_n"))))
+      .agg(
+        min(when(col("_cum") * 3 >= col("_n"), col("score_milli_bits")))
+          .as("t1"),
+        min(when(col("_cum") * 3 >= col("_n") * 2, col("score_milli_bits")))
+          .as("t2"))
+    scored.join(broadcast(thresholds))
+      .select(col(idCol), col("score_milli_bits"),
+        when(col("score_milli_bits") <= col("t1"), "head")
+          .when(col("score_milli_bits") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Top collocations by integer pointwise mutual information: for
     * each bigram, lift_milli = (C2 × N × 1000) div (C1(w1·) × C1(·w2))
     * — the exact rational form of PMI's argument N·P(w1w2)/(P(w1)P(w2))

@@ -1249,6 +1249,15 @@ object ExtQueries {
         "doc_id", col("n_chars"), k = 50)
     }),
 
+    // CCNet head/middle/tail perplexity bucketing (Wenzek '19): exact
+    // rank-based terciles over the surprisal distribution, computed
+    // without a corpus-wide sort (bounded-domain cumulative).
+    "q_ppl_buckets" -> ((s, dir) => {
+      graft.ext.LanguageModel.surprisalBuckets(
+        docsWithTokens(s, dir), "doc_id", TA.tokens(col("text")))
+        .orderBy("doc_id")
+    }),
+
     // Collocation extraction: top-25 bigrams by integer PMI lift
     // (graft.ext.LanguageModel.collocations), df-cut at 5.
     "q_collocations" -> ((s, dir) => {
@@ -2902,6 +2911,43 @@ object ExtQueries {
          |SELECT doc_id, n_tokens, score_milli,
          |  CASE WHEN score_milli >= 0 THEN 'keep' ELSE 'drop' END AS label
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_ppl_buckets" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents
+         |            WHERE doc_id IS NOT NULL),
+         |b AS (SELECT doc_id,
+         |        unnest(list_transform(range(1, len(t)),
+         |          i -> t[i] || ' ' || t[i+1])) AS bg
+         |      FROM tk),
+         |base AS (SELECT doc_id, ${Hashing.h32Sql("bg")} AS bgh,
+         |           ${Hashing.h32Sql("split_part(bg, ' ', 1)")} AS w1h
+         |         FROM b),
+         |c2 AS (SELECT bgh, count(*) AS c2 FROM base GROUP BY bgh),
+         |c1 AS (SELECT w1h, count(*) AS c1 FROM base GROUP BY w1h),
+         |j AS (SELECT doc_id,
+         |        ${graft.ext.LanguageModel.ilog2Sql("c1")}
+         |          - ${graft.ext.LanguageModel.ilog2Sql("c2")} AS bits
+         |      FROM base JOIN c2 USING (bgh) JOIN c1 USING (w1h)),
+         |s AS (SELECT doc_id, count(*)::BIGINT AS nb,
+         |        sum(bits)::BIGINT AS tb FROM j GROUP BY doc_id),
+         |sc AS (SELECT doc_id,
+         |         ((tb * 1000) // nb)::BIGINT AS score_milli_bits FROM s),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM sc),
+         |dist AS (SELECT score_milli_bits AS sv, count(*)::BIGINT AS c
+         |         FROM sc GROUP BY 1),
+         |cum AS (SELECT sv, sum(c) OVER (ORDER BY sv
+         |          ROWS UNBOUNDED PRECEDING) AS cum FROM dist),
+         |th AS (SELECT
+         |         min(CASE WHEN cum * 3 >= (SELECT n FROM nn)
+         |             THEN sv END)::BIGINT AS t1,
+         |         min(CASE WHEN cum * 3 >= 2 * (SELECT n FROM nn)
+         |             THEN sv END)::BIGINT AS t2
+         |       FROM cum)
+         |SELECT doc_id, score_milli_bits,
+         |  CASE WHEN score_milli_bits <= t1 THEN 'head'
+         |       WHEN score_milli_bits <= t2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM sc, th ORDER BY doc_id""".stripMargin,
 
     "q_surprisal" ->
       s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents

@@ -27,7 +27,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
   private val bnljAllowed = Set(
     "q_cosine_topk", "q_ann_ivf", "q_ann_ivf_mp", "q_kmeans", "q_semdedup",
     "q_semdedup_audit", "q_ann_recall", "q_tfidf", "q_bm25",
-    "q_collocations", "q_ann_ivfpq")
+    "q_collocations", "q_ann_ivfpq", "q_ppl_buckets")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !name.startsWith("q_wat")) {
