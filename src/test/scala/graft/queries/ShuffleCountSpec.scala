@@ -188,7 +188,13 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     "q_source_quality" -> 5,
     // one combinable agg (count-distinct two-phase) + order over the
     // extracted tail
-    "q_archive_stats" -> 5
+    "q_archive_stats" -> 5,
+    // surprisal stack consumed TWICE in the initial plan (threshold
+    // derivation + row-level bucketing — the priced rule-3 trade;
+    // ReusedExchange collapses part of it at execution) + the
+    // bounded-domain cumulative (single-partition window over DISTINCT
+    // scores, never corpus rows) + 1-row threshold broadcasts + order
+    "q_ppl_buckets" -> 20
   )
 
   // A subtree consumed by several branches only shares its exchange if
