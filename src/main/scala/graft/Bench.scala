@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-run benchmark: every SparkEntry query on SPARK_GRAFT_SF_DIR,
   * one JSON line. Warmup runs table counts plus EVERY query once at
@@ -11,6 +11,13 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_BENCH_PASSES (default 2) timed runs, so a transient
   * host-contention spike can't masquerade as a plan regression.
   *
+  * Crash isolation: every query pass runs inside its own try/catch — a
+  * single analyzer error (the r8 blind round: one fixture-schema drift
+  * zeroed the whole artifact) degrades to a `"failed":{name:message}`
+  * entry and a null headline for that query; the JSON line and sidecar
+  * are ALWAYS emitted. BenchSpec pins this with a deliberately-broken
+  * query.
+  *
   * Two outputs:
   *  - `tools/bench_full_latest.json` (repo-anchored): the COMPLETE
   *    artifact — per-query wall + process-CPU seconds, per-pass
@@ -18,7 +25,10 @@ import org.apache.spark.sql.SparkSession
   *    of this main keeps only a bounded tail, which clipped the first
   *    half of a 103-query map; a file the harness can't truncate is the
   *    canonical record, and `tools/check_bench.py` follows the stdout
-  *    line's "sidecar" pointer to it.
+  *    line's "sidecar" pointer to it. A SPARK_GRAFT_BENCH_ONLY-filtered
+  *    run (comma-separated query names, for per-operator iteration)
+  *    writes `tools/bench_partial_latest.json` instead so the canonical
+  *    artifact never holds a partial battery.
   *  - stdout: ONE SHORT JSON line (totals + the slowest queries +
   *    sidecar path) sized to survive the tail clip and stay parseable.
   *
@@ -38,6 +48,75 @@ object Bench {
   /** Process CPU time in seconds (monotonic; -1 if unavailable). */
   private def cpuSec(): Double = osBean.getProcessCpuTime / 1e9
 
+  /** Time each query as `passes` (wall, processCpu) pairs through the
+    * honest toRdd sink. Failure of one pass never touches another
+    * query: the first failure per query is recorded (name -> message)
+    * and that pass yields no sample. Pure function of its inputs —
+    * BenchSpec drives it with a deliberately-broken query.
+    */
+  def timeQueries(spark: SparkSession,
+      queries: Seq[(String, (SparkSession, String) => DataFrame)],
+      sfDir: String, passes: Int)
+      : (Seq[(String, Seq[(Double, Double)])], Map[String, String]) = {
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = queries.map { case (name, fn) =>
+      val times: Seq[(Double, Double)] = (1 to passes).flatMap { _ =>
+        val c0 = cpuSec()
+        val t0 = System.nanoTime()
+        // toRdd.count() materializes every output column through the full
+        // physical plan; a plain .count() would let Catalyst prune the
+        // projection (e.g. the md5 uid in q_wat_extract becomes dead code)
+        // and under-report real full-row cost
+        try {
+          fn(spark, sfDir).queryExecution.toRdd.count()
+          Some(((System.nanoTime() - t0) / 1e9, cpuSec() - c0))
+        } catch { case e: Throwable =>
+          if (!failed.contains(name)) {
+            failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.next().take(200)
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          None
+        }
+      }
+      (name, times)
+    }
+    (results, failed.toMap)
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** Render the COMPLETE artifact JSON (one line, no trailing newline). */
+  def renderArtifact(results: Seq[(String, Seq[(Double, Double)])],
+      failed: Map[String, String], sfDir: String): String = {
+    def f3(v: Double) = f"$v%.3f"
+    // headline per query = min-wall pass (a transient contention spike
+    // lands on one pass, the min is steady-state); every pass's
+    // [wall, cpu] is ALSO emitted so a reader can separate contention
+    // (pass variance, wall up with cpu flat) from plan regression (all
+    // passes slow in both). A query with zero successful passes reports
+    // null, never 0.0 — a 0.0 would read as a huge speedup to a baseline
+    // comparator instead of a failure.
+    val best = results.map { case (k, ts) => (k, ts.minByOption(_._1)) }
+    val qs = best.map { case (k, b) =>
+      jstr(k) + ":" + b.map(p => f3(p._1)).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val cpuJson = best.map { case (k, b) =>
+      jstr(k) + ":" + b.map(p => f3(p._2)).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val passJson = results.map { case (k, ts) =>
+      jstr(k) + ":" +
+        ts.map(p => s"[${f3(p._1)},${f3(p._2)}]").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val failedJson = failed
+      .map { case (k, msg) => jstr(k) + ":" + jstr(msg) }
+      .mkString("{", ",", "}")
+    val total = best.flatMap(_._2.map(_._1)).sum
+    val cpuTotal = best.flatMap(_._2.map(_._2)).sum
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","cpu_sec":${f3(cpuTotal)},"queries":$qs,"cpu":$cpuJson,"passes":$passJson,"failed":$failedJson,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -48,6 +127,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // optional per-operator iteration filter (comma-separated names);
+    // a filtered run must never overwrite the canonical full artifact
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queryMap = only match {
+      case Some(f) => SparkEntry.queries.filter { case (k, _) => f(k) }
+      case None => SparkEntry.queries
+    }
 
     // warmup: touch every fixture table, then run EVERY query once at
     // the smallest scale — whole-stage codegen compiles per generated
@@ -75,7 +163,7 @@ object Bench {
     warmTouch("wat-single")(graft.wat.WatFixture.ensureSingle())
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       "/root/testdata/sf0.001")
-    SparkEntry.queries.foreach { case (name, fn) =>
+    queryMap.foreach { case (name, fn) =>
       try fn(spark, warmDir).queryExecution.toRdd.count()
       catch {
         case e: Throwable =>
@@ -85,63 +173,20 @@ object Bench {
       }
     }
 
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     // each query is timed as the MIN of `passes` runs: a transient
     // CPU-contention spike on the bench host (observed 2-20x inflation on
     // individual queries in shared-machine runs) lands on one pass, not
     // both, and the min reports the query's real steady-state cost
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // each pass records (wall, processCpu) seconds
-      val times: Seq[(Double, Double)] = (1 to passes).flatMap { _ =>
-        val c0 = cpuSec()
-        val t0 = System.nanoTime()
-        // toRdd.count() materializes every output column through the full
-        // physical plan; a plain .count() would let Catalyst prune the
-        // projection (e.g. the md5 uid in q_wat_extract becomes dead code)
-        // and under-report real full-row cost
-        try {
-          fn(spark, sfDir).queryExecution.toRdd.count()
-          Some(((System.nanoTime() - t0) / 1e9, cpuSec() - c0))
-        } catch { case e: Throwable =>
-          if (!failed.contains(name)) {
-            failed += name
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          }
-          None
-        }
-      }
-      (name, times)
-    }
-    // headline per query = min-wall pass (a transient contention spike
-    // lands on one pass, the min is steady-state); every pass's
-    // [wall, cpu] is ALSO emitted so a reader can separate contention
-    // (pass variance, wall up with cpu flat) from plan regression (all
-    // passes slow in both). A query with zero successful passes reports
-    // null, never 0.0 — a 0.0 would read as a huge speedup to a baseline
-    // comparator instead of a failure.
-    def f3(v: Double) = f"$v%.3f"
-    val best = results.map { case (k, ts) =>
-      (k, ts.minByOption(_._1)) // the min-WALL pass, with its cpu
-    }
-    val qs = best.map { case (k, b) =>
-      "\"" + k + "\":" + b.map(p => f3(p._1)).getOrElse("null")
-    }.mkString("{", ",", "}")
-    val cpuJson = best.map { case (k, b) =>
-      "\"" + k + "\":" + b.map(p => f3(p._2)).getOrElse("null")
-    }.mkString("{", ",", "}")
-    val passJson = results.map { case (k, ts) =>
-      "\"" + k + "\":" +
-        ts.map(p => s"[${f3(p._1)},${f3(p._2)}]").mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = best.flatMap(_._2.map(_._1)).sum
-    val cpuTotal = best.flatMap(_._2.map(_._2)).sum
+    val (results, failed) =
+      timeQueries(spark, queryMap.toSeq.sortBy(_._1), sfDir, passes)
+    val full = renderArtifact(results, failed, sfDir)
 
     // canonical artifact: the full per-query map, written where the
     // stdout-tail clip can't reach it (repo-anchored, committed per round)
-    val sidecarRel = "tools/bench_full_latest.json"
-    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","cpu_sec":${f3(cpuTotal)},"queries":$qs,"cpu":$cpuJson,"passes":$passJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    val sidecarRel =
+      if (only.isDefined) "tools/bench_partial_latest.json"
+      else "tools/bench_full_latest.json"
     val sidecar = new java.io.File(graft.wat.WatFixture.repoRoot, sidecarRel)
     try {
       java.nio.file.Files.write(sidecar.toPath,
@@ -152,9 +197,16 @@ object Bench {
 
     // stdout: short enough to survive a bounded tail capture — totals,
     // failures, and the slowest queries only; the sidecar has everything
+    def f3(v: Double) = f"$v%.3f"
+    val best = results.map { case (k, ts) => (k, ts.minByOption(_._1)) }
+    val total = best.flatMap(_._2.map(_._1)).sum
+    val cpuTotal = best.flatMap(_._2.map(_._2)).sum
+    val failedJson = failed
+      .map { case (k, msg) => jstr(k) + ":" + jstr(msg) }
+      .mkString("{", ",", "}")
     val slowest = best.collect { case (k, Some((w, _))) => (k, w) }
       .sortBy(-_._2).take(12)
-      .map { case (k, w) => "\"" + k + "\":" + f3(w) }
+      .map { case (k, w) => jstr(k) + ":" + f3(w) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","cpu_sec":${f3(cpuTotal)},"nq":${results.size},"slowest":$slowest,"sidecar":"$sidecarRel","failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()

@@ -68,21 +68,38 @@ object Similarity {
 
   /** IVF cell assignment: nearest centroid by cosine (centroids
     * broadcast); ties broken by centroid id.
+    *
+    * The argmax is a PER-ROW expression over the centroid set collected
+    * into ONE broadcast array row: each corpus vector scores every
+    * centroid in place and keeps the best — the corpus never leaves its
+    * partitions. The previous form expanded corpus×centroids and ran a
+    * `groupBy(vec_id)` argmax aggregation, which shuffled every vector's
+    * full `qv`/`n2` payload just to compute a value derivable per row;
+    * at 100 TB that exchange carries every embedding byte in the corpus
+    * (and it cost 2.6-4.5× on the bench). Zero shuffles now: the only
+    * join is a 1-row broadcast nested loop.
+    *
+    * `collect_list` order is nondeterministic, but `array_max` is
+    * order-independent and ties break to the smallest centroid id via
+    * the negated-id struct field, so the result is deterministic and
+    * partitioning-independent. An empty centroid set yields an empty
+    * result (null cells are filtered), matching the old crossJoin form.
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    // argmax via max_by over a (ccos, -c_id) ordering struct: one
-    // partial+final hash agg instead of a window sort. qv/n2 are
-    // constant per vec_id, so first() on them is deterministic.
-    val cents = centroids.select(col("vec_id").as("c_id"), col("qv").as("cv"),
-      col("n2").as("cn2"))
+    val cents = centroids
+      .select(col("vec_id").as("c_id"), col("qv").as("cv"),
+        col("n2").as("cn2"))
+      .agg(collect_list(struct(col("c_id"), col("cv"), col("cn2")))
+        .as("cents"))
     corpus.crossJoin(broadcast(cents))
-      .withColumn("ccos",
-        cosine(dotq(col("qv"), col("cv")), col("n2"), col("cn2")))
-      .groupBy(col("vec_id"))
-      .agg(
-        max_by(col("c_id"), struct(col("ccos"), -col("c_id"))).as("cell"),
-        first(col("qv")).as("qv"), first(col("n2")).as("n2"))
-      .select(col("vec_id"), col("qv"), col("n2"), col("cell"))
+      .withColumn("best", array_max(transform(col("cents"), c =>
+        struct(
+          cosine(dotq(col("qv"), c.getField("cv")), col("n2"),
+            c.getField("cn2")).as("ccos"),
+          (-c.getField("c_id")).as("nid")))))
+      .where(col("best").isNotNull)
+      .select(col("vec_id"), col("qv"), col("n2"),
+        (-col("best").getField("nid")).as("cell"))
   }
 
   /** IVF probe: top-k within the query's own cell (1-probe). */
@@ -282,12 +299,13 @@ object Similarity {
     * the scaladoc.
     *
     * The assignment subtree is consumed four times (keep-side count,
-    * both self-join sides, the survivor anti-join) but its argmax
-    * aggregation always requires the same hashpartitioning(vec_id), so
-    * ReuseExchange collapses the four copies onto ONE map-side
-    * crossJoin + partial-agg execution (verified: 3 ReusedExchange
-    * nodes in the final adaptive plan) — only the cheap reduce-side
-    * final agg re-runs per consumer.
+    * both self-join sides, the survivor anti-join). Since r10 the
+    * assignment is a PER-ROW expression (zero shuffle — see
+    * [[ivfAssign]]), so what repeats per consumer is map-side scoring
+    * only, never a payload shuffle; the cell-keyed consumers still
+    * collapse onto shared exchanges where their required partitioning
+    * agrees (DESIGN rule 3: duplicated map compute is the cheap side of
+    * the trade against shuffling every embedding byte).
     *
     * Returns the surviving (vec_id, cell) rows.
     */
