@@ -73,9 +73,15 @@ object Assembly {
     * on any engine and re-runs pick the SAME sample — the repo's
     * hash-sampling standard (q_hash_sample) extended to weights.
     *
-    * priority = (w_milli << 32) div (h32(salt|key) + 1), exact integer;
-    * w_milli up to ~2×10^6 stays inside int64. One per-row projection
-    * + TakeOrdered top-k: no shuffle at any size.
+    * priority = (w_milli << 32) div (h32(salt|key) + 1), exact integer.
+    * The multiply runs in decimal(38,0) (the bm25 idiom) so it cannot
+    * overflow for ANY weight — byte-length-weighted corpora can exceed
+    * 2^31 milli, where a plain int64 multiply would wrap; `div`'s
+    * conversion of the exact quotient back to bigint is ANSI-checked,
+    * so a weight pathological enough that the PRIORITY itself exceeds
+    * int64 fails loudly instead of silently corrupting the ordering.
+    * One per-row projection + TakeOrdered top-k: no shuffle at any
+    * size.
     */
   def prioritySample(df: DataFrame, keyCol: String, weightMillis: Column,
       k: Int, salt: String = "ps"): DataFrame = {
@@ -83,7 +89,8 @@ object Assembly {
     df.withColumn("_w", weightMillis.cast("long"))
       .where(col("_w") > 0)
       .withColumn("_h", h)
-      .withColumn("priority", expr(s"(_w * ${1L << 32}) div (_h + 1)"))
+      .withColumn("priority",
+        expr(s"cast(_w as decimal(38,0)) * ${1L << 32} div (_h + 1)"))
       .drop("_w", "_h")
       .orderBy(col("priority").desc, col(keyCol))
       .limit(k)

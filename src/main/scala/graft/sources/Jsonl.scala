@@ -37,6 +37,12 @@ object Jsonl {
     * data columns.
     */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    // the caller's data schema must not already claim the quarantine
+    // column: schema.add would produce a duplicate field and a
+    // confusing downstream analysis error instead of this message
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"caller schema must not contain '$CorruptCol' — it is reserved " +
+        "for the corrupt-line quarantine column Jsonl.read appends")
     val withCorrupt = schema.add(CorruptCol, "string")
     spark.read
       .schema(withCorrupt)

@@ -72,6 +72,10 @@ object StreamOps {
     val mg = udaf(new graft.ext.Sketches.MisraGries(m),
       org.apache.spark.sql.Encoders.STRING)
     rows
+      // batch Sketches.heavyHitters filters nulls before sketching; a
+      // null token here would become a null counter key and finish()'s
+      // sorted key dump would NPE mid-stream — same contract both paths
+      .where(col(tokenCol).isNotNull)
       .withWatermark(eventTimeCol, lateness)
       .groupBy(window(col(eventTimeCol), windowDur).as("w"))
       .agg(mg(col(tokenCol)).as("candidates"),

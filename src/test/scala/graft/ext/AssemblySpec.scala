@@ -120,4 +120,25 @@ class AssemblySpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(again == got)
   }
+
+  test("prioritySample survives weights >= 2^31 milli (decimal multiply)") {
+    // byte-length-weighted corpora can exceed 2^31 milli; the old int64
+    // multiply (w * 2^32) wrapped/threw here. The decimal(38,0) product
+    // is exact; reference computed in BigInt.
+    def h32(s: String): Long = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s).take(8), 16)
+    val rows = Seq((1L, 3000000000L), (2L, (1L << 31) - 1), (3L, 1L << 31),
+      (4L, 5000000000L), (5L, 42L))
+    val want = rows
+      .map { case (id, w) =>
+        (id, w,
+          ((BigInt(w) * BigInt(1L << 32)) / BigInt(h32(s"ps|$id") + 1))
+            .toLong) }
+      .sortBy { case (id, _, p) => (-p, id) }
+      .take(3)
+    val got = Assembly.prioritySample(rows.toDF("doc_id", "w"),
+      "doc_id", col("w"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
 }

@@ -30,6 +30,15 @@ class JsonlSpec extends AnyFunSuite with SparkTestBase {
       (1L to 100L).map(i => (i, s"text $i")).toSet)
   }
 
+  test("a caller schema claiming the corrupt column is rejected loudly") {
+    val clash = schema.add(Jsonl.CorruptCol, StringType)
+    val e = intercept[IllegalArgumentException] {
+      Jsonl.read(spark, "/unused", clash)
+    }
+    assert(e.getMessage.contains(Jsonl.CorruptCol),
+      "the message must name the reserved column")
+  }
+
   test("a corrupt line quarantines instead of failing the shard") {
     val dir = Files.createTempDirectory("jsonl_bad").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/part-bad.json"),

@@ -27,8 +27,11 @@ class SketchStreamSpec extends AnyFunSuite with SparkTestBase {
     // warm (5/8 > 1/5).
     val b1 = (1 to 30).map(i => ("hot", us(i))) ++
       (1 to 15).map(i => (s"f1_$i", us(i)))
+    // null tokens must be dropped (batch heavyHitters contract), not
+    // become null sketch keys — pre-fix this NPE'd in finish() mid-stream
     val b2 = (1 to 10).map(i => ("hot", us(30 + i % 20))) ++
-      (1 to 15).map(i => (s"f2_$i", us(i)))
+      (1 to 15).map(i => (s"f2_$i", us(i))) ++
+      (1 to 3).map(i => (null: String, us(i)))
     val w2 = (1 to 5).map(i => ("warm", us(70 + i))) ++
       (1 to 3).map(i => (s"g_$i", us(70 + i)))
     b1.toDF("token", "t_us").coalesce(1).write.parquet(s"$in/b1")
@@ -52,7 +55,8 @@ class SketchStreamSpec extends AnyFunSuite with SparkTestBase {
     val byWindow = rows.map(t => (t._1, (t._2, t._3))).toMap
     val (candW1, n1) = byWindow(0L) // epoch window
     val (candW2, n2) = byWindow(3600L * 1000)
-    assert(n1 == 70L && n2 == 8L)
+    assert(n1 == 70L && n2 == 8L,
+      "null tokens must not count toward window totals")
     assert(candW1.contains("hot"), s"window 1 lost the heavy item: $candW1")
     assert(candW1.size <= 4)
     assert(candW2.contains("warm"), s"window 2 lost the heavy item: $candW2")

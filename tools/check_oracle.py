@@ -7,7 +7,13 @@ names + kinds), row count, and exact values (columns sorted by name, rows
 sorted by all columns). Exact equality required — if this passes, any
 tolerance the real driver applies passes too.
 
-Usage: check_oracle.py <sfDir> <verifyOutDir>
+Usage: check_oracle.py <sfDir> <verifyOutDir> [queryName ...]
+
+With query names given (mirroring a filtered `graft.Verify` run), only
+those queries are checked. WITHOUT a filter, every oracle entry must
+have a result dir: Verify catches per-query exceptions and writes no
+parquet for a crashed query, so a silently-missing dir in a full run is
+a FAILURE (a crashing query must never drop out of the gate).
 """
 import json
 import sys
@@ -25,16 +31,27 @@ def canon(rel):
     return df
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=()):
+    import os
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
-        import os
+        if only and name not in only:
+            n_skip += 1
+            continue
         if not os.path.isdir(f"{out_dir}/{name}"):
-            # filtered Verify run (local iteration) — not a failure
+            if only:
+                # explicitly-requested query with no dump: that IS a failure
+                print(f"FAIL {name}: requested but no result dir")
+                n_fail += 1
+            else:
+                # full run: Verify only omits a dir when the query CRASHED
+                # (it catches and logs to stderr) — never skip silently
+                print(f"FAIL {name}: no result dir (query crashed in Verify?)")
+                n_fail += 1
             continue
         try:
             got = canon(con.sql(
@@ -69,9 +86,10 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    skipped = f", {n_skip} skipped (filtered)" if n_skip else ""
+    print(f"\n{n_pass} pass, {n_fail} fail{skipped}")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], frozenset(sys.argv[3:])))
