@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Clustering, Contamination, Multimodal, NearDup, Scrub, Similarity, Sketches, SubstringDedup, TextAnalysis => TA}
+import graft.ext.{Clustering, Contamination, Multimodal, NearDup, Scrub, Similarity, Sketches, SubstringDedup, Toxicity, TextAnalysis => TA}
 import graft.functions.Hashing
 import QueryUtil._
 
@@ -23,6 +23,15 @@ object ExtQueries {
 
   private def docsWithTokens(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
+
+  /** The blocklisted boilerplate injected into 30% of docs for the
+    * toxicity queries — mirrored verbatim in [[toxAugSql]].
+    */
+  private val toxBoiler = " win the casino jackpot lottery casino now"
+  private def toxAug =
+    concat(col("text"),
+      when(pmod(col("doc_id"), lit(10)) < 3, lit(toxBoiler))
+        .otherwise(lit("")))
 
   val queries: Map[String, QueryFn] = Map(
     // --- text analysis ---
@@ -847,6 +856,35 @@ object ExtQueries {
           Scrub.ipv4Count(col("aug")).as("n_ips"),
           md5(Scrub.redact(col("aug"))).as("redacted_md5"))
         .orderBy("doc_id")
+    }),
+
+    // C4-style blocklist gate (graft.ext.Toxicity): committed lexicon
+    // (tools/blocklist.txt) compiled into ONE whole-word alternation
+    // regex; per-doc hit/term counts + drop verdict, all derived from a
+    // single staged regexp_extract_all pass. Blocklisted boilerplate is
+    // injected into 30% of docs on BOTH engines (fixture text is clean
+    // by construction — q_redact's PII trick): one flagged footer
+    // shared by a third of the corpus is exactly the hot shape a real
+    // spam template produces.
+    "q_toxicity_gate" -> ((s, dir) => {
+      Toxicity.gate(
+        docsWithTokens(s, dir)
+          .select(col("doc_id"), col("source"), toxAug.as("text")),
+        "text", Toxicity.DefaultTerms)
+        .orderBy("doc_id")
+    }),
+
+    // Per-source toxicity rollup: the curation dashboard view — which
+    // sources are spam farms. Combinable agg over the gate frame;
+    // flagged rate in exact integer milli.
+    "q_toxicity_sources" -> ((s, dir) => {
+      Toxicity.sourceRollup(
+        Toxicity.gate(
+          docsWithTokens(s, dir)
+            .select(col("doc_id"), col("source"), toxAug.as("text")),
+          "text", Toxicity.DefaultTerms),
+        "source")
+        .orderBy("source")
     }),
 
     // Lee-et-al-style exact duplication signal: per document, the share
@@ -1972,6 +2010,42 @@ object ExtQueries {
   private def gopherKeptSql: String =
     gopherRulesSql.mkString("(", "\n    AND ", ")")
 
+  /** Mirrors [[toxAug]]'s injected boilerplate; `%` == pmod here
+    * because doc_id is non-negative.
+    */
+  private def toxAugSql =
+    s"text || CASE WHEN doc_id % 10 < 3 THEN '$toxBoiler' ELSE '' END"
+
+  /** The SAME compiled alternation pattern as the Spark side (terms are
+    * [a-z0-9]+ so Java regex and RE2 agree; DuckDB single-quoted
+    * strings pass the backslashes through literally).
+    */
+  private def toxPatternSql = Toxicity.compile(Toxicity.DefaultTerms)
+
+  private def toxicityGateOracle: String =
+    s"""WITH aug AS (SELECT doc_id, source, $toxAugSql AS t FROM documents),
+       |g AS (SELECT doc_id, source,
+       |    len(regexp_extract_all(lower(t), '$toxPatternSql', 1))::BIGINT
+       |      AS n_hits,
+       |    len(list_distinct(regexp_extract_all(lower(t), '$toxPatternSql',
+       |      1)))::BIGINT AS n_terms
+       |  FROM aug)
+       |SELECT doc_id, source, n_hits, n_terms, n_hits > 0 AS toxic
+       |FROM g ORDER BY doc_id""".stripMargin
+
+  private def toxicitySourcesOracle: String =
+    s"""WITH aug AS (SELECT doc_id, source, $toxAugSql AS t FROM documents),
+       |g AS (SELECT source,
+       |    len(regexp_extract_all(lower(t), '$toxPatternSql', 1))::BIGINT
+       |      AS hits
+       |  FROM aug)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END)::BIGINT AS n_toxic,
+       |  coalesce(sum(hits), 0)::BIGINT AS n_hits,
+       |  (sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) * 1000 // count(*))
+       |    ::BIGINT AS toxic_milli
+       |FROM g GROUP BY source ORDER BY source""".stripMargin
+
   private def gopherGateOracle: String = {
     val Seq(rLen, rWordLen, rDupBigram, rTopShare, rStopword) =
       gopherRulesSql
@@ -2674,6 +2748,8 @@ object ExtQueries {
 
     "q_url_parse" -> urlParseOracle,
     "q_redact" -> redactOracle,
+    "q_toxicity_gate" -> toxicityGateOracle,
+    "q_toxicity_sources" -> toxicitySourcesOracle,
     "q_dup_ngrams" -> dupNgramsOracle,
     "q_decontam" -> decontamOracle,
     "q_bloom_decontam" ->

@@ -179,6 +179,11 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // per-row native NFC + one range order; the normalize itself must
     // never shuffle
     "q_nfc_normalize" -> 1,
+    // per-row blocklist regex + final order; the gate itself must never
+    // shuffle (it rides the scan like every per-doc signal)
+    "q_toxicity_gate" -> 1,
+    // one combinable per-source agg + final order
+    "q_toxicity_sources" -> 2,
     // one explode + one combinable multi-sum agg + order
     "q_hash_embed" -> 3,
     // two banding stacks + history-bucket cap + cross join + verify
