@@ -102,6 +102,31 @@ object Similarity {
         (-col("best").getField("nid")).as("cell"))
   }
 
+  /** Materialize an [[ivfAssign]]-ed corpus CELL-PARTITIONED at rest —
+    * the 100 TB layout the header scaladoc promises, now demonstrated
+    * rather than asserted (IvfAtRestSpec): each cell becomes a partition
+    * directory, so a probe restricted to its query's cell prunes the
+    * FILE LISTING to ~corpus/C bytes. Two pruning paths, both
+    * spec-pinned:
+    *  - a static `cell = k` predicate lands in the scan's
+    *    PartitionFilters (classic partition pruning);
+    *  - [[ivfTopK]]'s equi-join on the partition column against the
+    *    broadcast query set triggers dynamic partition pruning — Spark
+    *    builds a `dynamicpruningexpression` from the broadcast probe
+    *    cells, so even the JOIN form never lists non-probed cells.
+    */
+  def writeAssignedPartitioned(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Read an at-rest assigned corpus back. The partition-column type is
+    * re-cast to long: partition value inference would otherwise narrow
+    * small cell ids to int and silently change join/compare semantics
+    * against in-memory assignment frames.
+    */
+  def readAssigned(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path).withColumn("cell", col("cell").cast("long"))
+
   /** IVF probe: top-k within the query's own cell (1-probe). */
   def ivfTopK(assigned: DataFrame, queryIds: Column, k: Int): DataFrame = {
     val qs = assigned.where(queryIds)
