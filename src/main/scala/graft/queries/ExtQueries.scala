@@ -24,6 +24,13 @@ object ExtQueries {
   private def docsWithTokens(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
 
+  /** Committed JSONL interchange fixture (2 gzip shards + 1 corrupt
+    * line) for q_jsonl_roundtrip.
+    */
+  private def jsonlCorpusDir: String =
+    new java.io.File(graft.wat.WatFixture.repoRoot, "tools/jsonl_corpus")
+      .getAbsolutePath
+
   /** The blocklisted boilerplate injected into 30% of docs for the
     * toxicity queries — mirrored verbatim in [[toxAugSql]].
     */
@@ -871,6 +878,22 @@ object ExtQueries {
         docsWithTokens(s, dir)
           .select(col("doc_id"), col("source"), toxAug.as("text")),
         "text", Toxicity.DefaultTerms)
+        .orderBy("doc_id")
+    }),
+
+    // JSONL.gz interchange round-trip through the graft.sources.Jsonl
+    // source over a COMMITTED fixture (tools/jsonl_corpus — 2 gzip
+    // shards, one deliberately corrupt line): explicit caller schema
+    // (no inference pass), permissive quarantine, and the surviving
+    // frame hash-checked against DuckDB's independent read_json of the
+    // same bytes. The corrupt line must cost one quarantined row on
+    // both engines, never the shard.
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      graft.sources.Jsonl.read(s, jsonlCorpusDir,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, text STRING, lang STRING"))
+        .where(col(graft.sources.Jsonl.CorruptCol).isNull)
+        .select("doc_id", "text", "lang")
         .orderBy("doc_id")
     }),
 
@@ -2750,6 +2773,17 @@ object ExtQueries {
     "q_redact" -> redactOracle,
     "q_toxicity_gate" -> toxicityGateOracle,
     "q_toxicity_sources" -> toxicitySourcesOracle,
+    // DuckDB reads the same committed gzip bytes independently
+    // (ignore_errors surfaces the corrupt line as a null row in current
+    // DuckDB; filtering on doc_id keeps the compare robust if a future
+    // version drops it instead — Spark filters its quarantine column)
+    "q_jsonl_roundtrip" ->
+      s"""SELECT doc_id, text, lang
+         |FROM read_json('$jsonlCorpusDir/*.json.gz',
+         |  format='newline_delimited',
+         |  columns={doc_id:'BIGINT', text:'VARCHAR', lang:'VARCHAR'},
+         |  ignore_errors=true)
+         |WHERE doc_id IS NOT NULL ORDER BY doc_id""".stripMargin,
     "q_dup_ngrams" -> dupNgramsOracle,
     "q_decontam" -> decontamOracle,
     "q_bloom_decontam" ->
