@@ -31,6 +31,22 @@ object ExtQueries {
     new java.io.File(graft.wat.WatFixture.repoRoot, "tools/jsonl_corpus")
       .getAbsolutePath
 
+  /** Synthetic HTML scaffolding for q_boilerplate — link-dense nav, a
+    * 25% ad block, a link-dense footer around the document body;
+    * mirrored verbatim in the oracle.
+    */
+  private val bpNav = "<html><head><title>d</title></head><body><nav>" +
+    "<a href=\"/\">home</a> <a href=\"/a\">about</a> " +
+    "<a href=\"/x\">links</a></nav><div>"
+  private val bpAd =
+    "<div><a href=\"/b\">click now</a> <a href=\"/p\">buy</a></div>"
+  private val bpFoot = "<footer><a href=\"/c\">contact</a> " +
+    "<a href=\"/t\">terms</a> c 2026</footer></body></html>"
+  private def bpHtml =
+    concat(lit(bpNav), col("text"), lit("</div>"),
+      when(pmod(col("doc_id"), lit(4)) === 0, lit(bpAd)).otherwise(lit("")),
+      lit(bpFoot))
+
   /** The blocklisted boilerplate injected into 30% of docs for the
     * toxicity queries — mirrored verbatim in [[toxAugSql]].
     */
@@ -894,6 +910,20 @@ object ExtQueries {
             "doc_id BIGINT, text STRING, lang STRING"))
         .where(col(graft.sources.Jsonl.CorruptCol).isNull)
         .select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // Arc90/Boilerpipe-style HTML boilerplate strip
+    // (graft.ext.Boilerplate): synthetic HTML wrapped around fixture
+    // text on BOTH engines (nav chrome, a 25% ad block, a link-dense
+    // footer — WAT never carries raw HTML, so the corpus is built
+    // deterministically like q_redact's PII), then block segmentation +
+    // integer link-density scoring recovers the body text and prices
+    // the boilerplate share.
+    "q_boilerplate" -> ((s, dir) => {
+      graft.ext.Boilerplate.extractMainContent(
+        docsWithTokens(s, dir).select(col("doc_id"), bpHtml.as("html")),
+        "doc_id", "html")
         .orderBy("doc_id")
     }),
 
@@ -2069,6 +2099,44 @@ object ExtQueries {
        |    ::BIGINT AS toxic_milli
        |FROM g GROUP BY source ORDER BY source""".stripMargin
 
+  private def boilerplateOracle: String = {
+    val sp = graft.ext.Boilerplate.splitPattern()
+    val tag = graft.ext.Boilerplate.TagPattern
+    val anchor = graft.ext.Boilerplate.AnchorPattern
+    s"""WITH h AS (SELECT doc_id, '$bpNav' || text || '</div>' ||
+       |    CASE WHEN doc_id % 4 = 0 THEN '$bpAd' ELSE '' END || '$bpFoot'
+       |    AS html FROM documents),
+       |f AS (SELECT doc_id, string_split_regex(html, '$sp') AS frags
+       |  FROM h),
+       |b AS (SELECT doc_id,
+       |    unnest(range(1, len(frags) + 1)) - 1 AS pos,
+       |    unnest(frags) AS blk FROM f),
+       |p AS (SELECT doc_id, pos,
+       |    trim(regexp_replace(regexp_replace(blk, '$tag', ' ', 'g'),
+       |      ' +', ' ', 'g')) AS btext,
+       |    length(coalesce(array_to_string(
+       |      regexp_extract_all(blk, '$anchor', 1), ''), ''))::BIGINT
+       |      AS link_chars
+       |  FROM b),
+       |q AS (SELECT doc_id, pos, btext, length(btext)::BIGINT AS tc,
+       |    link_chars,
+       |    (length(btext) >= 10 AND
+       |     link_chars * 1000 < 400 * length(btext)) AS keep
+       |  FROM p WHERE btext <> ''),
+       |a AS (SELECT doc_id,
+       |    count(*)::BIGINT AS n_blocks,
+       |    sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |    sum(tc)::BIGINT AS total,
+       |    coalesce(sum(tc) FILTER (WHERE keep), 0)::BIGINT AS kept,
+       |    coalesce(string_agg(btext, ' ' ORDER BY pos)
+       |      FILTER (WHERE keep), '') AS clean_text
+       |  FROM q GROUP BY doc_id)
+       |SELECT doc_id, n_blocks, n_kept,
+       |  ((total - kept) * 1000 // total)::BIGINT AS boiler_milli,
+       |  clean_text
+       |FROM a ORDER BY doc_id""".stripMargin
+  }
+
   private def gopherGateOracle: String = {
     val Seq(rLen, rWordLen, rDupBigram, rTopShare, rStopword) =
       gopherRulesSql
@@ -2773,6 +2841,7 @@ object ExtQueries {
     "q_redact" -> redactOracle,
     "q_toxicity_gate" -> toxicityGateOracle,
     "q_toxicity_sources" -> toxicitySourcesOracle,
+    "q_boilerplate" -> boilerplateOracle,
     // DuckDB reads the same committed gzip bytes independently
     // (ignore_errors surfaces the corrupt line as a null row in current
     // DuckDB; filtering on doc_id keeps the compare robust if a future

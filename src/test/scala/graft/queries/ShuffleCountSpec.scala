@@ -184,6 +184,11 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     "q_toxicity_gate" -> 1,
     // one combinable per-source agg + final order
     "q_toxicity_sources" -> 2,
+    // one block explode + one doc-bounded agg + final order
+    "q_boilerplate" -> 2,
+    // committed-fixture scan + final order; the quarantine filter is
+    // per-row
+    "q_jsonl_roundtrip" -> 1,
     // one explode + one combinable multi-sum agg + order
     "q_hash_embed" -> 3,
     // two banding stacks + history-bucket cap + cross join + verify
