@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   *  - fact tables shift every key by k·(max_key+1), preserving join
   *    fan-outs and referential integrity (dims region/nation are copied
   *    as-is, like TPC-H scaling);
-  *  - `documents.text` is Caesar-rotated by k over [a-zA-Z] (codegen'd
+  *  - `documents.text` is rotated by k over a 123-symbol ring (codegen'd
   *    `translate`): token lengths, counts, and per-doc structure are
   *    preserved exactly, while replica vocabularies become disjoint — so
   *    near-dup/n-gram queries see `factor`× more documents and clusters
@@ -51,26 +51,40 @@ object ScaleProbe {
     "q5_region_revenue", "q_gopher_gate", "q_dup_ngrams", "q_ngram_jaccard",
     "q_semdedup", "q_cluster_dedup", "q_cluster_split", "q_neardup_cluster",
     "q_assembly", "q_wat_extract_1file", "q_tfidf", "q_lsh_recall",
-    "q_sessionize", "q_range_join")
+    "q_sessionize", "q_range_join", "q_ann_ivf", "q_ann_ivf_mp",
+    "q_dup_spans", "q_boilerplate", "q_toxicity_gate")
 
-  private val Lower = "abcdefghijklmnopqrstuvwxyz"
-  private val Upper = Lower.toUpperCase
+  /** The substitution ring: lowercase + uppercase + digits + Latin-1
+    * letters (both cases, ÷ and × excluded) — 123 distinct symbols.
+    * Base text only uses [a-zA-Z ], so every base character sits on the
+    * ring and rotates; rotated text may carry digits/accented letters,
+    * which tokenize identically (the tokenizer splits on spaces and the
+    * probe fixtures never feed the oracles).
+    */
+  private val Ring: String =
+    (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++
+      ('à' to 'ö') ++ ('ø' to 'ÿ') ++ ('À' to 'Ö') ++ ('Ø' to 'Þ')).mkString
 
-  /** Per-replica letter substitution — length/count-preserving,
-    * vocabulary-disjoint across k (identity at k=0). Replicas 0-25 are
-    * Caesar rotations; 26-51 are the same rotations with CASE FLIPPED,
-    * so no two replicas under 52 share a vocabulary (a bare `k % 26`
-    * would make replica 26 a verbatim copy of replica 0 — exactly the
-    * clique pathology this model exists to avoid). Factors above 52 are
-    * rejected rather than silently degenerating.
+  /** Maximum replica factor: one vocabulary-disjoint substitution per
+    * ring rotation.
+    */
+  val MaxFactor: Int = Ring.length
+
+  /** Per-replica character substitution — length/count-preserving,
+    * vocabulary-disjoint across k (identity at k=0): replica k rotates
+    * the whole 123-symbol ring by k, and two DISTINCT rotations of a
+    * cycle disagree on EVERY symbol, so no token can collide between
+    * replicas (verbatim replication would measure a factor×-clique
+    * pathology instead of scale; partial-overlap schemes would shade
+    * the same direction). The pre-r10 scheme (26 Caesar rotations × 2
+    * case flips) capped the curve at ×52; the ring extends the same
+    * guarantee to ×123 for the ×100 decade. Factors above the period
+    * are rejected rather than silently degenerating.
     */
   private def rot(c: Column, k: Int): Column = {
-    require(k < 52, s"replica $k: substitution period is 52")
-    val s = k % 26
-    val (lo, up) = (Lower.drop(s) + Lower.take(s), Upper.drop(s) + Upper.take(s))
+    require(k < MaxFactor, s"replica $k: substitution period is $MaxFactor")
     if (k == 0) c
-    else if (k < 26) translate(c, Lower + Upper, lo + up)
-    else translate(c, Lower + Upper, up + lo) // case-flipped rotation
+    else translate(c, Ring, Ring.drop(k) + Ring.take(k))
   }
 
   private def span(df: DataFrame, key: String): Long =
@@ -82,8 +96,9 @@ object ScaleProbe {
 
   /** Bump when the replication model changes — stale fixture sets from
     * an older generator must regenerate, not silently mis-measure.
+    * v4: 123-symbol ring substitution (the ×100 decade).
     */
-  private val GenVersion = 3
+  private val GenVersion = 4
 
   /** One fixed 12-token paragraph — aligned with q_para_dedup's
     * positional 12-token segmentation, so prefixing it makes it EVERY
@@ -102,8 +117,8 @@ object ScaleProbe {
 
   def generate(spark: SparkSession, baseDir: String, outDir: String,
       factor: Int, hotKey: Boolean = false): Unit = {
-    require(factor >= 1 && factor <= 52,
-      s"factor $factor outside [1, 52] (substitution period)")
+    require(factor >= 1 && factor <= MaxFactor,
+      s"factor $factor outside [1, $MaxFactor] (substitution period)")
     val dir = new java.io.File(outDir)
     // the marker must pin EVERY input of the generation — version,
     // factor, AND base corpus — or a rerun against a different baseDir

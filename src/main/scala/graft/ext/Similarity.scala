@@ -92,12 +92,17 @@ object Similarity {
       .agg(collect_list(struct(col("c_id"), col("cv"), col("cn2")))
         .as("cents"))
     corpus.crossJoin(broadcast(cents))
+      // empty-centroid guard on the CHEAP broadcast array, not on the
+      // argmax result: a `best IS NOT NULL` filter would push down with
+      // the whole scoring expression inlined and re-evaluate it per row
+      // (filter pushdown substitutes aliases — same class as the
+      // InferFiltersFromConstraints copies documented in NOTES r10)
+      .where(size(col("cents")) > 0)
       .withColumn("best", array_max(transform(col("cents"), c =>
         struct(
           cosine(dotq(col("qv"), c.getField("cv")), col("n2"),
             c.getField("cn2")).as("ccos"),
           (-c.getField("c_id")).as("nid")))))
-      .where(col("best").isNotNull)
       .select(col("vec_id"), col("qv"), col("n2"),
         (-col("best").getField("nid")).as("cell"))
   }
