@@ -116,6 +116,20 @@ object BpeTrainer {
     */
   def learnMerges(docs: DataFrame, idCol: String, tokens: Column,
       rounds: Int): DataFrame = {
+    val (merges, types) = learnBpe(docs, idCol, tokens, rounds)
+    types.unpersist()
+    merges
+  }
+
+  /** [[learnMerges]] plus the trained tokenizer's OTHER artifact: the
+    * final word-type table `(w, freq, syms)` — each vocabulary word's
+    * segmentation after replaying every learned merge. Encoding a
+    * corpus with the trained BPE is then a vocabulary-table equi-join
+    * ([[encode]]), not a per-row merge replay. The returned type table
+    * stays persisted — the caller unpersists when done.
+    */
+  def learnBpe(docs: DataFrame, idCol: String, tokens: Column,
+      rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1 && rounds <= 64,
       s"rounds $rounds outside [1, 64]: each round is one distributed " +
         "pass + a 1-row collect; beyond toy vocabularies budget " +
@@ -146,7 +160,35 @@ object BpeTrainer {
           r += 1
       }
     }
-    cur.unpersist()
-    merges.toSeq.toDF("round", "s1", "s2", "pf")
+    (merges.toSeq.toDF("round", "s1", "s2", "pf"), cur)
+  }
+
+  /** Encode a corpus with a trained segmentation table: per document,
+    * the word count, the subword count under the learned merges, and a
+    * fingerprint of the full subword stream in document order (the
+    * downstream contract a tokenized-data pipeline hashes and ships).
+    *
+    * Scale shape: one token posexplode, ONE equi-join against the
+    * vocabulary-sized type table (broadcast below the threshold, hash
+    * join above — either way the corpus shuffles at most once on the
+    * word key), one doc-bounded aggregation. No per-row merge replay:
+    * the segmentation was paid ONCE at training, per word TYPE. A word
+    * absent from the table (cross-corpus encode) would drop here —
+    * production OOV handling joins left and falls back to char-split;
+    * same-corpus encode (this battery) has no OOV by construction.
+    */
+  def encode(docs: DataFrame, idCol: String, tokens: Column,
+      types: DataFrame): DataFrame = {
+    val toks = docs.where(col(idCol).isNotNull)
+      .select(col(idCol), posexplode(tokens).as(Seq("pos", "w")))
+      .where(col("w").isNotNull && col("w") =!= "")
+    toks.join(types.select(col("w"), col("syms")), "w")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(size(col("syms"))).cast("long").as("n_subwords"),
+        md5(concat_ws(" ", flatten(
+          transform(array_sort(collect_list(struct(col("pos"), col("syms")))),
+            x => x.getField("syms"))))).as("enc_fp"))
   }
 }

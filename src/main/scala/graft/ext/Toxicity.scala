@@ -81,6 +81,43 @@ object Toxicity {
         (size(col("_m")) > 0).as("toxic")): _*)
   }
 
+  /** The big-lexicon form of [[gate]]: beyond a few thousand terms the
+    * alternation NFA degrades, so this path explodes whitespace tokens
+    * and inner-joins the BROADCAST term table — an O(1) hash probe per
+    * token regardless of lexicon size (the [[Contamination]] join
+    * shape), then aggregates per document and left-joins the verdicts
+    * back onto the corpus. The hit side is tiny (only flagged tokens
+    * survive the inner join), so the join-back broadcasts under AQE;
+    * nothing corpus-sized shuffles on a content key.
+    *
+    * Semantics: exact whole-token match on whitespace tokenization.
+    * The regex form additionally matches terms adjacent to punctuation
+    * (`\b` boundaries); on whitespace-clean text the two agree —
+    * ToxicitySpec pins the equivalence on the fixture corpus. Null
+    * text yields null counts/verdict, matching [[gate]].
+    */
+  def gateRelational(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "blocklist lexicon is empty")
+    val keep = docs.columns.filterNot(_ == textCol).toSeq.map(col)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val termDf = terms.distinct.sorted.toDF("_term")
+    val hits = docs
+      .select(col(idCol),
+        explode(split(lower(col(textCol)), " ")).as("_tok"))
+      .join(broadcast(termDf), col("_tok") === col("_term"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("_h"), countDistinct(col("_tok")).as("_t"))
+    docs
+      .select(keep :+ col(textCol).isNotNull.as("_ht"): _*)
+      .join(hits, Seq(idCol), "left")
+      .select(keep ++ Seq(
+        when(col("_ht"), coalesce(col("_h"), lit(0L))).as("n_hits"),
+        when(col("_ht"), coalesce(col("_t"), lit(0L))).as("n_terms"),
+        when(col("_ht"), coalesce(col("_h"), lit(0L)) > 0).as("toxic")): _*)
+  }
+
   /** Per-source rollup over a [[gate]] frame: document count, flagged
     * count, total hits, and the flagged rate in exact integer milli
     * (cross-engine bit-identical — no float division). One combinable

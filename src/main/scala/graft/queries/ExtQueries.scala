@@ -927,6 +927,19 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // The big-lexicon switch-over path: exploded tokens × broadcast
+    // term table instead of the alternation regex — O(1) probe per
+    // token at any lexicon size. Same fixture, token-equality
+    // semantics (== the regex form on whitespace-clean text,
+    // equivalence spec-pinned); its own oracle via unnest + IN.
+    "q_toxicity_relational" -> ((s, dir) => {
+      Toxicity.gateRelational(
+        docsWithTokens(s, dir)
+          .select(col("doc_id"), col("source"), toxAug.as("text")),
+        "doc_id", "text", Toxicity.DefaultTerms)
+        .orderBy("doc_id")
+    }),
+
     // Per-source toxicity rollup: the curation dashboard view — which
     // sources are spam farms. Combinable agg over the gate frame;
     // flagged rate in exact integer milli.
@@ -1302,6 +1315,25 @@ object ExtQueries {
       graft.ext.BpeTrainer.learnMerges(
         docsWithTokens(s, dir), "doc_id", TA.tokens(col("text")),
         rounds = 3)
+    }),
+
+    // BPE ENCODE — the trained tokenizer applied to the corpus: per-doc
+    // word/subword counts + a fingerprint of the in-order subword
+    // stream. Segmentation is paid once per word TYPE at training; the
+    // encode is one vocabulary-table equi-join, never a per-row merge
+    // replay. Result is eagerly materialized so the type-table cache
+    // releases (the curate()/kmeans cache discipline).
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = docsWithTokens(s, dir)
+      val tk = TA.tokens(col("text"))
+      val (_, types) =
+        graft.ext.BpeTrainer.learnBpe(docs, "doc_id", tk, rounds = 3)
+      val enc = graft.ext.BpeTrainer.encode(docs, "doc_id", tk, types)
+        .orderBy("doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      enc.count()
+      types.unpersist()
+      enc
     }),
 
     // Snapshot reconciliation (graft.ext.SnapshotDiff): two simulated
@@ -2075,6 +2107,25 @@ object ExtQueries {
     */
   private def toxPatternSql = Toxicity.compile(Toxicity.DefaultTerms)
 
+  private def toxicityRelationalOracle: String = {
+    val termsList = Toxicity.DefaultTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH aug AS (SELECT doc_id, source, $toxAugSql AS t FROM documents),
+       |tk AS (SELECT doc_id, unnest(string_split(lower(t), ' ')) AS tok
+       |  FROM aug),
+       |h AS (SELECT doc_id, count(*)::BIGINT AS n_hits,
+       |    count(DISTINCT tok)::BIGINT AS n_terms
+       |  FROM tk WHERE tok IN ($termsList) GROUP BY doc_id)
+       |SELECT a.doc_id, a.source,
+       |  CASE WHEN a.t IS NULL THEN NULL
+       |       ELSE coalesce(h.n_hits, 0) END AS n_hits,
+       |  CASE WHEN a.t IS NULL THEN NULL
+       |       ELSE coalesce(h.n_terms, 0) END AS n_terms,
+       |  CASE WHEN a.t IS NULL THEN NULL
+       |       ELSE coalesce(h.n_hits, 0) > 0 END AS toxic
+       |FROM aug a LEFT JOIN h USING (doc_id)
+       |ORDER BY a.doc_id""".stripMargin
+  }
+
   private def toxicityGateOracle: String =
     s"""WITH aug AS (SELECT doc_id, source, $toxAugSql AS t FROM documents),
        |g AS (SELECT doc_id, source,
@@ -2840,6 +2891,7 @@ object ExtQueries {
     "q_url_parse" -> urlParseOracle,
     "q_redact" -> redactOracle,
     "q_toxicity_gate" -> toxicityGateOracle,
+    "q_toxicity_relational" -> toxicityRelationalOracle,
     "q_toxicity_sources" -> toxicitySourcesOracle,
     "q_boilerplate" -> boilerplateOracle,
     // DuckDB reads the same committed gzip bytes independently
@@ -3151,6 +3203,7 @@ object ExtQueries {
          |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_bpe_train" -> bpeTrainOracle,
+    "q_bpe_encode" -> bpeEncodeOracle,
     "q_curate_compose" -> curateComposeOracle,
 
     "q_incremental_neardup" -> incrementalNearDupOracle,
@@ -3336,8 +3389,34 @@ object ExtQueries {
     * CTE blocks — identical greedy-island arithmetic to
     * graft.ext.BpeTrainer (odd island ranks merge).
     */
-  private def bpeTrainOracle: String = {
-    def round(r: Int): String =
+  private def bpeTrainOracle: String =
+    s"""${bpeCtePrefix(bpeRoundSql)}
+       |SELECT 1::BIGINT AS round, s1, s2, pf FROM top0
+       |UNION ALL SELECT 2::BIGINT, s1, s2, pf FROM top1
+       |UNION ALL SELECT 3::BIGINT, s1, s2, pf FROM top2
+       |ORDER BY round""".stripMargin
+
+  /** Encode oracle: the t3 segmentation joined back onto positioned
+    * document tokens; fingerprint = md5 of the in-order subword stream
+    * (DuckDB string_agg ORDER BY pos ≙ Spark's sorted collect+flatten).
+    */
+  private def bpeEncodeOracle: String =
+    s"""${bpeCtePrefix(bpeRoundSql)},
+       |tk AS (SELECT doc_id, $tokensSql AS t FROM documents
+       |  WHERE doc_id IS NOT NULL),
+       |tok AS (SELECT doc_id,
+       |    unnest(range(1, len(t) + 1)) - 1 AS pos,
+       |    unnest(t) AS w FROM tk),
+       |enc AS (SELECT tok.doc_id, tok.pos, t3.syms
+       |  FROM tok JOIN t3 ON tok.w = t3.w
+       |  WHERE tok.w IS NOT NULL AND tok.w <> '')
+       |SELECT doc_id, count(*)::BIGINT AS n_words,
+       |  sum(len(syms))::BIGINT AS n_subwords,
+       |  md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos))
+       |    AS enc_fp
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private def bpeRoundSql(r: Int): String =
       s"""pr$r AS (SELECT w, freq,
          |    unnest(range(1, len(syms))) AS p,
          |    unnest(list_transform(range(1, len(syms)), i -> syms[i])) AS s1,
@@ -3369,6 +3448,12 @@ object ExtQueries {
          |  LEFT JOIN po$r nx ON po.w = nx.w AND nx.p = po.p + 1
          |  WHERE cc.p IS NULL
          |  GROUP BY po.w)""".stripMargin
+
+  /** Shared 3-round BPE CTE stack (word types c/t0, then t1..t3 via the
+    * generated merge rounds) — the train oracle reads the top pairs,
+    * the encode oracle reads the final segmentation table t3.
+    */
+  private def bpeCtePrefix(round: Int => String): String =
     s"""WITH c AS (
        |  SELECT w, count(*)::BIGINT AS freq FROM (
        |    SELECT unnest($tokensSql) AS w FROM documents
@@ -3380,12 +3465,7 @@ object ExtQueries {
        |  FROM c),
        |${round(0)},
        |${round(1)},
-       |${round(2)}
-       |SELECT 1::BIGINT AS round, s1, s2, pf FROM top0
-       |UNION ALL SELECT 2::BIGINT, s1, s2, pf FROM top1
-       |UNION ALL SELECT 3::BIGINT, s1, s2, pf FROM top2
-       |ORDER BY round""".stripMargin
-  }
+       |${round(2)}""".stripMargin
 
   /** Shared CTE prefix for the substring-dedup pair: 0-based positioned
     * 5-grams, corpus occurrence counts, duplicated start positions.

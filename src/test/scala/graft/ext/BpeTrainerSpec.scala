@@ -72,6 +72,48 @@ class BpeTrainerSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  /** Serial encode reference: replay the trainer's merges per word. */
+  private def refEncode(words: Seq[String],
+      merges: Seq[(String, String)]): Seq[List[String]] =
+    words.map { w =>
+      merges.foldLeft(w.map(_.toString).toList) { case (syms, (s1, s2)) =>
+        def m(l: List[String]): List[String] = l match {
+          case a :: b :: rest if a == s1 && b == s2 => (a + b) :: m(rest)
+          case a :: rest => a :: m(rest)
+          case Nil => Nil
+        }
+        m(syms)
+      }
+    }
+
+  test("encode == per-word serial merge replay on random corpora") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 5) {
+      val docWords = Seq.fill(3)(Seq.fill(6)(
+        (1 to (1 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(3)).toChar)
+          .mkString))
+      val docs = docWords.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val (mergesDf, types) = BpeTrainer.learnBpe(docs, "doc_id",
+        split(col("text"), " "), rounds = 3)
+      val merges = mergesDf.collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val got = BpeTrainer.encode(docs, "doc_id",
+          split(col("text"), " "), types)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      types.unpersist()
+      val want = docWords.zipWithIndex.map { case (ws, i) =>
+        val segs = refEncode(ws, merges)
+        val stream = segs.flatten.mkString(" ")
+        (i.toLong, ws.size.toLong, segs.map(_.size.toLong).sum,
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(stream))
+      }
+      assert(got.toSeq == want, s"trial $trial merges=$merges")
+    }
+  }
+
   test("single-char and empty tokens are handled (no pairs, no crash)") {
     val docs = Seq((1L, "x y  z x")).toDF("doc_id", "text") // "" from double space
     val got = BpeTrainer.learnMerges(docs, "doc_id",

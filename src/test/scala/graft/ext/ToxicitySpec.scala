@@ -49,6 +49,30 @@ class ToxicitySpec extends AnyFunSuite with SparkTestBase {
       ("b", 2L, 1L, 1L, 500L)))
   }
 
+  test("relational (big-lexicon) gate matches the regex gate on clean text") {
+    val docs = Seq(
+      (1L, "a", "clean text here"),
+      (2L, "a", "visit the CASINO casino tonight"),
+      (3L, "b", "xxx spam casino"),
+      (4L, "b", "casinos are not flagged"),
+      (5L, "b", null: String)
+    ).toDF("doc_id", "source", "text")
+    val re = Toxicity.gate(docs, "text", terms)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val rel = Toxicity.gateRelational(docs, "doc_id", "text", terms)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(rel == re, "token-join form must agree on whitespace-clean text")
+  }
+
+  test("the relational gate broadcasts the term table (no corpus shuffle on content)") {
+    val docs = Seq((1L, "a", "t")).toDF("doc_id", "source", "text")
+    val plan = Toxicity.gateRelational(docs, "doc_id", "text", terms)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastHashJoin"),
+      s"the term table must broadcast:\n${plan.take(1500)}")
+  }
+
   test("compile rejects metacharacters and empty lexicons loudly") {
     intercept[IllegalArgumentException](Toxicity.compile(Seq("a.b")))
     intercept[IllegalArgumentException](Toxicity.compile(Seq("CASINO")))

@@ -186,6 +186,9 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     "q_toxicity_sources" -> 2,
     // one block explode + one doc-bounded agg + final order
     "q_boilerplate" -> 2,
+    // token explode + broadcast term join + per-doc count-distinct agg
+    // (two-phase expand) + verdict join-back + final order
+    "q_toxicity_relational" -> 6,
     // committed-fixture scan + final order; the quarantine filter is
     // per-row
     "q_jsonl_roundtrip" -> 1,
@@ -240,6 +243,18 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
         s"$name final plan has $n ReusedExchange (expected >= $min):\n" +
           fin.take(3000))
     }
+  }
+
+  test("q_bpe_encode serves from its eagerly-materialized cache") {
+    // the printed plan embeds the cached relation's full 3-round
+    // training lineage (thousands of Exchange mentions, none of which
+    // re-execute), so an exchange bound is meaningless here — the
+    // contract is that the RETURNED frame reads the cache
+    val plan = SparkEntry.queries("q_bpe_encode")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.take(3).mkString("\n")
+        .contains("InMemoryTableScan"),
+      s"q_bpe_encode must serve from cache:\n${plan.take(800)}")
   }
 
   for ((name, maxShuffles) <- bounds.toSeq.sortBy(_._1)) {
