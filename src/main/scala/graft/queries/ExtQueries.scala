@@ -940,6 +940,38 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // The WHOLE C4-style curation chain composed under ONE oracle:
+    // toxic-injected text → synthetic HTML → boilerplate strip →
+    // blocklist gate on the recovered body → Gopher quality gate →
+    // exact content dedup (min-doc_id survivor via combinable
+    // min-struct, the hot-key-safe idiom). Every stage is individually
+    // oracled elsewhere; this pins that the COMPOSITION agrees
+    // end-to-end — the form a production run actually executes.
+    "q_c4_pipeline" -> ((s, dir) => {
+      val base = docsWithTokens(s, dir)
+        .select(col("doc_id"), col("source"), toxAug.as("text"))
+      val html = base.select(col("doc_id"), bpHtml.as("html"))
+      val stripped = graft.ext.Boilerplate
+        .extractMainContent(html, "doc_id", "html")
+        .select(col("doc_id"), col("clean_text"))
+      val detoxed = stripped.where(
+        size(Toxicity.matches(col("clean_text"), Toxicity.DefaultTerms))
+          === 0)
+      val quality = detoxed.where(
+        TA.gopherGate(TA.tokens(col("clean_text")), minTokens = 20L,
+          maxTokens = 500L).getField("kept"))
+      val withFp = quality.join(base.select("doc_id", "source"), "doc_id")
+        .select(col("doc_id"), col("source"),
+          md5(col("clean_text")).as("fp"),
+          size(TA.tokens(col("clean_text"))).cast("long").as("n_tokens"))
+      withFp.groupBy("fp")
+        .agg(min(struct(col("doc_id"), col("source"), col("n_tokens")))
+          .as("s"))
+        .select(col("s.doc_id").as("doc_id"), col("s.source").as("source"),
+          col("fp"), col("s.n_tokens").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Per-source toxicity rollup: the curation dashboard view — which
     // sources are spam farms. Combinable agg over the gate frame;
     // flagged rate in exact integer milli.
@@ -2150,13 +2182,19 @@ object ExtQueries {
        |    ::BIGINT AS toxic_milli
        |FROM g GROUP BY source ORDER BY source""".stripMargin
 
-  private def boilerplateOracle: String = {
+  /** The boilerplate CTE stack h→a over any source with (doc_id, text):
+    * synthetic HTML wrap, block split, per-block strip/score, per-doc
+    * reassembly — `a` ends with (doc_id, n_blocks, n_kept, total, kept,
+    * clean_text). Shared by q_boilerplate and the q_c4_pipeline
+    * composition.
+    */
+  private def bpCteStack(fromSql: String): String = {
     val sp = graft.ext.Boilerplate.splitPattern()
     val tag = graft.ext.Boilerplate.TagPattern
     val anchor = graft.ext.Boilerplate.AnchorPattern
-    s"""WITH h AS (SELECT doc_id, '$bpNav' || text || '</div>' ||
+    s"""h AS (SELECT doc_id, '$bpNav' || text || '</div>' ||
        |    CASE WHEN doc_id % 4 = 0 THEN '$bpAd' ELSE '' END || '$bpFoot'
-       |    AS html FROM documents),
+       |    AS html FROM $fromSql),
        |f AS (SELECT doc_id, string_split_regex(html, '$sp') AS frags
        |  FROM h),
        |b AS (SELECT doc_id,
@@ -2181,12 +2219,37 @@ object ExtQueries {
        |    coalesce(sum(tc) FILTER (WHERE keep), 0)::BIGINT AS kept,
        |    coalesce(string_agg(btext, ' ' ORDER BY pos)
        |      FILTER (WHERE keep), '') AS clean_text
-       |  FROM q GROUP BY doc_id)
+       |  FROM q GROUP BY doc_id)""".stripMargin
+  }
+
+  private def boilerplateOracle: String =
+    s"""WITH ${bpCteStack("documents")}
        |SELECT doc_id, n_blocks, n_kept,
        |  ((total - kept) * 1000 // total)::BIGINT AS boiler_milli,
        |  clean_text
        |FROM a ORDER BY doc_id""".stripMargin
-  }
+
+  /** The composed C4-style curation chain: toxic-injected text →
+    * synthetic HTML → boilerplate strip → blocklist gate on the
+    * recovered body → Gopher quality gate (clean_text presented AS
+    * `text` so [[gopherKeptSql]] applies verbatim) → min-doc_id exact
+    * content dedup. One oracle over the whole composition.
+    */
+  private def c4PipelineOracle: String =
+    s"""WITH aug AS (SELECT doc_id, source, $toxAugSql AS text
+       |  FROM documents),
+       |${bpCteStack("aug")},
+       |d2 AS (SELECT a.doc_id, ag.source, a.clean_text AS text
+       |  FROM a JOIN aug ag USING (doc_id)),
+       |t1 AS (SELECT * FROM d2
+       |  WHERE len(regexp_extract_all(lower(text), '$toxPatternSql', 1)) = 0),
+       |t2 AS (SELECT * FROM t1 WHERE $gopherKeptSql),
+       |wf AS (SELECT doc_id, source, md5(text) AS fp,
+       |    len($tokensSql)::BIGINT AS n_tokens FROM t2),
+       |sv AS (SELECT fp, min(doc_id) AS doc_id FROM wf GROUP BY fp)
+       |SELECT w.doc_id, w.source, w.fp, w.n_tokens
+       |FROM wf w JOIN sv ON w.doc_id = sv.doc_id AND w.fp = sv.fp
+       |ORDER BY w.doc_id""".stripMargin
 
   private def gopherGateOracle: String = {
     val Seq(rLen, rWordLen, rDupBigram, rTopShare, rStopword) =
@@ -2894,6 +2957,7 @@ object ExtQueries {
     "q_toxicity_relational" -> toxicityRelationalOracle,
     "q_toxicity_sources" -> toxicitySourcesOracle,
     "q_boilerplate" -> boilerplateOracle,
+    "q_c4_pipeline" -> c4PipelineOracle,
     // DuckDB reads the same committed gzip bytes independently
     // (ignore_errors surfaces the corrupt line as a null row in current
     // DuckDB; filtering on doc_id keeps the compare robust if a future

@@ -189,6 +189,10 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // token explode + broadcast term join + per-doc count-distinct agg
     // (two-phase expand) + verdict join-back + final order
     "q_toxicity_relational" -> 6,
+    // composed chain: block explode + doc-bounded reassembly agg +
+    // source join-back + min-struct dedup agg + final order — the
+    // toxicity and gopher gates are per-row and add NO exchange
+    "q_c4_pipeline" -> 6,
     // committed-fixture scan + final order; the quarantine filter is
     // per-row
     "q_jsonl_roundtrip" -> 1,
