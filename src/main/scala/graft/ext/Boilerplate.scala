@@ -44,6 +44,34 @@ object Boilerplate {
   /** Anchor text (group 1): the chars that count toward link density. */
   val AnchorPattern = "<a[^>]*>([^<]*)</a>"
 
+  /** Per-ROW form of the strip: the same block rule evaluated entirely
+    * with array HOFs — zero shuffle and zero state, so it rides a
+    * structured-streaming intake as a stateless transform (no
+    * watermark, append mode — [[graft.streaming.StreamOps.curationGateStream]]).
+    * The explode+agg form ([[extractMainContent]]) stays the batch
+    * default: its per-block regex work runs codegen'd where lambda
+    * bodies here run interpreted. Same keep rule, same reassembly;
+    * a page with no surviving text yields '' (the batch form emits no
+    * row — BoilerplateSpec pins the correspondence).
+    */
+  def stripColumn(html: Column, minChars: Int = 10,
+      maxLinkDensityMilli: Int = 400,
+      tags: Seq[String] = DefaultBlockTags): Column = {
+    val scored = transform(split(html, splitPattern(tags)), b =>
+      struct(
+        trim(regexp_replace(regexp_replace(b, TagPattern, " "), " +", " "))
+          .as("btext"),
+        length(array_join(
+          regexp_extract_all(b, lit(AnchorPattern), lit(1)), ""))
+          .cast("long").as("lc")))
+    val kept = filter(scored, s => {
+      val t = s.getField("btext")
+      t =!= "" && length(t) >= minChars &&
+        s.getField("lc") * 1000 < length(t).cast("long") * maxLinkDensityMilli
+    })
+    concat_ws(" ", transform(kept, s => s.getField("btext")))
+  }
+
   /** Per-document main-content extraction. Output per doc:
     * `n_blocks` (content-bearing fragments), `n_kept`, `boiler_milli`
     * (boilerplate char share in exact integer milli), `clean_text`

@@ -105,6 +105,24 @@ object StreamOps {
       key: String): DataFrame =
     stream.join(dim, Seq(key))
 
+  /** Streaming curation gate: the C4-style front half of the batch
+    * q_c4_pipeline as a STATELESS streaming transform — per-row HTML
+    * boilerplate strip ([[graft.ext.Boilerplate.stripColumn]], the
+    * zero-shuffle array-HOF form) followed by the blocklist gate, both
+    * pure column expressions: no state, no watermark, append mode. A
+    * doc whose page strips to nothing or carries any blocklisted term
+    * never enters the corpus; survivors flow on with their recovered
+    * `clean_text` for the stateful tail (fuzzy dedup, windowed stats).
+    */
+  def curationGateStream(docs: DataFrame, htmlCol: String,
+      terms: Seq[String]): DataFrame =
+    docs
+      .withColumn("clean_text",
+        graft.ext.Boilerplate.stripColumn(col(htmlCol)))
+      .where(length(col("clean_text")) > 0 &&
+        size(graft.ext.Toxicity.matches(col("clean_text"), terms)) === 0)
+      .drop(htmlCol)
+
   /** Streaming FUZZY dedup: one survivor per MinHash signature within
     * the watermark horizon. The per-row signature (8-member
     * universal-hash family over the distinct-token set, same family as

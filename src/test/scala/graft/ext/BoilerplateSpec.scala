@@ -43,6 +43,33 @@ class BoilerplateSpec extends AnyFunSuite with SparkTestBase {
     assert(df.count() == 0)
   }
 
+  test("stripColumn (per-row form) agrees with the batch explode form") {
+    import graft.queries.QueryUtil
+    val docs = QueryUtil.table(spark, "/root/testdata/sf0.001", "documents")
+      .where(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), concat(
+        lit("<nav><a href=\"/\">home</a> <a href=\"/b\">more nav</a></nav><p>"),
+        col("text"),
+        lit("</p><footer><a href=\"/c\">contact</a> <a href=\"/d\">legal</a> x</footer>"))
+        .as("html"))
+    val batch = Boilerplate.extractMainContent(docs, "doc_id", "html")
+      .select(col("doc_id"), col("clean_text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val perRow = docs
+      .select(col("doc_id"), Boilerplate.stripColumn(col("html")).as("ct"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // batch omits pages with no content-bearing blocks; per-row
+    // reports '' there — on the overlap they must agree exactly
+    assert(batch.nonEmpty)
+    batch.foreach { case (id, ct) =>
+      assert(perRow(id) == ct, s"doc $id diverges")
+    }
+    perRow.filterNot { case (id, _) => batch.contains(id) }
+      .foreach { case (id, ct) =>
+        assert(ct == "", s"doc $id: per-row must report '' where batch omits")
+      }
+  }
+
   test("splitPattern rejects non-[a-z0-9] tags (regex parity guard)") {
     intercept[IllegalArgumentException](
       Boilerplate.splitPattern(Seq("di.v")))
