@@ -98,4 +98,33 @@ object Curation {
       .select("doc_id", "lang", "n_tokens", "score")
     (curated, () => { exact.unpersist(); () })
   }
+
+  /** Token-budget corpus selection — "give me the best B tokens": admit
+    * quality-score classes from the top down while their cumulative
+    * token count fits the budget. The greedy-by-quality selection every
+    * pretraining data refresh runs, WITHOUT a corpus-wide sort: the
+    * [[QualityModel.hashedScore]] score is integer milli over a BOUNDED
+    * domain (≤ 2001 classes + bias), so the cumulative runs as a
+    * single-partition window over the DISTINCT class table (the
+    * q_ppl_buckets idiom — DESIGN.md's bounded-domain window
+    * exception), and the tiny admit table broadcasts back onto the
+    * corpus. A class is admitted only if it fits WHOLE — deterministic
+    * and engine-exact; the boundary class stays out rather than being
+    * split by an arbitrary tie-break.
+    */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, tokens: Column,
+      budgetTokens: Long, biasMilli: Long = 50L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = QualityModel.hashedScore(docs, idCol, tokens, biasMilli)
+      .select(col(idCol), col("n_tokens"), col("score_milli"))
+    val flags = scored.groupBy("score_milli")
+      .agg(sum(col("n_tokens")).as("_ct"))
+      .withColumn("_cum", sum(col("_ct")).over(
+        Window.orderBy(col("score_milli").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("score_milli"), (col("_cum") <= budgetTokens).as("selected"))
+    scored.join(broadcast(flags), Seq("score_milli"))
+      .select(col(idCol), col("n_tokens"), col("score_milli"),
+        col("selected"))
+  }
 }

@@ -31,6 +31,21 @@ object ExtQueries {
     new java.io.File(graft.wat.WatFixture.repoRoot, "tools/jsonl_corpus")
       .getAbsolutePath
 
+  /** Shared hashed-linear quality-score CTE stack (t/s/sc — sc ends
+    * with (doc_id, n_tokens, score_milli)); used by q_quality_lr and
+    * q_token_budget.
+    */
+  private def qlrScoreCtes: String =
+    s"""t AS (SELECT doc_id, unnest($tokensSql) AS token
+       |           FROM documents WHERE doc_id IS NOT NULL),
+       |s AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |        sum(${graft.ext.QualityModel.hashedWeightSql("token")})::BIGINT
+       |          AS wsum
+       |      FROM t GROUP BY doc_id),
+       |sc AS (SELECT doc_id, n_tokens,
+       |         ((wsum + 50) // n_tokens)::BIGINT AS score_milli
+       |       FROM s)""".stripMargin
+
   /** Synthetic HTML scaffolding for q_boilerplate — link-dense nav, a
     * 25% ad block, a link-dense footer around the document body;
     * mirrored verbatim in the oracle.
@@ -338,6 +353,18 @@ object ExtQueries {
     //     verified near-dup removal), all stages oracle-proven ---
     "q_curation" -> ((s, dir) => {
       graft.ext.Curation.curate(docsWithTokens(s, dir)).orderBy("doc_id")
+    }),
+
+    // Token-budget corpus selection (graft.ext.Curation
+    // .tokenBudgetSelect): "the best 25k tokens" — greedy by quality
+    // class with the cumulative over the BOUNDED score domain (≤ 2001
+    // distinct classes in a single-partition window, never corpus
+    // rows — the q_ppl_buckets idiom), admit flags broadcast back.
+    "q_token_budget" -> ((s, dir) => {
+      graft.ext.Curation.tokenBudgetSelect(
+        docsWithTokens(s, dir), "doc_id", TA.tokens(col("text")),
+        budgetTokens = 25000L)
+        .orderBy("doc_id")
     }),
 
     // Deterministic hash sampling — the reproducible downsample every
@@ -3194,18 +3221,26 @@ object ExtQueries {
          |WHERE n * 64 > n_total ORDER BY item""".stripMargin,
 
     "q_quality_lr" ->
-      s"""WITH t AS (SELECT doc_id, unnest($tokensSql) AS token
-         |           FROM documents WHERE doc_id IS NOT NULL),
-         |s AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
-         |        sum(${graft.ext.QualityModel.hashedWeightSql("token")})::BIGINT
-         |          AS wsum
-         |      FROM t GROUP BY doc_id),
-         |sc AS (SELECT doc_id, n_tokens,
-         |         ((wsum + 50) // n_tokens)::BIGINT AS score_milli
-         |       FROM s)
+      s"""WITH $qlrScoreCtes
          |SELECT doc_id, n_tokens, score_milli,
          |  CASE WHEN score_milli >= 0 THEN 'keep' ELSE 'drop' END AS label
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // bounded-domain cumulative over DISTINCT score classes (≤ 2001
+    // rows in the window — never corpus rows), then the admit flag
+    // joined back; a class is admitted only if it fits whole
+    "q_token_budget" ->
+      s"""WITH $qlrScoreCtes,
+         |cls AS (SELECT score_milli, sum(n_tokens)::BIGINT AS ct
+         |  FROM sc GROUP BY score_milli),
+         |cum AS (SELECT score_milli,
+         |    sum(ct) OVER (ORDER BY score_milli DESC
+         |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_t
+         |  FROM cls)
+         |SELECT sc.doc_id, sc.n_tokens, sc.score_milli,
+         |  (cum.cum_t <= 25000) AS selected
+         |FROM sc JOIN cum USING (score_milli)
+         |ORDER BY sc.doc_id""".stripMargin,
 
     "q_ppl_buckets" ->
       s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents

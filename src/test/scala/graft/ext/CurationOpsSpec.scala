@@ -322,4 +322,30 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
         bands = 4, bandBits = 12, maxDist = 4)
     }
   }
+
+  test("tokenBudgetSelect: greedy-by-class knapsack invariants") {
+    import org.apache.spark.sql.functions.{col, split}
+    val docs = graft.queries.QueryUtil
+      .table(spark, "/root/testdata/sf0.001", "documents")
+    val budget = 25000L
+    val got = Curation.tokenBudgetSelect(docs, "doc_id",
+        split(col("text"), " "), budget)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.nonEmpty && got.exists(_._4) && got.exists(!_._4),
+      "budget must split the corpus non-trivially")
+    val selTokens = got.filter(_._4).map(_._2).sum
+    assert(selTokens <= budget, s"selected $selTokens > budget $budget")
+    // greedy optimality at class granularity: every selected class
+    // scores strictly above every unselected class, and admitting the
+    // best unselected class would break the budget
+    val selScores = got.filter(_._4).map(_._3)
+    val unselScores = got.filterNot(_._4).map(_._3)
+    assert(selScores.min > unselScores.max)
+    val bestUnsel = unselScores.max
+    val bestUnselTokens = got.filterNot(_._4)
+      .filter(_._3 == bestUnsel).map(_._2).sum
+    assert(selTokens + bestUnselTokens > budget,
+      "the boundary class must genuinely not fit")
+  }
 }

@@ -193,6 +193,10 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // source join-back + min-struct dedup agg + final order — the
     // toxicity and gopher gates are per-row and add NO exchange
     "q_c4_pipeline" -> 6,
+    // per-doc score agg + class agg + the bounded-domain
+    // single-partition window (≤2001 distinct scores, never corpus
+    // rows) + final order; the admit join is a broadcast
+    "q_token_budget" -> 5,
     // committed-fixture scan + final order; the quarantine filter is
     // per-row
     "q_jsonl_roundtrip" -> 1,
