@@ -133,7 +133,15 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queryMap = only match {
-      case Some(f) => SparkEntry.queries.filter { case (k, _) => f(k) }
+      case Some(f) =>
+        val known = SparkEntry.queries.filter { case (k, _) => f(k) }
+        val unknown = f -- known.keySet
+        if (unknown.nonEmpty)
+          // a typo'd filter must not masquerade as a clean empty run
+          System.err.println(
+            s"[bench] SPARK_GRAFT_BENCH_ONLY names not in SparkEntry." +
+              s"queries: ${unknown.toSeq.sorted.mkString(", ")}")
+        known
       case None => SparkEntry.queries
     }
 

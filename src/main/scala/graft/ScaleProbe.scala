@@ -61,7 +61,7 @@ object ScaleProbe {
     * which tokenize identically (the tokenizer splits on spaces and the
     * probe fixtures never feed the oracles).
     */
-  private val Ring: String =
+  private[graft] val Ring: String =
     (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++
       ('à' to 'ö') ++ ('ø' to 'ÿ') ++ ('À' to 'Ö') ++ ('Ø' to 'Þ')).mkString
 
