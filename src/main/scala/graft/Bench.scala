@@ -126,7 +126,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the benign bounded-domain WindowExec warning
+    // (q_token_budget's <=2001-row class window) repeats per pass and
+    // flooded the driver's bounded stdout capture in r10 — the short
+    // JSON line was clipped out of the recorded tail (BENCH_r10.json
+    // "parsed": null). The artifact must outrank cosmetic log noise.
+    spark.sparkContext.setLogLevel("ERROR")
 
     // optional per-operator iteration filter (comma-separated names);
     // a filtered run must never overwrite the canonical full artifact

@@ -164,29 +164,46 @@ object BpeTrainer {
   }
 
   /** Encode a corpus with a trained segmentation table: per document,
-    * the word count, the subword count under the learned merges, and a
-    * fingerprint of the full subword stream in document order (the
-    * downstream contract a tokenized-data pipeline hashes and ships).
+    * the word count, the subword count under the learned merges, the
+    * out-of-vocabulary word count, and a fingerprint of the full
+    * subword stream in document order (the downstream contract a
+    * tokenized-data pipeline hashes and ships).
+    *
+    * OOV contract (Sennrich §3.2 — the production cross-corpus case):
+    * a word absent from the trained type table segments to its
+    * CHARACTERS — the zero-merge baseline every BPE implementation
+    * falls back to, since character symbols are the alphabet the
+    * merges were learned over. Expressed as a LEFT join + coalesce
+    * onto the same per-char split [[wordTypes]] seeds with, so an
+    * in-vocabulary word is byte-identical to the inner-join form and
+    * an encode never silently drops tokens. `n_oov` surfaces the rate
+    * (a high rate means the training corpus no longer represents the
+    * encode corpus — the drift signal a pipeline alerts on).
     *
     * Scale shape: one token posexplode, ONE equi-join against the
     * vocabulary-sized type table (broadcast below the threshold, hash
     * join above — either way the corpus shuffles at most once on the
     * word key), one doc-bounded aggregation. No per-row merge replay:
-    * the segmentation was paid ONCE at training, per word TYPE. A word
-    * absent from the table (cross-corpus encode) would drop here —
-    * production OOV handling joins left and falls back to char-split;
-    * same-corpus encode (this battery) has no OOV by construction.
+    * the segmentation was paid ONCE at training, per word TYPE; the
+    * char-split fallback is a per-row expression on the (rare) OOV
+    * rows, never a second pass.
     */
   def encode(docs: DataFrame, idCol: String, tokens: Column,
       types: DataFrame): DataFrame = {
     val toks = docs.where(col(idCol).isNotNull)
       .select(col(idCol), posexplode(tokens).as(Seq("pos", "w")))
       .where(col("w").isNotNull && col("w") =!= "")
-    toks.join(types.select(col("w"), col("syms")), "w")
+    val charSplit = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    toks.join(types.select(col("w"), col("syms")), Seq("w"), "left")
+      .select(col(idCol), col("pos"),
+        col("syms").isNull.as("oov"),
+        coalesce(col("syms"), charSplit).as("syms"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_words"),
         sum(size(col("syms"))).cast("long").as("n_subwords"),
+        sum(when(col("oov"), 1L).otherwise(0L)).as("n_oov"),
         md5(concat_ws(" ", flatten(
           transform(array_sort(collect_list(struct(col("pos"), col("syms")))),
             x => x.getField("syms"))))).as("enc_fp"))

@@ -1395,6 +1395,26 @@ object ExtQueries {
       enc
     }),
 
+    // The CROSS-corpus encode contract: a tokenizer trained on the
+    // first half of the corpus (doc_id < 250) applied to the unseen
+    // second half — words absent from the trained type table segment
+    // to characters (the left-join + char-split fallback, Sennrich
+    // §3.2), counted per doc as n_oov. Pins that encode never silently
+    // drops OOV tokens, the production drift-alert path.
+    "q_bpe_encode_oov" -> ((s, dir) => {
+      val docs = docsWithTokens(s, dir)
+      val tk = TA.tokens(col("text"))
+      val (_, types) = graft.ext.BpeTrainer.learnBpe(
+        docs.where(col("doc_id") < 250), "doc_id", tk, rounds = 3)
+      val enc = graft.ext.BpeTrainer.encode(
+          docs.where(col("doc_id") >= 250), "doc_id", tk, types)
+        .orderBy("doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      enc.count()
+      types.unpersist()
+      enc
+    }),
+
     // Snapshot reconciliation (graft.ext.SnapshotDiff): two simulated
     // crawl snapshots of the same corpus (v1 drops doc_id%10==0, v2
     // drops %10==1 and edits %5==2) full-outer reconciled by content
@@ -3303,6 +3323,7 @@ object ExtQueries {
 
     "q_bpe_train" -> bpeTrainOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
+    "q_bpe_encode_oov" -> bpeEncodeOovOracle,
     "q_curate_compose" -> curateComposeOracle,
 
     "q_incremental_neardup" -> incrementalNearDupOracle,
@@ -3499,18 +3520,40 @@ object ExtQueries {
     * document tokens; fingerprint = md5 of the in-order subword stream
     * (DuckDB string_agg ORDER BY pos ≙ Spark's sorted collect+flatten).
     */
-  private def bpeEncodeOracle: String =
-    s"""${bpeCtePrefix(bpeRoundSql)},
+  private def bpeEncodeOracle: String = bpeEncodeSql(
+    trainWhere = "doc_id IS NOT NULL", encodeWhere = "doc_id IS NOT NULL")
+
+  /** Cross-corpus OOV encode oracle: train on the first half of the
+    * corpus, encode the second — OOV words (absent from t3) fall back
+    * to their per-character split, mirroring BpeTrainer.encode's
+    * left-join + coalesce (Sennrich §3.2 zero-merge baseline).
+    */
+  private def bpeEncodeOovOracle: String = bpeEncodeSql(
+    trainWhere = "doc_id < 250", encodeWhere = "doc_id >= 250")
+
+  /** Shared encode-oracle body: LEFT join onto the trained t3
+    * segmentation with char-split fallback + an n_oov census, exactly
+    * the Spark encode's shape (same-corpus encode has n_oov = 0 by
+    * construction, so the left join degenerates to the old inner form).
+    */
+  private def bpeEncodeSql(trainWhere: String,
+      encodeWhere: String): String =
+    s"""${bpeCtePrefix(bpeRoundSql, trainWhere)},
        |tk AS (SELECT doc_id, $tokensSql AS t FROM documents
-       |  WHERE doc_id IS NOT NULL),
+       |  WHERE $encodeWhere),
        |tok AS (SELECT doc_id,
        |    unnest(range(1, len(t) + 1)) - 1 AS pos,
        |    unnest(t) AS w FROM tk),
-       |enc AS (SELECT tok.doc_id, tok.pos, t3.syms
-       |  FROM tok JOIN t3 ON tok.w = t3.w
+       |enc AS (SELECT tok.doc_id, tok.pos,
+       |    CASE WHEN t3.w IS NULL THEN 1 ELSE 0 END AS oov,
+       |    coalesce(t3.syms, list_transform(
+       |      range(1, length(tok.w) + 1),
+       |      i -> substr(tok.w, i::INT, 1))) AS syms
+       |  FROM tok LEFT JOIN t3 ON tok.w = t3.w
        |  WHERE tok.w IS NOT NULL AND tok.w <> '')
        |SELECT doc_id, count(*)::BIGINT AS n_words,
        |  sum(len(syms))::BIGINT AS n_subwords,
+       |  sum(oov)::BIGINT AS n_oov,
        |  md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos))
        |    AS enc_fp
        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
@@ -3552,11 +3595,12 @@ object ExtQueries {
     * generated merge rounds) — the train oracle reads the top pairs,
     * the encode oracle reads the final segmentation table t3.
     */
-  private def bpeCtePrefix(round: Int => String): String =
+  private def bpeCtePrefix(round: Int => String,
+      trainWhere: String = "doc_id IS NOT NULL"): String =
     s"""WITH c AS (
        |  SELECT w, count(*)::BIGINT AS freq FROM (
        |    SELECT unnest($tokensSql) AS w FROM documents
-       |    WHERE doc_id IS NOT NULL)
+       |    WHERE $trainWhere)
        |  WHERE w IS NOT NULL AND w <> '' GROUP BY w),
        |t0 AS (SELECT w, freq,
        |    list_transform(range(1, length(w) + 1),

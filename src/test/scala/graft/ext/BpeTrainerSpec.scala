@@ -101,17 +101,44 @@ class BpeTrainerSpec extends AnyFunSuite with SparkTestBase {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       val got = BpeTrainer.encode(docs, "doc_id",
           split(col("text"), " "), types)
+        .select("doc_id", "n_words", "n_subwords", "n_oov", "enc_fp")
         .orderBy("doc_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4)))
       types.unpersist()
       val want = docWords.zipWithIndex.map { case (ws, i) =>
         val segs = refEncode(ws, merges)
         val stream = segs.flatten.mkString(" ")
-        (i.toLong, ws.size.toLong, segs.map(_.size.toLong).sum,
+        // same-corpus encode: every word type is in the table -> 0 OOV
+        (i.toLong, ws.size.toLong, segs.map(_.size.toLong).sum, 0L,
           org.apache.commons.codec.digest.DigestUtils.md5Hex(stream))
       }
       assert(got.toSeq == want, s"trial $trial merges=$merges")
     }
+  }
+
+  test("cross-corpus encode: OOV words char-split (Sennrich §3.2), " +
+      "in-vocab words keep their trained segmentation") {
+    // train on a corpus where (a,b) merges; encode a doc mixing an
+    // in-vocab word with two unseen ones
+    val train = Seq((1L, "ab ab abc")).toDF("doc_id", "text")
+    val (mergesDf, types) = BpeTrainer.learnBpe(train, "doc_id",
+      split(col("text"), " "), rounds = 1)
+    assert(mergesDf.collect().map(r => (r.getString(1), r.getString(2)))
+      .toSeq == Seq(("a", "b")))
+    val enc = Seq((7L, "abc zzq x ab")).toDF("doc_id", "text")
+    val got = BpeTrainer.encode(enc, "doc_id",
+        split(col("text"), " "), types)
+      .select("doc_id", "n_words", "n_subwords", "n_oov", "enc_fp")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4)))
+    types.unpersist()
+    // abc -> [ab, c] (trained); zzq -> [z, z, q], x -> [x] (OOV chars);
+    // ab -> [ab] (trained). Stream = "ab c z z q x ab"
+    val fp = org.apache.commons.codec.digest.DigestUtils
+      .md5Hex("ab c z z q x ab")
+    assert(got.toSeq == Seq((7L, 4L, 7L, 2L, fp)))
   }
 
   test("single-char and empty tokens are handled (no pairs, no crash)") {
