@@ -999,6 +999,43 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // The streaming curation gate facing the SAME DuckDB oracle as the
+    // batch chain: the fixture corpus (toxic-injected text wrapped in
+    // the synthetic HTML) is staged to parquet, read back as a FILE
+    // STREAM in 4 forced micro-batches (maxFilesPerTrigger=1,
+    // Trigger.AvailableNow), gated by the stateless
+    // StreamOps.curationGateStream (per-row strip + blocklist — no
+    // state, no watermark), sunk to parquet, and the sink is what the
+    // oracle hashes. Pins stream==batch for the curation front half:
+    // the one path CORRECTNESS never covered (it was spec-only in r10).
+    "q_curation_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-cur-stream").toString
+      docsWithTokens(s, dir)
+        .select(col("doc_id"), toxAug.as("text"))
+        .select(col("doc_id"), bpHtml.as("html"))
+        // 4 input files -> 4 micro-batches under maxFilesPerTrigger=1:
+        // the gate must be correct ACROSS batch boundaries, not just on
+        // one big batch (stateless, so trivially so — but measured, not
+        // assumed)
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream
+        .schema("doc_id LONG, html STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$tmp/in")
+      val q = graft.streaming.StreamOps
+        .curationGateStream(stream, "html", Toxicity.DefaultTerms)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", s"$tmp/out")
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out").orderBy("doc_id")
+    }),
+
     // Per-source toxicity rollup: the curation dashboard view — which
     // sources are spam farms. Combinable agg over the gate frame;
     // flagged rate in exact integer milli.
@@ -2282,6 +2319,21 @@ object ExtQueries {
     * `text` so [[gopherKeptSql]] applies verbatim) → min-doc_id exact
     * content dedup. One oracle over the whole composition.
     */
+  /** The curation FRONT HALF (strip → non-empty → blocklist) — the
+    * stream path's oracle. Docs absent from `a` (html strips to no
+    * content-bearing block) and docs whose kept text is '' both fail
+    * the stream gate's `length > 0`, so the batch-side filter is
+    * `clean_text <> ''` over the boilerplate CTE stack.
+    */
+  private def curationStreamOracle: String =
+    s"""WITH aug AS (SELECT doc_id, source, $toxAugSql AS text
+       |  FROM documents),
+       |${bpCteStack("aug")}
+       |SELECT doc_id, clean_text FROM a
+       |WHERE clean_text <> '' AND
+       |  len(regexp_extract_all(lower(clean_text), '$toxPatternSql', 1)) = 0
+       |ORDER BY doc_id""".stripMargin
+
   private def c4PipelineOracle: String =
     s"""WITH aug AS (SELECT doc_id, source, $toxAugSql AS text
        |  FROM documents),
@@ -3005,6 +3057,7 @@ object ExtQueries {
     "q_toxicity_sources" -> toxicitySourcesOracle,
     "q_boilerplate" -> boilerplateOracle,
     "q_c4_pipeline" -> c4PipelineOracle,
+    "q_curation_stream" -> curationStreamOracle,
     // DuckDB reads the same committed gzip bytes independently
     // (ignore_errors surfaces the corrupt line as a null row in current
     // DuckDB; filtering on doc_id keeps the compare robust if a future
