@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ExtQueries, RefQueries, RelQueries}
+import graft.queries.{ExtQueries, RefQueries, RelQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,8 +18,10 @@ object SparkEntry {
     RelQueries.queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RefQueries.queries ++ RelQueries.queries ++ ExtQueries.queries
+    RefQueries.queries ++ RelQueries.queries ++ ExtQueries.queries ++
+      StreamQueries.queries
 
   def oracleSql: Map[String, String] =
-    RefQueries.oracle ++ RelQueries.oracle ++ ExtQueries.oracle
+    RefQueries.oracle ++ RelQueries.oracle ++ ExtQueries.oracle ++
+      StreamQueries.oracle
 }

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamOps
+
+/** Stream↔batch equivalence under the DuckDB oracle — the STATEFUL
+  * streaming paths (watermarked windowed aggregation, event-time-timeout
+  * sessionization) driven through a real file-source micro-batch stream
+  * and hash-compared against a batch SQL oracle over the same events.
+  *
+  * The stateless gate (q_curation_stream) proved the pattern; these two
+  * pin the state-store paths. Determinism contract: the fixture events
+  * are staged as ONE input file (a single data micro-batch sees the
+  * initial watermark 0, so no row is "late" regardless of file order —
+  * exactly the determinism a replay/backfill run relies on), then an
+  * EMPTY nudge file forces one more micro-batch that runs WITH the
+  * advanced watermark: append-mode window finalization and event-time
+  * timeouts fire there (StreamOpsSpec pins that timing), making the
+  * emitted set a pure function of the data + watermark arithmetic —
+  * which is what the oracle computes relationally:
+  *
+  *  - windows finalize iff window_end <= final watermark
+  *    (= max event ms − 2 h lateness);
+  *  - an open session times out iff its timeout stamp
+  *    (last-activity ms + 30 min gap) < final watermark
+  *    (= max event ms − 30 min lateness).
+  *
+  * Scale note: the staging write is battery plumbing, not the operator;
+  * the operators themselves are the StreamOps forms whose state bounds
+  * (watermark-horizon windows, O(active users) sessions) are documented
+  * at the definition site.
+  */
+object StreamQueries {
+
+  /** Stage `df` as one parquet file, run `mk(streamIn)` to a parquet
+    * sink via two processAllAvailable rounds with an empty nudge file
+    * in between (see class doc), and return the sink contents.
+    */
+  private def runFileStream(s: SparkSession, staged: DataFrame,
+      schema: String, tag: String)(mk: DataFrame => DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory(s"graft-$tag").toString
+    staged.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b1")
+    val stream = s.readStream.schema(schema).parquet(s"$tmp/in/*")
+    val q = mk(stream)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("parquet").option("path", s"$tmp/out")
+      .start()
+    q.processAllAvailable()
+    // the nudge batch: 0 rows, but a batch nonetheless — it executes
+    // with the watermark advanced by b1, which is when append-mode
+    // aggregates finalize and event-time timeouts fire
+    staged.limit(0).coalesce(1).write.parquet(s"$tmp/in/b2")
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(s"$tmp/out")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Watermarked tumbling-window agg through the stream: only windows
+    // the 2 h watermark has passed are final (append mode), so the
+    // oracle is the batch hourly agg restricted to finalized windows.
+    "q_hourly_stream" -> ((s, dir) => {
+      val ev = QueryUtil.events(s, dir)
+        .select(col("ts"), col("event_type"), col("value"))
+      runFileStream(s, ev, "ts TIMESTAMP, event_type STRING, value DOUBLE",
+        "hourly-stream")(StreamOps.hourlyAgg)
+        .orderBy("hour", "event_type")
+    }),
+
+    // Event-time-timeout sessionization through the stream: the sink
+    // keeps the FINAL (closed = true) rows — closed either by a
+    // successor event past the 30 min gap or by the inactivity timeout
+    // once the final watermark passes it. Open sessions (the per-batch
+    // progress rows) are deliberately excluded: they depend on the
+    // micro-batch split, the closed set does not.
+    "q_sessionize_stream" -> ((s, dir) => {
+      val ev = QueryUtil.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"))
+      runFileStream(s, ev, "user_id LONG, ts_us LONG, event_id LONG",
+        "sess-stream") { in =>
+        import s.implicits._
+        StreamOps.sessionize(in.as[StreamOps.Evt]).toDF()
+      }
+        .where(col("closed"))
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          col("start_us"), col("end_us"))
+        .orderBy("user_id", "session_idx")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    // Batch hourly agg restricted to watermark-finalized windows:
+    // window_end (ms) <= max event ms - 2 h. Spark's watermark tracks
+    // max event time in FLOOR-to-ms (µs/1000), matching epoch_ms.
+    "q_hourly_stream" ->
+      """WITH wm AS (
+        |  SELECT max(epoch_ms(ts::TIMESTAMP)) - 7200000 AS w FROM events)
+        |SELECT date_trunc('hour', ts::TIMESTAMP)::TIMESTAMP AS hour,
+        |  event_type, count(*) AS n,
+        |  sum(round(value*100)::BIGINT) / 100.0 AS sum_value
+        |FROM events, wm
+        |GROUP BY 1, 2, wm.w
+        |HAVING epoch_ms(date_trunc('hour', ts::TIMESTAMP)::TIMESTAMP)
+        |  + 3600000 <= wm.w
+        |ORDER BY hour, event_type""".stripMargin,
+
+    // Batch gap sessionization (identical arithmetic to q_sessionize),
+    // restricted to CLOSED sessions: a successor session exists, or the
+    // inactivity timeout stamp (end ms + 30 min) sits below the final
+    // watermark (max event ms - 30 min lateness).
+    "q_sessionize_stream" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+        |    lag(epoch_us(ts::TIMESTAMP)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts::TIMESTAMP), event_id) AS prev_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev),
+        |sess AS (
+        |  SELECT user_id, ts_us,
+        |    (sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS session_idx
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id, session_idx, count(*) AS n_events,
+        |    min(ts_us) AS start_us, max(ts_us) AS end_us
+        |  FROM sess GROUP BY user_id, session_idx),
+        |wm AS (SELECT max(ts_us) // 1000 - 1800000 AS w FROM
+        |  (SELECT epoch_us(ts::TIMESTAMP) AS ts_us FROM events))
+        |SELECT user_id, session_idx, n_events, start_us, end_us
+        |FROM agg, wm
+        |WHERE EXISTS (SELECT 1 FROM agg a2 WHERE a2.user_id = agg.user_id
+        |        AND a2.session_idx = agg.session_idx + 1)
+        |   OR (end_us // 1000 + 1800000) < wm.w
+        |ORDER BY user_id, session_idx""".stripMargin
+  )
+}

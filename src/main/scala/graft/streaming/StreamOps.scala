@@ -46,13 +46,17 @@ object StreamOps {
       .withColumn("ts", timestamp_micros(col("ts_us")))
 
   /** Watermarked tumbling-window aggregate — identical grouping to the
-    * batch q_hourly_agg.
+    * batch q_hourly_agg, and the same EXACT integer-cents money sum
+    * (a raw double sum would make stream and batch results — and the
+    * DuckDB oracle — disagree in the last bits depending on reduction
+    * order; q_curation_stream-style cross-engine hashing needs exact).
     */
   def hourlyAgg(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"),
         col("sum_value"))
 
