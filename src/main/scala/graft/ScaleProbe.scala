@@ -61,9 +61,22 @@ object ScaleProbe {
     * which tokenize identically (the tokenizer splits on spaces and the
     * probe fixtures never feed the oracles).
     */
-  private[graft] val Ring: String =
-    (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++
+  private[graft] val Ring: String = {
+    val v4 = (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++
       ('à' to 'ö') ++ ('ø' to 'ÿ') ++ ('À' to 'Ö') ++ ('Ø' to 'Þ')).mkString
+    // v5 extension for the ×1000 decade: more BMP letter blocks —
+    // Latin Extended-A/B, Greek (΢ U+03A2 is unassigned), Cyrillic,
+    // Latin Extended Additional. All single-UTF-16-char (translate
+    // maps char→char), none is whitespace, and the v4 123-symbol
+    // ring stays the PREFIX so low rotations keep their shape.
+    val r = v4 + ((0x0100 to 0x024F) ++
+      ((0x0391 to 0x03A9) ++ (0x03B1 to 0x03C9)).filter(_ != 0x03A2) ++
+      (0x0400 to 0x04FF) ++
+      (0x1E00 to 0x1EFF)).map(_.toChar).mkString
+    require(r.distinct.length == r.length && !r.exists(_.isWhitespace),
+      "substitution ring must be distinct non-whitespace symbols")
+    r
+  }
 
   /** Maximum replica factor: one vocabulary-disjoint substitution per
     * ring rotation.
@@ -81,13 +94,13 @@ object ScaleProbe {
     * guarantee to ×123 for the ×100 decade. Factors above the period
     * are rejected rather than silently degenerating.
     */
-  private def rot(c: Column, k: Int): Column = {
+  private[graft] def rot(c: Column, k: Int): Column = {
     require(k < MaxFactor, s"replica $k: substitution period is $MaxFactor")
     if (k == 0) c
     else translate(c, Ring, Ring.drop(k) + Ring.take(k))
   }
 
-  private def span(df: DataFrame, key: String): Long =
+  private[graft] def span(df: DataFrame, key: String): Long =
     df.agg(coalesce(max(col(key)), lit(0L)).cast("long")).head().getLong(0) + 1L
 
   /** Union of `factor` per-replica frames (replica 0 = the base rows). */
@@ -97,8 +110,11 @@ object ScaleProbe {
   /** Bump when the replication model changes — stale fixture sets from
     * an older generator must regenerate, not silently mis-measure.
     * v4: 123-symbol ring substitution (the ×100 decade).
+    * v5: ring extended to 1020 BMP letters (the ×1000 decade /
+    * BigScaleGen) — rotations ≥ where v4 wrapped produce different
+    * text, so v4 fixtures regenerate.
     */
-  private val GenVersion = 4
+  private[graft] val GenVersion = 5
 
   /** One fixed 12-token paragraph — aligned with q_para_dedup's
     * positional 12-token segmentation, so prefixing it makes it EVERY
@@ -248,7 +264,7 @@ object ScaleProbe {
     * probe snapshots before/after each query (with a short listener-bus
     * settle) to attribute spill per query.
     */
-  private final class SpillListener
+  private[graft] final class SpillListener
       extends org.apache.spark.scheduler.SparkListener {
     val memSpilled = new java.util.concurrent.atomic.AtomicLong
     val diskSpilled = new java.util.concurrent.atomic.AtomicLong
