@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ExtQueries, RefQueries, RelQueries, StreamQueries}
+import graft.queries.{ExtQueries, IoQueries, RefQueries, RelQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,9 +19,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RefQueries.queries ++ RelQueries.queries ++ ExtQueries.queries ++
-      StreamQueries.queries
+      StreamQueries.queries ++ IoQueries.queries
 
   def oracleSql: Map[String, String] =
     RefQueries.oracle ++ RelQueries.oracle ++ ExtQueries.oracle ++
-      StreamQueries.oracle
+      StreamQueries.oracle ++ IoQueries.oracle
 }

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Bucketing
+import graft.sources.Interchange
+
+/** Storage-layout and interchange queries: the bucketed (pre-shuffled)
+  * join and the CSV/ORC round trips, each oracle-checked against
+  * DuckDB's independent computation over the same parquet fixtures.
+  *
+  * Scale story, shared by all three: they price the WRITE-side choices
+  * a 100 TB corpus must make once — bucket the fact tables on the join
+  * key so every later join skips its exchange (Bucketing), and export/
+  * ingest through explicit-schema interchange formats without a
+  * schema-inference scan (Interchange).
+  */
+object IoQueries {
+
+  import QueryUtil.table
+
+  /** Content that breaks naive CSV writers, synthesized identically on
+    * both engines (the q_redact/q_boilerplate fixture pattern): an
+    * embedded comma, a double quote, a backslash, and a newline, glued
+    * to the first 50 chars of the fixture text. The Spark pipeline must
+    * round-trip it through actual CSV bytes; DuckDB just recomputes the
+    * expected value from parquet — so any quoting/escaping defect in
+    * the write-read pair lands as a hash mismatch.
+    */
+  private val csvHostile: org.apache.spark.sql.Column =
+    concat(lit("a,\"b\\c\"\n"), substring(col("text"), 1, 50))
+  private val csvHostileSql: String =
+    """'a,"b\c"' || chr(10) || substr(text, 1, 50)"""
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Fact-fact equi-join with the shuffle paid at WRITE time: both
+    // sides land hash-bucketed+sorted on the join key, the join itself
+    // plans exchange-free (BucketingSpec pins the plan), and only the
+    // bounded 5-key priority rollup shuffles. The timed cost here is
+    // write + join — the honest price of the layout; at 100 TB the
+    // write amortizes over every downstream join on the key.
+    "q_bucket_join" -> ((s, dir) => {
+      Bucketing.writeBucketed(
+        table(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+        "graft_bj_li", "l_orderkey", 8)
+      Bucketing.writeBucketed(
+        table(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "graft_bj_or", "o_orderkey", 8)
+      Bucketing.bucketedEquiJoin(s, "graft_bj_li", "graft_bj_or",
+          "l_orderkey", "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          (sum(QueryUtil.cents(col("l_extendedprice"))) / 100.0)
+            .as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // RFC 4180 CSV round trip over hostile content (embedded comma,
+    // quote, backslash, newline) — Spark writes real CSV bytes and
+    // reads them back; DuckDB recomputes the expected frame from
+    // parquet, so the hash check proves byte-faithful quoting.
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), csvHostile.as("text"), col("lang"),
+          col("n_chars"))
+      Interchange.csvRoundTrip(docs, s"${tmpDir("csv")}/docs")
+        .orderBy("doc_id")
+    }),
+
+    // ORC round trip: documents land as ORC, read back with the
+    // writer's schema, and the post-read filter pushes into the ORC
+    // scan (InterchangeSpec pins the pushdown) — the columnar
+    // interchange edge behaves like the parquet core.
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      Interchange.orcRoundTrip(docs, s"${tmpDir("orc")}/docs")
+        .where(col("n_chars") > 200)
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_bucket_join" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_items,
+        |  sum(round(l_extendedprice*100)::BIGINT) / 100.0 AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_csv_roundtrip" ->
+      s"""SELECT doc_id, $csvHostileSql AS text, lang, n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_orc_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents WHERE n_chars > 200 ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,44 +1,106 @@
 package graft.ops
 
-
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
 
-/** Bucketed-write co-located join: both sides bucketed on the join key →
-  * the sort-merge join needs NO shuffle exchange. This is the 100 TB
-  * pattern for repeated joins on the same key (pre-shuffle once at write
-  * time, join many times for free).
+/** Pins the two layout guarantees Bucketing's scaladoc (and ZOrder's)
+  * sells: a join of two same-count bucketed tables on their bucket keys
+  * plans with ZERO exchanges, and an equality scan prunes to one
+  * bucket. Results are also value-checked against the plain (shuffling)
+  * join so the layout never changes semantics.
   */
 class BucketingSpec extends AnyFunSuite with SparkTestBase {
 
-  test("bucketed tables join without a shuffle exchange") {
-    // spark.sql.warehouse.dir is static — tables land in ./spark-warehouse
-    // (gitignored) and are dropped below
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+  private val sfDir = "/root/testdata/sf0.001"
+  private val buckets = 4
 
-    val li = spark.read
-      .parquet("/root/testdata/sf0.001/lineitem.parquet")
-      .select("l_orderkey", "l_quantity")
-    val o = spark.read
-      .parquet("/root/testdata/sf0.001/orders.parquet")
-      .select("o_orderkey", "o_totalprice")
+  private lazy val tables: Unit = {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val or = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_orderpriority")
+    Bucketing.writeBucketed(li, "graft_spec_li", "l_orderkey", buckets)
+    Bucketing.writeBucketed(or, "graft_spec_or", "o_orderkey", buckets)
+  }
 
-    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
-      .sortBy("l_orderkey").saveAsTable("li_b")
-    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
-      .sortBy("o_orderkey").saveAsTable("o_b")
+  /** Count exchanges in the physical plan. AQE wraps materialized
+    * exchanges in leaf QueryStageExec nodes a tree collect can't see
+    * through, so the callers pin the plan SHAPE with AQE off — whether
+    * an exchange exists at all is a static planning fact AQE never
+    * changes (it only re-plans around one).
+    */
+  private def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collectWithSubqueries {
+      case e: ShuffleExchangeExec => e
+    }.size
 
-    val joined = spark.table("li_b")
-      .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
-    val plan = joined.queryExecution.executedPlan.toString
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally pairs.foreach { case (k, _) => spark.conf.unset(k) }
+  }
 
-    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
-    assert(joined.count() == li.count()) // every lineitem has its order
+  test("bucketed SMJ on the bucket keys plans with zero exchanges") {
+    tables
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val j = Bucketing.bucketedEquiJoin(spark, "graft_spec_li",
+        "graft_spec_or", "l_orderkey", "o_orderkey")
+      assert(exchanges(j) == 0,
+        s"bucketed join must not shuffle:\n${j.queryExecution.executedPlan}")
+      assert(j.count() > 0)
+    }
+  }
 
-    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-    spark.sql("DROP TABLE IF EXISTS li_b")
-    spark.sql("DROP TABLE IF EXISTS o_b")
+  test("the same join without buckets shuffles both sides") {
+    // contrast case: identical data read as flat parquet; broadcast
+    // disabled so the planner can't hide the exchange behind a
+    // small-side broadcast that a 100 TB fact-fact join wouldn't get
+    tables
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_extendedprice")
+      val or = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_orderpriority")
+      val j = li.hint("merge")
+        .join(or, col("l_orderkey") === col("o_orderkey"))
+      assert(exchanges(j) == 2, "flat-parquet SMJ must exchange both sides")
+    }
+  }
+
+  test("bucketed join matches the plain join's values") {
+    tables
+    val bucketed = Bucketing.bucketedEquiJoin(spark, "graft_spec_li",
+        "graft_spec_or", "l_orderkey", "o_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+    val plain = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .join(spark.read.parquet(s"$sfDir/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+    assert(bucketed.collect().toSet == plain.collect().toSet)
+  }
+
+  test("an equality scan prunes to one bucket") {
+    tables
+    // autoBucketedScan treats bucketing purely as a shuffle-avoidance
+    // device and reads the table flat for a bare filter query, which
+    // forfeits bucket pruning — off, the equality predicate prunes the
+    // point lookup to 1 of n bucket files
+    withConf("spark.sql.sources.bucketing.autoBucketedScan.enabled" ->
+        "false") {
+      val key = spark.table("graft_spec_or")
+        .select("o_orderkey").head().getLong(0)
+      val scan = spark.table("graft_spec_or").where(col("o_orderkey") === key)
+      val plan = scan.queryExecution.executedPlan.toString
+      assert(plan.contains(s"SelectedBucketsCount: 1 out of $buckets"),
+        s"expected single-bucket pruning in:\n$plan")
+      assert(scan.count() >= 1)
+    }
   }
 }
