@@ -3,18 +3,24 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.Bucketing
+import graft.ext.{Packing, TextAnalysis => TA}
+import graft.ops.{Bucketing, Compaction}
 import graft.sources.Interchange
 
-/** Storage-layout and interchange queries: the bucketed (pre-shuffled)
-  * join and the CSV/ORC round trips, each oracle-checked against
-  * DuckDB's independent computation over the same parquet fixtures.
+/** Storage-layout, interchange, and packing queries: the bucketed
+  * (pre-shuffled) join, the CSV/ORC round trips, small-file
+  * compaction, and fixed-length sequence packing — each oracle-checked
+  * against DuckDB's independent computation over the same parquet
+  * fixtures.
   *
-  * Scale story, shared by all three: they price the WRITE-side choices
-  * a 100 TB corpus must make once — bucket the fact tables on the join
-  * key so every later join skips its exchange (Bucketing), and export/
+  * Scale story, shared by all: they price the WRITE-side choices a
+  * 100 TB corpus must make once — bucket the fact tables on the join
+  * key so every later join skips its exchange (Bucketing), export/
   * ingest through explicit-schema interchange formats without a
-  * schema-inference scan (Interchange).
+  * schema-inference scan (Interchange), keep file granularity at the
+  * scan sweet spot (Compaction), and lay the token stream out into
+  * training sequences with a collect-free distributed prefix sum
+  * (Packing).
   */
 object IoQueries {
 
@@ -32,6 +38,9 @@ object IoQueries {
     concat(lit("a,\"b\\c\"\n"), substring(col("text"), 1, 50))
   private val csvHostileSql: String =
     """'a,"b\c"' || chr(10) || substr(text, 1, 50)"""
+
+  // DuckDB analog of TA.tokens (the ExtQueries convention)
+  private val tokensSql = "string_split(text, ' ')"
 
   private def tmpDir(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
@@ -82,6 +91,50 @@ object IoQueries {
       Interchange.orcRoundTrip(docs, s"${tmpDir("orc")}/docs")
         .where(col("n_chars") > 200)
         .orderBy("doc_id")
+    }),
+
+    // Fixed-length sequence packing: concatenate docs in doc_id order,
+    // cut every 512 tokens, report each doc's global token offset and
+    // the sequence span it lands in. The prefix sum underneath is the
+    // collect-free two-level scan (range buckets + bounded offset
+    // window) — DuckDB recomputes it as one global window, so the hash
+    // match proves the distributed scan is EXACT, not approximate.
+    "q_pack_sequences" -> ((s, dir) => {
+      Packing.packSequences(
+          table(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", TA.tokenCount(col("text")), seqLen = 512, buckets = 16)
+        .select("doc_id", "n_tokens", "start_off", "first_seq", "last_seq")
+        .orderBy("doc_id")
+    }),
+
+    // Packing audit rolled up from the same spans: per sequence-span
+    // width (0 = fits one sequence, k = crosses k boundaries), how many
+    // docs and tokens. The downstream masking/shard-sizing consumer's
+    // first question, and a second independent check of the prefix sum.
+    "q_pack_stats" -> ((s, dir) => {
+      Packing.packSequences(
+          table(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", TA.tokenCount(col("text")), seqLen = 512, buckets = 16)
+        .groupBy((col("last_seq") - col("first_seq")).as("spans"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .orderBy("spans")
+    }),
+
+    // Small-file compaction round trip: shatter documents into 32
+    // undersized files, compact back to ~target size (coalesce — no
+    // shuffle, pinned by CompactionSpec), and hash-check the surviving
+    // content against the original parquet.
+    "q_compact" -> ((s, dir) => {
+      val base = tmpDir("compact")
+      table(s, dir, "documents").repartition(32)
+        .write.mode("overwrite").parquet(s"$base/shattered")
+      val stats = Compaction.compact(s, s"$base/shattered",
+        s"$base/compacted", targetBytes = 512L * 1024 * 1024)
+      require(stats.filesAfter == 1 && stats.filesAfter < stats.filesBefore,
+        s"expected single-file compaction, got $stats")
+      s.read.parquet(s"$base/compacted")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
     })
   )
 
@@ -96,6 +149,39 @@ object IoQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_orc_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
-        |FROM documents WHERE n_chars > 200 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE n_chars > 200 ORDER BY doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, len($tokensSql)::BIGINT AS n_tokens
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0)::BIGINT AS start_off
+         |  FROM t WHERE n_tokens > 0
+         |)
+         |SELECT doc_id, n_tokens, start_off,
+         |  (start_off // 512)::BIGINT AS first_seq,
+         |  ((start_off + n_tokens - 1) // 512)::BIGINT AS last_seq
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_pack_stats" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, len($tokensSql)::BIGINT AS n_tokens
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0)::BIGINT AS start_off
+         |  FROM t WHERE n_tokens > 0
+         |)
+         |SELECT (((start_off + n_tokens - 1) // 512)
+         |          - (start_off // 512))::BIGINT AS spans,
+         |  count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+         |FROM c GROUP BY 1 ORDER BY spans""".stripMargin,
+    "q_compact" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
