@@ -215,7 +215,21 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // ReusedExchange collapses part of it at execution) + the
     // bounded-domain cumulative (single-partition window over DISTINCT
     // scores, never corpus rows) + 1-row threshold broadcasts + order
-    "q_ppl_buckets" -> 20
+    "q_ppl_buckets" -> 20,
+    // bucketed SMJ (ZERO join exchanges — the layout's whole point) +
+    // priority agg + final order
+    "q_bucket_join" -> 2,
+    // CSV/ORC read-back + final order; round trips must never shuffle
+    "q_csv_roundtrip" -> 1,
+    "q_orc_roundtrip" -> 1,
+    // compacted-parquet read + final order
+    "q_compact" -> 1,
+    // prefix sum: per-bucket window (hash) + bucket-totals agg (hash)
+    // + the bounded ≤B-row offsets window (SinglePartition — never
+    // corpus rows) + final order; the offsets join is a broadcast
+    "q_pack_sequences" -> 4,
+    // + the spans rollup agg
+    "q_pack_stats" -> 5
   )
 
   // A subtree consumed by several branches only shares its exchange if
