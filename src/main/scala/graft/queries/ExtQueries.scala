@@ -1470,6 +1470,19 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Edit-distance similarity self-join (graft.ext.FuzzyJoin):
+    // Ed-Join prefix-filter blocking over the q·d+1 globally-rarest
+    // q-grams per name, then exact levenshtein verification. The
+    // oracle is DuckDB's BRUTE-FORCE all-pairs ground truth, so the
+    // hash match proves the blocking is lossless (recall 1.0) — not a
+    // sampled estimate.
+    "q_fuzzy_pairs" -> ((s, dir) => {
+      graft.ext.FuzzyJoin.selfPairs(
+          table(s, dir, "customer").select("c_custkey", "c_name"),
+          "c_custkey", "c_name", d = 1)
+        .orderBy("id1", "id2")
+    }),
+
     // Positional phrase search (graft.ext.Search): postings alignment
     // via (doc, pos-i) equi-joins — no regex scan, no token-value join.
     "q_phrase_search" -> ((s, dir) => {
@@ -3441,6 +3454,14 @@ object ExtQueries {
         |       WHEN fp1 = fp2 THEN 'same' ELSE 'changed' END AS status
         |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q_fuzzy_pairs" ->
+      """SELECT a.c_custkey::BIGINT AS id1, b.c_custkey::BIGINT AS id2,
+        |  a.c_name AS str1, b.c_name AS str2,
+        |  levenshtein(a.c_name, b.c_name)::BIGINT AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id1, id2""".stripMargin,
 
     "q_phrase_search" ->
       s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents

@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** FuzzyJoin's whole claim is LOSSLESS blocking: every test compares
+  * the blocked join against an in-memory brute-force all-pairs scan.
+  * Any missed pair is a broken prefix filter, any extra a broken
+  * verifier.
+  */
+class FuzzyJoinSpec extends AnyFunSuite with SparkTestBase {
+
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      var prev = dp(0); dp(0) = i
+      for (j <- 1 to b.length) {
+        val cur = dp(j)
+        dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(b.length)
+  }
+
+  private def brute(rows: Seq[(Long, String)], d: Int) =
+    (for {
+      (i1, s1) <- rows; (i2, s2) <- rows
+      if i1 < i2 && lev(s1, s2) <= d
+    } yield (i1, i2, lev(s1, s2).toLong)).toSet
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("s", StringType, nullable = false)))
+
+  private def run(rows: Seq[(Long, String)], d: Int, q: Int = 2) = {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 4),
+      schema)
+    FuzzyJoin.selfPairs(df, "id", "s", d, q)
+      .select("id1", "id2", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("random corpus matches brute force at d=1 and d=2") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcd"
+    val base = (0L until 120L).map { i =>
+      i -> Seq.fill(4 + rnd.nextInt(5))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    for (d <- Seq(1, 2))
+      assert(run(base, d) == brute(base, d), s"d=$d")
+  }
+
+  test("universal shared prefix stays exact (the blocking adversary)") {
+    // every string opens with the same 12 chars — frequency ordering
+    // must keep the prefix grams out of the blocks, and recall must
+    // still be 1.0
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 80L).map { i =>
+      i -> ("https://www." + Seq.fill(3)("ab" (rnd.nextInt(2))).mkString)
+    }
+    for (d <- Seq(1, 2))
+      assert(run(rows, d) == brute(rows, d), s"d=$d")
+  }
+
+  test("exact duplicates pair at distance 0") {
+    val rows = Seq(1L -> "hello", 2L -> "hello", 3L -> "help")
+    val got = run(rows, 1)
+    assert(got == brute(rows, 1))
+    assert(got.contains((1L, 2L, 0L)))
+  }
+
+  test("short strings (below q) route through the exact path") {
+    val rows = Seq(1L -> "", 2L -> "a", 3L -> "b", 4L -> "ab",
+      5L -> "abcdef")
+    for (d <- Seq(1, 2))
+      assert(run(rows, d) == brute(rows, d), s"d=$d")
+  }
+}

@@ -229,7 +229,11 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // corpus rows) + final order; the offsets join is a broadcast
     "q_pack_sequences" -> 4,
     // + the spans rollup agg
-    "q_pack_stats" -> 5
+    "q_pack_stats" -> 5,
+    // gram-freq agg (broadcast side) + per-string prefix window + the
+    // prefix self-join's two gram hashes + pair distinct + final
+    // order; the freq join and the short path ride broadcasts
+    "q_fuzzy_pairs" -> 7
   )
 
   // A subtree consumed by several branches only shares its exchange if
