@@ -135,6 +135,21 @@ object IoQueries {
       s.read.parquet(s"$base/compacted")
         .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")
+    }),
+
+    // File-per-document text ingest (the Pile-style raw-dump shape):
+    // every 20th doc lands as its own .txt file and reads back
+    // whole-file; the strip-one-trailing-newline contract makes the
+    // trip lossless for any payload (incl. embedded + trailing
+    // newlines — InterchangeSpec pins both), proven by the hash match
+    // against the parquet original.
+    "q_text_files" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .where(pmod(col("doc_id"), lit(20)) === 0)
+        .select("doc_id", "text")
+      Interchange.textFilesRoundTrip(docs, "doc_id", "text",
+          s"${tmpDir("txt")}/docs")
+        .orderBy("doc_id")
     })
   )
 
@@ -182,6 +197,9 @@ object IoQueries {
          |FROM c GROUP BY 1 ORDER BY spans""".stripMargin,
     "q_compact" ->
       """SELECT doc_id, text, lang, source, n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_files" ->
+      """SELECT doc_id, text FROM documents
+        |WHERE doc_id % 20 = 0 ORDER BY doc_id""".stripMargin
   )
 }

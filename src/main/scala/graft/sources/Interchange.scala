@@ -1,9 +1,11 @@
 package graft.sources
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
-/** Interchange formats (CSV, ORC) with explicit schemas — the ingest
-  * and export edges of the engine, complementing the parquet core and
+/** Interchange formats (CSV, ORC, file-per-doc text) with explicit
+  * schemas — the ingest and export edges of the engine, complementing
+  * the parquet core and
   * the JSONL source ([[Jsonl]]).
   *
   * Contract shared with Jsonl: the caller ALWAYS supplies the schema on
@@ -51,5 +53,39 @@ object Interchange {
   def orcRoundTrip(df: DataFrame, path: String): DataFrame = {
     df.write.mode("overwrite").orc(path)
     df.sparkSession.read.schema(df.schema).orc(path)
+  }
+
+  /** One-file-per-document text layout: each row of `df` lands as its
+    * own plain `.txt` file under `path/<idCol>=<id>/` (the Pile-style
+    * raw-dump shape — a corpus as a directory of files), then reads
+    * back whole-file (`wholetext`) with the id recovered from the
+    * partition directory. Returns (idCol long, textCol string).
+    *
+    * Losslessness: the text writer appends EXACTLY one `\n` per row
+    * and each doc is one row in one file, so stripping exactly one
+    * trailing newline on read restores every payload — including
+    * payloads that already end in `\n` (write adds a second, strip
+    * removes one) and embedded newlines (wholetext never splits).
+    * q_text_files hash-checks this against the parquet original.
+    *
+    * Scale: whole-file reads parallelize per FILE — millions of small
+    * files is the many-tasks/listing regime Compaction exists to fix;
+    * this is the INGEST edge for corpora that arrive this way, not a
+    * recommended at-rest layout.
+    */
+  def textFilesRoundTrip(df: DataFrame, idCol: String, textCol: String,
+      path: String): DataFrame = {
+    df.select(col(idCol).cast("string").as(idCol),
+        col(textCol).as("value"))
+      .write.mode("overwrite").partitionBy(idCol).text(path)
+    df.sparkSession.read
+      .option("wholetext", "true")
+      .text(path)
+      .select(col(idCol).cast("long").as(idCol),
+        // \z (absolute end), NOT $: Java's $ also matches before a
+        // final line terminator and regexp_replace replaces ALL
+        // matches, which would strip every trailing newline instead of
+        // exactly the one the writer added
+        regexp_replace(col("value"), "\\n\\z", "").as(textCol))
   }
 }

@@ -44,6 +44,27 @@ class InterchangeSpec extends AnyFunSuite with SparkTestBase {
       Seq(null, null, "x"))
   }
 
+  test("text files round-trip hostile payloads, one file per doc") {
+    val rows = Seq(
+      Row(1L, "plain"),
+      Row(2L, "embedded\nnewlines\nhere"),
+      Row(3L, "trailing newline\n"),
+      Row(4L, "double trailing\n\n"),
+      Row(5L, ""),
+      Row(6L, "unicode naïve — ßµ"))
+    val dir = Files.createTempDirectory("graft-txt-spec").toString
+    val back = Interchange.textFilesRoundTrip(frame(rows),
+      "id", "text", s"$dir/t")
+    assert(back.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      rows.map(r => r.getLong(0) -> r.getString(1)).toMap)
+    // one directory per doc, exactly one data file inside
+    val docDirs = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.getName.startsWith("id="))
+    assert(docDirs.length == rows.length)
+    assert(docDirs.forall(
+      _.listFiles().count(_.getName.startsWith("part-")) == 1))
+  }
+
   test("ORC round-trips values and pushes the read filter into the scan") {
     val rows = (0L until 100L).map(i => Row(i, s"doc$i"))
     val dir = Files.createTempDirectory("graft-orc-spec").toString
