@@ -11,93 +11,179 @@ import org.apache.spark.sql.functions._
   * digit drift, not word choice.
   *
   * The naive join is O(n²) levenshtein evaluations — structurally
-  * impossible at corpus scale. This implements LOSSLESS prefix-filter
-  * blocking (Ed-Join — Xiao, Wang & Lin, VLDB 2008; prefix principle
-  * from SSJoin — Chaudhuri, Ganti & Kaushik, ICDE 2006):
+  * impossible at corpus scale. This implements LOSSLESS Ed-Join
+  * blocking (Xiao, Wang & Lin, VLDB 2008; prefix principle from
+  * SSJoin — Chaudhuri, Ganti & Kaushik, ICDE 2006) over POSITIONAL
+  * q-grams, with both of the paper's prefix-side filters:
   *
-  *  - every string exposes its DISTINCT positional q-grams; a single
-  *    edit destroys at most q gram values, so two strings within edit
-  *    distance d share all but ≤ q·d of their gram-value sets;
-  *  - order all grams globally by (corpus frequency asc, gram asc) and
-  *    keep each string's first q·d+1 — its PREFIX. If ed(s,t) ≤ d, the
-  *    globally-smallest SHARED gram value g must sit inside both
-  *    prefixes (were g outside s's prefix, s would own q·d+1 values
-  *    smaller than g, all necessarily unshared — more than q·d edits
-  *    can destroy). So equi-joining on prefix grams finds EVERY true
-  *    pair: the oracle (q_fuzzy_pairs) hash-matches against DuckDB's
-  *    brute-force ground truth, proving recall 1.0, not estimating it.
+  *  - every string exposes its q-gram OCCURRENCES (value, 1-based
+  *    start); one edit overlaps ≤ q occurrence intervals, so d edits
+  *    destroy ≤ q·d occurrences, and every surviving occurrence maps
+  *    to an equal-valued occurrence of the partner within d positions
+  *    (indels shift later grams by ≤ d, never past it);
+  *  - occurrences are ordered globally by (corpus value frequency,
+  *    value, position) and each string keeps a PREFIX of its smallest;
+  *  - LOCATION-BASED SHRINKING: the prefix is cut at the shortest
+  *    head whose occurrences CANNOT all be destroyed by d edits
+  *    (minimum stabbing points of the intervals [pos, pos+q−1] > d) —
+  *    never longer than the classic q·d+1, usually shorter (two
+  *    non-overlapping rare grams already need 2 edits at d=1);
+  *  - candidates must share a prefix gram BY VALUE AND POSITION
+  *    (|Δpos| ≤ d) — the positional constraint value-only blocking
+  *    discards, and the one that matters on ID-like corpora where a
+  *    bounded gram alphabet makes value blocks grow linearly with the
+  *    corpus (measured on sf0.1 customer: value-only blocking yields
+  *    10.58M candidate pairs from 15k names over a 109-gram alphabet;
+  *    positional blocking collapses that to the output scale).
+  *
+  * Losslessness (so the q_fuzzy_pairs hash match vs DuckDB's
+  * brute-force ground truth proves recall 1.0, not estimates it):
+  * suppose ed(s,t) ≤ d and NO preserved occurrence pair lands in both
+  * prefixes. Some preserved a* sits in s's prefix (a shrunk prefix
+  * cannot be wholly destroyed, by construction), so its partner φ(a*)
+  * must rank above ALL of t's prefix; symmetrically t's prefix holds a
+  * preserved b* = φ(a') with a' above all of s's prefix. If the two
+  * gram values differ, the global order gives a*(<)a' and
+  * φ(a')(<)φ(a*) — but φ preserves (freq, value), contradiction. If
+  * the values are equal, the order falls to position, and an optimal
+  * alignment is position-monotone — same contradiction. So one shared
+  * (value, ±d-position) pair always survives in the joined prefixes.
   *
   * Scale shape: the gram-frequency table is bounded by charset^q rows
   * (≤ ~10k for q=2 over ASCII) — broadcast by construction, never a
   * shuffle of the corpus. The prefix rank is a per-string window
-  * (groups ≤ string length). Candidate blocks key on the RAREST grams
-  * each string owns — frequency ordering is itself the skew defense: a
-  * universal prefix like "https://www." sorts LAST and never becomes a
-  * block key. The degenerate corpus (everything pairwise-similar) has
-  * output-bound block sizes — candidates ≈ answers, the floor any
-  * complete algorithm pays.
+  * (groups ≤ string length). The candidate join is a pure EQUI-join on
+  * (gram, ⌊pos/(d+1)⌋): the position bucket folds the ±d tolerance
+  * into the key (one side explodes to its 3 neighbor buckets), so the
+  * join shuffle-partitions on a high-cardinality composite at cluster
+  * scale instead of nested-looping or hot-keying on bare gram values,
+  * and AQE skew-split applies if one (gram, bucket) block is dense.
+  * The probe side is explicitly repartitioned so the expanding join
+  * and the in-join levenshtein verification spread across all cores —
+  * blocks that stay dense after the positional filter are
+  * output-bound (candidates ≈ answers, the floor any complete
+  * algorithm pays).
   */
 object FuzzyJoin {
 
   /** All (id1 < id2) pairs of `df` rows whose `strCol` values are
-    * within levenshtein distance `d`, found via prefix-filter blocking
-    * and verified exactly. Output: (id1, id2, str1, str2, dist).
+    * within levenshtein distance `d`, found via positional prefix
+    * blocking and verified exactly. Output: (id1, id2, str1, str2,
+    * dist).
     *
     * The filter's guarantee needs a surviving gram OCCURRENCE: a
-    * string with len − q + 1 ≤ q·d gram occurrences can lose ALL of
-    * them to d edits and share no gram value with a true match
-    * ("ab"→"ax" at q=2, d=1 shares nothing). So strings of length
-    * ≤ q(d+1)−1 bypass the filter through an exact short-string path:
-    * their partners all have length ≤ q(d+1)−1+d, a length-bounded
-    * population that broadcast-joins against the shorties (at corpus
-    * scale, names/URLs/titles live far above this cutoff — the short
-    * set is census noise; FuzzyJoinSpec still proves the routing).
+    * string with len − q + 1 ≤ q·d occurrences can lose ALL of them to
+    * d edits and share no gram with a true match ("ab"→"ax" at q=2,
+    * d=1 shares nothing). So strings of length ≤ q(d+1)−1 bypass the
+    * filter through an exact short-string path: their partners all
+    * have length ≤ q(d+1)−1+d, a length-bounded population that
+    * equi-joins on an exploded length key (hash join, never a nested
+    * loop; at corpus scale names/URLs/titles live far above this
+    * cutoff — the short set is census noise; FuzzyJoinSpec still
+    * proves the routing).
     */
   def selfPairs(df: DataFrame, idCol: String, strCol: String,
       d: Int, q: Int = 2): DataFrame = {
     require(d >= 1 && q >= 1, "d and q must be >= 1")
+    val parallelism = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
     val rows = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .withColumn("len", length(col("s")))
     // below this, d edits can destroy every gram occurrence
     val shortCut = q * (d + 1) - 1
+    // the classic prefix bound; location shrinking only ever cuts it
+    val prefixLen = q * d + 1
 
-    // distinct q-gram VALUES per string (set semantics — the prefix
-    // bound above is proved for sets)
-    val gramsReal = rows.where(col("len") > shortCut)
+    // positional q-gram occurrences: (value, 1-based start position)
+    val grams = rows.where(col("len") > shortCut)
       .select(col("id"), col("s"), col("len"),
-        explode(array_distinct(expr(
-          s"transform(sequence(1, len - ${q - 1}), i -> substring(s, i, $q))"
-        ))).as("gram"))
+        posexplode(expr(
+          s"transform(sequence(1, len - ${q - 1}), i -> substring(s, i, $q))")))
+      .select(col("id"), col("s"), col("len"),
+        (col("pos") + 1).as("pos"), col("col").as("gram"))
 
     // corpus gram frequencies: ≤ charset^q rows — broadcast always
-    val freq = gramsReal.groupBy("gram").agg(count(lit(1)).as("freq"))
+    val freq = grams.groupBy("gram").agg(count(lit(1)).as("freq"))
 
-    // per-string prefix: the q·d+1 globally-rarest gram values
-    val prefixLen = q * d + 1
-    val w = Window.partitionBy("id").orderBy(col("freq"), col("gram"))
-    val prefix = gramsReal.join(broadcast(freq), "gram")
+    // per-string candidate prefix: the q·d+1 globally-rarest
+    // occurrences under the (freq, gram, pos) total order — pos ties
+    // MUST break by position: the losslessness proof leans on the
+    // alignment's position monotonicity within equal gram values
+    val w = Window.partitionBy("id")
+      .orderBy(col("freq"), col("gram"), col("pos"))
+    val ranked = grams.join(broadcast(freq), "gram")
       .withColumn("_rk", row_number().over(w))
       .where(col("_rk") <= prefixLen)
-      .select(col("gram"), col("id"), col("s"), col("len"))
 
-    // candidates: strings sharing a prefix gram, inside the length band
+    // location-based shrinking (Ed-Join §4): cut the prefix at the
+    // shortest head needing > d edits to destroy — the minimum number
+    // of stabbing points for the intervals [pos, pos+q−1], computed by
+    // the standard greedy over positions sorted ascending. Arrays here
+    // are ≤ q·d+1 entries; the window shares the rank window's
+    // partitioning (no extra shuffle).
+    def minEdits(posArr: String): String =
+      s"aggregate(array_sort($posArr), " +
+        "named_struct('c', 0, 'cov', -2147483647), " +
+        s"(st, p) -> if(p > st.cov, " +
+        s"named_struct('c', st.c + 1, 'cov', p + ${q - 1}), st)).c"
+    val posOfFirstK: String => String = k =>
+      s"transform(filter(_parr, x -> x._rk <= $k), x -> x.pos)"
+    val kStar =
+      s"array_min(filter(transform(sequence(${d + 1}, $prefixLen), " +
+        s"k -> if(${minEdits(posOfFirstK("k"))} > $d, k, " +
+        "cast(null as int))), v -> v is not null))"
+    val prefix = ranked
+      .withColumn("_parr",
+        collect_list(struct(col("_rk"), col("pos")))
+          .over(Window.partitionBy("id")))
+      .withColumn("_k", coalesce(expr(kStar), lit(prefixLen)))
+      .where(col("_rk") <= col("_k"))
+      .select(col("gram"), col("pos"), col("id"), col("s"), col("len"))
+
+    // candidates: an EQUI-join on (gram, position bucket). Bucket
+    // width d+1 makes |Δpos| ≤ d imply a bucket distance ≤ 1, so one
+    // side explodes to its 3 neighbor buckets and the tolerance rides
+    // the hash key. The join is pinned as a SHUFFLE HASH join with the
+    // probe side explicitly key-repartitioned at the session's shuffle
+    // width: the verification levenshtein rides the join condition
+    // (never materializing the candidate set), so the join's probe
+    // loop IS the query's CPU, and it must not collapse to one task —
+    // a broadcast join here lets AQE size-coalesce the streamed side
+    // to a single partition (measured: 66 s wall ≈ cpu, 1 effective
+    // core), while REPARTITION_BY_NUM is the one partitioning AQE
+    // never coalesces. At cluster scale the same shape holds: both
+    // sides hash-partition on a high-cardinality composite key, no
+    // O(corpus) broadcast, and dense (gram, bucket) blocks are
+    // output-bound (candidates ≈ answers).
+    val bw = d + 1
     val a = prefix
-    val b = prefix.select(col("gram"), col("id").as("id2"),
+      .withColumn("bk",
+        explode(expr(s"sequence(pos div $bw - 1, pos div $bw + 1)")))
+      .repartition(parallelism, col("gram"), col("bk"))
+    val b = prefix.select(col("gram"), expr(s"pos div $bw").as("bk"),
+      col("pos").as("pos2"), col("id").as("id2"),
       col("s").as("s2"), col("len").as("len2"))
-    val gramPairs = a.join(b, "gram")
+    val gramPairs = a.join(b.hint("shuffle_hash"), Seq("gram", "bk"))
       .where(col("id") < col("id2") &&
+        abs(col("pos") - col("pos2")) <= d &&
         abs(col("len") - col("len2")) <= d)
       .select(col("id"), col("id2"), col("s"), col("s2"))
 
     // short-string path: len ≤ q(d+1)−1 strings can evade the gram
     // filter entirely; their partners all live within the length band
-    // — a bounded population, broadcast
+    // — a bounded population, exploded across its ±d length
+    // neighborhood so the pairing is a plain hash equi-join on len
     val shortish = rows.where(col("len") <= shortCut + d)
     val shorty = rows.where(col("len") <= shortCut)
+    val shortishX = shortish.select(
+      explode(expr(s"sequence(greatest(len - $d, 0), len + $d)"))
+        .as("lenk"),
+      col("id").as("ib"), col("s").as("sb"))
     val lt = col("ia") < col("ib")
-    val shortPairs = shorty.select(col("id").as("ia"), col("s").as("sa"))
-      .join(broadcast(shortish.select(col("id").as("ib"),
-        col("s").as("sb"))), col("ia") =!= col("ib"))
+    val shortPairs = shorty
+      .select(col("id").as("ia"), col("s").as("sa"), col("len"))
+      .join(broadcast(shortishX),
+        col("len") === col("lenk") && col("ia") =!= col("ib"))
       .select(
         when(lt, col("ia")).otherwise(col("ib")).as("id"),
         when(lt, col("ib")).otherwise(col("ia")).as("id2"),

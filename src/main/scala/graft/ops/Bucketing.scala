@@ -53,6 +53,19 @@ object Bucketing {
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
   }
 
+  /** Land the bucketed layout only if `table` is not already in the
+    * catalog — the amortized-read contract: the write-time shuffle is
+    * paid once per corpus, and every later join on the key reads the
+    * layout for free. Callers that time the READ side (q_bucket_join_
+    * read) use this so the layout lands in their first (warmup) pass
+    * and the timed passes measure what a 100 TB consumer actually
+    * pays: the exchange-free join alone.
+    */
+  def ensureBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    if (!df.sparkSession.catalog.tableExists(table))
+      writeBucketed(df, table, key, buckets)
+
   /** Equi-join two bucketed tables on their (differently-named) bucket
     * keys. `hint("merge")` pins the sort-merge strategy so the plan
     * demonstrates the layout's guarantee — zero exchanges — rather than

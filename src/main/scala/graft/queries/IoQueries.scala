@@ -42,8 +42,11 @@ object IoQueries {
   // DuckDB analog of TA.tokens (the ExtQueries convention)
   private val tokensSql = "string_split(text, ' ')"
 
-  private def tmpDir(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+  // fixed per-tag scratch path, not a fresh temp dir per invocation:
+  // every writer below is mode("overwrite"), so reuse keeps repeated
+  // battery passes at ONE corpus copy per query instead of leaking an
+  // unbounded trail of /tmp snapshots
+  private def tmpDir(tag: String): String = s"/tmp/graft-io/$tag"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -62,6 +65,29 @@ object IoQueries {
         "graft_bj_or", "o_orderkey", 8)
       Bucketing.bucketedEquiJoin(s, "graft_bj_li", "graft_bj_or",
           "l_orderkey", "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          (sum(QueryUtil.cents(col("l_extendedprice"))) / 100.0)
+            .as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // The same join with the layout AMORTIZED: the bucketed tables are
+    // created only if absent (first/warmup pass), so the timed passes
+    // price what a 100 TB consumer pays on every query against an
+    // already-bucketed corpus — the exchange-free SMJ and the bounded
+    // rollup alone, no write. Table names are keyed by the sf dir so a
+    // layout from one scale never serves another.
+    "q_bucket_join_read" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      Bucketing.ensureBucketed(
+        table(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+        s"graft_bjr_li_$tag", "l_orderkey", 8)
+      Bucketing.ensureBucketed(
+        table(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        s"graft_bjr_or_$tag", "o_orderkey", 8)
+      Bucketing.bucketedEquiJoin(s, s"graft_bjr_li_$tag",
+          s"graft_bjr_or_$tag", "l_orderkey", "o_orderkey")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"),
           (sum(QueryUtil.cents(col("l_extendedprice"))) / 100.0)
@@ -155,6 +181,11 @@ object IoQueries {
 
   def oracle: Map[String, String] = Map(
     "q_bucket_join" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_items,
+        |  sum(round(l_extendedprice*100)::BIGINT) / 100.0 AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_bucket_join_read" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n_items,
         |  sum(round(l_extendedprice*100)::BIGINT) / 100.0 AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

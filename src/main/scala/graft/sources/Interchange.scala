@@ -31,6 +31,14 @@ object Interchange {
     * embedded commas, quotes, and newlines must survive verbatim
     * (q_csv_roundtrip hash-checks that against DuckDB's independent
     * recomputation of the same content).
+    *
+    * Nulls ride the MySQL-dump sentinel `\N` so the EMPTY STRING
+    * round-trips distinct from null (Spark's defaults read both back
+    * as null — a silent edit of real data). The residual, pinned
+    * lossiness is a payload that IS the literal 2-char string `\N`:
+    * the univocity reader applies the null sentinel after unquoting,
+    * so no quoting scheme can protect it — a strictly rarer casualty
+    * than every empty string in the corpus.
     */
   def csvRoundTrip(df: DataFrame, path: String): DataFrame = {
     df.write.mode("overwrite")
@@ -40,12 +48,15 @@ object Interchange {
       // doesn't) — an export format must not edit the data
       .option("ignoreLeadingWhiteSpace", "false")
       .option("ignoreTrailingWhiteSpace", "false")
+      .option("nullValue", "\\N")
       .csv(path)
     df.sparkSession.read
       .schema(df.schema)
       .option("header", "true")
       .option("escape", "\"")
       .option("multiLine", "true")
+      .option("nullValue", "\\N")
+      .option("emptyValue", "")
       .csv(path)
   }
 

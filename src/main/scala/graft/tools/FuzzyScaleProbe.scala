@@ -1,0 +1,126 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The fuzzy join's scale adversary, executed at volume — the SCALING.md
+  * evidence behind FuzzyJoin's candidate-growth formula.
+  *
+  * Two corpora at n = 15000 × factor, both 18-char strings:
+  *  - ADVERSARIAL: uniform-format IDs ("Customer#%09d" — exactly the
+  *    sf0.1 customer shape). The gram-value alphabet is bounded
+  *    (letters of the scaffold + 100 digit bigrams), so (gram, pos)
+  *    block sizes grow ~linearly with n and candidates grow
+  *    ~n²/B where B = the (gram, posBucket) signature-space size —
+  *    the worst case for ANY signature-based blocking: the corpus is
+  *    genuinely self-similar (every string has ~35 true partners).
+  *  - RANDOM: md5-hex content (16-symbol alphabet, positions
+  *    uniform) — same volume, no structure; candidates track output.
+  *
+  * Reports, per corpus: exact candidate-pair counts (the blocked join
+  * WITHOUT the levenshtein verify — the work the verifier must pay),
+  * true-pair counts and full-query wall where affordable. Run:
+  *   sbt "runMain graft.tools.FuzzyScaleProbe <factor> [candOnly]"
+  */
+object FuzzyScaleProbe {
+
+  private def adversarial(spark: SparkSession, n: Long): DataFrame =
+    spark.range(0, n).select(col("id"),
+      concat(lit("Customer#"), lpad(col("id").cast("string"), 9, "0"))
+        .as("s"))
+
+  private def randomish(spark: SparkSession, n: Long): DataFrame =
+    spark.range(0, n).select(col("id"),
+      substring(md5(concat(lit("fz|"), col("id").cast("string"))), 1, 18)
+        .as("s"))
+
+  /** Candidate pairs of the blocked join with the verify predicate
+    * REMOVED — what the blocking hands to the verifier. Mirrors
+    * FuzzyJoin.selfPairs' candidate stage (d=1, q=2) including the
+    * location-shrunk positional prefix.
+    */
+  private def candidates(df: DataFrame, d: Int = 1, q: Int = 2)
+      : (Long, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(col("id"), col("s"))
+      .withColumn("len", length(col("s")))
+    val shortCut = q * (d + 1) - 1
+    val prefixLen = q * d + 1
+    val grams = rows.where(col("len") > shortCut)
+      .select(col("id"), col("len"),
+        posexplode(expr(
+          s"transform(sequence(1, len - ${q - 1}), i -> substring(s, i, $q))")))
+      .select(col("id"), col("len"), (col("pos") + 1).as("pos"),
+        col("col").as("gram"))
+    val freq = grams.groupBy("gram").agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("freq"), col("gram"), col("pos"))
+    val ranked = grams.join(broadcast(freq), "gram")
+      .withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= prefixLen)
+    def minEdits(p: String) =
+      s"aggregate(array_sort($p), named_struct('c', 0, 'cov', -2147483647), " +
+        s"(st, p) -> if(p > st.cov, named_struct('c', st.c + 1, 'cov', " +
+        s"p + ${q - 1}), st)).c"
+    val posK = (k: String) =>
+      s"transform(filter(_parr, x -> x._rk <= $k), x -> x.pos)"
+    val kStar =
+      s"array_min(filter(transform(sequence(${d + 1}, $prefixLen), " +
+        s"k -> if(${minEdits(posK("k"))} > $d, k, cast(null as int))), " +
+        "v -> v is not null))"
+    val prefix = ranked
+      .withColumn("_parr",
+        collect_list(struct(col("_rk"), col("pos")))
+          .over(Window.partitionBy("id")))
+      .withColumn("_k", coalesce(expr(kStar), lit(prefixLen)))
+      .where(col("_rk") <= col("_k"))
+      .select(col("gram"), col("pos"), col("id"), col("len"))
+    val bw = d + 1
+    val a = prefix
+      .withColumn("bk",
+        explode(expr(s"sequence(pos div $bw - 1, pos div $bw + 1)")))
+      .repartition(32, col("gram"), col("bk"))
+    val b = prefix.select(col("gram"), expr(s"pos div $bw").as("bk"),
+      col("pos").as("pos2"), col("id").as("id2"), col("len").as("len2"))
+    val cand = a.join(b.hint("shuffle_hash"), Seq("gram", "bk"))
+      .where(col("id") < col("id2") &&
+        abs(col("pos") - col("pos2")) <= d &&
+        abs(col("len") - col("len2")) <= d)
+    val occ = cand.count()
+    val pairs = cand.select("id", "id2").distinct().count()
+    (occ, pairs)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(1)
+    val candOnly = args.contains("candOnly")
+    val n = 15000L * factor
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for ((tag, mk) <- Seq(
+        "adversarial" -> adversarial _,
+        "random" -> randomish _)) {
+      val df = mk(spark, n).cache()
+      df.count()
+      val t0 = System.nanoTime()
+      val (occ, pairs) = candidates(df)
+      val tCand = (System.nanoTime() - t0) / 1e9
+      println(f"[fuzzy-probe] corpus=$tag n=$n candOcc=$occ " +
+        f"candPairs=$pairs candWall=$tCand%.1f s")
+      if (!candOnly) {
+        val t1 = System.nanoTime()
+        val nTrue = graft.ext.FuzzyJoin.selfPairs(df, "id", "s", d = 1)
+          .count()
+        println(f"[fuzzy-probe] corpus=$tag n=$n truePairs=$nTrue " +
+          f"fullWall=${(System.nanoTime() - t1) / 1e9}%.1f s")
+      }
+      df.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -76,6 +76,30 @@ class FuzzyJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(got.contains((1L, 2L, 0L)))
   }
 
+  test("ID-like corpus (uniform format, bounded alphabet) stays exact") {
+    // the value-only-blocking adversary: every string is
+    // "Name#0000NNN" — a tiny shared gram alphabet where value blocks
+    // grow linearly with the corpus. Positional blocking must keep
+    // recall 1.0 AND the candidate count near the output scale.
+    val rows = (0L until 300L).map(i => i -> f"Name#${i % 250}%07d")
+    for (d <- Seq(1, 2))
+      assert(run(rows, d) == brute(rows, d), s"d=$d")
+  }
+
+  test("position-shifting edits (indels) stay exact") {
+    // an insertion shifts every later gram by one position — the
+    // |Δpos| ≤ d tolerance must absorb exactly that, at both d values
+    val base = "abcdefghijklmn"
+    val rows = Seq(
+      1L -> base,
+      2L -> ("X" + base),          // insert at front: all grams shift +1
+      3L -> base.drop(1),          // delete at front: all grams shift -1
+      4L -> (base.take(7) + "ZZ" + base.drop(7)), // double mid insert
+      5L -> ("XY" + base))         // double front insert (d=2 only)
+    for (d <- Seq(1, 2))
+      assert(run(rows, d) == brute(rows, d), s"d=$d")
+  }
+
   test("short strings (below q) route through the exact path") {
     val rows = Seq(1L -> "", 2L -> "a", 3L -> "b", 4L -> "ab",
       5L -> "abcdef")

@@ -53,6 +53,28 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ensureBucketed reuses an existing layout and the read-side " +
+      "join still plans exchange-free") {
+    tables
+    // the q_bucket_join_read contract: a second ensure is a no-op (the
+    // write-time shuffle is paid once per corpus), and the join read
+    // off the pre-existing layout carries the same zero-exchange plan
+    val before = spark.table("graft_spec_li").inputFiles.toSet
+    Bucketing.ensureBucketed(
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
+      "graft_spec_li", "l_orderkey", buckets)
+    assert(spark.table("graft_spec_li").inputFiles.toSet == before,
+      "ensureBucketed must not rewrite an existing layout")
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val j = Bucketing.bucketedEquiJoin(spark, "graft_spec_li",
+        "graft_spec_or", "l_orderkey", "o_orderkey")
+      assert(exchanges(j) == 0,
+        s"read-side bucketed join must not shuffle:\n" +
+          s"${j.queryExecution.executedPlan}")
+    }
+  }
+
   test("the same join without buckets shuffles both sides") {
     // contrast case: identical data read as flat parquet; broadcast
     // disabled so the planner can't hide the exchange behind a

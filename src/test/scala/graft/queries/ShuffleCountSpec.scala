@@ -219,6 +219,12 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // bucketed SMJ (ZERO join exchanges — the layout's whole point) +
     // priority agg + final order
     "q_bucket_join" -> 2,
+    // same join against PRE-EXISTING bucketed tables: identical bound —
+    // the timed read path never shuffles the join, only the rollup
+    "q_bucket_join_read" -> 2,
+    // file-per-doc read-back + final order; the round trip itself must
+    // never shuffle
+    "q_text_files" -> 1,
     // CSV/ORC read-back + final order; round trips must never shuffle
     "q_csv_roundtrip" -> 1,
     "q_orc_roundtrip" -> 1,
@@ -230,10 +236,14 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     "q_pack_sequences" -> 4,
     // + the spans rollup agg
     "q_pack_stats" -> 5,
-    // gram-freq agg (broadcast side) + per-string prefix window + the
-    // prefix self-join's two gram hashes + pair distinct + final
-    // order; the freq join and the short path ride broadcasts
-    "q_fuzzy_pairs" -> 7
+    // per prefix branch: gram-freq agg + per-string rank window +
+    // (gram, posBucket) hash for the pinned shuffle-hash candidate
+    // join (probe side REPARTITION_BY_NUM — the partitioning AQE
+    // never coalesces, so the in-join levenshtein stays parallel) =
+    // 2×3, + pair distinct + final order; the freq joins and the
+    // short-string path ride broadcasts, and at execution AQE
+    // ReusedExchange collapses the twinned freq/window exchanges
+    "q_fuzzy_pairs" -> 8
   )
 
   // A subtree consumed by several branches only shares its exchange if

@@ -33,15 +33,19 @@ class InterchangeSpec extends AnyFunSuite with SparkTestBase {
     assert(back.collect().toSet == rows.toSet)
   }
 
-  test("CSV null and empty string both read back as null (documented)") {
-    // the format's known lossiness: null writes as the empty field and
-    // the empty field reads as null, so "" does not survive. Pinned so
-    // the contract is explicit rather than discovered in production.
-    val rows = Seq(Row(1L, null), Row(2L, ""), Row(3L, "x"))
+  test("CSV round-trips empty string distinct from null; the \\N " +
+      "sentinel is the one pinned casualty") {
+    // null rides the MySQL-dump sentinel \N so "" survives verbatim
+    // (Spark's defaults read both back as null). The residual
+    // lossiness — a payload that IS the literal string \N — is pinned
+    // here: the reader applies the sentinel after unquoting, so no
+    // quoting scheme can shield it.
+    val rows = Seq(Row(1L, null), Row(2L, ""), Row(3L, "x"),
+      Row(4L, "\\N"), Row(5L, "x\\Ny"))
     val dir = Files.createTempDirectory("graft-csv-null").toString
     val back = Interchange.csvRoundTrip(frame(rows), s"$dir/t")
     assert(back.orderBy("id").collect().map(_.getString(1)).toSeq ==
-      Seq(null, null, "x"))
+      Seq(null, "", "x", null, "x\\Ny"))
   }
 
   test("text files round-trip hostile payloads, one file per doc") {

@@ -1,0 +1,80 @@
+#!/bin/bash
+# Round-closing gate — mechanizes the provenance rule NOTES.md states:
+# a round snapshot is only valid if, AT THE CLOSING COMMIT,
+#   1. the full ScalaTest suite exits 0,
+#   2. a full Bench run covers EXACTLY SparkEntry.queries.keySet
+#      (no query registered after the closing bench — the round-11
+#      failure mode: 2 queries shipped unpriced and untested),
+#   3. tools/check_bench.py exits 0 on that sidecar,
+# and the resulting sidecar + a NOTES.md line recording the test count
+# are part of the snapshot commit itself.
+#
+# Usage: tools/close_round.sh <round-number>
+# Refuses to commit if any gate fails. Run AFTER the last query
+# registration of the round; any later code change voids the snapshot
+# (re-run the script).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+ROUND="${1:?usage: tools/close_round.sh <round-number>}"
+SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
+
+if ! git diff --quiet || ! git diff --cached --quiet; then
+  echo "close_round: uncommitted changes present — commit or stash first," \
+       "the snapshot must describe a single tree" >&2
+  git status --short >&2
+  exit 1
+fi
+
+echo "=== gate 1/3: full test suite ==="
+sbt -batch test 2>&1 | tee /tmp/close_round_test.log | grep -E \
+  "Tests: succeeded|All tests passed|TESTS FAILED|error" | tail -5
+TESTLINE=$(grep -E "^\[info\] Tests: succeeded" /tmp/close_round_test.log \
+  | awk -F'[ ,]+' '{s+=$4; f+=$6} END {print s" passed, "f" failed"}')
+if grep -qE "TESTS FAILED|\*\*\* FAILED \*\*\*" /tmp/close_round_test.log; then
+  echo "close_round: test suite RED — refusing to snapshot" >&2
+  exit 1
+fi
+echo "test suite: $TESTLINE"
+
+echo "=== gate 2/3: full bench covering the whole registry ==="
+sbt -batch "runMain graft.tools.QueryList" 2>/dev/null \
+  | grep -E '^q' | sort > /tmp/close_round_registry.txt
+SPARK_GRAFT_SF_DIR="$SF_DIR" sbt -batch "runMain graft.Bench" 2>&1 \
+  | grep '"metric"' | tail -1 || true
+python3 - <<'EOF'
+import json, sys
+side = json.load(open("tools/bench_full_latest.json"))
+got = set(side["queries"])
+want = set(l.strip() for l in open("/tmp/close_round_registry.txt") if l.strip())
+missing, extra = want - got, got - want
+if missing or extra:
+    print(f"close_round: sidecar/registry mismatch — missing={sorted(missing)} "
+          f"extra={sorted(extra)}", file=sys.stderr)
+    sys.exit(1)
+failed = {k: v for k, v in side.get("failed", {}).items()}
+if failed:
+    print(f"close_round: bench failures {failed}", file=sys.stderr)
+    sys.exit(1)
+print(f"bench: {len(got)} queries, total {side['value']}s wall / "
+      f"{side['cpu_sec']}s cpu — covers the registry exactly")
+EOF
+
+echo "=== gate 3/3: per-query regression gate ==="
+python3 tools/check_bench.py tools/bench_full_latest.json
+
+echo "=== all gates green: committing the snapshot ==="
+HEADSHA=$(git rev-parse --short HEAD)
+NQ=$(python3 -c "import json; print(len(json.load(open('tools/bench_full_latest.json'))['queries']))")
+TOTAL=$(python3 -c "import json; print(json.load(open('tools/bench_full_latest.json'))['value'])")
+cat >> NOTES.md <<EOF
+
+## Round $ROUND closing snapshot (tools/close_round.sh)
+
+At tree $HEADSHA+sidecar: full suite $TESTLINE; closing bench covers
+the full registry ($NQ queries, ${TOTAL}s wall at $SF_DIR);
+check_bench.py exit 0 on the committed sidecar.
+EOF
+git add tools/bench_full_latest.json NOTES.md
+git commit -m "round $ROUND: closing snapshot (suite green, full-registry bench, gate exit 0)"
+echo "close_round: snapshot committed as $(git rev-parse --short HEAD)"
