@@ -30,11 +30,18 @@ import org.apache.spark.sql.functions._
   *    non-overlapping rare grams already need 2 edits at d=1);
   *  - candidates must share a prefix gram BY VALUE AND POSITION
   *    (|Δpos| ≤ d) — the positional constraint value-only blocking
-  *    discards, and the one that matters on ID-like corpora where a
-  *    bounded gram alphabet makes value blocks grow linearly with the
-  *    corpus (measured on sf0.1 customer: value-only blocking yields
-  *    10.58M candidate pairs from 15k names over a 109-gram alphabet;
-  *    positional blocking collapses that to the output scale).
+  *    discards. Measured on sf0.1 customer (15k uniform-format names,
+  *    109-gram alphabet): value-only blocking yields 8.5M candidate
+  *    pairs, positional 6.0M for 262.5k true pairs. The honest scale
+  *    statement (probed by tools/FuzzyScaleProbe, two decades in
+  *    SCALING.md): on a BOUNDED-alphabet uniform-format corpus the
+  *    signature space saturates and candidates grow ~n²·c with
+  *    c ≈ (avg prefix size)²/|gram×posBucket space| — an inherent
+  *    floor of ANY lossless signature scheme when strings genuinely
+  *    pack tighter than the signature space; natural-text corpora
+  *    (large alphabets, varying formats) keep c's denominator growing
+  *    with the corpus, and the engine's job is to make the floor
+  *    parallel, which the shuffle-hash shape below does.
   *
   * Losslessness (so the q_fuzzy_pairs hash match vs DuckDB's
   * brute-force ground truth proves recall 1.0, not estimates it):
