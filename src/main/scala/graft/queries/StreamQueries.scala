@@ -34,14 +34,30 @@ import graft.streaming.StreamOps
   */
 object StreamQueries {
 
+  /** Fixed scratch root per tag, wiped at entry: a fresh path per
+    * invocation would leak a checkpoint + sink copy per battery pass
+    * (the IoQueries lesson), while reusing a checkpoint with new input
+    * would RESUME state instead of re-running — so the dir is fixed
+    * and the wipe is mandatory.
+    */
+  private def streamDir(tag: String): String = {
+    val p = java.nio.file.Paths.get(s"/tmp/graft-stream/$tag")
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   /** Stage `df` as one parquet file, run `mk(streamIn)` to a parquet
     * sink via two processAllAvailable rounds with an empty nudge file
     * in between (see class doc), and return the sink contents.
     */
   private def runFileStream(s: SparkSession, staged: DataFrame,
       schema: String, tag: String)(mk: DataFrame => DataFrame): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory(s"graft-$tag").toString
+    val tmp = streamDir(tag)
     staged.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b1")
     val stream = s.readStream.schema(schema).parquet(s"$tmp/in/*")
     val q = mk(stream)
@@ -59,6 +75,33 @@ object StreamQueries {
     s.read.parquet(s"$tmp/out")
   }
 
+  /** Two-input variant for stream-stream operators: each side stages as
+    * its own single-file source (both fully present in micro-batch 1,
+    * so the emitted match set is a pure function of the data — no
+    * arrival-order races), same nudge protocol.
+    */
+  private def runTwoFileStreams(s: SparkSession,
+      left: DataFrame, leftSchema: String,
+      right: DataFrame, rightSchema: String, tag: String)(
+      mk: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val tmp = streamDir(tag)
+    left.coalesce(1).write.mode("overwrite").parquet(s"$tmp/l/b1")
+    right.coalesce(1).write.mode("overwrite").parquet(s"$tmp/r/b1")
+    val ls = s.readStream.schema(leftSchema).parquet(s"$tmp/l/*")
+    val rs = s.readStream.schema(rightSchema).parquet(s"$tmp/r/*")
+    val q = mk(ls, rs)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("parquet").option("path", s"$tmp/out")
+      .start()
+    q.processAllAvailable()
+    left.limit(0).coalesce(1).write.parquet(s"$tmp/l/b2")
+    right.limit(0).coalesce(1).write.parquet(s"$tmp/r/b2")
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(s"$tmp/out")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Watermarked tumbling-window agg through the stream: only windows
     // the 2 h watermark has passed are final (append mode), so the
@@ -69,6 +112,66 @@ object StreamQueries {
       runFileStream(s, ev, "ts TIMESTAMP, event_type STRING, value DOUBLE",
         "hourly-stream")(StreamOps.hourlyAgg)
         .orderBy("hour", "event_type")
+    }),
+
+    // Watermarked streaming exact dedup (the pipeline's A1 through a
+    // real micro-batch stream): one emission per key, state evicted by
+    // the watermark. Only the KEY is kept: which physical row survives
+    // within a batch is partition-order-dependent by design (first
+    // processed wins), the emitted key SET is not — and the oracle's
+    // row+hash compare still catches a double emission or a dropped
+    // key exactly.
+    "q_dedup_stream" -> ((s, dir) => {
+      val ev = QueryUtil.events(s, dir)
+        .select(concat(col("event_type"), lit("|"),
+          col("user_id").cast("string")).as("uid"), col("ts"))
+      runFileStream(s, ev, "uid STRING, ts TIMESTAMP",
+        "dedup-stream")(in => StreamOps.dedupStream(in, "ts"))
+        .select("uid")
+        .orderBy("uid")
+    }),
+
+    // Per-key streaming admission cap (flatMapGroupsWithState with
+    // event-time timeout) — admit the first 10 events per user in
+    // (ts_us, event_id) order, drop the rest: the intake rate limiter.
+    // With the fixture staged as ONE micro-batch the admitted set is a
+    // pure function of the data (the in-batch sort is the operator's
+    // contract), which is exactly what the oracle ranks relationally.
+    "q_cap_stream" -> ((s, dir) => {
+      val ev = QueryUtil.events(s, dir)
+        .select(col("user_id").cast("string").as("key"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id").as("id"))
+      runFileStream(s, ev, "key STRING, ts_us LONG, id LONG",
+        "cap-stream") { in =>
+        import s.implicits._
+        StreamOps.capPerKeyStream(in.as[StreamOps.Keyed], k = 10).toDF()
+      }
+        .orderBy("key", "admit_rank")
+    }),
+
+    // Stream-stream interval join (attribution: a click within 6
+    // hours after a view by the same user), both sides watermarked
+    // so state stays bounded by the interval + lateness horizon. Both
+    // sides land in micro-batch 1, so the emitted match set equals the
+    // batch interval join the oracle computes.
+    "q_interval_join_stream" -> ((s, dir) => {
+      val ev = QueryUtil.events(s, dir)
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("event_id").as("view_id"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+      runTwoFileStreams(s,
+        views, "v_user LONG, v_ts TIMESTAMP, view_id LONG",
+        clicks, "c_user LONG, c_ts TIMESTAMP, click_id LONG",
+        "ij-stream") { (l, r) =>
+        StreamOps.intervalJoinStreams(l, r, "v_user", "c_user",
+            "v_ts", "c_ts", window = "6 hours")
+          .select(col("v_user").as("user_id"), col("view_id"),
+            col("click_id"))
+      }
+        .orderBy("user_id", "view_id", "click_id")
     }),
 
     // Event-time-timeout sessionization through the stream: the sink
@@ -108,6 +211,35 @@ object StreamQueries {
         |HAVING epoch_ms(date_trunc('hour', ts::TIMESTAMP)::TIMESTAMP)
         |  + 3600000 <= wm.w
         |ORDER BY hour, event_type""".stripMargin,
+
+    // One emission per key: the stream dedup's key set equals DISTINCT
+    // over the batch. A double emission or a dropped key breaks the
+    // row-count + hash compare.
+    "q_dedup_stream" ->
+      """SELECT DISTINCT event_type || '|' || user_id::VARCHAR AS uid
+        |FROM events ORDER BY uid""".stripMargin,
+
+    // First-10-per-user admission in (ts_us, event_id) order — the
+    // relational rank of what the stateful cap admits online.
+    "q_cap_stream" ->
+      """SELECT user_id::VARCHAR AS key, epoch_us(ts::TIMESTAMP) AS ts_us,
+        |  event_id AS id, rn AS admit_rank
+        |FROM (SELECT user_id, ts, event_id,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY epoch_us(ts::TIMESTAMP), event_id) AS rn
+        |      FROM events)
+        |WHERE rn <= 10 ORDER BY key, admit_rank""".stripMargin,
+
+    // Batch interval join: click in [view_ts, view_ts + 6 h],
+    // inclusive both ends (matching the stream join's condition).
+    "q_interval_join_stream" ->
+      """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+        |FROM events v JOIN events c ON v.user_id = c.user_id
+        |WHERE v.event_type = 'view' AND c.event_type = 'click'
+        |  AND epoch_us(c.ts::TIMESTAMP) >= epoch_us(v.ts::TIMESTAMP)
+        |  AND epoch_us(c.ts::TIMESTAMP)
+        |      <= epoch_us(v.ts::TIMESTAMP) + 21600000000
+        |ORDER BY v.user_id, view_id, click_id""".stripMargin,
 
     // Batch gap sessionization (identical arithmetic to q_sessionize),
     // restricted to CLOSED sessions: a successor session exists, or the

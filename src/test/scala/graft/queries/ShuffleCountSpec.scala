@@ -222,6 +222,12 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // same join against PRE-EXISTING bucketed tables: identical bound —
     // the timed read path never shuffles the join, only the rollup
     "q_bucket_join_read" -> 2,
+    // stream-sink read-back + final order: the returned frame is the
+    // parquet sink; the streaming micro-batches are priced inside the
+    // query run, not in this plan
+    "q_dedup_stream" -> 1,
+    "q_cap_stream" -> 1,
+    "q_interval_join_stream" -> 1,
     // file-per-doc read-back + final order; the round trip itself must
     // never shuffle
     "q_text_files" -> 1,
