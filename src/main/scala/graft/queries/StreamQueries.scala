@@ -149,6 +149,28 @@ object StreamQueries {
         .orderBy("key", "admit_rank")
     }),
 
+    // Streaming FUZZY dedup: one emission per 8-member MinHash
+    // signature within the watermark horizon — the intake-side
+    // near-dup collapse. Arrival time is synthesized deterministically
+    // from doc_id (documents carry no event time); only the signature
+    // SET is compared (which physical doc survives a batch is
+    // partition-order-dependent, the signature set is not), and the
+    // oracle recomputes the identical hash family relationally.
+    "q_fuzzy_dedup_stream" -> ((s, dir) => {
+      val docs = QueryUtil.table(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), col("text"),
+          // offset well past epoch 0: a doc_id-0 arrival AT the
+          // initial watermark would be discarded as late
+          timestamp_micros(col("doc_id") * lit(1000000L) +
+            lit(1600000000000000L)).as("ts"))
+      runFileStream(s, docs, "doc_id LONG, text STRING, ts TIMESTAMP",
+        "fdedup-stream")(in =>
+        StreamOps.fuzzyDedupStream(in, "text", "ts"))
+        .select(col("minhash_sig").as("sig"))
+        .orderBy("sig")
+    }),
+
     // Stream-stream interval join (attribution: a click within 6
     // hours after a view by the same user), both sides watermarked
     // so state stays bounded by the interval + lateness horizon. Both
@@ -229,6 +251,28 @@ object StreamQueries {
         |          ORDER BY epoch_us(ts::TIMESTAMP), event_id) AS rn
         |      FROM events)
         |WHERE rn <= 10 ORDER BY key, admit_rank""".stripMargin,
+
+    // Distinct MinHash signatures, same hash family as the stream op
+    // (raw-space-split distinct tokens → h32 → 8 seeded mixes → min),
+    // the q_dedup_minhash oracle pattern minus the survivor pick.
+    "q_fuzzy_dedup_stream" -> {
+      val sigs = (0 until 8).map { i =>
+        "list_aggregate(list_transform(hs, h -> " +
+          s"${graft.functions.Hashing.mixSql(i, "h")}), 'min') AS mh$i"
+      }.mkString(",\n    ")
+      val sigCat = (0 until 8).map(i => s"mh$i").mkString(" || '_' || ")
+      s"""WITH hashed AS (
+         |  SELECT doc_id,
+         |    list_transform(list_distinct(string_split(text, ' ')),
+         |      w -> ${graft.functions.Hashing.h32Sql("w")}) AS hs
+         |  FROM documents WHERE text IS NOT NULL),
+         |sig AS (
+         |  SELECT doc_id,
+         |    $sigs
+         |  FROM hashed)
+         |SELECT DISTINCT $sigCat AS sig FROM sig
+         |ORDER BY sig""".stripMargin
+    },
 
     // Batch interval join: click in [view_ts, view_ts + 6 h],
     // inclusive both ends (matching the stream join's condition).

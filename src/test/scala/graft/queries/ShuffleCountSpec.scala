@@ -228,6 +228,7 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     "q_dedup_stream" -> 1,
     "q_cap_stream" -> 1,
     "q_interval_join_stream" -> 1,
+    "q_fuzzy_dedup_stream" -> 1,
     // file-per-doc read-back + final order; the round trip itself must
     // never shuffle
     "q_text_files" -> 1,
@@ -285,6 +286,20 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
         s"$name final plan has $n ReusedExchange (expected >= $min):\n" +
           fin.take(3000))
     }
+  }
+
+  test("q_fuzzy_names_d2 serves its deduped name table from cache") {
+    // same situation as q_bpe_encode below: the name-dedup aggregate is
+    // cached because its six consumer branches carry diverging
+    // pushed-down length filters that break exchange-reuse twinning,
+    // and the printed plan embeds the cached lineage at every use site
+    // — so an exchange bound over the string is meaningless; the
+    // contract is that every branch reads InMemoryTableScan instead of
+    // re-running the part scan + agg
+    val plan = SparkEntry.queries("q_fuzzy_names_d2")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"q_fuzzy_names_d2 must serve names from cache:\n${plan.take(800)}")
   }
 
   test("q_bpe_encode serves from its eagerly-materialized cache") {
