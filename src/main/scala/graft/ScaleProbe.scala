@@ -312,6 +312,10 @@ object ScaleProbe {
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // trust the write-time bucket sort on read (safe: Spark still
+      // re-sorts any bucket with more than one file; Bucketing writes
+      // exactly one sorted file per bucket so SMJs stream sort-free)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
     val clusterMode = master.startsWith("local-cluster")
     if (clusterMode) {

@@ -22,6 +22,10 @@ object SessionBuilder {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // trust the write-time bucket sort on read (safe: Spark still
+      // re-sorts any bucket with more than one file; Bucketing writes
+      // exactly one sorted file per bucket so SMJs stream sort-free)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate())
 
@@ -47,6 +51,10 @@ object SessionBuilder {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // trust the write-time bucket sort on read (safe: Spark still
+      // re-sorts any bucket with more than one file; Bucketing writes
+      // exactly one sorted file per bucket so SMJs stream sort-free)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.hadoop.fs.s3a.connection.maximum", "2048")

@@ -49,22 +49,52 @@ object Bucketing {
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
-    df.write.mode("overwrite").format("parquet")
+    // ONE FILE PER BUCKET, deliberately: repartition(buckets, key) uses
+    // the same Murmur3 HashPartitioning the bucket spec uses, so each
+    // write task holds exactly one bucket's rows and each bucket lands
+    // as a single key-sorted file. Scans only report a bucket's sort
+    // order when it has at most one file — with the default task-count
+    // layout (up to one file per task per bucket) every downstream SMJ
+    // RE-SORTS both sides at read time, silently re-paying at every
+    // query the cost the layout exists to amortize (measured at ×100:
+    // 9.2 GB of read-side sort spill per join — zero after this).
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
   }
 
-  /** Land the bucketed layout only if `table` is not already in the
-    * catalog — the amortized-read contract: the write-time shuffle is
-    * paid once per corpus, and every later join on the key reads the
-    * layout for free. Callers that time the READ side (q_bucket_join_
-    * read) use this so the layout lands in their first (warmup) pass
-    * and the timed passes measure what a 100 TB consumer actually
-    * pays: the exchange-free join alone.
+  /** Land the bucketed layout only if it does not already exist — the
+    * amortized-read contract: the write-time shuffle is paid once per
+    * CORPUS, not once per session. Three cases, cheapest first:
+    * already cataloged → no-op; layout files on disk but the (default
+    * in-memory) catalog forgot them across a JVM restart → REGISTER
+    * the existing files as a bucketed table (CREATE TABLE ... CLUSTERED
+    * BY ... LOCATION — a metadata-only statement; without this every
+    * fresh JVM would re-pay the full double write); nothing on disk →
+    * write. Callers that time the READ side (q_bucket_join_read) get
+    * timed passes that measure what a 100 TB consumer actually pays:
+    * the exchange-free join alone.
+    *
+    * The caller owns the (table, key, buckets, schema) contract — the
+    * registration trusts the completed layout on disk (marked by the
+    * writer's `_SUCCESS`), exactly like any external-table catalog.
     */
   def ensureBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
-    if (!df.sparkSession.catalog.tableExists(table))
-      writeBucketed(df, table, key, buckets)
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    if (spark.catalog.tableExists(table)) return
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) {
+      val cols = df.schema.fields
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      spark.sql(
+        s"CREATE TABLE `$table` ($cols) USING parquet " +
+          s"CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS " +
+          s"LOCATION '$p'")
+    } else writeBucketed(df, table, key, buckets)
+  }
 
   /** Equi-join two bucketed tables on their (differently-named) bucket
     * keys. `hint("merge")` pins the sort-merge strategy so the plan

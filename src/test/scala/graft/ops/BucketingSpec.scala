@@ -42,13 +42,23 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
     try body finally pairs.foreach { case (k, _) => spark.conf.unset(k) }
   }
 
-  test("bucketed SMJ on the bucket keys plans with zero exchanges") {
+  test("bucketed SMJ on the bucket keys plans with zero exchanges " +
+      "AND zero sorts") {
     tables
     withConf("spark.sql.adaptive.enabled" -> "false") {
       val j = Bucketing.bucketedEquiJoin(spark, "graft_spec_li",
         "graft_spec_or", "l_orderkey", "o_orderkey")
       assert(exchanges(j) == 0,
         s"bucketed join must not shuffle:\n${j.queryExecution.executedPlan}")
+      // one file per bucket means the scan REPORTS the write-time sort,
+      // so the SMJ streams both sides — a Sort here means the layout's
+      // sort is being re-paid at every read (the multi-file-per-bucket
+      // trap: scans only trust bucket order with at most one file)
+      val sorts = j.queryExecution.executedPlan.collectWithSubqueries {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }.size
+      assert(sorts == 0,
+        s"bucketed join must not re-sort:\n${j.queryExecution.executedPlan}")
       assert(j.count() > 0)
     }
   }
@@ -71,6 +81,40 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
         "graft_spec_or", "l_orderkey", "o_orderkey")
       assert(exchanges(j) == 0,
         s"read-side bucketed join must not shuffle:\n" +
+          s"${j.queryExecution.executedPlan}")
+    }
+  }
+
+  test("ensureBucketed registers an orphaned on-disk layout instead " +
+      "of rewriting (the fresh-JVM case)") {
+    tables
+    // simulate a JVM restart: the warehouse files survive, the
+    // in-memory catalog entry does not — copy the completed layout to
+    // a name the catalog has never seen and ensure against it
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = new org.apache.hadoop.fs.Path(wh, "graft_spec_li")
+    val dst = new org.apache.hadoop.fs.Path(wh, "graft_spec_li_orphan")
+    if (fs.exists(dst)) fs.delete(dst, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false,
+      spark.sparkContext.hadoopConfiguration)
+    spark.sql("DROP TABLE IF EXISTS graft_spec_li_orphan")
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    Bucketing.ensureBucketed(df, "graft_spec_li_orphan", "l_orderkey",
+      buckets)
+    // registered, not rewritten: the table serves the copied files
+    assert(spark.table("graft_spec_li_orphan").inputFiles
+      .forall(_.contains("graft_spec_li_orphan")))
+    assert(spark.table("graft_spec_li_orphan").count() ==
+      spark.table("graft_spec_li").count())
+    // and the registered bucket spec still joins exchange-free
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val j = Bucketing.bucketedEquiJoin(spark, "graft_spec_li_orphan",
+        "graft_spec_or", "l_orderkey", "o_orderkey")
+      assert(exchanges(j) == 0,
+        s"registered layout must keep the exchange-free join:\n" +
           s"${j.queryExecution.executedPlan}")
     }
   }
