@@ -120,8 +120,23 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER switches execution regime, exactly as in
+    // Verify/ScaleProbe: `local-cluster[n,c,m]` runs n separate
+    // executor JVMs with real serialized inter-executor shuffle — the
+    // regime a deployment actually hits, which local[*]'s
+    // shared-memory pass-through never exercises
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder()
+      .master(master)
+    if (master.startsWith("local-cluster")) {
+      val mem = master.stripPrefix("local-cluster[").stripSuffix("]")
+        .split(",")(2).trim
+      builder0
+        .config("spark.executor.memory", s"${mem}m")
+        .config("spark.executor.extraClassPath",
+          sys.props.getOrElse("java.class.path", ""))
+    }
+    val spark = builder0
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // trust the write-time bucket sort on read (safe: Spark still
@@ -203,6 +218,11 @@ object Bench {
     // stdout-tail clip can't reach it (repo-anchored, committed per round)
     val sidecarRel =
       if (only.isDefined) "tools/bench_partial_latest.json"
+      // a non-default master (multi-JVM local-cluster) measures a
+      // different regime — it must never overwrite the canonical
+      // local[32] artifact the regression gate reads
+      else if (sys.env.contains("SPARK_GRAFT_MASTER"))
+        "tools/bench_cluster_latest.json"
       else "tools/bench_full_latest.json"
     val sidecar = new java.io.File(graft.wat.WatFixture.repoRoot, sidecarRel)
     try {
