@@ -89,45 +89,51 @@ object FuzzyJoin {
     * cutoff — the short set is census noise; FuzzyJoinSpec still
     * proves the routing).
     */
-  def selfPairs(df: DataFrame, idCol: String, strCol: String,
-      d: Int, q: Int = 2): DataFrame = {
-    require(d >= 1 && q >= 1, "d and q must be >= 1")
-    val parallelism = df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "32").toInt
-    val rows = df.select(col(idCol).as("id"), col(strCol).as("s"))
+  /** Normalized (id, s, len) projection of a caller frame. */
+  private def normalize(df: DataFrame, idCol: String,
+      strCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(strCol).as("s"))
       .withColumn("len", length(col("s")))
-    // below this, d edits can destroy every gram occurrence
-    val shortCut = q * (d + 1) - 1
-    // the classic prefix bound; location shrinking only ever cuts it
-    val prefixLen = q * d + 1
 
-    // positional q-gram occurrences: (value, 1-based start position)
-    val grams = rows.where(col("len") > shortCut)
+  /** Positional q-gram occurrences (value, 1-based start) of every
+    * string longer than the short-path cutoff.
+    */
+  private def gramOccurrences(rows: DataFrame, d: Int,
+      q: Int): DataFrame = {
+    val shortCut = q * (d + 1) - 1
+    rows.where(col("len") > shortCut)
       .select(col("id"), col("s"), col("len"),
         posexplode(expr(
           s"transform(sequence(1, len - ${q - 1}), i -> substring(s, i, $q))")))
       .select(col("id"), col("s"), col("len"),
         (col("pos") + 1).as("pos"), col("col").as("gram"))
+  }
 
-    // corpus gram frequencies: ≤ charset^q rows — broadcast always
-    val freq = grams.groupBy("gram").agg(count(lit(1)).as("freq"))
-
-    // per-string candidate prefix: the q·d+1 globally-rarest
-    // occurrences under the (freq, gram, pos) total order — pos ties
-    // MUST break by position: the losslessness proof leans on the
-    // alignment's position monotonicity within equal gram values
+  /** The location-shrunk positional prefix of every string, under the
+    * (freq, gram, pos) total order given by `freq` — which MUST be a
+    * pure function of the gram value, shared by every side of a join
+    * (the losslessness proof needs one global order). Grams absent
+    * from `freq` rank rarest (freq 0) — the R-S case where a probe
+    * string carries a gram the corpus never saw.
+    *
+    * Prefix selection: rank occurrences by the global order, keep the
+    * classic q·d+1 head, then cut at the shortest head that needs
+    * > d edits to destroy (Ed-Join §4 location shrinking: minimum
+    * stabbing points of the intervals [pos, pos+q−1], greedy over
+    * positions sorted ascending; arrays ≤ q·d+1 entries, and the
+    * shrink window shares the rank window's partitioning — no extra
+    * shuffle). Position ties break by position: the proof leans on
+    * the alignment's position monotonicity within equal gram values.
+    */
+  private def shrunkPrefix(grams: DataFrame, freq: DataFrame, d: Int,
+      q: Int): DataFrame = {
+    val prefixLen = q * d + 1
     val w = Window.partitionBy("id")
       .orderBy(col("freq"), col("gram"), col("pos"))
-    val ranked = grams.join(broadcast(freq), "gram")
+    val ranked = grams.join(broadcast(freq), Seq("gram"), "left")
+      .withColumn("freq", coalesce(col("freq"), lit(0L)))
       .withColumn("_rk", row_number().over(w))
       .where(col("_rk") <= prefixLen)
-
-    // location-based shrinking (Ed-Join §4): cut the prefix at the
-    // shortest head needing > d edits to destroy — the minimum number
-    // of stabbing points for the intervals [pos, pos+q−1], computed by
-    // the standard greedy over positions sorted ascending. Arrays here
-    // are ≤ q·d+1 entries; the window shares the rank window's
-    // partitioning (no extra shuffle).
     def minEdits(posArr: String): String =
       s"aggregate(array_sort($posArr), " +
         "named_struct('c', 0, 'cov', -2147483647), " +
@@ -139,13 +145,28 @@ object FuzzyJoin {
       s"array_min(filter(transform(sequence(${d + 1}, $prefixLen), " +
         s"k -> if(${minEdits(posOfFirstK("k"))} > $d, k, " +
         "cast(null as int))), v -> v is not null))"
-    val prefix = ranked
+    ranked
       .withColumn("_parr",
         collect_list(struct(col("_rk"), col("pos")))
           .over(Window.partitionBy("id")))
       .withColumn("_k", coalesce(expr(kStar), lit(prefixLen)))
       .where(col("_rk") <= col("_k"))
       .select(col("gram"), col("pos"), col("id"), col("s"), col("len"))
+  }
+
+  def selfPairs(df: DataFrame, idCol: String, strCol: String,
+      d: Int, q: Int = 2): DataFrame = {
+    require(d >= 1 && q >= 1, "d and q must be >= 1")
+    val parallelism = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val rows = normalize(df, idCol, strCol)
+    // below this, d edits can destroy every gram occurrence
+    val shortCut = q * (d + 1) - 1
+
+    val grams = gramOccurrences(rows, d, q)
+    // corpus gram frequencies: ≤ charset^q rows — broadcast always
+    val freq = grams.groupBy("gram").agg(count(lit(1)).as("freq"))
+    val prefix = shrunkPrefix(grams, freq, d, q)
 
     // candidates: an EQUI-join on (gram, position bucket). Bucket
     // width d+1 makes |Δpos| ≤ d imply a bucket distance ≤ 1, so one
@@ -198,6 +219,88 @@ object FuzzyJoin {
         when(lt, col("sb")).otherwise(col("sa")).as("s2"))
 
     gramPairs.union(shortPairs)
+      .distinct()
+      .withColumn("dist", levenshtein(col("s"), col("s2")))
+      .where(col("dist") <= d)
+      .select(col("id").as("id1"), col("id2"),
+        col("s").as("str1"), col("s2").as("str2"),
+        col("dist").cast("long").as("dist"))
+  }
+
+  /** Asymmetric (R-S) fuzzy LOOKUP: every (probe, corpus) pair within
+    * levenshtein distance `d` — fuzzy entity resolution ("which corpus
+    * records is this title/name/id a typo of?") and fuzzy
+    * decontamination (benchmark titles vs corpus titles). Output:
+    * (id1 = probe id, id2 = corpus id, str1, str2, dist); a probe may
+    * match many records and vice versa.
+    *
+    * Same lossless positional machinery as [[selfPairs]] with ONE
+    * global order shared by both sides: gram frequencies come from the
+    * CORPUS (a pure value function — that is all the proof needs), and
+    * probe grams the corpus never saw rank rarest (freq 0 — they
+    * cannot match anything, so they only ever shrink the probe's
+    * candidate fan-out). The short-string escape is two-sided: a short
+    * PROBE pairs with the corpus length band, and a short CORPUS
+    * string pairs with the probe length band — both bounded
+    * populations riding broadcast hash equi-joins on exploded length
+    * keys.
+    *
+    * Scale shape: corpus-side prefixes are O(corpus) rows keyed by
+    * (gram, posBucket) — the same shuffle-hash join as selfPairs, no
+    * O(corpus) broadcast; a small probe set prunes the join to the
+    * blocks its grams name.
+    */
+  def lookupPairs(probes: DataFrame, corpus: DataFrame,
+      probeIdCol: String, probeStrCol: String,
+      corpusIdCol: String, corpusStrCol: String,
+      d: Int, q: Int = 2): DataFrame = {
+    require(d >= 1 && q >= 1, "d and q must be >= 1")
+    val parallelism = probes.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val pr = normalize(probes, probeIdCol, probeStrCol)
+    val cr = normalize(corpus, corpusIdCol, corpusStrCol)
+    val shortCut = q * (d + 1) - 1
+
+    val corpusGrams = gramOccurrences(cr, d, q)
+    val freq = corpusGrams.groupBy("gram").agg(count(lit(1)).as("freq"))
+    val probePrefix = shrunkPrefix(gramOccurrences(pr, d, q), freq, d, q)
+    val corpusPrefix = shrunkPrefix(corpusGrams, freq, d, q)
+
+    val bw = d + 1
+    val a = probePrefix
+      .withColumn("bk",
+        explode(expr(s"sequence(pos div $bw - 1, pos div $bw + 1)")))
+      .repartition(parallelism, col("gram"), col("bk"))
+    val b = corpusPrefix.select(col("gram"),
+      expr(s"pos div $bw").as("bk"), col("pos").as("pos2"),
+      col("id").as("id2"), col("s").as("s2"), col("len").as("len2"))
+    val gramPairs = a.join(b.hint("shuffle_hash"), Seq("gram", "bk"))
+      .where(abs(col("pos") - col("pos2")) <= d &&
+        abs(col("len") - col("len2")) <= d)
+      .select(col("id"), col("id2"), col("s"), col("s2"))
+
+    // two-sided short-string escape (either side below the gram floor)
+    def shortSide(short: DataFrame, band: DataFrame): DataFrame = {
+      val bandX = band.select(
+        explode(expr(s"sequence(greatest(len - $d, 0), len + $d)"))
+          .as("lenk"),
+        col("id").as("idb"), col("s").as("sb"))
+      short.select(col("id").as("ida"), col("s").as("sa"), col("len"))
+        .join(broadcast(bandX), col("len") === col("lenk"))
+        .select(col("ida"), col("idb"), col("sa"), col("sb"))
+    }
+    val shortProbe = shortSide(
+      pr.where(col("len") <= shortCut),
+      cr.where(col("len") <= shortCut + d))
+      .select(col("ida").as("id"), col("idb").as("id2"),
+        col("sa").as("s"), col("sb").as("s2"))
+    val shortCorpus = shortSide(
+      cr.where(col("len") <= shortCut),
+      pr.where(col("len") <= shortCut + d))
+      .select(col("idb").as("id"), col("ida").as("id2"),
+        col("sb").as("s"), col("sa").as("s2"))
+
+    gramPairs.union(shortProbe).union(shortCorpus)
       .distinct()
       .withColumn("dist", levenshtein(col("s"), col("s2")))
       .where(col("dist") <= d)

@@ -1483,6 +1483,23 @@ object ExtQueries {
         .orderBy("id1", "id2")
     }),
 
+    // Asymmetric fuzzy LOOKUP (FuzzyJoin.lookupPairs): every 125th
+    // customer name gets one deterministic digit→'x' typo and is
+    // resolved back against the full corpus at d=1 — the entity-
+    // resolution / fuzzy-decontamination direction (R-S, not self).
+    // The oracle is DuckDB's brute-force probe×corpus scan.
+    "q_fuzzy_lookup" -> ((s, dir) => {
+      val cust = table(s, dir, "customer").select("c_custkey", "c_name")
+      val probes = cust.where(pmod(col("c_custkey"), lit(125)) === 1)
+        .select(col("c_custkey").as("probe_id"),
+          expr("concat(substring(c_name, 1, cast(c_custkey % 9 as int) + 9), " +
+            "'x', substring(c_name, cast(c_custkey % 9 as int) + 11))")
+            .as("probe_name"))
+      graft.ext.FuzzyJoin.lookupPairs(probes, cust,
+          "probe_id", "probe_name", "c_custkey", "c_name", d = 1)
+        .orderBy("id1", "id2")
+    }),
+
     // d=2 fuzzy linkage over a DEDUPED name table — the canonical
     // "collapse exact duplicates, then link near-classes" composition
     // (raw part names are a 64-class × ~300-copy clique corpus at
@@ -3481,6 +3498,19 @@ object ExtQueries {
         |  levenshtein(a.c_name, b.c_name)::BIGINT AS dist
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q_fuzzy_lookup" ->
+      """WITH pr AS (
+        |  SELECT c_custkey AS probe_id,
+        |    substr(c_name, 1, (c_custkey % 9)::INT + 9) || 'x' ||
+        |    substr(c_name, (c_custkey % 9)::INT + 11) AS probe_name
+        |  FROM customer WHERE c_custkey % 125 = 1)
+        |SELECT pr.probe_id::BIGINT AS id1, c.c_custkey::BIGINT AS id2,
+        |  pr.probe_name AS str1, c.c_name AS str2,
+        |  levenshtein(pr.probe_name, c.c_name)::BIGINT AS dist
+        |FROM pr JOIN customer c
+        |  ON levenshtein(pr.probe_name, c.c_name) <= 1
         |ORDER BY id1, id2""".stripMargin,
 
     "q_fuzzy_names_d2" ->

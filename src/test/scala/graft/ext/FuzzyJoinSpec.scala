@@ -100,6 +100,39 @@ class FuzzyJoinSpec extends AnyFunSuite with SparkTestBase {
       assert(run(rows, d) == brute(rows, d), s"d=$d")
   }
 
+  private def runLookup(probes: Seq[(Long, String)],
+      corpus: Seq[(Long, String)], d: Int, q: Int = 2) = {
+    def mk(rows: Seq[(Long, String)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 3),
+      schema)
+    FuzzyJoin.lookupPairs(mk(probes), mk(corpus), "id", "s", "id", "s",
+        d, q)
+      .select("id1", "id2", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  private def bruteLookup(probes: Seq[(Long, String)],
+      corpus: Seq[(Long, String)], d: Int) =
+    (for {
+      (pi, ps) <- probes; (ci, cs) <- corpus
+      if lev(ps, cs) <= d
+    } yield (pi, ci, lev(ps, cs).toLong)).toSet
+
+  test("R-S lookup matches brute force: typos, unseen grams, shorts") {
+    val corpus = (0L until 150L).map(i => i -> f"Item#${i}%05d") ++
+      Seq(900L -> "ab", 901L -> "x", 902L -> "")
+    val probes = Seq(
+      1000L -> "Item#000x2",   // one substitution of Item#00012
+      1001L -> "Item#0003",    // one deletion
+      1002L -> "ZZZZZZ",       // grams the corpus never saw
+      1003L -> "ax",           // short probe near corpus shorts
+      1004L -> "",             // empty probe
+      1005L -> "Item#00055")   // exact hit
+    for (d <- Seq(1, 2))
+      assert(runLookup(probes, corpus, d) ==
+        bruteLookup(probes, corpus, d), s"d=$d")
+  }
+
   test("short strings (below q) route through the exact path") {
     val rows = Seq(1L -> "", 2L -> "a", 3L -> "b", 4L -> "ab",
       5L -> "abcdef")

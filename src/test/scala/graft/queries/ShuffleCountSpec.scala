@@ -229,6 +229,11 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     "q_cap_stream" -> 1,
     "q_interval_join_stream" -> 1,
     "q_fuzzy_dedup_stream" -> 1,
+    // R-S lookup: corpus freq agg ×2 (one per prefix branch in the
+    // initial plan) + two prefix rank windows + probe repartition +
+    // corpus-side (gram, posBucket) hash + pair distinct + final
+    // order; short paths and freq rides are broadcasts
+    "q_fuzzy_lookup" -> 9,
     // file-per-doc read-back + final order; the round trip itself must
     // never shuffle
     "q_text_files" -> 1,
