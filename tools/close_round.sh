@@ -38,8 +38,17 @@ fi
 echo "test suite: $TESTLINE"
 
 echo "=== gate 2/3: full bench covering the whole registry ==="
+# sbt prefixes runMain stdout with "[info] " — strip it before matching
 sbt -batch "runMain graft.tools.QueryList" 2>/dev/null \
-  | grep -E '^q' | sort > /tmp/close_round_registry.txt
+  | sed -E 's/^\[info\] //' | grep -E '^q[a-zA-Z0-9_]+$' | sort \
+  > /tmp/close_round_registry.txt
+if ! [ -s /tmp/close_round_registry.txt ]; then
+  echo "close_round: QueryList produced an empty registry" >&2
+  exit 1
+fi
+# remove the old sidecar first: a failed bench must surface as a
+# missing file, never as a silently-stale artifact passing the checks
+rm -f tools/bench_full_latest.json
 SPARK_GRAFT_SF_DIR="$SF_DIR" sbt -batch "runMain graft.Bench" 2>&1 \
   | grep '"metric"' | tail -1 || true
 python3 - <<'EOF'
