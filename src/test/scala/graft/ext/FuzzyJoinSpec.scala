@@ -133,6 +133,27 @@ class FuzzyJoinSpec extends AnyFunSuite with SparkTestBase {
         bruteLookup(probes, corpus, d), s"d=$d")
   }
 
+  test("seeded random sweep: self and lookup match brute force " +
+      "across corpora shapes") {
+    // five deterministic seeds × mixed string lengths (0..14) over a
+    // 3-symbol alphabet — dense collision territory where every
+    // routing boundary (short path, prefix shrink, position buckets)
+    // gets exercised together
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      def corpus(n: Int, base: Long) = (0 until n).map { i =>
+        (base + i) -> Seq.fill(rnd.nextInt(15))(
+          "abc" (rnd.nextInt(3))).mkString
+      }
+      val self = corpus(60, 0L)
+      assert(run(self, 1) == brute(self, 1), s"self seed=$seed")
+      val probes = corpus(15, 1000L)
+      val cs = corpus(60, 0L)
+      assert(runLookup(probes, cs, 1) == bruteLookup(probes, cs, 1),
+        s"lookup seed=$seed")
+    }
+  }
+
   test("short strings (below q) route through the exact path") {
     val rows = Seq(1L -> "", 2L -> "a", 3L -> "b", 4L -> "ab",
       5L -> "abcdef")
