@@ -220,8 +220,11 @@ object Bench {
       if (only.isDefined) "tools/bench_partial_latest.json"
       // a non-default master (multi-JVM local-cluster) measures a
       // different regime — it must never overwrite the canonical
-      // local[32] artifact the regression gate reads
-      else if (sys.env.contains("SPARK_GRAFT_MASTER"))
+      // local[32] artifact the regression gate reads. Route on the
+      // RESOLVED value, not env presence: exporting the default
+      // local[32] explicitly is still a canonical run (an env-presence
+      // key made close_round.sh fail on a missing full sidecar)
+      else if (master != s"local[$cpus]")
         "tools/bench_cluster_latest.json"
       else "tools/bench_full_latest.json"
     val sidecar = new java.io.File(graft.wat.WatFixture.repoRoot, sidecarRel)

@@ -61,6 +61,57 @@ object Bucketing {
     df.repartition(buckets, col(key))
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+    // stamp the layout's contract beside its files: registration after
+    // a JVM restart must be able to PROVE the on-disk bytes were written
+    // under the same (key, buckets) it is about to declare
+    val fs2 = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs2.create(new org.apache.hadoop.fs.Path(p, SpecMarker), true)
+    try out.write(specLine(key, buckets).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Contract marker written beside a completed layout's files. */
+  private val SpecMarker = "_GRAFT_BUCKET_SPEC"
+
+  private def specLine(key: String, buckets: Int): String =
+    s"key=$key buckets=$buckets v=1\n"
+
+  /** Bucket ids named by the files of an on-disk bucketed layout —
+    * Spark's writer suffixes every bucketed part file with the 5-digit
+    * bucket id (`part-...-<uuid>_00003.c000.snappy.parquet`).
+    */
+  private val BucketIdInName = raw"_(\d{5})\.c\d+".r
+
+  /** True iff the completed layout at `p` provably matches the declared
+    * contract: its [[SpecMarker]] records the SAME (key, buckets) — a
+    * 4-bucket layout re-declared as 8 buckets hashes keys mod the wrong
+    * count, and its file NAMES (ids 0-3, one each) look valid, so the
+    * written contract is the only honest witness — and the file set is
+    * name-consistent (every id < buckets, at most one file per bucket:
+    * the sort-trust contract — scans only honor write-time order on
+    * single-file buckets). A stale or differently-specced layout fails
+    * here and is REWRITTEN instead of silently served misbucketed: a
+    * bucketed SMJ over wrong bucket hashing returns wrong join rows,
+    * and a timing-only Bench pass would publish them with no oracle
+    * running. Pre-marker layouts (no spec file) fail too — rewrite is
+    * the safe default.
+    */
+  private def layoutMatches(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, key: String, buckets: Int): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(p, SpecMarker)
+    if (!fs.exists(marker)) return false
+    val recorded = {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    if (recorded != specLine(key, buckets)) return false
+    val ids = fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && !n.endsWith(".crc"))
+      .flatMap(n => BucketIdInName.findFirstMatchIn(n).map(_.group(1).toInt))
+    ids.nonEmpty && ids.forall(_ < buckets) &&
+      ids.groupBy(identity).valuesIterator.forall(_.size == 1)
   }
 
   /** Land the bucketed layout only if it does not already exist — the
@@ -75,9 +126,12 @@ object Bucketing {
     * timed passes that measure what a 100 TB consumer actually pays:
     * the exchange-free join alone.
     *
-    * The caller owns the (table, key, buckets, schema) contract — the
-    * registration trusts the completed layout on disk (marked by the
-    * writer's `_SUCCESS`), exactly like any external-table catalog.
+    * Registration VALIDATES before declaring ([[layoutMatches]]): the
+    * layout's written [[SpecMarker]] must record the same (key,
+    * buckets), and the file set must name only bucket ids under the
+    * declared count, one file per bucket. A stale, pre-marker, or
+    * differently-specced layout is rewritten, never registered — the
+    * caller still owns the schema, which bytes cannot witness.
     */
   def ensureBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit = {
@@ -86,7 +140,8 @@ object Bucketing {
     val p = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) {
+    if (fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) &&
+        layoutMatches(fs, p, key, buckets)) {
       val cols = df.schema.fields
         .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
       spark.sql(

@@ -1507,15 +1507,21 @@ object ExtQueries {
     // materialization of the cliques, not blocking). Survivor id =
     // min key per name, exactly like the dedup operators.
     "q_fuzzy_names_d2" -> ((s, dir) => {
-      // cached: FuzzyJoin consumes its input in six branches, and the
-      // per-branch length filters push BELOW the dedup agg, breaking
-      // exchange-reuse twinning — without the cache the part scan +
-      // agg would execute six times. The cache entry is canonical-plan
-      // keyed, so repeated bench passes share one tiny (distinct
-      // names) materialization instead of stacking copies.
-      val names = table(s, dir, "part")
+      // materialized to scratch parquet, not .cache(): FuzzyJoin
+      // consumes its input in six branches, and the per-branch length
+      // filters push BELOW the dedup agg, breaking exchange-reuse
+      // twinning — without a barrier the part scan + agg would execute
+      // six times. A cache() here would pin the entry in the shared
+      // session's storage memory for the rest of the battery (no
+      // post-return unpersist hook exists on a lazily-consumed frame);
+      // the overwrite-mode scratch write is the same one-materialization
+      // barrier with zero session-lifetime footprint.
+      val stage = QueryUtil.scratchPath(s"fuzzy-names-d2/" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_"))
+      table(s, dir, "part")
         .groupBy("p_name").agg(min("p_partkey").as("p_partkey"))
-        .cache()
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val names = s.read.parquet(stage)
       graft.ext.FuzzyJoin.selfPairs(names, "p_partkey", "p_name", d = 2)
         .orderBy("id1", "id2")
     }),

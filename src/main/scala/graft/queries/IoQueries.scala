@@ -42,11 +42,11 @@ object IoQueries {
   // DuckDB analog of TA.tokens (the ExtQueries convention)
   private val tokensSql = "string_split(text, ' ')"
 
-  // fixed per-tag scratch path, not a fresh temp dir per invocation:
-  // every writer below is mode("overwrite"), so reuse keeps repeated
-  // battery passes at ONE corpus copy per query instead of leaking an
-  // unbounded trail of /tmp snapshots
-  private def tmpDir(tag: String): String = s"/tmp/graft-io/$tag"
+  // fixed per-tag scratch path (process-scoped, QueryUtil.processScratch),
+  // not a fresh temp dir per invocation: every writer below is
+  // mode("overwrite"), so reuse keeps repeated battery passes at ONE
+  // corpus copy per query instead of leaking a trail of snapshots
+  private def tmpDir(tag: String): String = QueryUtil.scratchPath(s"io/$tag")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -15,6 +15,44 @@ object QueryUtil {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Per-PROCESS scratch root for query-internal staging (stream
+    * checkpoints/sinks, interchange round-trips), under the build's
+    * target directory rather than a fixed world-readable /tmp path:
+    * two concurrent JVMs running the battery (parallel test forks, a
+    * probe beside a bench) must not wipe each other's live checkpoint
+    * mid-query, and a predictable /tmp path is a symlink surface on
+    * shared hosts. FIXED within the process — every writer under it is
+    * mode(overwrite) or wipes its tag dir at entry, so repeated battery
+    * passes reuse ONE copy per tag instead of leaking a snapshot per
+    * pass (the r11 IoQueries lesson). Scratch of DEAD processes is
+    * reaped on first touch, so the per-pid isolation cannot accumulate
+    * across runs.
+    */
+  lazy val processScratch: java.io.File = {
+    val base = new java.io.File(
+      graft.wat.WatFixture.repoRoot, "target/graft-scratch")
+    base.mkdirs()
+    Option(base.listFiles()).foreach(_.foreach { f =>
+      val stale = f.getName.startsWith("pid-") &&
+        !f.getName.stripPrefix("pid-").toLongOption.exists(id =>
+          ProcessHandle.of(id)
+            .map[java.lang.Boolean](_.isAlive).orElse(false))
+      if (stale) {
+        def rmr(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rmr)); x.delete()
+        }
+        rmr(f)
+      }
+    })
+    val mine = new java.io.File(base, s"pid-${ProcessHandle.current().pid()}")
+    mine.mkdirs()
+    mine
+  }
+
+  /** A tag-scoped scratch path under [[processScratch]] (not created). */
+  def scratchPath(tag: String): String =
+    new java.io.File(processScratch, tag).getAbsolutePath
+
   /** `events.ts` arrives in one of two physical shapes depending on the
     * generator vintage: parquet TIMESTAMP(NANOS) (readable only as a
     * nanos long via the legacy conf — normalize with integer `div`, since

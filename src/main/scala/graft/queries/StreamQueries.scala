@@ -34,14 +34,15 @@ import graft.streaming.StreamOps
   */
 object StreamQueries {
 
-  /** Fixed scratch root per tag, wiped at entry: a fresh path per
+  /** Fixed scratch root per tag (process-scoped, see
+    * [[QueryUtil.processScratch]]), wiped at entry: a fresh path per
     * invocation would leak a checkpoint + sink copy per battery pass
     * (the IoQueries lesson), while reusing a checkpoint with new input
     * would RESUME state instead of re-running — so the dir is fixed
-    * and the wipe is mandatory.
+    * within the process and the wipe is mandatory.
     */
   private def streamDir(tag: String): String = {
-    val p = java.nio.file.Paths.get(s"/tmp/graft-stream/$tag")
+    val p = java.nio.file.Paths.get(QueryUtil.scratchPath(s"stream/$tag"))
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse

@@ -119,6 +119,37 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ensureBucketed REWRITES an on-disk layout whose file set " +
+      "contradicts the declared bucket count") {
+    tables
+    // the silent-misbucketing hazard: a layout written under an older
+    // bucket-count constant must never be registered as-is — a bucketed
+    // SMJ over wrong bucket hashing returns wrong join rows and a
+    // timing-only bench would publish them. Orphan a 4-bucket layout,
+    // then ensure with buckets=8: the validation must reject and rewrite.
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = new org.apache.hadoop.fs.Path(wh, "graft_spec_li")
+    val dst = new org.apache.hadoop.fs.Path(wh, "graft_spec_li_stale")
+    if (fs.exists(dst)) fs.delete(dst, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false,
+      spark.sparkContext.hadoopConfiguration)
+    spark.sql("DROP TABLE IF EXISTS graft_spec_li_stale")
+    val staleFiles = fs.listStatus(dst).map(_.getPath.getName).toSet
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    Bucketing.ensureBucketed(df, "graft_spec_li_stale", "l_orderkey",
+      buckets * 2)
+    // rewritten (new part files), correct row count, honest bucket spec
+    val nowFiles = spark.table("graft_spec_li_stale").inputFiles
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    assert(nowFiles.intersect(staleFiles).isEmpty,
+      "a count-mismatched layout must be rewritten, not registered")
+    assert(spark.table("graft_spec_li_stale").count() ==
+      spark.table("graft_spec_li").count())
+  }
+
   test("the same join without buckets shuffles both sides") {
     // contrast case: identical data read as flat parquet; broadcast
     // disabled so the planner can't hide the exchange behind a

@@ -293,18 +293,22 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("q_fuzzy_names_d2 serves its deduped name table from cache") {
-    // same situation as q_bpe_encode below: the name-dedup aggregate is
-    // cached because its six consumer branches carry diverging
-    // pushed-down length filters that break exchange-reuse twinning,
-    // and the printed plan embeds the cached lineage at every use site
-    // — so an exchange bound over the string is meaningless; the
-    // contract is that every branch reads InMemoryTableScan instead of
-    // re-running the part scan + agg
+  test("q_fuzzy_names_d2 serves its deduped name table from the scratch " +
+      "stage, never re-running the part scan + agg per branch") {
+    // FuzzyJoin's six consumer branches carry diverging pushed-down
+    // length filters that break exchange-reuse twinning, so the name
+    // dedup is materialized ONCE to scratch parquet (a session cache()
+    // would pin storage memory for the rest of the battery — the r12
+    // advice) and every branch scans the tiny staged file: the returned
+    // plan must read the stage and contain NO scan of the raw part
+    // fixture
     val plan = SparkEntry.queries("q_fuzzy_names_d2")(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("InMemoryTableScan"),
-      s"q_fuzzy_names_d2 must serve names from cache:\n${plan.take(800)}")
+    assert(plan.contains("fuzzy-names-d2"),
+      s"q_fuzzy_names_d2 must read its scratch stage:\n${plan.take(800)}")
+    assert(!plan.contains("part.parquet"),
+      s"q_fuzzy_names_d2 must not re-scan the part fixture:\n" +
+        plan.take(800))
   }
 
   test("q_bpe_encode serves from its eagerly-materialized cache") {
