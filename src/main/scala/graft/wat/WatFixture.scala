@@ -255,46 +255,79 @@ object WatFixture {
     new java.io.File(new java.io.File(repoRoot, "tools"), "wat_tail.parquet")
       .getAbsolutePath
 
-  /** Idempotently materialize [[TailParquetPath]]: image_only extraction
-    * over the deterministic 16-archive fleet, globally sorted, one
-    * parquet file. Regeneration is value-identical (seeded archives +
-    * total sort), so a missing file self-heals to the same table.
+  /** Committed dump of the single-archive (~400k-link) extraction —
+    * the oracle table for q_wat_extract_1file, same bridge as the tail.
     */
-  def ensureTailParquet(spark: org.apache.spark.sql.SparkSession): String =
-    synchronized {
-      val target = new java.io.File(TailParquetPath)
-      if (!target.exists()) {
-        val df = WatExtract.fromPaths(spark, ensureFleet(), "image_only").toDF()
-        val tmp = java.nio.file.Files.createTempDirectory("wat-tail").toFile
-        // finally, not success-path-only: the failure throws below would
-        // otherwise leak the temp dir per failed regeneration
-        try {
-          val outDir = new java.io.File(tmp, "p")
-          df.orderBy("uid", "cc_filename", "page_url", "url", "alt")
-            .coalesce(1).write.mode("overwrite")
-            .parquet(outDir.getAbsolutePath)
-          val part = outDir.listFiles()
-            .find(_.getName.endsWith(".parquet"))
-            .getOrElse(throw new java.io.IOException(
-              s"no parquet part written under $outDir"))
-          Option(target.getParentFile).foreach(_.mkdirs())
-          // write-then-rename, same crash-safety story as ensureBenchWats
-          val stage = new java.io.File(target.getParentFile,
-            target.getName + s".tmp-${System.nanoTime()}")
-          java.nio.file.Files.move(part.toPath, stage.toPath)
-          if (!stage.renameTo(target) && !target.exists())
-            throw new java.io.IOException(s"could not materialize $target")
-          stage.delete()
-        } finally {
-          def rmr(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rmr))
-            f.delete()
-          }
-          rmr(tmp)
+  val SingleParquetPath: String =
+    new java.io.File(new java.io.File(repoRoot, "tools"), "wat_single.parquet")
+      .getAbsolutePath
+
+  /** Committed dump of the 64-archive batched-fleet extraction — the
+    * oracle table for q_wat_extract_fleet64.
+    */
+  val Fleet64ParquetPath: String =
+    new java.io.File(new java.io.File(repoRoot, "tools"), "wat_fleet64.parquet")
+      .getAbsolutePath
+
+  /** Idempotently materialize a committed one-file dump of `df`,
+    * globally sorted on the full 5-tuple so regeneration is
+    * value-identical (seeded archives + total sort: a missing file
+    * self-heals to the same table). Write-then-rename for crash safety.
+    */
+  private def ensureExtractDump(target: java.io.File,
+      df: => org.apache.spark.sql.DataFrame): String = synchronized {
+    if (!target.exists()) {
+      val tmp = java.nio.file.Files.createTempDirectory("wat-dump").toFile
+      // finally, not success-path-only: the failure throws below would
+      // otherwise leak the temp dir per failed regeneration
+      try {
+        val outDir = new java.io.File(tmp, "p")
+        df.orderBy("uid", "cc_filename", "page_url", "url", "alt")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(outDir.getAbsolutePath)
+        val part = outDir.listFiles()
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new java.io.IOException(
+            s"no parquet part written under $outDir"))
+        Option(target.getParentFile).foreach(_.mkdirs())
+        // write-then-rename, same crash-safety story as ensureBenchWats
+        val stage = new java.io.File(target.getParentFile,
+          target.getName + s".tmp-${System.nanoTime()}")
+        java.nio.file.Files.move(part.toPath, stage.toPath)
+        if (!stage.renameTo(target) && !target.exists())
+          throw new java.io.IOException(s"could not materialize $target")
+        stage.delete()
+      } finally {
+        def rmr(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rmr))
+          f.delete()
         }
+        rmr(tmp)
       }
-      TailParquetPath
     }
+    target.getAbsolutePath
+  }
+
+  /** image_only extraction over the deterministic 16-archive fleet. */
+  def ensureTailParquet(spark: org.apache.spark.sql.SparkSession): String =
+    ensureExtractDump(new java.io.File(TailParquetPath),
+      WatExtract.fromPaths(spark, ensureFleet(), "image_only").toDF())
+
+  /** image_only extraction over the 400k-link single archive (via the
+    * same DSv2 path the query uses — the dump must witness the exact
+    * operator under oracle).
+    */
+  def ensureSingleParquet(spark: org.apache.spark.sql.SparkSession): String =
+    ensureExtractDump(new java.io.File(SingleParquetPath),
+      WatExtract.fromPathsV2(spark, ensureSingle(), "image_only").toDF())
+
+  /** image_only extraction over the 64-archive fleet (DSv2 batched,
+    * max_tasks=16 — the q_wat_extract_fleet64 shape).
+    */
+  def ensureFleet64Parquet(spark: org.apache.spark.sql.SparkSession): String =
+    ensureExtractDump(new java.io.File(Fleet64ParquetPath),
+      WatExtract.fromPathsV2Batched(spark, ensureFleet64(), "image_only",
+        maxTasks = 16).toDF())
 
   /** Two-era corpus shards for the schema-evolution scan: era 1 wrote
     * (uid, url), era 2 added alt + page_url — the shape a long-lived
