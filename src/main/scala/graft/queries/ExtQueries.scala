@@ -1010,8 +1010,18 @@ object ExtQueries {
     // the one path CORRECTNESS never covered (it was spec-only in r10).
     "q_curation_stream" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-cur-stream").toString
+      // fixed process-scoped scratch, wiped at entry (the StreamQueries
+      // contract): a fresh temp dir per invocation leaked a staged
+      // corpus + checkpoint per battery pass, while reusing a live
+      // checkpoint with rewritten input would RESUME instead of re-run
+      val tmp = QueryUtil.scratchPath("stream/cur")
+      val root = java.nio.file.Paths.get(tmp)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      java.nio.file.Files.createDirectories(root)
       docsWithTokens(s, dir)
         .select(col("doc_id"), toxAug.as("text"))
         .select(col("doc_id"), bpHtml.as("html"))

@@ -52,12 +52,39 @@ object StreamQueries {
     p.toString
   }
 
+  /** State-store/shuffle width for the battery's micro-batches. Every
+    * stateful operator commits one state-store delta PER PARTITION PER
+    * BATCH; at the session's 32 partitions the fixture streams (≤100k
+    * rows) paid 32 store commits × stores × batches of pure fixed cost
+    * per query — ~26 s of the r12 battery was this machinery, not
+    * operator work. 8 keeps real parallelism for the join/sort work
+    * while cutting the per-batch commit fan-out 4×. Width is a
+    * per-query-run choice ONLY (scoped + restored below): a production
+    * deployment sizes it to keys-in-horizon / executor count, and
+    * nothing in the operators depends on it.
+    */
+  private val StreamShufflePartitions = "8"
+
+  private def withStreamWidth[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamShufflePartitions)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Stage `df` as one parquet file, run `mk(streamIn)` to a parquet
-    * sink via two processAllAvailable rounds with an empty nudge file
-    * in between (see class doc), and return the sink contents.
+    * sink, and return the sink contents. With `nudge` (the default), an
+    * empty second file forces one more micro-batch that runs WITH the
+    * watermark advanced by batch 1 — required by operators whose OUTPUT
+    * is watermark-driven (append-mode window finalization, event-time
+    * session timeouts; see class doc). Operators whose emitted set is
+    * purely data-driven (dedup/cap/join emit on arrival; the watermark
+    * only EVICTS state) pass nudge = false and skip that batch — same
+    * emitted rows, one less full state-commit round.
     */
   private def runFileStream(s: SparkSession, staged: DataFrame,
-      schema: String, tag: String)(mk: DataFrame => DataFrame): DataFrame = {
+      schema: String, tag: String, nudge: Boolean = true)(
+      mk: DataFrame => DataFrame): DataFrame = withStreamWidth(s) {
     val tmp = streamDir(tag)
     staged.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b1")
     val stream = s.readStream.schema(schema).parquet(s"$tmp/in/*")
@@ -67,11 +94,13 @@ object StreamQueries {
       .format("parquet").option("path", s"$tmp/out")
       .start()
     q.processAllAvailable()
-    // the nudge batch: 0 rows, but a batch nonetheless — it executes
-    // with the watermark advanced by b1, which is when append-mode
-    // aggregates finalize and event-time timeouts fire
-    staged.limit(0).coalesce(1).write.parquet(s"$tmp/in/b2")
-    q.processAllAvailable()
+    if (nudge) {
+      // the nudge batch: 0 rows, but a batch nonetheless — it executes
+      // with the watermark advanced by b1, which is when append-mode
+      // aggregates finalize and event-time timeouts fire
+      staged.limit(0).coalesce(1).write.parquet(s"$tmp/in/b2")
+      q.processAllAvailable()
+    }
     q.stop()
     s.read.parquet(s"$tmp/out")
   }
@@ -79,29 +108,33 @@ object StreamQueries {
   /** Two-input variant for stream-stream operators: each side stages as
     * its own single-file source (both fully present in micro-batch 1,
     * so the emitted match set is a pure function of the data — no
-    * arrival-order races), same nudge protocol.
+    * arrival-order races), same nudge semantics.
     */
   private def runTwoFileStreams(s: SparkSession,
       left: DataFrame, leftSchema: String,
-      right: DataFrame, rightSchema: String, tag: String)(
-      mk: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-    val tmp = streamDir(tag)
-    left.coalesce(1).write.mode("overwrite").parquet(s"$tmp/l/b1")
-    right.coalesce(1).write.mode("overwrite").parquet(s"$tmp/r/b1")
-    val ls = s.readStream.schema(leftSchema).parquet(s"$tmp/l/*")
-    val rs = s.readStream.schema(rightSchema).parquet(s"$tmp/r/*")
-    val q = mk(ls, rs)
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .format("parquet").option("path", s"$tmp/out")
-      .start()
-    q.processAllAvailable()
-    left.limit(0).coalesce(1).write.parquet(s"$tmp/l/b2")
-    right.limit(0).coalesce(1).write.parquet(s"$tmp/r/b2")
-    q.processAllAvailable()
-    q.stop()
-    s.read.parquet(s"$tmp/out")
-  }
+      right: DataFrame, rightSchema: String, tag: String,
+      nudge: Boolean = true)(
+      mk: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    withStreamWidth(s) {
+      val tmp = streamDir(tag)
+      left.coalesce(1).write.mode("overwrite").parquet(s"$tmp/l/b1")
+      right.coalesce(1).write.mode("overwrite").parquet(s"$tmp/r/b1")
+      val ls = s.readStream.schema(leftSchema).parquet(s"$tmp/l/*")
+      val rs = s.readStream.schema(rightSchema).parquet(s"$tmp/r/*")
+      val q = mk(ls, rs)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .format("parquet").option("path", s"$tmp/out")
+        .start()
+      q.processAllAvailable()
+      if (nudge) {
+        left.limit(0).coalesce(1).write.parquet(s"$tmp/l/b2")
+        right.limit(0).coalesce(1).write.parquet(s"$tmp/r/b2")
+        q.processAllAvailable()
+      }
+      q.stop()
+      s.read.parquet(s"$tmp/out")
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Watermarked tumbling-window agg through the stream: only windows
@@ -126,8 +159,10 @@ object StreamQueries {
       val ev = QueryUtil.events(s, dir)
         .select(concat(col("event_type"), lit("|"),
           col("user_id").cast("string")).as("uid"), col("ts"))
+      // nudge = false: dedup emits each first-seen key ON ARRIVAL; the
+      // watermark batch only evicts state (StreamOpsSpec pins eviction)
       runFileStream(s, ev, "uid STRING, ts TIMESTAMP",
-        "dedup-stream")(in => StreamOps.dedupStream(in, "ts"))
+        "dedup-stream", nudge = false)(in => StreamOps.dedupStream(in, "ts"))
         .select("uid")
         .orderBy("uid")
     }),
@@ -142,8 +177,10 @@ object StreamQueries {
       val ev = QueryUtil.events(s, dir)
         .select(col("user_id").cast("string").as("key"),
           unix_micros(col("ts")).as("ts_us"), col("event_id").as("id"))
+      // nudge = false: admissions are emitted in the data batch; the
+      // event-time timeout only removes exhausted counters
       runFileStream(s, ev, "key STRING, ts_us LONG, id LONG",
-        "cap-stream") { in =>
+        "cap-stream", nudge = false) { in =>
         import s.implicits._
         StreamOps.capPerKeyStream(in.as[StreamOps.Keyed], k = 10).toDF()
       }
@@ -165,8 +202,10 @@ object StreamQueries {
           // initial watermark would be discarded as late
           timestamp_micros(col("doc_id") * lit(1000000L) +
             lit(1600000000000000L)).as("ts"))
+      // nudge = false: signature survivors emit on arrival (dedup
+      // semantics), watermark only evicts
       runFileStream(s, docs, "doc_id LONG, text STRING, ts TIMESTAMP",
-        "fdedup-stream")(in =>
+        "fdedup-stream", nudge = false)(in =>
         StreamOps.fuzzyDedupStream(in, "text", "ts"))
         .select(col("minhash_sig").as("sig"))
         .orderBy("sig")
@@ -185,10 +224,13 @@ object StreamQueries {
       val clicks = ev.where(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
           col("event_id").as("click_id"))
+      // nudge = false: an INNER stream-stream join emits a match in the
+      // batch where both sides are present (all data lands in batch 1);
+      // the watermark batch only evicts buffered state
       runTwoFileStreams(s,
         views, "v_user LONG, v_ts TIMESTAMP, view_id LONG",
         clicks, "c_user LONG, c_ts TIMESTAMP, click_id LONG",
-        "ij-stream") { (l, r) =>
+        "ij-stream", nudge = false) { (l, r) =>
         StreamOps.intervalJoinStreams(l, r, "v_user", "c_user",
             "v_ts", "c_ts", window = "6 hours")
           .select(col("v_user").as("user_id"), col("view_id"),
