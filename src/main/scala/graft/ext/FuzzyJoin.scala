@@ -30,7 +30,9 @@ import org.apache.spark.sql.functions._
   *    non-overlapping rare grams already need 2 edits at d=1);
   *  - candidates must share a prefix gram BY VALUE AND POSITION
   *    (|Δpos| ≤ d) — the positional constraint value-only blocking
-  *    discards. Measured on sf0.1 customer (15k uniform-format names,
+  *    discards;
+  *  - for d ≥ 2, surviving candidates additionally face the q-gram
+  *    COUNT filter before the verifier (see [[countFilterCond]]). Measured on sf0.1 customer (15k uniform-format names,
   *    109-gram alphabet): value-only blocking yields 8.5M candidate
   *    pairs, positional 6.0M for 262.5k true pairs. The honest scale
   *    statement (probed by tools/FuzzyScaleProbe, two decades in
@@ -154,6 +156,58 @@ object FuzzyJoin {
       .select(col("gram"), col("pos"), col("id"), col("s"), col("len"))
   }
 
+  /** Count filter (the q-gram counting bound of Gravano et al., VLDB
+    * 2001, applied in Ed-Join as the d ≥ 2 refinement): strings within
+    * edit distance d share at least max(|s|,|t|) − q + 1 − q·d
+    * positional q-grams (value-equal within ±d positions) — each edit
+    * destroys at most q gram occurrences and shifts survivors ≤ d. The
+    * expression counts, for each gram position of s, whether ANY
+    * ±d-window position of s2 carries the same gram; that per-position
+    * existence count upper-bounds the true 1-1 matching size, so
+    * requiring it to reach the bound is LOSSLESS. Vacuous (bound ≤ 0)
+    * for short strings — the OR short-circuits before the scan runs,
+    * which also keeps the inner sequence() ranges valid (bound > 0
+    * plus the candidate length filter |len−len2| ≤ d imply both
+    * strings carry grams and the j-window is non-empty).
+    *
+    * Why d ≥ 2 only: at d = 1 the location-shrunk positional prefix
+    * already prunes to near-output density and the O(len·(2d+1))
+    * per-pair scan costs about as much as the thresholded verify it
+    * would save; at d = 2 the prefix is 2q+1 grams and candidates
+    * sharing a single (gram, posBucket) cell survive to the verifier
+    * that this bound kills first at ~40% of levenshtein's cost.
+    * `private[graft]` so FuzzyScaleProbe can price exactly this
+    * predicate on the adversarial corpora.
+    */
+  private[graft] def countFilterCond(d: Int, q: Int)
+      : org.apache.spark.sql.Column = {
+    val bound = s"(greatest(length(s), length(s2)) - ${q - 1} - ${q * d})"
+    val cnt =
+      s"size(filter(sequence(1, length(s) - ${q - 1}), i -> " +
+        s"exists(sequence(greatest(1, i - $d), " +
+        s"least(length(s2) - ${q - 1}, i + $d)), j -> " +
+        s"substring(s, i, $q) = substring(s2, j, $q))))"
+    expr(s"$bound <= 0 OR $cnt >= $bound")
+  }
+
+  /** Exact verification of a (id, id2, s, s2) candidate frame:
+    * distinct, count filter for d ≥ 2 ([[countFilterCond]]), then the
+    * THRESHOLDED levenshtein — the 3-arg form computes only the
+    * 2d+1-wide DP band and aborts to −1 past the threshold, O(d·len)
+    * per pair instead of the full O(len²) table, with identical
+    * distances for every survivor.
+    */
+  private def verifyPairs(cands: DataFrame, d: Int, q: Int): DataFrame = {
+    val uniq = cands.distinct()
+    val counted = if (d >= 2) uniq.where(countFilterCond(d, q)) else uniq
+    counted
+      .withColumn("dist", levenshtein(col("s"), col("s2"), d))
+      .where(col("dist") >= 0)
+      .select(col("id").as("id1"), col("id2"),
+        col("s").as("str1"), col("s2").as("str2"),
+        col("dist").cast("long").as("dist"))
+  }
+
   def selfPairs(df: DataFrame, idCol: String, strCol: String,
       d: Int, q: Int = 2): DataFrame = {
     require(d >= 1 && q >= 1, "d and q must be >= 1")
@@ -218,13 +272,7 @@ object FuzzyJoin {
         when(lt, col("sa")).otherwise(col("sb")).as("s"),
         when(lt, col("sb")).otherwise(col("sa")).as("s2"))
 
-    gramPairs.union(shortPairs)
-      .distinct()
-      .withColumn("dist", levenshtein(col("s"), col("s2")))
-      .where(col("dist") <= d)
-      .select(col("id").as("id1"), col("id2"),
-        col("s").as("str1"), col("s2").as("str2"),
-        col("dist").cast("long").as("dist"))
+    verifyPairs(gramPairs.union(shortPairs), d, q)
   }
 
   /** Asymmetric (R-S) fuzzy LOOKUP: every (probe, corpus) pair within
@@ -300,12 +348,6 @@ object FuzzyJoin {
       .select(col("idb").as("id"), col("ida").as("id2"),
         col("sb").as("s"), col("sa").as("s2"))
 
-    gramPairs.union(shortProbe).union(shortCorpus)
-      .distinct()
-      .withColumn("dist", levenshtein(col("s"), col("s2")))
-      .where(col("dist") <= d)
-      .select(col("id").as("id1"), col("id2"),
-        col("s").as("str1"), col("s2").as("str2"),
-        col("dist").cast("long").as("dist"))
+    verifyPairs(gramPairs.union(shortProbe).union(shortCorpus), d, q)
   }
 }

@@ -34,23 +34,23 @@ object FuzzyScaleProbe {
       substring(md5(concat(lit("fz|"), col("id").cast("string"))), 1, 18)
         .as("s"))
 
-  /** Candidate pairs of the blocked join with the verify predicate
-    * REMOVED — what the blocking hands to the verifier. Mirrors
-    * FuzzyJoin.selfPairs' candidate stage (d=1, q=2) including the
-    * location-shrunk positional prefix.
+  /** Candidate frame of the blocked join with the verify predicate
+    * REMOVED — what the blocking hands to the verifier, strings
+    * attached so the count filter can be priced on it. Mirrors
+    * FuzzyJoin.selfPairs' candidate stage including the location-shrunk
+    * positional prefix.
     */
-  private def candidates(df: DataFrame, d: Int = 1, q: Int = 2)
-      : (Long, Long) = {
+  private def candFrame(df: DataFrame, d: Int, q: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rows = df.select(col("id"), col("s"))
       .withColumn("len", length(col("s")))
     val shortCut = q * (d + 1) - 1
     val prefixLen = q * d + 1
     val grams = rows.where(col("len") > shortCut)
-      .select(col("id"), col("len"),
+      .select(col("id"), col("s"), col("len"),
         posexplode(expr(
           s"transform(sequence(1, len - ${q - 1}), i -> substring(s, i, $q))")))
-      .select(col("id"), col("len"), (col("pos") + 1).as("pos"),
+      .select(col("id"), col("s"), col("len"), (col("pos") + 1).as("pos"),
         col("col").as("gram"))
     val freq = grams.groupBy("gram").agg(count(lit(1)).as("freq"))
     val w = Window.partitionBy("id")
@@ -74,25 +74,31 @@ object FuzzyScaleProbe {
           .over(Window.partitionBy("id")))
       .withColumn("_k", coalesce(expr(kStar), lit(prefixLen)))
       .where(col("_rk") <= col("_k"))
-      .select(col("gram"), col("pos"), col("id"), col("len"))
+      .select(col("gram"), col("pos"), col("id"), col("s"), col("len"))
     val bw = d + 1
     val a = prefix
       .withColumn("bk",
         explode(expr(s"sequence(pos div $bw - 1, pos div $bw + 1)")))
       .repartition(32, col("gram"), col("bk"))
     val b = prefix.select(col("gram"), expr(s"pos div $bw").as("bk"),
-      col("pos").as("pos2"), col("id").as("id2"), col("len").as("len2"))
-    val cand = a.join(b.hint("shuffle_hash"), Seq("gram", "bk"))
+      col("pos").as("pos2"), col("id").as("id2"), col("s").as("s2"),
+      col("len").as("len2"))
+    a.join(b.hint("shuffle_hash"), Seq("gram", "bk"))
       .where(col("id") < col("id2") &&
         abs(col("pos") - col("pos2")) <= d &&
         abs(col("len") - col("len2")) <= d)
-    val occ = cand.count()
-    val pairs = cand.select("id", "id2").distinct().count()
-    (occ, pairs)
+  }
+
+  /** (occurrence count, distinct pair count) of the candidate stage. */
+  private def candidates(df: DataFrame, d: Int = 1, q: Int = 2)
+      : (Long, Long) = {
+    val cand = candFrame(df, d, q)
+    (cand.count(), cand.select("id", "id2").distinct().count())
   }
 
   def main(args: Array[String]): Unit = {
-    val factor = args.headOption.map(_.toInt).getOrElse(1)
+    val factor = args.headOption.filter(_.forall(_.isDigit))
+      .map(_.toInt).getOrElse(1)
     val candOnly = args.contains("candOnly")
     val n = 15000L * factor
     val spark = SparkSession.builder()
@@ -101,6 +107,31 @@ object FuzzyScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    // names-d2: price Ed-Join's d=2 COUNT filter on q_fuzzy_names_d2's
+    // exact corpus (deduped part names) — candidates the positional
+    // prefix hands over, survivors after the count filter, true pairs.
+    if (args.contains("names-d2")) {
+      val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val names = spark.read.parquet(s"$dir/part.parquet")
+        .groupBy("p_name").agg(min("p_partkey").as("id"))
+        .select(col("id"), col("p_name").as("s")).cache()
+      val nNames = names.count()
+      val cand = candFrame(names, d = 2)
+        .select("id", "id2", "s", "s2").distinct().cache()
+      val before = cand.count()
+      val after =
+        cand.where(graft.ext.FuzzyJoin.countFilterCond(2, 2)).count()
+      val t0 = System.nanoTime()
+      val nTrue = graft.ext.FuzzyJoin.selfPairs(names, "id", "s", d = 2)
+        .count()
+      println(f"[fuzzy-probe] corpus=part-names-d2 n=$nNames " +
+        f"candPairs=$before afterCountFilter=$after truePairs=$nTrue " +
+        f"fullWall=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      cand.unpersist(); names.unpersist()
+      spark.stop()
+      return
+    }
 
     for ((tag, mk) <- Seq(
         "adversarial" -> adversarial _,
