@@ -99,6 +99,55 @@ object BigScaleGen {
         f"[bigscale] generated ×$factor in ${(System.nanoTime() - t0) / 1e9}%.0f s")
     }
 
+    // --- optional relational set (SPARK_GRAFT_BIGSCALE_REL=1): the
+    // storage-layer ×1000 probes (q_bucket_join_read, q_fuzzy_lookup)
+    // need customer/orders/lineitem at the same factor. Same key-shift
+    // scheme as ScaleProbe.generate (names verbatim, keys spanned per
+    // replica — consistent joins), same chunked-append plan shape; own
+    // marker so the content-corpus marker above keeps its meaning.
+    if (sys.env.get("SPARK_GRAFT_BIGSCALE_REL").contains("1")) {
+      val relMarker = new java.io.File(dir,
+        s"_BIGSCALE_REL_OK_v${ScaleProbe.GenVersion}_${factor}_$baseTag")
+      if (!relMarker.exists()) {
+        Option(dir.listFiles()).foreach(
+          _.filter(_.getName.startsWith("_BIGSCALE_REL_OK"))
+            .foreach(_.delete()))
+        def base(t: String) = spark.read.parquet(s"$baseDir/$t.parquet")
+        def writeChunked(t: String)(mk: Int => DataFrame): Unit = {
+          (0 until factor).grouped(chunk).zipWithIndex.foreach {
+            case (ks, i) =>
+              ks.map(mk).reduce(_ unionByName _)
+                .write.mode(if (i == 0) "overwrite" else "append")
+                .parquet(s"$outDir/$t.parquet")
+          }
+        }
+        val t0 = System.nanoTime()
+        val spanCust = ScaleProbe.span(base("customer"), "c_custkey")
+        val spanOrd = ScaleProbe.span(base("orders"), "o_orderkey")
+        val spanPart = ScaleProbe.span(base("part"), "p_partkey")
+        val spanSupp = ScaleProbe.span(base("supplier"), "s_suppkey")
+        writeChunked("customer") { k =>
+          base("customer").withColumn("c_custkey",
+            col("c_custkey") + lit(k * spanCust))
+        }
+        writeChunked("orders") { k =>
+          base("orders")
+            .withColumn("o_orderkey", col("o_orderkey") + lit(k * spanOrd))
+            .withColumn("o_custkey", col("o_custkey") + lit(k * spanCust))
+        }
+        writeChunked("lineitem") { k =>
+          base("lineitem")
+            .withColumn("l_orderkey", col("l_orderkey") + lit(k * spanOrd))
+            .withColumn("l_partkey", col("l_partkey") + lit(k * spanPart))
+            .withColumn("l_suppkey", col("l_suppkey") + lit(k * spanSupp))
+        }
+        require(relMarker.createNewFile() || relMarker.exists(),
+          s"could not write scale marker $relMarker")
+        System.err.println(f"[bigscale] relational set ×$factor in " +
+          f"${(System.nanoTime() - t0) / 1e9}%.0f s")
+      }
+    }
+
     // --- probe (same spill/failure accounting as ScaleProbe) ---
     val spill = new ScaleProbe.SpillListener
     spark.sparkContext.addSparkListener(spill)

@@ -133,16 +133,21 @@ object FuzzyScaleProbe {
       return
     }
 
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     for ((tag, mk) <- Seq(
         "adversarial" -> adversarial _,
         "random" -> randomish _)) {
       val df = mk(spark, n).cache()
       df.count()
+      val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       val (occ, pairs) = candidates(df)
       val tCand = (System.nanoTime() - t0) / 1e9
+      val cCand = (osBean.getProcessCpuTime - c0) / 1e9
       println(f"[fuzzy-probe] corpus=$tag n=$n candOcc=$occ " +
-        f"candPairs=$pairs candWall=$tCand%.1f s")
+        f"candPairs=$pairs candWall=$tCand%.1f s candCpu=$cCand%.1f s")
       if (!candOnly) {
         val t1 = System.nanoTime()
         val nTrue = graft.ext.FuzzyJoin.selfPairs(df, "id", "s", d = 1)
