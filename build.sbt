@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain output passes straight through to this process's
+// stdout/stderr instead of being re-logged line-by-line as
+// "[info] ..." — machine consumers (the driver's bench-tail parse,
+// close_round.sh's registry grep) read bare lines. The r11/r12 driver
+// artifacts recorded the prefixed form and failed to parse it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

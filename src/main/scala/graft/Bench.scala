@@ -248,20 +248,14 @@ object Bench {
       .sortBy(-_._2).take(12)
       .map { case (k, w) => jstr(k) + ":" + f3(w) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","cpu_sec":${f3(cpuTotal)},"nq":${results.size},"slowest":$slowest,"sidecar":"$sidecarRel","failed":$failedJson,"sf":"$sfDir"}"""
-    println(line)
-    // ALSO write the line straight to the process's fd 1, bypassing
-    // sbt's logger redirect: under `sbt runMain` every println lands in
-    // the captured tail as "[info] {...}", and the harness that records
-    // that tail failed to parse the prefixed form in r11/r12
-    // ("parsed": null despite a valid line). The raw write gives any
-    // line-scanning consumer one UNPREFIXED JSON line; the sidecar
-    // above remains the canonical artifact either way (NOTES.md).
-    try {
-      val raw = new java.io.FileOutputStream(java.io.FileDescriptor.out)
-      raw.write((line + "\n").getBytes("UTF-8"))
-      raw.flush()
-    } catch { case _: Exception => () }
+    // the summary line reaches the harness UNPREFIXED: `run` is forked
+    // and build.sbt routes forked output through StdoutOutput, so sbt
+    // passes it straight through instead of re-logging it as
+    // "[info] {...}" — the form the r11/r12 harness tails recorded but
+    // failed to parse ("parsed": null despite a valid line). The
+    // sidecar above remains the canonical artifact either way
+    // (NOTES.md).
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","cpu_sec":${f3(cpuTotal)},"nq":${results.size},"slowest":$slowest,"sidecar":"$sidecarRel","failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
