@@ -108,6 +108,49 @@ object FuzzyScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // lookup-fixed: the R-S lookup's PRODUCTION decade — a FIXED probe
+    // list (the sf0.1-sized 120 probes, the "one benchmark's titles"
+    // shape) against a corpus scaled under SPARK_GRAFT_SF_DIR. The
+    // registered q_fuzzy_lookup scales probes WITH the corpus and its
+    // key-shift replicas duplicate every name verbatim, so its ×1000
+    // point is output-bound by construction: ≥10 matching names ×1000
+    // copies ×120k probes ≈ 1.2G true pairs — the distinct shuffle of
+    // that output alone exceeds this host's disk, and no engine dodges
+    // its own output. The fixed-probe shape is the decade SCALING.md's
+    // linear-path claim actually makes.
+    if (args.contains("lookup-fixed")) {
+      val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+        "/root/repo/scale_data/sf100")
+      val baseDir = sys.env.getOrElse("SPARK_GRAFT_BASE_DIR",
+        "/root/testdata/sf0.1")
+      val osb = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      val baseSpan = spark.read.parquet(s"$baseDir/customer.parquet")
+        .agg(max(col("c_custkey"))).head().getLong(0)
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .select("c_custkey", "c_name")
+      val probes = cust
+        .where(col("c_custkey") <= baseSpan &&
+          pmod(col("c_custkey"), lit(125)) === 1)
+        .select(col("c_custkey").as("probe_id"),
+          expr("concat(substring(c_name, 1, cast(c_custkey % 9 as int) + 9)," +
+            " 'x', substring(c_name, cast(c_custkey % 9 as int) + 11))")
+            .as("probe_name"))
+      val nCorpus = cust.count()
+      val nProbes = probes.count()
+      val c0 = osb.getProcessCpuTime
+      val t0 = System.nanoTime()
+      val nPairs = graft.ext.FuzzyJoin.lookupPairs(probes, cust,
+        "probe_id", "probe_name", "c_custkey", "c_name", d = 1).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cpu = (osb.getProcessCpuTime - c0) / 1e9
+      println(f"[fuzzy-probe] corpus=lookup-fixed corpusRows=$nCorpus " +
+        f"probes=$nProbes pairs=$nPairs wall=$wall%.1f s cpu=$cpu%.1f s")
+      spark.stop()
+      return
+    }
+
     // names-d2: price Ed-Join's d=2 COUNT filter on q_fuzzy_names_d2's
     // exact corpus (deduped part names) — candidates the positional
     // prefix hands over, survivors after the count filter, true pairs.
