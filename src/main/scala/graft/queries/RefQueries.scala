@@ -200,7 +200,15 @@ object RefQueries {
       graft.wat.WatFixture.ensureTailParquet(s)
       val wats = graft.wat.WatFixture.ensureFleet()
       graft.wat.WatExtract.fromPaths(s, wats, "image_only").toDF()
-        .orderBy("uid", "cc_filename", "page_url", "url", "alt")
+        // deterministic total order for the oracle hash WITHOUT a
+        // global orderBy: range-sort SAMPLES its input, which would
+        // execute the whole extraction twice (measured 2x on the
+        // single-archive headline). One round-robin exchange into a
+        // single partition + an in-partition sort is one extraction
+        // pass; the sort itself is milliseconds at this row count and
+        // the order is battery plumbing, not the operator.
+        .repartition(1)
+        .sortWithinPartitions("uid", "cc_filename", "page_url", "url", "alt")
     }),
 
     // The pipeline's hot path end-to-end — extraction + uid dedup (the
@@ -233,7 +241,15 @@ object RefQueries {
       graft.wat.WatFixture.ensureSingleParquet(s)
       val wat = graft.wat.WatFixture.ensureSingle()
       graft.wat.WatExtract.fromPathsV2(s, wat, "image_only").toDF()
-        .orderBy("uid", "cc_filename", "page_url", "url", "alt")
+        // deterministic total order for the oracle hash WITHOUT a
+        // global orderBy: range-sort SAMPLES its input, which would
+        // execute the whole extraction twice (measured 2x on the
+        // single-archive headline). One round-robin exchange into a
+        // single partition + an in-partition sort is one extraction
+        // pass; the sort itself is milliseconds at this row count and
+        // the order is battery plumbing, not the operator.
+        .repartition(1)
+        .sortWithinPartitions("uid", "cc_filename", "page_url", "url", "alt")
     }),
 
     // Fleet-scale extraction through the DSv2 `max_tasks` batching path:
@@ -248,7 +264,15 @@ object RefQueries {
       val wats = graft.wat.WatFixture.ensureFleet64()
       graft.wat.WatExtract.fromPathsV2Batched(s, wats, "image_only",
         maxTasks = 16).toDF()
-        .orderBy("uid", "cc_filename", "page_url", "url", "alt")
+        // deterministic total order for the oracle hash WITHOUT a
+        // global orderBy: range-sort SAMPLES its input, which would
+        // execute the whole extraction twice (measured 2x on the
+        // single-archive headline). One round-robin exchange into a
+        // single partition + an in-partition sort is one extraction
+        // pass; the sort itself is milliseconds at this row count and
+        // the order is battery plumbing, not the operator.
+        .repartition(1)
+        .sortWithinPartitions("uid", "cc_filename", "page_url", "url", "alt")
     }),
 
     // The WAT pipeline's relational TAIL under the full DuckDB oracle:
