@@ -30,9 +30,9 @@ import org.apache.spark.sql.functions._
   *    non-overlapping rare grams already need 2 edits at d=1);
   *  - candidates must share a prefix gram BY VALUE AND POSITION
   *    (|Δpos| ≤ d) — the positional constraint value-only blocking
-  *    discards;
-  *  - for d ≥ 2, surviving candidates additionally face the q-gram
-  *    COUNT filter before the verifier (see [[countFilterCond]]). Measured on sf0.1 customer (15k uniform-format names,
+  *    discards. (Ed-Join's third filter, q-gram COUNTING, was
+  *    implemented, proven lossless, priced, and measured OUT: see
+  *    [[countFilterCond]].) Measured on sf0.1 customer (15k uniform-format names,
   *    109-gram alphabet): value-only blocking yields 8.5M candidate
   *    pairs, positional 6.0M for 262.5k true pairs. The honest scale
   *    statement (probed by tools/FuzzyScaleProbe, two decades in
@@ -170,12 +170,19 @@ object FuzzyJoin {
     * plus the candidate length filter |len−len2| ≤ d imply both
     * strings carry grams and the j-window is non-empty).
     *
-    * Why d ≥ 2 only: at d = 1 the location-shrunk positional prefix
-    * already prunes to near-output density and the O(len·(2d+1))
-    * per-pair scan costs about as much as the thresholded verify it
-    * would save; at d = 2 the prefix is 2q+1 grams and candidates
-    * sharing a single (gram, posBucket) cell survive to the verifier
-    * that this bound kills first at ~40% of levenshtein's cost.
+    * MEASURED OUT of the execution path (kept for the probes and the
+    * record): Ed-Join's count-filter trade assumes precomputed gram
+    * sets and an expensive unbanded verify. In this dataflow the grams
+    * would be recomputed per candidate through interpreted
+    * higher-order functions while the verify is a CODEGEN'D BANDED
+    * levenshtein — on the same 74.1M cached d=2 adversarial
+    * candidates the filter costs 59.8 s and kills zero (repeated
+    * digit-grams saturate the per-position existence count exactly
+    * where candidates are dense), the banded verify costs 6.4 s and
+    * resolves everything (FuzzyScaleProbe adv-d2). On natural name
+    * corpora it does prune (402→190 of 24 true, names-d2) but the
+    * verify there is already sub-second. A guard that costs 9× the
+    * thing it guards is not a filter; the probes keep the evidence.
     * `private[graft]` so FuzzyScaleProbe can price exactly this
     * predicate on the adversarial corpora.
     */
@@ -191,16 +198,16 @@ object FuzzyJoin {
   }
 
   /** Exact verification of a (id, id2, s, s2) candidate frame:
-    * distinct, count filter for d ≥ 2 ([[countFilterCond]]), then the
-    * THRESHOLDED levenshtein — the 3-arg form computes only the
-    * 2d+1-wide DP band and aborts to −1 past the threshold, O(d·len)
-    * per pair instead of the full O(len²) table, with identical
-    * distances for every survivor.
+    * distinct, then the THRESHOLDED levenshtein — the 3-arg form
+    * computes only the 2d+1-wide DP band and aborts to −1 past the
+    * threshold, O(d·len) per pair instead of the full O(len²) table,
+    * with identical distances for every survivor. No intermediate
+    * filter sits in front of it: the banded DP IS the cheapest exact
+    * predicate available per pair (see [[countFilterCond]]'s header
+    * for the measurement that removed the q-gram count filter).
     */
   private def verifyPairs(cands: DataFrame, d: Int, q: Int): DataFrame = {
-    val uniq = cands.distinct()
-    val counted = if (d >= 2) uniq.where(countFilterCond(d, q)) else uniq
-    counted
+    cands.distinct()
       .withColumn("dist", levenshtein(col("s"), col("s2"), d))
       .where(col("dist") >= 0)
       .select(col("id").as("id1"), col("id2"),

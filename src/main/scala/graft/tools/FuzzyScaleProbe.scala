@@ -151,6 +151,37 @@ object FuzzyScaleProbe {
       return
     }
 
+    // adv-d2: the count filter priced at VOLUME — d=2 over the
+    // adversarial ID corpus (n = 15000 × factor), candidates the
+    // positional prefix hands over vs survivors after the count
+    // filter vs true pairs, plus the full-query wall either way.
+    if (args.contains("adv-d2")) {
+      val df = adversarial(spark, n).cache()
+      df.count()
+      val cand = candFrame(df, d = 2)
+        .select("id", "id2", "s", "s2").distinct().cache()
+      val before = cand.count()
+      def timed(what: String)(body: => Long): Long = {
+        val t0 = System.nanoTime()
+        val v = body
+        println(f"[fuzzy-probe] adv-d2 n=$n $what=$v " +
+          f"wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
+        v
+      }
+      // the decision numbers: per-pair cost of the count filter vs the
+      // banded levenshtein it guards, on the SAME cached candidates
+      timed("afterCountFilter") {
+        cand.where(graft.ext.FuzzyJoin.countFilterCond(2, 2)).count()
+      }
+      timed("afterBandedLev") {
+        cand.where(levenshtein(col("s"), col("s2"), 2) >= 0).count()
+      }
+      println(f"[fuzzy-probe] corpus=adversarial-d2 n=$n candPairs=$before")
+      cand.unpersist(); df.unpersist()
+      spark.stop()
+      return
+    }
+
     // names-d2: price Ed-Join's d=2 COUNT filter on q_fuzzy_names_d2's
     // exact corpus (deduped part names) — candidates the positional
     // prefix hands over, survivors after the count filter, true pairs.

@@ -137,20 +137,21 @@ class FuzzyJoinSpec extends AnyFunSuite with SparkTestBase {
       "across corpora shapes") {
     // five deterministic seeds × mixed string lengths (0..14) over a
     // 3-symbol alphabet — dense collision territory where every
-    // routing boundary (short path, prefix shrink, position buckets)
-    // gets exercised together
-    for (seed <- 1 to 5) {
+    // routing boundary (short path, prefix shrink, position buckets,
+    // and at d=2 the count filter's vacuous/active boundary) gets
+    // exercised together
+    for (seed <- 1 to 5; d <- Seq(1, 2)) {
       val rnd = new scala.util.Random(seed)
       def corpus(n: Int, base: Long) = (0 until n).map { i =>
         (base + i) -> Seq.fill(rnd.nextInt(15))(
           "abc" (rnd.nextInt(3))).mkString
       }
       val self = corpus(60, 0L)
-      assert(run(self, 1) == brute(self, 1), s"self seed=$seed")
+      assert(run(self, d) == brute(self, d), s"self seed=$seed d=$d")
       val probes = corpus(15, 1000L)
       val cs = corpus(60, 0L)
-      assert(runLookup(probes, cs, 1) == bruteLookup(probes, cs, 1),
-        s"lookup seed=$seed")
+      assert(runLookup(probes, cs, d) == bruteLookup(probes, cs, d),
+        s"lookup seed=$seed d=$d")
     }
   }
 
