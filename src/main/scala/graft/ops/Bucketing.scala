@@ -133,10 +133,32 @@ object Bucketing {
     * differently-specced layout is rewritten, never registered — the
     * caller still owns the schema, which bytes cannot witness.
     */
+  /** True iff the CATALOG's record of `table` declares exactly the
+    * requested (key, buckets) bucket spec — the catalog-side twin of
+    * [[layoutMatches]]. Without this, a re-declare at a different width
+    * in the same JVM (or via a shared durable metastore — the
+    * MetastoreProbe deployment) would short-circuit on `tableExists`
+    * and silently serve the OLD layout, defeating the exchange-free
+    * contract the disk-side SpecMarker validation protects.
+    */
+  private def catalogSpecMatches(spark: SparkSession, table: String,
+      key: String, buckets: Int): Boolean = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    meta.bucketSpec.exists(bs =>
+      bs.numBuckets == buckets && bs.bucketColumnNames == Seq(key))
+  }
+
   def ensureBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit = {
     val spark = df.sparkSession
-    if (spark.catalog.tableExists(table)) return
+    if (spark.catalog.tableExists(table)) {
+      if (catalogSpecMatches(spark, table, key, buckets)) return
+      // cataloged under a DIFFERENT spec: rewrite — writeBucketed drops
+      // the stale table and its files first
+      writeBucketed(df, table, key, buckets)
+      return
+    }
     val p = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

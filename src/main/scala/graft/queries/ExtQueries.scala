@@ -1018,8 +1018,12 @@ object ExtQueries {
       val root = java.nio.file.Paths.get(tmp)
       if (java.nio.file.Files.exists(root)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
+        // Using closes the walk stream deterministically — unclosed it
+        // holds a directory handle until GC, leaking across battery passes
+        scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
+          st.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.delete)
+        }
       }
       java.nio.file.Files.createDirectories(root)
       docsWithTokens(s, dir)

@@ -574,27 +574,34 @@ object RefQueries {
     // seeded fixture (absolute path, same file on both engines; the
     // dumps are value-identical on regeneration and their content is
     // independently pinned by the golden md5s in WatExtractSpec).
+    // NULLS FIRST on every sort key: Spark orders NULLS FIRST ascending
+    // while DuckDB defaults to NULLS LAST — without the qualifier a
+    // NULL alt/page_url would hash-mismatch spuriously.
     "q_wat_extract" ->
       s"""SELECT uid, url, alt, cc_filename, page_url
          |FROM read_parquet('${graft.wat.WatFixture.TailParquetPath}')
-         |ORDER BY uid, cc_filename, page_url, url, alt""".stripMargin,
+         |ORDER BY uid NULLS FIRST, cc_filename NULLS FIRST,
+         |  page_url NULLS FIRST, url NULLS FIRST, alt NULLS FIRST""".stripMargin,
 
     "q_wat_extract_1file" ->
       s"""SELECT uid, url, alt, cc_filename, page_url
          |FROM read_parquet('${graft.wat.WatFixture.SingleParquetPath}')
-         |ORDER BY uid, cc_filename, page_url, url, alt""".stripMargin,
+         |ORDER BY uid NULLS FIRST, cc_filename NULLS FIRST,
+         |  page_url NULLS FIRST, url NULLS FIRST, alt NULLS FIRST""".stripMargin,
 
     "q_wat_extract_fleet64" ->
       s"""SELECT uid, url, alt, cc_filename, page_url
          |FROM read_parquet('${graft.wat.WatFixture.Fleet64ParquetPath}')
-         |ORDER BY uid, cc_filename, page_url, url, alt""".stripMargin,
+         |ORDER BY uid NULLS FIRST, cc_filename NULLS FIRST,
+         |  page_url NULLS FIRST, url NULLS FIRST, alt NULLS FIRST""".stripMargin,
 
     "q_wat_tail" ->
       s"""SELECT uid, url, alt, cc_filename, page_url FROM (
          |  SELECT *, row_number() OVER (PARTITION BY uid
-         |    ORDER BY cc_filename, page_url, url, alt) AS rn
+         |    ORDER BY cc_filename NULLS FIRST, page_url NULLS FIRST,
+         |      url NULLS FIRST, alt NULLS FIRST) AS rn
          |  FROM read_parquet('${graft.wat.WatFixture.TailParquetPath}'))
-         |WHERE rn = 1 ORDER BY uid""".stripMargin,
+         |WHERE rn = 1 ORDER BY uid NULLS FIRST""".stripMargin,
 
     // q_wat_dedup: the Spark side runs LIVE extraction over the WAT
     // fleet; the oracle runs the same deterministic dedup over the
@@ -603,9 +610,10 @@ object RefQueries {
     "q_wat_dedup" ->
       s"""SELECT uid, url, alt, cc_filename, page_url FROM (
          |  SELECT *, row_number() OVER (PARTITION BY uid
-         |    ORDER BY cc_filename, page_url, url, alt) AS rn
+         |    ORDER BY cc_filename NULLS FIRST, page_url NULLS FIRST,
+         |      url NULLS FIRST, alt NULLS FIRST) AS rn
          |  FROM read_parquet('${graft.wat.WatFixture.TailParquetPath}'))
-         |WHERE rn = 1 ORDER BY uid""".stripMargin,
+         |WHERE rn = 1 ORDER BY uid NULLS FIRST""".stripMargin,
 
     "q_archive_stats" ->
       s"""SELECT cc_filename, count(*)::BIGINT AS n_rows,

@@ -45,8 +45,12 @@ object StreamQueries {
     val p = java.nio.file.Paths.get(QueryUtil.scratchPath(s"stream/$tag"))
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
+      // Using closes the walk stream deterministically — unclosed it
+      // holds a directory handle until GC, leaking across battery passes
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+        st.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
     }
     java.nio.file.Files.createDirectories(p)
     p.toString

@@ -273,9 +273,20 @@ object WatFixture {
     * globally sorted on the full 5-tuple so regeneration is
     * value-identical (seeded archives + total sort: a missing file
     * self-heals to the same table). Write-then-rename for crash safety.
+    *
+    * A REGENERATED dump is validated against the pinned golden
+    * [[contentHash]] before it is served: without this, a missing file
+    * under an oracle run would silently turn the q_wat_extract* DuckDB
+    * hash compare into extraction-vs-itself (the dump and the query
+    * share the extraction code), passing vacuously even with a broken
+    * extractor. The golden md5s are independent of that code path —
+    * they were pinned from the handcrafted fixture and are re-asserted
+    * by WatExtractSpec every suite run.
     */
-  private def ensureExtractDump(target: java.io.File,
-      df: => org.apache.spark.sql.DataFrame): String = synchronized {
+  private[wat] def ensureExtractDump(target: java.io.File,
+      df: => org.apache.spark.sql.DataFrame,
+      spark: org.apache.spark.sql.SparkSession,
+      goldenMd5: String): String = synchronized {
     if (!target.exists()) {
       val tmp = java.nio.file.Files.createTempDirectory("wat-dump").toFile
       // finally, not success-path-only: the failure throws below would
@@ -293,7 +304,23 @@ object WatFixture {
         // write-then-rename, same crash-safety story as ensureBenchWats
         val stage = new java.io.File(target.getParentFile,
           target.getName + s".tmp-${System.nanoTime()}")
+        // validate the regenerated dump BEFORE publishing it: read the
+        // staged file back and compare its full-content md5 to the
+        // extraction-independent golden pin
         java.nio.file.Files.move(part.toPath, stage.toPath)
+        val got = contentHash(
+          spark.read.parquet(stage.getAbsolutePath)
+            .select("uid", "url", "alt", "cc_filename", "page_url")
+            .collect().toSeq.map(r => (r.getString(0), r.getString(1),
+              String.valueOf(r.getString(2)), r.getString(3),
+              r.getString(4))))
+        if (got != goldenMd5) {
+          stage.delete()
+          throw new IllegalStateException(
+            s"regenerated ${target.getName} fails golden validation: " +
+              s"content md5 $got != pinned $goldenMd5 — refusing to " +
+              "serve a self-referential oracle table")
+        }
         if (!stage.renameTo(target) && !target.exists())
           throw new java.io.IOException(s"could not materialize $target")
         stage.delete()
@@ -311,7 +338,8 @@ object WatFixture {
   /** image_only extraction over the deterministic 16-archive fleet. */
   def ensureTailParquet(spark: org.apache.spark.sql.SparkSession): String =
     ensureExtractDump(new java.io.File(TailParquetPath),
-      WatExtract.fromPaths(spark, ensureFleet(), "image_only").toDF())
+      WatExtract.fromPaths(spark, ensureFleet(), "image_only").toDF(),
+      spark, goldenFleetContentHash("image_only"))
 
   /** image_only extraction over the 400k-link single archive (via the
     * same DSv2 path the query uses — the dump must witness the exact
@@ -319,7 +347,8 @@ object WatFixture {
     */
   def ensureSingleParquet(spark: org.apache.spark.sql.SparkSession): String =
     ensureExtractDump(new java.io.File(SingleParquetPath),
-      WatExtract.fromPathsV2(spark, ensureSingle(), "image_only").toDF())
+      WatExtract.fromPathsV2(spark, ensureSingle(), "image_only").toDF(),
+      spark, goldenSingleContentHash("image_only"))
 
   /** image_only extraction over the 64-archive fleet (DSv2 batched,
     * max_tasks=16 — the q_wat_extract_fleet64 shape).
@@ -327,7 +356,8 @@ object WatFixture {
   def ensureFleet64Parquet(spark: org.apache.spark.sql.SparkSession): String =
     ensureExtractDump(new java.io.File(Fleet64ParquetPath),
       WatExtract.fromPathsV2Batched(spark, ensureFleet64(), "image_only",
-        maxTasks = 16).toDF())
+        maxTasks = 16).toDF(),
+      spark, goldenFleet64Hash)
 
   /** Two-era corpus shards for the schema-evolution scan: era 1 wrote
     * (uid, url), era 2 added alt + page_url — the shape a long-lived

@@ -150,6 +150,34 @@ class BucketingSpec extends AnyFunSuite with SparkTestBase {
       spark.table("graft_spec_li").count())
   }
 
+  test("ensureBucketed REWRITES a CATALOGED table whose bucket spec " +
+      "contradicts the request (same-JVM / shared-metastore re-declare)") {
+    tables
+    // the catalog-side twin of the stale-disk test: the table EXISTS in
+    // the catalog at 4 buckets; a re-declare at 8 must not short-circuit
+    // on tableExists and silently serve the 4-bucket layout — under a
+    // shared durable metastore (the MetastoreProbe deployment) that
+    // would defeat the exchange-free contract across processes
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    Bucketing.ensureBucketed(df, "graft_spec_li_respec", "l_orderkey",
+      buckets)
+    def specOf(t: String) = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(t)).bucketSpec.get
+    assert(specOf("graft_spec_li_respec").numBuckets == buckets)
+    val before = spark.table("graft_spec_li_respec").inputFiles.toSet
+    // same spec → no-op (the amortization contract is untouched)
+    Bucketing.ensureBucketed(df, "graft_spec_li_respec", "l_orderkey",
+      buckets)
+    assert(spark.table("graft_spec_li_respec").inputFiles.toSet == before)
+    // different width → rewrite under the NEW spec
+    Bucketing.ensureBucketed(df, "graft_spec_li_respec", "l_orderkey",
+      buckets * 2)
+    assert(specOf("graft_spec_li_respec").numBuckets == buckets * 2,
+      "a re-declare at a new width must rewrite, not serve the old layout")
+    assert(spark.table("graft_spec_li_respec").count() == df.count())
+  }
+
   test("the same join without buckets shuffles both sides") {
     // contrast case: identical data read as flat parquet; broadcast
     // disabled so the planner can't hide the exchange behind a

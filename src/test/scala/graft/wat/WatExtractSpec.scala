@@ -69,6 +69,26 @@ class WatExtractSpec extends AnyFunSuite with SparkTestBase {
       s"fleet64 content drifted: ${WatFixture.contentHash(got)}")
   }
 
+  test("regenerated oracle dumps are golden-validated, never self-referential") {
+    // positive: a fresh dump whose content matches the pinned md5 is served
+    val okTarget = new File(tmp, "dump_ok.parquet")
+    val path = WatFixture.ensureExtractDump(okTarget,
+      WatExtract.fromPaths(spark, Seq(fixturePath), "image_only").toDF(),
+      spark, WatFixture.goldenContentHash("image_only"))
+    assert(new File(path).isFile)
+    // negative: a "broken extractor" (wrong content) must be REFUSED —
+    // without this, a missing committed dump under an oracle run would
+    // self-heal into extraction-vs-itself and pass vacuously
+    val badTarget = new File(tmp, "dump_bad.parquet")
+    val ex = intercept[IllegalStateException] {
+      WatFixture.ensureExtractDump(badTarget,
+        WatExtract.fromPaths(spark, Seq(fixturePath), "audio").toDF(),
+        spark, WatFixture.goldenContentHash("image_only"))
+    }
+    assert(ex.getMessage.contains("golden validation"))
+    assert(!badTarget.exists(), "a failed dump must not be published")
+  }
+
   test("malformed records and missing-ancestor records are dropped, not fatal") {
     // fixture contains 1 malformed + 3 missing-ancestor metadata records;
     // extraction still succeeds and only link-bearing records contribute

