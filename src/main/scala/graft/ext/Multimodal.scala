@@ -8,10 +8,14 @@ import org.apache.spark.sql.functions._
   *
   * Decode is REAL for every format the JDK ships a codec for — PNG,
   * JPEG, BMP, GIF via `javax.imageio` and WAV/PCM via a pure-byte RIFF
-  * parser (no external libraries involved). Only compressed VIDEO
-  * (MP4/WebM) has no JDK codec; its frame extraction remains a
-  * clearly-marked deterministic stub. Payloads that no decoder accepts
-  * fall back to the stub path, so the pipeline is total either way.
+  * parser (no external libraries involved). VIDEO containers are parsed
+  * for real too: [[Mp4]] walks the ISO-BMFF boxes (a pure-byte public
+  * format needing no codec) to recover track dimensions, keyframe
+  * positions, and exact per-sample byte windows, so [[sampleFrames]]
+  * cuts true frame payloads at true frame boundaries. Only pixel-level
+  * video DECODE has no JDK codec; payloads that no parser accepts fall
+  * back to the clearly-marked stub path, so the pipeline is total
+  * either way.
   *
   * Spark-side design:
   *  - media rides in a `binary` column next to typed metadata, exactly
@@ -286,9 +290,11 @@ object Multimodal {
     out
   }
 
-  /** STUB frame sampling — deterministic fake of video frame extraction
-    * (compressed video is the one modality with NO JDK codec): every
-    * `stride`-th 64-byte window of the payload becomes a "frame".
+  /** STUB frame sampling — deterministic fallback for payloads
+    * [[Mp4.parse]] rejects (non-video bytes, truncated/hostile
+    * containers): every `stride`-th 64-byte window of the payload
+    * becomes a "frame". Valid MP4s never reach this path — they go
+    * through [[frameSample]], which cuts REAL sample windows.
     */
   def frameSampleStub(bytes: Array[Byte], stride: Int): Seq[Array[Byte]] = {
     require(stride > 0, s"stride must be positive, got $stride")
@@ -296,6 +302,38 @@ object Multimodal {
       .collect { case (frame, i) if i % stride == 0 => frame }
       .toSeq
   }
+
+  /** REAL frame sampling for ISO-BMFF video: every `stride`-th sample
+    * of the first video track, cut at the exact byte windows the
+    * container's sample tables declare (stsz/stsc/stco — see
+    * [[Mp4]]). Returns None when the payload is not a parseable MP4
+    * with a video track; callers fall back to [[frameSampleStub]].
+    */
+  def frameSample(bytes: Array[Byte],
+      stride: Int): Option[Seq[Array[Byte]]] = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    Mp4.parse(bytes).flatMap(_.videoTracks.headOption).map { t =>
+      t.samples.zipWithIndex
+        .collect { case (s, i) if i % stride == 0 &&
+            s.offset + s.size <= bytes.length =>
+          java.util.Arrays.copyOfRange(bytes, s.offset.toInt,
+            (s.offset + s.size).toInt)
+        }
+    }
+  }
+
+  /** Keyframes only — the standard cheap video summarization cut:
+    * exactly the container's declared sync samples, at their declared
+    * byte windows.
+    */
+  def keyframes(bytes: Array[Byte]): Option[Seq[Array[Byte]]] =
+    Mp4.parse(bytes).flatMap(_.videoTracks.headOption).map { t =>
+      t.samples.collect {
+        case s if s.sync && s.offset + s.size <= bytes.length =>
+          java.util.Arrays.copyOfRange(bytes, s.offset.toInt,
+            (s.offset + s.size).toInt)
+      }
+    }
 
   /** Resize stage over the media column (mapPartitions, codec init
     * amortized per partition): real AWT scaling for decodable images,
@@ -313,17 +351,53 @@ object Multimodal {
       .toDF("doc_id", "bytes", "width", "height")
   }
 
-  /** Frame-sampling stage: one output row per sampled frame. */
+  /** Frame-sampling stage: one output row per sampled frame. Real
+    * ISO-BMFF sample windows for parseable MP4s ([[frameSample]]);
+    * the deterministic stub only for payloads no parser accepts.
+    */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("doc_id", "bytes").as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, b) =>
-        frameSampleStub(b, stride).zipWithIndex.map { case (f, i) =>
-          (id, i.toLong, f)
-        }
+        frameSample(b, stride).getOrElse(frameSampleStub(b, stride))
+          .zipWithIndex.map { case (f, i) => (id, i.toLong, f) }
       })
       .toDF("doc_id", "frame_idx", "frame")
+  }
+
+  final case class VideoMeta(
+      doc_id: Long, brand: String, codec: String, width: Long, height: Long,
+      n_samples: Long, n_keyframes: Long, duration_ms: Long,
+      total_sample_bytes: Long, kf1_size: Long, kf1_first_byte: Long)
+
+  /** Container-metadata stage for video media: parse each payload's
+    * ISO-BMFF boxes and emit the first video track's dimensions, codec,
+    * timing, keyframe count, and — as the end-to-end witness that the
+    * sample OFFSETS are right, not just the counts — the size and first
+    * payload byte of the first keyframe, read back out of the file at
+    * the window the sample tables declare. Unparseable payloads are
+    * dropped (they belong to other modalities).
+    */
+  def videoMeta(media: DataFrame): Dataset[VideoMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        Mp4.parse(b).flatMap { m =>
+          m.videoTracks.headOption.flatMap { t =>
+            t.samples.find(_.sync).collect {
+              case kf if kf.offset + kf.size <= b.length && kf.size > 0 =>
+                VideoMeta(id, m.majorBrand, t.codec,
+                  t.width.toLong, t.height.toLong,
+                  t.sampleCount.toLong, t.keyframeCount.toLong,
+                  m.durationMs,
+                  t.samples.map(_.size).sum,
+                  kf.size, (b(kf.offset.toInt) & 0xff).toLong)
+            }
+          }
+        }
+      })
   }
 
   /** Partition-wise feature extraction over the media column: real

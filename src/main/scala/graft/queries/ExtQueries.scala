@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Clustering, Contamination, Multimodal, NearDup, Scrub, Similarity, Sketches, SubstringDedup, Toxicity, TextAnalysis => TA}
+import graft.ext.{Clustering, Contamination, Mp4, Multimodal, NearDup, Scrub, Similarity, Sketches, SubstringDedup, Toxicity, TextAnalysis => TA}
 import graft.functions.Hashing
 import QueryUtil._
 
@@ -23,6 +23,32 @@ object ExtQueries {
 
   private def docsWithTokens(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
+
+  /** One deterministic single-track MP4 per document, built distributed
+    * (mapPartitions — the muxer runs where the data lives, the driver
+    * never sees a payload). Every parsed property is a closed-form
+    * function of doc_id, so the q_video_* oracles can recompute them in
+    * SQL: n = 1 + (doc_id%7)*3 samples of 50+((doc_id+i)%64) bytes each
+    * (1-based i), filled with byte (doc_id+i)%251, keyframe every 3rd
+    * sample, 16*(1+doc_id%20) x 16*(1+doc_id%12), 25 fps at
+    * timescale 1000, 4 samples per chunk (multi-chunk stsc/stco).
+    */
+  private def videoMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+      .select("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (1 + (id % 7) * 3).toInt
+        val bytes = Mp4.write(Mp4.BuildSpec(
+          width = (16 * (1 + id % 20)).toInt,
+          height = (16 * (1 + id % 12)).toInt,
+          sampleSizes = (1 to n).map(i => (50 + ((id + i) % 64)).toInt),
+          syncEvery = 3,
+          fill = i => ((id + i) % 251).toByte))
+        (id, bytes, "video/mp4")
+      })
+      .toDF("doc_id", "bytes", "mime")
+  }
 
   /** Committed JSONL interchange fixture (2 gzip shards + 1 corrupt
     * line) for q_jsonl_roundtrip.
@@ -1205,6 +1231,28 @@ object ExtQueries {
     }),
 
     // --- multimodal ---
+
+    // Real ISO-BMFF container parsing (graft.ext.Mp4): each doc becomes
+    // a deterministic single-track MP4 (box-for-box valid — dimensions,
+    // sample count, keyframe cadence, per-sample sizes and payload fill
+    // all closed-form in doc_id), then videoMeta parses the boxes back.
+    // kf1_size / kf1_first_byte are read out of the file AT THE WINDOW
+    // the sample tables declare, so the oracle proves the stsc/stco/stsz
+    // offset math end-to-end, not just the header fields.
+    "q_video_meta" -> ((s, dir) =>
+      Multimodal.videoMeta(videoMedia(s, dir)).toDF().orderBy("doc_id")),
+
+    // Frame sampling on the REAL path: every 2nd sample of each doc's
+    // MP4, cut at the container-declared byte boundaries. frame_len and
+    // first_byte witness both the stride arithmetic and the windows.
+    "q_video_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(videoMedia(s, dir), stride = 2)
+        .select(col("doc_id"), col("frame_idx"),
+          octet_length(col("frame")).cast("long").as("frame_len"),
+          conv(hex(substring(col("frame"), 1, 1)), 16, 10).cast("long")
+            .as("first_byte"))
+        .orderBy("doc_id", "frame_idx")),
+
     "q_multimodal_meta" -> ((s, dir) => {
       val bl = octet_length(encode(col("text"), "UTF-8")).cast("long")
       docsWithTokens(s, dir).select(
@@ -3343,6 +3391,36 @@ object ExtQueries {
          |    AS n_gopher_pass
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_url_canon" -> urlCanonOracle,
+
+    // the muxer's spec arithmetic, recomputed independently: sample i
+    // (1-based) is 50+((doc_id+i)%64) bytes of byte value (doc_id+i)%251,
+    // keyframes at i = 1, 4, 7, ... -> ceil(n/3) of them
+    "q_video_meta" ->
+      """WITH p AS (SELECT doc_id, (1 + (doc_id % 7) * 3)::BIGINT AS n
+        |           FROM documents WHERE doc_id IS NOT NULL),
+        |sz AS (SELECT doc_id, unnest(generate_series(1, n)) AS i FROM p),
+        |tot AS (SELECT doc_id,
+        |          sum(50 + (doc_id + i) % 64)::BIGINT AS total_sample_bytes
+        |        FROM sz GROUP BY doc_id)
+        |SELECT p.doc_id, 'isom' AS brand, 'mp4v' AS codec,
+        |  (16 * (1 + p.doc_id % 20))::BIGINT AS width,
+        |  (16 * (1 + p.doc_id % 12))::BIGINT AS height,
+        |  p.n AS n_samples,
+        |  ((p.n + 2) // 3)::BIGINT AS n_keyframes,
+        |  (40 * p.n)::BIGINT AS duration_ms,
+        |  tot.total_sample_bytes,
+        |  (50 + (p.doc_id + 1) % 64)::BIGINT AS kf1_size,
+        |  ((p.doc_id + 1) % 251)::BIGINT AS kf1_first_byte
+        |FROM p JOIN tot USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+
+    "q_video_frames" ->
+      """WITH p AS (SELECT doc_id, (1 + (doc_id % 7) * 3)::BIGINT AS n
+        |           FROM documents WHERE doc_id IS NOT NULL),
+        |s AS (SELECT doc_id, unnest(generate_series(1, n, 2)) AS i FROM p)
+        |SELECT doc_id, ((i - 1) // 2)::BIGINT AS frame_idx,
+        |  (50 + (doc_id + i) % 64)::BIGINT AS frame_len,
+        |  ((doc_id + i) % 251)::BIGINT AS first_byte
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -1,0 +1,145 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** ISO-BMFF parser/muxer: roundtrip over varied geometries, both chunk
+  * offset widths (stco/co64), both timing versions (v0/v1), the
+  * stss-absent all-sync rule, hostile input rejection, and — because
+  * roundtrips can't catch a shared misunderstanding of the format — a
+  * structural golden: pinned byte offsets and md5 of one built file,
+  * hand-verified against ISO/IEC 14496-12 box layout.
+  */
+class Mp4Spec extends AnyFunSuite with SparkTestBase {
+
+  private def spec(n: Int, spc: Int = 4, co64: Boolean = false,
+      v1: Boolean = false, stss: Boolean = true) = Mp4.BuildSpec(
+    width = 320, height = 176,
+    sampleSizes = (1 to n).map(i => 50 + i % 64),
+    syncEvery = 3, samplesPerChunk = spc,
+    fill = i => (i % 251).toByte,
+    useCo64 = co64, v1Timing = v1, includeStss = stss)
+
+  private def roundtrip(s: Mp4.BuildSpec): Mp4.Track = {
+    val bytes = Mp4.write(s)
+    assert(Mp4.isMp4(bytes))
+    val meta = Mp4.parse(bytes).getOrElse(fail("parse returned None"))
+    assert(meta.majorBrand == "isom")
+    assert(meta.timescale == s.timescale)
+    assert(meta.duration == s.sampleDelta * s.sampleSizes.length)
+    assert(meta.durationMs == s.sampleDelta * s.sampleSizes.length *
+      1000 / s.timescale)
+    val t = meta.videoTracks.headOption.getOrElse(fail("no video track"))
+    assert(t.handler == "vide")
+    assert(t.codec == "mp4v")
+    assert(t.width == s.width && t.height == s.height)
+    assert(t.sampleCount == s.sampleSizes.length)
+    assert(t.samples.map(_.size) == s.sampleSizes.map(_.toLong).toVector)
+    // the decisive check: every declared window holds the fill byte of
+    // exactly its sample — proves stsc/stco/stsz offset math, not just
+    // field echoes
+    for (smp <- t.samples) {
+      val w = bytes.slice(smp.offset.toInt, (smp.offset + smp.size).toInt)
+      assert(w.length == smp.size)
+      assert(w.forall(_ == s.fill(smp.index)),
+        s"sample ${smp.index} window reads the wrong bytes")
+    }
+    t
+  }
+
+  test("roundtrip: single sample, multi-chunk, ragged last chunk") {
+    for (n <- Seq(1, 4, 7, 19)) {
+      val t = roundtrip(spec(n))
+      assert(t.keyframeCount == (n + 2) / 3)
+      assert(t.samples.filter(_.sync).map(_.index) ==
+        (1 to n by 3).toVector)
+    }
+  }
+
+  test("co64 (64-bit chunk offsets) parses identically to stco") {
+    val a = roundtrip(spec(10))
+    val b = roundtrip(spec(10, co64 = true))
+    assert(a.samples.map(s => (s.index, s.size, s.sync)) ==
+      b.samples.map(s => (s.index, s.size, s.sync)))
+  }
+
+  test("version-1 timing boxes (64-bit times) parse identically to v0") {
+    val a = roundtrip(spec(7))
+    val b = roundtrip(spec(7, v1 = true))
+    assert(a.width == b.width && a.height == b.height)
+    assert(a.timescale == b.timescale && a.duration == b.duration)
+  }
+
+  test("absent stss means every sample is a sync sample (14496-12)") {
+    val t = roundtrip(spec(7, stss = false))
+    assert(t.keyframeCount == 7)
+    assert(t.samples.forall(_.sync))
+  }
+
+  test("hostile input fails closed: None, never a throw") {
+    val good = Mp4.write(spec(7))
+    assert(Mp4.parse(Array.emptyByteArray).isEmpty)
+    assert(Mp4.parse("not a video at all".getBytes("UTF-8")).isEmpty)
+    assert(!Mp4.isMp4("plain text".getBytes("UTF-8")))
+    // truncations at every box-ish granularity
+    for (cut <- Seq(4, 11, 20, good.length / 2, good.length - 8))
+      assert(Mp4.parse(good.take(cut)).isEmpty, s"cut=$cut must be None")
+    // bit-flip the moov length field region: must not throw
+    val flipped = good.clone()
+    flipped(good.length - 30) = 0xff.toByte
+    Mp4.parse(flipped) // any Option is fine; no exception is the assert
+  }
+
+  test("structural golden: pinned offsets + md5 (hand-checked box layout)") {
+    val s = Mp4.BuildSpec(width = 320, height = 176,
+      sampleSizes = Seq(10, 20, 30), syncEvery = 3, samplesPerChunk = 2,
+      fill = i => i.toByte)
+    val b = Mp4.write(s)
+    def tag(i: Int) = new String(b, i, 4, "US-ASCII")
+    // ftyp: 20 bytes (8 header + major + minor + 1 compatible brand)
+    assert(tag(4) == "ftyp" && tag(8) == "isom")
+    assert(((b(0) & 0xff) << 24 | (b(1) & 0xff) << 16 |
+      (b(2) & 0xff) << 8 | (b(3) & 0xff)) == 20)
+    // mdat directly after: payload = 60 bytes -> box size 68 at offset 20
+    assert(tag(24) == "mdat")
+    // first sample starts at 28 (pinned: this is what stco must record)
+    assert(b(28) == 1.toByte && b(28 + 9) == 1.toByte) // sample 1 fill
+    assert(b(38) == 2.toByte)                          // sample 2 fill
+    assert(tag(92) == "moov")                          // 20 + 68 + 4
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val got = md.digest(b).map("%02x".format(_)).mkString
+    assert(got == "bb7f6ed18745c8cad0c03e3fdbfa5664",
+      s"built bytes drifted: $got")
+  }
+
+  test("sampleFrames cuts real container windows for MP4 media, stub " +
+      "only for non-video payloads") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      (1L, Mp4.write(spec(7)), "video/mp4"),
+      (2L, "just some text bytes, definitely not a container".getBytes("UTF-8"),
+        "text/plain")))
+      .toDF("doc_id", "bytes", "mime")
+    val frames = Multimodal.sampleFrames(media, stride = 2)
+      .select("doc_id", "frame_idx", "frame")
+      .as[(Long, Long, Array[Byte])].collect().toSeq
+    // doc 1: samples 1,3,5,7 -> sizes 51,53,55,57, content = fill byte
+    val real = frames.filter(_._1 == 1L).sortBy(_._2)
+    assert(real.map(_._3.length) == Seq(51, 53, 55, 57))
+    assert(real.zip(Seq(1, 3, 5, 7)).forall { case ((_, _, f), i) =>
+      f.forall(_ == (i % 251).toByte)
+    })
+    // doc 2: stub path (64-byte windows of the raw payload)
+    val stub = frames.filter(_._1 == 2L)
+    assert(stub.nonEmpty && stub.forall(_._3.length <= 64))
+  }
+
+  test("keyframes() returns exactly the sync-sample windows") {
+    val bytes = Mp4.write(spec(10))
+    val kf = Multimodal.keyframes(bytes).getOrElse(fail("None for valid mp4"))
+    assert(kf.map(_.length) == Seq(51, 54, 57, 60)) // samples 1,4,7,10
+    assert(Multimodal.keyframes("nope".getBytes("UTF-8")).isEmpty)
+  }
+}
