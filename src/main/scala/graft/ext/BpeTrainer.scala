@@ -62,9 +62,23 @@ object BpeTrainer {
   }
 
   /** Merge the LITERAL pair (s1, s2) greedily in every word type. */
-  private def applyMerge(cur: DataFrame, s1: String, s2: String): DataFrame = {
+  private def applyMerge(cur: DataFrame, s1: String, s2: String): DataFrame =
+    applyMerges(cur, Seq((s1, s2)))
+
+  /** Merge a SET of symbol-disjoint literal pairs greedily in every
+    * word type, in one rebuild job. Soundness of the shared island
+    * logic: matches of two different pairs can never sit 1 position
+    * apart (positions p and p+1 would force the symbol at p+1 into
+    * both pairs — impossible for symbol-disjoint pairs), so every
+    * consecutive run in the combined match set is a single pair's run
+    * and the odd-rank rule is exactly the per-pair greedy choice.
+    */
+  private def applyMerges(cur: DataFrame,
+      ps: Seq[(String, String)]): DataFrame = {
+    val cond = ps.map { case (a, b) => col("s1") === a && col("s2") === b }
+      .reduce(_ || _)
     val matches = pairFrame(cur)
-      .where(col("s1") === s1 && col("s2") === s2)
+      .where(cond)
       .select(col("w"), col("p"))
     // greedy starts: islands of consecutive matches, odd ranks merge
     val wOrd = Window.partitionBy("w").orderBy("p")
@@ -161,6 +175,140 @@ object BpeTrainer {
       }
     }
     (merges.toSeq.toDF("round", "s1", "s2", "pf"), cur)
+  }
+
+  /** [[learnBpe]] with BATCHED merges: up to `maxBatch` merges land in
+    * one distributed job, and the learned merge list is PROVABLY the
+    * sequential list — never an approximation. Per job it collects the
+    * top-`maxBatch` pairs plus two per-symbol maxima, then accepts the
+    * longest prefix that sequential training could not deviate from:
+    *
+    *  - p_i must be symbol-disjoint from every accepted p_j (then
+    *    merging p_j neither creates nor destroys p_i occurrences, so
+    *    p_i's recorded count is exact), and must not EQUAL a symbol an
+    *    accepted merge creates (the concat string can collide with an
+    *    existing symbol, whose pair counts would then grow);
+    *  - pf(p_i) must exceed every count a pair CREATED by an earlier
+    *    accepted merge p_j=(a,b) can reach. New left pairs (x, ab)
+    *    arise only from x·a·b patterns, so their count is bounded by
+    *    pf(x, a) <= max_x pf(x, a); new right pairs (ab, y) by
+    *    max_y pf(b, y); a self-pair (a,a) can additionally create
+    *    (aa, aa) bounded by its own pf. Both maxima come from the SAME
+    *    pair-count table the top-k came from — two small filtered
+    *    aggregations, no extra corpus pass.
+    *
+    * The batch stops at the first rejection (the accepted list must be
+    * a prefix of the sequential order). Worst case every job accepts
+    * one pair and the trainer degenerates to [[learnBpe]] plus two
+    * cheap aggregations; in the common long-tail regime (many
+    * same-magnitude pairs over disjoint symbols) each job lands ~k
+    * merges, cutting driver round-trips ~k×. BpeTrainerSpec pins
+    * batched == sequential on fixtures, adversarial corpora (shared
+    * symbols, created-symbol collisions, self-pair runs), and seeded
+    * random corpora.
+    */
+  def learnBpeBatched(docs: DataFrame, idCol: String, tokens: Column,
+      rounds: Int, maxBatch: Int = 16): (DataFrame, DataFrame) = {
+    require(rounds >= 1 && rounds <= 4096,
+      s"rounds $rounds outside [1, 4096]")
+    require(maxBatch >= 1, s"maxBatch must be positive, got $maxBatch")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var cur = wordTypes(docs, idCol, tokens)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cur.count()
+    val merges =
+      scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    var jobs = 0L
+    var done = false
+    while (merges.size < rounds && !done) {
+      val want = math.min(maxBatch, rounds - merges.size)
+      val pairs = pairFrame(cur).groupBy("s1", "s2")
+        .agg(sum("freq").as("pf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val top = pairs
+        .orderBy(col("pf").desc, col("s1"), col("s2")).limit(want)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) {
+        pairs.unpersist()
+        done = true
+      } else {
+        val aSyms = top.map(_._1).distinct.toSeq
+        val bSyms = top.map(_._2).distinct.toSeq
+        // max_x pf(x, a) per candidate a; max_y pf(b, y) per candidate b
+        val intoMax = pairs.where(col("s2").isin(aSyms: _*))
+          .groupBy("s2").agg(max("pf"))
+          .as[(String, Long)].collect().toMap
+        val fromMax = pairs.where(col("s1").isin(bSyms: _*))
+          .groupBy("s1").agg(max("pf"))
+          .as[(String, Long)].collect().toMap
+        // concat strings of candidate merges that ALREADY exist as
+        // pair-participating symbols: merging such a pair grows the
+        // counts of pre-existing pairs containing that string (the
+        // created instances are indistinguishable — symbols are
+        // strings), so nothing after that accept is provable and the
+        // batch must close there. Symbols living only in 1-symbol
+        // words form no pairs, now or ever, so pair-participation is
+        // the right existence test.
+        val concats = top.map(t => t._1 + t._2).distinct.toSeq
+        val existingConcat = pairs
+          .where(col("s1").isin(concats: _*) || col("s2").isin(concats: _*))
+          .select(explode(array(col("s1"), col("s2"))).as("s"))
+          .where(col("s").isin(concats: _*))
+          .distinct().as[String].collect().toSet
+        pairs.unpersist()
+        val accepted =
+          scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+        var used = Set.empty[String]
+        var created = Set.empty[String]
+        var bound = Long.MinValue
+        var stop = false
+        for ((s1, s2, pf) <- top if !stop) {
+          val ok = accepted.isEmpty ||
+            (!used(s1) && !used(s2) && !created(s1) && !created(s2) &&
+              pf > bound)
+          if (ok) {
+            accepted += ((s1, s2, pf))
+            used ++= Set(s1, s2)
+            created += (s1 + s2)
+            val self = if (s1 == s2) pf else Long.MinValue
+            bound = Seq(bound, intoMax.getOrElse(s1, 0L),
+              fromMax.getOrElse(s2, 0L), self).max
+            // created-string collision: this accept is still exact,
+            // but every later step is perturbed — close the batch
+            if (existingConcat(s1 + s2)) stop = true
+          } else stop = true
+        }
+        accepted.foreach { case (s1, s2, pf) =>
+          merges += (((merges.size + 1).toLong, s1, s2, pf))
+        }
+        // localCheckpoint, not persist: it TRUNCATES lineage. Each
+        // rebuild reads the type table ~3 times, so composing rounds
+        // keeps ~3^r copies of the history in the logical plan — at the
+        // merge counts batching exists for (hundreds+), planning and
+        // plan-string costs explode long before execution does. The
+        // trade (a lost executor forfeits the truncated lineage and the
+        // trainer rerun starts over) is the standard one for iterative
+        // refinement; a production run pointing at a reliable
+        // checkpoint dir would use checkpoint() with the same shape.
+        val next = applyMerges(cur, accepted.map(t => (t._1, t._2)).toSeq)
+          .localCheckpoint(true)
+        cur.unpersist()
+        cur = next
+        jobs += 1
+      }
+    }
+    lastBatchedJobs.set(jobs)
+    (merges.toSeq.toDF("round", "s1", "s2", "pf"), cur)
+  }
+
+  /** Jobs the most recent [[learnBpeBatched]] call in this thread ran —
+    * measurement plumbing for the scale probes (merges/jobs is the
+    * batching win), never consulted by the operators.
+    */
+  val lastBatchedJobs = new java.lang.ThreadLocal[Long] {
+    override def initialValue(): Long = 0L
   }
 
   /** Encode a corpus with a trained segmentation table: per document,

@@ -1469,10 +1469,17 @@ object ExtQueries {
 
     // Distributed BPE tokenizer training (graft.ext.BpeTrainer): the
     // learned merge list after 3 rounds over the word-type table.
+    // BATCHED trainer (graft.ext.BpeTrainer.learnBpeBatched): up to 8
+    // merges land per distributed job, with a proven guarantee that the
+    // learned list is EXACTLY the sequential one — so the sequential
+    // DuckDB oracle still hash-matches. BpeTrainerSpec pins equality on
+    // adversarial corpora; BpeBatchProbe prices the round-trip cut.
     "q_bpe_train" -> ((s, dir) => {
-      graft.ext.BpeTrainer.learnMerges(
+      val (m, t) = graft.ext.BpeTrainer.learnBpeBatched(
         docsWithTokens(s, dir), "doc_id", TA.tokens(col("text")),
-        rounds = 3)
+        rounds = 3, maxBatch = 8)
+      t.unpersist()
+      m
     }),
 
     // BPE ENCODE — the trained tokenizer applied to the corpus: per-doc
@@ -1484,8 +1491,8 @@ object ExtQueries {
     "q_bpe_encode" -> ((s, dir) => {
       val docs = docsWithTokens(s, dir)
       val tk = TA.tokens(col("text"))
-      val (_, types) =
-        graft.ext.BpeTrainer.learnBpe(docs, "doc_id", tk, rounds = 3)
+      val (_, types) = graft.ext.BpeTrainer.learnBpeBatched(
+        docs, "doc_id", tk, rounds = 3, maxBatch = 8)
       val enc = graft.ext.BpeTrainer.encode(docs, "doc_id", tk, types)
         .orderBy("doc_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1503,8 +1510,9 @@ object ExtQueries {
     "q_bpe_encode_oov" -> ((s, dir) => {
       val docs = docsWithTokens(s, dir)
       val tk = TA.tokens(col("text"))
-      val (_, types) = graft.ext.BpeTrainer.learnBpe(
-        docs.where(col("doc_id") < 250), "doc_id", tk, rounds = 3)
+      val (_, types) = graft.ext.BpeTrainer.learnBpeBatched(
+        docs.where(col("doc_id") < 250), "doc_id", tk, rounds = 3,
+        maxBatch = 8)
       val enc = graft.ext.BpeTrainer.encode(
           docs.where(col("doc_id") >= 250), "doc_id", tk, types)
         .orderBy("doc_id")

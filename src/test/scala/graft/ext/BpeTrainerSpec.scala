@@ -147,4 +147,86 @@ class BpeTrainerSpec extends AnyFunSuite with SparkTestBase {
       split(col("text"), " "), rounds = 1).collect()
     assert(got.isEmpty) // no adjacent pairs anywhere -> no merge rows
   }
+
+  // --- batched trainer: sequential equivalence (the exactness claim) ---
+
+  /** Run both trainers and assert identical merge lists AND final type
+    * tables; returns the batched trainer's merges/jobs ratio.
+    */
+  private def assertBatchedEqualsSequential(text: String, rounds: Int,
+      maxBatch: Int = 16, label: String = ""): Double = {
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val tk = split(col("text"), " ")
+    val (seqM, seqT) = BpeTrainer.learnBpe(docs, "doc_id", tk, rounds)
+    val (batM, batT) =
+      BpeTrainer.learnBpeBatched(docs, "doc_id", tk, rounds, maxBatch)
+    val jobs = BpeTrainer.lastBatchedJobs.get()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    def table(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("w"), col("freq"),
+        concat_ws("", col("syms")).as("sy"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSeq.sorted
+    val (sm, bm) = (rows(seqM), rows(batM))
+    val (st, bt) = (table(seqT), table(batT))
+    seqT.unpersist(); batT.unpersist()
+    assert(bm == sm, s"$label: batched merge list deviates from sequential")
+    assert(bt == st, s"$label: batched type table deviates from sequential")
+    if (jobs == 0) 0.0 else sm.size.toDouble / jobs
+  }
+
+  test("batched == sequential on the hand corpus (self-pair run)") {
+    assertBatchedEqualsSequential("aaab aaab ab", rounds = 3,
+      label = "aaab")
+  }
+
+  test("batched must refuse the unsafe second pair (created-pair trap)") {
+    // pairs: (a,b)=100 ties (x,a)=100, then (c,d)=99. Sequential merges
+    // (a,b) first (tie-break), after which the CREATED pair (x,ab)=100
+    // outranks (c,d)=99 — a batch {(a,b),(c,d)} would deviate. The
+    // bound rule must close the batch after (a,b): intoMax(a) =
+    // pf(x,a) = 100 >= 99.
+    val text = (Seq.fill(100)("xab") ++ Seq.fill(99)("cd")).mkString(" ")
+    assertBatchedEqualsSequential(text, rounds = 4, label = "trap")
+  }
+
+  test("batched == sequential when a created symbol collides with an " +
+      "existing one") {
+    // symbols 'ab' exist both as merge product of (a,b) and inside
+    // words containing literal 'ab' next to 'c': merging (a,b) grows
+    // pf(ab, c) mid-batch — the existingConcat guard must close the
+    // batch at that accept
+    val text = (Seq.fill(50)("a b") ++ Seq.fill(30)("q abc")).mkString(" ")
+    assertBatchedEqualsSequential(text, rounds = 4, label = "collide")
+  }
+
+  test("batched == sequential on disjoint-heavy corpora AND batches " +
+      "multiple merges per job") {
+    // four symbol-disjoint high-count pairs: one job should land
+    // several merges
+    val text = (Seq.fill(40)("ab") ++ Seq.fill(30)("cd") ++
+      Seq.fill(20)("ef") ++ Seq.fill(10)("gh")).mkString(" ")
+    val ratio = assertBatchedEqualsSequential(text, rounds = 4,
+      label = "disjoint")
+    assert(ratio > 1.5,
+      s"expected >1.5 merges/job on a disjoint corpus, got $ratio")
+  }
+
+  test("batched == sequential on seeded random corpora") {
+    // rounds capped at 4: the SEQUENTIAL side composes ~3^r copies of
+    // the history into its plan (its own doc caps it at 64 for that
+    // reason); the batched side localCheckpoints and has no such limit
+    val rnd = new scala.util.Random(47)
+    for (trial <- 1 to 6) {
+      val vocab = Seq.fill(14)(
+        (1 to (1 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(4)).toChar)
+          .mkString)
+      val text = vocab.flatMap(w => Seq.fill(1 + rnd.nextInt(4))(w))
+        .mkString(" ")
+      assertBatchedEqualsSequential(text, rounds = 4,
+        maxBatch = 4, label = s"trial $trial")
+    }
+  }
 }
