@@ -217,6 +217,11 @@ object BpeTrainer {
     var cur = wordTypes(docs, idCol, tokens)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cur.count()
+    // checkpoint-block handle of the CURRENT round's table (None while
+    // cur is still the persisted seed): each round releases its
+    // predecessor's blocks after the successor materializes
+    var prevRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] =
+      None
     val merges =
       scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
     var jobs = 0L
@@ -283,24 +288,48 @@ object BpeTrainer {
         accepted.foreach { case (s1, s2, pf) =>
           merges += (((merges.size + 1).toLong, s1, s2, pf))
         }
-        // localCheckpoint, not persist: it TRUNCATES lineage. Each
-        // rebuild reads the type table ~3 times, so composing rounds
-        // keeps ~3^r copies of the history in the logical plan — at the
-        // merge counts batching exists for (hundreds+), planning and
-        // plan-string costs explode long before execution does. The
-        // trade (a lost executor forfeits the truncated lineage and the
-        // trainer rerun starts over) is the standard one for iterative
-        // refinement; a production run pointing at a reliable
-        // checkpoint dir would use checkpoint() with the same shape.
-        val next = applyMerges(cur, accepted.map(t => (t._1, t._2)).toSeq)
-          .localCheckpoint(true)
-        cur.unpersist()
-        cur = next
+        // RDD-level localCheckpoint + createDataFrame, NOT persist and
+        // NOT Dataset.localCheckpoint — both explode at the merge
+        // counts batching exists for. persist keeps the full logical
+        // history (~3 reads of the table per rebuild → ~3^r plan copies:
+        // plan strings OOM). Dataset.localCheckpoint truncates lineage
+        // but PRESERVES the child plan's estimated stats into the new
+        // leaf, so sizeInBytes compounds multiplicatively through the
+        // per-round join estimates (measured: digits ×3 per round;
+        // by round ~15 the optimizer burns minutes in BigInteger
+        // multiplication inside SizeInBytesOnlyStatsPlanVisitor).
+        // Rebuilding from the materialized RDD gives a fresh leaf with
+        // bounded default stats AND truncated lineage; the trade (a
+        // lost executor forfeits checkpoint blocks and the trainer
+        // rerun starts over) is the standard one for iterative
+        // refinement — a production run pointing at a reliable
+        // checkpoint dir would use RDD.checkpoint with the same shape.
+        val applied = applyMerges(cur, accepted.map(t => (t._1, t._2)).toSeq)
+        val nextRdd = applied.rdd
+        nextRdd.localCheckpoint()
+        nextRdd.count()
+        if (prevRdd.isEmpty) cur.unpersist() // the seed word-type cache
+        prevRdd.foreach(_.unpersist(false))
+        prevRdd = Some(nextRdd)
+        cur = spark.createDataFrame(nextRdd, applied.schema)
         jobs += 1
       }
     }
     lastBatchedJobs.set(jobs)
-    (merges.toSeq.toDF("round", "s1", "s2", "pf"), cur)
+    // hand the caller a type table whose unpersist() actually frees it:
+    // re-cache the final table under Dataset caching, then release the
+    // last checkpoint's blocks (safe in-order: the cache materializes
+    // during count(), before the source blocks go)
+    val types =
+      if (prevRdd.isEmpty) cur // still the persisted seed
+      else {
+        val t = cur.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        t.count()
+        prevRdd.foreach(_.unpersist(false))
+        t
+      }
+    (merges.toSeq.toDF("round", "s1", "s2", "pf"), types)
   }
 
   /** Jobs the most recent [[learnBpeBatched]] call in this thread ran —

@@ -207,6 +207,39 @@ object FuzzyScaleProbe {
       return
     }
 
+    // candApprox: the ×100 decade. Exact distinct-pair counting is
+    // disk-bound out of reach there — ~53G pairs × 16B of distinct
+    // shuffle ≈ 850 GB against ~50 GB free — so this mode measures the
+    // SAME candidate stage in ONE agg pass with exact occurrence count
+    // + HLL distinct at rsd=0.5% (no pair row is ever shuffled; the
+    // sketch merges map-side). The occurrence count is exact at any
+    // scale; the distinct is labeled approximate in SCALING.md.
+    if (args.contains("candApprox")) {
+      val osb = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      for ((tag, mk) <- Seq(
+          "adversarial" -> adversarial _,
+          "random" -> randomish _)) {
+        val df = mk(spark, n).cache()
+        df.count()
+        val c0 = osb.getProcessCpuTime
+        val t0 = System.nanoTime()
+        val row = candFrame(df, 1, 2).agg(
+          count(lit(1)).as("occ"),
+          approx_count_distinct(struct(col("id"), col("id2")), 0.005)
+            .as("pairs")).head()
+        val tCand = (System.nanoTime() - t0) / 1e9
+        val cCand = (osb.getProcessCpuTime - c0) / 1e9
+        println(f"[fuzzy-probe] corpus=$tag n=$n candOcc=${row.getLong(0)} " +
+          f"candPairsApprox=${row.getLong(1)} (rsd 0.5%%) " +
+          f"candWall=$tCand%.1f s candCpu=$cCand%.1f s")
+        df.unpersist()
+      }
+      spark.stop()
+      return
+    }
+
     val osBean = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
