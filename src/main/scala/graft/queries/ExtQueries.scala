@@ -1253,6 +1253,26 @@ object ExtQueries {
             .as("first_byte"))
         .orderBy("doc_id", "frame_idx")),
 
+    // Keyframes-only cut (the cheap video-summarization path): exactly
+    // the container's declared sync samples — every 3rd sample by the
+    // muxer spec — at their declared windows.
+    "q_video_keyframes" -> ((s, dir) => {
+      val media = videoMedia(s, dir)
+      val sp = media.sparkSession
+      import sp.implicits._
+      media.select("doc_id", "bytes").as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, b) =>
+          Multimodal.keyframes(b).getOrElse(Seq.empty)
+            .zipWithIndex.map { case (f, i) => (id, i.toLong, f) }
+        })
+        .toDF("doc_id", "kf_idx", "frame")
+        .select(col("doc_id"), col("kf_idx"),
+          octet_length(col("frame")).cast("long").as("frame_len"),
+          conv(hex(substring(col("frame"), 1, 1)), 16, 10).cast("long")
+            .as("first_byte"))
+        .orderBy("doc_id", "kf_idx")
+    }),
+
     "q_multimodal_meta" -> ((s, dir) => {
       val bl = octet_length(encode(col("text"), "UTF-8")).cast("long")
       docsWithTokens(s, dir).select(
@@ -3429,6 +3449,16 @@ object ExtQueries {
         |  (50 + (doc_id + i) % 64)::BIGINT AS frame_len,
         |  ((doc_id + i) % 251)::BIGINT AS first_byte
         |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // keyframes are 1-based samples 1, 4, 7, ... (syncEvery = 3)
+    "q_video_keyframes" ->
+      """WITH p AS (SELECT doc_id, (1 + (doc_id % 7) * 3)::BIGINT AS n
+        |           FROM documents WHERE doc_id IS NOT NULL),
+        |s AS (SELECT doc_id, unnest(generate_series(1, n, 3)) AS i FROM p)
+        |SELECT doc_id, ((i - 1) // 3)::BIGINT AS kf_idx,
+        |  (50 + (doc_id + i) % 64)::BIGINT AS frame_len,
+        |  ((doc_id + i) % 251)::BIGINT AS first_byte
+        |FROM s ORDER BY doc_id, kf_idx""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,
