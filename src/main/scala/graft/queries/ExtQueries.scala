@@ -24,6 +24,12 @@ object ExtQueries {
   private def docsWithTokens(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
 
+  /** q_curation_stream's staged-input memo (see StreamQueries.stagedFor):
+    * the sf dir whose staged corpus currently sits under stream/cur/in.
+    */
+  private val curationStagedFor =
+    new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
+
   /** One deterministic single-track MP4 per document, built distributed
     * (mapPartitions — the muxer runs where the data lives, the driver
     * never sees a payload). Every parsed property is a closed-form
@@ -1039,28 +1045,38 @@ object ExtQueries {
       // fixed process-scoped scratch, wiped at entry (the StreamQueries
       // contract): a fresh temp dir per invocation leaked a staged
       // corpus + checkpoint per battery pass, while reusing a live
-      // checkpoint with rewritten input would RESUME instead of re-run
+      // checkpoint with rewritten input would RESUME instead of re-run.
+      // Staged INPUT reuse mirrors StreamQueries.stagedFor: the corpus
+      // is a pure function of dir, so later passes wipe only ckpt/out.
       val tmp = QueryUtil.scratchPath("stream/cur")
       val root = java.nio.file.Paths.get(tmp)
-      if (java.nio.file.Files.exists(root)) {
-        import scala.jdk.CollectionConverters._
-        // Using closes the walk stream deterministically — unclosed it
-        // holds a directory handle until GC, leaking across battery passes
-        scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
-          st.iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.delete)
+      val reuse = curationStagedFor.get().contains(dir) &&
+        java.nio.file.Files.exists(root.resolve("in"))
+      def wipeDir(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          // Using closes the walk stream deterministically — unclosed it
+          // holds a directory handle until GC, leaking across battery passes
+          scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+            st.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.delete)
+          }
         }
-      }
+      if (reuse) { wipeDir(root.resolve("ckpt")); wipeDir(root.resolve("out")) }
+      else wipeDir(root)
       java.nio.file.Files.createDirectories(root)
-      docsWithTokens(s, dir)
-        .select(col("doc_id"), toxAug.as("text"))
-        .select(col("doc_id"), bpHtml.as("html"))
-        // 4 input files -> 4 micro-batches under maxFilesPerTrigger=1:
-        // the gate must be correct ACROSS batch boundaries, not just on
-        // one big batch (stateless, so trivially so — but measured, not
-        // assumed)
-        .repartition(4)
-        .write.mode("overwrite").parquet(s"$tmp/in")
+      if (!reuse) {
+        docsWithTokens(s, dir)
+          .select(col("doc_id"), toxAug.as("text"))
+          .select(col("doc_id"), bpHtml.as("html"))
+          // 4 input files -> 4 micro-batches under maxFilesPerTrigger=1:
+          // the gate must be correct ACROSS batch boundaries, not just on
+          // one big batch (stateless, so trivially so — but measured, not
+          // assumed)
+          .repartition(4)
+          .write.mode("overwrite").parquet(s"$tmp/in")
+        curationStagedFor.set(Some(dir))
+      }
       val stream = s.readStream
         .schema("doc_id LONG, html STRING")
         .option("maxFilesPerTrigger", 1)
