@@ -255,6 +255,7 @@ object Multimodal {
           .when(lower(col("path")).endsWith(".gif"), "image/gif")
           .when(lower(col("path")).endsWith(".bmp"), "image/bmp")
           .when(lower(col("path")).endsWith(".wav"), "audio/wav")
+          .when(lower(col("path")).rlike("\\.(mp4|m4v|mov)$"), "video/mp4")
           .otherwise("application/octet-stream").as("mime"),
         col("path"))
   }

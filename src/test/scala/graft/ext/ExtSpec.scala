@@ -219,6 +219,16 @@ class ExtSpec extends AnyFunSuite with SparkTestBase {
     val feats = Multimodal.extractFeatures(pngOnly)
       .collect().map(f => (f.width, f.height))
     assert(feats.toSeq == Seq((4, 4))) // REAL decode, not the stub
+    // and a real MP4 in the same directory rides the container parser:
+    // ingest -> mime -> videoMeta, end to end from files on disk
+    java.nio.file.Files.write(new java.io.File(dir, "c.mp4").toPath,
+      Mp4.write(Mp4.BuildSpec(width = 64, height = 48,
+        sampleSizes = Seq(10, 20, 30), syncEvery = 3)))
+    val mp4Only = Multimodal.readBinaryDir(spark, dir.getAbsolutePath, "*.mp4")
+    assert(mp4Only.collect()(0).getAs[String]("mime") == "video/mp4")
+    val vm = Multimodal.videoMeta(mp4Only).collect()
+    assert(vm.length == 1 && vm(0).width == 64 && vm(0).height == 48 &&
+      vm(0).n_samples == 3 && vm(0).n_keyframes == 1)
   }
 
   test("multimodal: stubbed decode is deterministic with fixed shape") {
