@@ -367,6 +367,52 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "frame")
   }
 
+  /** One deterministic single-track MP4 per input id, built distributed
+    * (the muxer runs where the data lives; the driver never sees a
+    * payload). Every parsed property is a closed-form function of the
+    * id — the q_video_* oracles recompute them in SQL:
+    * n = 1 + (id%7)*3 samples of 50+((id+i)%64) bytes (1-based i),
+    * filled with byte (id+i)%251, keyframe every 3rd sample,
+    * 16*(1+id%20) x 16*(1+id%12), 25 fps at timescale 1000, 4 samples
+    * per chunk (multi-chunk stsc/stco).
+    *
+    * Lives HERE, not in the query registry: executor tasks load the
+    * lambda's enclosing class, and the registry object's initializer
+    * (the full query + oracle map) is driver-only code — under
+    * multi-JVM executors it fails class-init (measured: local-cluster
+    * NoClassDefFoundError on ExtQueries$ until this moved).
+    */
+  def syntheticVideoMedia(ids: Dataset[java.lang.Long]): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions(_.map { boxed =>
+      val id = boxed.longValue()
+      val n = (1 + (id % 7) * 3).toInt
+      val bytes = Mp4.write(Mp4.BuildSpec(
+        width = (16 * (1 + id % 20)).toInt,
+        height = (16 * (1 + id % 12)).toInt,
+        sampleSizes = (1 to n).map(i => (50 + ((id + i) % 64)).toInt),
+        syncEvery = 3,
+        fill = i => ((id + i) % 251).toByte))
+      (id, bytes, "video/mp4")
+    }).toDF("doc_id", "bytes", "mime")
+  }
+
+  /** Keyframe rows — one output row per sync sample, cut at the
+    * container-declared windows: (doc_id, kf_idx, frame). Non-video
+    * payloads contribute nothing.
+    */
+  def keyframeRows(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        keyframes(b).getOrElse(Seq.empty)
+          .zipWithIndex.map { case (f, i) => (id, i.toLong, f) }
+      })
+      .toDF("doc_id", "kf_idx", "frame")
+  }
+
   final case class VideoMeta(
       doc_id: Long, brand: String, codec: String, width: Long, height: Long,
       n_samples: Long, n_keyframes: Long, duration_ms: Long,

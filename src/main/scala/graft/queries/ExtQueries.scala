@@ -30,30 +30,17 @@ object ExtQueries {
   private val curationStagedFor =
     new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
 
-  /** One deterministic single-track MP4 per document, built distributed
-    * (mapPartitions — the muxer runs where the data lives, the driver
-    * never sees a payload). Every parsed property is a closed-form
-    * function of doc_id, so the q_video_* oracles can recompute them in
-    * SQL: n = 1 + (doc_id%7)*3 samples of 50+((doc_id+i)%64) bytes each
-    * (1-based i), filled with byte (doc_id+i)%251, keyframe every 3rd
-    * sample, 16*(1+doc_id%20) x 16*(1+doc_id%12), 25 fps at
-    * timescale 1000, 4 samples per chunk (multi-chunk stsc/stco).
+  /** One deterministic single-track MP4 per document — the executor
+    * lambda lives in Multimodal (operator layer): the query registry's
+    * initializer is driver-only and must never be loaded by a task
+    * (Multimodal.syntheticVideoMedia's scaladoc records why, with the
+    * per-doc spec the q_video_* oracles recompute).
     */
   private def videoMedia(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docsWithTokens(s, dir).where(col("doc_id").isNotNull)
-      .select("doc_id").as[Long]
-      .mapPartitions(_.map { id =>
-        val n = (1 + (id % 7) * 3).toInt
-        val bytes = Mp4.write(Mp4.BuildSpec(
-          width = (16 * (1 + id % 20)).toInt,
-          height = (16 * (1 + id % 12)).toInt,
-          sampleSizes = (1 to n).map(i => (50 + ((id + i) % 64)).toInt),
-          syncEvery = 3,
-          fill = i => ((id + i) % 251).toByte))
-        (id, bytes, "video/mp4")
-      })
-      .toDF("doc_id", "bytes", "mime")
+    Multimodal.syntheticVideoMedia(
+      docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+        .select("doc_id").as[java.lang.Long])
   }
 
   /** Committed JSONL interchange fixture (2 gzip shards + 1 corrupt
@@ -1272,22 +1259,13 @@ object ExtQueries {
     // Keyframes-only cut (the cheap video-summarization path): exactly
     // the container's declared sync samples — every 3rd sample by the
     // muxer spec — at their declared windows.
-    "q_video_keyframes" -> ((s, dir) => {
-      val media = videoMedia(s, dir)
-      val sp = media.sparkSession
-      import sp.implicits._
-      media.select("doc_id", "bytes").as[(Long, Array[Byte])]
-        .mapPartitions(_.flatMap { case (id, b) =>
-          Multimodal.keyframes(b).getOrElse(Seq.empty)
-            .zipWithIndex.map { case (f, i) => (id, i.toLong, f) }
-        })
-        .toDF("doc_id", "kf_idx", "frame")
+    "q_video_keyframes" -> ((s, dir) =>
+      Multimodal.keyframeRows(videoMedia(s, dir))
         .select(col("doc_id"), col("kf_idx"),
           octet_length(col("frame")).cast("long").as("frame_len"),
           conv(hex(substring(col("frame"), 1, 1)), 16, 10).cast("long")
             .as("first_byte"))
-        .orderBy("doc_id", "kf_idx")
-    }),
+        .orderBy("doc_id", "kf_idx")),
 
     "q_multimodal_meta" -> ((s, dir) => {
       val bl = octet_length(encode(col("text"), "UTF-8")).cast("long")
