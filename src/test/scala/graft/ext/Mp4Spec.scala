@@ -113,6 +113,59 @@ class Mp4Spec extends AnyFunSuite with SparkTestBase {
       s"built bytes drifted: $got")
   }
 
+  test("multi-track container: videoTracks selects the vide trak, the " +
+      "spliced soun trak parses alongside") {
+    // build a single-track file, then splice a SECOND trak into moov by
+    // duplicating the trak box with its hdlr handler patched to 'soun'
+    // — hand byte surgery, so the parser sees a genuinely multi-trak
+    // moov it did not write
+    val b = Mp4.write(spec(5))
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def u32(a: Array[Byte], i: Int) =
+      ((a(i) & 0xffL) << 24) | ((a(i + 1) & 0xffL) << 16) |
+        ((a(i + 2) & 0xffL) << 8) | (a(i + 3) & 0xffL)
+    def findTop(a: Array[Byte], typ: String): Int = {
+      var p = 0
+      while (p + 8 <= a.length) {
+        if (new String(a, p + 4, 4, "US-ASCII") == typ) return p
+        p += u32(a, p).toInt
+      }
+      fail(s"no $typ box")
+    }
+    val moovAt = findTop(b, "moov")
+    val moovEnd = moovAt + u32(b, moovAt).toInt
+    // trak is a child of moov: scan children
+    var p = moovAt + 8
+    while (new String(b, p + 4, 4, "US-ASCII") != "trak")
+      p += u32(b, p).toInt
+    val trakLen = u32(b, p).toInt
+    val soun = java.util.Arrays.copyOfRange(b, p, p + trakLen)
+    // patch its handler fourcc: 'vide' -> 'soun' (inside hdlr)
+    val vi = {
+      var i = 0
+      var at = -1
+      while (at < 0 && i < soun.length - 4) {
+        if (new String(soun, i, 4, "US-ASCII") == "vide") at = i
+        i += 1
+      }
+      at
+    }
+    assert(vi > 0)
+    System.arraycopy("soun".getBytes("US-ASCII"), 0, soun, vi, 4)
+    val spliced = new Array[Byte](b.length + trakLen)
+    System.arraycopy(b, 0, spliced, 0, moovEnd)
+    System.arraycopy(soun, 0, spliced, moovEnd, trakLen)
+    System.arraycopy(b, moovEnd, spliced, moovEnd + trakLen,
+      b.length - moovEnd)
+    // grow the moov length to cover the appended child
+    System.arraycopy(be32(u32(b, moovAt) + trakLen), 0, spliced, moovAt, 4)
+    val meta = Mp4.parse(spliced).getOrElse(fail("spliced parse"))
+    assert(meta.tracks.map(_.handler) == Vector("vide", "soun"))
+    assert(meta.videoTracks.map(_.handler) == Vector("vide"))
+    assert(meta.tracks.forall(_.sampleCount == 5))
+  }
+
   test("sampleFrames cuts real container windows for MP4 media, stub " +
       "only for non-video payloads") {
     import org.apache.spark.sql.functions._
