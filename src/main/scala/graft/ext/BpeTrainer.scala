@@ -263,28 +263,7 @@ object BpeTrainer {
           .where(col("s").isin(concats: _*))
           .distinct().as[String].collect().toSet
         pairs.unpersist()
-        val accepted =
-          scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
-        var used = Set.empty[String]
-        var created = Set.empty[String]
-        var bound = Long.MinValue
-        var stop = false
-        for ((s1, s2, pf) <- top if !stop) {
-          val ok = accepted.isEmpty ||
-            (!used(s1) && !used(s2) && !created(s1) && !created(s2) &&
-              pf > bound)
-          if (ok) {
-            accepted += ((s1, s2, pf))
-            used ++= Set(s1, s2)
-            created += (s1 + s2)
-            val self = if (s1 == s2) pf else Long.MinValue
-            bound = Seq(bound, intoMax.getOrElse(s1, 0L),
-              fromMax.getOrElse(s2, 0L), self).max
-            // created-string collision: this accept is still exact,
-            // but every later step is perturbed — close the batch
-            if (existingConcat(s1 + s2)) stop = true
-          } else stop = true
-        }
+        val accepted = acceptBatch(top, intoMax, fromMax, existingConcat)
         accepted.foreach { case (s1, s2, pf) =>
           merges += (((merges.size + 1).toLong, s1, s2, pf))
         }
@@ -330,6 +309,66 @@ object BpeTrainer {
         t
       }
     (merges.toSeq.toDF("round", "s1", "s2", "pf"), types)
+  }
+
+  /** The provably-sequential prefix of a top-k candidate batch — the
+    * pure acceptance rule behind [[learnBpeBatched]], factored out so
+    * the adversarial cases (created-symbol collisions within and
+    * across the batch) are unit-testable without engineering a corpus
+    * that reaches them. Candidate p_i = (s1, s2, pf) is accepted iff:
+    *
+    *  - its symbols are disjoint from every earlier accept's symbols
+    *    AND from every string an earlier accept created;
+    *  - pf exceeds `bound`, the max count any pair CREATED by an
+    *    earlier accept can reach (intoMax/fromMax per-symbol maxima,
+    *    plus the self-pair case);
+    *  - AND its own concat s1+s2 was not already created by an earlier
+    *    accept in THIS batch. Two accepted merges creating the same
+    *    string would make that string's created-pair counts the SUM of
+    *    both merges' contributions while `bound` tracks only the MAX —
+    *    a later candidate could slip between max and sum, deviating
+    *    from sequential order. The colliding candidate itself is still
+    *    exact (all strings created before it are distinct, so `bound`
+    *    is valid, and disjointness keeps its own count untouched):
+    *    accept it, then close the batch — the same treatment as a
+    *    concat colliding with a PRE-existing symbol (`existingConcat`).
+    *
+    * The first rejection closes the batch (the result must be a prefix
+    * of the sequential order).
+    */
+  private[ext] def acceptBatch(
+      top: Seq[(String, String, Long)],
+      intoMax: Map[String, Long],
+      fromMax: Map[String, Long],
+      existingConcat: Set[String]): Seq[(String, String, Long)] = {
+    val accepted =
+      scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+    var used = Set.empty[String]
+    var created = Set.empty[String]
+    var bound = Long.MinValue
+    var stop = false
+    for ((s1, s2, pf) <- top if !stop) {
+      val ok = accepted.isEmpty ||
+        (!used(s1) && !used(s2) && !created(s1) && !created(s2) &&
+          pf > bound)
+      if (ok) {
+        val concat = s1 + s2
+        // collision check BEFORE registering this accept's creation:
+        // "already created within this batch" means by an EARLIER one
+        val withinBatchCollision = created(concat)
+        accepted += ((s1, s2, pf))
+        used ++= Set(s1, s2)
+        created += concat
+        val self = if (s1 == s2) pf else Long.MinValue
+        bound = Seq(bound, intoMax.getOrElse(s1, 0L),
+          fromMax.getOrElse(s2, 0L), self).max
+        // created-string collision (with a pre-existing symbol OR an
+        // earlier in-batch creation): this accept is still exact, but
+        // every later step is perturbed — close the batch
+        if (existingConcat(concat) || withinBatchCollision) stop = true
+      } else stop = true
+    }
+    accepted.toSeq
   }
 
   /** Jobs the most recent [[learnBpeBatched]] call in this thread ran —

@@ -163,30 +163,50 @@ object Mp4 {
     */
   private def samples(b: Array[Byte], s: Int,
       e: Int): Option[Vector[Sample]] = {
-    val sizes: Vector[Long] = findBox(b, s, e, "stsz").map { case (x, _) =>
+    // Every entry count is validated against the enclosing box extent
+    // BEFORE allocation. The tabulate paths would eventually AIOOBE (an
+    // Exception parse() catches), but a hostile count reaching
+    // Vector.fill first allocates count elements — u32 goes to ~2^32,
+    // so one crafted stsz would throw OutOfMemoryError (an Error, NOT
+    // caught by the Exception handler) and kill the executor instead
+    // of failing closed. Bound first, allocate after.
+    def entries(x: Int, end: Int, headerLen: Int, entryLen: Int): Option[Int] = {
+      val n = u32(b, x + 4)
+      val room = (end - x - headerLen).toLong / entryLen
+      if (n < 0L || n > room) None else Some(n.toInt)
+    }
+    val sizes: Vector[Long] = findBox(b, s, e, "stsz").map { case (x, xe) =>
       val uniform = u32(b, x + 4)
-      val n = u32(b, x + 8).toInt
-      if (uniform != 0L) Vector.fill(n)(uniform)
-      else Vector.tabulate(n)(i => u32(b, x + 12 + 4 * i))
+      val n = u32(b, x + 8)
+      if (uniform != 0L) {
+        // uniform case: no table follows, so the box extent bounds
+        // nothing — cap against the file itself (more samples than
+        // payload bytes is never a well-formed progressive MP4)
+        if (n < 0L || n > b.length) return None
+        Vector.fill(n.toInt)(uniform)
+      } else {
+        if (n < 0L || n > (xe - x - 12).toLong / 4) return None
+        Vector.tabulate(n.toInt)(i => u32(b, x + 12 + 4 * i))
+      }
     }.getOrElse(return None)
     val chunkOffsets: Vector[Long] =
-      findBox(b, s, e, "stco").map { case (x, _) =>
-        val n = u32(b, x + 4).toInt
+      findBox(b, s, e, "stco").map { case (x, xe) =>
+        val n = entries(x, xe, 8, 4).getOrElse(return None)
         Vector.tabulate(n)(i => u32(b, x + 8 + 4 * i))
-      }.orElse(findBox(b, s, e, "co64").map { case (x, _) =>
-        val n = u32(b, x + 4).toInt
+      }.orElse(findBox(b, s, e, "co64").map { case (x, xe) =>
+        val n = entries(x, xe, 8, 8).getOrElse(return None)
         Vector.tabulate(n)(i => u64(b, x + 8 + 8 * i))
       }).getOrElse(return None)
     val stscRuns: Vector[(Int, Int)] = findBox(b, s, e, "stsc").map {
-      case (x, _) =>
-        val n = u32(b, x + 4).toInt
+      case (x, xe) =>
+        val n = entries(x, xe, 8, 12).getOrElse(return None)
         Vector.tabulate(n)(i => (u32(b, x + 8 + 12 * i).toInt,
           u32(b, x + 12 + 12 * i).toInt))
     }.getOrElse(return None)
     // stss is OPTIONAL: absent means every sample is a sync sample
     val sync: Int => Boolean = findBox(b, s, e, "stss") match {
-      case Some((x, _)) =>
-        val n = u32(b, x + 4).toInt
+      case Some((x, xe)) =>
+        val n = entries(x, xe, 8, 4).getOrElse(return None)
         val set = (0 until n).map(i => u32(b, x + 8 + 4 * i).toInt).toSet
         set.contains _
       case None => _ => true

@@ -304,19 +304,33 @@ object Multimodal {
       .toSeq
   }
 
+  /** The parsed first video track, but ONLY when every declared sample
+    * window lies inside the payload. A moov-first MP4 with a truncated
+    * mdat still parses (the sample tables are intact) — silently
+    * cutting the in-range prefix would emit a PARTIAL frame set with
+    * renumbered indices that callers cannot distinguish from a short
+    * video, so a truncated container is treated as unparseable: None,
+    * same as any other hostile payload.
+    */
+  private def completeVideoTrack(bytes: Array[Byte]): Option[Mp4.Track] =
+    Mp4.parse(bytes).flatMap(_.videoTracks.headOption)
+      .filter(_.samples.forall(s =>
+        s.offset >= 0 && s.offset + s.size <= bytes.length))
+
   /** REAL frame sampling for ISO-BMFF video: every `stride`-th sample
     * of the first video track, cut at the exact byte windows the
     * container's sample tables declare (stsz/stsc/stco — see
     * [[Mp4]]). Returns None when the payload is not a parseable MP4
-    * with a video track; callers fall back to [[frameSampleStub]].
+    * with a video track whose declared windows all fit the payload
+    * (truncated mdat = unparseable, never a silently partial frame
+    * set); callers fall back to [[frameSampleStub]].
     */
   def frameSample(bytes: Array[Byte],
       stride: Int): Option[Seq[Array[Byte]]] = {
     require(stride > 0, s"stride must be positive, got $stride")
-    Mp4.parse(bytes).flatMap(_.videoTracks.headOption).map { t =>
+    completeVideoTrack(bytes).map { t =>
       t.samples.zipWithIndex
-        .collect { case (s, i) if i % stride == 0 &&
-            s.offset + s.size <= bytes.length =>
+        .collect { case (s, i) if i % stride == 0 =>
           java.util.Arrays.copyOfRange(bytes, s.offset.toInt,
             (s.offset + s.size).toInt)
         }
@@ -325,12 +339,13 @@ object Multimodal {
 
   /** Keyframes only — the standard cheap video summarization cut:
     * exactly the container's declared sync samples, at their declared
-    * byte windows.
+    * byte windows. None for truncated containers (see
+    * [[completeVideoTrack]]).
     */
   def keyframes(bytes: Array[Byte]): Option[Seq[Array[Byte]]] =
-    Mp4.parse(bytes).flatMap(_.videoTracks.headOption).map { t =>
+    completeVideoTrack(bytes).map { t =>
       t.samples.collect {
-        case s if s.sync && s.offset + s.size <= bytes.length =>
+        case s if s.sync =>
           java.util.Arrays.copyOfRange(bytes, s.offset.toInt,
             (s.offset + s.size).toInt)
       }
@@ -424,7 +439,10 @@ object Multimodal {
     * sample OFFSETS are right, not just the counts — the size and first
     * payload byte of the first keyframe, read back out of the file at
     * the window the sample tables declare. Unparseable payloads are
-    * dropped (they belong to other modalities).
+    * dropped (they belong to other modalities), and so are truncated
+    * ones — any declared window running past the payload drops the row
+    * rather than emitting metadata for frames that are not there (see
+    * [[completeVideoTrack]]).
     */
   def videoMeta(media: DataFrame): Dataset[VideoMeta] = {
     val spark = media.sparkSession
@@ -432,17 +450,20 @@ object Multimodal {
     media.select("doc_id", "bytes").as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, b) =>
         Mp4.parse(b).flatMap { m =>
-          m.videoTracks.headOption.flatMap { t =>
-            t.samples.find(_.sync).collect {
-              case kf if kf.offset + kf.size <= b.length && kf.size > 0 =>
-                VideoMeta(id, m.majorBrand, t.codec,
-                  t.width.toLong, t.height.toLong,
-                  t.sampleCount.toLong, t.keyframeCount.toLong,
-                  m.durationMs,
-                  t.samples.map(_.size).sum,
-                  kf.size, (b(kf.offset.toInt) & 0xff).toLong)
+          m.videoTracks.headOption
+            .filter(_.samples.forall(s =>
+              s.offset >= 0 && s.offset + s.size <= b.length))
+            .flatMap { t =>
+              t.samples.find(_.sync).collect {
+                case kf if kf.size > 0 =>
+                  VideoMeta(id, m.majorBrand, t.codec,
+                    t.width.toLong, t.height.toLong,
+                    t.sampleCount.toLong, t.keyframeCount.toLong,
+                    m.durationMs,
+                    t.samples.map(_.size).sum,
+                    kf.size, (b(kf.offset.toInt) & 0xff).toLong)
+              }
             }
-          }
         }
       })
   }

@@ -142,12 +142,25 @@ object Bucketing {
     * contract the disk-side SpecMarker validation protects.
     */
   private def catalogSpecMatches(spark: SparkSession, table: String,
-      key: String, buckets: Int): Boolean = {
-    val meta = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(table))
-    meta.bucketSpec.exists(bs =>
-      bs.numBuckets == buckets && bs.bucketColumnNames == Seq(key))
-  }
+      key: String, buckets: Int): Boolean =
+    try {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      // sortColumnNames is part of the contract too: writeBucketed's
+      // exchange-free join also elides the SORT via sortBy(key), so a
+      // table bucketed right but sorted differently (or not at all)
+      // must be rewritten. Catalog identifiers are case-insensitive —
+      // compare likewise. A lookup failure (e.g. `table` resolves to a
+      // temp view, which tableExists reports but getTableMetadata
+      // rejects) is a spec mismatch, not an error.
+      val want = Seq(key.toLowerCase(java.util.Locale.ROOT))
+      def norm(names: Seq[String]) =
+        names.map(_.toLowerCase(java.util.Locale.ROOT))
+      meta.bucketSpec.exists(bs =>
+        bs.numBuckets == buckets &&
+          norm(bs.bucketColumnNames) == want &&
+          norm(bs.sortColumnNames) == want)
+    } catch { case _: Exception => false }
 
   def ensureBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit = {

@@ -51,9 +51,22 @@ object StreamQueries {
     * reuse the files and skip the coalesce(1) writes — the checkpoint
     * and sink are still wiped every run (reusing a checkpoint would
     * RESUME instead of re-run; that part of the contract is untouched).
+    * The memo is only honored when the staged dirs still EXIST on disk
+    * ([[stagedDirsPresent]]): an external tmp reaper wiping the
+    * process-scoped scratch mid-process must trigger a re-stage, not a
+    * readStream over a glob that matches nothing.
     */
   private val stagedFor =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** True iff every named subdir of this tag's scratch root exists —
+    * the disk-side check backing the in-memory [[stagedFor]] memo.
+    */
+  private def stagedDirsPresent(tag: String, subdirs: String*): Boolean =
+    subdirs.forall { sub =>
+      java.nio.file.Files.isDirectory(java.nio.file.Paths
+        .get(QueryUtil.scratchPath(s"stream/$tag")).resolve(sub))
+    }
 
   /** Fixed scratch root per tag (process-scoped, see
     * [[QueryUtil.processScratch]]), wiped at entry: a fresh path per
@@ -121,7 +134,8 @@ object StreamQueries {
       schema: String, tag: String, nudge: Boolean = true)(
       mk: DataFrame => DataFrame): DataFrame = withStreamWidth(s) {
     val dirKey = s"$srcDir|$schema|$nudge"
-    val reuse = stagedFor.get(tag).contains(dirKey)
+    val reuse = stagedFor.get(tag).contains(dirKey) &&
+      stagedDirsPresent(tag, "in/b1")
     val tmp = streamDir(tag, keepInputs = reuse)
     if (!reuse) {
       staged.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b1")
@@ -162,7 +176,8 @@ object StreamQueries {
       mk: (DataFrame, DataFrame) => DataFrame): DataFrame =
     withStreamWidth(s) {
       val dirKey = s"$srcDir|$leftSchema|$rightSchema|$nudge"
-      val reuse = stagedFor.get(tag).contains(dirKey)
+      val reuse = stagedFor.get(tag).contains(dirKey) &&
+        stagedDirsPresent(tag, "l/b1", "r/b1")
       val tmp = streamDir(tag, keepInputs = reuse)
       if (!reuse) {
         left.coalesce(1).write.mode("overwrite").parquet(s"$tmp/l/b1")

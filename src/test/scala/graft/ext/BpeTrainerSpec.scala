@@ -214,6 +214,36 @@ class BpeTrainerSpec extends AnyFunSuite with SparkTestBase {
       s"expected >1.5 merges/job on a disjoint corpus, got $ratio")
   }
 
+  test("acceptBatch closes the batch on a WITHIN-batch created-symbol " +
+      "collision (two accepts concatenating to the same string)") {
+    // ('th','e') and ('t','he') are symbol-disjoint and both create
+    // 'the'. After both, a pair like (x,'the') counts contributions
+    // from BOTH merges — its true count is the SUM, while the bound
+    // tracks only the per-merge MAX. A third candidate between max and
+    // sum would deviate from sequential order, so the batch must close
+    // AT the second accept (which is itself still exact: everything
+    // created before it was distinct).
+    val top = Seq(("th", "e", 100L), ("t", "he", 90L), ("x", "y", 85L))
+    val intoMax = Map("th" -> 50L, "t" -> 40L)   // max_x pf(x, s1)
+    val fromMax = Map("e" -> 45L, "he" -> 35L)   // max_y pf(s2, y)
+    val out = BpeTrainer.acceptBatch(top, intoMax, fromMax, Set.empty)
+    assert(out == Seq(("th", "e", 100L), ("t", "he", 90L)),
+      s"expected the batch to close at the colliding accept, got $out")
+    // control: same shape with distinct concats accepts all three
+    val top2 = Seq(("th", "e", 100L), ("t", "hx", 90L), ("x", "y", 85L))
+    val out2 = BpeTrainer.acceptBatch(top2,
+      intoMax ++ Map.empty, fromMax ++ Map("hx" -> 35L), Set.empty)
+    assert(out2 == top2, s"control batch should accept all three: $out2")
+  }
+
+  test("acceptBatch closes the batch on an existingConcat collision " +
+      "but keeps the colliding accept") {
+    val top = Seq(("a", "b", 100L), ("c", "d", 40L))
+    val out = BpeTrainer.acceptBatch(top, Map.empty, Map.empty,
+      existingConcat = Set("ab"))
+    assert(out == Seq(("a", "b", 100L)))
+  }
+
   test("batched == sequential on seeded random corpora") {
     // rounds capped at 4: the SEQUENTIAL side composes ~3^r copies of
     // the history into its plan (its own doc caps it at 64 for that

@@ -91,6 +91,72 @@ class Mp4Spec extends AnyFunSuite with SparkTestBase {
     Mp4.parse(flipped) // any Option is fine; no exception is the assert
   }
 
+  /** Byte offset of the first box whose fourcc is `typ` (tag position,
+    * i.e. payload starts at +4). Test-side search; fine on fixtures.
+    */
+  private def tagIndexOf(b: Array[Byte], typ: String): Int = {
+    val t = typ.getBytes("US-ASCII")
+    (0 to b.length - 4).find(i =>
+      b(i) == t(0) && b(i + 1) == t(1) && b(i + 2) == t(2) && b(i + 3) == t(3))
+      .getOrElse(fail(s"no $typ box in fixture"))
+  }
+
+  private def putU32(b: Array[Byte], i: Int, v: Long): Unit = {
+    b(i) = ((v >> 24) & 0xff).toByte
+    b(i + 1) = ((v >> 16) & 0xff).toByte
+    b(i + 2) = ((v >> 8) & 0xff).toByte
+    b(i + 3) = (v & 0xff).toByte
+  }
+
+  test("hostile stsz counts fail closed BEFORE allocation (no OOM-class " +
+      "Error escapes parse)") {
+    // uniform-size path: count is attacker bytes and no table bounds
+    // it — unpatched, Vector.fill(count) allocates ~2^31 elements and
+    // dies with OutOfMemoryError (an Error, so the Exception handler
+    // never sees it). The parser must bound count first and return None.
+    val uniform = Mp4.write(spec(7))
+    val uz = tagIndexOf(uniform, "stsz")
+    putU32(uniform, uz + 8, 1000L)        // sample_size: nonzero => uniform
+    putU32(uniform, uz + 12, 0x7fffffffL) // sample_count: hostile
+    assert(Mp4.parse(uniform).isEmpty, "hostile uniform stsz must be None")
+    // non-uniform path: count far past the box extent must be rejected
+    // by the extent check (not by a 2-billion-step tabulate)
+    val tabled = Mp4.write(spec(7))
+    val tz = tagIndexOf(tabled, "stsz")
+    putU32(tabled, tz + 12, 0x7fffffffL)
+    assert(Mp4.parse(tabled).isEmpty, "hostile tabled stsz must be None")
+    // and the other tables: stco / stsc / stss counts past their boxes
+    for (boxTag <- Seq("stco", "stsc", "stss")) {
+      val f = Mp4.write(spec(7))
+      val i = tagIndexOf(f, boxTag)
+      putU32(f, i + 8, 0x7fffffffL) // entry_count after version+flags
+      assert(Mp4.parse(f).isEmpty, s"hostile $boxTag count must be None")
+    }
+  }
+
+  test("truncated payload (windows past the end) is unparseable for the " +
+      "frame cutters: None + stub fallback, never a partial frame set") {
+    // moov-first-equivalent: the sample TABLES stay intact, but one
+    // declared window runs past the payload — patch sample 1's size in
+    // the stsz table to 16 MiB. Silently cutting the in-range suffix
+    // would renumber frames; the contract is fail-closed.
+    val b = Mp4.write(spec(7))
+    val z = tagIndexOf(b, "stsz")
+    putU32(b, z + 16, 0x01000000L) // first table entry (z+4 vf, +8 uniform, +12 count)
+    assert(Mp4.parse(b).nonEmpty, "tables are intact: container parses")
+    assert(Multimodal.frameSample(b, 1).isEmpty,
+      "frameSample must reject a truncated container")
+    assert(Multimodal.keyframes(b).isEmpty,
+      "keyframes must reject a truncated container")
+    import spark.implicits._
+    val media = spark.createDataset(Seq((9L, b, "video/mp4")))
+      .toDF("doc_id", "bytes", "mime")
+    assert(Multimodal.videoMeta(media).collect().isEmpty,
+      "videoMeta must drop the truncated row")
+    // sampleFrames stays total via the stub
+    assert(Multimodal.sampleFrames(media, 2).count() > 0)
+  }
+
   test("structural golden: pinned offsets + md5 (hand-checked box layout)") {
     val s = Mp4.BuildSpec(width = 320, height = 176,
       sampleSizes = Seq(10, 20, 30), syncEvery = 3, samplesPerChunk = 2,
