@@ -30,11 +30,23 @@ object Mp4 {
     */
   final case class Sample(index: Int, offset: Long, size: Long, sync: Boolean)
 
+  /** `trackId` is tkhd's track_ID (the join key for movie fragments).
+    * `mediaTimeOffset` is the first non-empty edit's media_time from
+    * the track's edit list (elst), 0 when no edit list is present —
+    * the initial composition shift a PLAYER applies to presentation
+    * times. It is surfaced for metadata completeness only: frame
+    * sampling and keyframe cutting operate on DECODE-order byte
+    * windows, which elst does not move, so none of the cutters consult
+    * it (deriving per-sample presentation stamps would).
+    */
   final case class Track(
       handler: String, codec: String,
       width: Int, height: Int,
       timescale: Long, duration: Long,
-      samples: Vector[Sample]) {
+      samples: Vector[Sample],
+      trackId: Long = 0L,
+      mediaTimeOffset: Long = 0L,
+      fragmented: Boolean = false) {
     def sampleCount: Int = samples.size
     def keyframeCount: Int = samples.count(_.sync)
   }
@@ -98,9 +110,28 @@ object Mp4 {
       typ: String): Option[(Int, Int)] =
     boxes(b, start, end).collectFirst { case (`typ`, s, e) => (s, e) }
 
-  /** Parse the container. None for anything that is not a well-formed
-    * single-moov MP4 with at least one complete sample table — the
+  /** Parse the container — progressive (moov sample tables) AND
+    * fragmented (moov/mvex declaring defaults, samples carried in
+    * moof/traf/trun movie fragments, the layout streaming-era encoders
+    * actually emit). None for anything that is not a well-formed MP4
+    * with at least one complete sample table or fragment run — the
     * honest signal for callers to fall back to the stub path.
+    *
+    * Fragmented specifics (14496-12 §8.8):
+    *  - mvex/trex records per-track defaults (duration/size/flags);
+    *  - each moof's traf carries tfhd (per-fragment defaults + base
+    *    data offset) and trun boxes (per-sample runs). The base data
+    *    offset is tfhd's explicit base_data_offset when present,
+    *    otherwise the enclosing moof's first byte — which covers both
+    *    the default-base-is-moof flag and the first-traf default; a
+    *    multi-traf fragment relying on the "end of previous traf data"
+    *    legacy default is not reconstructed (fails closed per traf);
+    *  - sync = !(sample_flags & 0x10000) from, in precedence order,
+    *    the per-sample trun flags, trun first-sample-flags (first
+    *    sample only), tfhd default, trex default;
+    *  - a track's duration is the sum of its fragment sample durations
+    *    (mdhd declares 0 in fragmented files), and when mvhd's movie
+    *    duration is 0 it is derived from the longest track.
     */
   def parse(bytes: Array[Byte]): Option[Meta] =
     try {
@@ -118,14 +149,143 @@ object Mp4 {
             case _ => (u32(bytes, s + 12), u32(bytes, s + 16))
           }
       }.getOrElse(return None)
-      val tracks = boxes(bytes, moovS, moovE).collect {
-        case ("trak", s, e) => parseTrak(bytes, s, e)
+      // mvex marks the file as fragmented; trex carries per-track
+      // defaults: track_ID(+4) descIdx(+8) duration(+12) size(+16)
+      // flags(+20) after the version/flags word
+      val trexMap: Map[Long, (Long, Long, Long)] =
+        findBox(bytes, moovS, moovE, "mvex").map { case (xs, xe) =>
+          boxes(bytes, xs, xe).collect { case ("trex", x, _) =>
+            u32(bytes, x + 4) ->
+              ((u32(bytes, x + 12), u32(bytes, x + 16), u32(bytes, x + 20)))
+          }.toMap
+        }.getOrElse(Map.empty)
+      val fragmented = trexMap.nonEmpty
+      val base = boxes(bytes, moovS, moovE).collect {
+        case ("trak", s, e) => parseTrak(bytes, s, e, fragmented)
       }.flatten.toVector
+      val tracks =
+        if (!fragmented) base
+        else {
+          val frags = parseFragments(bytes, top, trexMap)
+          base.map { t =>
+            val mine = frags.getOrElse(t.trackId, Vector.empty)
+            val reIdx = mine.zipWithIndex.map { case (fs, i) =>
+              Sample(t.samples.length + i + 1, fs.offset, fs.size, fs.sync)
+            }
+            t.copy(samples = t.samples ++ reIdx,
+              duration = t.duration + mine.map(_.duration).sum,
+              fragmented = true)
+          }.filter(_.samples.nonEmpty)
+        }
       if (tracks.isEmpty) None
-      else Some(Meta(brand, mvTs, mvDur, tracks))
+      else {
+        val movieDur =
+          if (mvDur != 0L || !fragmented) mvDur
+          else tracks.map(t =>
+            if (t.timescale == 0) 0L
+            else t.duration * mvTs / t.timescale).max
+        Some(Meta(brand, mvTs, movieDur, tracks))
+      }
     } catch { case _: Exception => None }
 
-  private def parseTrak(b: Array[Byte], s: Int, e: Int): Option[Track] = {
+  /** A fragment-run sample before final renumbering: window + sync +
+    * its declared duration (media timescale).
+    */
+  private final case class FragSample(index: Int, offset: Long, size: Long,
+      sync: Boolean, duration: Long)
+
+  /** Walk every top-level moof and expand its traf/trun runs into
+    * absolute sample windows, per track. Runs that cannot be bounded
+    * (hostile counts) or positioned (missing base offset conventions)
+    * drop their traf — the track then fails closed in the caller if it
+    * ends up sampleless.
+    */
+  private def parseFragments(b: Array[Byte],
+      top: Vector[(String, Int, Int)],
+      trex: Map[Long, (Long, Long, Long)]): Map[Long, Vector[FragSample]] = {
+    val acc = scala.collection.mutable.Map.empty[Long, Vector[FragSample]]
+      .withDefaultValue(Vector.empty)
+    for ((typ, ms, me) <- top if typ == "moof") {
+      val moofStart = ms - 8L // moof boxes use compact 32-bit sizes
+      for ((ttyp, ts, te) <- boxes(b, ms, me) if ttyp == "traf") {
+        parseTraf(b, ts, te, moofStart, trex).foreach {
+          case (tid, samples) => acc(tid) = acc(tid) ++ samples
+        }
+      }
+    }
+    acc.view.mapValues(v =>
+      v.zipWithIndex.map { case (fs, i) => fs.copy(index = i + 1) }).toMap
+  }
+
+  private def parseTraf(b: Array[Byte], ts: Int, te: Int, moofStart: Long,
+      trex: Map[Long, (Long, Long, Long)]): Option[(Long, Vector[FragSample])] = {
+    val (hs, _) = findBox(b, ts, te, "tfhd").getOrElse(return None)
+    val tfFlags = u32(b, hs) & 0xffffffL
+    val trackId = u32(b, hs + 4)
+    var pos = hs + 8
+    val baseOff: Option[Long] =
+      if ((tfFlags & 0x1L) != 0) { val v = u64(b, pos); pos += 8; Some(v) }
+      else None
+    if ((tfFlags & 0x2L) != 0) pos += 4 // sample_description_index
+    val (trexDur, trexSize, trexFlags) =
+      trex.getOrElse(trackId, (0L, 0L, 0x10000L))
+    val defDur =
+      if ((tfFlags & 0x8L) != 0) { val v = u32(b, pos); pos += 4; v }
+      else trexDur
+    val defSize =
+      if ((tfFlags & 0x10L) != 0) { val v = u32(b, pos); pos += 4; v }
+      else trexSize
+    val defFlags =
+      if ((tfFlags & 0x20L) != 0) { val v = u32(b, pos); pos += 4; v }
+      else trexFlags
+    // base: explicit > moof start (default-base-is-moof AND the
+    // first-traf convention — both resolve to the enclosing moof)
+    val base = baseOff.getOrElse(moofStart)
+    val out = Vector.newBuilder[FragSample]
+    // cursor advances across this traf's truns; a trun without its own
+    // data offset continues where the previous one ended
+    var cursor = -1L
+    var idx = 0
+    for ((typ, x, xe) <- boxes(b, ts, te) if typ == "trun") {
+      val flags = u32(b, x) & 0xffffffL
+      val n = u32(b, x + 4)
+      var p = x + 8
+      if ((flags & 0x1L) != 0) {
+        cursor = base + u32(b, p).toInt // data_offset is SIGNED 32-bit
+        p += 4
+      } else if (cursor < 0) cursor = base
+      val firstFlags: Option[Long] =
+        if ((flags & 0x4L) != 0) { val v = u32(b, p); p += 4; Some(v) }
+        else None
+      val perSample = Seq(0x100L, 0x200L, 0x400L, 0x800L)
+        .count(f => (flags & f) != 0) * 4
+      // hostile-count bound BEFORE the loop (same contract as stsz):
+      // with per-sample fields the box extent bounds n; without, cap
+      // against the payload length
+      val room = if (perSample > 0) (xe - p).toLong / perSample
+        else b.length.toLong
+      if (n < 0L || n > room) return None
+      var i = 0
+      while (i < n.toInt) {
+        var dur = defDur
+        var size = defSize
+        var sf = if (i == 0) firstFlags.getOrElse(defFlags) else defFlags
+        if ((flags & 0x100L) != 0) { dur = u32(b, p); p += 4 }
+        if ((flags & 0x200L) != 0) { size = u32(b, p); p += 4 }
+        if ((flags & 0x400L) != 0) { sf = u32(b, p); p += 4 }
+        if ((flags & 0x800L) != 0) p += 4 // composition time offset
+        idx += 1
+        out += FragSample(idx, cursor, size, (sf & 0x10000L) == 0L, dur)
+        cursor += size
+        i += 1
+      }
+    }
+    val samples = out.result()
+    if (samples.isEmpty) None else Some((trackId, samples))
+  }
+
+  private def parseTrak(b: Array[Byte], s: Int, e: Int,
+      allowEmptySamples: Boolean = false): Option[Track] = {
     val (tkS, _) = findBox(b, s, e, "tkhd").getOrElse(return None)
     // tkhd: width/height are 16.16 fixed at the end of the (versioned) body
     val whOff = b(tkS) match {
@@ -138,6 +298,28 @@ object Mp4 {
     // res(8) layer(2) alt(2) vol(2) res(2) matrix(36) = 52 → width
     val width = (u32(b, whOff) >> 16).toInt
     val height = (u32(b, whOff + 4) >> 16).toInt
+    // track_ID sits after the (versioned) creation/modification stamps
+    val trackId = b(tkS) match {
+      case 1 => u32(b, tkS + 20)
+      case _ => u32(b, tkS + 12)
+    }
+    // edit list: the first non-empty edit's media_time (see Track doc).
+    // v0 entries are 12 bytes (u32 dur, s32 media_time, 16.16 rate),
+    // v1 are 20 (u64/s64); -1 media_time = empty edit, skipped.
+    val mediaTimeOffset = findBox(b, s, e, "edts").flatMap {
+      case (es, ee) =>
+        findBox(b, es, ee, "elst").flatMap { case (xs, xe) =>
+          val v1 = b(xs) == 1
+          val entry = if (v1) 20 else 12
+          val n = u32(b, xs + 4)
+          if (n < 0L || n > (xe - xs - 8).toLong / entry) None
+          else (0 until n.toInt).iterator.map { i =>
+            val off = xs + 8 + i * entry
+            if (v1) u64(b, off + 8)
+            else u32(b, off + 4).toInt.toLong // sign-extend s32
+          }.find(_ >= 0L)
+        }
+    }.getOrElse(0L)
     val (mdS, mdE) = findBox(b, s, e, "mdia").getOrElse(return None)
     val (ts, dur) = findBox(b, mdS, mdE, "mdhd").map { case (ms, _) =>
       b(ms) match {
@@ -152,8 +334,9 @@ object Mp4 {
     val codec = findBox(b, stS, stE, "stsd")
       .filter { case (x, y) => y - x >= 16 }
       .map { case (x, _) => tag(b, x + 12) }.getOrElse(return None)
-    samples(b, stS, stE).map(sm =>
-      Track(handler, codec, width, height, ts, dur, sm))
+    samples(b, stS, stE, allowEmptySamples).map(sm =>
+      Track(handler, codec, width, height, ts, dur, sm,
+        trackId = trackId, mediaTimeOffset = mediaTimeOffset))
   }
 
   /** Expand the four sample tables into absolute per-sample windows.
@@ -161,8 +344,8 @@ object Mp4 {
     * sample's offset is its chunk start plus the sizes of the samples
     * before it IN THAT CHUNK (14496-12 §8.7.4-8.7.5).
     */
-  private def samples(b: Array[Byte], s: Int,
-      e: Int): Option[Vector[Sample]] = {
+  private def samples(b: Array[Byte], s: Int, e: Int,
+      allowEmpty: Boolean = false): Option[Vector[Sample]] = {
     // Every entry count is validated against the enclosing box extent
     // BEFORE allocation. The tabulate paths would eventually AIOOBE (an
     // Exception parse() catches), but a hostile count reaching
@@ -211,6 +394,9 @@ object Mp4 {
         set.contains _
       case None => _ => true
     }
+    // fragmented layouts declare zero-entry sample tables in moov and
+    // carry every sample in moof runs — an empty stbl is then valid
+    if (allowEmpty && sizes.isEmpty) return Some(Vector.empty)
     if (sizes.isEmpty || chunkOffsets.isEmpty || stscRuns.isEmpty) return None
     // samples-per-chunk for chunk c (1-based): the last stsc run whose
     // first_chunk <= c
@@ -365,5 +551,177 @@ object Mp4 {
     val trak = box("trak", tkhd, mdia)
     val moov = box("moov", mvhd, trak)
     ftyp ++ mdat ++ moov
+  }
+
+  // ------------------------------------------------------------------
+  // Fragmented muxer (fMP4 — the moov/mvex + moof/mdat layout)
+  // ------------------------------------------------------------------
+
+  /** Spec of a single-video-track FRAGMENTED file: `fragmentSizes(f)`
+    * is fragment f's per-sample byte sizes; sample numbering (for
+    * `fill` and `syncEvery`) is GLOBAL 1-based across fragments, same
+    * contract as [[BuildSpec]]. `explicitBaseOffset` writes tfhd's
+    * 64-bit base_data_offset (absolute file position of the moof)
+    * instead of the default-base-is-moof flag — the two conventions
+    * the parser must treat identically. `trunsPerFragment` splits each
+    * fragment's run into that many trun boxes; only the first carries
+    * a data offset, so the parser's continue-from-previous-trun cursor
+    * is exercised. `elstMediaTime` >= 0 adds an edit list with that
+    * media_time (surfaced as [[Track.mediaTimeOffset]]).
+    *
+    * Flag encoding is chosen per fragment: when every keyframe in the
+    * fragment sits at a trun's first sample, the muxer uses
+    * first-sample-flags + tfhd default flags (the compact form real
+    * encoders emit for closed GOPs); otherwise per-sample trun flags.
+    * Durations always ride tfhd's default_sample_duration (trex holds
+    * the same value as fallback), so the defaults chain is on the hot
+    * path, not just per-sample fields.
+    */
+  final case class FragBuildSpec(
+      width: Int, height: Int,
+      fragmentSizes: Seq[Seq[Int]],
+      syncEvery: Int,
+      timescale: Long = 1000L,
+      sampleDelta: Long = 40L,
+      fill: Int => Byte = i => (i % 251).toByte,
+      explicitBaseOffset: Boolean = false,
+      trunsPerFragment: Int = 1,
+      elstMediaTime: Long = -1L)
+
+  private val NonSyncFlags = 0x00010000L // sample_is_non_sync_sample
+  private val SyncFlags = 0x02000000L    // sample_depends_on = 2 (I-frame)
+
+  /** Serialize a valid fragmented single-track MP4 per `spec`: ftyp,
+    * moov (zero-entry sample tables + mvex/trex), then one moof+mdat
+    * pair per fragment.
+    */
+  def writeFragmented(spec: FragBuildSpec): Array[Byte] = {
+    require(spec.fragmentSizes.nonEmpty && spec.fragmentSizes.forall(_.nonEmpty),
+      "at least one fragment, none empty")
+    require(spec.trunsPerFragment >= 1, "trunsPerFragment must be >= 1")
+    val ftyp = box("ftyp", fourcc("iso5"), be32(0), fourcc("iso5"),
+      fourcc("isom"))
+    val n = spec.fragmentSizes.map(_.size).sum
+    val duration = spec.sampleDelta * n
+    val vf0 = be32(0)
+    val identityMatrix = be32(0x00010000L) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(0x00010000L) ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(0x40000000L)
+    // movie-level durations are 0 in fragmented files: the moov is
+    // written before any fragment exists; readers derive duration
+    val mvhd = box("mvhd", vf0, be32(0) ++ be32(0), be32(spec.timescale),
+      be32(0), be32(0x00010000L), be16(0x0100), be16(0), be32(0), be32(0),
+      identityMatrix, new Array[Byte](24), be32(2))
+    val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7),
+      be32(0) ++ be32(0), be32(1), be32(0), be32(0),
+      be32(0) ++ be32(0), be16(0), be16(0), be16(0), be16(0),
+      identityMatrix,
+      be32(spec.width.toLong << 16), be32(spec.height.toLong << 16))
+    val edts =
+      if (spec.elstMediaTime < 0) Array.emptyByteArray
+      else box("edts", box("elst", vf0, be32(1),
+        be32(duration), be32(spec.elstMediaTime), be16(1), be16(0)))
+    val mdhd = box("mdhd", vf0, be32(0) ++ be32(0), be32(spec.timescale),
+      be32(0), be16(0x55c4), be16(0))
+    val hdlr = box("hdlr", vf0, be32(0), fourcc("vide"),
+      new Array[Byte](12), Array[Byte](0))
+    val sampleEntry = box("mp4v", new Array[Byte](6), be16(1),
+      new Array[Byte](16), be16(spec.width), be16(spec.height),
+      be32(0x00480000L), be32(0x00480000L), be32(0), be16(1),
+      new Array[Byte](32), be16(24), be16(0xffff))
+    val stbl = box("stbl",
+      box("stsd", vf0, be32(1), sampleEntry),
+      box("stts", vf0, be32(0)),
+      box("stsz", vf0, be32(0), be32(0)),
+      box("stsc", vf0, be32(0)),
+      box("stco", vf0, be32(0)))
+    val vmhd = box("vmhd", Array[Byte](0, 0, 0, 1),
+      be16(0), be16(0), be16(0), be16(0))
+    val dinf = box("dinf", box("dref", vf0, be32(1),
+      box("url ", Array[Byte](0, 0, 0, 1))))
+    val minf = box("minf", vmhd, dinf, stbl)
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val trak = box("trak", tkhd +: (if (edts.isEmpty) Seq(mdia)
+      else Seq(edts, mdia)): _*)
+    val trex = box("trex", vf0, be32(1), be32(1),
+      be32(spec.sampleDelta), be32(0), be32(NonSyncFlags))
+    val moov = box("moov", mvhd, trak, box("mvex", trex))
+
+    val out = new scala.collection.mutable.ArrayBuffer[Byte](
+      ftyp.length + moov.length)
+    out ++= ftyp
+    out ++= moov
+    var globalIdx = 0
+    def isSync(g: Int): Boolean = (g - 1) % spec.syncEvery == 0
+    for ((sizes, fi) <- spec.fragmentSizes.zipWithIndex) {
+      val gBase = globalIdx
+      // split into truns (first gets the data offset; later ones ride
+      // the parser's continuation cursor)
+      val per = math.max(1, math.ceil(sizes.size.toDouble /
+        spec.trunsPerFragment).toInt)
+      val runs = sizes.grouped(per).toVector
+      // compact flag form iff every sync sample heads a trun
+      val compactOk = (1 to sizes.size).forall { li =>
+        !isSync(gBase + li) || (li - 1) % per == 0
+      }
+      def trunBytes(runIdx: Int, run: Seq[Int], runGBase: Int,
+          dataOffset: Long): Array[Byte] = {
+        val withOffset = runIdx == 0
+        val flags =
+          (if (withOffset) 0x1L else 0L) |
+            0x200L |
+            (if (compactOk) (if (isSync(runGBase + 1)) 0x4L else 0L)
+             else 0x400L)
+        val head = Array[Byte](0, ((flags >> 16) & 0xff).toByte,
+          ((flags >> 8) & 0xff).toByte, (flags & 0xff).toByte)
+        val offField = if (withOffset) be32(dataOffset) else Array.emptyByteArray
+        val fsf = if (compactOk && isSync(runGBase + 1))
+          be32(SyncFlags) else Array.emptyByteArray
+        val body = run.zipWithIndex.flatMap { case (sz, li) =>
+          val g = runGBase + li + 1
+          be32(sz.toLong) ++ (if (compactOk) Array.emptyByteArray
+            else be32(if (isSync(g)) SyncFlags else NonSyncFlags))
+        }.toArray
+        box("trun", head, be32(run.size.toLong), offField, fsf, body)
+      }
+      def moofBytes(dataOffset: Long, baseDataOffset: Option[Long]): Array[Byte] = {
+        val tfFlags = 0x8L | 0x20L |
+          (if (baseDataOffset.isDefined) 0x1L else 0x20000L)
+        val tfhd = box("tfhd",
+          Array[Byte](0, ((tfFlags >> 16) & 0xff).toByte,
+            ((tfFlags >> 8) & 0xff).toByte, (tfFlags & 0xff).toByte),
+          be32(1),
+          baseDataOffset.map(be64).getOrElse(Array.emptyByteArray),
+          be32(spec.sampleDelta), be32(NonSyncFlags))
+        val tfdt = box("tfdt", vf0, be32(gBase.toLong * spec.sampleDelta))
+        var runG = gBase
+        val truns = runs.zipWithIndex.map { case (run, ri) =>
+          val t = trunBytes(ri, run, runG, dataOffset)
+          runG += run.size
+          t
+        }
+        box("moof", box("mfhd", vf0, be32(fi + 1L)),
+          box("traf", tfhd +: tfdt +: truns: _*))
+      }
+      // two-pass: the data offset depends on the moof's own size, and
+      // every field is fixed-width, so a placeholder pass sizes it
+      val moofStart = out.length.toLong
+      val probe = moofBytes(0L, if (spec.explicitBaseOffset) Some(0L) else None)
+      val dataOffset = probe.length + 8L // moof, then mdat header
+      val moof = moofBytes(dataOffset,
+        if (spec.explicitBaseOffset) Some(moofStart) else None)
+      require(moof.length == probe.length, "placeholder pass drifted")
+      val payload = new Array[Byte](sizes.sum)
+      var off = 0
+      for (li <- 1 to sizes.size) {
+        val g = gBase + li
+        java.util.Arrays.fill(payload, off, off + sizes(li - 1), spec.fill(g))
+        off += sizes(li - 1)
+      }
+      out ++= moof
+      out ++= box("mdat", payload)
+      globalIdx += sizes.size
+    }
+    out.toArray
   }
 }

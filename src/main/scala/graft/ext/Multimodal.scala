@@ -413,6 +413,69 @@ object Multimodal {
     }).toDF("doc_id", "bytes", "mime")
   }
 
+  /** One deterministic FRAGMENTED MP4 (moov/mvex + moof/mdat) per id —
+    * the streaming-era layout real crawls contain. Same registry
+    * placement rule as [[syntheticVideoMedia]]. Closed form per id:
+    * (1 + id%4) fragments of (2 + id%5) samples each; global sample i
+    * (1-based) is 40+((id+i)%50) bytes of byte value (id*3+i)%251,
+    * keyframe every 3rd sample; 16*(1+id%20) x 16*(1+id%12) at 25 fps,
+    * timescale 1000. Muxer-path variety is id-keyed so the corpus
+    * covers every parser branch: explicit tfhd base_data_offset when
+    * id%3==0 (default-base-is-moof otherwise), 2 truns per fragment
+    * when id is odd, an elst with media_time 40 when id%5==0.
+    */
+  def fragVideoBytes(id: Long): Array[Byte] = {
+    val frags = (1 + id % 4).toInt
+    val spf = (2 + id % 5).toInt
+    Mp4.writeFragmented(Mp4.FragBuildSpec(
+      width = (16 * (1 + id % 20)).toInt,
+      height = (16 * (1 + id % 12)).toInt,
+      fragmentSizes = Seq.tabulate(frags)(f =>
+        Seq.tabulate(spf) { j =>
+          val i = f * spf + j + 1
+          (40 + ((id + i) % 50)).toInt
+        }),
+      syncEvery = 3,
+      fill = i => ((id * 3 + i) % 251).toByte,
+      explicitBaseOffset = id % 3 == 0,
+      trunsPerFragment = if (id % 2 == 1) 2 else 1,
+      elstMediaTime = if (id % 5 == 0) 40L else -1L))
+  }
+
+  /** Fragmented-only media frame (see [[fragVideoBytes]]). */
+  def syntheticFragVideoMedia(ids: Dataset[java.lang.Long]): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions(_.map { boxed =>
+      val id = boxed.longValue()
+      (id, fragVideoBytes(id), "video/mp4")
+    }).toDF("doc_id", "bytes", "mime")
+  }
+
+  /** MIXED-layout corpus — what a crawled video shard actually looks
+    * like: even ids get the progressive single-moov file
+    * ([[syntheticVideoMedia]]'s closed form), odd ids the fragmented
+    * one ([[fragVideoBytes]]). One parse path must serve both.
+    */
+  def syntheticMixedVideoMedia(ids: Dataset[java.lang.Long]): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions(_.map { boxed =>
+      val id = boxed.longValue()
+      val bytes =
+        if (id % 2 == 0) {
+          val n = (1 + (id % 7) * 3).toInt
+          Mp4.write(Mp4.BuildSpec(
+            width = (16 * (1 + id % 20)).toInt,
+            height = (16 * (1 + id % 12)).toInt,
+            sampleSizes = (1 to n).map(i => (50 + ((id + i) % 64)).toInt),
+            syncEvery = 3,
+            fill = i => ((id + i) % 251).toByte))
+        } else fragVideoBytes(id)
+      (id, bytes, "video/mp4")
+    }).toDF("doc_id", "bytes", "mime")
+  }
+
   /** Keyframe rows — one output row per sync sample, cut at the
     * container-declared windows: (doc_id, kf_idx, frame). Non-video
     * payloads contribute nothing.
@@ -431,7 +494,8 @@ object Multimodal {
   final case class VideoMeta(
       doc_id: Long, brand: String, codec: String, width: Long, height: Long,
       n_samples: Long, n_keyframes: Long, duration_ms: Long,
-      total_sample_bytes: Long, kf1_size: Long, kf1_first_byte: Long)
+      total_sample_bytes: Long, kf1_size: Long, kf1_first_byte: Long,
+      media_time: Long)
 
   /** Container-metadata stage for video media: parse each payload's
     * ISO-BMFF boxes and emit the first video track's dimensions, codec,
@@ -461,7 +525,8 @@ object Multimodal {
                     t.sampleCount.toLong, t.keyframeCount.toLong,
                     m.durationMs,
                     t.samples.map(_.size).sum,
-                    kf.size, (b(kf.offset.toInt) & 0xff).toLong)
+                    kf.size, (b(kf.offset.toInt) & 0xff).toLong,
+                    t.mediaTimeOffset)
               }
             }
         }

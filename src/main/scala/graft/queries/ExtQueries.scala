@@ -1245,6 +1245,35 @@ object ExtQueries {
     "q_video_meta" -> ((s, dir) =>
       Multimodal.videoMeta(videoMedia(s, dir)).toDF().orderBy("doc_id")),
 
+    // MIXED-layout corpus: even docs progressive (single-moov), odd
+    // docs FRAGMENTED (moov/mvex + moof/traf/trun — the streaming-era
+    // layout), with id-keyed muxer variety (explicit base_data_offset
+    // vs default-base-is-moof, 1 vs 2 truns per fragment, elst on
+    // id%5==0). One videoMeta pass serves both layouts; media_time
+    // witnesses the edit-list parse.
+    "q_video_frag" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.videoMeta(Multimodal.syntheticMixedVideoMedia(
+        docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+          .select("doc_id").as[java.lang.Long]))
+        .toDF().orderBy("doc_id")
+    }),
+
+    // Frame sampling over the FRAGMENTED corpus: every 2nd sample cut
+    // at the moof/trun-declared windows — proves the fragment offset
+    // math end-to-end (frame_len + first_byte read back at the window).
+    "q_video_frag_frames" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.sampleFrames(Multimodal.syntheticFragVideoMedia(
+        docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+          .select("doc_id").as[java.lang.Long]), stride = 2)
+        .select(col("doc_id"), col("frame_idx"),
+          octet_length(col("frame")).cast("long").as("frame_len"),
+          conv(hex(substring(col("frame"), 1, 1)), 16, 10).cast("long")
+            .as("first_byte"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // Frame sampling on the REAL path: every 2nd sample of each doc's
     // MP4, cut at the container-declared byte boundaries. frame_len and
     // first_byte witness both the stride arithmetic and the windows.
@@ -3432,8 +3461,53 @@ object ExtQueries {
         |  (40 * p.n)::BIGINT AS duration_ms,
         |  tot.total_sample_bytes,
         |  (50 + (p.doc_id + 1) % 64)::BIGINT AS kf1_size,
-        |  ((p.doc_id + 1) % 251)::BIGINT AS kf1_first_byte
+        |  ((p.doc_id + 1) % 251)::BIGINT AS kf1_first_byte,
+        |  0::BIGINT AS media_time
         |FROM p JOIN tot USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+
+    // the mixed-layout corpus: even ids use the progressive spec
+    // arithmetic above, odd ids the fragmented spec —
+    // n = (1+id%4)*(2+id%5) samples of 40+((id+i)%50) bytes filled with
+    // (id*3+i)%251, keyframes every 3rd, elst media_time 40 on id%5==0
+    "q_video_frag" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id % 7) * 3
+        |         ELSE (1 + doc_id % 4) * (2 + doc_id % 5)
+        |    END::BIGINT AS n
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |sz AS (SELECT doc_id, n, unnest(generate_series(1, n)) AS i FROM p),
+        |tot AS (SELECT doc_id,
+        |    sum(CASE WHEN doc_id % 2 = 0 THEN 50 + (doc_id + i) % 64
+        |             ELSE 40 + (doc_id + i) % 50 END)::BIGINT
+        |      AS total_sample_bytes
+        |  FROM sz GROUP BY doc_id)
+        |SELECT p.doc_id,
+        |  CASE WHEN p.doc_id % 2 = 0 THEN 'isom' ELSE 'iso5' END AS brand,
+        |  'mp4v' AS codec,
+        |  (16 * (1 + p.doc_id % 20))::BIGINT AS width,
+        |  (16 * (1 + p.doc_id % 12))::BIGINT AS height,
+        |  p.n AS n_samples,
+        |  ((p.n + 2) // 3)::BIGINT AS n_keyframes,
+        |  (40 * p.n)::BIGINT AS duration_ms,
+        |  tot.total_sample_bytes,
+        |  CASE WHEN p.doc_id % 2 = 0 THEN 50 + (p.doc_id + 1) % 64
+        |       ELSE 40 + (p.doc_id + 1) % 50 END::BIGINT AS kf1_size,
+        |  CASE WHEN p.doc_id % 2 = 0 THEN (p.doc_id + 1) % 251
+        |       ELSE (p.doc_id * 3 + 1) % 251 END::BIGINT AS kf1_first_byte,
+        |  CASE WHEN p.doc_id % 2 = 1 AND p.doc_id % 5 = 0 THEN 40
+        |       ELSE 0 END::BIGINT AS media_time
+        |FROM p JOIN tot USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+
+    // fragmented-only frame sampling, stride 2 over global sample index
+    "q_video_frag_frames" ->
+      """WITH p AS (SELECT doc_id,
+        |    ((1 + doc_id % 4) * (2 + doc_id % 5))::BIGINT AS n
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |s AS (SELECT doc_id, unnest(generate_series(1, n, 2)) AS i FROM p)
+        |SELECT doc_id, ((i - 1) // 2)::BIGINT AS frame_idx,
+        |  (40 + (doc_id + i) % 50)::BIGINT AS frame_len,
+        |  ((doc_id * 3 + i) % 251)::BIGINT AS first_byte
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_video_frames" ->
       """WITH p AS (SELECT doc_id, (1 + (doc_id % 7) * 3)::BIGINT AS n

@@ -157,6 +157,101 @@ class Mp4Spec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.sampleFrames(media, 2).count() > 0)
   }
 
+  // ---- fragmented (moof/traf/trun) ----
+
+  private def fragSpec(frags: Seq[Int], explicitBase: Boolean = false,
+      truns: Int = 1, elst: Long = -1L, syncEvery: Int = 3) =
+    Mp4.FragBuildSpec(
+      width = 320, height = 176,
+      fragmentSizes = {
+        var g = 0
+        frags.map { k => val s = (1 to k).map(i => 50 + (g + i) % 64); g += k; s }
+      },
+      syncEvery = syncEvery,
+      fill = i => (i % 251).toByte,
+      explicitBaseOffset = explicitBase,
+      trunsPerFragment = truns,
+      elstMediaTime = elst)
+
+  private def fragRoundtrip(s: Mp4.FragBuildSpec): Mp4.Track = {
+    val bytes = Mp4.writeFragmented(s)
+    assert(Mp4.isMp4(bytes))
+    val meta = Mp4.parse(bytes).getOrElse(fail("frag parse returned None"))
+    assert(meta.majorBrand == "iso5")
+    val n = s.fragmentSizes.map(_.size).sum
+    assert(meta.durationMs == s.sampleDelta * n * 1000 / s.timescale,
+      "movie duration must derive from fragment runs when mvhd says 0")
+    val t = meta.videoTracks.headOption.getOrElse(fail("no video track"))
+    assert(t.fragmented)
+    assert(t.width == s.width && t.height == s.height)
+    assert(t.sampleCount == n)
+    assert(t.duration == s.sampleDelta * n)
+    val wantSizes = s.fragmentSizes.flatten.map(_.toLong).toVector
+    assert(t.samples.map(_.size) == wantSizes)
+    assert(t.samples.map(_.index) == (1 to n).toVector)
+    assert(t.samples.map(_.sync) ==
+      (1 to n).map(i => (i - 1) % s.syncEvery == 0).toVector)
+    // decisive: every declared window reads back exactly its fill byte
+    for (smp <- t.samples) {
+      val w = bytes.slice(smp.offset.toInt, (smp.offset + smp.size).toInt)
+      assert(w.length == smp.size)
+      assert(w.forall(_ == s.fill(smp.index)),
+        s"frag sample ${smp.index} window reads the wrong bytes")
+    }
+    t
+  }
+
+  test("fragmented roundtrip: multi-fragment, default-base-is-moof, " +
+      "compact first-sample-flags (syncs head the fragments)") {
+    // 3-sample fragments with syncEvery=3: every fragment starts with
+    // a keyframe -> the muxer writes the compact flag form
+    fragRoundtrip(fragSpec(Seq(3, 3, 3)))
+  }
+
+  test("fragmented roundtrip: per-sample flags (syncs mid-fragment), " +
+      "ragged fragment lengths") {
+    fragRoundtrip(fragSpec(Seq(4, 1, 5, 2)))
+  }
+
+  test("fragmented roundtrip: explicit tfhd base_data_offset") {
+    fragRoundtrip(fragSpec(Seq(3, 6), explicitBase = true))
+  }
+
+  test("fragmented roundtrip: multiple truns per fragment (continuation " +
+      "cursor, no data offset on later truns)") {
+    fragRoundtrip(fragSpec(Seq(6, 9), truns = 3))
+    fragRoundtrip(fragSpec(Seq(7), truns = 2)) // ragged split
+  }
+
+  test("elst: mediaTimeOffset surfaces the edit list's media_time; " +
+      "byte windows are unmoved") {
+    val withElst = fragRoundtrip(fragSpec(Seq(3, 3), elst = 80L))
+    assert(withElst.mediaTimeOffset == 80L)
+    val without = fragRoundtrip(fragSpec(Seq(3, 3)))
+    assert(without.mediaTimeOffset == 0L)
+    assert(withElst.samples.map(_.size) == without.samples.map(_.size))
+    // progressive files default to 0 too
+    assert(roundtrip(spec(5)).mediaTimeOffset == 0L)
+  }
+
+  test("fragmented hostile input fails closed: truncations at moof/trun " +
+      "granularity and hostile trun sample_count") {
+    val good = Mp4.writeFragmented(fragSpec(Seq(3, 3, 3)))
+    for (cut <- Seq(4, 11, 20, good.length / 3, good.length / 2,
+        good.length - 8))
+      Mp4.parse(good.take(cut)) // no throw; partial moofs may drop
+    // hostile trun sample_count: bound must reject before looping
+    val evil = good.clone()
+    val tz = tagIndexOf(evil, "trun")
+    putU32(evil, tz + 8, 0x7fffffffL)
+    assert(Mp4.parse(evil).isEmpty ||
+      Mp4.parse(evil).get.videoTracks.forall(_.samples.size < 10),
+      "hostile trun count must not be believed")
+    // frame cutters treat a truncated frag file as unparseable
+    val shortened = good.take(good.length - 8)
+    assert(Multimodal.frameSample(shortened, 1).forall(_ => true)) // no throw
+  }
+
   test("structural golden: pinned offsets + md5 (hand-checked box layout)") {
     val s = Mp4.BuildSpec(width = 320, height = 176,
       sampleSizes = Seq(10, 20, 30), syncEvery = 3, samplesPerChunk = 2,
