@@ -256,6 +256,7 @@ object Multimodal {
           .when(lower(col("path")).endsWith(".bmp"), "image/bmp")
           .when(lower(col("path")).endsWith(".wav"), "audio/wav")
           .when(lower(col("path")).rlike("\\.(mp4|m4v|mov)$"), "video/mp4")
+          .when(lower(col("path")).rlike("\\.(webm|mkv)$"), "video/webm")
           .otherwise("application/octet-stream").as("mime"),
         col("path"))
   }
@@ -317,6 +318,20 @@ object Multimodal {
       .filter(_.samples.forall(s =>
         s.offset >= 0 && s.offset + s.size <= bytes.length))
 
+  /** The WebM twin of [[completeVideoTrack]]: parsed meta + video
+    * track + that track's SimpleBlocks, but only when there IS a video
+    * track with at least one block and every declared frame window
+    * lies inside the payload (same truncation = unparseable contract).
+    */
+  private def completeWebmVideo(bytes: Array[Byte])
+      : Option[(Webm.Meta, Webm.VideoTrack, Vector[Webm.Block])] =
+    Webm.parse(bytes).flatMap { m =>
+      m.videoTrack.map(t => (m, t, m.videoBlocks)).filter {
+        case (_, _, bs) => bs.nonEmpty && bs.forall(b =>
+          b.offset >= 0 && b.offset + b.size <= bytes.length)
+      }
+    }
+
   /** REAL frame sampling for ISO-BMFF video: every `stride`-th sample
     * of the first video track, cut at the exact byte windows the
     * container's sample tables declare (stsz/stsc/stco — see
@@ -333,8 +348,13 @@ object Multimodal {
         .collect { case (s, i) if i % stride == 0 =>
           java.util.Arrays.copyOfRange(bytes, s.offset.toInt,
             (s.offset + s.size).toInt)
-        }
-    }
+        }: Seq[Array[Byte]]
+    }.orElse(completeWebmVideo(bytes).map { case (_, _, bs) =>
+      bs.zipWithIndex.collect { case (b, i) if i % stride == 0 =>
+        java.util.Arrays.copyOfRange(bytes, b.offset.toInt,
+          (b.offset + b.size).toInt)
+      }
+    })
   }
 
   /** Keyframes only — the standard cheap video summarization cut:
@@ -348,8 +368,14 @@ object Multimodal {
         case s if s.sync =>
           java.util.Arrays.copyOfRange(bytes, s.offset.toInt,
             (s.offset + s.size).toInt)
+      }: Seq[Array[Byte]]
+    }.orElse(completeWebmVideo(bytes).map { case (_, _, bs) =>
+      bs.collect {
+        case b if b.keyframe =>
+          java.util.Arrays.copyOfRange(bytes, b.offset.toInt,
+            (b.offset + b.size).toInt)
       }
-    }
+    })
 
   /** Resize stage over the media column (mapPartitions, codec init
     * amortized per partition): real AWT scaling for decodable images,
@@ -513,24 +539,72 @@ object Multimodal {
     import spark.implicits._
     media.select("doc_id", "bytes").as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, b) =>
-        Mp4.parse(b).flatMap { m =>
-          m.videoTracks.headOption
-            .filter(_.samples.forall(s =>
-              s.offset >= 0 && s.offset + s.size <= b.length))
-            .flatMap { t =>
-              t.samples.find(_.sync).collect {
-                case kf if kf.size > 0 =>
-                  VideoMeta(id, m.majorBrand, t.codec,
-                    t.width.toLong, t.height.toLong,
-                    t.sampleCount.toLong, t.keyframeCount.toLong,
-                    m.durationMs,
-                    t.samples.map(_.size).sum,
-                    kf.size, (b(kf.offset.toInt) & 0xff).toLong,
-                    t.mediaTimeOffset)
-              }
-            }
-        }
+        mp4VideoMeta(id, b).orElse(webmVideoMeta(id, b))
       })
+  }
+
+  private def mp4VideoMeta(id: Long, b: Array[Byte]): Option[VideoMeta] =
+    Mp4.parse(b).flatMap { m =>
+      m.videoTracks.headOption
+        .filter(_.samples.forall(s =>
+          s.offset >= 0 && s.offset + s.size <= b.length))
+        .flatMap { t =>
+          t.samples.find(_.sync).collect {
+            case kf if kf.size > 0 =>
+              VideoMeta(id, m.majorBrand, t.codec,
+                t.width.toLong, t.height.toLong,
+                t.sampleCount.toLong, t.keyframeCount.toLong,
+                m.durationMs,
+                t.samples.map(_.size).sum,
+                kf.size, (b(kf.offset.toInt) & 0xff).toLong,
+                t.mediaTimeOffset)
+          }
+        }
+    }
+
+  /** WebM rows fill the same [[VideoMeta]] shape: brand = EBML DocType,
+    * codec = the track's CodecID, samples = the video track's
+    * SimpleBlocks, keyframes = blocks with the keyframe flag; the kf1
+    * witness reads the first keyframe's payload byte back at the
+    * block-declared window. WebM has no edit list: media_time = 0.
+    */
+  private def webmVideoMeta(id: Long, b: Array[Byte]): Option[VideoMeta] =
+    completeWebmVideo(b).flatMap { case (m, t, bs) =>
+      bs.find(_.keyframe).collect {
+        case kf if kf.size > 0 =>
+          VideoMeta(id, m.docType, t.codec,
+            t.width.toLong, t.height.toLong,
+            bs.size.toLong, bs.count(_.keyframe).toLong,
+            m.durationMs,
+            bs.map(_.size).sum,
+            kf.size, (b(kf.offset.toInt) & 0xff).toLong,
+            0L)
+      }
+    }
+
+  /** One deterministic single-video-track WebM per id (same registry
+    * placement rule as [[syntheticVideoMedia]]). Closed form per id:
+    * n = 2 + (id%9) SimpleBlocks, block i (1-based) is 30+((id+2*i)%40)
+    * bytes of byte value (id*7+i)%251, keyframe every 4th block, 4
+    * blocks per cluster, 32*(1+id%10) x 32*(1+id%6), V_VP9, 40 ms per
+    * block at the 1 ms default timecode scale; ids divisible by 2 use
+    * the unknown-size (streaming) Segment form.
+    */
+  def syntheticWebmMedia(ids: Dataset[java.lang.Long]): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions(_.map { boxed =>
+      val id = boxed.longValue()
+      val n = (2 + id % 9).toInt
+      val bytes = Webm.write(Webm.BuildSpec(
+        width = (32 * (1 + id % 10)).toInt,
+        height = (32 * (1 + id % 6)).toInt,
+        blockSizes = (1 to n).map(i => (30 + ((id + 2 * i) % 40)).toInt),
+        keyEvery = 4,
+        fill = i => ((id * 7 + i) % 251).toByte,
+        unknownSizeSegment = id % 2 == 0))
+      (id, bytes, "video/webm")
+    }).toDF("doc_id", "bytes", "mime")
   }
 
   /** Partition-wise feature extraction over the media column: real

@@ -1259,6 +1259,20 @@ object ExtQueries {
         .toDF().orderBy("doc_id")
     }),
 
+    // WebM/EBML container parsing (graft.ext.Webm): each doc becomes a
+    // deterministic single-video-track WebM (EBML header, Segment with
+    // Info/Tracks/Clusters of SimpleBlocks; even ids use the
+    // unknown-size streaming Segment), then the SAME videoMeta pass
+    // that serves MP4 parses the elements back — brand is the EBML
+    // DocType, kf1_* read back at the SimpleBlock-declared windows.
+    "q_video_webm" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.videoMeta(Multimodal.syntheticWebmMedia(
+        docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+          .select("doc_id").as[java.lang.Long]))
+        .toDF().orderBy("doc_id")
+    }),
+
     // Frame sampling over the FRAGMENTED corpus: every 2nd sample cut
     // at the moof/trun-declared windows — proves the fragment offset
     // math end-to-end (frame_len + first_byte read back at the window).
@@ -3496,6 +3510,29 @@ object ExtQueries {
         |       ELSE (p.doc_id * 3 + 1) % 251 END::BIGINT AS kf1_first_byte,
         |  CASE WHEN p.doc_id % 2 = 1 AND p.doc_id % 5 = 0 THEN 40
         |       ELSE 0 END::BIGINT AS media_time
+        |FROM p JOIN tot USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+
+    // the WebM muxer's spec arithmetic recomputed: n = 2+(id%9) blocks
+    // of 30+((id+2i)%40) bytes filled with (id*7+i)%251, keyframes at
+    // blocks 1, 5, 9, ... (keyEvery 4), 40 ms per block
+    "q_video_webm" ->
+      """WITH p AS (SELECT doc_id, (2 + doc_id % 9)::BIGINT AS n
+        |           FROM documents WHERE doc_id IS NOT NULL),
+        |sz AS (SELECT doc_id, unnest(generate_series(1, n)) AS i FROM p),
+        |tot AS (SELECT doc_id,
+        |          sum(30 + (doc_id + 2 * i) % 40)::BIGINT
+        |            AS total_sample_bytes
+        |        FROM sz GROUP BY doc_id)
+        |SELECT p.doc_id, 'webm' AS brand, 'V_VP9' AS codec,
+        |  (32 * (1 + p.doc_id % 10))::BIGINT AS width,
+        |  (32 * (1 + p.doc_id % 6))::BIGINT AS height,
+        |  p.n AS n_samples,
+        |  ((p.n + 3) // 4)::BIGINT AS n_keyframes,
+        |  (40 * p.n)::BIGINT AS duration_ms,
+        |  tot.total_sample_bytes,
+        |  (30 + (p.doc_id + 2) % 40)::BIGINT AS kf1_size,
+        |  ((p.doc_id * 7 + 1) % 251)::BIGINT AS kf1_first_byte,
+        |  0::BIGINT AS media_time
         |FROM p JOIN tot USING (doc_id) ORDER BY p.doc_id""".stripMargin,
 
     // fragmented-only frame sampling, stride 2 over global sample index
