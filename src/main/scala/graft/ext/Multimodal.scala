@@ -624,6 +624,80 @@ object Multimodal {
       }
   }
 
+  final case class AudioMetaRow(
+      doc_id: Long, format: String, codec: String, sample_rate: Long,
+      channels: Long, duration_ms: Long, n_units: Long)
+
+  /** Container-metadata stage for audio media: real header parses for
+    * every pure-byte public format ([[Audio]] — MP3 frame walk, FLAC
+    * STREAMINFO, OGG pages with Vorbis/Opus id headers, WAV RIFF).
+    * Rows no parser accepts are dropped (they belong to other
+    * modalities). `n_units` is the format's natural count (MP3 frames,
+    * WAV/FLAC samples per channel, OGG pages).
+    */
+  def audioMeta(media: DataFrame): Dataset[AudioMetaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        Audio.parse(b).map(i => AudioMetaRow(id, i.format, i.codec,
+          i.sampleRate, i.channels, i.durationMs, i.units))
+      })
+  }
+
+  /** One deterministic audio file per id, format by id%4 (same registry
+    * placement rule as [[syntheticVideoMedia]]) — the q_audio_meta
+    * oracle recomputes every field in SQL:
+    *  - 0 -> MP3: 3+(id%6) MPEG-1 L3 frames at 44100 Hz, bitrate index
+    *    9+(id%3) (128/160/192 kbps), mono iff id%8==0;
+    *  - 1 -> WAV: 16-bit PCM, 8000*(1+id%3) Hz, mono iff id%8==1,
+    *    200+(id%50) samples per channel;
+    *  - 2 -> FLAC: 32000+(id%3)*8000 Hz, 1+((id/4)%2) channels,
+    *    5000+(id*13)%20000 total samples;
+    *  - 3 -> OGG: Opus iff id%8==7 (48 kHz, pre-skip 312, granule
+    *    312+960*k) else Vorbis (44100 Hz, granule 4410*k), k=2+(id%5),
+    *    stereo, 2+(id%3) data pages after the BOS id page.
+    */
+  def syntheticAudioMedia(ids: Dataset[java.lang.Long]): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions(_.map { boxed =>
+      val id = boxed.longValue()
+      val bytes = (id % 4) match {
+        case 0 =>
+          Audio.writeMp3(frames = (3 + id % 6).toInt,
+            bitrateIdx = (9 + id % 3).toInt, rateIdx = 0,
+            mono = id % 8 == 0, fill = i => ((id + i) % 251).toByte)
+        case 1 =>
+          Audio.writeWav(rate = (8000 * (1 + id % 3)).toInt,
+            channels = if (id % 8 == 1) 1 else 2,
+            nPerChannel = (200 + id % 50).toInt,
+            fill = i => ((id + i) % 251).toByte)
+        case 2 =>
+          Audio.writeFlac(rate = (32000 + (id % 3) * 8000).toInt,
+            channels = (1 + (id / 4) % 2).toInt,
+            totalSamples = 5000 + (id * 13) % 20000,
+            fill = i => ((id + i) % 251).toByte)
+        case _ =>
+          val k = 2 + id % 5
+          val opus = id % 8 == 7
+          Audio.writeOgg(opus = opus, channels = 2,
+            rate = if (opus) 48000L else 44100L,
+            preSkip = 312,
+            finalGranule = if (opus) 312 + 960 * k else 4410 * k,
+            dataPages = (2 + id % 3).toInt,
+            fill = i => ((id + i) % 251).toByte)
+      }
+      val mime = (id % 4) match {
+        case 0 => "audio/mpeg"
+        case 1 => "audio/wav"
+        case 2 => "audio/flac"
+        case _ => "audio/ogg"
+      }
+      (id, bytes, mime)
+    }).toDF("doc_id", "bytes", "mime")
+  }
+
   /** Partition-wise audio feature extraction: real WAV/PCM parse; rows
     * whose payload is not WAV are dropped (they belong to other
     * modalities).

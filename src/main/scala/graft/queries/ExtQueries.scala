@@ -1259,6 +1259,19 @@ object ExtQueries {
         .toDF().orderBy("doc_id")
     }),
 
+    // Real audio header parsing (graft.ext.Audio): each doc becomes a
+    // deterministic audio file — format cycling mp3/wav/flac/ogg by
+    // id%4 (MPEG-1 L3 frame walk, RIFF, STREAMINFO bit unpack, OGG
+    // page walk with Vorbis/Opus id headers + real page CRCs) — then
+    // audioMeta parses the headers back; every field closed-form.
+    "q_audio_meta" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.audioMeta(Multimodal.syntheticAudioMedia(
+        docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+          .select("doc_id").as[java.lang.Long]))
+        .toDF().orderBy("doc_id")
+    }),
+
     // WebM/EBML container parsing (graft.ext.Webm): each doc becomes a
     // deterministic single-video-track WebM (EBML header, Segment with
     // Info/Tracks/Clusters of SimpleBlocks; even ids use the
@@ -3511,6 +3524,46 @@ object ExtQueries {
         |  CASE WHEN p.doc_id % 2 = 1 AND p.doc_id % 5 = 0 THEN 40
         |       ELSE 0 END::BIGINT AS media_time
         |FROM p JOIN tot USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+
+    // the audio muxers' spec arithmetic recomputed per format (see
+    // Multimodal.syntheticAudioMedia scaladoc): MP3 duration is
+    // frames*1152 samples at 44100 Hz; WAV/FLAC are samples/rate; OGG
+    // duration comes from the final granule (Opus: minus pre-skip, at
+    // the fixed 48 kHz tick rate)
+    "q_audio_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'mp3' WHEN 1 THEN 'wav'
+        |       WHEN 2 THEN 'flac' ELSE 'ogg' END AS format,
+        |  CASE doc_id % 4 WHEN 0 THEN 'mp3' WHEN 1 THEN 'pcm_s16le'
+        |       WHEN 2 THEN 'flac'
+        |       ELSE CASE WHEN doc_id % 8 = 7 THEN 'opus'
+        |                 ELSE 'vorbis' END END AS codec,
+        |  CASE doc_id % 4 WHEN 0 THEN 44100
+        |       WHEN 1 THEN 8000 * (1 + doc_id % 3)
+        |       WHEN 2 THEN 32000 + (doc_id % 3) * 8000
+        |       ELSE CASE WHEN doc_id % 8 = 7 THEN 48000
+        |            ELSE 44100 END END::BIGINT AS sample_rate,
+        |  CASE doc_id % 4
+        |       WHEN 0 THEN CASE WHEN doc_id % 8 = 0 THEN 1 ELSE 2 END
+        |       WHEN 1 THEN CASE WHEN doc_id % 8 = 1 THEN 1 ELSE 2 END
+        |       WHEN 2 THEN 1 + ((doc_id // 4) % 2)
+        |       ELSE 2 END::BIGINT AS channels,
+        |  CASE doc_id % 4
+        |       WHEN 0 THEN ((3 + doc_id % 6) * 1152 * 1000) // 44100
+        |       WHEN 1 THEN ((200 + doc_id % 50) * 1000)
+        |                   // (8000 * (1 + doc_id % 3))
+        |       WHEN 2 THEN ((5000 + (doc_id * 13) % 20000) * 1000)
+        |                   // (32000 + (doc_id % 3) * 8000)
+        |       ELSE CASE WHEN doc_id % 8 = 7 THEN 20 * (2 + doc_id % 5)
+        |            ELSE 100 * (2 + doc_id % 5) END
+        |  END::BIGINT AS duration_ms,
+        |  CASE doc_id % 4
+        |       WHEN 0 THEN 3 + doc_id % 6
+        |       WHEN 1 THEN 200 + doc_id % 50
+        |       WHEN 2 THEN 5000 + (doc_id * 13) % 20000
+        |       ELSE 3 + doc_id % 3 END::BIGINT AS n_units
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
 
     // the WebM muxer's spec arithmetic recomputed: n = 2+(id%9) blocks
     // of 30+((id+2i)%40) bytes filled with (id*7+i)%251, keyframes at

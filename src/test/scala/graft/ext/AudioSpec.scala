@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Audio header parsers/muxers (MP3 frame walk, FLAC STREAMINFO, OGG
+  * pages with Vorbis/Opus id headers, WAV): roundtrips with exact
+  * duration arithmetic, dispatch via Audio.parse, hostile input
+  * rejection.
+  */
+class AudioSpec extends AnyFunSuite with SparkTestBase {
+
+  test("mp3 roundtrip: frame count, rate, channels, duration") {
+    val b = Audio.writeMp3(frames = 5, bitrateIdx = 9, rateIdx = 0,
+      mono = false)
+    val i = Audio.parseMp3(b).getOrElse(fail("None for valid mp3"))
+    assert(i.format == "mp3" && i.codec == "mp3")
+    assert(i.sampleRate == 44100L && i.channels == 2L && i.units == 5L)
+    assert(i.durationMs == 5L * 1152 * 1000 / 44100) // 130
+    // frame length pinned: 144 * 128000 / 44100 = 417
+    assert(b.length == 5 * 417)
+    val mono = Audio.parseMp3(Audio.writeMp3(3, 11, 2, mono = true)).get
+    assert(mono.channels == 1L && mono.sampleRate == 32000L &&
+      mono.units == 3L)
+  }
+
+  test("flac roundtrip: bit-packed STREAMINFO incl. >16-bit totals") {
+    val b = Audio.writeFlac(rate = 48000, channels = 2,
+      totalSamples = 123456789L)
+    val i = Audio.parseFlac(b).getOrElse(fail("None for valid flac"))
+    assert(i.format == "flac" && i.sampleRate == 48000L &&
+      i.channels == 2L && i.units == 123456789L)
+    assert(i.durationMs == 123456789L * 1000 / 48000)
+    val odd = Audio.parseFlac(Audio.writeFlac(32000, 1, 5000L)).get
+    assert(odd.channels == 1L && odd.durationMs == 5000L * 1000 / 32000)
+  }
+
+  test("ogg vorbis: duration from the final granule at the id-header rate") {
+    val b = Audio.writeOgg(opus = false, channels = 2, rate = 44100L,
+      preSkip = 0, finalGranule = 44100L * 3, dataPages = 4)
+    val i = Audio.parseOgg(b).getOrElse(fail("None for valid ogg"))
+    assert(i.format == "ogg" && i.codec == "vorbis")
+    assert(i.sampleRate == 44100L && i.channels == 2L && i.units == 5L)
+    assert(i.durationMs == 3000L)
+  }
+
+  test("ogg opus: 48 kHz granule ticks minus pre-skip (RFC 7845)") {
+    val b = Audio.writeOgg(opus = true, channels = 2, rate = 48000L,
+      preSkip = 312, finalGranule = 312L + 960 * 4, dataPages = 2)
+    val i = Audio.parseOgg(b).getOrElse(fail("None for valid opus"))
+    assert(i.codec == "opus" && i.units == 3L)
+    assert(i.durationMs == 960L * 4 * 1000 / 48000) // 80 ms
+  }
+
+  test("wav rides the RIFF parser") {
+    val b = Audio.writeWav(rate = 16000, channels = 2, nPerChannel = 400)
+    val i = Audio.parseWav(b).getOrElse(fail("None for valid wav"))
+    assert(i.format == "wav" && i.codec == "pcm_s16le")
+    assert(i.sampleRate == 16000L && i.channels == 2L && i.units == 400L)
+    assert(i.durationMs == 400L * 1000 / 16000) // 25 ms
+  }
+
+  test("Audio.parse dispatches on magic; hostile input fails closed") {
+    assert(Audio.parse(Audio.writeMp3(2, 9, 0, mono = true)).get.format == "mp3")
+    assert(Audio.parse(Audio.writeFlac(44100, 1, 100L)).get.format == "flac")
+    assert(Audio.parse(Audio.writeOgg(opus = false, 2, 44100L, 0, 4410L,
+      1)).get.format == "ogg")
+    assert(Audio.parse(Audio.writeWav(8000, 1, 10)).get.format == "wav")
+    assert(Audio.parse(Array.emptyByteArray).isEmpty)
+    assert(Audio.parse("definitely not audio".getBytes("UTF-8")).isEmpty)
+    for (good <- Seq(Audio.writeMp3(4, 9, 0, mono = false),
+        Audio.writeFlac(44100, 2, 9999L),
+        Audio.writeOgg(opus = true, 2, 48000L, 312, 1272L, 2),
+        Audio.writeWav(8000, 2, 50))) {
+      for (cut <- Seq(1, 3, 10, good.length / 2, good.length - 3))
+        Audio.parse(good.take(cut)) // no throw is the assertion
+      val flipped = good.clone()
+      for (i <- Seq(0, 2, good.length / 3)) flipped(i) = 0x55.toByte
+      Audio.parse(flipped) // no throw
+    }
+  }
+
+  test("audioMeta stage: mixed-format corpus through one pass, non-audio " +
+      "rows dropped") {
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      (0L, Audio.writeMp3(3, 9, 0, mono = true), "audio/mpeg"),
+      (1L, Audio.writeWav(8000, 1, 200), "audio/wav"),
+      (2L, Audio.writeFlac(32000, 1, 5026L), "audio/flac"),
+      (3L, Audio.writeOgg(opus = false, 2, 44100L, 0, 4410L * 5, 2),
+        "audio/ogg"),
+      (4L, "plain text".getBytes("UTF-8"), "text/plain")))
+      .toDF("doc_id", "bytes", "mime")
+    val rows = Multimodal.audioMeta(media).collect().sortBy(_.doc_id)
+    assert(rows.map(_.doc_id).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(rows.map(_.format).toSeq == Seq("mp3", "wav", "flac", "ogg"))
+    assert(rows(3).duration_ms == 500L)
+  }
+}
