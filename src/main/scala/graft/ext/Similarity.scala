@@ -47,6 +47,39 @@ object Similarity {
     emb.select(col(idCol), q.as("qv")).withColumn("n2", norm2(col("qv")))
   }
 
+  /** Deterministic CLUSTERED embedding fixture, already in prepared
+    * form (vec_id, qv, n2): n vectors over 16 dims with 8 PLANTED
+    * orthogonal centroids — vector i belongs to cell i%8 (its two
+    * planted coordinates, positions i%8 and i%8+8, carry 1000 milli)
+    * plus closed-form integer noise ((i*37 + pos*101) % 201 − 100 ∈
+    * [−100, 100] milli on every coordinate). Geometry this induces:
+    * cell-mates sit at cosine ≈ 0.95 (production near-duplicate
+    * territory) while cross-cell pairs stay ≤ ~0.25 — so the semantic
+    * operators run at PRODUCTION thresholds (minCos ≥ 0.8) with the
+    * threshold actually firing, unlike the near-orthogonal synthetic
+    * `embeddings` table (max within-cell cosine ~0.49) that forces
+    * fixture-bent thresholds. Every value is a closed-form function of
+    * (vec_id, pos), so the DuckDB oracle rebuilds the identical
+    * vectors in SQL.
+    */
+  def clusteredFixture(spark: org.apache.spark.sql.SparkSession,
+      n: Int): DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0L), lit(15L)), pos =>
+        when(pos % 8 === col("id") % 8, lit(1000L)).otherwise(lit(0L)) +
+          pmod(col("id") * 37 + pos * 101, lit(201)) - 100).as("qv"))
+      .withColumn("n2", norm2(col("qv")))
+
+  /** The 8 noise-free planted centroids of [[clusteredFixture]], in
+    * prepared form — vec_id is the cell label.
+    */
+  def clusteredCentroids(
+      spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(8).select(col("id").as("vec_id"),
+      transform(sequence(lit(0L), lit(15L)), pos =>
+        when(pos % 8 === col("id"), lit(1000L)).otherwise(lit(0L))).as("qv"))
+      .withColumn("n2", norm2(col("qv")))
+
   /** Brute-force top-k cosine neighbors for a (small, broadcast) query
     * set against the full corpus.
     */

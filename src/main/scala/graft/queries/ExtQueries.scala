@@ -368,6 +368,34 @@ object ExtQueries {
       Similarity.recallAtK(approx, exact).orderBy("q_id")
     }),
 
+    // SemDeDup at the PRODUCTION threshold (minCos 0.85) over the
+    // clustered-geometry fixture (Similarity.clusteredFixture: planted
+    // orthogonal centroids + integer-milli noise, cell-mates at cosine
+    // ~0.95) — the threshold actually FIRES on planted neighbors here,
+    // unlike the near-orthogonal embeddings table that forces the
+    // fixture-bent 0.35 in q_semdedup. 512 vectors / 8 cells of 64:
+    // most of each cell drops; the oracle rebuilds the identical
+    // vectors closed-form and replays the same assignment/pair logic.
+    "q_semdedup_clustered" -> ((s, dir) => {
+      val p = Similarity.clusteredFixture(s, 512)
+      Similarity.semDedup(p, Similarity.clusteredCentroids(s),
+        minCos = 0.85, maxCell = 400)
+        .orderBy("vec_id")
+    }),
+
+    // IVF recall@2 on clustered geometry (the regime IVF is designed
+    // for — true neighbors share the query's cell), production shape:
+    // planted centroids, queries 8..12, brute-force ground truth.
+    "q_ann_recall_clustered" -> ((s, dir) => {
+      val p = Similarity.clusteredFixture(s, 512)
+      val assigned = Similarity.ivfAssign(p, Similarity.clusteredCentroids(s))
+      val approx = Similarity.ivfTopK(assigned,
+        col("vec_id").between(8, 12), k = 2)
+      val exact = Similarity.bruteForceTopK(p,
+        p.where(col("vec_id").between(8, 12)), k = 2)
+      Similarity.recallAtK(approx, exact).orderBy("q_id")
+    }),
+
     // --- end-to-end curation (quality gate → exact bag-dedup →
     //     verified near-dup removal), all stages oracle-proven ---
     "q_curation" -> ((s, dir) => {
@@ -2286,6 +2314,102 @@ object ExtQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** The clustered-geometry fixture rebuilt closed-form in SQL
+    * (Similarity.clusteredFixture/clusteredCentroids): vector i's
+    * coordinate at pos is 1000·[pos%8 = i%8] + ((i·37 + pos·101) % 201)
+    * − 100; centroids are the noise-free planted rows. Ends with
+    * `cp2(vec_id, qv, n2)` and `ccent(c_id, qv, n2)`.
+    */
+  private val clusteredSql =
+    """cfix AS (
+      |  SELECT i AS vec_id,
+      |    list(CASE WHEN pos % 8 = i % 8 THEN 1000 ELSE 0 END
+      |         + ((i * 37 + pos * 101) % 201) - 100 ORDER BY pos) AS qv
+      |  FROM range(512) t(i), range(16) u(pos) GROUP BY i),
+      |cp2 AS (SELECT vec_id, qv,
+      |    list_sum(list_transform(qv, x -> x * x))::BIGINT AS n2
+      |  FROM cfix),
+      |ccfix AS (
+      |  SELECT i AS c_id,
+      |    list(CASE WHEN pos % 8 = i THEN 1000 ELSE 0 END
+      |         ORDER BY pos) AS qv
+      |  FROM range(8) t(i), range(16) u(pos) GROUP BY i),
+      |ccent AS (SELECT c_id, qv,
+      |    list_sum(list_transform(qv, x -> x * x))::BIGINT AS n2
+      |  FROM ccfix)""".stripMargin
+
+  // semDedupOracle over the clustered fixture at the production
+  // threshold 0.85 (planted centroids instead of donor vectors)
+  private def semDedupClusteredOracle: String = {
+    val adot = dotSql.format("v.qv", "c.qv")
+    val pdot = dotSql.format("a.qv", "b.qv")
+    s"""WITH $clusteredSql,
+       |assign AS (
+       |  SELECT vec_id, qv, n2, c_id AS cell FROM (
+       |    SELECT v.vec_id, v.qv, v.n2, c.c_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ($adot)::DOUBLE / sqrt((v.n2 * c.n2)::DOUBLE) DESC,
+       |                 c.c_id) AS crk
+       |    FROM cp2 v, ccent c)
+       |  WHERE crk = 1),
+       |keep AS (
+       |  SELECT cell FROM assign GROUP BY cell
+       |  HAVING count(*) BETWEEN 2 AND 400),
+       |bounded AS (SELECT a.* FROM assign a JOIN keep USING (cell)),
+       |losers AS (
+       |  SELECT DISTINCT b.vec_id FROM bounded a JOIN bounded b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ($pdot)::DOUBLE / sqrt((a.n2 * b.n2)::DOUBLE) >= 0.85)
+       |SELECT vec_id, cell FROM assign
+       |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  // annRecallOracle over the clustered fixture: planted centroids,
+  // queries 8..12, recall@2 of 1-probe IVF vs brute force
+  private def annRecallClusteredOracle: String = {
+    val adot = dotSql.format("v.qv", "c.qv")
+    val pdot = dotSql.format("q.quv", "a.qv")
+    val bdot = dotSql.format("q.quv", "c.qv")
+    s"""WITH $clusteredSql,
+       |assign AS (
+       |  SELECT vec_id, qv, n2, c_id AS cell FROM (
+       |    SELECT v.vec_id, v.qv, v.n2, c.c_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ($adot)::DOUBLE / sqrt((v.n2 * c.n2)::DOUBLE) DESC,
+       |                 c.c_id) AS crk
+       |    FROM cp2 v, ccent c)
+       |  WHERE crk = 1),
+       |qs AS (
+       |  SELECT vec_id AS q_id, qv AS quv, n2 AS qn2, cell AS q_cell
+       |  FROM assign WHERE vec_id BETWEEN 8 AND 12),
+       |ivf AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.q_id, a.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ($pdot)::DOUBLE / sqrt((q.qn2 * a.n2)::DOUBLE) DESC,
+       |                 a.vec_id) AS rk
+       |    FROM assign a JOIN qs q ON a.cell = q.q_cell
+       |    WHERE a.vec_id <> q.q_id)
+       |  WHERE rk <= 2),
+       |exact AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.q_id, c.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ($bdot)::DOUBLE / sqrt((q.qn2 * c.n2)::DOUBLE) DESC,
+       |                 c.vec_id) AS rk
+       |    FROM qs q, cp2 c
+       |    WHERE c.vec_id <> q.q_id)
+       |  WHERE rk <= 2)
+       |SELECT e.q_id,
+       |  count(*)::BIGINT AS n_true,
+       |  sum(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+       |  ((sum(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END) * 1000)
+       |    // count(*))::BIGINT AS recall_milli
+       |FROM exact e LEFT JOIN ivf i ON e.q_id = i.q_id AND e.n_id = i.n_id
+       |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+  }
+
   // Mirrors Similarity.semDedupAudited's audit frame: same nearest-
   // centroid assignment as semDedupOracle, capped-cell count + vector
   // sum at maxCell = 50.
@@ -3431,6 +3555,8 @@ object ExtQueries {
     "q_ann_ivf_mp" -> annIvfMpOracle,
     "q_kmeans" -> kmeansOracle,
     "q_semdedup" -> semDedupOracle,
+    "q_semdedup_clustered" -> semDedupClusteredOracle,
+    "q_ann_recall_clustered" -> annRecallClusteredOracle,
     "q_semdedup_audit" -> semDedupAuditOracle,
     "q_assembly" -> assemblyOracle,
     "q_cdc_dedup" -> cdcDedupOracle,
