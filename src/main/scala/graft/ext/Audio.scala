@@ -38,7 +38,21 @@ object Audio {
     */
   def parse(bytes: Array[Byte]): Option[Info] =
     parseWav(bytes).orElse(parseFlac(bytes)).orElse(parseOgg(bytes))
-      .orElse(parseMp3(bytes))
+      .orElse(parseM4a(bytes)).orElse(parseMp3(bytes))
+
+  /** M4A = ISO-BMFF with a soun track: ride [[Mp4.parse]] (the same
+    * box walk that serves video) and read channels + sample rate from
+    * the stsd AudioSampleEntry; duration from the media timescale,
+    * units = the sample (audio frame) count.
+    */
+  def parseM4a(bytes: Array[Byte]): Option[Info] =
+    Mp4.parse(bytes).flatMap(_.tracks.find(_.handler == "soun")).collect {
+      case t if t.timescale > 0 =>
+        Info("m4a", t.codec,
+          if (t.sampleRate > 0) t.sampleRate else t.timescale,
+          t.channels.toLong,
+          t.duration * 1000L / t.timescale, t.sampleCount.toLong)
+    }
 
   // ------------------------------------------------------------------
   // WAV (RIFF) — delegate to the existing pure-byte parser

@@ -46,7 +46,9 @@ object Mp4 {
       samples: Vector[Sample],
       trackId: Long = 0L,
       mediaTimeOffset: Long = 0L,
-      fragmented: Boolean = false) {
+      fragmented: Boolean = false,
+      channels: Int = 0,      // audio (soun) sample entries only
+      sampleRate: Long = 0L) { // 16.16 integer part, audio entries only
     def sampleCount: Int = samples.size
     def keyframeCount: Int = samples.count(_.sync)
   }
@@ -331,12 +333,21 @@ object Mp4 {
       .map { case (hs, _) => tag(b, hs + 8) }.getOrElse(return None)
     val (mnS, mnE) = findBox(b, mdS, mdE, "minf").getOrElse(return None)
     val (stS, stE) = findBox(b, mnS, mnE, "stbl").getOrElse(return None)
-    val codec = findBox(b, stS, stE, "stsd")
-      .filter { case (x, y) => y - x >= 16 }
-      .map { case (x, _) => tag(b, x + 12) }.getOrElse(return None)
+    val (stsdS, stsdE) = findBox(b, stS, stE, "stsd")
+      .filter { case (x, y) => y - x >= 16 }.getOrElse(return None)
+    val codec = tag(b, stsdS + 12)
+    // AudioSampleEntry (14496-12 §12.2.3): after the 8-byte entry box
+    // header and the 8-byte SampleEntry base, 8 reserved bytes, then
+    // channelcount(2) samplesize(2) pre_defined(2) reserved(2)
+    // samplerate(16.16) — present only for soun handlers
+    val (channels, sampleRate) =
+      if (handler == "soun" && stsdE - stsdS >= 44)
+        (u16(b, stsdS + 32), u32(b, stsdS + 40) >> 16)
+      else (0, 0L)
     samples(b, stS, stE, allowEmptySamples).map(sm =>
       Track(handler, codec, width, height, ts, dur, sm,
-        trackId = trackId, mediaTimeOffset = mediaTimeOffset))
+        trackId = trackId, mediaTimeOffset = mediaTimeOffset,
+        channels = channels, sampleRate = sampleRate))
   }
 
   /** Expand the four sample tables into absolute per-sample windows.
@@ -443,7 +454,9 @@ object Mp4 {
       fill: Int => Byte = i => (i % 251).toByte,
       useCo64: Boolean = false,
       v1Timing: Boolean = false,
-      includeStss: Boolean = true) // false: omit stss (= all sync)
+      includeStss: Boolean = true, // false: omit stss (= all sync)
+      audio: Boolean = false,      // soun track (m4a): mp4a entry + smhd
+      channels: Int = 2)           // audio sample entry only
 
   private def be16(v: Int): Array[Byte] =
     Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
@@ -508,13 +521,23 @@ object Mp4 {
       be32(spec.width.toLong << 16), be32(spec.height.toLong << 16))
     val mdhd = box("mdhd", timingVf, creation, be32(spec.timescale), dur,
       be16(0x55c4), be16(0))
-    val hdlr = box("hdlr", vf0, be32(0), fourcc("vide"),
+    val hdlr = box("hdlr", vf0, be32(0),
+      fourcc(if (spec.audio) "soun" else "vide"),
       new Array[Byte](12), Array[Byte](0))
 
-    val sampleEntry = box("mp4v", new Array[Byte](6), be16(1),
-      new Array[Byte](16), be16(spec.width), be16(spec.height),
-      be32(0x00480000L), be32(0x00480000L), be32(0), be16(1),
-      new Array[Byte](32), be16(24), be16(0xffff))
+    val sampleEntry =
+      if (spec.audio)
+        // AudioSampleEntry: 6 reserved + dri(2), 8 reserved,
+        // channelcount(2), samplesize(2), pre_defined(2), reserved(2),
+        // samplerate 16.16 (= the media timescale, the m4a convention)
+        box("mp4a", new Array[Byte](6), be16(1),
+          new Array[Byte](8), be16(spec.channels), be16(16),
+          be16(0), be16(0), be32(spec.timescale << 16))
+      else
+        box("mp4v", new Array[Byte](6), be16(1),
+          new Array[Byte](16), be16(spec.width), be16(spec.height),
+          be32(0x00480000L), be32(0x00480000L), be32(0), be16(1),
+          new Array[Byte](32), be16(24), be16(0xffff))
     val stsd = box("stsd", vf0, be32(1), sampleEntry)
     val stts = box("stts", vf0, be32(1), be32(n.toLong),
       be32(spec.sampleDelta))
@@ -542,11 +565,13 @@ object Mp4 {
     val stbl =
       if (spec.includeStss) box("stbl", stsd, stts, stss, stsz, stsc, stcoBox)
       else box("stbl", stsd, stts, stsz, stsc, stcoBox)
-    val vmhd = box("vmhd", Array[Byte](0, 0, 0, 1),
-      be16(0), be16(0), be16(0), be16(0))
+    val mediaHeader =
+      if (spec.audio) box("smhd", vf0, be16(0), be16(0))
+      else box("vmhd", Array[Byte](0, 0, 0, 1),
+        be16(0), be16(0), be16(0), be16(0))
     val dinf = box("dinf", box("dref", vf0, be32(1),
       box("url ", Array[Byte](0, 0, 0, 1))))
-    val minf = box("minf", vmhd, dinf, stbl)
+    val minf = box("minf", mediaHeader, dinf, stbl)
     val mdia = box("mdia", mdhd, hdlr, minf)
     val trak = box("trak", tkhd, mdia)
     val moov = box("moov", mvhd, trak)

@@ -645,54 +645,69 @@ object Multimodal {
       })
   }
 
-  /** One deterministic audio file per id, format by id%4 (same registry
-    * placement rule as [[syntheticVideoMedia]]) — the q_audio_meta
-    * oracle recomputes every field in SQL:
+  /** One deterministic audio file per id, format by id%5 — the FULL
+    * reference audio extension set (main.py:70-72: ogg wav mp3 flac
+    * m4a), every format real-parsed (same registry placement rule as
+    * [[syntheticVideoMedia]]). The q_audio_meta oracle recomputes
+    * every field in SQL:
     *  - 0 -> MP3: 3+(id%6) MPEG-1 L3 frames at 44100 Hz, bitrate index
-    *    9+(id%3) (128/160/192 kbps), mono iff id%8==0;
-    *  - 1 -> WAV: 16-bit PCM, 8000*(1+id%3) Hz, mono iff id%8==1,
+    *    9+(id%3) (128/160/192 kbps), mono iff id%10==0;
+    *  - 1 -> WAV: 16-bit PCM, 8000*(1+id%3) Hz, mono iff id%10==1,
     *    200+(id%50) samples per channel;
-    *  - 2 -> FLAC: 32000+(id%3)*8000 Hz, 1+((id/4)%2) channels,
+    *  - 2 -> FLAC: 32000+(id%3)*8000 Hz, 1+((id/5)%2) channels,
     *    5000+(id*13)%20000 total samples;
-    *  - 3 -> OGG: Opus iff id%8==7 (48 kHz, pre-skip 312, granule
-    *    312+960*k) else Vorbis (44100 Hz, granule 4410*k), k=2+(id%5),
-    *    stereo, 2+(id%3) data pages after the BOS id page.
+    *  - 3 -> OGG: Opus iff id%10==8 (48 kHz, pre-skip 312, granule
+    *    312+960*k) else Vorbis (44100 Hz, granule 4410*k), k=2+(id%4),
+    *    stereo, 2+(id%3) data pages after the BOS id page;
+    *  - 4 -> M4A: ISO-BMFF soun track, 4+(id%7) samples of 1024 ticks
+    *    at timescale 44100 (the AAC frame convention), mono iff
+    *    id%10==4, mp4a entry.
     */
   def syntheticAudioMedia(ids: Dataset[java.lang.Long]): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
     ids.mapPartitions(_.map { boxed =>
       val id = boxed.longValue()
-      val bytes = (id % 4) match {
+      val bytes = (id % 5) match {
         case 0 =>
           Audio.writeMp3(frames = (3 + id % 6).toInt,
             bitrateIdx = (9 + id % 3).toInt, rateIdx = 0,
-            mono = id % 8 == 0, fill = i => ((id + i) % 251).toByte)
+            mono = id % 10 == 0, fill = i => ((id + i) % 251).toByte)
         case 1 =>
           Audio.writeWav(rate = (8000 * (1 + id % 3)).toInt,
-            channels = if (id % 8 == 1) 1 else 2,
+            channels = if (id % 10 == 1) 1 else 2,
             nPerChannel = (200 + id % 50).toInt,
             fill = i => ((id + i) % 251).toByte)
         case 2 =>
           Audio.writeFlac(rate = (32000 + (id % 3) * 8000).toInt,
-            channels = (1 + (id / 4) % 2).toInt,
+            channels = (1 + (id / 5) % 2).toInt,
             totalSamples = 5000 + (id * 13) % 20000,
             fill = i => ((id + i) % 251).toByte)
-        case _ =>
-          val k = 2 + id % 5
-          val opus = id % 8 == 7
+        case 3 =>
+          val k = 2 + id % 4
+          val opus = id % 10 == 8
           Audio.writeOgg(opus = opus, channels = 2,
             rate = if (opus) 48000L else 44100L,
             preSkip = 312,
             finalGranule = if (opus) 312 + 960 * k else 4410 * k,
             dataPages = (2 + id % 3).toInt,
             fill = i => ((id + i) % 251).toByte)
+        case _ =>
+          val n = (4 + id % 7).toInt
+          Mp4.write(Mp4.BuildSpec(
+            width = 0, height = 0,
+            sampleSizes = (1 to n).map(i => (40 + ((id + i) % 32)).toInt),
+            syncEvery = 1, includeStss = false,
+            timescale = 44100L, sampleDelta = 1024L,
+            audio = true, channels = if (id % 10 == 4) 1 else 2,
+            fill = i => ((id + i) % 251).toByte))
       }
-      val mime = (id % 4) match {
+      val mime = (id % 5) match {
         case 0 => "audio/mpeg"
         case 1 => "audio/wav"
         case 2 => "audio/flac"
-        case _ => "audio/ogg"
+        case 3 => "audio/ogg"
+        case _ => "audio/mp4"
       }
       (id, bytes, mime)
     }).toDF("doc_id", "bytes", "mime")

@@ -3658,36 +3658,44 @@ object ExtQueries {
     // the fixed 48 kHz tick rate)
     "q_audio_meta" ->
       """SELECT doc_id,
-        |  CASE doc_id % 4 WHEN 0 THEN 'mp3' WHEN 1 THEN 'wav'
-        |       WHEN 2 THEN 'flac' ELSE 'ogg' END AS format,
-        |  CASE doc_id % 4 WHEN 0 THEN 'mp3' WHEN 1 THEN 'pcm_s16le'
+        |  CASE doc_id % 5 WHEN 0 THEN 'mp3' WHEN 1 THEN 'wav'
+        |       WHEN 2 THEN 'flac' WHEN 3 THEN 'ogg' ELSE 'm4a' END
+        |    AS format,
+        |  CASE doc_id % 5 WHEN 0 THEN 'mp3' WHEN 1 THEN 'pcm_s16le'
         |       WHEN 2 THEN 'flac'
-        |       ELSE CASE WHEN doc_id % 8 = 7 THEN 'opus'
-        |                 ELSE 'vorbis' END END AS codec,
-        |  CASE doc_id % 4 WHEN 0 THEN 44100
+        |       WHEN 3 THEN CASE WHEN doc_id % 10 = 8 THEN 'opus'
+        |                        ELSE 'vorbis' END
+        |       ELSE 'mp4a' END AS codec,
+        |  CASE doc_id % 5 WHEN 0 THEN 44100
         |       WHEN 1 THEN 8000 * (1 + doc_id % 3)
         |       WHEN 2 THEN 32000 + (doc_id % 3) * 8000
-        |       ELSE CASE WHEN doc_id % 8 = 7 THEN 48000
-        |            ELSE 44100 END END::BIGINT AS sample_rate,
-        |  CASE doc_id % 4
-        |       WHEN 0 THEN CASE WHEN doc_id % 8 = 0 THEN 1 ELSE 2 END
-        |       WHEN 1 THEN CASE WHEN doc_id % 8 = 1 THEN 1 ELSE 2 END
-        |       WHEN 2 THEN 1 + ((doc_id // 4) % 2)
-        |       ELSE 2 END::BIGINT AS channels,
-        |  CASE doc_id % 4
+        |       WHEN 3 THEN CASE WHEN doc_id % 10 = 8 THEN 48000
+        |                        ELSE 44100 END
+        |       ELSE 44100 END::BIGINT AS sample_rate,
+        |  CASE doc_id % 5
+        |       WHEN 0 THEN CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 2 END
+        |       WHEN 1 THEN CASE WHEN doc_id % 10 = 1 THEN 1 ELSE 2 END
+        |       WHEN 2 THEN 1 + ((doc_id // 5) % 2)
+        |       WHEN 3 THEN 2
+        |       ELSE CASE WHEN doc_id % 10 = 4 THEN 1 ELSE 2 END
+        |  END::BIGINT AS channels,
+        |  CASE doc_id % 5
         |       WHEN 0 THEN ((3 + doc_id % 6) * 1152 * 1000) // 44100
         |       WHEN 1 THEN ((200 + doc_id % 50) * 1000)
         |                   // (8000 * (1 + doc_id % 3))
         |       WHEN 2 THEN ((5000 + (doc_id * 13) % 20000) * 1000)
         |                   // (32000 + (doc_id % 3) * 8000)
-        |       ELSE CASE WHEN doc_id % 8 = 7 THEN 20 * (2 + doc_id % 5)
-        |            ELSE 100 * (2 + doc_id % 5) END
+        |       WHEN 3 THEN CASE WHEN doc_id % 10 = 8
+        |                        THEN 20 * (2 + doc_id % 4)
+        |                        ELSE 100 * (2 + doc_id % 4) END
+        |       ELSE ((4 + doc_id % 7) * 1024 * 1000) // 44100
         |  END::BIGINT AS duration_ms,
-        |  CASE doc_id % 4
+        |  CASE doc_id % 5
         |       WHEN 0 THEN 3 + doc_id % 6
         |       WHEN 1 THEN 200 + doc_id % 50
         |       WHEN 2 THEN 5000 + (doc_id * 13) % 20000
-        |       ELSE 3 + doc_id % 3 END::BIGINT AS n_units
+        |       WHEN 3 THEN 3 + doc_id % 3
+        |       ELSE 4 + doc_id % 7 END::BIGINT AS n_units
         |FROM documents WHERE doc_id IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
 

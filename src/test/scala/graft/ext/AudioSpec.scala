@@ -61,6 +61,25 @@ class AudioSpec extends AnyFunSuite with SparkTestBase {
     assert(i.durationMs == 400L * 1000 / 16000) // 25 ms
   }
 
+  test("m4a rides the ISO-BMFF parser: soun track channels/rate from the " +
+      "mp4a AudioSampleEntry, duration from the media timescale") {
+    val b = Mp4.write(Mp4.BuildSpec(width = 0, height = 0,
+      sampleSizes = (1 to 9).map(i => 40 + i), syncEvery = 1,
+      includeStss = false, timescale = 44100L, sampleDelta = 1024L,
+      audio = true, channels = 1))
+    val i = Audio.parseM4a(b).getOrElse(fail("None for valid m4a"))
+    assert(i.format == "m4a" && i.codec == "mp4a")
+    assert(i.sampleRate == 44100L && i.channels == 1L && i.units == 9L)
+    assert(i.durationMs == 9L * 1024 * 1000 / 44100) // 208 ms
+    assert(Audio.parse(b).get.format == "m4a")
+    // an m4a is NOT a video: the video cutters must not claim it
+    assert(Multimodal.keyframes(b).isEmpty)
+    // and a VIDEO mp4 is not audio
+    val vid = Mp4.write(Mp4.BuildSpec(width = 64, height = 48,
+      sampleSizes = Seq(50, 51), syncEvery = 3))
+    assert(Audio.parseM4a(vid).isEmpty)
+  }
+
   test("Audio.parse dispatches on magic; hostile input fails closed") {
     assert(Audio.parse(Audio.writeMp3(2, 9, 0, mono = true)).get.format == "mp3")
     assert(Audio.parse(Audio.writeFlac(44100, 1, 100L)).get.format == "flac")
