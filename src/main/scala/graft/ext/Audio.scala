@@ -101,14 +101,24 @@ object Audio {
 
   private val Mp3SamplesPerFrame = 1152L
 
-  /** Walk MPEG-1 Layer III frames from byte 0 (fixtures carry no ID3
-    * tag): every frame must carry the sync word and consistent
-    * version/layer; the walk ends at the first non-frame byte.
-    * None unless at least one complete frame parses.
+  /** Walk MPEG-1 Layer III frames: a leading ID3v2 tag (what crawled
+    * MP3s actually start with) is skipped via its syncsafe length;
+    * after that every frame must carry the sync word and consistent
+    * version/layer, and the walk ends at the first non-frame byte
+    * (which also handles a trailing ID3v1 'TAG' block). None unless at
+    * least one complete frame parses.
     */
   def parseMp3(bytes: Array[Byte]): Option[Info] =
     try {
       var pos = 0
+      if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3') {
+        // ID3v2 header: "ID3" ver(2) flags(1) size(4 × 7-bit syncsafe)
+        val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+          ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+        pos = 10 + size
+        if (pos >= bytes.length) return None
+      }
       var frames = 0L
       var rate = 0
       var channels = 0L
@@ -150,16 +160,29 @@ object Audio {
   /** Serialize `frames` MPEG-1 Layer III frames at the given bitrate
     * index (1-14) and sample-rate index (0-2), mono iff `mono`, header
     * padding 0, body bytes from `fill(frameIdx)` (1-based).
+    * `id3Bytes` > 0 prepends an ID3v2.3 tag with that much padding
+    * payload (syncsafe-sized) — the leading-tag case real files carry.
     */
   def writeMp3(frames: Int, bitrateIdx: Int, rateIdx: Int, mono: Boolean,
-      fill: Int => Byte = i => (i % 251).toByte): Array[Byte] = {
+      fill: Int => Byte = i => (i % 251).toByte,
+      id3Bytes: Int = 0): Array[Byte] = {
     require(frames > 0 && bitrateIdx >= 1 && bitrateIdx <= 14 &&
-      rateIdx >= 0 && rateIdx <= 2)
+      rateIdx >= 0 && rateIdx <= 2 && id3Bytes >= 0 && id3Bytes < (1 << 28))
     val rate = Mp3Rates(rateIdx)
     val frameLen = 144 * Mp3Bitrates(bitrateIdx) * 1000 / rate
-    val out = new Array[Byte](frames * frameLen)
+    val tagLen = if (id3Bytes == 0) 0 else 10 + id3Bytes
+    val out = new Array[Byte](tagLen + frames * frameLen)
+    if (id3Bytes > 0) {
+      out(0) = 'I'; out(1) = 'D'; out(2) = '3'
+      out(3) = 3 // v2.3
+      out(6) = ((id3Bytes >> 21) & 0x7f).toByte
+      out(7) = ((id3Bytes >> 14) & 0x7f).toByte
+      out(8) = ((id3Bytes >> 7) & 0x7f).toByte
+      out(9) = (id3Bytes & 0x7f).toByte
+      // tag payload: zero padding (a valid, empty tag body)
+    }
     for (f <- 0 until frames) {
-      val base = f * frameLen
+      val base = tagLen + f * frameLen
       out(base) = 0xff.toByte
       out(base + 1) = 0xfb.toByte // MPEG-1, Layer III, no CRC
       out(base + 2) = ((bitrateIdx << 4) | (rateIdx << 2)).toByte

@@ -257,6 +257,9 @@ object Multimodal {
           .when(lower(col("path")).endsWith(".wav"), "audio/wav")
           .when(lower(col("path")).rlike("\\.(mp4|m4v|mov)$"), "video/mp4")
           .when(lower(col("path")).rlike("\\.(webm|mkv)$"), "video/webm")
+          .when(lower(col("path")).endsWith(".avi"), "video/x-msvideo")
+          .when(lower(col("path")).rlike("\\.(mp3|flac|ogg|m4a)$"),
+            "audio/*")
           .otherwise("application/octet-stream").as("mime"),
         col("path"))
   }
@@ -332,6 +335,12 @@ object Multimodal {
       }
     }
 
+  /** The AVI twin: parsed meta with every frame window in range. */
+  private def completeAviVideo(bytes: Array[Byte]): Option[Avi.Meta] =
+    Avi.parse(bytes).filter(m => m.frames.nonEmpty &&
+      m.frames.forall(f =>
+        f.offset >= 0 && f.offset + f.size <= bytes.length))
+
   /** REAL frame sampling for ISO-BMFF video: every `stride`-th sample
     * of the first video track, cut at the exact byte windows the
     * container's sample tables declare (stsz/stsc/stco — see
@@ -353,6 +362,11 @@ object Multimodal {
       bs.zipWithIndex.collect { case (b, i) if i % stride == 0 =>
         java.util.Arrays.copyOfRange(bytes, b.offset.toInt,
           (b.offset + b.size).toInt)
+      }: Seq[Array[Byte]]
+    }).orElse(completeAviVideo(bytes).map { m =>
+      m.frames.zipWithIndex.collect { case (f, i) if i % stride == 0 =>
+        java.util.Arrays.copyOfRange(bytes, f.offset.toInt,
+          (f.offset + f.size).toInt)
       }
     })
   }
@@ -374,6 +388,12 @@ object Multimodal {
         case b if b.keyframe =>
           java.util.Arrays.copyOfRange(bytes, b.offset.toInt,
             (b.offset + b.size).toInt)
+      }: Seq[Array[Byte]]
+    }).orElse(completeAviVideo(bytes).map { m =>
+      m.frames.collect {
+        case f if f.keyframe =>
+          java.util.Arrays.copyOfRange(bytes, f.offset.toInt,
+            (f.offset + f.size).toInt)
       }
     })
 
@@ -540,7 +560,51 @@ object Multimodal {
     media.select("doc_id", "bytes").as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, b) =>
         mp4VideoMeta(id, b).orElse(webmVideoMeta(id, b))
+          .orElse(aviVideoMeta(id, b))
       })
+  }
+
+  /** AVI rows in the same [[VideoMeta]] shape: brand = "avi", codec =
+    * the vids stream's handler fourcc, samples = movi frame chunks,
+    * keyframes from idx1 (all-sync without one), duration from avih's
+    * frame interval × total frames. No edit lists: media_time = 0.
+    */
+  private def aviVideoMeta(id: Long, b: Array[Byte]): Option[VideoMeta] =
+    completeAviVideo(b).flatMap { m =>
+      m.frames.find(_.keyframe).collect {
+        case kf if kf.size > 0 =>
+          VideoMeta(id, "avi", m.codec,
+            m.width.toLong, m.height.toLong,
+            m.frames.size.toLong, m.keyframeCount.toLong,
+            m.durationMs,
+            m.frames.map(_.size).sum,
+            kf.size, (b(kf.offset.toInt) & 0xff).toLong,
+            0L)
+      }
+    }
+
+  /** One deterministic single-vids-stream AVI per id (same registry
+    * placement rule as [[syntheticVideoMedia]]). Closed form per id:
+    * n = 3 + (id%8) MJPG frame chunks of 45+((id+5*i)%60) bytes filled
+    * with (id*11+i)%251, keyframes every 3rd frame via idx1 (ids
+    * divisible by 7 omit idx1 → all frames sync), 8*(1+id%30) x
+    * 8*(1+id%20), 40 ms per frame.
+    */
+  def syntheticAviMedia(ids: Dataset[java.lang.Long]): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions(_.map { boxed =>
+      val id = boxed.longValue()
+      val n = (3 + id % 8).toInt
+      val bytes = Avi.write(Avi.BuildSpec(
+        width = (8 * (1 + id % 30)).toInt,
+        height = (8 * (1 + id % 20)).toInt,
+        frameSizes = (1 to n).map(i => (45 + ((id + 5 * i) % 60)).toInt),
+        keyEvery = 3,
+        fill = i => ((id * 11 + i) % 251).toByte,
+        withIndex = id % 7 != 0))
+      (id, bytes, "video/x-msvideo")
+    }).toDF("doc_id", "bytes", "mime")
   }
 
   private def mp4VideoMeta(id: Long, b: Array[Byte]): Option[VideoMeta] =
@@ -670,9 +734,13 @@ object Multimodal {
       val id = boxed.longValue()
       val bytes = (id % 5) match {
         case 0 =>
+          // ids ending in 5 carry a leading ID3v2 tag (47 padding
+          // bytes) — parsed fields are identical, so the oracle needs
+          // no branch; the tag-skip path just gets real coverage
           Audio.writeMp3(frames = (3 + id % 6).toInt,
             bitrateIdx = (9 + id % 3).toInt, rateIdx = 0,
-            mono = id % 10 == 0, fill = i => ((id + i) % 251).toByte)
+            mono = id % 10 == 0, fill = i => ((id + i) % 251).toByte,
+            id3Bytes = if (id % 10 == 5) 47 else 0)
         case 1 =>
           Audio.writeWav(rate = (8000 * (1 + id % 3)).toInt,
             channels = if (id % 10 == 1) 1 else 2,

@@ -1314,6 +1314,17 @@ object ExtQueries {
         .toDF().orderBy("doc_id")
     }),
 
+    // AVI/RIFF container parsing (graft.ext.Avi): avih + vids strh +
+    // movi chunk walk + idx1 keyframe flags (ids divisible by 7 omit
+    // the index -> all-sync rule), served by the SAME videoMeta pass.
+    "q_video_avi" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.videoMeta(Multimodal.syntheticAviMedia(
+        docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+          .select("doc_id").as[java.lang.Long]))
+        .toDF().orderBy("doc_id")
+    }),
+
     // Frame sampling over the FRAGMENTED corpus: every 2nd sample cut
     // at the moof/trun-declared windows — proves the fragment offset
     // math end-to-end (frame_len + first_byte read back at the window).
@@ -3719,6 +3730,31 @@ object ExtQueries {
         |  tot.total_sample_bytes,
         |  (30 + (p.doc_id + 2) % 40)::BIGINT AS kf1_size,
         |  ((p.doc_id * 7 + 1) % 251)::BIGINT AS kf1_first_byte,
+        |  0::BIGINT AS media_time
+        |FROM p JOIN tot USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+
+    // the AVI muxer's spec arithmetic recomputed: n = 3+(id%8) frames
+    // of 45+((id+5i)%60) bytes filled with (id*11+i)%251, keyframes
+    // every 3rd via idx1 EXCEPT ids divisible by 7 (no index = all
+    // sync), 40 ms per frame
+    "q_video_avi" ->
+      """WITH p AS (SELECT doc_id, (3 + doc_id % 8)::BIGINT AS n
+        |           FROM documents WHERE doc_id IS NOT NULL),
+        |sz AS (SELECT doc_id, unnest(generate_series(1, n)) AS i FROM p),
+        |tot AS (SELECT doc_id,
+        |          sum(45 + (doc_id + 5 * i) % 60)::BIGINT
+        |            AS total_sample_bytes
+        |        FROM sz GROUP BY doc_id)
+        |SELECT p.doc_id, 'avi' AS brand, 'MJPG' AS codec,
+        |  (8 * (1 + p.doc_id % 30))::BIGINT AS width,
+        |  (8 * (1 + p.doc_id % 20))::BIGINT AS height,
+        |  p.n AS n_samples,
+        |  CASE WHEN p.doc_id % 7 = 0 THEN p.n
+        |       ELSE (p.n + 2) // 3 END::BIGINT AS n_keyframes,
+        |  (40 * p.n)::BIGINT AS duration_ms,
+        |  tot.total_sample_bytes,
+        |  (45 + (p.doc_id + 5) % 60)::BIGINT AS kf1_size,
+        |  ((p.doc_id * 11 + 1) % 251)::BIGINT AS kf1_first_byte,
         |  0::BIGINT AS media_time
         |FROM p JOIN tot USING (doc_id) ORDER BY p.doc_id""".stripMargin,
 
