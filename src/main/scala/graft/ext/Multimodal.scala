@@ -341,6 +341,16 @@ object Multimodal {
       m.frames.forall(f =>
         f.offset >= 0 && f.offset + f.size <= bytes.length))
 
+  /** The MPEG twin — windows are into the reassembled elementary
+    * stream (a picture can span program-stream PES packets), and the
+    * parser's walk bounds them by construction; only non-emptiness is
+    * left to check.
+    */
+  private def completeMpegVideo(bytes: Array[Byte]): Option[Mpeg.Meta] =
+    Mpeg.parse(bytes).filter(m => m.pictures.nonEmpty &&
+      m.pictures.forall(p =>
+        p.esOffset >= 0 && p.esOffset + p.size <= m.es.length))
+
   /** REAL frame sampling for ISO-BMFF video: every `stride`-th sample
     * of the first video track, cut at the exact byte windows the
     * container's sample tables declare (stsz/stsc/stco — see
@@ -367,6 +377,11 @@ object Multimodal {
       m.frames.zipWithIndex.collect { case (f, i) if i % stride == 0 =>
         java.util.Arrays.copyOfRange(bytes, f.offset.toInt,
           (f.offset + f.size).toInt)
+      }: Seq[Array[Byte]]
+    }).orElse(completeMpegVideo(bytes).map { m =>
+      m.pictures.zipWithIndex.collect { case (p, i) if i % stride == 0 =>
+        java.util.Arrays.copyOfRange(m.es, p.esOffset.toInt,
+          (p.esOffset + p.size).toInt)
       }
     })
   }
@@ -394,6 +409,12 @@ object Multimodal {
         case f if f.keyframe =>
           java.util.Arrays.copyOfRange(bytes, f.offset.toInt,
             (f.offset + f.size).toInt)
+      }: Seq[Array[Byte]]
+    }).orElse(completeMpegVideo(bytes).map { m =>
+      m.pictures.collect {
+        case p if p.keyframe =>
+          java.util.Arrays.copyOfRange(m.es, p.esOffset.toInt,
+            (p.esOffset + p.size).toInt)
       }
     })
 
@@ -560,8 +581,57 @@ object Multimodal {
     media.select("doc_id", "bytes").as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, b) =>
         mp4VideoMeta(id, b).orElse(webmVideoMeta(id, b))
-          .orElse(aviVideoMeta(id, b))
+          .orElse(aviVideoMeta(id, b)).orElse(mpegVideoMeta(id, b))
       })
+  }
+
+  /** MPEG-1 rows in the same [[VideoMeta]] shape: brand distinguishes
+    * the program-stream wrap from a bare elementary stream, samples =
+    * pictures, keyframes = I pictures, duration from the frame-rate
+    * code. kf1_first_byte reads the first PAYLOAD byte (after the
+    * 8-byte start-code + picture header) of the first keyframe — the
+    * offset-math witness against the REASSEMBLED elementary stream,
+    * which for a program stream proves the PES demux too.
+    */
+  private def mpegVideoMeta(id: Long, b: Array[Byte]): Option[VideoMeta] =
+    completeMpegVideo(b).flatMap { m =>
+      m.pictures.find(_.keyframe).collect {
+        case kf if kf.size > 8 =>
+          VideoMeta(id, if (m.programStream) "mpeg-ps" else "mpeg-es",
+            "mpeg1", m.width.toLong, m.height.toLong,
+            m.pictures.size.toLong, m.keyframeCount.toLong,
+            m.durationMs,
+            m.pictures.map(_.size).sum,
+            kf.size, (m.es((kf.esOffset + 8).toInt) & 0xff).toLong,
+            0L)
+      }
+    }
+
+  /** One deterministic MPEG-1 video per id (same registry placement
+    * rule as [[syntheticVideoMedia]]). Closed form per id: n = 2 +
+    * (id%8) pictures whose slice is 8 + (30 + ((id + 3i) % 45)) bytes
+    * of payload byte (id*5+i)%251, I-frame (with GOP header) every 3rd
+    * picture, 16*(1+id%25) x 16*(1+id%15), 25 fps (frame-rate code 3).
+    * Even ids wrap the elementary stream in MPEG-1 program-stream
+    * packs with small PES packets (64 + (id%5)*40 bytes), so pictures
+    * SPAN packets and the fixture exercises reassembly.
+    */
+  def syntheticMpegMedia(ids: Dataset[java.lang.Long]): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions(_.map { boxed =>
+      val id = boxed.longValue()
+      val n = (2 + id % 8).toInt
+      val bytes = Mpeg.write(Mpeg.BuildSpec(
+        width = (16 * (1 + id % 25)).toInt,
+        height = (16 * (1 + id % 15)).toInt,
+        payloadSizes = (1 to n).map(i => (30 + ((id + 3 * i) % 45)).toInt),
+        gopEvery = 3,
+        fill = i => ((id * 5 + i) % 251).toByte,
+        programStream = id % 2 == 0,
+        pesChunk = (64 + (id % 5) * 40).toInt))
+      (id, bytes, "video/mpeg")
+    }).toDF("doc_id", "bytes", "mime")
   }
 
   /** AVI rows in the same [[VideoMeta]] shape: brand = "avi", codec =

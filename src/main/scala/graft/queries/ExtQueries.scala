@@ -1325,6 +1325,18 @@ object ExtQueries {
         .toDF().orderBy("doc_id")
     }),
 
+    // MPEG-1 parsing (graft.ext.Mpeg): sequence/GOP/picture start-code
+    // walk; even ids wrap the elementary stream in program-stream PES
+    // packets small enough that pictures SPAN packets — the demux +
+    // reassembly is what kf1_first_byte witnesses there.
+    "q_video_mpeg" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.videoMeta(Multimodal.syntheticMpegMedia(
+        docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+          .select("doc_id").as[java.lang.Long]))
+        .toDF().orderBy("doc_id")
+    }),
+
     // Frame sampling over the FRAGMENTED corpus: every 2nd sample cut
     // at the moof/trun-declared windows — proves the fragment offset
     // math end-to-end (frame_len + first_byte read back at the window).
@@ -3755,6 +3767,32 @@ object ExtQueries {
         |  tot.total_sample_bytes,
         |  (45 + (p.doc_id + 5) % 60)::BIGINT AS kf1_size,
         |  ((p.doc_id * 11 + 1) % 251)::BIGINT AS kf1_first_byte,
+        |  0::BIGINT AS media_time
+        |FROM p JOIN tot USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+
+    // the MPEG muxer's spec arithmetic recomputed: n = 2+(id%8)
+    // pictures, slice = 8 + 30+((id+3i)%45) bytes, payload byte
+    // (id*5+i)%251, I-frames every 3rd, 40 ms per picture
+    "q_video_mpeg" ->
+      """WITH p AS (SELECT doc_id, (2 + doc_id % 8)::BIGINT AS n
+        |           FROM documents WHERE doc_id IS NOT NULL),
+        |sz AS (SELECT doc_id, unnest(generate_series(1, n)) AS i FROM p),
+        |tot AS (SELECT doc_id,
+        |          sum(8 + 30 + (doc_id + 3 * i) % 45)::BIGINT
+        |            AS total_sample_bytes
+        |        FROM sz GROUP BY doc_id)
+        |SELECT p.doc_id,
+        |  CASE WHEN p.doc_id % 2 = 0 THEN 'mpeg-ps'
+        |       ELSE 'mpeg-es' END AS brand,
+        |  'mpeg1' AS codec,
+        |  (16 * (1 + p.doc_id % 25))::BIGINT AS width,
+        |  (16 * (1 + p.doc_id % 15))::BIGINT AS height,
+        |  p.n AS n_samples,
+        |  ((p.n + 2) // 3)::BIGINT AS n_keyframes,
+        |  (40 * p.n)::BIGINT AS duration_ms,
+        |  tot.total_sample_bytes,
+        |  (38 + (p.doc_id + 3) % 45)::BIGINT AS kf1_size,
+        |  ((p.doc_id * 5 + 1) % 251)::BIGINT AS kf1_first_byte,
         |  0::BIGINT AS media_time
         |FROM p JOIN tot USING (doc_id) ORDER BY p.doc_id""".stripMargin,
 
