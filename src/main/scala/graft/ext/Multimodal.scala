@@ -543,6 +543,79 @@ object Multimodal {
     }).toDF("doc_id", "bytes", "mime")
   }
 
+  /** Explode a frame of TAR shard payloads into WebDataset members:
+    * (doc_id, member, key, ext, bytes) — key/ext split the basename at
+    * its FIRST dot (the WebDataset convention: `000123.seg.jpg` →
+    * key `000123`, ext `seg.jpg`, so all of one sample's modalities
+    * share a key). Non-tar payloads and non-file members contribute
+    * nothing.
+    */
+  def webdatasetMembers(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        Tar.members(b).iterator.collect {
+          case m if m.typeflag == '0' =>
+            val base = m.name.substring(m.name.lastIndexOf('/') + 1)
+            val dot = base.indexOf('.')
+            val (key, ext) =
+              if (dot < 0) (base, "") else (base.substring(0, dot),
+                base.substring(dot + 1))
+            (id, m.name, key, ext,
+              java.util.Arrays.copyOfRange(b, m.offset.toInt,
+                (m.offset + m.size).toInt))
+        }
+      }).toDF("doc_id", "member", "key", "ext", "bytes")
+  }
+
+  /** Directory-of-shards on-ramp: binaryFile over `*.tar` →
+    * [[webdatasetMembers]] — the img2dataset/WebDataset ingest shape
+    * (each tar is one task's worth of samples; member windows are cut
+    * where the shard bytes already live).
+    */
+  def readWebDataset(spark: org.apache.spark.sql.SparkSession,
+      path: String, glob: String = "*.tar"): DataFrame =
+    webdatasetMembers(
+      readBinaryDir(spark, path, glob)
+        .select(col("doc_id"), col("bytes")))
+
+  /** Group members back into samples: one row per (doc_id, key) with
+    * an ext → bytes map — the unit a multimodal training loader
+    * consumes.
+    */
+  def webdatasetSamples(members: DataFrame): DataFrame =
+    members.groupBy("doc_id", "key")
+      .agg(map_from_arrays(collect_list(col("ext")),
+        collect_list(col("bytes"))).as("parts"),
+        count(lit(1)).as("n_parts"))
+
+  /** One deterministic WebDataset tar shard per id (same registry
+    * placement rule as [[syntheticVideoMedia]]): n = 2 + (id%4)
+    * samples, each with an `.img` member of 37+((id+j)%50) bytes
+    * filled with (id+2j)%251 and a `.txt` member of 10+((id*j)%20)
+    * bytes filled with (id+3j)%251 — the q_webdataset oracle
+    * recomputes all of it.
+    */
+  def syntheticWebdatasetMedia(ids: Dataset[java.lang.Long]): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions(_.map { boxed =>
+      val id = boxed.longValue()
+      val n = (2 + id % 4).toInt
+      val entries = (1 to n).flatMap { j =>
+        Seq(
+          (s"${id}_$j.img",
+            Array.fill((37 + ((id + j) % 50)).toInt)(
+              ((id + 2 * j) % 251).toByte)),
+          (s"${id}_$j.txt",
+            Array.fill((10 + ((id * j) % 20)).toInt)(
+              ((id + 3 * j) % 251).toByte)))
+      }
+      (id, Tar.write(entries), "application/x-tar")
+    }).toDF("doc_id", "bytes", "mime")
+  }
+
   /** Keyframe rows — one output row per sync sample, cut at the
     * container-declared windows: (doc_id, kf_idx, frame). Non-video
     * payloads contribute nothing.

@@ -1325,6 +1325,22 @@ object ExtQueries {
         .toDF().orderBy("doc_id")
     }),
 
+    // WebDataset tar-shard ingest (graft.ext.Tar + webdatasetMembers):
+    // each doc becomes a ustar shard of n samples x {img, txt}
+    // members (the img2dataset output shape); the walk validates
+    // header checksums and cuts exact member windows.
+    "q_webdataset" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.webdatasetMembers(Multimodal.syntheticWebdatasetMedia(
+        docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+          .select("doc_id").as[java.lang.Long]))
+        .select(col("doc_id"), col("key"), col("ext"),
+          octet_length(col("bytes")).cast("long").as("byte_len"),
+          conv(hex(substring(col("bytes"), 1, 1)), 16, 10).cast("long")
+            .as("first_byte"))
+        .orderBy("doc_id", "key", "ext")
+    }),
+
     // MPEG-1 parsing (graft.ext.Mpeg): sequence/GOP/picture start-code
     // walk; even ids wrap the elementary stream in program-stream PES
     // packets small enough that pictures SPAN packets — the demux +
@@ -3769,6 +3785,28 @@ object ExtQueries {
         |  ((p.doc_id * 11 + 1) % 251)::BIGINT AS kf1_first_byte,
         |  0::BIGINT AS media_time
         |FROM p JOIN tot USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+
+    // the shard spec recomputed: n = 2+(id%4) samples, img members of
+    // 37+((id+j)%50) bytes filled with (id+2j)%251, txt members of
+    // 10+((id*j)%20) bytes filled with (id+3j)%251
+    "q_webdataset" ->
+      """WITH p AS (SELECT doc_id, (2 + doc_id % 4)::BIGINT AS n
+        |           FROM documents WHERE doc_id IS NOT NULL),
+        |s AS (SELECT doc_id, unnest(generate_series(1, n)) AS j FROM p),
+        |m AS (
+        |  SELECT doc_id,
+        |    doc_id::VARCHAR || '_' || j::VARCHAR AS key, 'img' AS ext,
+        |    (37 + (doc_id + j) % 50)::BIGINT AS byte_len,
+        |    ((doc_id + 2 * j) % 251)::BIGINT AS first_byte
+        |  FROM s
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    doc_id::VARCHAR || '_' || j::VARCHAR AS key, 'txt' AS ext,
+        |    (10 + (doc_id * j) % 20)::BIGINT AS byte_len,
+        |    ((doc_id + 3 * j) % 251)::BIGINT AS first_byte
+        |  FROM s)
+        |SELECT doc_id, key, ext, byte_len, first_byte FROM m
+        |ORDER BY doc_id, key, ext""".stripMargin,
 
     // the MPEG muxer's spec arithmetic recomputed: n = 2+(id%8)
     // pictures, slice = 8 + 30+((id+3i)%45) bytes, payload byte

@@ -27,7 +27,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
   private val bnljAllowed = Set(
     "q_cosine_topk", "q_ann_ivf", "q_ann_ivf_mp", "q_kmeans", "q_semdedup",
     "q_semdedup_audit", "q_ann_recall", "q_tfidf", "q_bm25",
-    "q_collocations", "q_ann_ivfpq", "q_ppl_buckets")
+    "q_collocations", "q_ann_ivfpq", "q_ppl_buckets",
+    // the clustered-fixture siblings compose the same broadcast
+    // crossJoin operators (ivfAssign / semDedup / bruteForceTopK)
+    // over the 512-vector planted-geometry fixture
+    "q_semdedup_clustered", "q_ann_recall_clustered")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !name.startsWith("q_wat")) {
