@@ -543,6 +543,55 @@ object Multimodal {
     }).toDF("doc_id", "bytes", "mime")
   }
 
+  final case class ExifRow(doc_id: Long, width: Long, height: Long,
+      orientation: Long, make: String, model: String)
+
+  /** JPEG/EXIF metadata stage: SOF coded dimensions + APP1 orientation
+    * and camera make/model ([[Exif]]) WITHOUT decoding pixels — the
+    * image-side twin of [[videoMeta]]/[[audioMeta]]. Non-JPEG rows are
+    * dropped.
+    */
+  def exifMeta(media: DataFrame): Dataset[ExifRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        Exif.parse(b).map(m => ExifRow(id, m.width.toLong, m.height.toLong,
+          m.orientation.toLong, m.make, m.model))
+      })
+  }
+
+  /** One REAL JPEG per id (ImageIO-encoded solid-color image — an
+    * actual decoder-accepted file, not a byte sketch) with a spliced
+    * EXIF APP1. Closed form per id: 16*(1+id%12) x 16*(1+id%9),
+    * orientation 1+(id%8), make "Make"+(id%3), model "Model"+(id%4).
+    * The JPEG entropy bytes vary with the encoder, but every field
+    * q_exif projects is spec-determined. Same registry placement rule
+    * as [[syntheticVideoMedia]].
+    */
+  def syntheticExifJpegMedia(ids: Dataset[java.lang.Long]): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions(_.map { boxed =>
+      val id = boxed.longValue()
+      val w = (16 * (1 + id % 12)).toInt
+      val h = (16 * (1 + id % 9)).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color((id % 255).toInt, ((id * 3) % 255).toInt,
+        ((id * 7) % 255).toInt))
+      g.fillRect(0, 0, w, h)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      val jpeg = Exif.insertApp1(bos.toByteArray,
+        orientation = (1 + id % 8).toInt,
+        make = s"Make${id % 3}", model = s"Model${id % 4}")
+      (id, jpeg, "image/jpeg")
+    }).toDF("doc_id", "bytes", "mime")
+  }
+
   /** Explode a frame of TAR shard payloads into WebDataset members:
     * (doc_id, member, key, ext, bytes) — key/ext split the basename at
     * its FIRST dot (the WebDataset convention: `000123.seg.jpg` →

@@ -1325,6 +1325,18 @@ object ExtQueries {
         .toDF().orderBy("doc_id")
     }),
 
+    // JPEG/EXIF metadata without decode (graft.ext.Exif): each doc is
+    // a REAL ImageIO-encoded JPEG with a spliced EXIF APP1; the stage
+    // reads SOF dims + TIFF IFD orientation/make/model back. Encoder
+    // entropy bytes vary; every projected field is spec-determined.
+    "q_exif" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.exifMeta(Multimodal.syntheticExifJpegMedia(
+        docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+          .select("doc_id").as[java.lang.Long]))
+        .toDF().orderBy("doc_id")
+    }),
+
     // WebDataset tar-shard ingest (graft.ext.Tar + webdatasetMembers):
     // each doc becomes a ustar shard of n samples x {img, txt}
     // members (the img2dataset output shape); the walk validates
@@ -3785,6 +3797,16 @@ object ExtQueries {
         |  ((p.doc_id * 11 + 1) % 251)::BIGINT AS kf1_first_byte,
         |  0::BIGINT AS media_time
         |FROM p JOIN tot USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+
+    "q_exif" ->
+      """SELECT doc_id,
+        |  (16 * (1 + doc_id % 12))::BIGINT AS width,
+        |  (16 * (1 + doc_id % 9))::BIGINT AS height,
+        |  (1 + doc_id % 8)::BIGINT AS orientation,
+        |  'Make' || (doc_id % 3)::VARCHAR AS make,
+        |  'Model' || (doc_id % 4)::VARCHAR AS model
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
 
     // the shard spec recomputed: n = 2+(id%4) samples, img members of
     // 37+((id+j)%50) bytes filled with (id+2j)%251, txt members of
