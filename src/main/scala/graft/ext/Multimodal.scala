@@ -543,6 +543,57 @@ object Multimodal {
     }).toDF("doc_id", "bytes", "mime")
   }
 
+  final case class GifRow(doc_id: Long, version: String, width: Long,
+      height: Long, n_frames: Long, duration_ms: Long, loop_count: Long,
+      f1_size: Long, f1_first_byte: Long)
+
+  /** Animated-GIF structure stage ([[Gif]]): frame count, summed
+    * GCE delays, NETSCAPE loop count, and — the offset witness — the
+    * first frame's LZW-data window size and first byte. Non-GIF rows
+    * and truncated streams (any window out of range) are dropped.
+    */
+  def gifMeta(media: DataFrame): Dataset[GifRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        Gif.parse(b)
+          .filter(_.frames.forall(f =>
+            f.dataOffset >= 0 && f.dataOffset + f.dataSize <= b.length))
+          .map { m =>
+            val f1 = m.frames.head
+            GifRow(id, m.version, m.width.toLong, m.height.toLong,
+              m.frames.size.toLong, m.durationMs, m.loopCount.toLong,
+              f1.dataSize,
+              if (f1.dataSize > 0) (b(f1.dataOffset.toInt) & 0xff).toLong
+              else -1L)
+          }
+      })
+  }
+
+  /** One deterministic animated GIF per id (same registry placement
+    * rule as [[syntheticVideoMedia]]): n = 2 + (id%7) frames, frame i
+    * carrying one 20+((id+4i)%60)-byte data sub-block filled with
+    * (id*9+i)%251, delay 4+((id+i)%6) centiseconds; NETSCAPE loop
+    * id%5 present iff id%3==0; (10+id%300) x (10+id%200).
+    */
+  def syntheticGifMedia(ids: Dataset[java.lang.Long]): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions(_.map { boxed =>
+      val id = boxed.longValue()
+      val n = (2 + id % 7).toInt
+      val bytes = Gif.write(Gif.BuildSpec(
+        width = (10 + id % 300).toInt,
+        height = (10 + id % 200).toInt,
+        frameDataSizes = (1 to n).map(i => (20 + ((id + 4 * i) % 60)).toInt),
+        delaysCs = (1 to n).map(i => (4 + ((id + i) % 6)).toInt),
+        loop = if (id % 3 == 0) (id % 5).toInt else -1,
+        fill = i => ((id * 9 + i) % 251).toByte))
+      (id, bytes, "image/gif")
+    }).toDF("doc_id", "bytes", "mime")
+  }
+
   final case class ExifRow(doc_id: Long, width: Long, height: Long,
       orientation: Long, make: String, model: String)
 

@@ -1325,6 +1325,31 @@ object ExtQueries {
         .toDF().orderBy("doc_id")
     }),
 
+    // Animated-GIF structure (graft.ext.Gif): header/screen
+    // descriptor, GCE delays, NETSCAPE loop, per-frame LZW-data
+    // windows — the crawled-animation format the video containers
+    // miss; f1_size/f1_first_byte witness the sub-block offset math.
+    "q_video_gif" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.gifMeta(Multimodal.syntheticGifMedia(
+        docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+          .select("doc_id").as[java.lang.Long]))
+        .toDF().orderBy("doc_id")
+    }),
+
+    // Subtitle cue timelines (graft.ext.Subtitles): SRT for odd docs,
+    // WebVTT for even, one subtitleCues pass — the text half of
+    // video-text training pairs, cue-exact.
+    "q_subtitles" -> ((s, dir) => {
+      import s.implicits._
+      graft.ext.Subtitles.subtitleCues(
+        graft.ext.Subtitles.syntheticSubtitleDocs(
+          docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+            .select("doc_id").as[java.lang.Long]),
+        "doc_id", col("sub_text"))
+        .toDF().orderBy("doc_id", "cue_idx")
+    }),
+
     // JPEG/EXIF metadata without decode (graft.ext.Exif): each doc is
     // a REAL ImageIO-encoded JPEG with a spliced EXIF APP1; the stage
     // reads SOF dims + TIFF IFD orientation/make/model back. Encoder
@@ -3797,6 +3822,39 @@ object ExtQueries {
         |  ((p.doc_id * 11 + 1) % 251)::BIGINT AS kf1_first_byte,
         |  0::BIGINT AS media_time
         |FROM p JOIN tot USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+
+    // the GIF muxer's spec arithmetic recomputed: n = 2+(id%7) frames
+    // of 20+((id+4i)%60) data bytes filled with (id*9+i)%251, delays
+    // 10*(4+((id+i)%6)) ms, NETSCAPE loop id%5 iff id%3==0
+    "q_video_gif" ->
+      """WITH p AS (SELECT doc_id, (2 + doc_id % 7)::BIGINT AS n
+        |           FROM documents WHERE doc_id IS NOT NULL),
+        |sz AS (SELECT doc_id, unnest(generate_series(1, n)) AS i FROM p),
+        |tot AS (SELECT doc_id,
+        |          sum(10 * (4 + (doc_id + i) % 6))::BIGINT AS duration_ms
+        |        FROM sz GROUP BY doc_id)
+        |SELECT p.doc_id, '89a' AS version,
+        |  (10 + p.doc_id % 300)::BIGINT AS width,
+        |  (10 + p.doc_id % 200)::BIGINT AS height,
+        |  p.n AS n_frames,
+        |  tot.duration_ms,
+        |  CASE WHEN p.doc_id % 3 = 0 THEN p.doc_id % 5
+        |       ELSE -1 END::BIGINT AS loop_count,
+        |  (20 + (p.doc_id + 4) % 60)::BIGINT AS f1_size,
+        |  ((p.doc_id * 9 + 1) % 251)::BIGINT AS f1_first_byte
+        |FROM p JOIN tot USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+
+    // the subtitle spec recomputed: n = 2+(id%6) cues, cue j at
+    // [(j-1)*2000 + id%500, +1500) ms, text 'cue j of doc id'
+    "q_subtitles" ->
+      """WITH p AS (SELECT doc_id, (2 + doc_id % 6)::BIGINT AS n
+        |           FROM documents WHERE doc_id IS NOT NULL),
+        |s AS (SELECT doc_id, unnest(generate_series(1, n)) AS j FROM p)
+        |SELECT doc_id, j::BIGINT AS cue_idx,
+        |  ((j - 1) * 2000 + doc_id % 500)::BIGINT AS start_ms,
+        |  ((j - 1) * 2000 + doc_id % 500 + 1500)::BIGINT AS end_ms,
+        |  'cue ' || j::VARCHAR || ' of doc ' || doc_id::VARCHAR AS text
+        |FROM s ORDER BY doc_id, cue_idx""".stripMargin,
 
     "q_exif" ->
       """SELECT doc_id,
