@@ -111,6 +111,26 @@ object Subtitles {
     }).toDF("doc_id", "sub_text")
   }
 
+  /** Subtitle docs paced for the CLIP-TEXT join fixture: cue k of doc
+    * id covers [(k-1)*120 + id%40, +100) ms — dense enough that each
+    * cue catches 2-3 of the synthetic video's 40 ms frames — with
+    * n = 3 + (id%5) cues, SRT/VTT alternating by id parity. Closed
+    * form for the q_clip_text oracle.
+    */
+  def syntheticClipSubtitles(ids: Dataset[java.lang.Long]): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions(_.map { boxed =>
+      val id = boxed.longValue()
+      val n = (3 + id % 5).toInt
+      val cues = (1 to n).map { k =>
+        val start = (k - 1) * 120L + id % 40
+        Cue(k, start, start + 100L, s"clip $k")
+      }
+      (id, write(cues, vtt = id % 2 == 0))
+    }).toDF("doc_id", "sub_text")
+  }
+
   /** Serialize cues as SRT (`,` millisecond separator) or WebVTT. */
   def write(cues: Seq[Cue], vtt: Boolean): String = {
     def stamp(v: Long, sep: String): String =

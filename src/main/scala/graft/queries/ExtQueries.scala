@@ -1325,6 +1325,37 @@ object ExtQueries {
         .toDF().orderBy("doc_id")
     }),
 
+    // CAPSTONE composition — clip-text pairs: REAL container-cut frame
+    // timelines (sampleFrames over the synthetic MP4 corpus, 40 ms
+    // cadence) interval-joined to REAL parsed subtitle cues
+    // (Subtitles over SRT/VTT docs) through the bucketed range join
+    // (ops.RangeJoin — hash shuffle on time buckets + exact refine,
+    // never an inequality nested loop). Per-doc keying rides the
+    // standard key-fusion trick: ts' = doc_id*1e6 + ms (cue spans
+    // never cross the 1e6 boundary, so bucket matches cannot pair
+    // across docs). Output: frames matched per cue.
+    "q_clip_text" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+        .select("doc_id").as[java.lang.Long]
+      val frames = Multimodal.sampleFrames(videoMedia(s, dir), stride = 1)
+        .select(col("frame_idx"),
+          (col("doc_id") * 1000000L + col("frame_idx") * 40L).as("ts"))
+      val cues = graft.ext.Subtitles.subtitleCues(
+        graft.ext.Subtitles.syntheticClipSubtitles(ids),
+        "doc_id", col("sub_text"))
+        .select(col("doc_id").as("c_doc"), col("cue_idx"),
+          (col("doc_id") * 1000000L + col("start_ms")).as("lo"),
+          (col("doc_id") * 1000000L + col("end_ms")).as("hi"))
+      graft.ops.RangeJoin.pointInInterval(frames, "ts", cues,
+        "lo", "hi", width = 128)
+        .groupBy(col("c_doc").as("doc_id"), col("cue_idx"))
+        .agg(count(lit(1)).as("n_frames"),
+          min(col("frame_idx")).as("first_frame"),
+          max(col("frame_idx")).as("last_frame"))
+        .orderBy("doc_id", "cue_idx")
+    }),
+
     // Animated-GIF structure (graft.ext.Gif): header/screen
     // descriptor, GCE delays, NETSCAPE loop, per-frame LZW-data
     // windows — the crawled-animation format the video containers
@@ -3822,6 +3853,28 @@ object ExtQueries {
         |  ((p.doc_id * 11 + 1) % 251)::BIGINT AS kf1_first_byte,
         |  0::BIGINT AS media_time
         |FROM p JOIN tot USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+
+    // clip-text recomputed: video frames sit at (j-1)*40 ms for
+    // j = 1..nv (nv = 1+(id%7)*3); cue k covers
+    // [(k-1)*120 + id%40, +100) — matched frame indices are the
+    // integer range [ceil(start/40), floor((start+99)/40)] clamped to
+    // [0, nv-1]
+    "q_clip_text" ->
+      """WITH p AS (SELECT doc_id, (1 + (doc_id % 7) * 3)::BIGINT AS nv,
+        |    (3 + doc_id % 5)::BIGINT AS nc, (doc_id % 40)::BIGINT AS r
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |c AS (SELECT doc_id, nv, r, unnest(generate_series(1, nc)) AS k
+        |      FROM p),
+        |m AS (SELECT doc_id, k,
+        |    (((k - 1) * 120 + r) + 39) // 40 AS lo_j,
+        |    least(((k - 1) * 120 + r + 99) // 40, nv - 1) AS hi_j
+        |  FROM c)
+        |SELECT doc_id, k::BIGINT AS cue_idx,
+        |  (hi_j - lo_j + 1)::BIGINT AS n_frames,
+        |  lo_j::BIGINT AS first_frame,
+        |  hi_j::BIGINT AS last_frame
+        |FROM m WHERE hi_j >= lo_j
+        |ORDER BY doc_id, cue_idx""".stripMargin,
 
     // the GIF muxer's spec arithmetic recomputed: n = 2+(id%7) frames
     // of 20+((id+4i)%60) data bytes filled with (id*9+i)%251, delays
