@@ -680,6 +680,64 @@ object Multimodal {
       readBinaryDir(spark, path, glob)
         .select(col("doc_id"), col("bytes")))
 
+  /** End-to-end WebDataset sample table: `.png` members through the
+    * REAL ImageIO decode, `.txt` members whitespace-tokenized, joined
+    * per (shard, key) — the shard-to-training-sample pipeline in one
+    * pass over the member frame. Samples missing either modality drop
+    * (inner join): the multimodal-pairing contract.
+    */
+  def wdsSampleTable(members: DataFrame): DataFrame = {
+    val spark = members.sparkSession
+    import spark.implicits._
+    val imgs = members.where(col("ext") === "png")
+      .select("doc_id", "key", "bytes").as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, k, b) =>
+        decodeImage(b).map { case (w, h, _) =>
+          (id, k, w.toLong, h.toLong)
+        }
+      }).toDF("doc_id", "key", "width", "height")
+    val txts = members.where(col("ext") === "txt")
+      .select("doc_id", "key", "bytes").as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, k, b) =>
+        (id, k,
+          new String(b, "UTF-8").split("\\s+").count(_.nonEmpty).toLong)
+      }).toDF("doc_id", "key", "n_tokens")
+    imgs.join(txts, Seq("doc_id", "key"))
+  }
+
+  /** WebDataset shards whose `.png` members are REAL ImageIO-encoded
+    * PNGs (decoder-valid) and `.txt` members whitespace token runs —
+    * closed form per (id, sample j of 2+(id%3)): png dims
+    * (8+((id+j)%16)) x (8+((id*3+j)%12)), text of 3+((id+j)%5) "tok"
+    * tokens. PNG bytes vary with nothing (PNG is deterministic), but
+    * only dims/token counts are projected anyway.
+    */
+  def syntheticPngWebdataset(ids: Dataset[java.lang.Long]): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions(_.map { boxed =>
+      val id = boxed.longValue()
+      val n = (2 + id % 3).toInt
+      val entries = (1 to n).flatMap { j =>
+        val w = (8 + ((id + j) % 16)).toInt
+        val h = (8 + ((id * 3 + j) % 12)).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        g.setColor(new java.awt.Color(((id + j) % 255).toInt,
+          ((id * 5 + j) % 255).toInt, ((id * 11 + j) % 255).toInt))
+        g.fillRect(0, 0, w, h)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val text = Seq.fill((3 + ((id + j) % 5)).toInt)("tok").mkString(" ")
+        Seq((s"${id}_$j.png", bos.toByteArray),
+          (s"${id}_$j.txt", text.getBytes("UTF-8")))
+      }
+      (id, Tar.write(entries), "application/x-tar")
+    }).toDF("doc_id", "bytes", "mime")
+  }
+
   /** Group members back into samples: one row per (doc_id, key) with
     * an ext → bytes map — the unit a multimodal training loader
     * consumes.

@@ -1325,6 +1325,19 @@ object ExtQueries {
         .toDF().orderBy("doc_id")
     }),
 
+    // End-to-end shard pipeline: tar shards whose .png members are
+    // REAL decoder-valid PNGs -> checksum-validated member explode ->
+    // real ImageIO decode + text tokenization -> per-sample join. The
+    // img2dataset-output-to-training-sample path in one query.
+    "q_wds_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.wdsSampleTable(Multimodal.webdatasetMembers(
+        Multimodal.syntheticPngWebdataset(
+          docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+            .select("doc_id").as[java.lang.Long])))
+        .orderBy("doc_id", "key")
+    }),
+
     // CAPSTONE composition — clip-text pairs: REAL container-cut frame
     // timelines (sampleFrames over the synthetic MP4 corpus, 40 ms
     // cadence) interval-joined to REAL parsed subtitle cues
@@ -3853,6 +3866,19 @@ object ExtQueries {
         |  ((p.doc_id * 11 + 1) % 251)::BIGINT AS kf1_first_byte,
         |  0::BIGINT AS media_time
         |FROM p JOIN tot USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+
+    // the png-shard spec recomputed: sample j of 2+(id%3) has png dims
+    // (8+((id+j)%16)) x (8+((id*3+j)%12)) and 3+((id+j)%5) tokens
+    "q_wds_pipeline" ->
+      """WITH p AS (SELECT doc_id, (2 + doc_id % 3)::BIGINT AS n
+        |           FROM documents WHERE doc_id IS NOT NULL),
+        |s AS (SELECT doc_id, unnest(generate_series(1, n)) AS j FROM p)
+        |SELECT doc_id,
+        |  doc_id::VARCHAR || '_' || j::VARCHAR AS key,
+        |  (8 + (doc_id + j) % 16)::BIGINT AS width,
+        |  (8 + (doc_id * 3 + j) % 12)::BIGINT AS height,
+        |  (3 + (doc_id + j) % 5)::BIGINT AS n_tokens
+        |FROM s ORDER BY doc_id, key""".stripMargin,
 
     // clip-text recomputed: video frames sit at (j-1)*40 ms for
     // j = 1..nv (nv = 1+(id%7)*3); cue k covers
