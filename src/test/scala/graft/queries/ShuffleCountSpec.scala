@@ -148,6 +148,29 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // per-row Morton interleave + TakeOrdered: NO exchange at all —
     // orderBy+limit must never become a range shuffle
     "q_zorder" -> 0,
+    // the media-metadata family: generate + parse fused in ONE
+    // mapPartitions pass — the only exchange is the oracle-determinism
+    // orderBy. A second exchange here means a parser stage started
+    // shuffling payloads.
+    "q_video_meta" -> 1,
+    "q_video_frag" -> 1,
+    "q_video_webm" -> 1,
+    "q_video_avi" -> 1,
+    "q_video_mpeg" -> 1,
+    "q_video_gif" -> 1,
+    "q_video_frames" -> 1,
+    "q_video_frag_frames" -> 1,
+    "q_video_keyframes" -> 1,
+    "q_audio_meta" -> 1,
+    "q_exif" -> 1,
+    "q_webdataset" -> 1,
+    "q_subtitles" -> 1,
+    // member explode + two parse branches + per-sample equi-join +
+    // order; the join keys are (doc_id, key) on both sides
+    "q_wds_pipeline" -> 4,
+    // bucketed range join (points hash + exploded-intervals hash) +
+    // per-cue agg + order; never an inequality nested loop
+    "q_clip_text" -> 5,
     // ONE corpus-pass pair agg; marginals/total/c2 all derive from the
     // gram-space frame (its exchange reused, see minReused); top-k is
     // TakeOrdered
