@@ -612,13 +612,36 @@ object Multimodal {
       })
   }
 
-  /** One REAL JPEG per id (ImageIO-encoded solid-color image — an
-    * actual decoder-accepted file, not a byte sketch) with a spliced
-    * EXIF APP1. Closed form per id: 16*(1+id%12) x 16*(1+id%9),
-    * orientation 1+(id%8), make "Make"+(id%3), model "Model"+(id%4).
-    * The JPEG entropy bytes vary with the encoder, but every field
-    * q_exif projects is spec-determined. Same registry placement rule
-    * as [[syntheticVideoMedia]].
+  /** Per-JVM memo of ImageIO-encoded host images by (format, w, h).
+    * Fixture dims cycle through small moduli, so a corpus-sized
+    * generator pays ~10^2 encodes instead of ~10^5 — the benched cost
+    * is then the DECODE/PARSE operators, not fixture encoding. Content
+    * is a deterministic solid color per (w, h): the projected fields
+    * (dims, EXIF, token counts) never depend on pixels.
+    */
+  private val hostImageMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Array[Byte]]
+
+  private def encodedHostImage(format: String, w: Int, h: Int): Array[Byte] =
+    hostImageMemo.getOrElseUpdate((format, w, h), {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color((w * 37) % 255, (h * 53) % 255,
+        (w + h) % 255))
+      g.fillRect(0, 0, w, h)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, bos)
+      bos.toByteArray
+    })
+
+  /** One REAL JPEG per id (ImageIO-encoded image — an actual
+    * decoder-accepted file, not a byte sketch; hosts memoized per
+    * (w, h), see [[encodedHostImage]]) with a spliced EXIF APP1.
+    * Closed form per id: 16*(1+id%12) x 16*(1+id%9), orientation
+    * 1+(id%8), make "Make"+(id%3), model "Model"+(id%4). Same registry
+    * placement rule as [[syntheticVideoMedia]].
     */
   def syntheticExifJpegMedia(ids: Dataset[java.lang.Long]): DataFrame = {
     val spark = ids.sparkSession
@@ -627,16 +650,7 @@ object Multimodal {
       val id = boxed.longValue()
       val w = (16 * (1 + id % 12)).toInt
       val h = (16 * (1 + id % 9)).toInt
-      val img = new java.awt.image.BufferedImage(w, h,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val g = img.createGraphics()
-      g.setColor(new java.awt.Color((id % 255).toInt, ((id * 3) % 255).toInt,
-        ((id * 7) % 255).toInt))
-      g.fillRect(0, 0, w, h)
-      g.dispose()
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", bos)
-      val jpeg = Exif.insertApp1(bos.toByteArray,
+      val jpeg = Exif.insertApp1(encodedHostImage("jpg", w, h),
         orientation = (1 + id % 8).toInt,
         make = s"Make${id % 3}", model = s"Model${id % 4}")
       (id, jpeg, "image/jpeg")
@@ -706,11 +720,12 @@ object Multimodal {
   }
 
   /** WebDataset shards whose `.png` members are REAL ImageIO-encoded
-    * PNGs (decoder-valid) and `.txt` members whitespace token runs —
+    * PNGs (decoder-valid; hosts memoized per (w, h), see
+    * [[encodedHostImage]]) and `.txt` members whitespace token runs —
     * closed form per (id, sample j of 2+(id%3)): png dims
     * (8+((id+j)%16)) x (8+((id*3+j)%12)), text of 3+((id+j)%5) "tok"
-    * tokens. PNG bytes vary with nothing (PNG is deterministic), but
-    * only dims/token counts are projected anyway.
+    * tokens. Only dims/token counts are projected, so per-id pixel
+    * content is not needed.
     */
   def syntheticPngWebdataset(ids: Dataset[java.lang.Long]): DataFrame = {
     val spark = ids.sparkSession
@@ -721,17 +736,8 @@ object Multimodal {
       val entries = (1 to n).flatMap { j =>
         val w = (8 + ((id + j) % 16)).toInt
         val h = (8 + ((id * 3 + j) % 12)).toInt
-        val img = new java.awt.image.BufferedImage(w, h,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val g = img.createGraphics()
-        g.setColor(new java.awt.Color(((id + j) % 255).toInt,
-          ((id * 5 + j) % 255).toInt, ((id * 11 + j) % 255).toInt))
-        g.fillRect(0, 0, w, h)
-        g.dispose()
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
         val text = Seq.fill((3 + ((id + j) % 5)).toInt)("tok").mkString(" ")
-        Seq((s"${id}_$j.png", bos.toByteArray),
+        Seq((s"${id}_$j.png", encodedHostImage("png", w, h)),
           (s"${id}_$j.txt", text.getBytes("UTF-8")))
       }
       (id, Tar.write(entries), "application/x-tar")
