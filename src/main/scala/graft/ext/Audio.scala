@@ -113,15 +113,20 @@ object Audio {
       var pos = 0
       if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
         bytes(2) == '3') {
-        // ID3v2 header: "ID3" ver(2) flags(1) size(4 × 7-bit syncsafe)
+        // ID3v2 header: "ID3" ver(2) flags(1) size(4 × 7-bit syncsafe).
+        // The size EXCLUDES the 10-byte footer a tag with flag 0x10
+        // carries (ID3v2.4 §3.1) — without the extra skip the sync
+        // check lands on footer bytes and a valid MP3 is rejected.
         val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
           ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
-        pos = 10 + size
+        val footer = if ((bytes(5) & 0x10) != 0) 10 else 0
+        pos = 10 + size + footer
         if (pos >= bytes.length) return None
       }
       var frames = 0L
       var rate = 0
       var channels = 0L
+      var xingFrames = -1L // authoritative count from a Xing/Info header
       var ok = true
       while (ok && pos + 4 <= bytes.length) {
         val b0 = bytes(pos) & 0xff
@@ -145,6 +150,25 @@ object Audio {
                 144 * Mp3Bitrates(brIdx) * 1000 / thisRate + padding
               if (frameLen < 4 || pos + frameLen > bytes.length) ok = false
               else {
+                // Xing (VBR) / Info (CBR) header in the FIRST frame,
+                // after the side info (MPEG-1: 17 bytes mono, 32
+                // stereo): flags bit 0 = a frame count follows — the
+                // encoder's authoritative count of the AUDIO frames
+                // after this header frame. VBR files need it: their
+                // per-frame bitrates make any single-frame estimate
+                // wrong, and players derive duration from this field.
+                if (frames == 0L) {
+                  val si = pos + 4 + (if (channels == 1L) 17 else 32)
+                  if (si + 12 <= pos + frameLen) {
+                    val t = new String(bytes, si, 4, "US-ASCII")
+                    if ((t == "Xing" || t == "Info") &&
+                      (bytes(si + 7) & 0x1) != 0)
+                      xingFrames = ((bytes(si + 8) & 0xffL) << 24) |
+                        ((bytes(si + 9) & 0xffL) << 16) |
+                        ((bytes(si + 10) & 0xffL) << 8) |
+                        (bytes(si + 11) & 0xffL)
+                  }
+                }
                 frames += 1
                 pos += frameLen
               }
@@ -153,8 +177,13 @@ object Audio {
         }
       }
       if (frames == 0) None
-      else Some(Info("mp3", "mp3", rate.toLong, channels,
-        frames * Mp3SamplesPerFrame * 1000L / rate, frames))
+      else {
+        // the Xing/Info frame is a header, not audio: when present its
+        // count (of the frames AFTER it) is the duration authority
+        val audioFrames = if (xingFrames >= 0L) xingFrames else frames
+        Some(Info("mp3", "mp3", rate.toLong, channels,
+          audioFrames * Mp3SamplesPerFrame * 1000L / rate, audioFrames))
+      }
     } catch { case _: Exception => None }
 
   /** Serialize `frames` MPEG-1 Layer III frames at the given bitrate
@@ -165,21 +194,32 @@ object Audio {
     */
   def writeMp3(frames: Int, bitrateIdx: Int, rateIdx: Int, mono: Boolean,
       fill: Int => Byte = i => (i % 251).toByte,
-      id3Bytes: Int = 0): Array[Byte] = {
+      id3Bytes: Int = 0, id3Footer: Boolean = false): Array[Byte] = {
     require(frames > 0 && bitrateIdx >= 1 && bitrateIdx <= 14 &&
       rateIdx >= 0 && rateIdx <= 2 && id3Bytes >= 0 && id3Bytes < (1 << 28))
+    require(!id3Footer || id3Bytes > 0, "footer needs a tag")
     val rate = Mp3Rates(rateIdx)
     val frameLen = 144 * Mp3Bitrates(bitrateIdx) * 1000 / rate
-    val tagLen = if (id3Bytes == 0) 0 else 10 + id3Bytes
+    val footerLen = if (id3Footer) 10 else 0
+    val tagLen = if (id3Bytes == 0) 0 else 10 + id3Bytes + footerLen
     val out = new Array[Byte](tagLen + frames * frameLen)
     if (id3Bytes > 0) {
       out(0) = 'I'; out(1) = 'D'; out(2) = '3'
-      out(3) = 3 // v2.3
+      out(3) = (if (id3Footer) 4 else 3).toByte // footer is a v2.4 flag
+      if (id3Footer) out(5) = 0x10
       out(6) = ((id3Bytes >> 21) & 0x7f).toByte
       out(7) = ((id3Bytes >> 14) & 0x7f).toByte
       out(8) = ((id3Bytes >> 7) & 0x7f).toByte
       out(9) = (id3Bytes & 0x7f).toByte
       // tag payload: zero padding (a valid, empty tag body)
+      if (id3Footer) {
+        // footer mirrors the header with identifier "3DI" (§3.4)
+        val fo = 10 + id3Bytes
+        out(fo) = '3'; out(fo + 1) = 'D'; out(fo + 2) = 'I'
+        out(fo + 3) = 4
+        out(fo + 5) = 0x10
+        System.arraycopy(out, 6, out, fo + 6, 4)
+      }
     }
     for (f <- 0 until frames) {
       val base = tagLen + f * frameLen
@@ -190,6 +230,51 @@ object Audio {
       java.util.Arrays.fill(out, base + 4, base + frameLen, fill(f + 1))
     }
     out
+  }
+
+  /** Serialize a VBR MP3: a leading Xing header frame (at
+    * `bitrateIdxs.head`'s frame size, "Xing" + flags 0x3 + frame count
+    * + byte count after the side info) followed by one audio frame per
+    * entry of `bitrateIdxs` — per-frame bitrates are what makes the
+    * file VBR. The parsed duration/units must equal
+    * `bitrateIdxs.length` frames (the Xing count), NOT the walked
+    * count (which includes the header frame).
+    */
+  def writeMp3Vbr(bitrateIdxs: Seq[Int], rateIdx: Int, mono: Boolean,
+      fill: Int => Byte = i => (i % 251).toByte): Array[Byte] = {
+    require(bitrateIdxs.nonEmpty &&
+      bitrateIdxs.forall(b => b >= 1 && b <= 14) &&
+      rateIdx >= 0 && rateIdx <= 2)
+    val rate = Mp3Rates(rateIdx)
+    def frameLen(br: Int) = 144 * Mp3Bitrates(br) * 1000 / rate
+    val out = new java.io.ByteArrayOutputStream()
+    def beU32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def header(br: Int): Array[Byte] = Array(0xff.toByte, 0xfb.toByte,
+      ((br << 4) | (rateIdx << 2)).toByte,
+      (if (mono) 0xc0 else 0x00).toByte)
+    // Xing frame: header + zeroed side info + tag
+    val xingLen = frameLen(bitrateIdxs.head)
+    val sideInfo = if (mono) 17 else 32
+    val totalBytes = xingLen.toLong +
+      bitrateIdxs.map(frameLen(_).toLong).sum
+    val xing = new Array[Byte](xingLen)
+    System.arraycopy(header(bitrateIdxs.head), 0, xing, 0, 4)
+    val tagOff = 4 + sideInfo
+    require(tagOff + 16 <= xingLen, s"Xing frame too small: $xingLen")
+    System.arraycopy("Xing".getBytes("US-ASCII"), 0, xing, tagOff, 4)
+    System.arraycopy(beU32(0x3L), 0, xing, tagOff + 4, 4) // frames|bytes
+    System.arraycopy(beU32(bitrateIdxs.length.toLong), 0, xing, tagOff + 8, 4)
+    System.arraycopy(beU32(totalBytes), 0, xing, tagOff + 12, 4)
+    out.write(xing)
+    for ((br, f) <- bitrateIdxs.zipWithIndex) {
+      val len = frameLen(br)
+      val frame = new Array[Byte](len)
+      System.arraycopy(header(br), 0, frame, 0, 4)
+      java.util.Arrays.fill(frame, 4, len, fill(f + 1))
+      out.write(frame)
+    }
+    out.toByteArray
   }
 
   // ------------------------------------------------------------------

@@ -65,6 +65,14 @@ object Mp4 {
   def isMp4(bytes: Array[Byte]): Boolean =
     bytes.length >= 12 && tag(bytes, 4) == "ftyp"
 
+  /** Absolute sample-count ceiling for counts the box extent cannot
+    * bound (uniform stsz, field-less trun runs). 2^22 samples is ~19h
+    * of 60 fps video — far past anything parsed in-memory — and caps
+    * the boxed-element allocation a crafted count can force even when
+    * the per-payload-byte bound degenerates (1-byte uniform samples).
+    */
+  private val MaxSamples = 1 << 22
+
   // --- byte readers (big-endian, per the spec) ---
 
   private def u16(b: Array[Byte], i: Int): Int =
@@ -80,33 +88,43 @@ object Mp4 {
   private def tag(b: Array[Byte], i: Int): String =
     new String(b, i, 4, "US-ASCII")
 
-  /** Child boxes of [start, end): (type, payloadStart, payloadEnd).
-    * Malformed lengths (running past `end`, or smaller than their own
-    * header) end iteration — the caller sees a shorter box list and
-    * fails closed on whatever is then missing.
+  /** Child boxes of [start, end): (type, payloadStart, payloadEnd,
+    * headerLen). The header length matters to fragment parsing: a moof
+    * written with a 64-bit largesize header starts 16 bytes before its
+    * payload, not 8, and the default-base-is-moof convention points at
+    * the box START — assuming a compact header there would yield
+    * in-range but wrong sample windows. Malformed lengths (running past
+    * `end`, or smaller than their own header) end iteration — the
+    * caller sees a shorter box list and fails closed on whatever is
+    * then missing.
     */
-  private def boxes(b: Array[Byte], start: Int,
-      end: Int): Iterator[(String, Int, Int)] = new Iterator[(String, Int, Int)] {
-    private var pos = start
-    def hasNext: Boolean = pos + 8 <= end
-    def next(): (String, Int, Int) = {
-      val size32 = u32(b, pos)
-      val typ = tag(b, pos + 4)
-      val (header, size) =
-        if (size32 == 1L && pos + 16 <= end) (16, u64(b, pos + 8))
-        else if (size32 == 0L) (8, (end - pos).toLong) // extends to end
-        else (8, size32)
-      val boxEnd = pos + size
-      if (size < header || boxEnd > end || boxEnd <= pos) {
-        pos = end // malformed: stop
-        ("", end, end)
-      } else {
-        val out = (typ, pos + header, boxEnd.toInt)
-        pos = boxEnd.toInt
-        out
+  private def boxesH(b: Array[Byte], start: Int,
+      end: Int): Iterator[(String, Int, Int, Int)] =
+    new Iterator[(String, Int, Int, Int)] {
+      private var pos = start
+      def hasNext: Boolean = pos + 8 <= end
+      def next(): (String, Int, Int, Int) = {
+        val size32 = u32(b, pos)
+        val typ = tag(b, pos + 4)
+        val (header, size) =
+          if (size32 == 1L && pos + 16 <= end) (16, u64(b, pos + 8))
+          else if (size32 == 0L) (8, (end - pos).toLong) // extends to end
+          else (8, size32)
+        val boxEnd = pos + size
+        if (size < header || boxEnd > end || boxEnd <= pos) {
+          pos = end // malformed: stop
+          ("", end, end, 8)
+        } else {
+          val out = (typ, pos + header, boxEnd.toInt, header)
+          pos = boxEnd.toInt
+          out
+        }
       }
     }
-  }
+
+  private def boxes(b: Array[Byte], start: Int,
+      end: Int): Iterator[(String, Int, Int)] =
+    boxesH(b, start, end).map { case (t, s, e, _) => (t, s, e) }
 
   private def findBox(b: Array[Byte], start: Int, end: Int,
       typ: String): Option[(Int, Int)] =
@@ -138,11 +156,11 @@ object Mp4 {
   def parse(bytes: Array[Byte]): Option[Meta] =
     try {
       if (!isMp4(bytes)) return None
-      val top = boxes(bytes, 0, bytes.length).toVector
-      val brand = top.collectFirst { case ("ftyp", s, e) if e - s >= 4 =>
+      val top = boxesH(bytes, 0, bytes.length).toVector
+      val brand = top.collectFirst { case ("ftyp", s, e, _) if e - s >= 4 =>
         tag(bytes, s)
       }.getOrElse(return None)
-      val (moovS, moovE) = top.collectFirst { case ("moov", s, e) => (s, e) }
+      val (moovS, moovE) = top.collectFirst { case ("moov", s, e, _) => (s, e) }
         .getOrElse(return None)
       val (mvTs, mvDur) = findBox(bytes, moovS, moovE, "mvhd").map {
         case (s, _) =>
@@ -203,12 +221,12 @@ object Mp4 {
     * ends up sampleless.
     */
   private def parseFragments(b: Array[Byte],
-      top: Vector[(String, Int, Int)],
+      top: Vector[(String, Int, Int, Int)],
       trex: Map[Long, (Long, Long, Long)]): Map[Long, Vector[FragSample]] = {
     val acc = scala.collection.mutable.Map.empty[Long, Vector[FragSample]]
       .withDefaultValue(Vector.empty)
-    for ((typ, ms, me) <- top if typ == "moof") {
-      val moofStart = ms - 8L // moof boxes use compact 32-bit sizes
+    for ((typ, ms, me, hl) <- top if typ == "moof") {
+      val moofStart = (ms - hl).toLong // exact: compact (8) or largesize (16)
       for ((ttyp, ts, te) <- boxes(b, ms, me) if ttyp == "traf") {
         parseTraf(b, ts, te, moofStart, trex).foreach {
           case (tid, samples) => acc(tid) = acc(tid) ++ samples
@@ -262,10 +280,14 @@ object Mp4 {
       val perSample = Seq(0x100L, 0x200L, 0x400L, 0x800L)
         .count(f => (flags & f) != 0) * 4
       // hostile-count bound BEFORE the loop (same contract as stsz):
-      // with per-sample fields the box extent bounds n; without, cap
-      // against the payload length
+      // with per-sample fields the box extent bounds n; without, the
+      // run's samples all have the default size, so the file itself
+      // bounds n at length/defSize — a boxed FragSample costs far more
+      // than a payload byte, so bytes.length alone would still let a
+      // crafted count amplify memory 20-80x
       val room = if (perSample > 0) (xe - p).toLong / perSample
-        else b.length.toLong
+        else math.min(b.length.toLong / math.max(1L, defSize),
+          MaxSamples.toLong)
       if (n < 0L || n > room) return None
       var i = 0
       while (i < n.toInt) {
@@ -374,9 +396,12 @@ object Mp4 {
       val n = u32(b, x + 8)
       if (uniform != 0L) {
         // uniform case: no table follows, so the box extent bounds
-        // nothing — cap against the file itself (more samples than
-        // payload bytes is never a well-formed progressive MP4)
-        if (n < 0L || n > b.length) return None
+        // nothing — cap against the file itself DIVIDED by the uniform
+        // size (n uniform-sized samples need n*uniform payload bytes;
+        // bytes.length alone would let uniform=1 allocate one boxed
+        // Long per payload byte, a 20-80x memory amplification)
+        if (n < 0L || n > math.min(b.length / uniform, MaxSamples.toLong))
+          return None
         Vector.fill(n.toInt)(uniform)
       } else {
         if (n < 0L || n > (xe - x - 12).toLong / 4) return None

@@ -595,7 +595,8 @@ object Multimodal {
   }
 
   final case class ExifRow(doc_id: Long, width: Long, height: Long,
-      orientation: Long, make: String, model: String)
+      orientation: Long, make: String, model: String,
+      dt_original: String, lat_arcsec: Long, lon_arcsec: Long)
 
   /** JPEG/EXIF metadata stage: SOF coded dimensions + APP1 orientation
     * and camera make/model ([[Exif]]) WITHOUT decoding pixels — the
@@ -608,7 +609,8 @@ object Multimodal {
     media.select("doc_id", "bytes").as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, b) =>
         Exif.parse(b).map(m => ExifRow(id, m.width.toLong, m.height.toLong,
-          m.orientation.toLong, m.make, m.model))
+          m.orientation.toLong, m.make, m.model, m.dateTimeOriginal,
+          m.latArcsec, m.lonArcsec))
       })
   }
 
@@ -640,8 +642,12 @@ object Multimodal {
     * decoder-accepted file, not a byte sketch; hosts memoized per
     * (w, h), see [[encodedHostImage]]) with a spliced EXIF APP1.
     * Closed form per id: 16*(1+id%12) x 16*(1+id%9), orientation
-    * 1+(id%8), make "Make"+(id%3), model "Model"+(id%4). Same registry
-    * placement rule as [[syntheticVideoMedia]].
+    * 1+(id%8), make "Make"+(id%3), model "Model"+(id%4),
+    * DateTimeOriginal (Exif sub-IFD) at year 2000+(id%22), month
+    * 1+(id%12), day 1+(id%28), time id%24:id%60:id%60, GPS sub-IFD at
+    * lat (id*31)%324001-162000 / lon (id*57)%1296001-648000 arcsec
+    * (both hemispheres exercised). Same registry placement rule as
+    * [[syntheticVideoMedia]].
     */
   def syntheticExifJpegMedia(ids: Dataset[java.lang.Long]): DataFrame = {
     val spark = ids.sparkSession
@@ -650,9 +656,15 @@ object Multimodal {
       val id = boxed.longValue()
       val w = (16 * (1 + id % 12)).toInt
       val h = (16 * (1 + id % 9)).toInt
+      val dt = f"${2000 + id % 22}%04d:${1 + id % 12}%02d:${1 + id % 28}%02d " +
+        f"${id % 24}%02d:${id % 60}%02d:${id % 60}%02d"
       val jpeg = Exif.insertApp1(encodedHostImage("jpg", w, h),
         orientation = (1 + id % 8).toInt,
-        make = s"Make${id % 3}", model = s"Model${id % 4}")
+        make = s"Make${id % 3}", model = s"Model${id % 4}",
+        dateTimeOriginal = dt,
+        latArcsec = (id * 31) % 324001 - 162000,
+        lonArcsec = (id * 57) % 1296001 - 648000,
+        hasGps = true)
       (id, jpeg, "image/jpeg")
     }).toDF("doc_id", "bytes", "mime")
   }
@@ -1022,7 +1034,9 @@ object Multimodal {
     * [[syntheticVideoMedia]]). The q_audio_meta oracle recomputes
     * every field in SQL:
     *  - 0 -> MP3: 3+(id%6) MPEG-1 L3 frames at 44100 Hz, bitrate index
-    *    9+(id%3) (128/160/192 kbps), mono iff id%10==0;
+    *    9+(id%3) (128/160/192 kbps), mono iff id%10==0; id%20==0 ids
+    *    are VBR (per-frame bitrates + Xing header frame — the parsed
+    *    count must come from the Xing field, not the frame walk);
     *  - 1 -> WAV: 16-bit PCM, 8000*(1+id%3) Hz, mono iff id%10==1,
     *    200+(id%50) samples per channel;
     *  - 2 -> FLAC: 32000+(id%3)*8000 Hz, 1+((id/5)%2) channels,
@@ -1040,14 +1054,28 @@ object Multimodal {
     ids.mapPartitions(_.map { boxed =>
       val id = boxed.longValue()
       val bytes = (id % 5) match {
+        case 0 if id % 20 == 0 =>
+          // VBR: per-frame bitrate indices + a leading Xing header
+          // frame carrying the authoritative audio-frame count. The
+          // oracle needs no branch — duration/units equal the SAME
+          // 3+(id%6) frame count — but only the Xing parse produces
+          // it (the walked count would include the header frame)
+          Audio.writeMp3Vbr(
+            bitrateIdxs = (1 to (3 + id % 6).toInt)
+              .map(j => (9 + (id + j) % 5).toInt),
+            rateIdx = 0, mono = true, // id%10==0 ids are the mono ids
+            fill = i => ((id + i) % 251).toByte)
         case 0 =>
           // ids ending in 5 carry a leading ID3v2 tag (47 padding
-          // bytes) — parsed fields are identical, so the oracle needs
-          // no branch; the tag-skip path just gets real coverage
+          // bytes; ids ending in 15 mod 20 also carry the v2.4
+          // FOOTER, +10 bytes the syncsafe size excludes) — parsed
+          // fields are identical, so the oracle needs no branch; the
+          // tag-skip paths just get real coverage
           Audio.writeMp3(frames = (3 + id % 6).toInt,
             bitrateIdx = (9 + id % 3).toInt, rateIdx = 0,
             mono = id % 10 == 0, fill = i => ((id + i) % 251).toByte,
-            id3Bytes = if (id % 10 == 5) 47 else 0)
+            id3Bytes = if (id % 10 == 5) 47 else 0,
+            id3Footer = id % 20 == 15)
         case 1 =>
           Audio.writeWav(rate = (8000 * (1 + id % 3)).toInt,
             channels = if (id % 10 == 1) 1 else 2,

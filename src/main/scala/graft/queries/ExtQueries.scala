@@ -3941,7 +3941,12 @@ object ExtQueries {
         |  (16 * (1 + doc_id % 9))::BIGINT AS height,
         |  (1 + doc_id % 8)::BIGINT AS orientation,
         |  'Make' || (doc_id % 3)::VARCHAR AS make,
-        |  'Model' || (doc_id % 4)::VARCHAR AS model
+        |  'Model' || (doc_id % 4)::VARCHAR AS model,
+        |  printf('%04d:%02d:%02d %02d:%02d:%02d',
+        |    2000 + doc_id % 22, 1 + doc_id % 12, 1 + doc_id % 28,
+        |    doc_id % 24, doc_id % 60, doc_id % 60) AS dt_original,
+        |  ((doc_id * 31) % 324001 - 162000)::BIGINT AS lat_arcsec,
+        |  ((doc_id * 57) % 1296001 - 648000)::BIGINT AS lon_arcsec
         |FROM documents WHERE doc_id IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
 

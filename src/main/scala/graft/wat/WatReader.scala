@@ -78,7 +78,12 @@ object WatReader {
           return Some(out.toByteArray)
         } finally in.close()
       } catch {
-        case _: Exception =>
+        // interrupt-transparent: a task kill (speculative execution,
+        // job cancel) interrupts the executor thread — the retry loop
+        // must propagate immediately, not swallow the interrupt and
+        // sleep through up to 9 more attempts
+        case e: InterruptedException => throw e
+        case scala.util.control.NonFatal(_) =>
           i += 1
           if (i < attempts) Thread.sleep(sleepMs)
       }
@@ -195,7 +200,12 @@ object WatReader {
         val p = new Path(path)
         return Some(p.getFileSystem(conf).open(p))
       } catch {
-        case _: Exception =>
+        // interrupt-transparent: a task kill (speculative execution,
+        // job cancel) interrupts the executor thread — the retry loop
+        // must propagate immediately, not swallow the interrupt and
+        // sleep through up to 9 more attempts
+        case e: InterruptedException => throw e
+        case scala.util.control.NonFatal(_) =>
           i += 1
           if (i < attempts) Thread.sleep(sleepMs)
       }

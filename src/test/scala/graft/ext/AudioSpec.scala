@@ -116,4 +116,36 @@ class AudioSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.format).toSeq == Seq("mp3", "wav", "flac", "ogg"))
     assert(rows(3).duration_ms == 500L)
   }
+  test("ID3v2.4 footer flag: the 10 extra bytes the syncsafe size " +
+      "excludes are skipped (a valid MP3 is not rejected)") {
+    val plain = Audio.writeMp3(4, 9, 0, mono = false, id3Bytes = 47)
+    val footed = Audio.writeMp3(4, 9, 0, mono = false, id3Bytes = 47,
+      id3Footer = true)
+    assert(footed.length == plain.length + 10)
+    val i = Audio.parseMp3(footed).getOrElse(
+      fail("footer tag rejected a valid MP3"))
+    assert(i.units == 4L && i.sampleRate == 44100L && i.channels == 2L)
+    assert(Audio.parseMp3(plain).get == i)
+  }
+
+  test("VBR: Xing frame count is the duration authority (walked count " +
+      "would include the header frame)") {
+    val b = Audio.writeMp3Vbr(bitrateIdxs = Seq(9, 12, 10, 14, 9),
+      rateIdx = 0, mono = false)
+    val i = Audio.parseMp3(b).getOrElse(fail("None for valid VBR mp3"))
+    assert(i.units == 5L, "must be the Xing count, not 6 walked frames")
+    assert(i.durationMs == 5L * 1152 * 1000 / 44100)
+    assert(i.sampleRate == 44100L && i.channels == 2L)
+    // mono variant: side info is 17 bytes, Xing sits earlier
+    val m = Audio.parseMp3(Audio.writeMp3Vbr(Seq(10, 13), 1,
+      mono = true)).getOrElse(fail("None for mono VBR"))
+    assert(m.units == 2L && m.channels == 1L && m.sampleRate == 48000L)
+    // an Info tag (CBR files written by LAME) takes the same path
+    val info = b.clone()
+    var si = -1
+    for (i2 <- 0 until info.length - 4)
+      if (si < 0 && new String(info, i2, 4, "US-ASCII") == "Xing") si = i2
+    System.arraycopy("Info".getBytes("US-ASCII"), 0, info, si, 4)
+    assert(Audio.parseMp3(info).get.units == 5L)
+  }
 }

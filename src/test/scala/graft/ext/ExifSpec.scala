@@ -85,4 +85,32 @@ class ExifSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.doc_id).toSeq == Seq(1L))
     assert(rows(0).orientation == 2L && rows(0).make == "MakeX")
   }
+  test("Exif + GPS sub-IFDs: DateTimeOriginal and signed DMS " +
+      "coordinates roundtrip; the host still decodes") {
+    val host = realJpeg(64, 48)
+    val tagged = Exif.insertApp1(host, orientation = 3,
+      make = "CamCorp", model = "Model9000",
+      dateTimeOriginal = "2019:07:16 20:17:40",
+      latArcsec = 28L * 3600 + 36 * 60 + 30,    // 28 deg 36' 30" N
+      lonArcsec = -(80L * 3600 + 39 * 60 + 3),  // 80 deg 39' 3" W
+      hasGps = true)
+    val m = Exif.parse(tagged).getOrElse(fail("parse returned None"))
+    assert(m.orientation == 3 && m.make == "CamCorp")
+    assert(m.dateTimeOriginal == "2019:07:16 20:17:40")
+    assert(m.hasGps)
+    assert(m.latArcsec == 28L * 3600 + 36 * 60 + 30)
+    assert(m.lonArcsec == -(80L * 3600 + 39 * 60 + 3))
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(tagged))
+    assert(img != null && img.getWidth == 64)
+    // equator/prime-meridian zero is hasGps=true with 0 arcsec
+    val zero = Exif.parse(Exif.insertApp1(host, 1, "CamCorp",
+      "Model9000", latArcsec = 0L, lonArcsec = 0L, hasGps = true)).get
+    assert(zero.hasGps && zero.latArcsec == 0L && zero.lonArcsec == 0L)
+    // and the 3-entry layout (no sub-IFDs) still reports absence
+    val bare = Exif.parse(Exif.insertApp1(host, 1, "CamCorp",
+      "Model9000")).get
+    assert(!bare.hasGps && bare.dateTimeOriginal.isEmpty &&
+      bare.latArcsec == 0L && bare.lonArcsec == 0L)
+  }
 }

@@ -356,4 +356,69 @@ class Mp4Spec extends AnyFunSuite with SparkTestBase {
     assert(kf.map(_.length) == Seq(51, 54, 57, 60)) // samples 1,4,7,10
     assert(Multimodal.keyframes("nope".getBytes("UTF-8")).isEmpty)
   }
+  test("fragmented: a moof with a 64-bit largesize header positions " +
+      "default-base-is-moof at the box START (not start+8... wrong)") {
+    // convert the FIRST moof of a valid fragmented file to the
+    // largesize form: header grows 8 -> 16 bytes, so the moof-relative
+    // trun data_offset must grow by 8 too. A parser assuming compact
+    // headers computes moofStart 8 bytes late and cuts in-range but
+    // WRONG windows -- the fill-byte readback below catches that.
+    val spec = fragSpec(Seq(3, 3, 3))
+    val orig = Mp4.writeFragmented(spec)
+    def u32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    def putU32(b: Array[Byte], i: Int, v: Long): Unit = {
+      b(i) = ((v >> 24) & 0xff).toByte; b(i + 1) = ((v >> 16) & 0xff).toByte
+      b(i + 2) = ((v >> 8) & 0xff).toByte; b(i + 3) = (v & 0xff).toByte
+    }
+    // locate the first top-level moof
+    var pos = 0
+    while (new String(orig, pos + 4, 4, "US-ASCII") != "moof")
+      pos += u32(orig, pos).toInt
+    val moofSize = u32(orig, pos)
+    val bytes = new Array[Byte](orig.length + 8)
+    System.arraycopy(orig, 0, bytes, 0, pos)
+    putU32(bytes, pos, 1L) // size32 = 1: largesize follows the type
+    System.arraycopy("moof".getBytes("US-ASCII"), 0, bytes, pos + 4, 4)
+    putU32(bytes, pos + 8, 0L)
+    putU32(bytes, pos + 12, moofSize + 8) // 64-bit size, high word 0
+    System.arraycopy(orig, pos + 8, bytes, pos + 16, orig.length - pos - 8)
+    // patch the first trun's data_offset (+8: the header grew under it)
+    var tp = pos + 16
+    while (new String(bytes, tp + 4, 4, "US-ASCII") != "trun") tp += 1
+    val offPos = tp + 8 + 8 // past header(8), version/flags(4), count(4)
+    putU32(bytes, offPos, u32(bytes, offPos) + 8)
+    val meta = Mp4.parse(bytes).getOrElse(fail("largesize parse None"))
+    val t = meta.videoTracks.headOption.getOrElse(fail("no video track"))
+    assert(t.sampleCount == 9)
+    for (smp <- t.samples) {
+      val w = bytes.slice(smp.offset.toInt, (smp.offset + smp.size).toInt)
+      assert(w.length == smp.size && w.forall(_ == spec.fill(smp.index)),
+        s"largesize-moof sample ${smp.index} window reads the wrong bytes")
+    }
+  }
+
+  test("hostile counts with no box-extent bound are capped: uniform " +
+      "stsz and field-less trun runs fail closed before allocation") {
+    // uniform stsz: count must be bounded by fileLen / uniformSize
+    val host = Mp4.write(Mp4.BuildSpec(width = 32, height = 16,
+      sampleSizes = Seq(40, 40, 40, 40), syncEvery = 2))
+    var sp = -1
+    for (i <- 0 until host.length - 4)
+      if (sp < 0 && new String(host, i, 4, "US-ASCII") == "stsz") sp = i
+    assert(sp > 0)
+    val bad = host.clone()
+    def putU32(b: Array[Byte], i: Int, v: Long): Unit = {
+      b(i) = ((v >> 24) & 0xff).toByte; b(i + 1) = ((v >> 16) & 0xff).toByte
+      b(i + 2) = ((v >> 8) & 0xff).toByte; b(i + 3) = (v & 0xff).toByte
+    }
+    putU32(bad, sp + 8, 4L)                 // uniform size 4
+    putU32(bad, sp + 12, bad.length / 2L)   // count: 2x what 4-byte
+    assert(Mp4.parse(bad).isEmpty)          // samples could occupy
+    val bad2 = host.clone()
+    putU32(bad2, sp + 8, 1L)
+    putU32(bad2, sp + 12, 0x7fffff00L)      // near-2^31 boxed alloc
+    assert(Mp4.parse(bad2).isEmpty)
+  }
 }

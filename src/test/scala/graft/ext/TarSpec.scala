@@ -65,4 +65,22 @@ class TarSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, String, Long)].collect().toSeq.sorted
     assert(samples == Seq((1L, "0001", 3L), (1L, "0002", 2L)))
   }
+  test("Long cursor: a >2 GiB declared size fails closed, no Int wrap") {
+    // header declares an 8 GiB payload (octal fits the 12-char field);
+    // the walk must end (size > remaining payload) rather than wrap an
+    // Int cursor negative and re-enter the header scan
+    val tar = Tar.write(Seq(("big.bin", Array.fill(16)(1.toByte))))
+    val huge = java.lang.Long.toOctalString(8L * 1024 * 1024 * 1024)
+    val padded = ("0" * (11 - huge.length)) + huge + " "
+    System.arraycopy(padded.getBytes("US-ASCII"), 0, tar, 124, 12)
+    // re-checksum the first header so only the SIZE is hostile
+    java.util.Arrays.fill(tar, 148, 156, ' '.toByte)
+    var sum = 0L
+    for (i <- 0 until 512) sum += tar(i) & 0xff
+    val cs = java.lang.Long.toOctalString(sum)
+    System.arraycopy((("0" * (6 - cs.length)) + cs).getBytes("US-ASCII"),
+      0, tar, 148, 6)
+    tar(154) = 0; tar(155) = ' '
+    assert(Tar.members(tar).isEmpty)
+  }
 }

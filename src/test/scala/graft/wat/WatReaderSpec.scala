@@ -207,4 +207,27 @@ class WatReaderSpec extends AnyFunSuite {
     assert(r.isEmpty)
     assert((System.nanoTime() - t0) / 1e6 >= 20) // slept between attempts
   }
+  test("fetch retry is interrupt-transparent: a task kill propagates " +
+      "immediately instead of sleeping through the remaining attempts") {
+    // a nonexistent path fails every attempt; with 1 s sleeps x 10
+    // attempts, a swallowed interrupt would hold the thread ~9 s
+    @volatile var ended: Option[Throwable] = None
+    val t = new Thread(() => {
+      try {
+        WatReader.fetchAllBytes("/nonexistent/graft/interrupt.wat.gz",
+          attempts = 10, sleepMs = 1000L)
+        ()
+      } catch { case e: Throwable => ended = Some(e) }
+    })
+    val start = System.nanoTime()
+    t.start()
+    Thread.sleep(150) // let the first attempt fail and enter the sleep
+    t.interrupt()
+    t.join(3000)
+    val elapsedMs = (System.nanoTime() - start) / 1000000L
+    assert(!t.isAlive, "thread still retrying after interrupt")
+    assert(elapsedMs < 3000, s"took ${elapsedMs} ms - interrupt swallowed?")
+    assert(ended.exists(_.isInstanceOf[InterruptedException]),
+      s"expected InterruptedException, got $ended")
+  }
 }
