@@ -211,6 +211,23 @@ object RefQueries {
         .sortWithinPartitions("uid", "cc_filename", "page_url", "url", "alt")
     }),
 
+    // Raw-WARC HTML link extraction (beyond-reference source: the
+    // reference only reads WAT's pre-extracted Links,
+    // cc2dataset/main.py:144-155). The WARC fleet re-emits the SAME
+    // seeded pages as the WAT fleet, as real HTML inside HTTP response
+    // bodies (plus script/style/comment traps the scanner must skip) —
+    // so extraction here must hash-match the committed WAT extraction
+    // dump on (uid, url, alt, page_url). cc_filename is per-source
+    // (archive name vs Container.Filename) and projected out.
+    "q_warc_extract" -> ((s, dir) => {
+      graft.wat.WatFixture.ensureTailParquet(s)
+      val warcs = graft.wat.WatFixture.ensureWarcFleet()
+      graft.wat.WarcExtract.fromPaths(s, warcs, "image_only").toDF()
+        .select("uid", "url", "alt", "page_url")
+        .repartition(1)
+        .sortWithinPartitions("uid", "page_url", "url", "alt")
+    }),
+
     // The pipeline's hot path end-to-end — extraction + uid dedup (the
     // stage-1 + stage-2 of a production run) — now under the FULL
     // DuckDB oracle: the survivor pick is deterministic (hot-key-safe
@@ -588,6 +605,17 @@ object RefQueries {
          |FROM read_parquet('${graft.wat.WatFixture.SingleParquetPath}')
          |ORDER BY uid NULLS FIRST, cc_filename NULLS FIRST,
          |  page_url NULLS FIRST, url NULLS FIRST, alt NULLS FIRST""".stripMargin,
+
+    // q_warc_extract: raw-WARC HTML extraction vs the committed WAT
+    // extraction of the SAME seeded pages — hash parity on everything
+    // but the per-source cc_filename. This is the WAT-parity oracle for
+    // the HTML scanner: a wrong attribute parse, a missed <base href>,
+    // or a script-trap leak all change the hash.
+    "q_warc_extract" ->
+      s"""SELECT uid, url, alt, page_url
+         |FROM read_parquet('${graft.wat.WatFixture.TailParquetPath}')
+         |ORDER BY uid NULLS FIRST, page_url NULLS FIRST,
+         |  url NULLS FIRST, alt NULLS FIRST""".stripMargin,
 
     "q_wat_extract_fleet64" ->
       s"""SELECT uid, url, alt, cc_filename, page_url

@@ -69,14 +69,6 @@ object WatExtract {
     * than the UDF — registered idempotently on the input's session.
     */
   def extract(payloadDf: DataFrame, docType: String): Dataset[DocLink] = {
-    val spark = payloadDf.sparkSession
-    import spark.implicits._
-    graft.functions.GraftFunctions.register(spark)
-    def resolve(base: org.apache.spark.sql.Column, rel: org.apache.spark.sql.Column) =
-      call_function(graft.functions.GraftFunctions.UrlResolveName, base, rel)
-    def resolveBase(page: org.apache.spark.sql.Column, hb: org.apache.spark.sql.Column) =
-      call_function(graft.functions.GraftFunctions.UrlResolveBaseName, page, hb)
-
     val parsed = payloadDf
       .select(from_json(col("payload"), WatEnvelope.schema).as("r"))
       .select(
@@ -91,9 +83,31 @@ object WatExtract {
       // struct null (PERMISSIVE), same drop — the reference's per-record
       // try/except (main.py:139-142).
       .where(col("links").isNotNull)
-      // base-fallback variant: an absent or unparsable <base href> keeps
-      // the page url as base (main.py:158-164) — null and error handling
-      // both live inside url_resolve_base
+    extractLinks(parsed, docType)
+  }
+
+  /** The shared relational tail over a LINK FRAME — columns
+    * `cc_filename`, `page_url`, `head_base`, `links:
+    * array<struct<url,text,alt,path>>` — regardless of where the frame
+    * came from (WAT's parsed envelope above, or the raw-WARC HTML
+    * scanner, [[WarcExtract]]). Semantic order per
+    * cc2dataset/main.py:166-177: type predicate on the RAW url →
+    * absolutize (with <base href> fallback to the page url) → scheme
+    * filter → uid.
+    */
+  def extractLinks(linkFrame: DataFrame, docType: String): Dataset[DocLink] = {
+    val spark = linkFrame.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    def resolve(base: org.apache.spark.sql.Column, rel: org.apache.spark.sql.Column) =
+      call_function(graft.functions.GraftFunctions.UrlResolveName, base, rel)
+    def resolveBase(page: org.apache.spark.sql.Column, hb: org.apache.spark.sql.Column) =
+      call_function(graft.functions.GraftFunctions.UrlResolveBaseName, page, hb)
+
+    // base-fallback variant: an absent or unparsable <base href> keeps
+    // the page url as base (main.py:158-164) — null and error handling
+    // both live inside url_resolve_base
+    val parsed = linkFrame
       .withColumn("base", resolveBase(col("page_url"), col("head_base")))
 
     val link = col("link")

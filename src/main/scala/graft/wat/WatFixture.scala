@@ -12,13 +12,19 @@ import java.util.zip.GZIPOutputStream
 object WatFixture {
 
   def warcRecord(warcType: String, payload: String,
-      targetUri: Option[String] = None): Array[Byte] = {
-    val body = payload.getBytes(UTF_8)
+      targetUri: Option[String] = None,
+      contentType: String = "application/json"): Array[Byte] =
+    warcRecordBytes(warcType, payload.getBytes(UTF_8), targetUri,
+      contentType)
+
+  def warcRecordBytes(warcType: String, body: Array[Byte],
+      targetUri: Option[String],
+      contentType: String): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("WARC/1.0\r\n")
     sb.append(s"WARC-Type: $warcType\r\n")
     targetUri.foreach(u => sb.append(s"WARC-Target-URI: $u\r\n"))
-    sb.append("Content-Type: application/json\r\n")
+    sb.append(s"Content-Type: $contentType\r\n")
     sb.append(s"Content-Length: ${body.length}\r\n")
     sb.append("\r\n")
     val head = sb.toString.getBytes(UTF_8)
@@ -129,23 +135,36 @@ object WatFixture {
     * golden hashes) must not change, only the JSON lex-and-skip cost.
     * Each unit adds ~1 KB; ~10 units ≈ the 10× envelope-bloat probe.
     */
+  /** The seeded per-record link stream — ONE draw sequence shared by
+    * [[syntheticWat]] and [[syntheticWarc]], so the two fixtures emit
+    * the same pages by construction (the q_warc_extract parity oracle
+    * rests on this): (page url, Head.Base when r%3==0, link tuples
+    * (path, url, alt, text) with "" for absent).
+    */
+  private def syntheticPageLinks(rnd: scala.util.Random, r: Int,
+      linksPerRecord: Int)
+      : (String, Option[String], Seq[(String, String, String, String)]) = {
+    val page = s"https://site${rnd.nextInt(1000)}.test/dir$r/page.html"
+    val links = (0 until linksPerRecord).map { l =>
+      val n = rnd.nextInt(1000000)
+      rnd.nextInt(5) match {
+        case 0 => ("IMG@/src", s"img/cat$n.jpg", s"alt text $n", "")
+        case 1 => ("IMG@/src", s"https://cdn.test/dog$n.png", "", "")
+        case 2 => ("A@/href", s"media/song$n.mp3", "", s"song $n")
+        case 3 => ("A@/href", s"/docs/paper$n.pdf", "", s"paper $n")
+        case _ => ("A@/href", s"//video.test/clip$n.mp4", "", s"clip $n")
+      }
+    }
+    (page, if (r % 3 == 0) Some(s"https://base$r.test/b/") else None, links)
+  }
+
   def syntheticWat(path: String, nRecords: Int, linksPerRecord: Int,
       seed: Long, bloatUnits: Int = 0): String = {
     val rnd = new scala.util.Random(seed)
     val out = new FileOutputStream(path)
     try {
       (0 until nRecords).foreach { r =>
-        val page = s"https://site${rnd.nextInt(1000)}.test/dir$r/page.html"
-        val links = (0 until linksPerRecord).map { l =>
-          val n = rnd.nextInt(1000000)
-          rnd.nextInt(5) match {
-            case 0 => ("IMG@/src", s"img/cat$n.jpg", s"alt text $n", "")
-            case 1 => ("IMG@/src", s"https://cdn.test/dog$n.png", "", "")
-            case 2 => ("A@/href", s"media/song$n.mp3", "", s"song $n")
-            case 3 => ("A@/href", s"/docs/paper$n.pdf", "", s"paper $n")
-            case _ => ("A@/href", s"//video.test/clip$n.mp4", "", s"clip $n")
-          }
-        }
+        val (page, base, links) = syntheticPageLinks(rnd, r, linksPerRecord)
         val (respEx, htmlEx) =
           if (bloatUnits <= 0) ("", "")
           else {
@@ -164,9 +183,64 @@ object WatFixture {
               s""""Title": "page $r ${b.nextLong().toHexString}", "Metas": $metas, "Scripts": $scripts, """)
           }
         out.write(gzipMember(warcRecord("metadata",
-          envelope(page, if (r % 3 == 0) Some(s"https://base$r.test/b/") else None,
-            links, respEx, htmlEx),
+          envelope(page, base, links, respEx, htmlEx),
           Some(page))))
+      }
+    } finally out.close()
+    path
+  }
+
+  /** HTML page carrying exactly the given WAT-shaped link tuples, in
+    * order — the raw-WARC twin of [[envelope]]. Non-link noise (title,
+    * paragraph, a script containing a FAKE img tag, an HTML comment
+    * with a fake anchor) is deterministic per `r` and must be invisible
+    * to the extractor.
+    */
+  def pageHtml(r: Int, base: Option[String],
+      links: Seq[(String, String, String, String)]): String = {
+    def esc(s: String) = s.replace("&", "&amp;").replace("\"", "&quot;")
+      .replace("<", "&lt;")
+    val body = links.map {
+      case ("IMG@/src", url, alt, _) =>
+        if (alt.isEmpty) s"""<img src="${esc(url)}">"""
+        else s"""<img src="${esc(url)}" alt="${esc(alt)}">"""
+      case ("A@/href", url, _, text) =>
+        s"""<a href="${esc(url)}">${esc(text)}</a>"""
+      case (path, _, _, _) =>
+        throw new IllegalArgumentException(s"unknown link path: $path")
+    }.mkString("\n    ")
+    val baseTag = base.map(b => s"""<base href="${esc(b)}">""").getOrElse("")
+    s"""<!DOCTYPE html>
+       |<html><head><title>page $r</title>$baseTag
+       |<script>var fake = "<img src='trap-$r.jpg' alt='trap'>";</script>
+       |<style>.x { background: url('trap-$r.png'); }</style>
+       |</head><body>
+       |  <!-- <a href="comment-trap-$r.html">not a link</a> -->
+       |  <p>deterministic filler paragraph $r</p>
+       |    ${body}
+       |</body></html>""".stripMargin
+  }
+
+  /** The raw-WARC twin of [[syntheticWat]]: SAME seed → SAME pages,
+    * emitted as `response` records whose HTTP bodies are real HTML.
+    * Extraction over this file must hash-match extraction over the WAT
+    * at the same seed (the q_warc_extract parity oracle).
+    */
+  def syntheticWarc(path: String, nRecords: Int, linksPerRecord: Int,
+      seed: Long): String = {
+    val rnd = new scala.util.Random(seed)
+    val out = new FileOutputStream(path)
+    try {
+      out.write(gzipMember(warcRecord("warcinfo",
+        """{"software": "graft-fixture-warc"}""")))
+      (0 until nRecords).foreach { r =>
+        val (page, base, links) = syntheticPageLinks(rnd, r, linksPerRecord)
+        val html = pageHtml(r, base, links).getBytes(UTF_8)
+        val http = (s"HTTP/1.1 200 OK\r\n" +
+          s"Content-Type: text/html; charset=UTF-8\r\n" +
+          s"Content-Length: ${html.length}\r\n\r\n").getBytes(UTF_8)
+        out.write(gzipMember(warcRecordBytes("response", http ++ html,
+          Some(page), "application/http; msgtype=response")))
       }
     } finally out.close()
     path
@@ -217,6 +291,33 @@ object WatFixture {
           s".tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}-${System.nanoTime()}")
         syntheticWat(tmp.getAbsolutePath, nRecords, linksPerRecord,
           seed = 1000L + i, bloatUnits = bloatUnits)
+        if (!tmp.renameTo(f) && !f.exists())
+          throw new java.io.IOException(s"could not materialize $f")
+        tmp.delete()
+      }
+      f.getAbsolutePath
+    }
+  }
+
+  /** The raw-WARC twin of [[ensureFleet]]: same per-index seeds, so
+    * page r of warc i IS page r of wat i re-emitted as HTML.
+    */
+  def ensureWarcFleet(): Seq[String] =
+    ensureBenchWarcs(BenchFleet._1, BenchFleet._2, BenchFleet._3)
+
+  def ensureBenchWarcs(n: Int, nRecords: Int = 500,
+      linksPerRecord: Int = 20): Seq[String] = {
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-bench-warcs-v$GenVersion")
+    dir.mkdirs()
+    (0 until n).map { i =>
+      val f = new java.io.File(dir,
+        s"bench-$nRecords-$linksPerRecord-$i.warc.gz")
+      if (!f.exists()) {
+        val tmp = new java.io.File(dir, f.getName +
+          s".tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}-${System.nanoTime()}")
+        syntheticWarc(tmp.getAbsolutePath, nRecords, linksPerRecord,
+          seed = 1000L + i)
         if (!tmp.renameTo(f) && !f.exists())
           throw new java.io.IOException(s"could not materialize $f")
         tmp.delete()

@@ -22,7 +22,10 @@ class ParserFuzzSpec extends AnyFunSuite {
     ("exif", Exif.parse _),
     ("audio", Audio.parse _),
     ("subtitles", (b: Array[Byte]) =>
-      Subtitles.parse(new String(b, java.nio.charset.StandardCharsets.UTF_8))))
+      Subtitles.parse(new String(b, java.nio.charset.StandardCharsets.UTF_8))),
+    ("warc-html", (b: Array[Byte]) => graft.wat.WarcHtml.scanHtml(
+      new String(b, java.nio.charset.StandardCharsets.UTF_8))),
+    ("http-response", graft.wat.WarcHtml.htmlOfHttpResponse _))
 
   private val validFixtures: Seq[Array[Byte]] = Seq(
     Mp4.write(Mp4.BuildSpec(width = 64, height = 48,
@@ -45,7 +48,10 @@ class ParserFuzzSpec extends AnyFunSuite {
     Audio.writeOgg(opus = true, 2, 48000L, 312, 5000L, 2),
     Audio.writeWav(8000, 1, 64),
     Subtitles.write(Seq(Subtitles.Cue(1, 0L, 900L, "x")), vtt = false)
-      .getBytes("UTF-8"))
+      .getBytes("UTF-8"),
+    graft.wat.WatFixture.pageHtml(1, Some("https://b.test/"),
+      Seq(("IMG@/src", "a.jpg", "an alt", ""),
+        ("A@/href", "d.pdf", "", "a doc"))).getBytes("UTF-8"))
 
   test("random bytes never throw in any parser") {
     val gen = Gen.choose(0, 4096).flatMap(n =>
