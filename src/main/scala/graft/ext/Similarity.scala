@@ -450,6 +450,54 @@ object Similarity {
     pqSubvectors(donors, m, idAs = "code")
       .select(col("sub_id"), col("code"), col("sv").as("cv"))
 
+  /** TRAINED PQ codebooks — the production counterpart the
+    * [[pqCodebook]] scaladoc promises: per-subspace Lloyd iterations
+    * over [[pqSubvectors]], L2 metric (PQ quantizes subvector
+    * distances, not angles). Init = the sampled donor codebook (first
+    * `k` vectors, code = donor id), so "trained" is literally "sampled,
+    * then improved" — the recall comparison is apples to apples. Each
+    * round: assign every subvector to its nearest centroid by exact
+    * squared L2 (ties to the smallest code — one broadcast join + one
+    * map-side-combinable min_by, the corpus never shuffles wider than
+    * (vec_id, sub_id)), then recompute each code's centroid as the
+    * elementwise integer mean (`div`: truncation toward zero, exact and
+    * partitioning-independent). A code that loses all members drops
+    * out. Same per-iteration persist/materialize/release discipline as
+    * [[kmeansCentroids]]: `iters` rounds never stack into one lazy
+    * plan, and the previous round's cache is released as soon as its
+    * successor is materialized. The RETURNED frame stays persisted —
+    * `.unpersist()` it when done.
+    */
+  def pqTrainCodebooks(p: DataFrame, m: Int, k: Int,
+      iters: Int): DataFrame = {
+    val subs = pqSubvectors(p, m)
+    var cb = pqCodebook(p.where(col("vec_id") < k), m)
+    var prev: Option[DataFrame] = None
+    (0 until iters).foreach { _ =>
+      val assigned = subs
+        .join(broadcast(cb), "sub_id")
+        .withColumn("d2", d2q(col("sv"), col("cv")))
+        .groupBy("vec_id", "sub_id")
+        .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"),
+          first(col("sv")).as("sv")) // sv is constant per group
+      cb = assigned
+        .select(col("sub_id"), col("code"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub_id", "code", "pos")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("nx"))
+        .withColumn("cm", expr("sx div nx"))
+        .groupBy("sub_id", "code")
+        .agg(array_sort(collect_list(struct(col("pos"), col("cm")))).as("pm"))
+        .select(col("sub_id"), col("code"),
+          transform(col("pm"), s => s.getField("cm")).as("cv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cb.count() // materialize: the next round plans against the cache
+      prev.foreach(_.unpersist())
+      prev = Some(cb)
+    }
+    cb
+  }
+
   /** PQ encoding: each vector's subvector → nearest codebook centroid by
     * exact squared L2 (ties to the smallest code). Output (vec_id,
     * sub_id, code) — the m-byte-per-vector compressed representation.

@@ -396,6 +396,42 @@ object ExtQueries {
       Similarity.recallAtK(approx, exact).orderBy("q_id")
     }),
 
+    // TRAINED-PQ ADC top-k on clustered geometry: per-subspace Lloyd
+    // codebooks (init = the 16 sampled donors, 2 L2 rounds —
+    // Similarity.pqTrainCodebooks), then the identical encode/ADC
+    // machinery as q_ann_pq. The oracle unrolls both Lloyd rounds in
+    // SQL with the same truncation-toward-zero integer means, so every
+    // trained centroid value is cross-engine exact.
+    "q_ann_pq_trained" -> ((s, dir) => {
+      val p = Similarity.clusteredFixture(s, 512)
+      val cb = Similarity.pqTrainCodebooks(p, m = 4, k = 16, iters = 2)
+      val codes = Similarity.pqEncode(p, cb, m = 4)
+      Similarity.pqTopK(codes, cb,
+        p.where(col("vec_id").between(8, 31)), m = 4, topK = 3)
+        .orderBy("q_id", "rk")
+    }),
+
+    // The scorecard the training is FOR: recall@3 vs brute-force
+    // ground truth, sampled codebook beside the trained one at equal m
+    // — the hash-green proof that training helps (trained >= sampled
+    // per query on this geometry; a spec also asserts the inequality).
+    "q_ann_pq_recall" -> ((s, dir) => {
+      val p = Similarity.clusteredFixture(s, 512)
+      val queries = p.where(col("vec_id").between(8, 31))
+      val exact = Similarity.bruteForceTopK(p, queries, k = 3)
+      val cbS = Similarity.pqCodebook(p.where(col("vec_id") < 16), m = 4)
+      val cbT = Similarity.pqTrainCodebooks(p, m = 4, k = 16, iters = 2)
+      val recS = Similarity.recallAtK(
+        Similarity.pqTopK(Similarity.pqEncode(p, cbS, 4), cbS, queries,
+          m = 4, topK = 3), exact)
+        .select(col("q_id"), col("recall_milli").as("recall_sampled_milli"))
+      val recT = Similarity.recallAtK(
+        Similarity.pqTopK(Similarity.pqEncode(p, cbT, 4), cbT, queries,
+          m = 4, topK = 3), exact)
+        .select(col("q_id"), col("recall_milli").as("recall_trained_milli"))
+      recS.join(recT, "q_id").orderBy("q_id")
+    }),
+
     // --- end-to-end curation (quality gate → exact bag-dedup →
     //     verified near-dup removal), all stages oracle-proven ---
     "q_curation" -> ((s, dir) => {
@@ -2897,6 +2933,124 @@ object ExtQueries {
        |ORDER BY cell, pos""".stripMargin
   }
 
+  private val pqD2Sql =
+    "list_sum(list_transform(list_zip(%s, %s), p -> (p[1]-p[2])*(p[1]-p[2])))"
+
+  /** Two unrolled L2 Lloyd rounds per subspace over the clustered
+    * fixture — mirrors Similarity.pqTrainCodebooks exactly: init =
+    * the first 16 donors (cb0, the SAMPLED codebook), assign by exact
+    * squared L2 with the code tie-break, recompute = elementwise
+    * integer mean with truncation toward zero (DuckDB `//` floors, so
+    * negative sums need the CASE — same trick as kmeansOracle). Ends
+    * with `sub(vec_id, sub_id, sv)`, `cb0` (sampled) and `cb2`
+    * (trained).
+    */
+  private def pqTrainedCbSql: String = {
+    def assign(cb: String, out: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, sub_id, sv, code FROM (
+         |    SELECT v.vec_id, v.sub_id, v.sv, c.code,
+         |      row_number() OVER (PARTITION BY v.vec_id, v.sub_id
+         |        ORDER BY ${pqD2Sql.format("v.sv", "c.cv")}, c.code) AS crk
+         |    FROM sub v JOIN $cb c ON v.sub_id = c.sub_id)
+         |  WHERE crk = 1)""".stripMargin
+    def step(a: String, out: String): String =
+      s"""${out}d AS (
+         |  SELECT sub_id, code, pos,
+         |    (CASE WHEN sum(x) >= 0 THEN sum(x) // count(*)
+         |          ELSE -((-sum(x)) // count(*)) END)::BIGINT AS m
+         |  FROM (SELECT sub_id, code, unnest(range(1, len(sv) + 1)) AS pos,
+         |          unnest(sv) AS x FROM $a)
+         |  GROUP BY sub_id, code, pos),
+         |$out AS (
+         |  SELECT sub_id, code, list(m ORDER BY pos) AS cv
+         |  FROM ${out}d GROUP BY sub_id, code)""".stripMargin
+    s"""sub AS (
+       |  SELECT vec_id, s.sub_id,
+       |    qv[(s.sub_id*(len(qv)//4))+1 : (s.sub_id+1)*(len(qv)//4)] AS sv
+       |  FROM cp2, (SELECT unnest(range(4)) AS sub_id) s),
+       |cb0 AS (
+       |  SELECT sub_id, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 16),
+       |${assign("cb0", "a1")},
+       |${step("a1", "cb1")},
+       |${assign("cb1", "a2")},
+       |${step("a2", "cb2")}""".stripMargin
+  }
+
+  /** PQ encode + ADC top-3 against codebook `cb` (queries 8..12), as
+    * CTEs prefixed `$pre`; ends with `${pre}top(q_id, n_id, ad2, rk)`.
+    */
+  private def pqAdcSql(cb: String, pre: String): String =
+    s"""${pre}enc AS (
+       |  SELECT vec_id, sub_id, code FROM (
+       |    SELECT v.vec_id, v.sub_id, c.code,
+       |      row_number() OVER (PARTITION BY v.vec_id, v.sub_id
+       |        ORDER BY ${pqD2Sql.format("v.sv", "c.cv")}, c.code) AS crk
+       |    FROM sub v JOIN $cb c ON v.sub_id = c.sub_id)
+       |  WHERE crk = 1),
+       |${pre}tbl AS (
+       |  SELECT q.vec_id AS q_id, q.sub_id, c.code,
+       |    (${pqD2Sql.format("q.sv", "c.cv")})::BIGINT AS td2
+       |  FROM sub q JOIN $cb c ON q.sub_id = c.sub_id
+       |  WHERE q.vec_id BETWEEN 8 AND 31),
+       |${pre}ad AS (
+       |  SELECT t.q_id, e.vec_id AS n_id, sum(t.td2)::BIGINT AS ad2
+       |  FROM ${pre}enc e JOIN ${pre}tbl t
+       |    ON e.sub_id = t.sub_id AND e.code = t.code
+       |  WHERE e.vec_id <> t.q_id
+       |  GROUP BY 1, 2),
+       |${pre}top AS (
+       |  SELECT q_id, n_id, ad2, rk FROM (
+       |    SELECT q_id, n_id, ad2,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY ad2, n_id) AS rk
+       |    FROM ${pre}ad)
+       |  WHERE rk <= 3)""".stripMargin
+
+  // trained-PQ ADC top-k: the trained codebook (cb2) through the same
+  // encode/ADC tail as annPqOracle
+  private def annPqTrainedOracle: String =
+    s"""WITH $clusteredSql,
+       |$pqTrainedCbSql,
+       |${pqAdcSql("cb2", "t_")}
+       |SELECT q_id, rk::BIGINT AS rk, n_id, ad2 FROM t_top
+       |ORDER BY q_id, rk""".stripMargin
+
+  // recall@3 scorecard: sampled (cb0) vs trained (cb2) codebook, both
+  // against brute-force cosine ground truth on the same queries
+  private def annPqRecallOracle: String = {
+    val bdot = dotSql.format("q.qv", "c.qv")
+    def recall(top: String, as: String): String =
+      s"""  ((sum(CASE WHEN $top.n_id IS NOT NULL THEN 1 ELSE 0 END) * 1000)
+         |    // count(*))::BIGINT AS $as""".stripMargin
+    s"""WITH $clusteredSql,
+       |$pqTrainedCbSql,
+       |${pqAdcSql("cb0", "s_")},
+       |${pqAdcSql("cb2", "t_")},
+       |exact AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ($bdot)::DOUBLE / sqrt((q.n2 * c.n2)::DOUBLE) DESC,
+       |                 c.vec_id) AS rk
+       |    FROM cp2 q, cp2 c
+       |    WHERE q.vec_id BETWEEN 8 AND 31 AND c.vec_id <> q.vec_id)
+       |  WHERE rk <= 3),
+       |rs AS (
+       |  SELECT e.q_id,
+       |${recall("i", "recall_sampled_milli")}
+       |  FROM exact e LEFT JOIN s_top i
+       |    ON e.q_id = i.q_id AND e.n_id = i.n_id
+       |  GROUP BY e.q_id),
+       |rt AS (
+       |  SELECT e.q_id,
+       |${recall("i", "recall_trained_milli")}
+       |  FROM exact e LEFT JOIN t_top i
+       |    ON e.q_id = i.q_id AND e.n_id = i.n_id
+       |  GROUP BY e.q_id)
+       |SELECT rs.q_id, recall_sampled_milli, recall_trained_milli
+       |FROM rs JOIN rt ON rs.q_id = rt.q_id ORDER BY rs.q_id""".stripMargin
+  }
+
   // Mirrors pqSubvectors/pqCodebook/pqEncode/pqTopK: same donor set,
   // same argmin tie-break (d2 then code), same ADC sum. list_sum over
   // BIGINT is HUGEINT in DuckDB — cast at every aggregate boundary.
@@ -3677,6 +3831,8 @@ object ExtQueries {
     "q_semdedup" -> semDedupOracle,
     "q_semdedup_clustered" -> semDedupClusteredOracle,
     "q_ann_recall_clustered" -> annRecallClusteredOracle,
+    "q_ann_pq_trained" -> annPqTrainedOracle,
+    "q_ann_pq_recall" -> annPqRecallOracle,
     "q_semdedup_audit" -> semDedupAuditOracle,
     "q_assembly" -> assemblyOracle,
     "q_cdc_dedup" -> cdcDedupOracle,

@@ -527,6 +527,30 @@ class ExtSpec extends AnyFunSuite with SparkTestBase {
     assert(top.take(2).forall(_.getLong(3) == 0L))
   }
 
+  test("trained PQ codebooks: Lloyd rounds are materialized per-round, " +
+      "donor init reproduces pqCodebook at iters=0 semantics, and trained " +
+      "ADC beats sampled ADC in aggregate recall on clustered geometry") {
+    val p = Similarity.clusteredFixture(spark, 512)
+    val cbT = Similarity.pqTrainCodebooks(p, m = 4, k = 16, iters = 2)
+    assert(cbT.storageLevel.useMemory) // same discipline as kmeansCentroids
+    // every (sub_id, code) is unique and subvector width is dims/m
+    val rows = cbT.collect()
+    assert(rows.map(r => (r.getInt(0), r.getLong(1))).distinct.length ==
+      rows.length)
+    assert(rows.forall(_.getSeq[Long](2).length == 4))
+    val queries = p.where(col("vec_id").between(8, 31))
+    val exact = Similarity.bruteForceTopK(p, queries, k = 3)
+    val cbS = Similarity.pqCodebook(p.where(col("vec_id") < 16), m = 4)
+    def hits(cb: org.apache.spark.sql.DataFrame): Long =
+      Similarity.recallAtK(
+        Similarity.pqTopK(Similarity.pqEncode(p, cb, 4), cb, queries,
+          m = 4, topK = 3), exact)
+        .agg(sum(col("n_hit"))).collect()(0).getLong(0)
+    val (hS, hT) = (hits(cbS), hits(cbT))
+    assert(hT > hS, s"training must improve aggregate recall: $hT vs $hS")
+    cbT.unpersist()
+  }
+
   test("charBigrams: order kept, duplicates kept, degenerate inputs empty") {
     val got = Seq(("abca", 1), ("x", 2), (null: String, 3), ("", 4))
       .toDF("text", "id")
