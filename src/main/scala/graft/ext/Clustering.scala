@@ -79,12 +79,13 @@ object Clustering {
     */
   def connectedComponents(pairs: DataFrame, d1: String = "d1",
       d2: String = "d2", maxIters: Int = 25,
-      strategy: CcStrategy = CcStrategy.MinLabel): DataFrame =
+      strategy: CcStrategy = CcStrategy.MinLabel,
+      onRounds: Int => Unit = _ => ()): DataFrame =
     strategy match {
       case CcStrategy.MinLabel =>
-        minLabelCC(pairs, d1, d2, maxIters)
+        minLabelCC(pairs, d1, d2, maxIters, onRounds)
       case CcStrategy.AlternatingStar =>
-        alternatingStarCC(pairs, d1, d2, maxIters)
+        alternatingStarCC(pairs, d1, d2, maxIters, onRounds)
     }
 
   /** Plan-truncation helper for iterative algorithms: persist the frame's
@@ -95,11 +96,23 @@ object Clustering {
     */
   private def rooted(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
     val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    // persist caches DATA but every task still serializes the full
+    // nested RDD lineage; past ~60 rounds that chain overflows the task
+    // deserializer's stack (StackOverflowError — surfaced by
+    // CcScaleProbe's long-path sweep, invisible on ≤6-round near-dup
+    // graphs). localCheckpoint truncates the lineage at this RDD once
+    // the round's own action materializes it, bounding serialized task
+    // depth to one round. Tradeoff (the standard iterative-graph
+    // posture): an executor loss can no longer recompute earlier
+    // rounds — the job fails and is rerun, instead of silently paying
+    // a full-depth recompute.
+    rdd.localCheckpoint()
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }
 
   private def minLabelCC(pairs: DataFrame, d1: String,
-      d2: String, maxIters: Int): DataFrame = {
+      d2: String, maxIters: Int,
+      onRounds: Int => Unit = _ => ()): DataFrame = {
     val edges = pairs
       .select(col(d1).as("src"), col(d2).as("dst"))
       .union(pairs.select(col(d2).as("src"), col(d1).as("dst")))
@@ -146,6 +159,7 @@ object Clustering {
         s"connectedComponents did not converge in $maxIters rounds — " +
           "graph diameter exceeds maxIters; raise it")
     }
+    onRounds(iters)
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -180,7 +194,8 @@ object Clustering {
     * some pair, labeled with its component minimum).
     */
   private def alternatingStarCC(pairs: DataFrame, d1: String,
-      d2: String, maxIters: Int): DataFrame = {
+      d2: String, maxIters: Int,
+      onRounds: Int => Unit = _ => ()): DataFrame = {
     val sym = pairs
       .select(col(d1).as("src"), col(d2).as("dst"))
       .union(pairs.select(col(d2).as("src"), col(d1).as("dst")))
@@ -239,6 +254,7 @@ object Clustering {
         s"alternatingStarCC did not converge in $maxIters rounds — " +
           "raise maxIters (expected O(log² n) rounds)")
     }
+    onRounds(iters)
     // star fixpoint: every non-root points at exactly its component
     // minimum; roots (and self-paired singletons) don't appear as src
     val out = nodes
