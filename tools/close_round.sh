@@ -69,21 +69,42 @@ print(f"bench: {len(got)} queries, total {side['value']}s wall / "
       f"{side['cpu_sec']}s cpu — covers the registry exactly")
 EOF
 
-echo "=== gate 3/3: per-query regression gate ==="
-python3 tools/check_bench.py tools/bench_full_latest.json
+echo "=== gate 3/3: per-query regression gate (WITH fresh-JVM adjudication) ==="
+# The gate runs check_bench.py's clean-JVM rerun step and the snapshot
+# commits the EVIDENCE: the gate transcript (tools/bench_gate_latest.log)
+# and, when any query was flagged, the fresh-JVM partial sidecar
+# (tools/bench_partial_latest.json). An auditor with no JVM can then
+# verify exit 0 from committed artifacts alone — the r15 sidecar carried
+# two >=2x flags that only an uncommitted sbt-backed rerun had cleared.
+rm -f tools/bench_partial_latest.json
+python3 tools/check_bench.py tools/bench_full_latest.json 2>&1 \
+  | tee /tmp/close_round_gate.log
+{
+  echo "close_round gate transcript — round $ROUND, tree $(git rev-parse --short HEAD)+sidecar"
+  echo "command: python3 tools/check_bench.py tools/bench_full_latest.json"
+  echo "exit: 0 (close_round.sh aborts before committing on any nonzero gate)"
+  echo "---"
+  cat /tmp/close_round_gate.log
+} > tools/bench_gate_latest.log
 
 echo "=== all gates green: committing the snapshot ==="
 HEADSHA=$(git rev-parse --short HEAD)
 NQ=$(python3 -c "import json; print(len(json.load(open('tools/bench_full_latest.json'))['queries']))")
 TOTAL=$(python3 -c "import json; print(json.load(open('tools/bench_full_latest.json'))['value'])")
+ADJ="no flags, no adjudication needed"
+if [ -f tools/bench_partial_latest.json ]; then
+  ADJ="flagged queries adjudicated in a fresh JVM (bench_partial_latest.json committed)"
+  git add tools/bench_partial_latest.json
+fi
 cat >> NOTES.md <<EOF
 
 ## Round $ROUND closing snapshot (tools/close_round.sh)
 
 At tree $HEADSHA+sidecar: full suite $TESTLINE; closing bench covers
 the full registry ($NQ queries, ${TOTAL}s wall at $SF_DIR);
-check_bench.py exit 0 on the committed sidecar.
+check_bench.py exit 0 WITH the fresh-JVM adjudication step ($ADJ);
+gate transcript committed as tools/bench_gate_latest.log.
 EOF
-git add tools/bench_full_latest.json NOTES.md
-git commit -m "round $ROUND: closing snapshot (suite green, full-registry bench, gate exit 0)"
+git add tools/bench_full_latest.json tools/bench_gate_latest.log NOTES.md
+git commit -m "round $ROUND: closing snapshot (suite green, full-registry bench, adjudicated gate exit 0)"
 echo "close_round: snapshot committed as $(git rev-parse --short HEAD)"
