@@ -411,6 +411,22 @@ object ExtQueries {
         .orderBy("q_id", "rk")
     }),
 
+    // IVF-PQ with the TRAINED codebook — the full production ANN stack
+    // (coarse planted-centroid cells restricting each query's ADC scan
+    // + trained per-subspace quantizers) composed on the clustered
+    // fixture. Same coarse assignment as q_ann_recall_clustered, same
+    // trained codebook as q_ann_pq_trained; the oracle composes the
+    // same two CTE chains with the cell-consistency predicate.
+    "q_ann_ivfpq_trained" -> ((s, dir) => {
+      val p = Similarity.clusteredFixture(s, 512)
+      val assigned = Similarity.ivfAssign(p, Similarity.clusteredCentroids(s))
+      val cb = Similarity.pqTrainCodebooks(p, m = 4, k = 16, iters = 2)
+      val codes = Similarity.pqEncode(p, cb, m = 4)
+      Similarity.ivfPqTopK(assigned, codes, cb,
+        col("vec_id").between(8, 31), m = 4, topK = 3)
+        .orderBy("q_id", "rk")
+    }),
+
     // The scorecard the training is FOR: recall@3 vs brute-force
     // ground truth, sampled codebook beside the trained one at equal m
     // — the hash-green proof that training helps (trained >= sampled
@@ -3006,6 +3022,50 @@ object ExtQueries {
        |    FROM ${pre}ad)
        |  WHERE rk <= 3)""".stripMargin
 
+  // IVF-PQ with the trained codebook: the coarse planted-centroid
+  // assignment (annRecallClusteredOracle's CTE) composed with the
+  // trained encode/ADC chain and the cell-consistency predicate
+  private def annIvfPqTrainedOracle: String = {
+    val adot = dotSql.format("v.qv", "c.qv")
+    s"""WITH $clusteredSql,
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT v.vec_id, c.c_id AS cell,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ($adot)::DOUBLE / sqrt((v.n2 * c.n2)::DOUBLE) DESC,
+       |                 c.c_id) AS crk
+       |    FROM cp2 v, ccent c)
+       |  WHERE crk = 1),
+       |$pqTrainedCbSql,
+       |enc AS (
+       |  SELECT vec_id, sub_id, code FROM (
+       |    SELECT v.vec_id, v.sub_id, c.code,
+       |      row_number() OVER (PARTITION BY v.vec_id, v.sub_id
+       |        ORDER BY ${pqD2Sql.format("v.sv", "c.cv")}, c.code) AS crk
+       |    FROM sub v JOIN cb2 c ON v.sub_id = c.sub_id)
+       |  WHERE crk = 1),
+       |tbl AS (
+       |  SELECT q.vec_id AS q_id, q.sub_id, c.code,
+       |    (${pqD2Sql.format("q.sv", "c.cv")})::BIGINT AS td2,
+       |    qa.cell AS q_cell
+       |  FROM sub q JOIN cb2 c ON q.sub_id = c.sub_id
+       |  JOIN assign qa ON qa.vec_id = q.vec_id
+       |  WHERE q.vec_id BETWEEN 8 AND 31),
+       |ad AS (
+       |  SELECT t.q_id, e.vec_id AS n_id, sum(t.td2)::BIGINT AS ad2
+       |  FROM enc e
+       |  JOIN assign na ON na.vec_id = e.vec_id
+       |  JOIN tbl t ON e.sub_id = t.sub_id AND e.code = t.code
+       |  WHERE e.vec_id <> t.q_id AND na.cell = t.q_cell
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT q_id, n_id, ad2,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY ad2, n_id) AS rk
+       |  FROM ad)
+       |SELECT q_id, rk::BIGINT AS rk, n_id, ad2 FROM ranked WHERE rk <= 3
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   // trained-PQ ADC top-k: the trained codebook (cb2) through the same
   // encode/ADC tail as annPqOracle
   private def annPqTrainedOracle: String =
@@ -3833,6 +3893,7 @@ object ExtQueries {
     "q_ann_recall_clustered" -> annRecallClusteredOracle,
     "q_ann_pq_trained" -> annPqTrainedOracle,
     "q_ann_pq_recall" -> annPqRecallOracle,
+    "q_ann_ivfpq_trained" -> annIvfPqTrainedOracle,
     "q_semdedup_audit" -> semDedupAuditOracle,
     "q_assembly" -> assemblyOracle,
     "q_cdc_dedup" -> cdcDedupOracle,

@@ -31,7 +31,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // the clustered-fixture siblings compose the same broadcast
     // crossJoin operators (ivfAssign / semDedup / bruteForceTopK)
     // over the 512-vector planted-geometry fixture
-    "q_semdedup_clustered", "q_ann_recall_clustered")
+    "q_semdedup_clustered", "q_ann_recall_clustered",
+    // trained-PQ scorecard composes bruteForceTopK ground truth;
+    // ivfpq_trained composes ivfAssign's 1-row broadcast argmax
+    "q_ann_pq_recall", "q_ann_ivfpq_trained")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
       if !name.startsWith("q_wat")) {
