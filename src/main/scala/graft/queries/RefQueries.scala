@@ -228,6 +228,20 @@ object RefQueries {
         .sortWithinPartitions("uid", "page_url", "url", "alt")
     }),
 
+    // The same extraction through the DataSourceV2 `warc` source
+    // (planning-time path pruning + max_tasks batching; 16 archives
+    // batched into 8 tasks here so the batched path is the one under
+    // oracle). Same WAT-parity oracle as q_warc_extract.
+    "q_warc_extract_dsv2" -> ((s, dir) => {
+      graft.wat.WatFixture.ensureTailParquet(s)
+      val warcs = graft.wat.WatFixture.ensureWarcFleet()
+      graft.wat.WarcExtract.fromDsv2(s, warcs, "image_only", maxTasks = 8)
+        .toDF()
+        .select("uid", "url", "alt", "page_url")
+        .repartition(1)
+        .sortWithinPartitions("uid", "page_url", "url", "alt")
+    }),
+
     // The pipeline's hot path end-to-end — extraction + uid dedup (the
     // stage-1 + stage-2 of a production run) — now under the FULL
     // DuckDB oracle: the survivor pick is deterministic (hot-key-safe
@@ -612,6 +626,12 @@ object RefQueries {
     // the HTML scanner: a wrong attribute parse, a missed <base href>,
     // or a script-trap leak all change the hash.
     "q_warc_extract" ->
+      s"""SELECT uid, url, alt, page_url
+         |FROM read_parquet('${graft.wat.WatFixture.TailParquetPath}')
+         |ORDER BY uid NULLS FIRST, page_url NULLS FIRST,
+         |  url NULLS FIRST, alt NULLS FIRST""".stripMargin,
+
+    "q_warc_extract_dsv2" ->
       s"""SELECT uid, url, alt, page_url
          |FROM read_parquet('${graft.wat.WatFixture.TailParquetPath}')
          |ORDER BY uid NULLS FIRST, page_url NULLS FIRST,

@@ -1,0 +1,199 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualTo, Filter, In, IsNotNull, Not, Or, StringContains, StringEndsWith, StringStartsWith}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.wat.{WarcHtml, WatReader}
+
+/** DataSourceV2 `warc` format — raw-WARC HTML pages as a table, the
+  * source twin of [[WatDataSource]] for crawls whose WAT sidecars are
+  * missing or stale (the reference has no raw-WARC story at all — it
+  * reads only WAT's pre-extracted Links, cc2dataset/main.py:144-155):
+  *
+  *   spark.read.format("warc").load(paths: _*)
+  *     → (warc_path string, page_url string, html string)
+  *     // response records with a text/html Content-Type only
+  *
+  * Same scale posture as the wat source: one partition per archive up
+  * to `max_tasks`, contiguous batching above it (a 5M-archive listing
+  * must not create 5M scheduler tasks); `warc_path`-only predicates
+  * prune partitions at PLANNING time (matching archives become input
+  * partitions, the rest are never fetched); dropping the `html` column
+  * skips the body decode per record (counts and listings pay headers
+  * only); tolerated corruption surfaces as a per-scan SQL UI metric.
+  * Downstream link extraction: [[graft.wat.WarcExtract.fromDsv2]]
+  * (scanHtml per row, then the shared relational tail).
+  */
+class WarcDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "warc"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WarcDataSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new WarcTable(WatDataSource.pathsFrom(properties))
+}
+
+object WarcDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("warc_path", StringType, nullable = false),
+    StructField("page_url", StringType, nullable = true),
+    StructField("html", StringType, nullable = false)))
+}
+
+class WarcTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"warc(${paths.mkString(",")})"
+  override def schema(): StructType = WarcDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WarcScanBuilder(paths,
+      maxTasks = options.getInt("max_tasks", WatDataSource.DefaultMaxTasks))
+}
+
+class WarcScanBuilder(paths: Seq[String],
+    maxTasks: Int = WatDataSource.DefaultMaxTasks)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private var required: StructType = WarcDataSource.schema
+  private var accepted: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val names = requiredSchema.fieldNames.toSet
+    required = StructType(WarcDataSource.schema.filter(f => names(f.name)))
+  }
+
+  private def pathOnly(f: Filter): Boolean = f match {
+    case EqualTo("warc_path", _: String)   => true
+    // a null In-list element makes NOT IN three-valued — leave those to
+    // Spark's post-scan filter (same reasoning as WatScanBuilder)
+    case In("warc_path", vs)               => vs != null && !vs.contains(null)
+    case StringStartsWith("warc_path", _)  => true
+    case StringEndsWith("warc_path", _)    => true
+    case StringContains("warc_path", _)    => true
+    case IsNotNull("warc_path")            => true
+    case And(l, r)                         => pathOnly(l) && pathOnly(r)
+    case Or(l, r)                          => pathOnly(l) && pathOnly(r)
+    case Not(c)                            => pathOnly(c)
+    case _                                 => false
+  }
+
+  private def eval(f: Filter, p: String): Boolean = f match {
+    case EqualTo("warc_path", v: String)  => p == v
+    case In("warc_path", vs)              => vs.contains(p)
+    case StringStartsWith("warc_path", v) => p.startsWith(v)
+    case StringEndsWith("warc_path", v)   => p.endsWith(v)
+    case StringContains("warc_path", v)   => p.contains(v)
+    case IsNotNull("warc_path")           => true
+    case And(l, r)                        => eval(l, p) && eval(r, p)
+    case Or(l, r)                         => eval(l, p) || eval(r, p)
+    case Not(c)                           => !eval(c, p)
+    case _                                => true // unreachable: pathOnly gated
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, rest) = filters.partition(pathOnly)
+    accepted = ours
+    rest
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan =
+    new WarcScan(paths.filter(p => accepted.forall(eval(_, p))), required,
+      maxTasks)
+}
+
+case class WarcInputPartition(paths: Seq[String]) extends InputPartition
+
+class WarcScan(paths: Seq[String], required: StructType,
+    maxTasks: Int) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    if (paths.size <= maxTasks)
+      paths.map(p => WarcInputPartition(Seq(p))).toArray
+    else {
+      val perTask = math.ceil(paths.size.toDouble / maxTasks).toInt
+      paths.grouped(perTask).map(WarcInputPartition.apply).toArray
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    new WarcReaderFactory(conf, required)
+  }
+
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new CorruptArchivesMetric)
+}
+
+class WarcReaderFactory(conf: org.apache.spark.util.SerializableConfiguration,
+    required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val partPaths = partition.asInstanceOf[WarcInputPartition].paths
+    val wantPath = required.fieldNames.contains("warc_path")
+    val wantUrl = required.fieldNames.contains("page_url")
+    val wantHtml = required.fieldNames.contains("html")
+    new PartitionReader[InternalRow] {
+      private var corrupt = 0L
+      private var active: graft.wat.ClosingIterator[graft.wat.WarcRecord] = _
+      private val it = partPaths.iterator.flatMap { p =>
+        val u = UTF8String.fromString(p)
+        val bytes = WatReader.fetchAllBytes(p, conf.value)
+        bytes match {
+          case None =>
+            corrupt += 1
+            WatReader.logCorruptDefault(
+              new java.io.IOException(s"fetch failed after retries: $p"))
+            Iterator.empty
+          case Some(b) =>
+            val inner = WatReader.records(
+              new java.io.ByteArrayInputStream(b), gzipped = true,
+              onCorrupt = e => {
+                corrupt += 1; WatReader.logCorruptDefault(e)
+              })
+            active = inner
+            inner.filter(_.warcType.equalsIgnoreCase("response"))
+              .flatMap { r =>
+                // html pruned → header-only check (is this a text/html
+                // response?), no body decode; html wanted → full decode
+                WarcHtml.htmlBodyStart(r.payload).map { bodyStart =>
+                  val html =
+                    if (wantHtml) UTF8String.fromString(new String(
+                      r.payload, bodyStart, r.payload.length - bodyStart,
+                      java.nio.charset.StandardCharsets.UTF_8))
+                    else null
+                  (u, r.headers.get("warc-target-uri"), html)
+                }
+              }
+        }
+      }
+      private var row: (UTF8String, Option[String], UTF8String) = _
+      override def next(): Boolean =
+        if (it.hasNext) { row = it.next(); true } else false
+      override def get(): InternalRow = {
+        val vals = Seq(
+          if (wantPath) Some(row._1) else None,
+          if (wantUrl)
+            Some(row._2.map(UTF8String.fromString).orNull) else None,
+          if (wantHtml) Some(row._3) else None).flatten
+        InternalRow(vals: _*)
+      }
+      override def close(): Unit = if (active != null) active.close()
+      override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        Array(CorruptArchivesTaskMetric(corrupt))
+    }
+  }
+}

@@ -205,12 +205,13 @@ object WarcHtml {
   // WARC response plumbing
   // ------------------------------------------------------------------
 
-  /** Split an `application/http` response payload into its HTML body:
-    * require an HTTP status line, a `text/html` Content-Type, and a
-    * CRLF CRLF header terminator. None (fail closed) otherwise —
-    * non-HTML responses carry no links to extract.
+  /** Header-only check of an `application/http` response payload:
+    * Some(body start offset) iff it has an HTTP status line, a
+    * `text/html` Content-Type, and a CRLF CRLF header terminator.
+    * Costs no body decode — the column-pruned DSv2 path (html column
+    * dropped) pays exactly this per record.
     */
-  def htmlOfHttpResponse(payload: Array[Byte]): Option[String] = {
+  def htmlBodyStart(payload: Array[Byte]): Option[Int] = {
     if (payload.length < 16) return None
     val head = new String(payload, 0,
       math.min(payload.length, 8192), UTF_8)
@@ -225,8 +226,16 @@ object WarcHtml {
       case e  => e
     }
     if (!headers.substring(ctIdx, ctEnd).contains("text/html")) return None
-    Some(new String(payload, sep + 4, payload.length - sep - 4, UTF_8))
+    Some(sep + 4)
   }
+
+  /** Split an `application/http` response payload into its HTML body:
+    * [[htmlBodyStart]]'s checks, then the decode. None (fail closed)
+    * otherwise — non-HTML responses carry no links to extract.
+    */
+  def htmlOfHttpResponse(payload: Array[Byte]): Option[String] =
+    htmlBodyStart(payload).map(s =>
+      new String(payload, s, payload.length - s, UTF_8))
 
   private def indexOfCrlfCrlf(b: Array[Byte]): Int = {
     var i = 0
@@ -308,4 +317,27 @@ object WarcExtract {
   def fromPaths(spark: SparkSession, paths: Seq[String],
       docType: String): Dataset[DocLink] =
     WatExtract.extractLinks(pages(spark, paths), docType)
+
+  /** Same, through the DataSourceV2 `warc` source — planning-time
+    * partition pruning on `warc_path` predicates and `max_tasks`
+    * batching come for free; the HTML scan runs per row in the same
+    * task that decoded the archive (no re-shuffle of page bodies).
+    */
+  def fromDsv2(spark: SparkSession, paths: Seq[String], docType: String,
+      maxTasks: Int = graft.sources.WatDataSource.DefaultMaxTasks)
+      : Dataset[DocLink] = {
+    import spark.implicits._
+    val linkFrame = spark.read.format("warc")
+      .option("max_tasks", maxTasks.toString)
+      .load(paths: _*)
+      .select("warc_path", "page_url", "html")
+      .as[(String, String, String)]
+      .mapPartitions(_.map { case (p, uri, html) =>
+        val (base, links) = WarcHtml.scanHtml(html)
+        WarcHtml.PageLinks(p.substring(p.lastIndexOf('/') + 1), uri,
+          base.orNull, links)
+      })
+      .toDF()
+    WatExtract.extractLinks(linkFrame, docType)
+  }
 }
