@@ -81,6 +81,14 @@ object ExtQueries {
       when(pmod(col("doc_id"), lit(4)) === 0, lit(bpAd)).otherwise(lit("")),
       lit(bpFoot))
 
+  /** Driver-side form of [[bpHtml]] for fixtures that carry the page
+    * OUTSIDE a DataFrame (the raw-WARC text pipeline wraps each doc's
+    * text in this scaffold before framing it as an HTTP response) —
+    * must stay byte-identical to the Column form and the oracle CTE.
+    */
+  private[graft] def bpHtmlFor(docId: Long, text: String): String =
+    bpNav + text + "</div>" + (if (docId % 4 == 0) bpAd else "") + bpFoot
+
   /** The blocklisted boilerplate injected into 30% of docs for the
     * toxicity queries — mirrored verbatim in [[toxAugSql]].
     */
@@ -1051,6 +1059,21 @@ object ExtQueries {
         docsWithTokens(s, dir).select(col("doc_id"), bpHtml.as("html")),
         "doc_id", "html")
         .orderBy("doc_id")
+    }),
+
+    // Raw-crawl text pipeline end-to-end: the documents table framed as
+    // real WARC response pages (WatFixture.ensureDocWarcs — the same
+    // q_boilerplate HTML scaffold inside real HTTP bodies at
+    // closed-form urls) → DSv2 `warc` scan → boilerplate strip. The
+    // oracle rebuilds the identical pages from the documents table in
+    // SQL, so the WHOLE path — WARC framing, HTTP split, HTML
+    // transport, block scoring — is hash-pinned with no committed dump.
+    "q_warc_boilerplate" -> ((s, dir) => {
+      val warcs = graft.wat.WatFixture.ensureDocWarcs(s, dir)
+      val pages = s.read.format("warc").load(warcs: _*)
+        .select(col("page_url"), col("html"))
+      graft.ext.Boilerplate.extractMainContent(pages, "page_url", "html")
+        .orderBy("page_url")
     }),
 
     // The big-lexicon switch-over path: exploded tokens × broadcast
@@ -2805,6 +2828,19 @@ object ExtQueries {
        |  clean_text
        |FROM a ORDER BY doc_id""".stripMargin
 
+  // the raw-WARC twin: identical pages rebuilt in SQL from the
+  // documents table, keyed by the fixture's closed-form page url
+  private def warcBoilerplateOracle: String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents
+       |           WHERE doc_id IS NOT NULL),
+       |${bpCteStack("d")}
+       |SELECT 'https://docs.test/doc' || doc_id::VARCHAR || '.html'
+       |    AS page_url,
+       |  n_blocks, n_kept,
+       |  ((total - kept) * 1000 // total)::BIGINT AS boiler_milli,
+       |  clean_text
+       |FROM a ORDER BY page_url""".stripMargin
+
   /** The composed C4-style curation chain: toxic-injected text →
     * synthetic HTML → boilerplate strip → blocklist gate on the
     * recovered body → Gopher quality gate (clean_text presented AS
@@ -3710,6 +3746,7 @@ object ExtQueries {
     "q_toxicity_relational" -> toxicityRelationalOracle,
     "q_toxicity_sources" -> toxicitySourcesOracle,
     "q_boilerplate" -> boilerplateOracle,
+    "q_warc_boilerplate" -> warcBoilerplateOracle,
     "q_c4_pipeline" -> c4PipelineOracle,
     "q_curation_stream" -> curationStreamOracle,
     // DuckDB reads the same committed gzip bytes independently

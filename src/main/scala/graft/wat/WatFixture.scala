@@ -305,6 +305,55 @@ object WatFixture {
   def ensureWarcFleet(): Seq[String] =
     ensureBenchWarcs(BenchFleet._1, BenchFleet._2, BenchFleet._3)
 
+  /** WARC shards carrying the DOCUMENTS table as HTML pages: doc r
+    * becomes a response record at the closed-form url
+    * `https://docs.test/doc<id>.html` whose body is the q_boilerplate
+    * scaffold around the doc's text (ExtQueries.bpHtmlFor) — so the
+    * raw-WARC text pipeline is oracle-checkable ENTIRELY in SQL: DuckDB
+    * rebuilds the identical pages from the documents table, no
+    * committed dump needed. Shards are cached per (sfDir, row count);
+    * docs are sharded by doc_id % shards and written in doc_id order,
+    * so regeneration is value-identical.
+    */
+  def ensureDocWarcs(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, shards: Int = 4): Seq[String] = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(org.apache.spark.sql.functions.col("doc_id").isNotNull)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-doc-warcs-v$GenVersion")
+    dir.mkdirs()
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_") + s"-${docs.length}"
+    (0 until shards).map { i =>
+      val f = new java.io.File(dir, s"docs-$tag-$i.warc.gz")
+      if (!f.exists()) {
+        val tmp = new java.io.File(dir, f.getName +
+          s".tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}-${System.nanoTime()}")
+        val out = new FileOutputStream(tmp)
+        try {
+          for ((id, text) <- docs if id % shards == i) {
+            require(!text.contains('<') && !text.contains('&'),
+              s"doc $id text is not HTML-safe to embed raw")
+            val html = graft.queries.ExtQueries.bpHtmlFor(id, text)
+              .getBytes(UTF_8)
+            val http = (s"HTTP/1.1 200 OK\r\n" +
+              s"Content-Type: text/html; charset=UTF-8\r\n" +
+              s"Content-Length: ${html.length}\r\n\r\n").getBytes(UTF_8)
+            out.write(gzipMember(warcRecordBytes("response", http ++ html,
+              Some(s"https://docs.test/doc$id.html"),
+              "application/http; msgtype=response")))
+          }
+        } finally out.close()
+        if (!tmp.renameTo(f) && !f.exists())
+          throw new java.io.IOException(s"could not materialize $f")
+        tmp.delete()
+      }
+      f.getAbsolutePath
+    }
+  }
+
   def ensureBenchWarcs(n: Int, nRecords: Int = 500,
       linksPerRecord: Int = 20): Seq[String] = {
     val dir = new java.io.File(

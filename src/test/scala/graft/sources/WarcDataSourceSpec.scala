@@ -70,4 +70,35 @@ class WarcDataSourceSpec extends AnyFunSuite with SparkTestBase {
       assert(b == a, s"$docType: DSv2/flatMap extraction diverged")
     }
   }
+  test("doc-warc fixture: the documents table round-trips through WARC " +
+      "framing — boilerplate metrics equal the direct-html path") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val docWarcs = WatFixture.ensureDocWarcs(spark, sfDir)
+    val pages = spark.read.format("warc").load(docWarcs: _*)
+      .select(col("page_url"), col("html"))
+    assert(pages.count() == 500L) // every non-null doc becomes a page
+    def rows(df: org.apache.spark.sql.DataFrame, idFromUrl: Boolean) = {
+      val keyed =
+        if (idFromUrl) df.withColumn("doc_id",
+          regexp_extract(col("page_url"), "doc(\\d+)", 1).cast("long"))
+        else df
+      graft.ext.Boilerplate
+        .extractMainContent(keyed.select("doc_id", "html"),
+          "doc_id", "html")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).sorted.toSeq
+    }
+    val viaWarc = rows(pages, idFromUrl = true)
+    val direct = rows(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .where(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          (id, graft.queries.ExtQueries.bpHtmlFor(id, text))
+        }.toDF("doc_id", "html"), idFromUrl = false)
+    assert(viaWarc.nonEmpty && viaWarc == direct,
+      "WARC transport changed the boilerplate extraction")
+  }
 }
