@@ -55,14 +55,17 @@ class WarcTable(paths: Seq[String]) extends Table with SupportsRead {
   override def name(): String = s"warc(${paths.mkString(",")})"
   override def schema(): StructType = WarcDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(paths,
-      maxTasks = options.getInt("max_tasks", WatDataSource.DefaultMaxTasks))
+      maxTasks = options.getInt("max_tasks", WatDataSource.DefaultMaxTasks),
+      maxFilesPerTrigger = options.getInt("max_files_per_trigger", 0))
 }
 
 class WarcScanBuilder(paths: Seq[String],
-    maxTasks: Int = WatDataSource.DefaultMaxTasks)
+    maxTasks: Int = WatDataSource.DefaultMaxTasks,
+    maxFilesPerTrigger: Int = 0)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = WarcDataSource.schema
@@ -109,15 +112,19 @@ class WarcScanBuilder(paths: Seq[String],
 
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan =
+  override def build(): Scan = {
+    val filterSnapshot = accepted
     new WarcScan(paths.filter(p => accepted.forall(eval(_, p))), required,
-      maxTasks)
+      maxTasks, listedFilter = p => filterSnapshot.forall(eval(_, p)),
+      maxFilesPerTrigger = maxFilesPerTrigger)
+  }
 }
 
 case class WarcInputPartition(paths: Seq[String]) extends InputPartition
 
 class WarcScan(paths: Seq[String], required: StructType,
-    maxTasks: Int) extends Scan with Batch {
+    maxTasks: Int, listedFilter: String => Boolean = _ => true,
+    maxFilesPerTrigger: Int = 0) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -137,6 +144,32 @@ class WarcScan(paths: Seq[String], required: StructType,
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new CorruptArchivesMetric)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    new WarcMicroBatchStream(paths, conf, required, listedFilter,
+      maxFilesPerTrigger)
+  }
+}
+
+/** Streaming raw-WARC ingestion: the wat stream's relist-sort-prefix
+  * offset machinery verbatim ([[WatMicroBatchStream]] — globs relisted
+  * per micro-batch, lexicographic prefix offsets, max_files_per_trigger
+  * admission control), with the warc source's partitions and reader.
+  */
+class WarcMicroBatchStream(globs: Seq[String],
+    conf: org.apache.spark.util.SerializableConfiguration,
+    required: StructType,
+    listedFilter: String => Boolean = _ => true,
+    maxFilesPerTrigger: Int = 0)
+    extends WatMicroBatchStream(globs, conf, required, Long.MaxValue,
+      listedFilter, maxFilesPerTrigger) {
+  override protected def mkPartition(paths: Seq[String]): InputPartition =
+    WarcInputPartition(paths)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(conf, required)
 }
 
 class WarcReaderFactory(conf: org.apache.spark.util.SerializableConfiguration,

@@ -281,10 +281,17 @@ class WatMicroBatchStream(globs: Seq[String],
 
   override def reportLatestOffset(): Offset = WatOffset(known.size)
 
+  /** Partition constructor — the only wat-specific piece of the
+    * offset/listing machinery, overridden by the `warc` source's
+    * stream (same relist-sort-prefix contract, different reader).
+    */
+  protected def mkPartition(paths: Seq[String]): InputPartition =
+    WatInputPartition(paths)
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[WatOffset].n
     val e = end.asInstanceOf[WatOffset].n
-    known.slice(s, e).map(p => WatInputPartition(Seq(p))).toArray
+    known.slice(s, e).map(p => mkPartition(Seq(p))).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
