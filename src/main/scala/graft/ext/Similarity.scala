@@ -465,8 +465,12 @@ object Similarity {
     * out. Same per-iteration persist/materialize/release discipline as
     * [[kmeansCentroids]]: `iters` rounds never stack into one lazy
     * plan, and the previous round's cache is released as soon as its
-    * successor is materialized. The RETURNED frame stays persisted —
-    * `.unpersist()` it when done.
+    * successor is materialized. The final codebook — m × k rows BY
+    * DEFINITION tiny (it gets broadcast downstream) — is returned as a
+    * LOCAL frame: the last round's cache is released before returning,
+    * so repeated callers (a bench sweep, a long-lived session) leak no
+    * block-manager entries, and downstream broadcasts build from local
+    * rows instead of a distributed scan.
     */
   def pqTrainCodebooks(p: DataFrame, m: Int, k: Int,
       iters: Int): DataFrame = {
@@ -495,7 +499,10 @@ object Similarity {
       prev.foreach(_.unpersist())
       prev = Some(cb)
     }
-    cb
+    val rows = cb.collect().toSeq
+    prev.foreach(_.unpersist()) // nothing stays pinned after training
+    import scala.jdk.CollectionConverters._
+    cb.sparkSession.createDataFrame(rows.asJava, cb.schema)
   }
 
   /** PQ encoding: each vector's subvector → nearest codebook centroid by

@@ -60,11 +60,14 @@ class WarcTable(paths: Seq[String]) extends Table with SupportsRead {
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(paths,
       maxTasks = options.getInt("max_tasks", WatDataSource.DefaultMaxTasks),
+      streamThresholdBytes = options.getLong("stream_threshold_bytes",
+        Long.MaxValue),
       maxFilesPerTrigger = options.getInt("max_files_per_trigger", 0))
 }
 
 class WarcScanBuilder(paths: Seq[String],
     maxTasks: Int = WatDataSource.DefaultMaxTasks,
+    streamThresholdBytes: Long = Long.MaxValue,
     maxFilesPerTrigger: Int = 0)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -76,33 +79,9 @@ class WarcScanBuilder(paths: Seq[String],
     required = StructType(WarcDataSource.schema.filter(f => names(f.name)))
   }
 
-  private def pathOnly(f: Filter): Boolean = f match {
-    case EqualTo("warc_path", _: String)   => true
-    // a null In-list element makes NOT IN three-valued — leave those to
-    // Spark's post-scan filter (same reasoning as WatScanBuilder)
-    case In("warc_path", vs)               => vs != null && !vs.contains(null)
-    case StringStartsWith("warc_path", _)  => true
-    case StringEndsWith("warc_path", _)    => true
-    case StringContains("warc_path", _)    => true
-    case IsNotNull("warc_path")            => true
-    case And(l, r)                         => pathOnly(l) && pathOnly(r)
-    case Or(l, r)                          => pathOnly(l) && pathOnly(r)
-    case Not(c)                            => pathOnly(c)
-    case _                                 => false
-  }
-
-  private def eval(f: Filter, p: String): Boolean = f match {
-    case EqualTo("warc_path", v: String)  => p == v
-    case In("warc_path", vs)              => vs.contains(p)
-    case StringStartsWith("warc_path", v) => p.startsWith(v)
-    case StringEndsWith("warc_path", v)   => p.endsWith(v)
-    case StringContains("warc_path", v)   => p.contains(v)
-    case IsNotNull("warc_path")           => true
-    case And(l, r)                        => eval(l, p) && eval(r, p)
-    case Or(l, r)                         => eval(l, p) || eval(r, p)
-    case Not(c)                           => !eval(c, p)
-    case _                                => true // unreachable: pathOnly gated
-  }
+  private val pathOnly = ArchiveScanSupport.pathOnly("warc_path") _
+  private def eval(f: Filter, p: String): Boolean =
+    ArchiveScanSupport.eval("warc_path")(f, p)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ours, rest) = filters.partition(pathOnly)
@@ -115,7 +94,8 @@ class WarcScanBuilder(paths: Seq[String],
   override def build(): Scan = {
     val filterSnapshot = accepted
     new WarcScan(paths.filter(p => accepted.forall(eval(_, p))), required,
-      maxTasks, listedFilter = p => filterSnapshot.forall(eval(_, p)),
+      maxTasks, streamThresholdBytes,
+      listedFilter = p => filterSnapshot.forall(eval(_, p)),
       maxFilesPerTrigger = maxFilesPerTrigger)
   }
 }
@@ -123,23 +103,20 @@ class WarcScanBuilder(paths: Seq[String],
 case class WarcInputPartition(paths: Seq[String]) extends InputPartition
 
 class WarcScan(paths: Seq[String], required: StructType,
-    maxTasks: Int, listedFilter: String => Boolean = _ => true,
+    maxTasks: Int, streamThresholdBytes: Long = Long.MaxValue,
+    listedFilter: String => Boolean = _ => true,
     maxFilesPerTrigger: Int = 0) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    if (paths.size <= maxTasks)
-      paths.map(p => WarcInputPartition(Seq(p))).toArray
-    else {
-      val perTask = math.ceil(paths.size.toDouble / maxTasks).toInt
-      paths.grouped(perTask).map(WarcInputPartition.apply).toArray
-    }
+    ArchiveScanSupport.planPartitions(paths, maxTasks,
+      WarcInputPartition.apply)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
-    new WarcReaderFactory(conf, required)
+    new WarcReaderFactory(conf, required, streamThresholdBytes)
   }
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
@@ -149,8 +126,8 @@ class WarcScan(paths: Seq[String], required: StructType,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
-    new WarcMicroBatchStream(paths, conf, required, listedFilter,
-      maxFilesPerTrigger)
+    new WarcMicroBatchStream(paths, conf, required, streamThresholdBytes,
+      listedFilter, maxFilesPerTrigger)
   }
 }
 
@@ -162,18 +139,20 @@ class WarcScan(paths: Seq[String], required: StructType,
 class WarcMicroBatchStream(globs: Seq[String],
     conf: org.apache.spark.util.SerializableConfiguration,
     required: StructType,
+    streamThresholdBytes: Long = Long.MaxValue,
     listedFilter: String => Boolean = _ => true,
     maxFilesPerTrigger: Int = 0)
-    extends WatMicroBatchStream(globs, conf, required, Long.MaxValue,
+    extends WatMicroBatchStream(globs, conf, required, streamThresholdBytes,
       listedFilter, maxFilesPerTrigger) {
   override protected def mkPartition(paths: Seq[String]): InputPartition =
     WarcInputPartition(paths)
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(conf, required)
+    new WarcReaderFactory(conf, required, streamThresholdBytes)
 }
 
 class WarcReaderFactory(conf: org.apache.spark.util.SerializableConfiguration,
-    required: StructType) extends PartitionReaderFactory {
+    required: StructType,
+    streamThresholdBytes: Long = Long.MaxValue) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val partPaths = partition.asInstanceOf[WarcInputPartition].paths
     val wantPath = required.fieldNames.contains("warc_path")
@@ -184,34 +163,25 @@ class WarcReaderFactory(conf: org.apache.spark.util.SerializableConfiguration,
       private var active: graft.wat.ClosingIterator[graft.wat.WarcRecord] = _
       private val it = partPaths.iterator.flatMap { p =>
         val u = UTF8String.fromString(p)
-        val bytes = WatReader.fetchAllBytes(p, conf.value)
-        bytes match {
-          case None =>
-            corrupt += 1
-            WatReader.logCorruptDefault(
-              new java.io.IOException(s"fetch failed after retries: $p"))
-            Iterator.empty
-          case Some(b) =>
-            val inner = WatReader.records(
-              new java.io.ByteArrayInputStream(b), gzipped = true,
-              onCorrupt = e => {
-                corrupt += 1; WatReader.logCorruptDefault(e)
-              })
-            active = inner
-            inner.filter(_.warcType.equalsIgnoreCase("response"))
-              .flatMap { r =>
-                // html pruned → header-only check (is this a text/html
-                // response?), no body decode; html wanted → full decode
-                WarcHtml.htmlBodyStart(r.payload).map { bodyStart =>
-                  val html =
-                    if (wantHtml) UTF8String.fromString(new String(
-                      r.payload, bodyStart, r.payload.length - bodyStart,
-                      java.nio.charset.StandardCharsets.UTF_8))
-                    else null
-                  (u, r.headers.get("warc-target-uri"), html)
-                }
-              }
-        }
+        val inner = WatReader.archiveRecords(p, conf.value,
+          onCorrupt = e => { corrupt += 1; WatReader.logCorruptDefault(e) },
+          inMemoryLimitBytes = streamThresholdBytes)
+        active = inner
+        inner.filter(_.warcType.equalsIgnoreCase("response"))
+          .flatMap { r =>
+            if (wantHtml)
+              // full decode, transfer/content codings undone; "" on a
+              // broken body (row kept so pruned/unpruned counts agree)
+              WarcHtml.htmlOfHttpResponse(r.payload).map(html =>
+                (u, r.headers.get("warc-target-uri"),
+                  UTF8String.fromString(html)))
+            else
+              // html pruned → header-only acceptance, no body decode;
+              // accepts exactly the rows the decode path yields
+              WarcHtml.htmlBodyStart(r.payload).map(_ =>
+                (u, r.headers.get("warc-target-uri"),
+                  null: UTF8String))
+          }
       }
       private var row: (UTF8String, Option[String], UTF8String) = _
       override def next(): Boolean =

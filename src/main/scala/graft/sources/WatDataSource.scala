@@ -107,34 +107,9 @@ class WatScanBuilder(paths: Seq[String],
     required = StructType(WatDataSource.schema.filter(f => names(f.name)))
   }
 
-  private def pathOnly(f: Filter): Boolean = f match {
-    case EqualTo("wat_path", _: String)   => true
-    // a null In-list element makes NOT IN three-valued (UNKNOWN for
-    // non-matches) — two-valued eval below would wrongly keep rows, so
-    // leave those to Spark's post-scan filter
-    case In("wat_path", vs)               => vs != null && !vs.contains(null)
-    case StringStartsWith("wat_path", _)  => true
-    case StringEndsWith("wat_path", _)    => true
-    case StringContains("wat_path", _)    => true
-    case IsNotNull("wat_path")            => true
-    case And(l, r)                        => pathOnly(l) && pathOnly(r)
-    case Or(l, r)                         => pathOnly(l) && pathOnly(r)
-    case Not(c)                           => pathOnly(c)
-    case _                                => false
-  }
-
-  private def eval(f: Filter, p: String): Boolean = f match {
-    case EqualTo("wat_path", v: String)  => p == v
-    case In("wat_path", vs)              => vs.contains(p)
-    case StringStartsWith("wat_path", v) => p.startsWith(v)
-    case StringEndsWith("wat_path", v)   => p.endsWith(v)
-    case StringContains("wat_path", v)   => p.contains(v)
-    case IsNotNull("wat_path")           => true
-    case And(l, r)                       => eval(l, p) && eval(r, p)
-    case Or(l, r)                        => eval(l, p) || eval(r, p)
-    case Not(c)                          => !eval(c, p)
-    case _                               => true // unreachable: pathOnly gated
-  }
+  private val pathOnly = ArchiveScanSupport.pathOnly("wat_path") _
+  private def eval(f: Filter, p: String): Boolean =
+    ArchiveScanSupport.eval("wat_path")(f, p)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ours, rest) = filters.partition(pathOnly)
@@ -178,12 +153,8 @@ class WatScan(paths: Seq[String], required: StructType,
     * crawl prefix on CC layouts) in one task for S3 locality.
     */
   override def planInputPartitions(): Array[InputPartition] =
-    if (paths.size <= maxTasks)
-      paths.map(p => WatInputPartition(Seq(p))).toArray
-    else {
-      val perTask = math.ceil(paths.size.toDouble / maxTasks).toInt
-      paths.grouped(perTask).map(WatInputPartition.apply).toArray
-    }
+    ArchiveScanSupport.planPartitions(paths, maxTasks,
+      WatInputPartition.apply)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // capture the session Hadoop conf (S3A credentials/tuning) at planning

@@ -129,13 +129,17 @@ object WarcHtml {
   }
 
   /** Inner HTML → visible anchor text: tags stripped, entities
-    * unescaped, whitespace collapsed, trimmed.
+    * unescaped, whitespace collapsed, trimmed. Deliberately unbounded:
+    * `inner` is a substring of a document already in memory, and a
+    * silent cap would make the text (and thus uid, for the doc types
+    * whose alt is the anchor text) diverge from the WAT path's
+    * pre-extracted Links on long anchors.
     */
   private def anchorText(inner: String): String = {
-    val sb = new StringBuilder(inner.length min 4096)
+    val sb = new StringBuilder(inner.length)
     var i = 0
     var inTag = false
-    while (i < inner.length && sb.length < 4096) {
+    while (i < inner.length) {
       val c = inner.charAt(i)
       if (c == '<') inTag = true
       else if (c == '>') inTag = false
@@ -143,6 +147,26 @@ object WarcHtml {
       i += 1
     }
     unescape(sb.toString).split("\\s+").filter(_.nonEmpty).mkString(" ")
+  }
+
+  /** Index of the CLOSING tag `</name` whose name ends there (followed
+    * by '>', whitespace, or end of input) — a bare prefix search for
+    * "</a" would also match </abbr>/</article>/</aside> and truncate
+    * anchor text at the wrong tag.
+    */
+  private def closingTagIndex(html: String, name: String, from: Int): Int = {
+    val target = "</" + name
+    var i = from
+    while (i >= 0) {
+      i = ciIndexOf(html, target, i)
+      if (i >= 0) {
+        val after = i + target.length
+        if (after >= html.length || html.charAt(after) == '>' ||
+          html.charAt(after).isWhitespace) return i
+        i += 1
+      }
+    }
+    -1
   }
 
   /** Scan one HTML document: (head base href if any, links in document
@@ -179,7 +203,7 @@ object WarcHtml {
               i = tagEnd
             case "a" =>
               attrs.get("href").filter(_.nonEmpty).foreach { href =>
-                val close = ciIndexOf(html, "</a", tagEnd)
+                val close = closingTagIndex(html, "a", tagEnd)
                 val text =
                   if (close < 0) ""
                   else anchorText(html.substring(tagEnd, close))
@@ -188,7 +212,7 @@ object WarcHtml {
               }
               i = tagEnd // re-enter the body: nested tags still scan
             case "script" | "style" =>
-              val close = ciIndexOf(html, "</" + name, tagEnd)
+              val close = closingTagIndex(html, name, tagEnd)
               i = if (close < 0) n else {
                 val gt = html.indexOf('>', close)
                 if (gt < 0) n else gt + 1
@@ -205,37 +229,135 @@ object WarcHtml {
   // WARC response plumbing
   // ------------------------------------------------------------------
 
-  /** Header-only check of an `application/http` response payload:
-    * Some(body start offset) iff it has an HTTP status line, a
-    * `text/html` Content-Type, and a CRLF CRLF header terminator.
-    * Costs no body decode — the column-pruned DSv2 path (html column
-    * dropped) pays exactly this per record.
+  /** Parsed response head: where the body starts and which codings
+    * must be undone before the body is text.
     */
-  def htmlBodyStart(payload: Array[Byte]): Option[Int] = {
+  private final case class HttpHead(bodyStart: Int, chunked: Boolean,
+      gzip: Boolean)
+
+  /** Accept a response iff it has an HTTP status line (checked on raw
+    * bytes — no transient decode), a CRLF CRLF header terminator, a
+    * LINE-ANCHORED `Content-Type: text/html` (a header whose name
+    * merely ends in "content-type", e.g. X-Original-Content-Type, must
+    * not match), and a body coding this parser can undo (identity,
+    * chunked, gzip — anything else fails closed: an undecodable body
+    * has no extractable links). Headers are decoded ONCE, only up to
+    * the terminator.
+    */
+  private def parseHead(payload: Array[Byte]): Option[HttpHead] = {
     if (payload.length < 16) return None
-    val head = new String(payload, 0,
-      math.min(payload.length, 8192), UTF_8)
-    if (!head.startsWith("HTTP/")) return None
+    if (!(payload(0) == 'H' && payload(1) == 'T' && payload(2) == 'T' &&
+      payload(3) == 'P' && payload(4) == '/')) return None
     val sep = indexOfCrlfCrlf(payload)
     if (sep < 0) return None
     val headers = new String(payload, 0, sep, UTF_8).toLowerCase
-    val ctIdx = headers.indexOf("content-type:")
-    if (ctIdx < 0) return None
-    val ctEnd = headers.indexOf('\r', ctIdx) match {
-      case -1 => headers.length
-      case e  => e
+    def headerValue(name: String): Option[String] = {
+      val probe = "\n" + name + ":"
+      val i = headers.indexOf(probe)
+      if (i < 0) None
+      else {
+        val vs = i + probe.length
+        val ve = headers.indexOf('\r', vs) match {
+          case -1 => headers.length
+          case e  => e
+        }
+        Some(headers.substring(vs, ve).trim)
+      }
     }
-    if (!headers.substring(ctIdx, ctEnd).contains("text/html")) return None
-    Some(sep + 4)
+    val ct = headerValue("content-type").getOrElse(return None)
+    if (!ct.contains("text/html")) return None
+    val chunked =
+      headerValue("transfer-encoding").exists(_.contains("chunked"))
+    val enc = headerValue("content-encoding").getOrElse("")
+    val gzip = enc.contains("gzip") // covers x-gzip
+    if (enc.nonEmpty && !gzip && enc != "identity") return None
+    Some(HttpHead(sep + 4, chunked, gzip))
   }
 
-  /** Split an `application/http` response payload into its HTML body:
-    * [[htmlBodyStart]]'s checks, then the decode. None (fail closed)
-    * otherwise — non-HTML responses carry no links to extract.
+  /** Header-only acceptance check: Some(body start) iff [[parseHead]]
+    * accepts. Costs no body decode — the column-pruned DSv2 path (html
+    * column dropped) pays exactly this per record, and it accepts
+    * EXACTLY the rows [[htmlOfHttpResponse]] yields, so pruned and
+    * unpruned scans agree on row counts.
+    */
+  def htmlBodyStart(payload: Array[Byte]): Option[Int] =
+    parseHead(payload).map(_.bodyStart)
+
+  /** Cap on a decompressed body: a crafted gzip member must not
+    * balloon one page into gigabytes (64 MiB of HTML is far past any
+    * real page; the decode stops there and the truncated prefix still
+    * scans).
+    */
+  private val MaxBodyBytes = 64 << 20
+
+  /** De-chunk a Transfer-Encoding: chunked body (hex size line, CRLF,
+    * that many bytes, CRLF, ...; 0-size chunk ends). Malformed framing
+    * throws — the caller maps that to an empty body.
+    */
+  private def dechunk(b: Array[Byte], from: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(b.length - from, 1 << 20))
+    var i = from
+    var done = false
+    while (!done) {
+      var j = i
+      while (j + 1 < b.length && !(b(j) == '\r' && b(j + 1) == '\n')) j += 1
+      if (j + 1 >= b.length) throw new java.io.IOException("bad chunk size line")
+      // size line may carry ;extensions — take the leading hex token
+      val line = new String(b, i, j - i, UTF_8).trim
+      val hex = line.takeWhile(c => Character.digit(c, 16) >= 0)
+      if (hex.isEmpty) throw new java.io.IOException("bad chunk size")
+      val size = java.lang.Long.parseLong(hex, 16)
+      if (size < 0 || size > b.length - j) // can never fit: hostile
+        throw new java.io.IOException("chunk larger than payload")
+      if (size == 0L) done = true
+      else {
+        val ds = j + 2
+        if (ds + size > b.length) throw new java.io.IOException("truncated chunk")
+        out.write(b, ds, size.toInt)
+        if (out.size > MaxBodyBytes) done = true
+        else i = ds + size.toInt + 2 // past data + trailing CRLF
+      }
+    }
+    out.toByteArray
+  }
+
+  private def gunzip(b: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(b), 1 << 16)
+    val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
+    val buf = new Array[Byte](1 << 16)
+    var n = in.read(buf)
+    while (n >= 0 && out.size < MaxBodyBytes) {
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
+    out.toByteArray
+  }
+
+  /** The HTML body of an `application/http` response: [[parseHead]]'s
+    * acceptance, then the body decode with chunked/gzip codings undone
+    * (real crawlers store responses as fetched — a gzip or chunked body
+    * decoded as raw UTF-8 would silently scan to zero links). None =
+    * not an HTML response; Some("") = an accepted response whose body
+    * failed to decode (kept as a row so pruned/unpruned counts agree,
+    * contributes no links).
     */
   def htmlOfHttpResponse(payload: Array[Byte]): Option[String] =
-    htmlBodyStart(payload).map(s =>
-      new String(payload, s, payload.length - s, UTF_8))
+    parseHead(payload).map { h =>
+      try {
+        if (!h.chunked && !h.gzip)
+          new String(payload, h.bodyStart, payload.length - h.bodyStart,
+            UTF_8)
+        else {
+          val body =
+            if (h.chunked) dechunk(payload, h.bodyStart)
+            else java.util.Arrays.copyOfRange(payload, h.bodyStart,
+              payload.length)
+          new String(if (h.gzip) gunzip(body) else body, UTF_8)
+        }
+      } catch { case scala.util.control.NonFatal(_) => "" }
+    }
 
   private def indexOfCrlfCrlf(b: Array[Byte]): Int = {
     var i = 0
@@ -253,28 +375,22 @@ object WarcHtml {
     * skipped.
     */
   def pagesOf(path: String, conf: Configuration,
-      onCorrupt: Exception => Unit): ClosingIterator[PageLinks] = {
+      onCorrupt: Exception => Unit,
+      inMemoryLimitBytes: Long = Long.MaxValue): ClosingIterator[PageLinks] = {
     val ccName = path.substring(path.lastIndexOf('/') + 1)
-    val source = WatReader.fetchAllBytes(path, conf)
-    source match {
-      case None =>
-        onCorrupt(new java.io.IOException(s"fetch failed after retries: $path"))
-        ClosingIterator.empty
-      case Some(bytes) =>
-        val recs = WatReader.records(
-          new java.io.ByteArrayInputStream(bytes), gzipped = true, onCorrupt)
-        new ClosingIterator(
-          recs.filter(_.warcType.equalsIgnoreCase("response"))
-            .flatMap { r =>
-              htmlOfHttpResponse(r.payload).map { html =>
-                val (base, links) = scanHtml(html)
-                PageLinks(ccName,
-                  r.headers.getOrElse("warc-target-uri", null),
-                  base.orNull, links)
-              }
-            },
-          () => recs.close())
-    }
+    val recs = WatReader.archiveRecords(path, conf, onCorrupt,
+      inMemoryLimitBytes)
+    new ClosingIterator(
+      recs.filter(_.warcType.equalsIgnoreCase("response"))
+        .flatMap { r =>
+          htmlOfHttpResponse(r.payload).map { html =>
+            val (base, links) = scanHtml(html)
+            PageLinks(ccName,
+              r.headers.getOrElse("warc-target-uri", null),
+              base.orNull, links)
+          }
+        },
+      () => recs.close())
   }
 }
 
@@ -294,7 +410,8 @@ object WarcExtract {
       spark.sparkContext.longAccumulator("graft.warc.read_errors"))
 
   def pages(spark: SparkSession, paths: Seq[String],
-      readErrors: org.apache.spark.util.LongAccumulator): DataFrame = {
+      readErrors: org.apache.spark.util.LongAccumulator,
+      streamThresholdBytes: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
@@ -303,7 +420,7 @@ object WarcExtract {
       spark.sparkContext.parallelize(paths, math.max(1, paths.size)))
       .flatMap { p =>
         val it = WarcHtml.pagesOf(p, confBc.value.value,
-          _ => readErrors.add(1L))
+          _ => readErrors.add(1L), streamThresholdBytes)
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => it.close()))
         it

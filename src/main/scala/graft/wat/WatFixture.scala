@@ -325,7 +325,17 @@ object WatFixture {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft-doc-warcs-v$GenVersion")
     dir.mkdirs()
-    val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_") + s"-${docs.length}"
+    // cache key carries a CONTENT fingerprint, not just path+count: a
+    // regenerated documents table at the same path and cardinality must
+    // invalidate the shards, or the Spark side would read stale pages
+    // while the oracle reads the fresh parquet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    docs.foreach { case (id, text) =>
+      md.update(s"$id:$text\u0000".getBytes(UTF_8))
+    }
+    val fp = md.digest().take(6).map("%02x".format(_)).mkString
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_") +
+      s"-${docs.length}-$fp"
     (0 until shards).map { i =>
       val f = new java.io.File(dir, s"docs-$tag-$i.warc.gz")
       if (!f.exists()) {

@@ -228,6 +228,22 @@ object WatReader {
   def metadataRecords(path: String, conf: Configuration = new Configuration(),
       onCorrupt: Exception => Unit = WatReader.logCorrupt,
       inMemoryLimitBytes: Long = Long.MaxValue): ClosingIterator[WarcRecord] = {
+    val recs = archiveRecords(path, conf, onCorrupt, inMemoryLimitBytes)
+    new ClosingIterator(
+      recs.filter(_.warcType.equalsIgnoreCase("metadata")),
+      () => recs.close())
+  }
+
+  /** ALL records of one archive (fetch + frame walk), type-unfiltered —
+    * the shared on-ramp for the WAT path (metadata records) and the
+    * raw-WARC path (response records). Same memory bound: archives at
+    * or under `inMemoryLimitBytes` are fetched whole; larger ones
+    * decode as a stream holding only the gzip window plus one record's
+    * payload.
+    */
+  def archiveRecords(path: String, conf: Configuration = new Configuration(),
+      onCorrupt: Exception => Unit = WatReader.logCorrupt,
+      inMemoryLimitBytes: Long = Long.MaxValue): ClosingIterator[WarcRecord] = {
     val size: Long =
       if (inMemoryLimitBytes == Long.MaxValue) 0L // never probe in parity mode
       else try {
@@ -242,10 +258,7 @@ object WatReader {
         onCorrupt(new java.io.IOException(s"fetch failed after retries: $path"))
         ClosingIterator.empty
       case Some(in) =>
-        val recs = records(in, gzipped = true, onCorrupt)
-        new ClosingIterator(
-          recs.filter(_.warcType.equalsIgnoreCase("metadata")),
-          () => recs.close())
+        records(in, gzipped = true, onCorrupt)
     }
   }
 

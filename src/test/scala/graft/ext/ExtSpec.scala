@@ -531,8 +531,12 @@ class ExtSpec extends AnyFunSuite with SparkTestBase {
       "donor init reproduces pqCodebook at iters=0 semantics, and trained " +
       "ADC beats sampled ADC in aggregate recall on clustered geometry") {
     val p = Similarity.clusteredFixture(spark, 512)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val cbT = Similarity.pqTrainCodebooks(p, m = 4, k = 16, iters = 2)
-    assert(cbT.storageLevel.useMemory) // same discipline as kmeansCentroids
+    // training releases every per-round cache and returns a LOCAL frame
+    // (m x k rows) -- repeated callers leak no block-manager entries
+    assert(spark.sparkContext.getPersistentRDDs.keySet == cachedBefore,
+      "pqTrainCodebooks left a cached RDD pinned")
     // every (sub_id, code) is unique and subvector width is dims/m
     val rows = cbT.collect()
     assert(rows.map(r => (r.getInt(0), r.getLong(1))).distinct.length ==
@@ -548,7 +552,6 @@ class ExtSpec extends AnyFunSuite with SparkTestBase {
         .agg(sum(col("n_hit"))).collect()(0).getLong(0)
     val (hS, hT) = (hits(cbS), hits(cbT))
     assert(hT > hS, s"training must improve aggregate recall: $hT vs $hS")
-    cbT.unpersist()
   }
 
   test("charBigrams: order kept, duplicates kept, degenerate inputs empty") {
