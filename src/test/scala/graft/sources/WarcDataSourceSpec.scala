@@ -101,4 +101,24 @@ class WarcDataSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(viaWarc.nonEmpty && viaWarc == direct,
       "WARC transport changed the boilerplate extraction")
   }
+  test("stream_threshold_bytes: archives above it decode as a stream; " +
+      "rows identical to whole-file mode") {
+    val whole = spark.read.format("warc").load(warcs: _*)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    // threshold 1 byte: EVERY archive takes the streaming-decode path
+    val streamed = spark.read.format("warc")
+      .option("stream_threshold_bytes", "1")
+      .load(warcs: _*)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(streamed.nonEmpty && (streamed sameElements whole) ||
+      streamed.toSeq == whole.toSeq)
+    // and the flatMap path honors it too
+    val a = WarcExtract.fromPaths(spark, warcs, "image_only")
+      .collect().map(_.toString).sorted.toSeq
+    val errs = spark.sparkContext.longAccumulator("warc-stream-test")
+    val b = graft.wat.WatExtract.extractLinks(
+      WarcExtract.pages(spark, warcs, errs, streamThresholdBytes = 1L),
+      "image_only").collect().map(_.toString).sorted.toSeq
+    assert(b == a && errs.value == 0L)
+  }
 }
