@@ -85,7 +85,10 @@ object WarcHtml {
     val nameStart = i
     while (i < n && (html.charAt(i).isLetterOrDigit)) i += 1
     if (i == nameStart) return ("", Map.empty, lt + 1) // stray '<'
-    val name = html.substring(nameStart, i).toLowerCase
+    // Locale.ROOT: default-locale lowercasing turns "IMG" into "\u0131mg"
+    // under a Turkish JVM locale and every tag dispatch silently misses
+    val name = html.substring(nameStart, i)
+      .toLowerCase(java.util.Locale.ROOT)
     var attrs = Map.empty[String, String]
     var done = false
     while (!done && i < n) {
@@ -98,7 +101,8 @@ object WarcHtml {
         while (i < n && !html.charAt(i).isWhitespace &&
           html.charAt(i) != '=' && html.charAt(i) != '>' &&
           html.charAt(i) != '/') i += 1
-        val aname = html.substring(as, i).toLowerCase
+        val aname = html.substring(as, i)
+          .toLowerCase(java.util.Locale.ROOT)
         while (i < n && html.charAt(i).isWhitespace) i += 1
         if (i < n && html.charAt(i) == '=') {
           i += 1
@@ -250,7 +254,8 @@ object WarcHtml {
       payload(3) == 'P' && payload(4) == '/')) return None
     val sep = indexOfCrlfCrlf(payload)
     if (sep < 0) return None
-    val headers = new String(payload, 0, sep, UTF_8).toLowerCase
+    val headers = new String(payload, 0, sep, UTF_8)
+      .toLowerCase(java.util.Locale.ROOT) // "CHUNKED" under tr-TR otherwise
     def headerValue(name: String): Option[String] = {
       val probe = "\n" + name + ":"
       val i = headers.indexOf(probe)
@@ -322,17 +327,25 @@ object WarcHtml {
     out.toByteArray
   }
 
-  private def gunzip(b: Array[Byte]): Array[Byte] = {
+  private def gunzip(b: Array[Byte], from: Int = 0): Array[Byte] = {
+    // (b, from) slice avoids copying the body just to wrap a stream;
+    // Long sizing: b.length * 4 wraps negative past 512 MiB. close() in
+    // finally: each GZIPInputStream owns a NATIVE zlib Inflater that
+    // only a Cleaner would otherwise free — on a per-record hot path
+    // that accumulates off-heap memory between GCs.
     val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(b), 1 << 16)
-    val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
-    val buf = new Array[Byte](1 << 16)
-    var n = in.read(buf)
-    while (n >= 0 && out.size < MaxBodyBytes) {
-      out.write(buf, 0, n)
-      n = in.read(buf)
-    }
-    out.toByteArray
+      new java.io.ByteArrayInputStream(b, from, b.length - from), 1 << 16)
+    try {
+      val out = new java.io.ByteArrayOutputStream(
+        math.min((b.length - from).toLong * 4, 1L << 20).toInt)
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0 && out.size < MaxBodyBytes) {
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } finally in.close()
   }
 
   /** The HTML body of an `application/http` response: [[parseHead]]'s
@@ -349,13 +362,11 @@ object WarcHtml {
         if (!h.chunked && !h.gzip)
           new String(payload, h.bodyStart, payload.length - h.bodyStart,
             UTF_8)
-        else {
-          val body =
-            if (h.chunked) dechunk(payload, h.bodyStart)
-            else java.util.Arrays.copyOfRange(payload, h.bodyStart,
-              payload.length)
+        else if (h.chunked) {
+          val body = dechunk(payload, h.bodyStart)
           new String(if (h.gzip) gunzip(body) else body, UTF_8)
-        }
+        } else // gzip only: decompress the slice in place, no copy
+          new String(gunzip(payload, h.bodyStart), UTF_8)
       } catch { case scala.util.control.NonFatal(_) => "" }
     }
 

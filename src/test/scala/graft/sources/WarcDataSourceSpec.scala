@@ -110,8 +110,7 @@ class WarcDataSourceSpec extends AnyFunSuite with SparkTestBase {
       .option("stream_threshold_bytes", "1")
       .load(warcs: _*)
       .collect().map(_.toSeq).sortBy(_.toString)
-    assert(streamed.nonEmpty && (streamed sameElements whole) ||
-      streamed.toSeq == whole.toSeq)
+    assert(streamed.nonEmpty && streamed.toSeq == whole.toSeq)
     // and the flatMap path honors it too
     val a = WarcExtract.fromPaths(spark, warcs, "image_only")
       .collect().map(_.toString).sorted.toSeq
