@@ -1497,6 +1497,56 @@ object ExtQueries {
         .orderBy("doc_id", "key", "ext")
     }),
 
+    // ZIP shard ingest (graft.ext.Zip): EOCD → central-directory walk,
+    // stored + DEFLATE members through a REAL Inflater, CRC32-verified.
+    // byte_len/first/last describe the UNCOMPRESSED payload — right
+    // answers on deflate members require a working decompressor, and
+    // the non-constant fill makes a copied-window shortcut fail.
+    "q_zip_archive" -> ((s, dir) => {
+      import s.implicits._
+      graft.ext.Zip.zipArchiveMembers(graft.ext.Zip.syntheticZipMedia(
+        docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+          .select("doc_id").as[java.lang.Long]))
+        .orderBy("doc_id", "name")
+    }),
+
+    // Corpus-in-zip-shards round trip: each document's UTF-8 text
+    // DEFLATE'd into a one-member shard, inflated + CRC-checked back
+    // out — the extracted text must equal the source column exactly.
+    "q_zip_text" -> ((s, dir) => {
+      import s.implicits._
+      graft.ext.Zip.zipTexts(graft.ext.Zip.syntheticZipTextMedia(
+        docsWithTokens(s, dir)
+          .where(col("doc_id").isNotNull && col("text").isNotNull)
+          .select("doc_id", "text").as[(java.lang.Long, String)]))
+        .orderBy("doc_id")
+    }),
+
+    // PDF metadata (graft.ext.Pdf): classic xref walk + trailer /Root
+    // → /Pages /Count + /Info dict, with the xref offsets VALIDATED
+    // (xref_ok) — each doc is a real multi-page PDF of its own text.
+    "q_pdf_meta" -> ((s, dir) => {
+      import s.implicits._
+      graft.ext.Pdf.pdfMeta(graft.ext.Pdf.syntheticPdfMedia(
+        docsWithTokens(s, dir)
+          .where(col("doc_id").isNotNull && col("text").isNotNull)
+          .select("doc_id", "text").as[(java.lang.Long, String)]))
+        .orderBy("doc_id")
+    }),
+
+    // PDF text extraction: the document's text round-trips through
+    // 48-char show ops (literal/hex/TJ-array rotation), Td line moves,
+    // 5-chunk pages, and FlateDecode (odd ids) — extraction must
+    // reproduce it exactly under the uniform '\n'-per-48-chars rule.
+    "q_pdf_text" -> ((s, dir) => {
+      import s.implicits._
+      graft.ext.Pdf.pdfTexts(graft.ext.Pdf.syntheticPdfMedia(
+        docsWithTokens(s, dir)
+          .where(col("doc_id").isNotNull && col("text").isNotNull)
+          .select("doc_id", "text").as[(java.lang.Long, String)]))
+        .orderBy("doc_id")
+    }),
+
     // MPEG-1 parsing (graft.ext.Mpeg): sequence/GOP/picture start-code
     // walk; even ids wrap the elementary stream in program-stream PES
     // packets small enough that pictures SPAN packets — the demux +
@@ -4225,6 +4275,63 @@ object ExtQueries {
         |  FROM s)
         |SELECT doc_id, key, ext, byte_len, first_byte FROM m
         |ORDER BY doc_id, key, ext""".stripMargin,
+
+    // the zip muxer's spec recomputed: n = 2+(id%4) members, member j
+    // = 30+((id*j)%70) bytes whose k-th byte is (id+2j+k)%251; method
+    // by (id+j) parity; CRC verification always passes on the twin
+    "q_zip_archive" ->
+      """WITH p AS (SELECT doc_id, (2 + doc_id % 4)::BIGINT AS n
+        |           FROM documents WHERE doc_id IS NOT NULL),
+        |s AS (SELECT doc_id, unnest(generate_series(1, n)) AS j FROM p),
+        |m AS (SELECT doc_id, j,
+        |        (30 + (doc_id * j) % 70)::BIGINT AS byte_len FROM s)
+        |SELECT doc_id,
+        |  doc_id::VARCHAR || '/part' || j::VARCHAR ||
+        |    CASE WHEN j % 2 = 1 THEN '.txt' ELSE '.bin' END AS name,
+        |  CASE WHEN (doc_id + j) % 2 = 0 THEN 'deflate'
+        |       ELSE 'stored' END AS method,
+        |  byte_len,
+        |  ((doc_id + 2 * j) % 251)::BIGINT AS first_byte,
+        |  ((doc_id + 2 * j + byte_len - 1) % 251)::BIGINT AS last_byte,
+        |  true AS crc_ok
+        |FROM m ORDER BY doc_id, name""".stripMargin,
+
+    // lossless round trip: the extracted member text IS the source text
+    "q_zip_text" ->
+      """SELECT doc_id, text FROM documents
+        |WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
+    // the pdf muxer's spec recomputed: ceil(len/48) chunks (min 1),
+    // 5 chunks per page, Info fields in closed form; xref validation
+    // always passes on the twin
+    "q_pdf_meta" ->
+      """SELECT doc_id, '1.4' AS version,
+        |  ((greatest(1, (length(text) + 47) // 48) + 4) // 5)::BIGINT
+        |    AS n_pages,
+        |  'Doc ' || doc_id::VARCHAR AS title,
+        |  'Author' || (doc_id % 5)::VARCHAR AS author,
+        |  'graft-pdf 1.0' AS producer,
+        |  printf('D:%04d%02d%02d%02d%02d%02d',
+        |    2000 + doc_id % 22, 1 + doc_id % 12, 1 + doc_id % 28,
+        |    doc_id % 24, doc_id % 60, doc_id % 60) AS created,
+        |  true AS xref_ok
+        |FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
+    // lossless modulo the uniform line rule: '\n' after every 48-char
+    // chunk (page joins land on chunk boundaries, so one rule covers
+    // both line moves and page breaks)
+    "q_pdf_text" ->
+      """WITH p AS (SELECT doc_id, text,
+        |    greatest(1, (length(text) + 47) // 48) AS nc
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |c AS (SELECT doc_id, text,
+        |        unnest(generate_series(1, nc)) AS i FROM p)
+        |SELECT doc_id,
+        |  string_agg(substring(text, 1 + (i - 1) * 48, 48), chr(10)
+        |    ORDER BY i) AS pdf_text
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the MPEG muxer's spec arithmetic recomputed: n = 2+(id%8)
     // pictures, slice = 8 + 30+((id+3i)%45) bytes, payload byte

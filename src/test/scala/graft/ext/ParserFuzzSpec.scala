@@ -19,6 +19,9 @@ class ParserFuzzSpec extends AnyFunSuite {
     ("mpeg", Mpeg.parse _),
     ("gif", Gif.parse _),
     ("tar", Tar.members _),
+    ("zip", (b: Array[Byte]) =>
+      Zip.members(b).map(m => Zip.extract(b, m))),
+    ("pdf", (b: Array[Byte]) => (Pdf.meta(b), Pdf.extractText(b))),
     ("exif", Exif.parse _),
     ("audio", Audio.parse _),
     ("subtitles", (b: Array[Byte]) =>
@@ -43,6 +46,11 @@ class ParserFuzzSpec extends AnyFunSuite {
       frameDataSizes = Seq(20, 21), delaysCs = Seq(5, 6), loop = 2)),
     Tar.write(Seq(("a.img", Array.fill(100)(1.toByte)),
       ("a.txt", "hi".getBytes("UTF-8")))),
+    Zip.write(Seq(("a.txt", "hello zip".getBytes("UTF-8"), true),
+      ("b.bin", Array.fill(80)(2.toByte), false))),
+    Pdf.write(Pdf.BuildSpec(Seq(Seq("page one text"), Seq("page two")),
+      title = "t", author = "a", producer = "p",
+      created = "D:20240101000000", seed = 1, flate = true)),
     Audio.writeMp3(3, 9, 0, mono = false, id3Bytes = 20),
     Audio.writeFlac(44100, 2, 12345L),
     Audio.writeOgg(opus = true, 2, 48000L, 312, 5000L, 2),
@@ -92,7 +100,7 @@ class ParserFuzzSpec extends AnyFunSuite {
     val sniffers: Seq[(String, Array[Byte] => Boolean)] = Seq(
       ("mp4", Mp4.isMp4 _), ("webm", Webm.isWebm _), ("avi", Avi.isAvi _),
       ("mpeg", Mpeg.isMpeg _), ("gif", Gif.isGif _), ("tar", Tar.isTar _),
-      ("jpeg", Exif.isJpeg _))
+      ("zip", Zip.isZip _), ("pdf", Pdf.isPdf _), ("jpeg", Exif.isJpeg _))
     for (fx <- validFixtures) {
       val claims = sniffers.count { case (_, s) => s(fx) }
       assert(claims <= 1, "two container sniffers claimed one payload")

@@ -1,0 +1,132 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** PDF parser/muxer: xref + trailer walk, indirect-object resolution,
+  * FlateDecode streams, text-op interpretation (Tj/TJ/'/" + escapes +
+  * hex strings + line moves), Info metadata, hostile-input rejection.
+  */
+class PdfSpec extends AnyFunSuite with SparkTestBase {
+
+  private def spec(pages: Seq[Seq[String]], seed: Long = 0,
+      flate: Boolean = true) =
+    Pdf.BuildSpec(pages, title = "T", author = "A", producer = "P",
+      created = "D:20240101000000", seed = seed, flate = flate)
+
+  test("roundtrip: multi-page text, all three chunk encodings, flate") {
+    for (seed <- 0L to 2L; flate <- Seq(true, false)) {
+      val pages = Seq(Seq("first line", "second one"), Seq("page two"))
+      val pdf = Pdf.write(spec(pages, seed, flate))
+      assert(Pdf.isPdf(pdf))
+      assert(Pdf.extractText(pdf).contains(
+        "first line\nsecond one\npage two"),
+        s"seed=$seed flate=$flate")
+    }
+  }
+
+  test("metadata: version, page count, Info fields, xref validation") {
+    val pdf = Pdf.write(spec(Seq(Seq("a"), Seq("b"), Seq("c"))))
+    val m = Pdf.meta(pdf).get
+    assert(m.version == "1.4" && m.nPages == 3)
+    assert(m.title == "T" && m.author == "A" && m.producer == "P")
+    assert(m.created == "D:20240101000000" && m.xrefOk)
+  }
+
+  test("literal-string escapes and specials round-trip") {
+    val tricky = "parens (nested) \\ backslash\nnewline\ttab"
+    val pdf = Pdf.write(spec(Seq(Seq(tricky)), seed = 0)) // literal path
+    assert(Pdf.extractText(pdf).contains(tricky))
+    val pdfHex = Pdf.write(spec(Seq(Seq(tricky)), seed = 1)) // hex path
+    assert(Pdf.extractText(pdfHex).contains(tricky))
+  }
+
+  test("' and \" operators show with an implicit line move") {
+    // same-length stream surgery: swap the uncompressed content for a
+    // crafted operator run padded with spaces, so every xref offset
+    // and /Length stays valid
+    val pdf = Pdf.write(spec(Seq(Seq("long placeholder chunk text " +
+      "for stream surgery padding")), seed = 0, flate = false))
+    val s = new String(pdf, "ISO-8859-1")
+    val a = s.indexOf("stream\n") + 7
+    val b = s.indexOf("\nendstream")
+    val crafted = "BT (one) Tj 0 -14 Td (two) ' (three) \" ET"
+    assert(crafted.length <= b - a, "placeholder too short")
+    val body = crafted + " " * (b - a - crafted.length)
+    val doctored = (s.substring(0, a) + body + s.substring(b))
+      .getBytes("ISO-8859-1")
+    // Tj shows; Td breaks; ' shows on a fresh line (its own break is
+    // a no-op right after Td); " breaks then shows
+    assert(Pdf.extractText(doctored).contains("one\ntwo\nthree"))
+  }
+
+  test("hostile input: truncations, mutations, cycles fail closed") {
+    val pdf = Pdf.write(spec(Seq(Seq("hello", "world"), Seq("again"))))
+    for (cut <- 0 to pdf.length by 13) {
+      Pdf.parse(pdf.take(cut)); Pdf.meta(pdf.take(cut))
+      Pdf.extractText(pdf.take(cut)) // no throw is the property
+    }
+    assert(Pdf.parse("%PDF-1.4 garbage".getBytes("UTF-8")).isEmpty)
+    assert(Pdf.parse(Array.empty[Byte]).isEmpty)
+    // xref offset pointing at the wrong object: parse succeeds but the
+    // xref_ok witness goes false (offsets land on SOME object header)
+    // — and a flipped startxref target fails closed entirely
+    val s = new String(pdf, "ISO-8859-1")
+    val sx = s.lastIndexOf("startxref")
+    val bad = (s.substring(0, sx) + "startxref\n2\n%%EOF\n")
+      .getBytes("ISO-8859-1")
+    assert(Pdf.parse(bad).isEmpty)
+  }
+
+  test("xref stream / Prev chain / Encrypt markers fail closed") {
+    val pdf = Pdf.write(spec(Seq(Seq("x"))))
+    val s = new String(pdf, "ISO-8859-1")
+    val withPrev = s.replace("/Size", "/Prev 0 /Size")
+    assert(Pdf.parse(withPrev.getBytes("ISO-8859-1")).isEmpty)
+    val withEnc = s.replace("/Size", "/Encrypt 9 0 R /Size")
+    assert(Pdf.parse(withEnc.getBytes("ISO-8859-1")).isEmpty)
+  }
+
+  test("lying /Length (and the offset shift it causes) fails closed") {
+    val pdf = Pdf.write(spec(Seq(Seq("abc")), flate = false))
+    val s = new String(pdf, "ISO-8859-1")
+    val inflated = s.replaceFirst("/Length \\d+", "/Length 999999999")
+    assert(Pdf.extractText(inflated.getBytes("ISO-8859-1")).isEmpty)
+  }
+
+  test("pdfMeta + pdfTexts stages over a mixed frame") {
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      (1L, Pdf.write(spec(Seq(Seq("alpha", "beta")))), "application/pdf"),
+      (2L, "not a pdf".getBytes("UTF-8"), "text/plain")))
+      .toDF("doc_id", "bytes", "mime")
+    val metas = Pdf.pdfMeta(media)
+      .select("doc_id", "n_pages", "title")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(metas == Seq((1L, 1L, "T")))
+    val texts = Pdf.pdfTexts(media).as[(Long, String)].collect().toSeq
+    assert(texts == Seq((1L, "alpha\nbeta")))
+  }
+
+  test("synthetic corpus spec: text round-trips at the 48-char rule") {
+    import spark.implicits._
+    val docs = spark.createDataset(Seq(
+      (java.lang.Long.valueOf(1L), "short"),
+      (java.lang.Long.valueOf(2L), "x" * 300), // multi-page at 5×48=240
+      (java.lang.Long.valueOf(3L), "word " * 60)))
+    val media = Pdf.syntheticPdfMedia(docs)
+    val texts = Pdf.pdfTexts(media).as[(Long, String)]
+      .collect().toMap
+    def expected(t: String) =
+      (if (t.isEmpty) Seq("") else t.grouped(48).toSeq).mkString("\n")
+    assert(texts(1L) == expected("short"))
+    assert(texts(2L) == expected("x" * 300))
+    assert(texts(3L) == expected("word " * 60))
+    val metas = Pdf.pdfMeta(media)
+      .as[(Long, String, Long, String, String, String, String, Boolean)]
+      .collect().map(k => k._1 -> k).toMap
+    // 300 chars → 7 chunks → 2 pages
+    assert(metas(2L)._3 == 2L && metas(2L)._8)
+  }
+}
