@@ -1522,6 +1522,35 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // HTML → Markdown (graft.ext.HtmlMarkdown): structured-text
+    // extraction over a fixture page exercising every rendering rule
+    // (skipped head/script/style, comment trap, ws collapse, both list
+    // kinds, fenced code, blockquote, link/image/bold/italic/inline-
+    // code) — the oracle rebuilds the exact markdown from (id, text).
+    "q_html_markdown" -> ((s, dir) => {
+      import s.implicits._
+      graft.ext.HtmlMarkdown.htmlToMarkdown(
+        graft.ext.HtmlMarkdown.syntheticHtmlDocs(
+          docsWithTokens(s, dir)
+            .where(col("doc_id").isNotNull && col("text").isNotNull)
+            .select("doc_id", "text").as[(java.lang.Long, String)]))
+        .orderBy("doc_id")
+    }),
+
+    // Raw-WARC → markdown corpus: the documents table framed as WARC
+    // pages (ensureDocWarcs), read back through the DSv2 warc source,
+    // and rendered to markdown — the FineWeb-style extraction shape.
+    // The bp scaffold's nav/ad/footer render to closed-form link
+    // lines, so the oracle rebuilds the whole page in SQL.
+    "q_warc_markdown" -> ((s, dir) => {
+      import s.implicits._
+      val warcs = graft.wat.WatFixture.ensureDocWarcs(s, dir)
+      val pages = s.read.format("warc").load(warcs: _*)
+        .select(col("page_url"), col("html")).as[(String, String)]
+      graft.ext.HtmlMarkdown.htmlToMarkdownKeyed(pages)
+        .orderBy("page_url")
+    }),
+
     // PDF metadata (graft.ext.Pdf): classic xref walk + trailer /Root
     // → /Pages /Count + /Info dict, with the xref offsets VALIDATED
     // (xref_ok) — each doc is a real multi-page PDF of its own text.
@@ -4300,6 +4329,41 @@ object ExtQueries {
     "q_zip_text" ->
       """SELECT doc_id, text FROM documents
         |WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
+    // the bp scaffold rendered by the markdown rules: nav/ad/footer
+    // anchors become link lines, the doc text is the middle block
+    "q_warc_markdown" ->
+      """SELECT 'https://docs.test/doc' || doc_id::VARCHAR || '.html'
+        |    AS page_url,
+        |  '[home](/) [about](/a) [links](/x)' || chr(10) || chr(10) ||
+        |  text ||
+        |  CASE WHEN doc_id % 4 = 0
+        |       THEN chr(10) || chr(10) || '[click now](/b) [buy](/p)'
+        |       ELSE '' END ||
+        |  chr(10) || chr(10) || '[contact](/c) [terms](/t) c 2026'
+        |    AS markdown
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY page_url""".stripMargin,
+
+    // the markdown rendering of the fixture page, rebuilt literally:
+    // blocks joined by blank lines, one-list items by single newlines
+    "q_html_markdown" ->
+      """SELECT doc_id,
+        |  '# Doc ' || doc_id::VARCHAR || chr(10) || chr(10) ||
+        |  text || chr(10) || chr(10) ||
+        |  '- item A' || (doc_id % 7)::VARCHAR || chr(10) ||
+        |  '- **bold** B' || (doc_id % 5)::VARCHAR || chr(10) || chr(10) ||
+        |  '1. first C' || (doc_id % 3)::VARCHAR || chr(10) ||
+        |  '2. *second*' || chr(10) || chr(10) ||
+        |  '```' || chr(10) || 'val x = ' || doc_id::VARCHAR || ' < ' ||
+        |    (doc_id + 1)::VARCHAR || chr(10) || '```' || chr(10) || chr(10) ||
+        |  '> quote ' || (doc_id % 3)::VARCHAR || chr(10) || chr(10) ||
+        |  'See [link ' || (doc_id % 4)::VARCHAR || '](https://x.test/' ||
+        |    doc_id::VARCHAR || ') and ![alt ' || (doc_id % 6)::VARCHAR ||
+        |    '](i' || doc_id::VARCHAR || '.png) with `inline ' ||
+        |    (doc_id % 2)::VARCHAR || '` code & entities.' AS markdown
+        |FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
 
     // the pdf muxer's spec recomputed: ceil(len/48) chunks (min 1),
