@@ -21,6 +21,8 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   *  - blockquote → `> ` prefix
   *  - a → `[text](href)`, img → `![alt](src)`, b/strong → `**`,
   *    i/em → `*`, inline code → backticks (inner text trimmed)
+  *  - table → pipe table (first row is the header, `---` separator,
+  *    short rows padded to the widest)
   *  - text whitespace collapses to single spaces (HTML rendering
   *    semantics); `<br>` is a hard line break within its block
   *  - head/script/style/title/noscript content contributes nothing;
@@ -142,6 +144,9 @@ object HtmlMarkdown {
     var wrappers = List.empty[(String, Int, String)]
     var listStack = List.empty[(Boolean, Int)] // (ordered, counter)
     var listGroups = 0
+    // tables: first row is the header row (pipe table + --- separator)
+    var tableRows: mutable.ArrayBuffer[Seq[String]] = null
+    var rowCells: mutable.ArrayBuffer[String] = null
     var i = 0
 
     // text nodes are entity-decoded ON APPEND (entities never span
@@ -167,6 +172,22 @@ object HtmlMarkdown {
               inline.append(open).append(inner).append(close)
         }
       }
+
+    def emitTable(): Unit = {
+      if (tableRows != null && tableRows.nonEmpty) {
+        val width = tableRows.map(_.size).max
+        def row(cells: Seq[String]): String =
+          "| " + cells.padTo(width, "").mkString(" | ") + " |"
+        val sep = "| " + Seq.fill(width)("---").mkString(" | ") + " |"
+        blocks += ((-1,
+          (row(tableRows.head) +: sep +: tableRows.tail.map(row))
+            .mkString("\n")))
+      }
+      tableRows = null
+      rowCells = null
+      inline.setLength(0)
+      wrappers = Nil
+    }
 
     while (i < n) {
       val lt = html.indexOf('<', i)
@@ -211,9 +232,31 @@ object HtmlMarkdown {
             case t if Headings.contains(t) =>
               flush(); prefix = "#" * Headings(t) + " "
             case "/h1" | "/h2" | "/h3" | "/h4" | "/h5" | "/h6" | "/p" |
-                "/div" | "/blockquote" | "/li" | "/td" | "/tr" =>
+                "/div" | "/blockquote" | "/li" =>
               flush()
-            case "p" | "div" | "table" | "tr" | "td" | "th" => flush()
+            case "p" | "div" => flush()
+            case "table" =>
+              flush(); tableRows = mutable.ArrayBuffer.empty
+            case "tr" =>
+              if (tableRows != null) {
+                inline.setLength(0); wrappers = Nil
+                rowCells = mutable.ArrayBuffer.empty
+              } else flush()
+            case "td" | "th" =>
+              if (rowCells != null) { inline.setLength(0); wrappers = Nil }
+              else flush()
+            case "/td" | "/th" =>
+              if (rowCells != null) {
+                rowCells += collapse(inline.toString)
+                inline.setLength(0); wrappers = Nil
+              } else flush()
+            case "/tr" =>
+              if (tableRows != null) {
+                if (rowCells != null && rowCells.nonEmpty)
+                  tableRows += rowCells.toSeq
+                rowCells = null
+              } else flush()
+            case "/table" => emitTable()
             case "blockquote" => flush(); prefix = "> "
             case "ul" | "ol" =>
               flush()
@@ -253,6 +296,7 @@ object HtmlMarkdown {
         }
       }
     }
+    if (tableRows != null) emitTable() // unclosed table: keep its rows
     flush()
     // join: same-list-group runs with '\n', block boundaries with '\n\n'
     val out = new StringBuilder
@@ -323,6 +367,11 @@ object HtmlMarkdown {
        |  <li><i>second</i></li>
        |</ol>
        |<pre><code>val x = $id &lt; ${id + 1}</code></pre>
+       |<table>
+       |  <tr><th>k</th><th>v</th></tr>
+       |  <tr><td>rows</td><td>${id % 9}</td></tr>
+       |  <tr><td><b>cols</b></td><td>${id % 11}</td></tr>
+       |</table>
        |<blockquote>quote ${id % 3}</blockquote>
        |<p>See <a href="https://x.test/$id">link ${id % 4}</a> and
        |<img src="i$id.png" alt="alt ${id % 6}"> with

@@ -20,10 +20,11 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * every count/offset/inflate is bounded before allocation.
   *
   * Scope: classic xref tables (what the muxer twin writes and what
-  * pre-1.5 producers emit). Cross-reference STREAMS, /Prev update
-  * chains, encryption, and non-Flate filters fail closed — a
-  * production extension point, not a correctness hole: the parser
-  * refuses rather than misreads.
+  * pre-1.5 producers emit), INCLUDING incremental-update /Prev chains
+  * (newest section wins, free entries shadow older in-use ones, cycle
+  * and chain-length guarded). Cross-reference STREAMS, encryption,
+  * and non-Flate filters fail closed — a production extension point,
+  * not a correctness hole: the parser refuses rather than misreads.
   */
 object Pdf {
 
@@ -294,29 +295,15 @@ object Pdf {
   // xref + trailer
   // ------------------------------------------------------------------
 
-  /** Parse header, startxref, the classic xref table, and the trailer.
-    * None on: xref streams, /Prev chains, encryption, malformed
-    * anything — fail closed, never misread.
+  /** One classic xref section at `off`: (entries as (num, offset,
+    * inUse), trailer dict). None on malformation or an xref STREAM.
     */
-  def parse(bytes: Array[Byte]): Option[Doc] = {
-    if (!isPdf(bytes)) return None
-    var v = 5
-    while (v < bytes.length && !isWs(bytes(v) & 0xff)) v += 1
-    val version = new String(bytes, 5, v - 5, "US-ASCII")
-    // startxref: scan the tail (a valid trailer sits in the last KiB;
-    // give slack for fuzz)
-    val tail = new String(bytes, math.max(0, bytes.length - 2048),
-      math.min(2048, bytes.length), "ISO-8859-1")
-    val sx = tail.lastIndexOf("startxref")
-    if (sx < 0) return None
-    val lex0 = new Lexer(bytes, math.max(0, bytes.length - 2048) + sx + 9)
-    val xrefOff = lex0.int().getOrElse(return None)
-    if (xrefOff < 0 || xrefOff >= bytes.length) return None
-    val lex = new Lexer(bytes, xrefOff.toInt)
+  private def parseXrefSection(bytes: Array[Byte], off: Int)
+      : Option[(List[(Int, Int, Boolean)], Map[String, Obj])] = {
+    val lex = new Lexer(bytes, off)
     if (lex.word() != "xref") return None // xref STREAM → fail closed
-    val offsets = Map.newBuilder[Int, Int]
+    var entries = List.empty[(Int, Int, Boolean)]
     var entriesSeen = 0L
-    var inUse = List.empty[(Int, Int)]
     var done = false
     while (!done) {
       lex.skipWs()
@@ -333,34 +320,89 @@ object Pdf {
             count > (bytes.length - lex.pos) / 18) return None
         var i = 0L
         while (i < count) {
-          val off = lex.int().getOrElse(return None)
+          val eoff = lex.int().getOrElse(return None)
           lex.int().getOrElse(return None) // generation
           val kind = lex.word()
+          val num = (start + i).toInt
           if (kind == "n") {
-            val num = (start + i).toInt
-            if (off >= 0 && off < bytes.length) {
-              offsets += (num -> off.toInt)
-              inUse ::= (num, off.toInt)
-            } else return None
-          } else if (kind != "f") return None
+            if (eoff >= 0 && eoff < bytes.length)
+              entries ::= ((num, eoff.toInt, true))
+            else return None
+          } else if (kind == "f") {
+            // a FREE entry still claims the number: a newer update's
+            // deletion must shadow an older in-use entry
+            entries ::= ((num, -1, false))
+          } else return None
           entriesSeen += 1
           if (entriesSeen > bytes.length / 18 + 8) return None
           i += 1
         }
       }
     }
-    val trailer = value(lex, 0) match {
-      case Some(PDict(m)) => m
-      case _ => return None
+    value(lex, 0) match {
+      case Some(PDict(m)) => Some((entries.reverse, m))
+      case _ => None
     }
-    if (trailer.contains("Prev") || trailer.contains("XRefStm") ||
-        trailer.contains("Encrypt")) return None
-    // xref_ok witness: every in-use offset must carry a header whose
+  }
+
+  /** Maximum incremental-update generations followed before failing
+    * closed (real documents carry a handful; hundreds is hostile).
+    */
+  private final val MaxPrevChain = 64
+
+  /** Parse header, startxref, and the classic xref table INCLUDING
+    * incremental-update chains: trailer /Prev links walk newest →
+    * oldest, newer sections shadow older ones (including deletions via
+    * free entries), and /Root · /Info come from the NEWEST trailer.
+    * Fail closed (None) on: xref streams, encryption, /Prev cycles or
+    * chains past [[MaxPrevChain]], malformed anything.
+    */
+  def parse(bytes: Array[Byte]): Option[Doc] = {
+    if (!isPdf(bytes)) return None
+    var v = 5
+    while (v < bytes.length && !isWs(bytes(v) & 0xff)) v += 1
+    val version = new String(bytes, 5, v - 5, "US-ASCII")
+    // startxref: scan the tail (a valid trailer sits in the last KiB;
+    // give slack for fuzz)
+    val tail = new String(bytes, math.max(0, bytes.length - 2048),
+      math.min(2048, bytes.length), "ISO-8859-1")
+    val sx = tail.lastIndexOf("startxref")
+    if (sx < 0) return None
+    val lex0 = new Lexer(bytes, math.max(0, bytes.length - 2048) + sx + 9)
+    val xrefOff = lex0.int().getOrElse(return None)
+    if (xrefOff < 0 || xrefOff >= bytes.length) return None
+
+    val claimed = mutable.Set.empty[Int] // newest-first: first claim wins
+    val offsets = mutable.Map.empty[Int, Int]
+    var inUse = List.empty[(Int, Int)]
+    var newestTrailer: Map[String, Obj] = null
+    val visited = mutable.Set.empty[Long]
+    var cur = xrefOff
+    while (cur >= 0) {
+      if (visited.contains(cur) || visited.size >= MaxPrevChain ||
+          cur >= bytes.length) return None // cycle / hostile chain
+      visited += cur
+      val (entries, trailer) =
+        parseXrefSection(bytes, cur.toInt).getOrElse(return None)
+      if (trailer.contains("XRefStm") || trailer.contains("Encrypt"))
+        return None
+      for ((num, off, used) <- entries if !claimed.contains(num)) {
+        claimed += num
+        if (used) { offsets += (num -> off); inUse ::= ((num, off)) }
+      }
+      if (newestTrailer == null) newestTrailer = trailer
+      cur = trailer.get("Prev") match {
+        case Some(PNum(p)) if p >= 0 => p.toLong
+        case Some(_) => return None
+        case None => -1L
+      }
+    }
+    // xref_ok witness: every live offset must carry a header whose
     // object number agrees
     val xrefOk = inUse.forall { case (num, off) =>
       new Lexer(bytes, off).int().contains(num.toLong)
     }
-    Some(Doc(bytes, version, trailer, offsets.result(), xrefOk))
+    Some(Doc(bytes, version, newestTrailer, offsets.toMap, xrefOk))
   }
 
   /** Inflate a zlib (FlateDecode) stream with hard output caps. */

@@ -4358,6 +4358,10 @@ object ExtQueries {
         |  '2. *second*' || chr(10) || chr(10) ||
         |  '```' || chr(10) || 'val x = ' || doc_id::VARCHAR || ' < ' ||
         |    (doc_id + 1)::VARCHAR || chr(10) || '```' || chr(10) || chr(10) ||
+        |  '| k | v |' || chr(10) || '| --- | --- |' || chr(10) ||
+        |  '| rows | ' || (doc_id % 9)::VARCHAR || ' |' || chr(10) ||
+        |  '| **cols** | ' || (doc_id % 11)::VARCHAR || ' |' ||
+        |    chr(10) || chr(10) ||
         |  '> quote ' || (doc_id % 3)::VARCHAR || chr(10) || chr(10) ||
         |  'See [link ' || (doc_id % 4)::VARCHAR || '](https://x.test/' ||
         |    doc_id::VARCHAR || ') and ![alt ' || (doc_id % 6)::VARCHAR ||

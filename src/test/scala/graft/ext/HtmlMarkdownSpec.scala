@@ -42,6 +42,19 @@ class HtmlMarkdownSpec extends AnyFunSuite with SparkTestBase {
     assert(md("<p>line one<br>line two</p>") == "line one\nline two")
   }
 
+  test("tables render as pipe tables, short rows padded, inline kept") {
+    assert(md("""<table><tr><th>a</th><th>b</th></tr>
+      |<tr><td><i>x</i></td><td>1</td></tr>
+      |<tr><td>y</td></tr></table>""".stripMargin) ==
+      "| a | b |\n| --- | --- |\n| *x* | 1 |\n| y |  |")
+    // unclosed table still emits its completed rows
+    assert(md("<table><tr><td>q</td><td>r</td></tr>") ==
+      "| q | r |\n| --- | --- |")
+    // whitespace between table tags contributes nothing
+    assert(md("<p>before</p><table> \n <tr> <td>c</td> </tr> \n </table>") ==
+      "before\n\n| c |\n| --- |")
+  }
+
   test("traps contribute nothing: head/title/script/style/comments") {
     val html = """<html><head><title>T</title><style>p{}</style>
       |<script>var x = "<h1>fake</h1>";</script></head><body>
@@ -84,6 +97,11 @@ class HtmlMarkdownSpec extends AnyFunSuite with SparkTestBase {
          |```
          |val x = $id < ${id + 1}
          |```
+         |
+         || k | v |
+         || --- | --- |
+         || rows | ${id % 9} |
+         || **cols** | ${id % 11} |
          |
          |> quote ${id % 3}
          |

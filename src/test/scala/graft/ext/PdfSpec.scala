@@ -79,13 +79,80 @@ class PdfSpec extends AnyFunSuite with SparkTestBase {
     assert(Pdf.parse(bad).isEmpty)
   }
 
-  test("xref stream / Prev chain / Encrypt markers fail closed") {
+  test("xref stream / Encrypt / broken Prev target fail closed") {
     val pdf = Pdf.write(spec(Seq(Seq("x"))))
     val s = new String(pdf, "ISO-8859-1")
+    // /Prev 0 points at the header, not an xref section
     val withPrev = s.replace("/Size", "/Prev 0 /Size")
     assert(Pdf.parse(withPrev.getBytes("ISO-8859-1")).isEmpty)
     val withEnc = s.replace("/Size", "/Encrypt 9 0 R /Size")
     assert(Pdf.parse(withEnc.getBytes("ISO-8859-1")).isEmpty)
+    val withXs = s.replace("/Size", "/XRefStm 7 /Size")
+    assert(Pdf.parse(withXs.getBytes("ISO-8859-1")).isEmpty)
+  }
+
+  /** Append an incremental update carrying one replacement object (or
+    * a deletion when `objBody` is None) plus its xref + /Prev trailer.
+    */
+  private def withUpdate(pdf: Array[Byte], objNum: Int,
+      objBody: Option[String]): Array[Byte] = {
+    val s = new String(pdf, "ISO-8859-1")
+    val oldXref = s.substring(s.lastIndexOf("startxref") + 9)
+      .trim.split("\\s+")(0).toInt
+    val size = "/Size (\\d+)".r.findFirstMatchIn(s).get.group(1).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(pdf, 0, pdf.length)
+    val entry = objBody match {
+      case Some(body) =>
+        val off = bos.size()
+        bos.write(s"$objNum 0 obj\n$body\nendobj\n".getBytes("ISO-8859-1"))
+        f"$off%010d 00000 n \n"
+      case None => "0000000000 00001 f \n"
+    }
+    val xrefOff = bos.size()
+    bos.write((s"xref\n$objNum 1\n" + entry +
+      s"trailer\n<< /Size $size /Root 1 0 R /Info ${size - 1} 0 R " +
+      s"/Prev $oldXref >>\nstartxref\n$xrefOff\n%%EOF\n")
+      .getBytes("ISO-8859-1"))
+    bos.toByteArray
+  }
+
+  test("incremental update: newest object wins, older content intact") {
+    val pdf = Pdf.write(spec(Seq(Seq("hello", "world"))))
+    val infoNum = "/Info (\\d+) 0 R".r
+      .findFirstMatchIn(new String(pdf, "ISO-8859-1")).get.group(1).toInt
+    val updated = withUpdate(pdf, infoNum, Some(
+      "<< /Title (Updated) /Author (A2) /Producer (P) " +
+        "/CreationDate (D:20250101000000) >>"))
+    val m = Pdf.meta(updated).get
+    assert(m.title == "Updated" && m.author == "A2" && m.xrefOk)
+    // text objects come from the ORIGINAL generation, still live
+    assert(Pdf.extractText(updated).contains("hello\nworld"))
+    // a second update on top of the first (2-link /Prev chain)
+    val twice = withUpdate(updated, infoNum,
+      Some("<< /Title (Again) >>"))
+    assert(Pdf.meta(twice).get.title == "Again")
+    assert(Pdf.extractText(twice).contains("hello\nworld"))
+  }
+
+  test("incremental deletion: a free entry shadows the older object") {
+    val pdf = Pdf.write(spec(Seq(Seq("keep"))))
+    val infoNum = "/Info (\\d+) 0 R".r
+      .findFirstMatchIn(new String(pdf, "ISO-8859-1")).get.group(1).toInt
+    val deleted = withUpdate(pdf, infoNum, None)
+    val m = Pdf.meta(deleted).get
+    assert(m.title == "" && m.author == "") // Info now a dangling ref
+    assert(Pdf.extractText(deleted).contains("keep"))
+  }
+
+  test("/Prev cycle fails closed") {
+    val pdf = Pdf.write(spec(Seq(Seq("x"))))
+    val s = new String(pdf, "ISO-8859-1")
+    val xrefOff = s.substring(s.lastIndexOf("startxref") + 9)
+      .trim.split("\\s+")(0).toInt
+    // point the trailer's chain at ITSELF
+    val cyc = s.replace("/Size", s"/Prev $xrefOff /Size")
+    assert(Pdf.parse(cyc.getBytes("ISO-8859-1")).isEmpty)
   }
 
   test("lying /Length (and the offset shift it causes) fails closed") {
