@@ -42,25 +42,77 @@ object Pdf {
   case object PNull extends Obj
   final case class PStream(dict: PDict, data: Array[Byte]) extends Obj
 
-  /** A parsed document: header version, trailer dict, xref offsets,
-    * and whether every in-use xref entry pointed at a header whose
-    * object number agreed (the `xref_ok` witness).
+  /** A parsed document: header version, trailer dict, xref offsets
+    * (direct objects), compressed locations (objects living inside an
+    * object stream, PDF 1.5+), and whether every in-use xref entry
+    * pointed at a header whose object number agreed (the `xref_ok`
+    * witness).
     */
   final case class Doc(raw: Array[Byte], version: String,
-      trailer: Map[String, Obj], offsets: Map[Int, Int], xrefOk: Boolean) {
+      trailer: Map[String, Obj], offsets: Map[Int, Int],
+      compressed: Map[Int, (Int, Int)], xrefOk: Boolean) {
 
     private val cache = mutable.Map.empty[Int, Option[Obj]]
     private val resolving = mutable.Set.empty[Int]
+    // decoded /Type /ObjStm payloads: num → (member pairs, data, First)
+    private val stmCache =
+      mutable.Map.empty[Int, Option[(Vector[(Int, Int)], Array[Byte], Int)]]
 
-    /** Parse object `num` at its xref offset (memoized, cycle-safe). */
+    /** Parse object `num` at its xref offset, or out of its object
+      * stream for compressed entries (memoized, cycle-safe).
+      */
     def obj(num: Int): Option[Obj] = cache.getOrElseUpdate(num, {
       if (resolving.contains(num)) None // reference cycle
-      else offsets.get(num).flatMap { off =>
+      else {
         resolving += num
-        try parseIndirectAt(this, off, num)
+        try offsets.get(num)
+          .flatMap(off => parseIndirectAt(this, off, num))
+          .orElse(compressed.get(num).flatMap { case (stm, _) =>
+            objStm(stm).flatMap { case (pairs, data, first) =>
+              pairs.find(_._1 == num).flatMap { case (_, off) =>
+                val at = first.toLong + off
+                if (off < 0 || at >= data.length) None
+                else value(new Lexer(data, at.toInt), 0)
+              }
+            }
+          })
         finally resolving -= num
       }
     })
+
+    /** Decode an object stream: (member (num, offset) pairs, payload,
+      * /First). None unless it really is a well-formed /Type /ObjStm.
+      */
+    private def objStm(stm: Int)
+        : Option[(Vector[(Int, Int)], Array[Byte], Int)] =
+      stmCache.getOrElseUpdate(stm, obj(stm) match {
+        case Some(ps: PStream)
+            if ps.dict.m.get("Type").contains(PName("ObjStm")) =>
+          for {
+            data <- streamData(this, ps)
+            nN <- ps.dict.m.get("N").collect { case PNum(x) => x.toInt }
+            first <- ps.dict.m.get("First").collect { case PNum(x) => x.toInt }
+            if nN >= 0 && nN <= data.length && first >= 0 &&
+              first <= data.length
+            pairs <- {
+              val lx = new Lexer(data, 0)
+              val b = Vector.newBuilder[(Int, Int)]
+              var ok = true
+              var k = 0
+              while (ok && k < nN) {
+                (lx.int(), lx.int()) match {
+                  case (Some(o), Some(off))
+                      if o >= 0 && o <= Int.MaxValue && off >= 0 =>
+                    b += ((o.toInt, off.toInt))
+                  case _ => ok = false
+                }
+                k += 1
+              }
+              if (ok) Some(b.result()) else None
+            }
+          } yield (pairs, data, first)
+        case _ => None
+      })
 
     /** Follow references to a ground value (depth-capped). */
     def deref(o: Obj, depth: Int = 0): Option[Obj] =
@@ -295,14 +347,21 @@ object Pdf {
   // xref + trailer
   // ------------------------------------------------------------------
 
-  /** One classic xref section at `off`: (entries as (num, offset,
-    * inUse), trailer dict). None on malformation or an xref STREAM.
+  // one xref row: a direct offset, a freed number, or a location
+  // inside an object stream (xref-stream type 2)
+  private sealed trait XEntry
+  private final case class XUsed(off: Int) extends XEntry
+  private case object XFree extends XEntry
+  private final case class XInStream(stm: Int, idx: Int) extends XEntry
+
+  /** One classic xref section at `off`: (entries, trailer dict).
+    * None on malformation (an xref STREAM dispatches elsewhere).
     */
   private def parseXrefSection(bytes: Array[Byte], off: Int)
-      : Option[(List[(Int, Int, Boolean)], Map[String, Obj])] = {
+      : Option[(List[(Int, XEntry)], Map[String, Obj])] = {
     val lex = new Lexer(bytes, off)
-    if (lex.word() != "xref") return None // xref STREAM → fail closed
-    var entries = List.empty[(Int, Int, Boolean)]
+    if (lex.word() != "xref") return None
+    var entries = List.empty[(Int, XEntry)]
     var entriesSeen = 0L
     var done = false
     while (!done) {
@@ -326,12 +385,12 @@ object Pdf {
           val num = (start + i).toInt
           if (kind == "n") {
             if (eoff >= 0 && eoff < bytes.length)
-              entries ::= ((num, eoff.toInt, true))
+              entries ::= ((num, XUsed(eoff.toInt)))
             else return None
           } else if (kind == "f") {
             // a FREE entry still claims the number: a newer update's
             // deletion must shadow an older in-use entry
-            entries ::= ((num, -1, false))
+            entries ::= ((num, XFree))
           } else return None
           entriesSeen += 1
           if (entriesSeen > bytes.length / 18 + 8) return None
@@ -343,6 +402,88 @@ object Pdf {
       case Some(PDict(m)) => Some((entries.reverse, m))
       case _ => None
     }
+  }
+
+  /** One cross-reference STREAM (PDF 1.5+, §7.5.8) at `off`: a
+    * "num gen obj" carrying /Type /XRef whose decoded payload packs
+    * binary rows of /W-field widths over the /Index subsections.
+    * The stream must be self-describing (direct /Length and filter
+    * params — nothing can resolve before the xref itself exists).
+    */
+  private def parseXrefStreamAt(bytes: Array[Byte], off: Int)
+      : Option[(List[(Int, XEntry)], Map[String, Obj])] = {
+    val lex = new Lexer(bytes, off)
+    lex.int().getOrElse(return None) // object number
+    lex.int().getOrElse(return None) // generation
+    if (!lex.expect("obj")) return None
+    val dict = value(lex, 0) match {
+      case Some(PDict(m)) if m.get("Type").contains(PName("XRef")) => m
+      case _ => return None
+    }
+    if (lex.word() != "stream") return None
+    if (lex.peek == '\r') lex.pos += 1
+    if (lex.peek == '\n') lex.pos += 1 else return None
+    val len = dict.get("Length") match {
+      case Some(PNum(x)) if x >= 0 => x.toLong
+      case _ => return None // indirect /Length: nothing to resolve it yet
+    }
+    if (lex.pos + len > bytes.length) return None
+    val data = java.util.Arrays.copyOfRange(bytes, lex.pos,
+      (lex.pos + len).toInt)
+    val payload = decodeStream(dict, data, o => Some(o))
+      .getOrElse(return None)
+    val (w1, w2, w3) = dict.get("W") match {
+      case Some(PArr(Vector(PNum(a), PNum(b), PNum(c))))
+          if a >= 0 && a <= 8 && b >= 0 && b <= 8 && c >= 0 && c <= 8 =>
+        (a.toInt, b.toInt, c.toInt)
+      case _ => return None
+    }
+    val rowLen = w1 + w2 + w3
+    if (rowLen == 0) return None
+    val size = dict.get("Size") match {
+      case Some(PNum(x)) if x >= 0 => x.toLong
+      case _ => return None
+    }
+    val index: Seq[(Long, Long)] = dict.get("Index") match {
+      case Some(PArr(items)) if items.size % 2 == 0 =>
+        items.grouped(2).map {
+          case Vector(PNum(s), PNum(c)) if s >= 0 && c >= 0 =>
+            (s.toLong, c.toLong)
+          case _ => return None
+        }.toSeq
+      case None => Seq((0L, size))
+      case _ => return None
+    }
+    val total = index.map(_._2).sum
+    // rows must physically exist in the decoded payload; absolute cap
+    // mirrors the other parsers' hostile-count ceiling
+    if (total * rowLen > payload.length || total > (1L << 22)) return None
+    var entries = List.empty[(Int, XEntry)]
+    var pos = 0
+    def field(wid: Int): Long = {
+      var v = 0L
+      var k = 0
+      while (k < wid) { v = (v << 8) | (payload(pos) & 0xffL); pos += 1; k += 1 }
+      v
+    }
+    for ((start, count) <- index; i <- 0L until count) {
+      val t = if (w1 == 0) 1L else field(w1)
+      val f2 = field(w2)
+      val f3 = field(w3)
+      val num = (start + i).toInt
+      t match {
+        case 0 => entries ::= ((num, XFree))
+        case 1 =>
+          if (f2 < 0 || f2 >= bytes.length) return None
+          entries ::= ((num, XUsed(f2.toInt)))
+        case 2 =>
+          if (f2 < 0 || f2 > Int.MaxValue || f3 < 0 || f3 > Int.MaxValue)
+            return None
+          entries ::= ((num, XInStream(f2.toInt, f3.toInt)))
+        case _ => () // unknown types: "shall be ignored" per spec
+      }
+    }
+    Some((entries.reverse, dict))
   }
 
   /** Maximum incremental-update generations followed before failing
@@ -374,6 +515,7 @@ object Pdf {
 
     val claimed = mutable.Set.empty[Int] // newest-first: first claim wins
     val offsets = mutable.Map.empty[Int, Int]
+    val compressed = mutable.Map.empty[Int, (Int, Int)]
     var inUse = List.empty[(Int, Int)]
     var newestTrailer: Map[String, Obj] = null
     val visited = mutable.Set.empty[Long]
@@ -382,13 +524,20 @@ object Pdf {
       if (visited.contains(cur) || visited.size >= MaxPrevChain ||
           cur >= bytes.length) return None // cycle / hostile chain
       visited += cur
-      val (entries, trailer) =
-        parseXrefSection(bytes, cur.toInt).getOrElse(return None)
+      // classic "xref" keyword table, else a /Type /XRef stream
+      val probe = new Lexer(bytes, cur.toInt)
+      val (entries, trailer) = (if (probe.word() == "xref")
+        parseXrefSection(bytes, cur.toInt)
+      else parseXrefStreamAt(bytes, cur.toInt)).getOrElse(return None)
       if (trailer.contains("XRefStm") || trailer.contains("Encrypt"))
-        return None
-      for ((num, off, used) <- entries if !claimed.contains(num)) {
+        return None // hybrid-reference files + encryption: fail closed
+      for ((num, e) <- entries if !claimed.contains(num)) {
         claimed += num
-        if (used) { offsets += (num -> off); inUse ::= ((num, off)) }
+        e match {
+          case XUsed(off) => offsets += (num -> off); inUse ::= ((num, off))
+          case XInStream(stm, idx) => compressed += (num -> ((stm, idx)))
+          case XFree => ()
+        }
       }
       if (newestTrailer == null) newestTrailer = trailer
       cur = trailer.get("Prev") match {
@@ -402,7 +551,8 @@ object Pdf {
     val xrefOk = inUse.forall { case (num, off) =>
       new Lexer(bytes, off).int().contains(num.toLong)
     }
-    Some(Doc(bytes, version, newestTrailer, offsets.toMap, xrefOk))
+    Some(Doc(bytes, version, newestTrailer, offsets.toMap,
+      compressed.toMap, xrefOk))
   }
 
   /** Inflate a zlib (FlateDecode) stream with hard output caps. */
@@ -430,17 +580,86 @@ object Pdf {
     } finally inf.end()
   }
 
-  /** Stream payload after filters: none, or /Filter /FlateDecode
-    * (name or single-element array). Anything else fails closed.
+  /** Undo PNG row predictors (RFC 2083 filter types 0–4) at one byte
+    * per pixel — the /Predictor ≥ 10 form xref streams use. None on a
+    * ragged payload or an unknown filter type.
     */
-  private def streamData(doc: Doc, s: PStream): Option[Array[Byte]] =
-    s.dict.m.get("Filter").map(f => doc.deref(f).getOrElse(return None)) match {
-      case None => Some(s.data)
-      case Some(PName("FlateDecode")) => inflateAll(s.data)
-      case Some(PArr(Vector(PName("FlateDecode")))) => inflateAll(s.data)
-      case Some(PArr(Vector())) => Some(s.data)
+  private def pngPredict(data: Array[Byte], columns: Int)
+      : Option[Array[Byte]] = {
+    if (columns <= 0 || columns > (1 << 20)) return None
+    val rowLen = columns + 1
+    if (data.length == 0 || data.length % rowLen != 0) return None
+    val rows = data.length / rowLen
+    val out = new Array[Byte](rows * columns)
+    var prev = new Array[Byte](columns) // implicit zero row
+    var r = 0
+    while (r < rows) {
+      val ft = data(r * rowLen) & 0xff
+      val src = r * rowLen + 1
+      val dst = r * columns
+      var c = 0
+      while (c < columns) {
+        val raw = data(src + c) & 0xff
+        val left = if (c > 0) out(dst + c - 1) & 0xff else 0
+        val up = prev(c) & 0xff
+        val ul = if (c > 0) prev(c - 1) & 0xff else 0
+        val v = ft match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + ((left + up) / 2)
+          case 4 =>
+            val p = left + up - ul
+            val pa = (p - left).abs; val pb = (p - up).abs
+            val pc = (p - ul).abs
+            raw + (if (pa <= pb && pa <= pc) left
+                   else if (pb <= pc) up else ul)
+          case _ => return None
+        }
+        out(dst + c) = (v & 0xff).toByte
+        c += 1
+      }
+      prev = java.util.Arrays.copyOfRange(out, dst, dst + columns)
+      r += 1
+    }
+    Some(out)
+  }
+
+  /** Stream payload after filters: none, or /Filter /FlateDecode
+    * (name or single-element array), then /DecodeParms predictors
+    * (1 = none, ≥ 10 = PNG row filters at Colors 1 / 8 bits).
+    * Anything else fails closed. `look` resolves indirect filter
+    * params — identity for self-describing streams like the xref
+    * stream, which must parse before any object can resolve.
+    */
+  private def decodeStream(dict: Map[String, Obj], data: Array[Byte],
+      look: Obj => Option[Obj]): Option[Array[Byte]] = {
+    val inflated = dict.get("Filter").map(f => look(f).getOrElse(return None)) match {
+      case None => Some(data)
+      case Some(PName("FlateDecode")) => inflateAll(data)
+      case Some(PArr(Vector(PName("FlateDecode")))) => inflateAll(data)
+      case Some(PArr(Vector())) => Some(data)
       case _ => None
     }
+    inflated.flatMap { d =>
+      dict.get("DecodeParms").flatMap(look) match {
+        case Some(PDict(pm)) =>
+          def num(k: String, dflt: Int): Int =
+            pm.get(k).flatMap(look).collect { case PNum(x) => x.toInt }
+              .getOrElse(dflt)
+          val pred = num("Predictor", 1)
+          if (pred == 1) Some(d)
+          else if (pred >= 10 && num("Colors", 1) == 1 &&
+              num("BitsPerComponent", 8) == 8)
+            pngPredict(d, num("Columns", 1))
+          else None
+        case _ => Some(d) // absent or null parms
+      }
+    }
+  }
+
+  private def streamData(doc: Doc, s: PStream): Option[Array[Byte]] =
+    decodeStream(s.dict.m, s.data, o => doc.deref(o))
 
   // ------------------------------------------------------------------
   // metadata
@@ -607,9 +826,14 @@ object Pdf {
     *                  hex / TJ split) so every path is exercised
     * @param flate     FlateDecode the content streams
     */
+  /** @param modern emit the PDF 1.5+ layout: dictionary objects packed
+    *                into a /Type /ObjStm object stream and a /Type
+    *                /XRef cross-reference STREAM (W [1 4 2], PNG Up
+    *                predictor) instead of the classic xref table
+    */
   final case class BuildSpec(pages: Seq[Seq[String]], title: String,
       author: String, producer: String, created: String,
-      seed: Long = 0L, flate: Boolean = true)
+      seed: Long = 0L, flate: Boolean = true, modern: Boolean = false)
 
   private def escapeLiteral(s: String): String = {
     val sb = new StringBuilder
@@ -639,50 +863,70 @@ object Pdf {
     } finally d.end()
   }
 
-  /** Deterministic classic-xref PDF: catalog, page tree, Helvetica
-    * resource, one content stream per page (chunk c of a page shown as
-    * literal Tj / hex Tj / two-part TJ array by (seed + c) % 3, lines
-    * separated by `0 -14 Td`), Info dict, correct 10-digit xref.
+  // ---- shared dictionary/content builders (both writer layouts) ----
+  private val catalogDict = "<< /Type /Catalog /Pages 2 0 R >>"
+  private val fontDict =
+    "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+  private def pagesDict(nPages: Int): String = {
+    val kids = (0 until nPages).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
+    s"<< /Type /Pages /Kids [$kids] /Count $nPages >>"
+  }
+  private def pageDict(i: Int): String =
+    s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      s"/Resources << /Font << /F1 3 0 R >> >> /Contents ${5 + 2 * i} 0 R >>"
+  private def infoDict(spec: BuildSpec): String =
+    s"<< /Title (${escapeLiteral(spec.title)}) " +
+      s"/Author (${escapeLiteral(spec.author)}) " +
+      s"/Producer (${escapeLiteral(spec.producer)}) " +
+      s"/CreationDate (${escapeLiteral(spec.created)}) >>"
+
+  /** One page's content stream: chunk c shown as literal Tj / hex Tj /
+    * two-part TJ array by (seed + c) % 3, lines separated by Td.
     */
-  def write(spec: BuildSpec): Array[Byte] = {
+  private def contentFor(chunks: Seq[String], seed: Long): Array[Byte] = {
+    val content = new StringBuilder("BT\n/F1 12 Tf\n72 720 Td\n")
+    for ((chunk, c) <- chunks.zipWithIndex) {
+      if (c > 0) content.append("0 -14 Td\n")
+      (seed + c) % 3 match {
+        case 0 => content.append(s"(${escapeLiteral(chunk)}) Tj\n")
+        case 1 => content.append(s"<${hexOf(chunk)}> Tj\n")
+        case _ =>
+          val half = chunk.length / 2
+          content.append(s"[(${escapeLiteral(chunk.take(half))}) -250 " +
+            s"(${escapeLiteral(chunk.drop(half))})] TJ\n")
+      }
+    }
+    content.append("ET")
+    content.toString.getBytes("UTF-8")
+  }
+
+  /** Deterministic PDF muxer: classic 10-digit xref table (PDF 1.4),
+    * or the modern object-stream + xref-stream layout when
+    * `spec.modern` (PDF 1.5). Object numbering is identical in both:
+    * 1 catalog, 2 pages, 3 font, per page i (0-based) page 4+2i /
+    * contents 5+2i, info last; modern adds ObjStm and XRef objects.
+    */
+  def write(spec: BuildSpec): Array[Byte] =
+    if (spec.modern) writeModern(spec) else writeClassic(spec)
+
+  private def writeClassic(spec: BuildSpec): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
     def wb(b: Array[Byte]): Unit = bos.write(b, 0, b.length)
     w("%PDF-1.4\n%âãÏÓ\n")
     val nPages = spec.pages.size
-    // object numbers: 1 catalog, 2 pages, 3 font, then per page i
-    // (0-based): page 4+2i, contents 5+2i; info last
     val infoNum = 4 + 2 * nPages
     val offsets = new Array[Long](infoNum + 1)
     def obj(num: Int)(body: => Unit): Unit = {
       offsets(num) = bos.size().toLong
       w(s"$num 0 obj\n"); body; w("\nendobj\n")
     }
-    obj(1)(w("<< /Type /Catalog /Pages 2 0 R >>"))
-    obj(2) {
-      val kids = (0 until nPages).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
-      w(s"<< /Type /Pages /Kids [$kids] /Count $nPages >>")
-    }
-    obj(3)(w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"))
+    obj(1)(w(catalogDict))
+    obj(2)(w(pagesDict(nPages)))
+    obj(3)(w(fontDict))
     for ((chunks, i) <- spec.pages.zipWithIndex) {
-      obj(4 + 2 * i)(w(s"<< /Type /Page /Parent 2 0 R " +
-        s"/MediaBox [0 0 612 792] " +
-        s"/Resources << /Font << /F1 3 0 R >> >> " +
-        s"/Contents ${5 + 2 * i} 0 R >>"))
-      val content = new StringBuilder("BT\n/F1 12 Tf\n72 720 Td\n")
-      for ((chunk, c) <- chunks.zipWithIndex) {
-        if (c > 0) content.append("0 -14 Td\n")
-        (spec.seed + c) % 3 match {
-          case 0 => content.append(s"(${escapeLiteral(chunk)}) Tj\n")
-          case 1 => content.append(s"<${hexOf(chunk)}> Tj\n")
-          case _ =>
-            val half = chunk.length / 2
-            content.append(s"[(${escapeLiteral(chunk.take(half))}) -250 " +
-              s"(${escapeLiteral(chunk.drop(half))})] TJ\n")
-        }
-      }
-      content.append("ET")
-      val raw = content.toString.getBytes("UTF-8")
+      obj(4 + 2 * i)(w(pageDict(i)))
+      val raw = contentFor(chunks, spec.seed)
       val (data, filter) =
         if (spec.flate) (deflate(raw), " /Filter /FlateDecode") else (raw, "")
       obj(5 + 2 * i) {
@@ -691,15 +935,102 @@ object Pdf {
         w("\nendstream")
       }
     }
-    obj(infoNum)(w(s"<< /Title (${escapeLiteral(spec.title)}) " +
-      s"/Author (${escapeLiteral(spec.author)}) " +
-      s"/Producer (${escapeLiteral(spec.producer)}) " +
-      s"/CreationDate (${escapeLiteral(spec.created)}) >>"))
+    obj(infoNum)(w(infoDict(spec)))
     val xrefOff = bos.size().toLong
     w(s"xref\n0 ${infoNum + 1}\n")
     w("0000000000 65535 f \n")
     for (n <- 1 to infoNum) w(f"${offsets(n)}%010d 00000 n \n")
     w(s"trailer\n<< /Size ${infoNum + 1} /Root 1 0 R /Info $infoNum 0 R >>\n")
+    w(s"startxref\n$xrefOff\n%%EOF\n")
+    bos.toByteArray
+  }
+
+  /** PDF 1.5 layout: every DICTIONARY object (catalog, pages, font,
+    * page dicts, info) lives inside one /Type /ObjStm; content streams
+    * stay direct (streams cannot nest in object streams); the xref is
+    * a /Type /XRef STREAM with W [1 4 2] rows under the PNG Up
+    * predictor — the shape ~every post-2007 producer emits.
+    */
+  private def writeModern(spec: BuildSpec): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    def wb(b: Array[Byte]): Unit = bos.write(b, 0, b.length)
+    w("%PDF-1.5\n%âãÏÓ\n")
+    val nPages = spec.pages.size
+    val infoNum = 4 + 2 * nPages
+    val stmNum = infoNum + 1
+    val xrefNum = infoNum + 2
+    val offsets = new Array[Long](xrefNum + 1)
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets(num) = bos.size().toLong
+      w(s"$num 0 obj\n"); body; w("\nendobj\n")
+    }
+    // content streams as direct objects
+    for ((chunks, i) <- spec.pages.zipWithIndex) {
+      val raw = contentFor(chunks, spec.seed)
+      val (data, filter) =
+        if (spec.flate) (deflate(raw), " /Filter /FlateDecode") else (raw, "")
+      obj(5 + 2 * i) {
+        w(s"<< /Length ${data.length}$filter >>\nstream\n")
+        wb(data)
+        w("\nendstream")
+      }
+    }
+    // every dict object packed into ONE object stream
+    val dictObjs: Seq[(Int, String)] =
+      Seq(1 -> catalogDict, 2 -> pagesDict(nPages), 3 -> fontDict) ++
+        (0 until nPages).map(i => (4 + 2 * i) -> pageDict(i)) :+
+        (infoNum -> infoDict(spec))
+    val bodyBuf = new StringBuilder
+    val memberOffs = dictObjs.map { case (_, body) =>
+      val off = bodyBuf.length
+      bodyBuf.append(body).append('\n')
+      off
+    }
+    val header = dictObjs.zip(memberOffs)
+      .map { case ((num, _), off) => s"$num $off" }.mkString(" ") + "\n"
+    val payload = deflate((header + bodyBuf).getBytes("ISO-8859-1"))
+    obj(stmNum) {
+      w(s"<< /Type /ObjStm /N ${dictObjs.size} /First ${header.length} " +
+        s"/Length ${payload.length} /Filter /FlateDecode >>\nstream\n")
+      wb(payload)
+      w("\nendstream")
+    }
+    // the xref STREAM (it indexes itself, so its offset is fixed first)
+    val xrefOff = bos.size().toLong
+    offsets(xrefNum) = xrefOff
+    val cols = 7 // W [1 4 2]
+    def row(t: Int, f2: Long, f3: Int): Array[Byte] = Array(
+      t.toByte,
+      ((f2 >> 24) & 0xff).toByte, ((f2 >> 16) & 0xff).toByte,
+      ((f2 >> 8) & 0xff).toByte, (f2 & 0xff).toByte,
+      ((f3 >> 8) & 0xff).toByte, (f3 & 0xff).toByte)
+    val dictIndex = dictObjs.map(_._1).zipWithIndex.toMap
+    val rows: Seq[Array[Byte]] = (0 to xrefNum).map { num =>
+      if (num == 0) row(0, 0L, 0xffff)
+      else dictIndex.get(num) match {
+        case Some(idx) => row(2, stmNum.toLong, idx)
+        case None => row(1, offsets(num), 0)
+      }
+    }
+    val enc = new java.io.ByteArrayOutputStream()
+    var prev = new Array[Byte](cols)
+    for (r <- rows) { // PNG Up predictor, filter type 2 per row
+      enc.write(2)
+      var c = 0
+      while (c < cols) { enc.write((r(c) - prev(c)) & 0xff); c += 1 }
+      prev = r
+    }
+    val zenc = deflate(enc.toByteArray)
+    obj(xrefNum) {
+      w(s"<< /Type /XRef /Size ${xrefNum + 1} /W [1 4 2] " +
+        s"/Index [0 ${xrefNum + 1}] /Root 1 0 R /Info $infoNum 0 R " +
+        s"/Filter /FlateDecode " +
+        s"/DecodeParms << /Predictor 12 /Columns $cols >> " +
+        s"/Length ${zenc.length} >>\nstream\n")
+      wb(zenc)
+      w("\nendstream")
+    }
     w(s"startxref\n$xrefOff\n%%EOF\n")
     bos.toByteArray
   }
@@ -730,11 +1061,13 @@ object Pdf {
   }
 
   /** One deterministic PDF per document holding its ACTUAL text: 48-char
-    * chunks, 5 chunks per page, Flate for odd ids, Info fields in
-    * closed form — q_pdf_meta/q_pdf_text recompute everything, and the
-    * text round trip (source column → content streams → extraction) is
-    * exact by the uniform '\n'-every-48-chars rule (page joins land on
-    * chunk boundaries).
+    * chunks, 5 chunks per page, Flate for odd ids, the MODERN layout
+    * (object stream + xref stream, PDF 1.5) for ids ≡ 0 (mod 3), Info
+    * fields in closed form — q_pdf_meta/q_pdf_text recompute
+    * everything, and the text round trip (source column → content
+    * streams → extraction) is exact by the uniform '\n'-every-48-chars
+    * rule (page joins land on chunk boundaries). A third of the corpus
+    * only passes through the xref-stream/ObjStm path.
     */
   def syntheticPdfMedia(docs: Dataset[(java.lang.Long, String)]): DataFrame = {
     val spark = docs.sparkSession
@@ -748,7 +1081,8 @@ object Pdf {
         f"${1 + id % 28}%02d${id % 24}%02d${id % 60}%02d${id % 60}%02d"
       val pdf = write(BuildSpec(pages, title = s"Doc $id",
         author = s"Author${id % 5}", producer = "graft-pdf 1.0",
-        created = created, seed = id, flate = id % 2 == 1))
+        created = created, seed = id, flate = id % 2 == 1,
+        modern = id % 3 == 0))
       (id, pdf, "application/pdf")
     }).toDF("doc_id", "bytes", "mime")
   }

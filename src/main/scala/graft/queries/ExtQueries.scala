@@ -4374,7 +4374,8 @@ object ExtQueries {
     // 5 chunks per page, Info fields in closed form; xref validation
     // always passes on the twin
     "q_pdf_meta" ->
-      """SELECT doc_id, '1.4' AS version,
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN '1.5' ELSE '1.4' END AS version,
         |  ((greatest(1, (length(text) + 47) // 48) + 4) // 5)::BIGINT
         |    AS n_pages,
         |  'Doc ' || doc_id::VARCHAR AS title,

@@ -51,6 +51,9 @@ class ParserFuzzSpec extends AnyFunSuite {
     Pdf.write(Pdf.BuildSpec(Seq(Seq("page one text"), Seq("page two")),
       title = "t", author = "a", producer = "p",
       created = "D:20240101000000", seed = 1, flate = true)),
+    Pdf.write(Pdf.BuildSpec(Seq(Seq("modern page")), title = "t",
+      author = "a", producer = "p", created = "D:20240101000000",
+      seed = 2, flate = true, modern = true)),
     Audio.writeMp3(3, 9, 0, mono = false, id3Bytes = 20),
     Audio.writeFlac(44100, 2, 12345L),
     Audio.writeOgg(opus = true, 2, 48000L, 312, 5000L, 2),

@@ -11,19 +11,38 @@ import graft.SparkTestBase
 class PdfSpec extends AnyFunSuite with SparkTestBase {
 
   private def spec(pages: Seq[Seq[String]], seed: Long = 0,
-      flate: Boolean = true) =
+      flate: Boolean = true, modern: Boolean = false) =
     Pdf.BuildSpec(pages, title = "T", author = "A", producer = "P",
-      created = "D:20240101000000", seed = seed, flate = flate)
+      created = "D:20240101000000", seed = seed, flate = flate,
+      modern = modern)
 
-  test("roundtrip: multi-page text, all three chunk encodings, flate") {
-    for (seed <- 0L to 2L; flate <- Seq(true, false)) {
+  test("roundtrip: multi-page text, all three chunk encodings, flate, " +
+      "both layouts") {
+    for (seed <- 0L to 2L; flate <- Seq(true, false);
+        modern <- Seq(false, true)) {
       val pages = Seq(Seq("first line", "second one"), Seq("page two"))
-      val pdf = Pdf.write(spec(pages, seed, flate))
+      val pdf = Pdf.write(spec(pages, seed, flate, modern))
       assert(Pdf.isPdf(pdf))
       assert(Pdf.extractText(pdf).contains(
         "first line\nsecond one\npage two"),
-        s"seed=$seed flate=$flate")
+        s"seed=$seed flate=$flate modern=$modern")
     }
+  }
+
+  test("modern layout: xref stream + ObjStm resolve, version 1.5") {
+    val pdf = Pdf.write(spec(Seq(Seq("a"), Seq("b")), modern = true))
+    val m = Pdf.meta(pdf).get
+    assert(m.version == "1.5" && m.nPages == 2 && m.title == "T" && m.xrefOk)
+    // the bytes really are the modern shape: no classic xref keyword
+    assert(!new String(pdf, "ISO-8859-1").contains("\nxref\n"))
+    assert(new String(pdf, "ISO-8859-1").contains("/Type /ObjStm"))
+    // an incremental CLASSIC update on top of a modern base: the /Prev
+    // chain crosses layouts (the acrobat-touches-a-modern-file shape)
+    val infoNum = "/Info (\\d+) 0 R".r
+      .findFirstMatchIn(new String(pdf, "ISO-8859-1")).get.group(1).toInt
+    val updated = withUpdate(pdf, infoNum, Some("<< /Title (Mixed) >>"))
+    assert(Pdf.meta(updated).get.title == "Mixed")
+    assert(Pdf.extractText(updated).contains("a\nb"))
   }
 
   test("metadata: version, page count, Info fields, xref validation") {
@@ -100,6 +119,7 @@ class PdfSpec extends AnyFunSuite with SparkTestBase {
     val oldXref = s.substring(s.lastIndexOf("startxref") + 9)
       .trim.split("\\s+")(0).toInt
     val size = "/Size (\\d+)".r.findFirstMatchIn(s).get.group(1).toInt
+    val infoRef = "/Info (\\d+) 0 R".r.findFirstMatchIn(s).get.group(1).toInt
     val bos = new java.io.ByteArrayOutputStream()
     bos.write(pdf, 0, pdf.length)
     val entry = objBody match {
@@ -111,7 +131,7 @@ class PdfSpec extends AnyFunSuite with SparkTestBase {
     }
     val xrefOff = bos.size()
     bos.write((s"xref\n$objNum 1\n" + entry +
-      s"trailer\n<< /Size $size /Root 1 0 R /Info ${size - 1} 0 R " +
+      s"trailer\n<< /Size $size /Root 1 0 R /Info $infoRef 0 R " +
       s"/Prev $oldXref >>\nstartxref\n$xrefOff\n%%EOF\n")
       .getBytes("ISO-8859-1"))
     bos.toByteArray
