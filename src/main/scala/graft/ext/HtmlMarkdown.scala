@@ -35,17 +35,8 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   */
 object HtmlMarkdown {
 
-  private val Entities = Seq(
-    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
-    "&nbsp;" -> " ",
-    "&amp;" -> "&") // &amp; LAST: double-unescape is wrong
-
-  private def unescape(s: String): String = {
-    if (s.indexOf('&') < 0) return s
-    var out = s
-    for ((e, c) <- Entities) out = out.replace(e, c)
-    out
-  }
+  private def unescape(s: String): String =
+    HtmlEntities.unescape(s, HtmlEntities.WithNbsp)
 
   private def ciIndexOf(s: String, target: String, from: Int): Int = {
     var i = math.max(0, from)

@@ -62,7 +62,11 @@ object Pdf {
       * stream for compressed entries (memoized, cycle-safe).
       */
     def obj(num: Int): Option[Obj] = cache.getOrElseUpdate(num, {
-      if (resolving.contains(num)) None // reference cycle
+      // `resolving` stops CYCLES; its size is also the live resolution
+      // depth, which caps hostile type-2 chains (obj k inside stream
+      // k+1 inside stream k+2 ...) that would otherwise overflow the
+      // JVM stack without ever revisiting a number
+      if (resolving.contains(num) || resolving.size >= 32) None
       else {
         resolving += num
         try offsets.get(num)
@@ -102,7 +106,8 @@ object Pdf {
               while (ok && k < nN) {
                 (lx.int(), lx.int()) match {
                   case (Some(o), Some(off))
-                      if o >= 0 && o <= Int.MaxValue && off >= 0 =>
+                      if o >= 0 && o <= Int.MaxValue &&
+                        off >= 0 && off <= Int.MaxValue =>
                     b += ((o.toInt, off.toInt))
                   case _ => ok = false
                 }
@@ -447,14 +452,17 @@ object Pdf {
     val index: Seq[(Long, Long)] = dict.get("Index") match {
       case Some(PArr(items)) if items.size % 2 == 0 =>
         items.grouped(2).map {
-          case Vector(PNum(s), PNum(c)) if s >= 0 && c >= 0 =>
+          // per-pair cap BEFORE summing: unbounded counts could wrap
+          // the Long total and bypass the row-bound check below
+          case Vector(PNum(s), PNum(c))
+              if s >= 0 && c >= 0 && c <= (1L << 22) =>
             (s.toLong, c.toLong)
           case _ => return None
         }.toSeq
       case None => Seq((0L, size))
       case _ => return None
     }
-    val total = index.map(_._2).sum
+    val total = index.map(_._2).sum // ≤ 32768 pairs × 2^22: no overflow
     // rows must physically exist in the decoded payload; absolute cap
     // mirrors the other parsers' hostile-count ceiling
     if (total * rowLen > payload.length || total > (1L << 22)) return None
@@ -641,19 +649,30 @@ object Pdf {
       case Some(PArr(Vector())) => Some(data)
       case _ => None
     }
+    def predict(d: Array[Byte], pm: Map[String, Obj]): Option[Array[Byte]] = {
+      def num(k: String, dflt: Int): Int =
+        pm.get(k).flatMap(look).collect { case PNum(x) => x.toInt }
+          .getOrElse(dflt)
+      val pred = num("Predictor", 1)
+      if (pred == 1) Some(d)
+      else if (pred >= 10 && num("Colors", 1) == 1 &&
+          num("BitsPerComponent", 8) == 8)
+        pngPredict(d, num("Columns", 1))
+      else None
+    }
     inflated.flatMap { d =>
-      dict.get("DecodeParms").flatMap(look) match {
-        case Some(PDict(pm)) =>
-          def num(k: String, dflt: Int): Int =
-            pm.get(k).flatMap(look).collect { case PNum(x) => x.toInt }
-              .getOrElse(dflt)
-          val pred = num("Predictor", 1)
-          if (pred == 1) Some(d)
-          else if (pred >= 10 && num("Colors", 1) == 1 &&
-              num("BitsPerComponent", 8) == 8)
-            pngPredict(d, num("Columns", 1))
-          else None
-        case _ => Some(d) // absent or null parms
+      dict.get("DecodeParms") match {
+        case None => Some(d)
+        case Some(parms) => look(parms) match {
+          case Some(PDict(pm)) => predict(d, pm)
+          case Some(PNull) => Some(d)
+          case Some(PArr(Vector(PDict(pm)))) => predict(d, pm) // 1 filter
+          case Some(PArr(Vector(PNull))) | Some(PArr(Vector())) => Some(d)
+          // an UNRESOLVABLE or unrecognized parms object could be
+          // hiding a predictor: decoding without it would misread, so
+          // refuse (the header contract: refuse rather than misread)
+          case _ => None
+        }
       }
     }
   }
@@ -821,15 +840,14 @@ object Pdf {
   // muxer twin
   // ------------------------------------------------------------------
 
-  /** @param pages     page → chunks; each chunk becomes one show op
-    * @param seed      drives the chunk encoding rotation (literal /
-    *                  hex / TJ split) so every path is exercised
-    * @param flate     FlateDecode the content streams
-    */
-  /** @param modern emit the PDF 1.5+ layout: dictionary objects packed
-    *                into a /Type /ObjStm object stream and a /Type
-    *                /XRef cross-reference STREAM (W [1 4 2], PNG Up
-    *                predictor) instead of the classic xref table
+  /** @param pages  page → chunks; each chunk becomes one show op
+    * @param seed   drives the chunk encoding rotation (literal / hex /
+    *               TJ split) so every path is exercised
+    * @param flate  FlateDecode the content streams
+    * @param modern emit the PDF 1.5+ layout: dictionary objects packed
+    *               into a /Type /ObjStm object stream and a /Type
+    *               /XRef cross-reference STREAM (W [1 4 2], PNG Up
+    *               predictor) instead of the classic xref table
     */
   final case class BuildSpec(pages: Seq[Seq[String]], title: String,
       author: String, producer: String, created: String,
@@ -891,7 +909,10 @@ object Pdf {
         case 0 => content.append(s"(${escapeLiteral(chunk)}) Tj\n")
         case 1 => content.append(s"<${hexOf(chunk)}> Tj\n")
         case _ =>
-          val half = chunk.length / 2
+          // split at a CODEPOINT boundary: a UTF-16 midpoint could cut
+          // a surrogate pair and mangle both halves on UTF-8 encode
+          val half = chunk.offsetByCodePoints(0,
+            chunk.codePointCount(0, chunk.length) / 2)
           content.append(s"[(${escapeLiteral(chunk.take(half))}) -250 " +
             s"(${escapeLiteral(chunk.drop(half))})] TJ\n")
       }
@@ -1074,8 +1095,13 @@ object Pdf {
     import spark.implicits._
     docs.mapPartitions(_.map { case (boxed, text) =>
       val id = boxed.longValue()
+      // chunk by CODEPOINTS, not UTF-16 units: the DuckDB oracle's
+      // length()/substring() count codepoints, and a unit-based split
+      // could cut a surrogate pair
+      val cps = text.codePoints().toArray
       val chunks =
-        if (text.isEmpty) Seq("") else text.grouped(48).toSeq
+        if (cps.isEmpty) Seq("")
+        else cps.grouped(48).map(a => new String(a, 0, a.length)).toSeq
       val pages = chunks.grouped(5).toSeq
       val created = f"D:${2000 + id % 22}%04d${1 + id % 12}%02d" +
         f"${1 + id % 28}%02d${id % 24}%02d${id % 60}%02d${id % 60}%02d"

@@ -4334,24 +4334,33 @@ object ExtQueries {
     // the bp scaffold rendered by the markdown rules: nav/ad/footer
     // anchors become link lines, the doc text is the middle block
     "q_warc_markdown" ->
-      """SELECT 'https://docs.test/doc' || doc_id::VARCHAR || '.html'
+      """WITH d AS (SELECT doc_id,
+        |    regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT 'https://docs.test/doc' || doc_id::VARCHAR || '.html'
         |    AS page_url,
-        |  '[home](/) [about](/a) [links](/x)' || chr(10) || chr(10) ||
-        |  text ||
+        |  '[home](/) [about](/a) [links](/x)' ||
+        |  CASE WHEN t = '' THEN '' ELSE chr(10) || chr(10) || t END ||
         |  CASE WHEN doc_id % 4 = 0
         |       THEN chr(10) || chr(10) || '[click now](/b) [buy](/p)'
         |       ELSE '' END ||
         |  chr(10) || chr(10) || '[contact](/c) [terms](/t) c 2026'
         |    AS markdown
-        |FROM documents WHERE doc_id IS NOT NULL
-        |ORDER BY page_url""".stripMargin,
+        |FROM d ORDER BY page_url""".stripMargin,
 
     // the markdown rendering of the fixture page, rebuilt literally:
-    // blocks joined by blank lines, one-list items by single newlines
+    // blocks joined by blank lines, one-list items by single newlines.
+    // The paragraph goes through the SAME whitespace-collapse rule the
+    // renderer applies (identity on the current corpus, which is
+    // collapse-stable — this keeps the oracle honest if the fixture
+    // generator ever emits doubled spaces or an empty text).
     "q_html_markdown" ->
-      """SELECT doc_id,
+      """WITH d AS (SELECT doc_id,
+        |    regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+        |SELECT doc_id,
         |  '# Doc ' || doc_id::VARCHAR || chr(10) || chr(10) ||
-        |  text || chr(10) || chr(10) ||
+        |  CASE WHEN t = '' THEN '' ELSE t || chr(10) || chr(10) END ||
         |  '- item A' || (doc_id % 7)::VARCHAR || chr(10) ||
         |  '- **bold** B' || (doc_id % 5)::VARCHAR || chr(10) || chr(10) ||
         |  '1. first C' || (doc_id % 3)::VARCHAR || chr(10) ||
@@ -4367,8 +4376,7 @@ object ExtQueries {
         |    doc_id::VARCHAR || ') and ![alt ' || (doc_id % 6)::VARCHAR ||
         |    '](i' || doc_id::VARCHAR || '.png) with `inline ' ||
         |    (doc_id % 2)::VARCHAR || '` code & entities.' AS markdown
-        |FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
-        |ORDER BY doc_id""".stripMargin,
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // the pdf muxer's spec recomputed: ceil(len/48) chunks (min 1),
     // 5 chunks per page, Info fields in closed form; xref validation

@@ -46,16 +46,10 @@ object WarcHtml {
   // HTML scanning (pure, per record)
   // ------------------------------------------------------------------
 
-  private val Entities = Seq(
-    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
-    "&amp;" -> "&") // &amp; LAST: double-unescape is wrong
-
-  private def unescape(s: String): String = {
-    if (s.indexOf('&') < 0) return s
-    var out = s
-    for ((e, c) <- Entities) out = out.replace(e, c)
-    out
-  }
+  // the Basic table (NOT WithNbsp): attr/alt text must match the WAT
+  // sidecar byte-for-byte, which does not decode nbsp
+  private def unescape(s: String): String =
+    graft.ext.HtmlEntities.unescape(s, graft.ext.HtmlEntities.Basic)
 
   /** Case-insensitive indexOf. */
   private def ciIndexOf(s: String, target: String, from: Int): Int = {
