@@ -1130,4 +1130,124 @@ object Multimodal {
         }
       })
   }
+
+  // ------------------------------------------------------------------
+  // cross-format triage — the FIRST operator a mixed crawled-blob
+  // corpus runs: sniff every payload's container magic (disjointness
+  // pinned by ParserFuzzSpec) and route it to the right parser
+  // ------------------------------------------------------------------
+
+  /** One unified row per blob: detected format, pixel dims where the
+    * format has them (0 otherwise), and the format's natural unit
+    * count (video samples, audio units, archive members, PDF pages,
+    * GIF frames, 1 for a still image). A sniffed-but-unparseable
+    * payload reports "unknown" — triage is TOTAL: every blob gets a
+    * verdict, no row is dropped and no task dies.
+    */
+  final case class TriageRow(doc_id: Long, format: String,
+      n_bytes: Long, width: Long, height: Long, n_units: Long)
+
+  /** Classify + parse one payload. Sniff order puts ISO-BMFF first
+    * (it self-dispatches video vs m4a-audio by track handler) and the
+    * generic audio sniff last (MP3's 11-bit sync is the weakest
+    * magic); RIFF splits on the format tag (AVI vs WAVE).
+    */
+  def describeAny(id: Long, b: Array[Byte]): TriageRow = {
+    def row(fmt: String, w: Long, h: Long, units: Long) =
+      TriageRow(id, fmt, b.length.toLong, w, h, units)
+    def unknown = row("unknown", 0, 0, 0)
+    if (Mp4.isMp4(b)) Mp4.parse(b).map { m =>
+      m.tracks.find(_.handler == "vide") match {
+        case Some(t) =>
+          row("mp4", t.width.toLong, t.height.toLong, t.sampleCount.toLong)
+        case None => m.tracks.find(_.handler == "soun") match {
+          case Some(t) => row("audio", 0, 0, t.sampleCount.toLong)
+          case None => unknown
+        }
+      }
+    }.getOrElse(unknown)
+    else if (Webm.isWebm(b)) Webm.parse(b).map { m =>
+      m.videoTrack match {
+        case Some(t) => row("webm", t.width.toLong, t.height.toLong,
+          m.videoBlocks.size.toLong)
+        case None => row("webm", 0, 0, m.blocks.size.toLong)
+      }
+    }.getOrElse(unknown)
+    else if (Avi.isAvi(b)) Avi.parse(b).map(m =>
+      row("avi", m.width.toLong, m.height.toLong, m.frames.size.toLong))
+      .getOrElse(unknown)
+    else if (Mpeg.isMpeg(b)) Mpeg.parse(b).map(m =>
+      row(if (m.programStream) "mpeg-ps" else "mpeg-es",
+        m.width.toLong, m.height.toLong, m.pictures.size.toLong))
+      .getOrElse(unknown)
+    else if (Gif.isGif(b)) Gif.parse(b).map(m =>
+      row("gif", m.width.toLong, m.height.toLong, m.frames.size.toLong))
+      .getOrElse(unknown)
+    else if (Exif.isJpeg(b)) Exif.parse(b).map(m =>
+      row("jpeg", m.width.toLong, m.height.toLong, 1L)).getOrElse(unknown)
+    else if (Tar.isTar(b)) {
+      val ms = Tar.members(b)
+      if (ms.nonEmpty) row("tar", 0, 0, ms.size.toLong) else unknown
+    }
+    else if (Zip.isZip(b)) {
+      val ms = Zip.members(b)
+      if (ms.nonEmpty) row("zip", 0, 0, ms.size.toLong) else unknown
+    }
+    else if (Pdf.isPdf(b)) Pdf.meta(b).map(m =>
+      row("pdf", 0, 0, m.nPages)).getOrElse(unknown)
+    else Audio.parse(b).map(i => row("audio", 0, 0, i.units))
+      .getOrElse(unknown)
+  }
+
+  /** The triage stage: one TOTAL row per payload, zero shuffle. */
+  def mediaTriage(media: DataFrame): Dataset[TriageRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => describeAny(id, b) })
+  }
+
+  /** A mixed ten-way corpus (format by id%10, arithmetic mirrored by
+    * the q_media_triage oracle): mp4 / webm / avi / gif / wav / tar /
+    * zip / pdf / exif-jpeg / plain text (= "unknown"). Each family
+    * uses its real muxer twin with COMPACT closed forms — this is the
+    * fixture for the dispatch semantics; per-family depth is oracled
+    * by the format queries.
+    */
+  def syntheticMixedCorpus(ids: Dataset[java.lang.Long]): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions(_.map { boxed =>
+      val id = boxed.longValue()
+      val w = (16 * (1 + id % 5)).toInt
+      val h = (16 * (1 + id % 4)).toInt
+      val bytes: Array[Byte] = (id % 10) match {
+        case 0 => Mp4.write(Mp4.BuildSpec(w, h,
+          (1 to (2 + id % 3).toInt).map(j => 30 + j), syncEvery = 2))
+        case 1 => Webm.write(Webm.BuildSpec(w, h,
+          (1 to (2 + id % 4).toInt).map(j => 25 + j), keyEvery = 2))
+        case 2 => Avi.write(Avi.BuildSpec(w, h,
+          (1 to (2 + id % 5).toInt).map(j => 35 + j), keyEvery = 2))
+        case 3 => Gif.write(Gif.BuildSpec(w, h,
+          (1 to (1 + id % 3).toInt).map(j => 18 + j),
+          (1 to (1 + id % 3).toInt).map(_ => 5), loop = 1))
+        case 4 => Audio.writeWav(8000 * (1 + id % 3).toInt, channels = 1,
+          (100 + id % 50).toInt)
+        case 5 => Tar.write((1 to (1 + id % 4).toInt).map(j =>
+          (s"$id-$j.bin", Array.fill(20 + j)(1.toByte))))
+        case 6 => Zip.write((1 to (1 + id % 3).toInt).map(j =>
+          (s"$id-$j.bin", Array.fill(20 + j)(2.toByte), false)))
+        case 7 => Pdf.write(Pdf.BuildSpec(
+          (1 to (1 + id % 2).toInt).map(p => Seq(s"pg $p of $id")),
+          title = s"Doc $id", author = "a", producer = "p",
+          created = "D:20240101000000", seed = id, flate = true))
+        case 8 => Exif.insertApp1(encodedHostImage("jpg", w, h),
+          orientation = 1, make = "MakeX", model = "ModelX",
+          dateTimeOriginal = "2024:01:01 00:00:00",
+          latArcsec = 0L, lonArcsec = 0L, hasGps = false)
+        case _ => s"plain text payload $id".getBytes("UTF-8")
+      }
+      (id, bytes, "application/octet-stream")
+    }).toDF("doc_id", "bytes", "mime")
+  }
 }

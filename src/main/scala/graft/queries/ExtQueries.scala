@@ -1537,6 +1537,22 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Cross-format triage (Multimodal.describeAny): the FIRST operator
+    // a mixed crawled-blob corpus runs — sniff the container magic,
+    // route to the right parser, emit one TOTAL row per blob (format,
+    // dims, natural unit count; hostile payloads verdict "unknown",
+    // never a dropped row or a dead task). Ten-way mixed fixture, all
+    // real muxer twins.
+    "q_media_triage" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.mediaTriage(Multimodal.syntheticMixedCorpus(
+        docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+          .select("doc_id").as[java.lang.Long]))
+        .select(col("doc_id"), col("format"), col("width"),
+          col("height"), col("n_units"))
+        .orderBy("doc_id")
+    }),
+
     // Raw-WARC → markdown corpus: the documents table framed as WARC
     // pages (ensureDocWarcs), read back through the DSv2 warc source,
     // and rendered to markdown — the FineWeb-style extraction shape.
@@ -4329,6 +4345,27 @@ object ExtQueries {
     "q_zip_text" ->
       """SELECT doc_id, text FROM documents
         |WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
+    // the mixed-corpus spec by id%10: format name, dims for the visual
+    // families, the per-family unit arithmetic
+    "q_media_triage" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 10 WHEN 0 THEN 'mp4' WHEN 1 THEN 'webm'
+        |    WHEN 2 THEN 'avi' WHEN 3 THEN 'gif' WHEN 4 THEN 'audio'
+        |    WHEN 5 THEN 'tar' WHEN 6 THEN 'zip' WHEN 7 THEN 'pdf'
+        |    WHEN 8 THEN 'jpeg' ELSE 'unknown' END AS format,
+        |  (CASE WHEN doc_id % 10 IN (0, 1, 2, 3, 8)
+        |        THEN 16 * (1 + doc_id % 5) ELSE 0 END)::BIGINT AS width,
+        |  (CASE WHEN doc_id % 10 IN (0, 1, 2, 3, 8)
+        |        THEN 16 * (1 + doc_id % 4) ELSE 0 END)::BIGINT AS height,
+        |  (CASE doc_id % 10 WHEN 0 THEN 2 + doc_id % 3
+        |    WHEN 1 THEN 2 + doc_id % 4 WHEN 2 THEN 2 + doc_id % 5
+        |    WHEN 3 THEN 1 + doc_id % 3 WHEN 4 THEN 100 + doc_id % 50
+        |    WHEN 5 THEN 1 + doc_id % 4 WHEN 6 THEN 1 + doc_id % 3
+        |    WHEN 7 THEN 1 + doc_id % 2 WHEN 8 THEN 1
+        |    ELSE 0 END)::BIGINT AS n_units
+        |FROM documents WHERE doc_id IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
 
     // the bp scaffold rendered by the markdown rules: nav/ad/footer

@@ -1,0 +1,54 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Cross-format triage: every family of the mixed corpus routes to
+  * its parser, hostile blobs verdict "unknown" (total, never throws),
+  * ISO-BMFF self-dispatches video vs m4a-audio.
+  */
+class TriageSpec extends AnyFunSuite with SparkTestBase {
+
+  test("mixed corpus routes every family to the right format") {
+    import spark.implicits._
+    val ids = spark.createDataset((0L to 19L).map(java.lang.Long.valueOf))
+    val rows = Multimodal.mediaTriage(Multimodal.syntheticMixedCorpus(ids))
+      .collect().map(r => r.doc_id -> r).toMap
+    val want = Map(0L -> "mp4", 1L -> "webm", 2L -> "avi", 3L -> "gif",
+      4L -> "audio", 5L -> "tar", 6L -> "zip", 7L -> "pdf",
+      8L -> "jpeg", 9L -> "unknown")
+    for (id <- 0L to 19L)
+      assert(rows(id).format == want(id % 10), s"id=$id")
+    // dims only on the visual families; units per the fixture spec
+    assert(rows(10L).width == 16 * (1 + 10 % 5) &&
+      rows(10L).n_units == 2 + 10 % 3) // mp4
+    assert(rows(14L).width == 0 && rows(14L).n_units == 100 + 14 % 50) // wav
+    assert(rows(17L).n_units == 1 + 17 % 2) // pdf pages
+    assert(rows(19L).n_units == 0) // unknown
+    // triage is TOTAL: one row per input blob
+    assert(rows.size == 20)
+  }
+
+  test("ISO-BMFF self-dispatch: m4a routes to audio with unit count") {
+    // reuse the audio fixture's m4a family (id%5 == 4)
+    import spark.implicits._
+    val ids = spark.createDataset(Seq(java.lang.Long.valueOf(9L))) // 9%5=4
+    val media = Multimodal.syntheticAudioMedia(ids)
+    val r = Multimodal.mediaTriage(media).collect().head
+    assert(r.format == "audio" && r.n_units == 4 + 9 % 7)
+  }
+
+  test("hostile payloads verdict unknown, never throw") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 50) {
+      val junk = Array.fill(rnd.nextInt(2048))(rnd.nextInt(256).toByte)
+      val r = Multimodal.describeAny(trial.toLong, junk)
+      assert(r.doc_id == trial.toLong) // total: always a row
+    }
+    // a sniffed-but-truncated container is unknown, not a crash
+    val mp4 = Mp4.write(Mp4.BuildSpec(64, 48, Seq(50, 51), syncEvery = 2))
+    val r = Multimodal.describeAny(1L, mp4.take(24))
+    assert(r.format == "unknown")
+  }
+}
