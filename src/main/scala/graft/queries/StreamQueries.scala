@@ -216,6 +216,27 @@ object StreamQueries {
         .orderBy("hour", "event_type")
     }),
 
+    // Streaming cross-format triage: the binary-decode path through a
+    // real micro-batch file stream — mixed blobs (all ten muxer-twin
+    // families) arrive as a stream, each micro-batch sniffs + parses
+    // per-row (stateless mapPartitions: no state store, no watermark),
+    // exactly-once through the checkpointed parquet sink. Same oracle
+    // as the batch q_media_triage: stream == batch on decode.
+    "q_triage_stream" -> ((s, dir) => {
+      import s.implicits._
+      val media = graft.ext.Multimodal.syntheticMixedCorpus(
+        QueryUtil.table(s, dir, "documents")
+          .where(col("doc_id").isNotNull)
+          .select("doc_id").as[java.lang.Long])
+      // nudge = false: triage is stateless, every row emits on arrival
+      runFileStream(s, dir, media, "doc_id LONG, bytes BINARY, mime STRING",
+        "triage-stream", nudge = false) { in =>
+        graft.ext.Multimodal.mediaTriage(in).toDF()
+          .select("doc_id", "format", "width", "height", "n_units")
+      }
+        .orderBy("doc_id")
+    }),
+
     // Watermarked streaming exact dedup (the pipeline's A1 through a
     // real micro-batch stream): one emission per key, state evicted by
     // the watermark. Only the KEY is kept: which physical row survives
@@ -344,6 +365,27 @@ object StreamQueries {
         |HAVING epoch_ms(date_trunc('hour', ts::TIMESTAMP)::TIMESTAMP)
         |  + 3600000 <= wm.w
         |ORDER BY hour, event_type""".stripMargin,
+
+    // stream == batch on binary decode: the q_media_triage spec
+    // arithmetic verbatim (format/dims/units by id%10)
+    "q_triage_stream" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 10 WHEN 0 THEN 'mp4' WHEN 1 THEN 'webm'
+        |    WHEN 2 THEN 'avi' WHEN 3 THEN 'gif' WHEN 4 THEN 'audio'
+        |    WHEN 5 THEN 'tar' WHEN 6 THEN 'zip' WHEN 7 THEN 'pdf'
+        |    WHEN 8 THEN 'jpeg' ELSE 'unknown' END AS format,
+        |  (CASE WHEN doc_id % 10 IN (0, 1, 2, 3, 8)
+        |        THEN 16 * (1 + doc_id % 5) ELSE 0 END)::BIGINT AS width,
+        |  (CASE WHEN doc_id % 10 IN (0, 1, 2, 3, 8)
+        |        THEN 16 * (1 + doc_id % 4) ELSE 0 END)::BIGINT AS height,
+        |  (CASE doc_id % 10 WHEN 0 THEN 2 + doc_id % 3
+        |    WHEN 1 THEN 2 + doc_id % 4 WHEN 2 THEN 2 + doc_id % 5
+        |    WHEN 3 THEN 1 + doc_id % 3 WHEN 4 THEN 100 + doc_id % 50
+        |    WHEN 5 THEN 1 + doc_id % 4 WHEN 6 THEN 1 + doc_id % 3
+        |    WHEN 7 THEN 1 + doc_id % 2 WHEN 8 THEN 1
+        |    ELSE 0 END)::BIGINT AS n_units
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
 
     // One emission per key: the stream dedup's key set equals DISTINCT
     // over the batch. A double emission or a dropped key breaks the
