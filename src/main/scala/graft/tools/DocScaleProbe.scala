@@ -69,8 +69,12 @@ object DocScaleProbe {
       graft.ext.HtmlMarkdown.htmlToMarkdown(
         graft.ext.HtmlMarkdown.syntheticHtmlDocs(docs)).count()
     }
+    val triage = time("mixed_triage") {
+      graft.ext.Multimodal.mediaTriage(
+        graft.ext.Multimodal.syntheticMixedCorpus(ids)).count()
+    }
     println(s"""{"metric":"doc_scale","factor":$factor,""" +
-      s""""passes":[$zip,$zipText,$pdf,$mdown]}""")
+      s""""passes":[$zip,$zipText,$pdf,$mdown,$triage]}""")
     spark.stop()
   }
 }
