@@ -756,6 +756,30 @@ object Multimodal {
     }).toDF("doc_id", "bytes", "mime")
   }
 
+  /** ZIP sample shards with REAL ImageIO-encoded PNGs (stored — PNG is
+    * already deflated) and token-run `.txt` captions (DEFLATE'd) —
+    * the zip-format twin of [[syntheticPngWebdataset]], proving the
+    * shard-to-sample pipeline is container-agnostic. Closed form per
+    * (id, sample j of 2+(id%4)): png dims (8+((id*2+j)%16)) x
+    * (8+((id+2*j)%12)), text of 2+((id*j)%6) "tok" tokens.
+    */
+  def syntheticPngZipShards(ids: Dataset[java.lang.Long]): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions(_.map { boxed =>
+      val id = boxed.longValue()
+      val n = (2 + id % 4).toInt
+      val entries = (1 to n).flatMap { j =>
+        val w = (8 + ((id * 2 + j) % 16)).toInt
+        val h = (8 + ((id + 2 * j) % 12)).toInt
+        val text = Seq.fill((2 + ((id * j) % 6)).toInt)("tok").mkString(" ")
+        Seq((s"${id}_$j.png", encodedHostImage("png", w, h), false),
+          (s"${id}_$j.txt", text.getBytes("UTF-8"), true))
+      }
+      (id, Zip.write(entries), "application/zip")
+    }).toDF("doc_id", "bytes", "mime")
+  }
+
   /** Group members back into samples: one row per (doc_id, key) with
     * an ext → bytes map — the unit a multimodal training loader
     * consumes.

@@ -255,6 +255,32 @@ object Zip {
         "last_byte", "crc_ok")
   }
 
+  /** WebDataset-convention member explode for ZIP sample shards:
+    * (doc_id, member, key, ext, bytes) with key/ext split at the
+    * basename's FIRST dot — the same convention as
+    * `Multimodal.webdatasetMembers`, so one sample's modalities share
+    * a key and the SAME downstream sample-table join serves both shard
+    * formats. Extraction is inflate+CRC as everywhere; failed members
+    * contribute nothing.
+    */
+  def zipWdsMembers(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        members(b).iterator.flatMap { m =>
+          extract(b, m).map { data =>
+            val base = m.name.substring(m.name.lastIndexOf('/') + 1)
+            val dot = base.indexOf('.')
+            val (key, ext) =
+              if (dot < 0) (base, "")
+              else (base.substring(0, dot), base.substring(dot + 1))
+            (id, m.name, key, ext, data)
+          }
+        }
+      }).toDF("doc_id", "member", "key", "ext", "bytes")
+  }
+
   /** Text members back out of ZIP shards: every `.txt` member inflated,
     * CRC-verified, and UTF-8 decoded — (doc_id, text). The lossless
     * round-trip (document text → deflated shard → back) is the q_zip_text

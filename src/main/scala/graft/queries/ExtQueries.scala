@@ -1413,6 +1413,20 @@ object ExtQueries {
         .orderBy("doc_id", "key")
     }),
 
+    // The SAME shard-to-sample pipeline over ZIP shards: real PNG
+    // members (stored) + deflated captions → CRC-verified member
+    // explode (webdataset key/ext convention) → real ImageIO decode +
+    // tokenize → per-sample join. Container-agnostic by construction:
+    // wdsSampleTable is shared verbatim with the tar path.
+    "q_zip_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.wdsSampleTable(graft.ext.Zip.zipWdsMembers(
+        Multimodal.syntheticPngZipShards(
+          docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+            .select("doc_id").as[java.lang.Long])))
+        .orderBy("doc_id", "key")
+    }),
+
     // CAPSTONE composition — clip-text pairs: REAL container-cut frame
     // timelines (sampleFrames over the synthetic MP4 corpus, 40 ms
     // cadence) interval-joined to REAL parsed subtitle cues
@@ -4227,6 +4241,18 @@ object ExtQueries {
         |  (8 + (doc_id + j) % 16)::BIGINT AS width,
         |  (8 + (doc_id * 3 + j) % 12)::BIGINT AS height,
         |  (3 + (doc_id + j) % 5)::BIGINT AS n_tokens
+        |FROM s ORDER BY doc_id, key""".stripMargin,
+
+    // the zip-shard sample spec recomputed (n = 2+(id%4) samples)
+    "q_zip_pipeline" ->
+      """WITH p AS (SELECT doc_id, (2 + doc_id % 4)::BIGINT AS n
+        |           FROM documents WHERE doc_id IS NOT NULL),
+        |s AS (SELECT doc_id, unnest(generate_series(1, n)) AS j FROM p)
+        |SELECT doc_id,
+        |  doc_id::VARCHAR || '_' || j::VARCHAR AS key,
+        |  (8 + (doc_id * 2 + j) % 16)::BIGINT AS width,
+        |  (8 + (doc_id + 2 * j) % 12)::BIGINT AS height,
+        |  (2 + (doc_id * j) % 6)::BIGINT AS n_tokens
         |FROM s ORDER BY doc_id, key""".stripMargin,
 
     // clip-text recomputed: video frames sit at (j-1)*40 ms for

@@ -94,6 +94,21 @@ class ZipSpec extends AnyFunSuite with SparkTestBase {
     assert(texts == Seq((1L, "alpha")))
   }
 
+  test("zipWdsMembers: key/ext split at the FIRST dot, corrupt drops") {
+    import spark.implicits._
+    val zip = Zip.write(Seq(
+      ("a/0001.png", Array[Byte](1, 2, 3), false),
+      ("a/0001.seg.json", "{}".getBytes("UTF-8"), true),
+      ("0002.txt", "cap".getBytes("UTF-8"), true)))
+    val media = spark.createDataset(Seq((7L, zip, "application/zip")))
+      .toDF("doc_id", "bytes", "mime")
+    val ms = Zip.zipWdsMembers(media)
+      .select("doc_id", "key", "ext")
+      .as[(Long, String, String)].collect().toSeq.sorted
+    assert(ms == Seq((7L, "0001", "png"), (7L, "0001", "seg.json"),
+      (7L, "0002", "txt")))
+  }
+
   test("synthetic shard spec matches the oracle arithmetic") {
     import spark.implicits._
     val ids = spark.createDataset(Seq(3L, 10L).map(java.lang.Long.valueOf))
