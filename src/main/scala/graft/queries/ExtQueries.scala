@@ -1551,6 +1551,22 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Charset detection + transcode (graft.ext.Charsets): the WHATWG
+    // sniff order (BOM > transport charset= > meta prescan > UTF-8
+    // validation > windows-1252 fallback) over a five-way encoded
+    // corpus — the non-ASCII marker must survive every path exactly,
+    // which a blind UTF-8 decode cannot do (it would U+FFFD families
+    // 1/2/3).
+    "q_charset_decode" -> ((s, dir) => {
+      import s.implicits._
+      graft.ext.Charsets.decodeFrame(
+        graft.ext.Charsets.syntheticEncodedDocs(
+          docsWithTokens(s, dir)
+            .where(col("doc_id").isNotNull && col("text").isNotNull)
+            .select("doc_id", "text").as[(java.lang.Long, String)]))
+        .orderBy("doc_id")
+    }),
+
     // Cross-format triage (Multimodal.describeAny): the FIRST operator
     // a mixed crawled-blob corpus runs — sniff the container magic,
     // route to the right parser, emit one TOTAL row per blob (format,
@@ -4371,6 +4387,19 @@ object ExtQueries {
     "q_zip_text" ->
       """SELECT doc_id, text FROM documents
         |WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
+    // the five-way encode spec by id%5: family 3 keeps its meta tag in
+    // the text; the iso-8859-1 label canonicalizes to windows-1252
+    "q_charset_decode" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 5 WHEN 0 THEN 'UTF-8' WHEN 1 THEN 'UTF-16LE'
+        |    WHEN 2 THEN 'windows-1252' WHEN 3 THEN 'windows-1252'
+        |    ELSE 'UTF-8' END AS charset,
+        |  CASE WHEN doc_id % 5 = 3
+        |       THEN '<meta charset="iso-8859-1">' ELSE '' END ||
+        |  text || ' café À' || (doc_id % 7)::VARCHAR AS decoded
+        |FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
 
     // the mixed-corpus spec by id%10: format name, dims for the visual

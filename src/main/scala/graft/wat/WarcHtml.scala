@@ -231,7 +231,7 @@ object WarcHtml {
     * must be undone before the body is text.
     */
   private final case class HttpHead(bodyStart: Int, chunked: Boolean,
-      gzip: Boolean)
+      gzip: Boolean, charset: Option[String])
 
   /** Accept a response iff it has an HTTP status line (checked on raw
     * bytes — no transient decode), a CRLF CRLF header terminator, a
@@ -270,7 +270,15 @@ object WarcHtml {
     val enc = headerValue("content-encoding").getOrElse("")
     val gzip = enc.contains("gzip") // covers x-gzip
     if (enc.nonEmpty && !gzip && enc != "identity") return None
-    Some(HttpHead(sep + 4, chunked, gzip))
+    // transport charset: the Content-Type "charset=" parameter (the
+    // headers string is already lowercased)
+    val charset = {
+      val at = ct.indexOf("charset=")
+      if (at < 0) None
+      else Some(ct.substring(at + 8).takeWhile(c => c != ';' && c != ' ')
+        .trim)
+    }
+    Some(HttpHead(sep + 4, chunked, gzip, charset))
   }
 
   /** Header-only acceptance check: Some(body start) iff [[parseHead]]
@@ -353,14 +361,19 @@ object WarcHtml {
   def htmlOfHttpResponse(payload: Array[Byte]): Option[String] =
     parseHead(payload).map { h =>
       try {
-        if (!h.chunked && !h.gzip)
-          new String(payload, h.bodyStart, payload.length - h.bodyStart,
-            UTF_8)
+        // charset-aware decode (graft.ext.Charsets): BOM > the header's
+        // charset= parameter > meta prescan > UTF-8 validation >
+        // windows-1252 fallback — a cp1252/UTF-16 page no longer turns
+        // its non-ASCII bytes into U+FFFD before the link scan
+        if (!h.chunked && !h.gzip) // identity: decode in place, no copy
+          graft.ext.Charsets.decode(payload, h.charset, h.bodyStart)._1
         else if (h.chunked) {
           val body = dechunk(payload, h.bodyStart)
-          new String(if (h.gzip) gunzip(body) else body, UTF_8)
+          graft.ext.Charsets.decode(
+            if (h.gzip) gunzip(body) else body, h.charset)._1
         } else // gzip only: decompress the slice in place, no copy
-          new String(gunzip(payload, h.bodyStart), UTF_8)
+          graft.ext.Charsets.decode(gunzip(payload, h.bodyStart),
+            h.charset)._1
       } catch { case scala.util.control.NonFatal(_) => "" }
     }
 

@@ -1,0 +1,103 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Charset sniff + decode: BOM precedence, transport/meta labels with
+  * the WHATWG 8859-1→1252 alias, strict UTF-8 validation (overlongs,
+  * surrogates, out-of-range), cp1252 fallback, totality.
+  */
+class CharsetsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("strict UTF-8 validation rejects what lenient decoders accept") {
+    assert(Charsets.isValidUtf8("plain ascii".getBytes("UTF-8")))
+    assert(Charsets.isValidUtf8("café № 𝄞".getBytes("UTF-8")))
+    // overlong '/' (C0 AF)
+    assert(!Charsets.isValidUtf8(Array(0xc0.toByte, 0xaf.toByte)))
+    // surrogate U+D800 (ED A0 80)
+    assert(!Charsets.isValidUtf8(Array(0xed.toByte, 0xa0.toByte, 0x80.toByte)))
+    // past U+10FFFF (F4 90 80 80)
+    assert(!Charsets.isValidUtf8(Array(0xf4.toByte, 0x90.toByte,
+      0x80.toByte, 0x80.toByte)))
+    // truncated multi-byte
+    assert(!Charsets.isValidUtf8("é".getBytes("UTF-8").take(1)))
+    // bare continuation byte / F5 lead
+    assert(!Charsets.isValidUtf8(Array(0x80.toByte)))
+    assert(!Charsets.isValidUtf8(Array(0xf5.toByte, 0x80.toByte,
+      0x80.toByte, 0x80.toByte)))
+  }
+
+  test("detection precedence: BOM > transport > meta > validation > 1252") {
+    // BOM wins even against a lying transport label
+    val bomUtf8 = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+      "hié".getBytes("UTF-8")
+    assert(Charsets.decode(bomUtf8, Some("windows-1252")) == ("hié", "UTF-8"))
+    val bomLe = Array[Byte](0xff.toByte, 0xfe.toByte) ++
+      "hié".getBytes("UTF-16LE")
+    assert(Charsets.decode(bomLe) == ("hié", "UTF-16LE"))
+    // transport beats meta
+    val meta1252 = "<meta charset='utf-8'>café"
+    assert(Charsets.decode(meta1252.getBytes("windows-1252"),
+      Some("iso-8859-1")) == (meta1252, "windows-1252"))
+    // meta when no transport (label canonicalizes via the alias rule)
+    val m = "<meta charset=\"latin-1\">olé".getBytes("ISO-8859-1")
+    assert(Charsets.decode(m) ==
+      ("<meta charset=\"latin-1\">olé", "windows-1252"))
+    // nothing declared, valid utf-8 → utf-8
+    assert(Charsets.decode("naïve".getBytes("UTF-8")) == ("naïve", "UTF-8"))
+    // nothing declared, NOT valid utf-8 → 1252 fallback (0xE9 = é)
+    assert(Charsets.decode("café".getBytes("windows-1252")) ==
+      ("café", "windows-1252"))
+    // unknown label falls through to validation, not a throw
+    assert(Charsets.decode("ok".getBytes("UTF-8"),
+      Some("klingon-8")) == ("ok", "UTF-8"))
+  }
+
+  test("1252-specific high bytes decode as 1252, not 8859-1 controls") {
+    // 0x93/0x94 are curly quotes in cp1252, C1 controls in 8859-1
+    val b = Array[Byte](0x93.toByte, 'h'.toByte, 'i'.toByte, 0x94.toByte)
+    assert(Charsets.decode(b)._1 == "“hi”")
+  }
+
+  test("totality: random bytes always decode, never throw") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 100) {
+      val b = Array.fill(rnd.nextInt(512))(rnd.nextInt(256).toByte)
+      val (text, cs) = Charsets.decode(b)
+      assert(cs == "UTF-8" || cs == "windows-1252" ||
+        cs == "UTF-16LE" || cs == "UTF-16BE")
+      assert(text != null)
+    }
+  }
+
+  test("warc integration: a cp1252 page keeps its accents end-to-end") {
+    val body = "<html><body><a href=\"/x\">café</a></body></html>"
+    val resp = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=windows-1252\r\n\r\n")
+      .getBytes("ISO-8859-1") ++ body.getBytes("windows-1252")
+    val html = graft.wat.WarcHtml.htmlOfHttpResponse(resp).get
+    assert(html.contains("café"))
+    // and without the charset param the same bytes fall back via
+    // UTF-8-validation failure → 1252, SAME text
+    val resp2 = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html\r\n\r\n").getBytes("ISO-8859-1") ++
+      body.getBytes("windows-1252")
+    assert(graft.wat.WarcHtml.htmlOfHttpResponse(resp2).get.contains("café"))
+  }
+
+  test("decodeFrame stage over the five-way encoded corpus") {
+    import spark.implicits._
+    val docs = spark.createDataset((0L to 9L).map(i =>
+      (java.lang.Long.valueOf(i), s"text $i")))
+    val out = Charsets.decodeFrame(Charsets.syntheticEncodedDocs(docs))
+      .as[(Long, String, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._2 == "UTF-8" && out(0L)._3 == "text 0 café À0")
+    assert(out(1L)._2 == "UTF-16LE" && out(1L)._3 == "text 1 café À1")
+    assert(out(2L)._2 == "windows-1252")
+    assert(out(3L)._2 == "windows-1252" &&
+      out(3L)._3 == "<meta charset=\"iso-8859-1\">text 3 café À3")
+    assert(out(4L)._2 == "UTF-8" && out(4L)._3 == "text 4 café À4")
+    assert(out.size == 10)
+  }
+}
