@@ -1551,6 +1551,20 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // robots.txt politeness gate (graft.ext.Robots, RFC 9309): per-
+    // domain robots parsed ONCE and broadcast to the frontier; group
+    // selection by most-specific product token, longest-match rules,
+    // allow-on-tie, * wildcards + $ anchor. The fixture's family 5
+    // (query string AFTER .pdf) is the $-anchor witness.
+    "q_robots_gate" -> ((s, dir) => {
+      import s.implicits._
+      val (pages, robots) = graft.ext.Robots.syntheticFrontier(
+        docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+          .select("doc_id").as[java.lang.Long])
+      graft.ext.Robots.gateByDomain(pages, robots, agent = "graftbot")
+        .orderBy("doc_id")
+    }),
+
     // Charset detection + transcode (graft.ext.Charsets): the WHATWG
     // sniff order (BOM > transport charset= > meta prescan > UTF-8
     // validation > windows-1252 fallback) over a five-way encoded
@@ -4387,6 +4401,26 @@ object ExtQueries {
     "q_zip_text" ->
       """SELECT doc_id, text FROM documents
         |WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
+    // the gate recomputed: robots kind = (id%50)%3 — kind 2 allows
+    // all; kind 1's graftbot group only blocks /nobot/; kind 0 blocks
+    // /private/ (with the /private/ok/ allow override) and anchored
+    // *.pdf (which must NOT catch the ?query variant)
+    "q_robots_gate" ->
+      """SELECT doc_id,
+        |  'd' || (doc_id % 50)::VARCHAR || '.test' AS domain,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN '/a/b' || doc_id::VARCHAR
+        |    WHEN 1 THEN '/private/x' || doc_id::VARCHAR
+        |    WHEN 2 THEN '/private/ok/y' || doc_id::VARCHAR
+        |    WHEN 3 THEN '/doc' || doc_id::VARCHAR || '.pdf'
+        |    WHEN 4 THEN '/nobot/z' || doc_id::VARCHAR
+        |    ELSE '/doc' || doc_id::VARCHAR || '.pdf?x=1' END AS path,
+        |  CASE WHEN (doc_id % 50) % 3 = 2 THEN true
+        |       WHEN (doc_id % 50) % 3 = 1 THEN doc_id % 6 <> 4
+        |       ELSE doc_id % 6 NOT IN (1, 3) END AS allowed
+        |FROM documents WHERE doc_id IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
 
     // the five-way encode spec by id%5: family 3 keeps its meta tag in
