@@ -80,21 +80,32 @@ object Charsets {
 
   /** `<meta charset=...>` / `http-equiv Content-Type` label in the
     * first 1024 bytes (scanned as Latin-1 — the prescan is
-    * ASCII-shaped by construction).
+    * ASCII-shaped by construction). Only a `charset=` INSIDE a <meta>
+    * tag counts — an `accept-charset` form attribute, a `?charset=`
+    * link, or a comment mentioning it must not hijack detection.
     */
   def metaLabel(b: Array[Byte], from: Int = 0): Option[String] = {
     val head = new String(b, from, math.min(1024, b.length - from),
       "ISO-8859-1")
       .toLowerCase(java.util.Locale.ROOT)
-    val at = head.indexOf("charset=")
-    if (at < 0) return None
-    var i = at + 8
-    if (i < head.length && (head.charAt(i) == '"' || head.charAt(i) == '\''))
-      i += 1
-    val start = i
-    while (i < head.length && !"\"';> \t\r\n/".contains(head.charAt(i)))
-      i += 1
-    if (i > start) Some(head.substring(start, i)) else None
+    var m = head.indexOf("<meta")
+    while (m >= 0) {
+      val gt = head.indexOf('>', m)
+      val tag = head.substring(m, if (gt < 0) head.length else gt)
+      val at = tag.indexOf("charset=")
+      // reject accept-charset= (the char before is '-')
+      if (at >= 0 && (at == 0 || tag.charAt(at - 1) != '-')) {
+        var i = at + 8
+        if (i < tag.length && (tag.charAt(i) == '"' || tag.charAt(i) == '\''))
+          i += 1
+        val start = i
+        while (i < tag.length && !"\"';> \t\r\n/".contains(tag.charAt(i)))
+          i += 1
+        if (i > start) return Some(tag.substring(start, i))
+      }
+      m = head.indexOf("<meta", m + 5)
+    }
+    None
   }
 
   /** (detected charset name, byte offset where the text starts —
@@ -109,10 +120,18 @@ object Charsets {
       return ("UTF-16LE", from + 2)
     if (n >= 2 && (b(from) & 0xff) == 0xfe && (b(from + 1) & 0xff) == 0xff)
       return ("UTF-16BE", from + 2)
-    transport.flatMap(canonical).map((_, from)).getOrElse(
-      metaLabel(b, from).flatMap(canonical).map((_, from)).getOrElse(
+    transport.flatMap(canonical).map((_, from)).getOrElse {
+      val meta = metaLabel(b, from).flatMap(canonical).map {
+        // the WHATWG prescan override: an ASCII-readable <meta> cannot
+        // sit inside a real UTF-16 document, so a UTF-16 label from
+        // the prescan means UTF-8
+        case "UTF-16LE" | "UTF-16BE" => "UTF-8"
+        case other => other
+      }
+      meta.map((_, from)).getOrElse(
         if (isValidUtf8(b, from)) ("UTF-8", from)
-        else ("windows-1252", from)))
+        else ("windows-1252", from))
+    }
   }
 
   /** Decode under the detection policy FROM an offset (zero-copy for
@@ -173,6 +192,14 @@ object Charsets {
     docs.mapPartitions(_.map { case (boxed, text) =>
       val id = boxed.longValue()
       val full = text + s" café À${id % 7}"
+      // families 2/3 encode via single-byte charsets, where getBytes
+      // SILENTLY writes '?' for unmappable chars and the oracle (which
+      // carries the original text) would mismatch by one baffling
+      // character — fail LOUD instead if the corpus ever gains one
+      if (id % 5 == 2 || id % 5 == 3)
+        require(full.forall(_ <= 'ÿ'),
+          s"doc $id: text has a non-Latin-1 char; the 1252/8859-1 " +
+            "fixture families cannot encode it losslessly")
       val (bytes, transport): (Array[Byte], Option[String]) = (id % 5) match {
         case 0 =>
           (Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++

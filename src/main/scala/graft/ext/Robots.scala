@@ -28,11 +28,15 @@ object Robots {
     * comments (#) and unknown directives (Sitemap, ...) are ignored.
     * Never throws — malformed lines are skipped.
     */
+  private final class GroupBuilder {
+    val agents = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(Boolean, String)]
+    var crawlDelay: Option[Double] = None
+    def result: Group = Group(agents.toSeq, rules.toSeq, crawlDelay)
+  }
+
   def parse(txt: String): Seq[Group] = {
-    val groups = scala.collection.mutable.ArrayBuffer.empty[
-      (scala.collection.mutable.ArrayBuffer[String],
-        scala.collection.mutable.ArrayBuffer[(Boolean, String)],
-        Array[Option[Double]])]
+    val groups = scala.collection.mutable.ArrayBuffer.empty[GroupBuilder]
     var openAgents = false
     for (raw <- txt.linesIterator) {
       val line = raw.indexOf('#') match {
@@ -47,24 +51,26 @@ object Robots {
         key match {
           case "user-agent" =>
             if (!openAgents || groups.isEmpty) {
-              groups += ((scala.collection.mutable.ArrayBuffer.empty,
-                scala.collection.mutable.ArrayBuffer.empty,
-                Array[Option[Double]](None)))
+              groups += new GroupBuilder
               openAgents = true
             }
-            groups.last._1 += value.toLowerCase(java.util.Locale.ROOT)
+            // an EMPTY product token is invalid (RFC 9309): appending
+            // it would make the group match every agent (everything
+            // startsWith "") and hijack the * fallback
+            if (value.nonEmpty)
+              groups.last.agents += value.toLowerCase(java.util.Locale.ROOT)
           case "allow" | "disallow" if groups.nonEmpty =>
             openAgents = false
             if (value.nonEmpty)
-              groups.last._2 += ((key == "allow", value))
+              groups.last.rules += ((key == "allow", value))
           case "crawl-delay" if groups.nonEmpty =>
             openAgents = false
-            groups.last._3(0) = value.toDoubleOption
+            groups.last.crawlDelay = value.toDoubleOption
           case _ => () // sitemap / unknown: not a group boundary
         }
       }
     }
-    groups.map(g => Group(g._1.toSeq, g._2.toSeq, g._3(0))).toSeq
+    groups.map(_.result).toSeq
   }
 
   /** RFC 9309 path matching: literal octets, `*` matches any run,
@@ -109,19 +115,21 @@ object Robots {
     groups.filter(_.agents.contains(chosen)).flatMap(_.rules)
   }
 
-  /** Longest-match precedence, allow on tie, allowed when nothing
-    * matches (RFC 9309 §2.2.2).
+  /** Longest-match precedence over PRE-SELECTED rules, allow on tie,
+    * allowed when nothing matches (RFC 9309 §2.2.2).
     */
-  def isAllowed(groups: Seq[Group], agent: String, path: String): Boolean = {
-    val hits = rulesFor(groups, agent).filter { case (_, p) =>
-      matches(p, path)
-    }
+  def isAllowedByRules(rules: Seq[(Boolean, String)], path: String)
+      : Boolean = {
+    val hits = rules.filter { case (_, p) => matches(p, path) }
     if (hits.isEmpty) true
     else {
       val longest = hits.map(_._2.length).max
       hits.filter(_._2.length == longest).exists(_._1) // any allow ties win
     }
   }
+
+  def isAllowed(groups: Seq[Group], agent: String, path: String): Boolean =
+    isAllowedByRules(rulesFor(groups, agent), path)
 
   // ------------------------------------------------------------------
   // Spark stage + fixture twin
@@ -137,15 +145,18 @@ object Robots {
       : DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
-    // driver-side parse of the per-domain table: |domains| rows
-    val parsed: Map[String, Seq[Group]] = robots
+    // driver-side parse AND group selection per domain (agent is a
+    // constant): the broadcast carries only each domain's governing
+    // rule list, so the per-row work is exactly the matches() loop
+    val ruleMap: Map[String, Seq[(Boolean, String)]] = robots
       .select("domain", "robots").as[(String, String)]
-      .collect().iterator.map { case (d, t) => d -> parse(t) }.toMap
-    val bc = spark.sparkContext.broadcast(parsed)
+      .collect().iterator
+      .map { case (d, t) => d -> rulesFor(parse(t), agent) }.toMap
+    val bc = spark.sparkContext.broadcast(ruleMap)
     pages.select("doc_id", "domain", "path")
       .as[(Long, String, String)]
       .mapPartitions(_.map { case (id, domain, path) =>
-        val ok = bc.value.get(domain).forall(isAllowed(_, agent, path))
+        val ok = bc.value.get(domain).forall(isAllowedByRules(_, path))
         (id, domain, path, ok)
       }).toDF("doc_id", "domain", "path", "allowed")
   }

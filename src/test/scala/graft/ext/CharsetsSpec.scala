@@ -54,6 +54,25 @@ class CharsetsSpec extends AnyFunSuite with SparkTestBase {
       Some("klingon-8")) == ("ok", "UTF-8"))
   }
 
+  test("charset= outside a <meta> tag never hijacks detection") {
+    // accept-charset on a form must not count...
+    val form = "<form accept-charset=\"utf-16le\">café</form>"
+      .getBytes("windows-1252")
+    assert(Charsets.decode(form) == (
+      "<form accept-charset=\"utf-16le\">café</form>", "windows-1252"))
+    // ...nor a charset= inside a link query string
+    val link = "<a href=\"/c?charset=utf-16le\">olé</a>"
+      .getBytes("windows-1252")
+    assert(Charsets.decode(link)._2 == "windows-1252")
+  }
+
+  test("WHATWG prescan override: a meta-declared utf-16 means utf-8") {
+    // an ASCII-readable <meta> cannot live inside real UTF-16 bytes
+    val lying = "<meta charset=\"utf-16\">plain ascii".getBytes("UTF-8")
+    assert(Charsets.decode(lying) ==
+      ("<meta charset=\"utf-16\">plain ascii", "UTF-8"))
+  }
+
   test("1252-specific high bytes decode as 1252, not 8859-1 controls") {
     // 0x93/0x94 are curly quotes in cp1252, C1 controls in 8859-1
     val b = Array[Byte](0x93.toByte, 'h'.toByte, 'i'.toByte, 0x94.toByte)

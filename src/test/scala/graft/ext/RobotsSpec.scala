@@ -73,6 +73,18 @@ class RobotsSpec extends AnyFunSuite with SparkTestBase {
     assert(Robots.isAllowed(gs, "graftbot/2.1", "/fine"))
   }
 
+  test("an empty User-agent token is dropped, not a match-everything") {
+    val gs = Robots.parse(
+      """User-agent:
+        |Disallow: /private/
+        |
+        |User-agent: *
+        |Allow: /
+        |""".stripMargin)
+    // the malformed group has no valid token; the * group governs
+    assert(Robots.isAllowed(gs, "anybot", "/private/x"))
+  }
+
   test("no robots row / empty robots → allowed") {
     assert(Robots.isAllowed(Robots.parse(""), "a", "/x"))
     assert(Robots.isAllowed(Robots.parse(Robots.robotsFor(2)), "a", "/x"))
