@@ -132,6 +132,101 @@ object Robots {
     isAllowedByRules(rulesFor(groups, agent), path)
 
   // ------------------------------------------------------------------
+  // sitemaps (sitemaps.org protocol) — the DISCOVERY half of crawl
+  // politeness: robots gates what may be fetched, sitemaps enumerate
+  // what exists
+  // ------------------------------------------------------------------
+
+  /** One sitemap entry: kind = "url" (urlset member) or "sitemap"
+    * (sitemapindex child); lastmod/priority empty when absent.
+    */
+  final case class SitemapEntry(kind: String, loc: String,
+      lastmod: String, priority: String)
+
+  /** Parse a sitemap.xml body: `<urlset>` → `<url>` members,
+    * `<sitemapindex>` → `<sitemap>` children; `<loc>` text is
+    * entity-decoded (URLs carry `&amp;`). Tag scan, not an XML parser
+    * — hostile input yields fewer entries, never a throw.
+    */
+  def parseSitemap(xml: String): Seq[SitemapEntry] = {
+    def field(block: String, tag: String): String = {
+      val open = block.indexOf(s"<$tag>")
+      if (open < 0) ""
+      else {
+        val vs = open + tag.length + 2
+        val close = block.indexOf(s"</$tag>", vs)
+        if (close < 0) ""
+        else HtmlEntities.unescape(block.substring(vs, close).trim)
+      }
+    }
+    def blocks(tag: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = xml.indexOf(s"<$tag>")
+      while (i >= 0 && out.size < 65536) {
+        val close = xml.indexOf(s"</$tag>", i)
+        if (close < 0) return out.toSeq
+        out += xml.substring(i, close)
+        i = xml.indexOf(s"<$tag>", close)
+      }
+      out.toSeq
+    }
+    val urls = blocks("url").map(b =>
+      SitemapEntry("url", field(b, "loc"), field(b, "lastmod"),
+        field(b, "priority")))
+    val subs = blocks("sitemap").map(b =>
+      SitemapEntry("sitemap", field(b, "loc"), field(b, "lastmod"), ""))
+    (urls ++ subs).filter(_.loc.nonEmpty)
+  }
+
+  /** (doc_id, xml) → one row per entry: the frontier-seeding stage. */
+  def sitemapEntries(docs: Dataset[(java.lang.Long, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.mapPartitions(_.flatMap { case (boxed, xml) =>
+      val id = boxed.longValue()
+      parseSitemap(xml).iterator.map(e =>
+        (id, e.kind, e.loc, e.lastmod, e.priority))
+    }).toDF("doc_id", "kind", "loc", "lastmod", "priority")
+  }
+
+  /** Fixture: even ids are a urlset of 1+(id%3) urls (loc carries an
+    * entity-encoded query string — the &amp; decode witness, plus
+    * lastmod/priority in closed form); odd ids are a sitemapindex of
+    * 2 child sitemaps.
+    */
+  def syntheticSitemaps(ids: Dataset[java.lang.Long])
+      : Dataset[(java.lang.Long, String)] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions(_.map { boxed =>
+      val id = boxed.longValue()
+      val xml =
+        if (id % 2 == 0) {
+          val urls = (1 to (1 + id % 3).toInt).map { j =>
+            f"""  <url>
+               |    <loc>https://s$id.test/p$j?a=1&amp;b=2</loc>
+               |    <lastmod>2024-${1 + id % 12}%02d-${1 + id % 28}%02d</lastmod>
+               |    <priority>0.${1 + (id + j) % 9}</priority>
+               |  </url>""".stripMargin
+          }.mkString("\n")
+          s"""<?xml version="1.0" encoding="UTF-8"?>
+             |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+             |$urls
+             |</urlset>""".stripMargin
+        } else {
+          val subs = (1 to 2).map(j =>
+            s"  <sitemap>\n    <loc>https://s$id.test/sitemap$j.xml" +
+              "</loc>\n  </sitemap>").mkString("\n")
+          s"""<?xml version="1.0" encoding="UTF-8"?>
+             |<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+             |$subs
+             |</sitemapindex>""".stripMargin
+        }
+      (boxed, xml)
+    })
+  }
+
+  // ------------------------------------------------------------------
   // Spark stage + fixture twin
   // ------------------------------------------------------------------
 

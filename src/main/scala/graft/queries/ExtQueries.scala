@@ -1551,6 +1551,18 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // sitemap.xml parsing (graft.ext.Robots.parseSitemap): urlset
+    // members + sitemapindex children, entity-decoded locs (the &amp;
+    // in the query string is the decode witness) — the discovery half
+    // of crawl politeness.
+    "q_sitemap" -> ((s, dir) => {
+      import s.implicits._
+      graft.ext.Robots.sitemapEntries(graft.ext.Robots.syntheticSitemaps(
+        docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+          .select("doc_id").as[java.lang.Long]))
+        .orderBy("doc_id", "loc")
+    }),
+
     // robots.txt politeness gate (graft.ext.Robots, RFC 9309): per-
     // domain robots parsed ONCE and broadcast to the frontier; group
     // selection by most-specific product token, longest-match rules,
@@ -4402,6 +4414,30 @@ object ExtQueries {
       """SELECT doc_id, text FROM documents
         |WHERE doc_id IS NOT NULL AND text IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
+
+    // the sitemap spec recomputed: even ids 1+(id%3) urlset members
+    // with decoded & in the loc; odd ids 2 sitemapindex children
+    "q_sitemap" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 3
+        |         ELSE 2 END::BIGINT AS n
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |s AS (SELECT doc_id, unnest(generate_series(1, n)) AS j FROM p)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'url' ELSE 'sitemap' END AS kind,
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN 'https://s' || doc_id::VARCHAR || '.test/p' ||
+        |            j::VARCHAR || '?a=1&b=2'
+        |       ELSE 'https://s' || doc_id::VARCHAR || '.test/sitemap' ||
+        |            j::VARCHAR || '.xml' END AS loc,
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN printf('2024-%02d-%02d', 1 + doc_id % 12,
+        |                   1 + doc_id % 28)
+        |       ELSE '' END AS lastmod,
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN '0.' || (1 + (doc_id + j) % 9)::VARCHAR
+        |       ELSE '' END AS priority
+        |FROM s ORDER BY doc_id, loc""".stripMargin,
 
     // the gate recomputed: robots kind = (id%50)%3 — kind 2 allows
     // all; kind 1's graftbot group only blocks /nobot/; kind 0 blocks

@@ -90,6 +90,33 @@ class RobotsSpec extends AnyFunSuite with SparkTestBase {
     assert(Robots.isAllowed(Robots.parse(Robots.robotsFor(2)), "a", "/x"))
   }
 
+  test("sitemap parsing: urlset, sitemapindex, entities, hostile") {
+    val urlset =
+      """<?xml version="1.0"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url><loc>https://e.test/a?x=1&amp;y=2</loc>
+        |    <lastmod>2024-01-02</lastmod><priority>0.8</priority></url>
+        |  <url><loc> https://e.test/b </loc></url>
+        |</urlset>""".stripMargin
+    val es = Robots.parseSitemap(urlset)
+    assert(es == Seq(
+      Robots.SitemapEntry("url", "https://e.test/a?x=1&y=2",
+        "2024-01-02", "0.8"),
+      Robots.SitemapEntry("url", "https://e.test/b", "", "")))
+    val index =
+      """<sitemapindex>
+        |  <sitemap><loc>https://e.test/s1.xml</loc></sitemap>
+        |  <sitemap><loc>https://e.test/s2.xml</loc></sitemap>
+        |</sitemapindex>""".stripMargin
+    assert(Robots.parseSitemap(index).map(_.loc) ==
+      Seq("https://e.test/s1.xml", "https://e.test/s2.xml"))
+    // hostile: truncated/garbage yields fewer entries, never a throw
+    assert(Robots.parseSitemap("").isEmpty)
+    assert(Robots.parseSitemap("<url><loc>x").isEmpty)
+    assert(Robots.parseSitemap("not xml at all & < >").isEmpty)
+    Robots.parseSitemap(urlset.take(80)) // no throw is the property
+  }
+
   test("gateByDomain: broadcast per-domain parse over the frontier") {
     import spark.implicits._
     val ids = spark.createDataset((0L to 29L).map(java.lang.Long.valueOf))
