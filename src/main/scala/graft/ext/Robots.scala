@@ -9,10 +9,15 @@ import org.apache.spark.sql.functions._
   * precedence with allow-on-tie, `*` wildcards and the `$` end
   * anchor.
   *
-  * Scale shape: robots documents are PER DOMAIN (a tiny table next to
-  * a huge URL frontier), so the gate parses each robots once and
-  * BROADCASTS the parsed groups to the frontier join — never parse
-  * per URL ([[gateByDomain]]).
+  * Scale shape: robots documents are PER DOMAIN (a small table next
+  * to a huge URL frontier), so the gate parses each robots ONCE — on
+  * EXECUTORS, never the driver: at CC scale the robots table is
+  * 10⁷–10⁸ domains and a driver-side collect/parse would OOM the
+  * driver and serialize the parse. [[rulesByDomain]] parses + selects
+  * the governing rule list per domain in `mapPartitions`; the gate
+  * then joins frontier → rules (broadcast under a domain-count
+  * threshold, a domain-keyed equi-join above it) and runs only the
+  * per-row `matches()` loop on frontier rows ([[gateByDomain]]).
   */
 object Robots {
 
@@ -101,19 +106,30 @@ object Robots {
     if (anchored) pos == path.length else true
   }
 
-  /** The rules governing `agent`: groups whose LONGEST matching product
-    * token wins (token a prefix of the agent, case-insensitive); all
-    * groups carrying that token combine; `*` groups are the fallback.
+  /** The groups governing `agent`: the LONGEST matching product token
+    * wins (token a prefix of the agent, case-insensitive); all groups
+    * carrying that token combine; `*` groups are the fallback.
     */
-  def rulesFor(groups: Seq[Group], agent: String): Seq[(Boolean, String)] = {
+  private def selectGroups(groups: Seq[Group], agent: String): Seq[Group] = {
     val a = agent.toLowerCase(java.util.Locale.ROOT)
     val tokens = groups.flatMap(_.agents).distinct
       .filter(t => t != "*" && a.startsWith(t))
     val chosen =
       if (tokens.nonEmpty) tokens.maxBy(_.length)
       else "*"
-    groups.filter(_.agents.contains(chosen)).flatMap(_.rules)
+    groups.filter(_.agents.contains(chosen))
   }
+
+  /** The rules governing `agent` (see [[selectGroups]]). */
+  def rulesFor(groups: Seq[Group], agent: String): Seq[(Boolean, String)] =
+    selectGroups(groups, agent).flatMap(_.rules)
+
+  /** The crawl delay governing `agent`: the first defined Crawl-delay
+    * among its selected groups (file order), the value a politeness
+    * scheduler paces per-domain fetches by.
+    */
+  def crawlDelayFor(groups: Seq[Group], agent: String): Option[Double] =
+    selectGroups(groups, agent).flatMap(_.crawlDelaySec).headOption
 
   /** Longest-match precedence over PRE-SELECTED rules, allow on tie,
     * allowed when nothing matches (RFC 9309 §2.2.2).
@@ -143,30 +159,88 @@ object Robots {
   final case class SitemapEntry(kind: String, loc: String,
       lastmod: String, priority: String)
 
+  /** True when the qname at `at` (just past '<' or "</") has local
+    * name `local`: an optional `prefix:` is skipped (real sitemaps are
+    * routinely namespace-prefixed), the match is case-insensitive, and
+    * the name must be DELIMITED by whitespace, '>', or '/' — so
+    * `<sitemapindex>` never matches a `sitemap` member probe.
+    */
+  private def qnameMatches(xml: String, at: Int, local: String): Boolean = {
+    var j = at
+    val n = xml.length
+    while (j < n && (xml.charAt(j).isLetterOrDigit ||
+        xml.charAt(j) == '_' || xml.charAt(j) == '-')) j += 1
+    var start = at
+    if (j < n && xml.charAt(j) == ':') { // namespace prefix: skip it
+      start = j + 1
+      j = start
+      while (j < n && (xml.charAt(j).isLetterOrDigit ||
+          xml.charAt(j) == '_' || xml.charAt(j) == '-')) j += 1
+    }
+    j - start == local.length &&
+      xml.regionMatches(true, start, local, 0, local.length) &&
+      (j >= n || xml.charAt(j).isWhitespace || xml.charAt(j) == '>' ||
+        xml.charAt(j) == '/')
+  }
+
+  /** Index of the '<' opening a `local` tag (prefix/attr-tolerant) at
+    * or after `from`; -1 when absent.
+    */
+  private def tagOpen(xml: String, local: String, from: Int): Int = {
+    var i = xml.indexOf('<', from)
+    while (i >= 0) {
+      if (i + 1 < xml.length && xml.charAt(i + 1) != '/' &&
+          qnameMatches(xml, i + 1, local)) return i
+      i = xml.indexOf('<', i + 1)
+    }
+    -1
+  }
+
+  /** Index of the "</" closing a `local` tag at or after `from`. */
+  private def tagClose(xml: String, local: String, from: Int): Int = {
+    var i = xml.indexOf("</", from)
+    while (i >= 0) {
+      if (qnameMatches(xml, i + 2, local)) return i
+      i = xml.indexOf("</", i + 1)
+    }
+    -1
+  }
+
   /** Parse a sitemap.xml body: `<urlset>` → `<url>` members,
     * `<sitemapindex>` → `<sitemap>` children; `<loc>` text is
-    * entity-decoded (URLs carry `&amp;`). Tag scan, not an XML parser
-    * — hostile input yields fewer entries, never a throw.
+    * entity-decoded (URLs carry `&amp;`) unless it sits in a CDATA
+    * section (taken verbatim, per XML). Member tags may carry
+    * namespace prefixes (`<sm:loc>`) and attributes — both routine in
+    * crawled sitemaps. Tag scan, not an XML parser — hostile input
+    * yields fewer entries, never a throw.
     */
   def parseSitemap(xml: String): Seq[SitemapEntry] = {
-    def field(block: String, tag: String): String = {
-      val open = block.indexOf(s"<$tag>")
-      if (open < 0) ""
-      else {
-        val vs = open + tag.length + 2
-        val close = block.indexOf(s"</$tag>", vs)
-        if (close < 0) ""
-        else HtmlEntities.unescape(block.substring(vs, close).trim)
-      }
+    def field(block: String, local: String): String = {
+      val open = tagOpen(block, local, 0)
+      if (open < 0) return ""
+      val gt = block.indexOf('>', open)
+      if (gt < 0) return ""
+      if (block.charAt(gt - 1) == '/') return "" // self-closing: empty
+      val close = tagClose(block, local, gt + 1)
+      if (close < 0) return ""
+      val raw = block.substring(gt + 1, close).trim
+      val text =
+        if (raw.startsWith("<![CDATA[")) {
+          val e = raw.indexOf("]]>")
+          if (e < 0) raw.substring(9) else raw.substring(9, e)
+        } else HtmlEntities.unescape(raw)
+      text.trim
     }
-    def blocks(tag: String): Seq[String] = {
+    def blocks(local: String): Seq[String] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      var i = xml.indexOf(s"<$tag>")
+      var i = tagOpen(xml, local, 0)
       while (i >= 0 && out.size < 65536) {
-        val close = xml.indexOf(s"</$tag>", i)
+        val gt = xml.indexOf('>', i)
+        if (gt < 0) return out.toSeq
+        val close = tagClose(xml, local, gt + 1)
         if (close < 0) return out.toSeq
-        out += xml.substring(i, close)
-        i = xml.indexOf(s"<$tag>", close)
+        out += xml.substring(gt + 1, close)
+        i = tagOpen(xml, local, close + 1)
       }
       out.toSeq
     }
@@ -176,6 +250,36 @@ object Robots {
     val subs = blocks("sitemap").map(b =>
       SitemapEntry("sitemap", field(b, "loc"), field(b, "lastmod"), ""))
     (urls ++ subs).filter(_.loc.nonEmpty)
+  }
+
+  /** Sitemap bodies as fetched: gzip-compressed `sitemap.xml.gz` is
+    * explicitly allowed by the protocol, so gunzip on the 1f 8b magic
+    * (output capped — a decompression bomb fails closed to empty),
+    * charset-sniff ([[Charsets.decode]] — sitemaps are UTF-8, often
+    * BOM'd), then [[parseSitemap]].
+    */
+  def parseSitemapBytes(b: Array[Byte]): Seq[SitemapEntry] = {
+    val MaxXmlBytes = 1 << 26 // 64 MiB decompressed ceiling
+    val xmlBytes: Array[Byte] =
+      if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) {
+        try {
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(b))
+          try {
+            val out = new java.io.ByteArrayOutputStream(
+              math.min(b.length * 4, MaxXmlBytes))
+            val buf = new Array[Byte](8192)
+            var n = in.read(buf)
+            while (n >= 0) {
+              if (out.size() + n > MaxXmlBytes) return Seq.empty
+              out.write(buf, 0, n)
+              n = in.read(buf)
+            }
+            out.toByteArray
+          } finally in.close()
+        } catch { case _: java.io.IOException => return Seq.empty }
+      } else b
+    parseSitemap(Charsets.decode(xmlBytes)._1)
   }
 
   /** (doc_id, xml) → one row per entry: the frontier-seeding stage. */
@@ -189,10 +293,29 @@ object Robots {
     }).toDF("doc_id", "kind", "loc", "lastmod", "priority")
   }
 
+  /** Bytes-as-fetched variant ((doc_id, bytes) → entries): gunzip +
+    * charset-sniff + parse per row ([[parseSitemapBytes]]) — the shape
+    * a fetch stage actually hands over (`sitemap.xml.gz` is protocol-
+    * legal and common).
+    */
+  def sitemapEntriesRaw(docs: Dataset[(java.lang.Long, Array[Byte])])
+      : DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.mapPartitions(_.flatMap { case (boxed, bytes) =>
+      val id = boxed.longValue()
+      parseSitemapBytes(bytes).iterator.map(e =>
+        (id, e.kind, e.loc, e.lastmod, e.priority))
+    }).toDF("doc_id", "kind", "loc", "lastmod", "priority")
+  }
+
   /** Fixture: even ids are a urlset of 1+(id%3) urls (loc carries an
     * entity-encoded query string — the &amp; decode witness, plus
     * lastmod/priority in closed form); odd ids are a sitemapindex of
-    * 2 child sitemaps.
+    * 2 child sitemaps. Ids ≡ 0 (mod 4) emit the REALISTIC long tail —
+    * namespace-prefixed member tags carrying attributes, the loc in a
+    * CDATA section (raw '&', no entity) — and must parse to the SAME
+    * entries (one oracle covers both shapes).
     */
   def syntheticSitemaps(ids: Dataset[java.lang.Long])
       : Dataset[(java.lang.Long, String)] = {
@@ -201,7 +324,19 @@ object Robots {
     ids.mapPartitions(_.map { boxed =>
       val id = boxed.longValue()
       val xml =
-        if (id % 2 == 0) {
+        if (id % 4 == 0) {
+          val urls = (1 to (1 + id % 3).toInt).map { j =>
+            f"""  <sm:url data-src="crawler">
+               |    <sm:loc><![CDATA[https://s$id.test/p$j?a=1&b=2]]></sm:loc>
+               |    <sm:lastmod>2024-${1 + id % 12}%02d-${1 + id % 28}%02d</sm:lastmod>
+               |    <sm:priority>0.${1 + (id + j) % 9}</sm:priority>
+               |  </sm:url>""".stripMargin
+          }.mkString("\n")
+          s"""<?xml version="1.0" encoding="UTF-8"?>
+             |<sm:urlset xmlns:sm="http://www.sitemaps.org/schemas/sitemap/0.9">
+             |$urls
+             |</sm:urlset>""".stripMargin
+        } else if (id % 2 == 0) {
           val urls = (1 to (1 + id % 3).toInt).map { j =>
             f"""  <url>
                |    <loc>https://s$id.test/p$j?a=1&amp;b=2</loc>
@@ -230,30 +365,61 @@ object Robots {
   // Spark stage + fixture twin
   // ------------------------------------------------------------------
 
-  /** Gate a URL frontier against per-domain robots: parse each robots
-    * body ONCE (the domain table is tiny by construction), broadcast
-    * the parsed groups to the frontier, evaluate per row. Frontier
-    * rows whose domain has no robots row are allowed (fetch-time
-    * 404 semantics).
+  /** One selected rule as a column-able struct. */
+  final case class Rule(allow: Boolean, pattern: String)
+
+  /** Executor-side robots parse + group selection (agent is a
+    * constant): (domain, robots) → (domain, rules, crawl_delay_sec)
+    * with ONLY the governing rule list kept per domain — the frame
+    * the gate joins, sized by rules actually in force, not by raw
+    * robots bodies. Pure `mapPartitions`: no driver state, no
+    * shuffle, scales to a 10⁸-domain robots table.
     */
-  def gateByDomain(pages: DataFrame, robots: DataFrame, agent: String)
-      : DataFrame = {
+  def rulesByDomain(robots: DataFrame, agent: String): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select("domain", "robots").as[(String, String)]
+      .mapPartitions(_.map { case (d, txt) =>
+        val groups = parse(txt)
+        val rules = rulesFor(groups, agent)
+          .map { case (allow, pat) => Rule(allow, pat) }
+        (d, rules, crawlDelayFor(groups, agent))
+      }).toDF("domain", "rules", "crawl_delay_sec")
+  }
+
+  /** Gate a URL frontier against per-domain robots: parse on
+    * EXECUTORS ([[rulesByDomain]]), join rules to the frontier by
+    * domain, evaluate the per-row `matches()` loop. Output adds
+    * `allowed` and the governing group's `crawl_delay_sec` (the
+    * politeness scheduler's pacing input). Frontier rows whose domain
+    * has no robots row are allowed (fetch-time 404 semantics) with a
+    * null delay.
+    *
+    * Join shape: the rules frame BROADCASTS when the robots table is
+    * small (one cheap count of the SMALL side decides — ≤
+    * `maxBroadcastDomains`, sized so the broadcast stays ~100 MB at
+    * typical rule lists), else a domain-keyed equi-join — the
+    * frontier shuffles once on domain, never collects, and AQE's
+    * skew handling covers hot domains.
+    */
+  def gateByDomain(pages: DataFrame, robots: DataFrame, agent: String,
+      maxBroadcastDomains: Long = 1000000L): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
-    // driver-side parse AND group selection per domain (agent is a
-    // constant): the broadcast carries only each domain's governing
-    // rule list, so the per-row work is exactly the matches() loop
-    val ruleMap: Map[String, Seq[(Boolean, String)]] = robots
-      .select("domain", "robots").as[(String, String)]
-      .collect().iterator
-      .map { case (d, t) => d -> rulesFor(parse(t), agent) }.toMap
-    val bc = spark.sparkContext.broadcast(ruleMap)
+    import org.apache.spark.sql.functions.broadcast
+    val rules = rulesByDomain(robots, agent)
+    val rulesSide =
+      if (robots.count() <= maxBroadcastDomains) broadcast(rules)
+      else rules
     pages.select("doc_id", "domain", "path")
-      .as[(Long, String, String)]
-      .mapPartitions(_.map { case (id, domain, path) =>
-        val ok = bc.value.get(domain).forall(isAllowedByRules(_, path))
-        (id, domain, path, ok)
-      }).toDF("doc_id", "domain", "path", "allowed")
+      .join(rulesSide, Seq("domain"), "left")
+      .select("doc_id", "domain", "path", "rules", "crawl_delay_sec")
+      .as[(Long, String, String, Option[Seq[Rule]], Option[Double])]
+      .mapPartitions(_.map { case (id, domain, path, rs, delay) =>
+        val ok = rs.forall(seq =>
+          isAllowedByRules(seq.map(r => (r.allow, r.pattern)), path))
+        (id, domain, path, ok, delay)
+      }).toDF("doc_id", "domain", "path", "allowed", "crawl_delay_sec")
   }
 
   /** Fixture: one robots flavor per domain kind (domain-number % 3) —
@@ -311,5 +477,72 @@ object Robots {
         (s"d$k.test", robotsFor(k % 3))
       }).toDF("domain", "robots")
     (pages, robots)
+  }
+
+  // ------------------------------------------------------------------
+  // discovery → admission composition fixtures (q_frontier_pipeline):
+  // sitemap bytes as fetched → entries → URL split → robots gate
+  // ------------------------------------------------------------------
+
+  /** One sitemap FILE per id for domain f<id>.test: a urlset of
+    * 1+(id%3) urls `/p<j>?a=1&b=2`; odd ids arrive GZIPPED (the
+    * `sitemap.xml.gz` path), ids ≡ 0 (mod 4) in the namespaced/CDATA
+    * shape — so the pipeline witnesses gunzip, prefix tolerance, and
+    * entity decode in one oracled flow.
+    */
+  def syntheticFrontierSitemaps(ids: Dataset[java.lang.Long])
+      : Dataset[(java.lang.Long, Array[Byte])] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions(_.map { boxed =>
+      val id = boxed.longValue()
+      val urls = (1 to (1 + id % 3).toInt).map { j =>
+        if (id % 4 == 0)
+          s"  <sm:url rate=\"1\"><sm:loc><![CDATA[" +
+            s"https://f$id.test/p$j?a=1&b=2]]></sm:loc></sm:url>"
+        else s"  <url><loc>https://f$id.test/p$j?a=1&amp;b=2</loc></url>"
+      }.mkString("\n")
+      val xml =
+        if (id % 4 == 0)
+          "<sm:urlset xmlns:sm=\"http://www.sitemaps.org/schemas/" +
+            s"sitemap/0.9\">\n$urls\n</sm:urlset>"
+        else
+          "<urlset xmlns=\"http://www.sitemaps.org/schemas/" +
+            s"sitemap/0.9\">\n$urls\n</urlset>"
+      val bytes =
+        if (id % 2 == 1) {
+          val bos = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(bos)
+          gz.write(xml.getBytes("UTF-8"))
+          gz.close()
+          bos.toByteArray
+        } else xml.getBytes("UTF-8")
+      (boxed, bytes)
+    })
+  }
+
+  /** Per-domain robots for the frontier-pipeline fixture, by id % 4 —
+    *  0: star group Disallow /p1 + Crawl-delay 1.5 (blocks j=1, paces);
+    *  1: an EMPTY Disallow (dropped at parse — allow everything);
+    *  2: a graftbot group (Disallow /p2) above a disallow-all star
+    *     group — group selection must pick the specific one;
+    *  3: NO robots row at all (fetch-time 404 → allowed, null delay —
+    *     the left-join miss path).
+    */
+  def syntheticFrontierRobots(ids: Dataset[java.lang.Long]): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions(_.flatMap { boxed =>
+      val id = boxed.longValue()
+      val body = (id % 4) match {
+        case 0 => "User-agent: *\nDisallow: /p1\nCrawl-delay: 1.5\n"
+        case 1 => "User-agent: *\nDisallow:\n"
+        case 2 => "User-agent: graftbot\nDisallow: /p2\n\n" +
+          "User-agent: *\nDisallow: /\n"
+        case _ => ""
+      }
+      if (id % 4 == 3) Iterator.empty
+      else Iterator.single((s"f$id.test", body))
+    }).toDF("domain", "robots")
   }
 }

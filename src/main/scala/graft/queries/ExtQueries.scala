@@ -1564,9 +1564,11 @@ object ExtQueries {
     }),
 
     // robots.txt politeness gate (graft.ext.Robots, RFC 9309): per-
-    // domain robots parsed ONCE and broadcast to the frontier; group
-    // selection by most-specific product token, longest-match rules,
-    // allow-on-tie, * wildcards + $ anchor. The fixture's family 5
+    // domain robots parsed ONCE on EXECUTORS and joined (broadcast —
+    // the small-table path) to the frontier; group selection by
+    // most-specific product token, longest-match rules, allow-on-tie,
+    // * wildcards + $ anchor, and the governing group's crawl delay
+    // surfaced for the politeness scheduler. The fixture's family 5
     // (query string AFTER .pdf) is the $-anchor witness.
     "q_robots_gate" -> ((s, dir) => {
       import s.implicits._
@@ -1575,6 +1577,28 @@ object ExtQueries {
           .select("doc_id").as[java.lang.Long])
       graft.ext.Robots.gateByDomain(pages, robots, agent = "graftbot")
         .orderBy("doc_id")
+    }),
+
+    // discovery → admission in ONE flow: sitemap bytes as fetched
+    // (gzipped for odd ids, namespaced/CDATA for ids % 4 == 0) →
+    // entries → host/path split (parse_url, per-row) → executor-
+    // parsed robots gate with crawl delay. The left-join miss path is
+    // oracled too: ids % 4 == 3 have no robots row.
+    "q_frontier_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+        .select("doc_id").as[java.lang.Long]
+      val entries = graft.ext.Robots.sitemapEntriesRaw(
+        graft.ext.Robots.syntheticFrontierSitemaps(ids))
+      val pages = entries.where(col("kind") === "url")
+        .select(col("doc_id"),
+          parse_url(col("loc"), lit("HOST")).as("domain"),
+          concat(parse_url(col("loc"), lit("PATH")),
+            coalesce(concat(lit("?"), parse_url(col("loc"), lit("QUERY"))),
+              lit(""))).as("path"))
+      val robots = graft.ext.Robots.syntheticFrontierRobots(ids)
+      graft.ext.Robots.gateByDomain(pages, robots, agent = "graftbot")
+        .orderBy("doc_id", "path")
     }),
 
     // Charset detection + transcode (graft.ext.Charsets): the WHATWG
@@ -4455,9 +4479,29 @@ object ExtQueries {
         |    ELSE '/doc' || doc_id::VARCHAR || '.pdf?x=1' END AS path,
         |  CASE WHEN (doc_id % 50) % 3 = 2 THEN true
         |       WHEN (doc_id % 50) % 3 = 1 THEN doc_id % 6 <> 4
-        |       ELSE doc_id % 6 NOT IN (1, 3) END AS allowed
+        |       ELSE doc_id % 6 NOT IN (1, 3) END AS allowed,
+        |  CASE WHEN (doc_id % 50) % 3 = 0 THEN 2.0::DOUBLE
+        |       ELSE NULL END AS crawl_delay_sec
         |FROM documents WHERE doc_id IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
+
+    // the composition recomputed: n = 1+(id%3) sitemap urls per
+    // domain f<id>.test; robots by id%4 — 0 blocks /p1 (+1.5 s
+    // delay), 2's graftbot group blocks /p2, 1 allows all (empty
+    // Disallow), 3 has NO robots row (allowed, null delay)
+    "q_frontier_pipeline" ->
+      """WITH p AS (SELECT doc_id, (1 + doc_id % 3)::BIGINT AS n
+        |           FROM documents WHERE doc_id IS NOT NULL),
+        |s AS (SELECT doc_id, unnest(generate_series(1, n)) AS j FROM p)
+        |SELECT doc_id,
+        |  'f' || doc_id::VARCHAR || '.test' AS domain,
+        |  '/p' || j::VARCHAR || '?a=1&b=2' AS path,
+        |  CASE WHEN doc_id % 4 = 0 THEN j <> 1
+        |       WHEN doc_id % 4 = 2 THEN j <> 2
+        |       ELSE true END AS allowed,
+        |  CASE WHEN doc_id % 4 = 0 THEN 1.5::DOUBLE
+        |       ELSE NULL END AS crawl_delay_sec
+        |FROM s ORDER BY doc_id, path""".stripMargin,
 
     // the five-way encode spec by id%5: family 3 keeps its meta tag in
     // the text; the iso-8859-1 label canonicalizes to windows-1252

@@ -117,20 +117,77 @@ class RobotsSpec extends AnyFunSuite with SparkTestBase {
     Robots.parseSitemap(urlset.take(80)) // no throw is the property
   }
 
-  test("gateByDomain: broadcast per-domain parse over the frontier") {
+  test("gateByDomain: executor-side parse, both join shapes agree") {
     import spark.implicits._
     val ids = spark.createDataset((0L to 29L).map(java.lang.Long.valueOf))
     val (pages, robots) = Robots.syntheticFrontier(ids)
-    val out = Robots.gateByDomain(pages, robots, "graftbot")
-      .as[(Long, String, String, Boolean)].collect()
-      .map(r => r._1 -> r._4).toMap
-    for (id <- 0L to 29L) {
-      val kind = (id % 50) % 3
-      val want =
-        if (kind == 2) true
-        else if (kind == 1) id % 6 != 4
-        else !(id % 6 == 1 || id % 6 == 3)
-      assert(out(id) == want, s"id=$id kind=$kind path#${id % 6}")
+    // broadcast path (default) and the shuffle equi-join path
+    // (threshold 0 forces it) must produce identical gates
+    for (threshold <- Seq(1000000L, 0L)) {
+      val out = Robots.gateByDomain(pages, robots, "graftbot", threshold)
+        .as[(Long, String, String, Boolean, Option[Double])].collect()
+        .map(r => r._1 -> ((r._4, r._5))).toMap
+      for (id <- 0L to 29L) {
+        val kind = (id % 50) % 3
+        val want =
+          if (kind == 2) true
+          else if (kind == 1) id % 6 != 4
+          else !(id % 6 == 1 || id % 6 == 3)
+        val wantDelay = if (kind == 0) Some(2.0) else None
+        assert(out(id) == ((want, wantDelay)),
+          s"id=$id kind=$kind path#${id % 6} threshold=$threshold")
+      }
     }
+  }
+
+  test("gateByDomain: a frontier domain with NO robots row is allowed") {
+    import spark.implicits._
+    val pages = Seq((1L, "nowhere.test", "/private/x"))
+      .toDF("doc_id", "domain", "path")
+    val robots = Seq(("elsewhere.test", "User-agent: *\nDisallow: /\n"))
+      .toDF("domain", "robots")
+    val out = Robots.gateByDomain(pages, robots, "graftbot")
+      .as[(Long, String, String, Boolean, Option[Double])].collect()
+    assert(out.toSeq == Seq((1L, "nowhere.test", "/private/x", true, None)))
+  }
+
+  test("crawlDelayFor follows group selection") {
+    val gs = Robots.parse(
+      """User-agent: graftbot
+        |Disallow: /x
+        |
+        |User-agent: *
+        |Disallow: /
+        |Crawl-delay: 9
+        |""".stripMargin)
+    // graftbot's group has no delay; the star group's must NOT leak
+    assert(Robots.crawlDelayFor(gs, "graftbot").isEmpty)
+    assert(Robots.crawlDelayFor(gs, "otherbot").contains(9.0))
+  }
+
+  test("sitemap realism: namespace prefixes, attributes, CDATA, gzip") {
+    val xml =
+      """<?xml version="1.0"?>
+        |<sm:urlset xmlns:sm="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <sm:url data-x="1"><sm:loc><![CDATA[https://e.test/a?x=1&y=2]]>
+        |    </sm:loc><sm:lastmod>2024-03-04</sm:lastmod></sm:url>
+        |  <sm:url><sm:loc>https://e.test/b?p=1&amp;q=2</sm:loc></sm:url>
+        |</sm:urlset>""".stripMargin
+    val es = Robots.parseSitemap(xml)
+    assert(es == Seq(
+      Robots.SitemapEntry("url", "https://e.test/a?x=1&y=2",
+        "2024-03-04", ""),
+      Robots.SitemapEntry("url", "https://e.test/b?p=1&q=2", "", "")))
+    // gzip round trip through the bytes entry point
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(xml.getBytes("UTF-8"))
+    gz.close()
+    assert(Robots.parseSitemapBytes(bos.toByteArray) == es)
+    assert(Robots.parseSitemapBytes(xml.getBytes("UTF-8")) == es)
+    // truncated gzip fails closed
+    assert(Robots.parseSitemapBytes(bos.toByteArray.take(10)).isEmpty)
+    // self-closing loc yields no entry
+    assert(Robots.parseSitemap("<url><loc/></url>").isEmpty)
   }
 }

@@ -187,6 +187,13 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     "q_anchor_agg" -> 4,
     // per-row priority + TakeOrdered: no exchange at all
     "q_weighted_sample" -> 0,
+    // executor-parsed rules BROADCAST to the frontier + final order —
+    // the frontier side must never shuffle for the join, and the
+    // driver must never collect the robots table (the r16 weak spot)
+    "q_robots_gate" -> 1,
+    // sitemap explode + per-row URL split + the same broadcast gate +
+    // final order: one range exchange total
+    "q_frontier_pipeline" -> 1,
     // postings chain: (doc,pos) equi-joins + per-doc count + order
     "q_phrase_search" -> 6,
     // one full-outer key join + order
