@@ -25,8 +25,12 @@ import java.nio.charset.Charset
   */
 object Charsets {
 
-  /** Canonical name for a declared label; None = unrecognized label
-    * (detection falls through to the next step, never throws).
+  /** Canonical JDK charset name for a declared label; None =
+    * unrecognized label (detection falls through to the next step,
+    * never throws). Labels follow the WHATWG Encoding registry — a
+    * real multilingual crawl is full of CJK/Cyrillic declarations, and
+    * dropping them to the cp1252 fallback mojibakes every such page
+    * before any text operator sees it. All targets ship with the JDK.
     */
   def canonical(label: String): Option[String] = {
     val l = label.trim.toLowerCase(java.util.Locale.ROOT)
@@ -39,6 +43,35 @@ object Charsets {
         Some("windows-1252")
       case "utf-16" | "utf-16le" => Some("UTF-16LE")
       case "utf-16be" => Some("UTF-16BE")
+      // Japanese: WHATWG's Shift_JIS decoder carries the Microsoft
+      // extensions — windows-31j (MS932) is the JDK charset with the
+      // same repertoire, so every shift_jis-family label maps there
+      case "shift_jis" | "shift-jis" | "sjis" | "x-sjis" | "ms_kanji" |
+          "ms932" | "csshiftjis" | "windows-31j" =>
+        Some("windows-31j")
+      case "euc-jp" | "x-euc-jp" | "cseucpkdfmtjapanese" => Some("EUC-JP")
+      case "iso-2022-jp" | "csiso2022jp" => Some("ISO-2022-JP")
+      // Simplified Chinese: WHATWG unifies the gb2312 family into GBK
+      case "gbk" | "gb2312" | "gb_2312" | "gb_2312-80" | "chinese" |
+          "csgb2312" | "csiso58gb231280" | "iso-ir-58" | "x-gbk" =>
+        Some("GBK")
+      case "gb18030" => Some("GB18030")
+      // Traditional Chinese: WHATWG maps the hkscs label to Big5 too
+      case "big5" | "big5-hkscs" | "cn-big5" | "csbig5" | "x-x-big5" =>
+        Some("Big5")
+      // Korean: WHATWG unifies the ksc/windows-949 family into its
+      // euc-kr; the JDK EUC-KR covers the KS X 1001 repertoire
+      case "euc-kr" | "cseuckr" | "csksc56011987" | "iso-ir-149" |
+          "korean" | "ks_c_5601-1987" | "ks_c_5601-1989" | "ksc5601" |
+          "ksc_5601" | "windows-949" =>
+        Some("EUC-KR")
+      case "koi8-r" | "koi8_r" | "koi8" | "cskoi8r" => Some("KOI8-R")
+      case "koi8-u" | "koi8-ru" => Some("KOI8-U")
+      case "windows-1250" | "x-cp1250" => Some("windows-1250")
+      case "windows-1251" | "x-cp1251" => Some("windows-1251")
+      case "windows-1254" | "iso-8859-9" | "latin5" =>
+        // same WHATWG superset rule as 8859-1 → 1252
+        Some("windows-1254")
       case _ => None
     }
   }
@@ -171,18 +204,26 @@ object Charsets {
       }).toDF("doc_id", "charset", "decoded")
   }
 
-  /** Five-way encoded corpus: each document's text plus a non-ASCII
-    * marker (" café À<id%7>" — Latin-1-representable so every target
-    * charset can carry it), encoded by id%5 as
+  /** Ten-way encoded corpus: each document's text plus a non-ASCII
+    * marker the target charset can carry, encoded by id%10 as
     *  0: UTF-8 with BOM (BOM precedence),
     *  1: UTF-16LE with BOM,
     *  2: windows-1252 declared by TRANSPORT only,
     *  3: ISO-8859-1 declared by a leading meta tag (the tag is part
     *     of the text; the alias rule maps the label to windows-1252),
     *  4: plain UTF-8, no BOM and no declaration (the validation path —
-    *     the marker's multi-byte sequences are what validates).
-    * The q_charset_decode oracle rebuilds charset + decoded text per
-    * family in closed form.
+    *     the marker's multi-byte sequences are what validates),
+    *  5: Shift_JIS by transport under the `shift_jis` label (decodes
+    *     via windows-31j, the WHATWG repertoire) — katakana marker,
+    *  6: EUC-JP by meta tag — kanji marker,
+    *  7: GBK by transport under the legacy `gb2312` label — the
+    *     WHATWG gb-family unification witness,
+    *  8: Big5 by meta tag — traditional-Chinese marker,
+    *  9: EUC-KR by transport under the `korean` label — hangul marker.
+    * Families 0–4 carry " café À<id%7>" (Latin-1-representable);
+    * 5–9 carry their own CJK marker + id%7. A blind UTF-8 decode
+    * would U+FFFD families 1/2/3/5..9 — the oracle rebuilds charset +
+    * decoded text per family in closed form.
     */
   def syntheticEncodedDocs(
       docs: org.apache.spark.sql.Dataset[(java.lang.Long, String)])
@@ -191,16 +232,34 @@ object Charsets {
     import spark.implicits._
     docs.mapPartitions(_.map { case (boxed, text) =>
       val id = boxed.longValue()
-      val full = text + s" café À${id % 7}"
-      // families 2/3 encode via single-byte charsets, where getBytes
-      // SILENTLY writes '?' for unmappable chars and the oracle (which
-      // carries the original text) would mismatch by one baffling
-      // character — fail LOUD instead if the corpus ever gains one
-      if (id % 5 == 2 || id % 5 == 3)
-        require(full.forall(_ <= 'ÿ'),
-          s"doc $id: text has a non-Latin-1 char; the 1252/8859-1 " +
-            "fixture families cannot encode it losslessly")
-      val (bytes, transport): (Array[Byte], Option[String]) = (id % 5) match {
+      val fam = (id % 10).toInt
+      // families 2/3 encode via single-byte charsets and 5-9 via CJK
+      // ones, where getBytes SILENTLY writes '?' for unmappable chars
+      // and the oracle (which carries the original text) would
+      // mismatch by one baffling character — fail LOUD instead if the
+      // corpus ever gains one. The guard rejects C1 controls too:
+      // U+0080-U+009F don't round-trip windows-1252 (getBytes '?'s
+      // them) and 0x80-0x9F BYTES decode back as cp1252 punctuation
+      // under the alias rule.
+      def latin1Safe(s: String): Boolean =
+        s.forall(c => c <= 'ÿ' && !(c >= 0x80.toChar && c <= 0x9f.toChar))
+      if (fam == 2 || fam == 3)
+        require(latin1Safe(text),
+          s"doc $id: text has a non-Latin-1 or C1 char; the 1252/" +
+            "8859-1 fixture families cannot encode it losslessly")
+      if (fam >= 5)
+        require(text.forall(_ < 0x80.toChar),
+          s"doc $id: text has a non-ASCII char; the CJK fixture " +
+            "families only guarantee lossless encode for ASCII text")
+      val full = text + (fam match {
+        case 5 => s" テスト${id % 7}"
+        case 6 => s" 日本語${id % 7}"
+        case 7 => s" 中文${id % 7}"
+        case 8 => s" 繁體字${id % 7}"
+        case 9 => s" 한국어${id % 7}"
+        case _ => s" café À${id % 7}"
+      })
+      val (bytes, transport): (Array[Byte], Option[String]) = fam match {
         case 0 =>
           (Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
             full.getBytes("UTF-8"), None)
@@ -211,7 +270,14 @@ object Charsets {
         case 3 =>
           (("<meta charset=\"iso-8859-1\">" + full)
             .getBytes("ISO-8859-1"), None)
-        case _ => (full.getBytes("UTF-8"), None)
+        case 4 => (full.getBytes("UTF-8"), None)
+        case 5 => (full.getBytes("windows-31j"), Some("shift_jis"))
+        case 6 =>
+          (("<meta charset=\"euc-jp\">" + full).getBytes("EUC-JP"), None)
+        case 7 => (full.getBytes("GBK"), Some("gb2312"))
+        case 8 =>
+          (("<meta charset=\"big5\">" + full).getBytes("Big5"), None)
+        case _ => (full.getBytes("EUC-KR"), Some("korean"))
       }
       (id, bytes, transport)
     }).toDF("doc_id", "bytes", "transport")

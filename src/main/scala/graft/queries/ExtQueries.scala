@@ -1603,10 +1603,11 @@ object ExtQueries {
 
     // Charset detection + transcode (graft.ext.Charsets): the WHATWG
     // sniff order (BOM > transport charset= > meta prescan > UTF-8
-    // validation > windows-1252 fallback) over a five-way encoded
-    // corpus — the non-ASCII marker must survive every path exactly,
-    // which a blind UTF-8 decode cannot do (it would U+FFFD families
-    // 1/2/3).
+    // validation > windows-1252 fallback) over a TEN-way encoded
+    // corpus including the CJK long tail (Shift_JIS/EUC-JP/GBK/Big5/
+    // EUC-KR under their legacy WHATWG labels) — each family's
+    // non-ASCII marker must survive its path exactly, which a blind
+    // UTF-8 decode cannot do (it would U+FFFD families 1/2/3/5-9).
     "q_charset_decode" -> ((s, dir) => {
       import s.implicits._
       graft.ext.Charsets.decodeFrame(
@@ -4503,16 +4504,26 @@ object ExtQueries {
         |       ELSE NULL END AS crawl_delay_sec
         |FROM s ORDER BY doc_id, path""".stripMargin,
 
-    // the five-way encode spec by id%5: family 3 keeps its meta tag in
-    // the text; the iso-8859-1 label canonicalizes to windows-1252
+    // the ten-way encode spec by id%10: meta families (3/6/8) keep
+    // their tag in the text; legacy labels canonicalize per WHATWG
+    // (iso-8859-1 → windows-1252, shift_jis → windows-31j, gb2312 →
+    // GBK, korean → EUC-KR); each family's marker round-trips its
+    // charset
     "q_charset_decode" ->
       """SELECT doc_id,
-        |  CASE doc_id % 5 WHEN 0 THEN 'UTF-8' WHEN 1 THEN 'UTF-16LE'
+        |  CASE doc_id % 10 WHEN 0 THEN 'UTF-8' WHEN 1 THEN 'UTF-16LE'
         |    WHEN 2 THEN 'windows-1252' WHEN 3 THEN 'windows-1252'
-        |    ELSE 'UTF-8' END AS charset,
-        |  CASE WHEN doc_id % 5 = 3
-        |       THEN '<meta charset="iso-8859-1">' ELSE '' END ||
-        |  text || ' café À' || (doc_id % 7)::VARCHAR AS decoded
+        |    WHEN 4 THEN 'UTF-8' WHEN 5 THEN 'windows-31j'
+        |    WHEN 6 THEN 'EUC-JP' WHEN 7 THEN 'GBK' WHEN 8 THEN 'Big5'
+        |    ELSE 'EUC-KR' END AS charset,
+        |  CASE doc_id % 10 WHEN 3 THEN '<meta charset="iso-8859-1">'
+        |    WHEN 6 THEN '<meta charset="euc-jp">'
+        |    WHEN 8 THEN '<meta charset="big5">' ELSE '' END ||
+        |  text ||
+        |  CASE doc_id % 10 WHEN 5 THEN ' テスト' WHEN 6 THEN ' 日本語'
+        |    WHEN 7 THEN ' 中文' WHEN 8 THEN ' 繁體字'
+        |    WHEN 9 THEN ' 한국어' ELSE ' café À' END ||
+        |  (doc_id % 7)::VARCHAR AS decoded
         |FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
 

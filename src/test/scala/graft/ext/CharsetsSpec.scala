@@ -105,9 +105,9 @@ class CharsetsSpec extends AnyFunSuite with SparkTestBase {
     assert(graft.wat.WarcHtml.htmlOfHttpResponse(resp2).get.contains("café"))
   }
 
-  test("decodeFrame stage over the five-way encoded corpus") {
+  test("decodeFrame stage over the ten-way encoded corpus") {
     import spark.implicits._
-    val docs = spark.createDataset((0L to 9L).map(i =>
+    val docs = spark.createDataset((0L to 19L).map(i =>
       (java.lang.Long.valueOf(i), s"text $i")))
     val out = Charsets.decodeFrame(Charsets.syntheticEncodedDocs(docs))
       .as[(Long, String, String)].collect().map(r => r._1 -> r).toMap
@@ -117,6 +117,47 @@ class CharsetsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(3L)._2 == "windows-1252" &&
       out(3L)._3 == "<meta charset=\"iso-8859-1\">text 3 café À3")
     assert(out(4L)._2 == "UTF-8" && out(4L)._3 == "text 4 café À4")
-    assert(out.size == 10)
+    // the CJK long tail: legacy labels, lossless markers
+    assert(out(5L)._2 == "windows-31j" && out(5L)._3 == "text 5 テスト5")
+    assert(out(6L)._2 == "EUC-JP" &&
+      out(6L)._3 == "<meta charset=\"euc-jp\">text 6 日本語6")
+    assert(out(7L)._2 == "GBK" && out(7L)._3 == "text 7 中文0")
+    assert(out(8L)._2 == "Big5" &&
+      out(8L)._3 == "<meta charset=\"big5\">text 8 繁體字1")
+    assert(out(9L)._2 == "EUC-KR" && out(9L)._3 == "text 9 한국어2")
+    assert(out.size == 20)
+  }
+
+  test("WHATWG CJK labels canonicalize to their JDK charsets") {
+    assert(Charsets.canonical("SJIS").contains("windows-31j"))
+    assert(Charsets.canonical("x-sjis").contains("windows-31j"))
+    assert(Charsets.canonical("ms_kanji").contains("windows-31j"))
+    assert(Charsets.canonical("GB2312").contains("GBK"))
+    assert(Charsets.canonical("csiso58gb231280").contains("GBK"))
+    assert(Charsets.canonical("gb18030").contains("GB18030"))
+    assert(Charsets.canonical("big5-hkscs").contains("Big5"))
+    assert(Charsets.canonical("ks_c_5601-1987").contains("EUC-KR"))
+    assert(Charsets.canonical("windows-949").contains("EUC-KR"))
+    assert(Charsets.canonical("cskoi8r").contains("KOI8-R"))
+    assert(Charsets.canonical("iso-8859-9").contains("windows-1254"))
+    // every canonical target must actually resolve in this JVM
+    for (label <- Seq("shift_jis", "euc-jp", "iso-2022-jp", "gbk",
+        "gb18030", "big5", "euc-kr", "koi8-r", "koi8-u",
+        "windows-1250", "windows-1251", "windows-1254"))
+      java.nio.charset.Charset.forName(Charsets.canonical(label).get)
+  }
+
+  test("CJK transport/meta decode beats the 1252 fallback") {
+    // Shift_JIS katakana by transport: bytes are NOT valid UTF-8, so
+    // without the label this would mojibake via the 1252 fallback
+    val sj = "テスト".getBytes("windows-31j")
+    assert(Charsets.decode(sj, Some("shift_jis")) == ("テスト", "windows-31j"))
+    assert(Charsets.decode(sj)._2 == "windows-1252") // the counterfactual
+    // EUC-KR hangul by meta prescan
+    val kr = "<meta charset=\"euc-kr\">한국".getBytes("EUC-KR")
+    assert(Charsets.decode(kr) == ("<meta charset=\"euc-kr\">한국", "EUC-KR"))
+    // GB18030 4-byte sequence round-trips
+    val gb = "ḿ".getBytes("GB18030") // U+1E3F, a 4-byte GB18030 code
+    assert(Charsets.decode(gb, Some("gb18030")) == ("ḿ", "GB18030"))
   }
 }
