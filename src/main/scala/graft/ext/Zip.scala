@@ -13,10 +13,13 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * bounded by the payload extent before allocation — one crafted shard
   * in a crawled corpus must not kill a task or balloon its heap.
   *
-  * Scope: classic single-disk ZIP (the shard shape a writer like this
-  * produces). ZIP64 markers (0xFFFF entry count / 0xFFFFFFFF sizes or
-  * offsets) and spanned archives fail closed — a production extension
-  * would add the ZIP64 EOCD locator walk, not change this API.
+  * Scope: single-disk ZIP, classic AND ZIP64 (APPNOTE 4.5): when the
+  * EOCD carries 0xFFFF/0xFFFFFFFF escape markers the reader walks the
+  * ZIP64 EOCD locator → ZIP64 EOCD record for the real 8-byte
+  * count/size/offset, and central entries with masked fields resolve
+  * them from the 0x0001 extra field — at 100 TB, >4 GiB shards and
+  * >65535-member archives are routine. Spanned (multi-disk) archives
+  * still fail closed.
   *
   * The decode path is REAL: DEFLATE members inflate through
   * `java.util.zip.Inflater` and every extraction is CRC32-verified, so
@@ -36,6 +39,10 @@ object Zip {
   private final val LocalSig = 0x04034b50
   private final val CentralSig = 0x02014b50
   private final val EocdSig = 0x06054b50
+  private final val Eocd64Sig = 0x06064b50
+  private final val Eocd64LocSig = 0x07064b50
+  private final val Mask16 = 0xffff
+  private final val Mask32 = 0xffffffffL
 
   /** DEFLATE's worst-case expansion bound is ~1032:1; anything past it
     * in a declared uncompressed size is hostile. Absolute ceiling
@@ -54,6 +61,8 @@ object Zip {
   private def u32(b: Array[Byte], off: Int): Long =
     (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
       ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+  private def u64(b: Array[Byte], off: Int): Long =
+    u32(b, off) | (u32(b, off + 4) << 32)
 
   /** Locate the End-Of-Central-Directory record: scan backward over
     * the at-most-65535-byte trailing comment. Returns its offset.
@@ -73,48 +82,106 @@ object Zip {
     None
   }
 
-  /** Walk the central directory. Empty on anything malformed: missing
-    * or inconsistent EOCD, ZIP64 markers, out-of-extent windows, or a
-    * central entry whose local header disagrees.
+  /** Resolve a central entry's masked (0xFFFFFFFF) size/offset fields
+    * from its ZIP64 extra field (header id 0x0001): only the masked
+    * fields are present, in uncompressed-size, compressed-size,
+    * local-offset order (APPNOTE 4.5.3). None when a mask has no
+    * backing value — that is malformed, not "probably zero".
+    */
+  private def zip64Resolve(bytes: Array[Byte], extraOff: Int,
+      extraLen: Int, comp0: Long, uncomp0: Long, off0: Long)
+      : Option[(Long, Long, Long)] = {
+    if (comp0 != Mask32 && uncomp0 != Mask32 && off0 != Mask32)
+      return Some((comp0, uncomp0, off0))
+    var p = extraOff
+    val end = extraOff + extraLen
+    while (p + 4 <= end) {
+      val id = u16(bytes, p)
+      val sz = u16(bytes, p + 2)
+      if (p + 4 + sz > end) return None
+      if (id == 0x0001) {
+        var q = p + 4
+        val fend = p + 4 + sz
+        def next8(): Option[Long] =
+          if (q + 8 <= fend) { val v = u64(bytes, q); q += 8; Some(v) }
+          else None
+        val uncomp =
+          if (uncomp0 == Mask32) next8().getOrElse(return None) else uncomp0
+        val comp =
+          if (comp0 == Mask32) next8().getOrElse(return None) else comp0
+        val off =
+          if (off0 == Mask32) next8().getOrElse(return None) else off0
+        if (uncomp < 0 || comp < 0 || off < 0) return None
+        return Some((comp, uncomp, off))
+      }
+      p += 4 + sz
+    }
+    None
+  }
+
+  /** Walk the central directory, classic or ZIP64. Empty on anything
+    * malformed: missing or inconsistent EOCD, a broken ZIP64 locator
+    * chain, multi-disk markers, out-of-extent windows, or a central
+    * entry whose local header disagrees.
     */
   def members(bytes: Array[Byte]): Seq[Member] = {
     val eocd = findEocd(bytes).getOrElse(return Seq.empty)
-    val nTotal = u16(bytes, eocd + 10)
-    val cdSize = u32(bytes, eocd + 12)
-    val cdOff = u32(bytes, eocd + 16)
-    // single-disk only; ZIP64 escape markers fail closed
+    var nTotal: Long = u16(bytes, eocd + 10)
+    var cdSize = u32(bytes, eocd + 12)
+    var cdOff = u32(bytes, eocd + 16)
+    // spanned archives fail closed in both formats
     if (u16(bytes, eocd + 4) != 0 || u16(bytes, eocd + 6) != 0 ||
-        u16(bytes, eocd + 8) != nTotal ||
-        nTotal == 0xffff || cdSize == 0xffffffffL || cdOff == 0xffffffffL ||
-        cdOff + cdSize != eocd.toLong ||
-        // 46 bytes is the minimal central header: the declared count
-        // cannot exceed what the directory extent can physically hold
-        nTotal.toLong > cdSize / 46)
-      return Seq.empty
+        u16(bytes, eocd + 8) != nTotal) return Seq.empty
+    if (nTotal == Mask16 || cdSize == Mask32 || cdOff == Mask32) {
+      // ZIP64: the locator sits immediately before the EOCD and names
+      // the EOCD64 record holding the real 8-byte values
+      val loc = eocd - 20
+      if (loc < 0 || u32(bytes, loc) != Eocd64LocSig) return Seq.empty
+      if (u32(bytes, loc + 4) != 0 || u32(bytes, loc + 16) != 1)
+        return Seq.empty // EOCD64 disk + total disks: single-disk only
+      val e64 = u64(bytes, loc + 8)
+      if (e64 < 0 || e64 + 56 > loc) return Seq.empty
+      val r = e64.toInt
+      if (u32(bytes, r) != Eocd64Sig) return Seq.empty
+      if (u64(bytes, r + 4) < 44) return Seq.empty // record size floor
+      if (u32(bytes, r + 16) != 0 || u32(bytes, r + 20) != 0)
+        return Seq.empty // this disk / cd start disk
+      val nDisk = u64(bytes, r + 24)
+      nTotal = u64(bytes, r + 32)
+      cdSize = u64(bytes, r + 40)
+      cdOff = u64(bytes, r + 48)
+      if (nDisk != nTotal || nTotal < 0 || cdSize < 0 || cdOff < 0 ||
+          cdOff + cdSize != e64) return Seq.empty
+    } else if (cdOff + cdSize != eocd.toLong) return Seq.empty
+    // 46 bytes is the minimal central header: the declared count
+    // cannot exceed what the directory extent can physically hold
+    if (nTotal > cdSize / 46) return Seq.empty
+    val cdEnd = cdOff + cdSize // == eocd classic, == EOCD64 offset zip64
 
     val out = Vector.newBuilder[Member]
     var p = cdOff.toInt
-    var i = 0
+    var i = 0L
     while (i < nTotal) {
-      if (p + 46 > eocd || u32(bytes, p) != CentralSig) return Seq.empty
+      if (p + 46 > cdEnd || u32(bytes, p) != CentralSig) return Seq.empty
       val method = u16(bytes, p + 10)
       val crc = u32(bytes, p + 16)
-      val comp = u32(bytes, p + 20)
-      val uncomp = u32(bytes, p + 24)
+      val comp0 = u32(bytes, p + 20)
+      val uncomp0 = u32(bytes, p + 24)
       val nameLen = u16(bytes, p + 28)
       val extraLen = u16(bytes, p + 30)
       val commentLen = u16(bytes, p + 32)
-      val localOff = u32(bytes, p + 42)
-      if (p + 46 + nameLen > eocd) return Seq.empty
+      val localOff0 = u32(bytes, p + 42)
+      if (p + 46 + nameLen + extraLen > cdEnd) return Seq.empty
       val name = new String(bytes, p + 46, nameLen, "UTF-8")
+      val (comp, uncomp, localOff) = zip64Resolve(bytes, p + 46 + nameLen,
+        extraLen, comp0, uncomp0, localOff0).getOrElse(return Seq.empty)
       // local header re-read: ITS name/extra lengths place the payload
       // (they may legally differ from the central copy)
       if (localOff + 30 > bytes.length ||
           u32(bytes, localOff.toInt) != LocalSig) return Seq.empty
       val lp = localOff.toInt
       val payload = localOff + 30 + u16(bytes, lp + 26) + u16(bytes, lp + 28)
-      if (comp == 0xffffffffL || uncomp == 0xffffffffL ||
-          payload + comp > bytes.length) return Seq.empty
+      if (payload + comp > bytes.length) return Seq.empty
       if (method != 0 && method != 8) return Seq.empty
       if (method == 0 && comp != uncomp) return Seq.empty
       if (uncomp > MaxMemberBytes ||
@@ -172,17 +239,23 @@ object Zip {
   }
 
   /** Deterministic single-disk ZIP writer (the muxer twin): fixed DOS
-    * timestamp, no extra fields, no comments — byte-stable for a given
-    * entry list modulo the JVM's zlib output, which the PARSER (not
-    * the oracle) consumes back.
+    * timestamp, no comments — byte-stable for a given entry list
+    * modulo the JVM's zlib output, which the PARSER (not the oracle)
+    * consumes back. With `zip64` the central entries mask all three
+    * size/offset fields into 0x0001 extra fields and the tail is the
+    * ZIP64 EOCD record + locator + marker EOCD — the layout any >4 GiB
+    * or >65535-member shard carries (here exercised at small sizes:
+    * the FORMAT is what the reader must walk, not the magnitude).
     */
-  def write(entries: Seq[(String, Array[Byte], Boolean)]): Array[Byte] = {
+  def write(entries: Seq[(String, Array[Byte], Boolean)],
+      zip64: Boolean = false): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
     def w32(v: Long): Unit = {
       bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
       bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
     }
+    def w64(v: Long): Unit = { w32(v & Mask32); w32((v >>> 32) & Mask32) }
     val central = entries.map { case (name, data, deflate) =>
       val crc = new CRC32
       crc.update(data)
@@ -210,14 +283,34 @@ object Zip {
     }
     val cdOff = bos.size().toLong
     central.foreach { case (nameB, deflate, crc, csize, usize, off) =>
-      w32(CentralSig); w16(20); w16(20); w16(0); w16(if (deflate) 8 else 0)
-      w16(0); w16(0x21); w32(crc); w32(csize); w32(usize)
-      w16(nameB.length); w16(0); w16(0); w16(0); w16(0); w32(0L); w32(off)
-      bos.write(nameB)
+      w32(CentralSig); w16(if (zip64) 45 else 20); w16(if (zip64) 45 else 20)
+      w16(0); w16(if (deflate) 8 else 0)
+      w16(0); w16(0x21); w32(crc)
+      if (zip64) {
+        w32(Mask32); w32(Mask32) // sizes live in the 0x0001 extra
+        w16(nameB.length); w16(4 + 24); w16(0); w16(0); w16(0)
+        w32(0L); w32(Mask32)
+        bos.write(nameB)
+        w16(0x0001); w16(24); w64(usize); w64(csize); w64(off)
+      } else {
+        w32(csize); w32(usize)
+        w16(nameB.length); w16(0); w16(0); w16(0); w16(0); w32(0L); w32(off)
+        bos.write(nameB)
+      }
     }
     val cdSize = bos.size().toLong - cdOff
-    w32(EocdSig); w16(0); w16(0); w16(entries.size); w16(entries.size)
-    w32(cdSize); w32(cdOff); w16(0)
+    if (zip64) {
+      val e64 = bos.size().toLong
+      w32(Eocd64Sig); w64(44L); w16(45); w16(45); w32(0L); w32(0L)
+      w64(entries.size.toLong); w64(entries.size.toLong)
+      w64(cdSize); w64(cdOff)
+      w32(Eocd64LocSig); w32(0L); w64(e64); w32(1L)
+      w32(EocdSig); w16(0); w16(0); w16(Mask16); w16(Mask16)
+      w32(Mask32); w32(Mask32); w16(0)
+    } else {
+      w32(EocdSig); w16(0); w16(0); w16(entries.size); w16(entries.size)
+      w32(cdSize); w32(cdOff); w16(0)
+    }
     bos.toByteArray
   }
 
@@ -303,7 +396,11 @@ object Zip {
     * 30 + ((id*j)%70) bytes whose k-th byte is (id + 2j + k) % 251,
     * DEFLATE'd when (id+j)%2 == 0 else stored — the q_zip_archive
     * oracle recomputes all of it (the non-constant fill makes a
-    * copied-window shortcut fail on last_byte).
+    * copied-window shortcut fail on last_byte). Ids ≡ 0 (mod 3) pack
+    * the SAME members in the ZIP64 container layout (EOCD64 record +
+    * locator, masked central fields) — identical member rows, so one
+    * oracle covers both formats and a reader that fails closed on
+    * ZIP64 markers drops a third of the corpus and hash-mismatches.
     */
   def syntheticZipMedia(ids: Dataset[java.lang.Long]): DataFrame = {
     val spark = ids.sparkSession
@@ -317,7 +414,7 @@ object Zip {
         val ext = if (j % 2 == 1) ".txt" else ".bin"
         (s"$id/part$j$ext", data, (id + j) % 2 == 0)
       }
-      (id, write(entries), "application/zip")
+      (id, write(entries, zip64 = id % 3 == 0), "application/zip")
     }).toDF("doc_id", "bytes", "mime")
   }
 

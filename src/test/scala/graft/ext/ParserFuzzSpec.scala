@@ -48,6 +48,8 @@ class ParserFuzzSpec extends AnyFunSuite {
       ("a.txt", "hi".getBytes("UTF-8")))),
     Zip.write(Seq(("a.txt", "hello zip".getBytes("UTF-8"), true),
       ("b.bin", Array.fill(80)(2.toByte), false))),
+    Zip.write(Seq(("a.txt", "hello zip64".getBytes("UTF-8"), true),
+      ("b.bin", Array.fill(80)(3.toByte), false)), zip64 = true),
     Pdf.write(Pdf.BuildSpec(Seq(Seq("page one text"), Seq("page two")),
       title = "t", author = "a", producer = "p",
       created = "D:20240101000000", seed = 1, flate = true)),

@@ -53,7 +53,8 @@ class ZipSpec extends AnyFunSuite with SparkTestBase {
     val eocd = lying.length - 22
     lying(eocd + 10) = 0xff.toByte; lying(eocd + 11) = 0x7f.toByte
     assert(Zip.members(lying).isEmpty)
-    // ZIP64 escape markers fail closed
+    // ZIP64 escape markers WITHOUT a locator chain behind them (a
+    // classic file whose cdOff was stomped to 0xFFFFFFFF) fail closed
     val z64 = zip.clone()
     z64(eocd + 16) = 0xff.toByte; z64(eocd + 17) = 0xff.toByte
     z64(eocd + 18) = 0xff.toByte; z64(eocd + 19) = 0xff.toByte
@@ -63,6 +64,59 @@ class ZipSpec extends AnyFunSuite with SparkTestBase {
     val ms = Zip.members(zip)
     val blown = ms.head.copy(uncompSize = (1L << 26) + 1)
     assert(Zip.extract(zip, blown).isEmpty)
+  }
+
+  test("ZIP64 roundtrip: locator walk + masked central fields resolve") {
+    val zip = Zip.write(entries, zip64 = true)
+    assert(Zip.isZip(zip))
+    val ms = Zip.members(zip)
+    assert(ms.map(_.name) == entries.map(_._1).toVector)
+    assert(ms.map(_.uncompSize) == entries.map(_._2.length.toLong).toVector)
+    for ((m, (_, data, _)) <- ms.zip(entries))
+      assert(Zip.extract(zip, m).exists(_.sameElements(data)),
+        s"${m.name} mismatch")
+    // the classic and zip64 containers carry identical member tables
+    val classic = Zip.members(Zip.write(entries))
+    assert(ms.map(m => (m.name, m.method, m.compSize, m.uncompSize, m.crc))
+      == classic.map(m => (m.name, m.method, m.compSize, m.uncompSize, m.crc)))
+  }
+
+  test("ZIP64 hostile: broken locator/record/extra chains fail closed") {
+    val zip = Zip.write(entries, zip64 = true)
+    // every truncation point fails closed, never throws
+    for (cut <- 0 to zip.length by 7) Zip.members(zip.take(cut))
+    val eocd = zip.length - 22
+    // corrupt the locator signature
+    val badLoc = zip.clone()
+    badLoc(eocd - 20) = 0.toByte
+    assert(Zip.members(badLoc).isEmpty)
+    // corrupt the EOCD64 record signature (locator points at garbage)
+    val e64 = {
+      // the locator's 8-byte offset field
+      var v = 0L
+      for (k <- 7 to 0 by -1) v = (v << 8) | (zip(eocd - 20 + 8 + k) & 0xffL)
+      v.toInt
+    }
+    val badRec = zip.clone()
+    badRec(e64) = 0.toByte
+    assert(Zip.members(badRec).isEmpty)
+    // entry-count disagreement between the two EOCD64 count fields
+    val badN = zip.clone()
+    badN(e64 + 24) = (zip(e64 + 24) + 1).toByte
+    assert(Zip.members(badN).isEmpty)
+    // a masked central field whose 0x0001 extra is missing: stomp the
+    // extra header id of the first central entry
+    var cdOff = 0L
+    for (k <- 7 to 0 by -1) cdOff = (cdOff << 8) | (zip(e64 + 48 + k) & 0xffL)
+    val nameLen = (zip(cdOff.toInt + 28) & 0xff) |
+      ((zip(cdOff.toInt + 29) & 0xff) << 8)
+    val badExtra = zip.clone()
+    badExtra(cdOff.toInt + 46 + nameLen) = 0x42.toByte
+    assert(Zip.members(badExtra).isEmpty)
+    // multi-disk marker in the locator (total disks != 1)
+    val badDisk = zip.clone()
+    badDisk(eocd - 20 + 16) = 2.toByte
+    assert(Zip.members(badDisk).isEmpty)
   }
 
   test("deflate stream disagreeing with the declared size fails closed") {
