@@ -19,12 +19,14 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * truncated, or cyclic input fails CLOSED (None), never throws, and
   * every count/offset/inflate is bounded before allocation.
   *
-  * Scope: classic xref tables (what the muxer twin writes and what
-  * pre-1.5 producers emit), INCLUDING incremental-update /Prev chains
-  * (newest section wins, free entries shadow older in-use ones, cycle
-  * and chain-length guarded). Cross-reference STREAMS, encryption,
-  * and non-Flate filters fail closed — a production extension point,
-  * not a correctness hole: the parser refuses rather than misreads.
+  * Scope: classic xref tables AND PDF 1.5 cross-reference streams +
+  * /Type /ObjStm object streams (the post-2007 producer layout),
+  * INCLUDING incremental-update /Prev chains (newest section wins,
+  * free entries shadow older in-use ones, cycle and chain-length
+  * guarded). Stream filters: FlateDecode, LZWDecode, ASCIIHexDecode —
+  * singly or chained — with PNG predictors. Encryption, hybrid
+  * XRefStm files, and the image filters (DCT/JPX/CCITT/JBIG2) fail
+  * closed — the parser refuses rather than misreads.
   */
 object Pdf {
 
@@ -499,12 +501,14 @@ object Pdf {
     */
   private final val MaxPrevChain = 64
 
-  /** Parse header, startxref, and the classic xref table INCLUDING
-    * incremental-update chains: trailer /Prev links walk newest →
-    * oldest, newer sections shadow older ones (including deletions via
-    * free entries), and /Root · /Info come from the NEWEST trailer.
-    * Fail closed (None) on: xref streams, encryption, /Prev cycles or
-    * chains past [[MaxPrevChain]], malformed anything.
+  /** Parse header, startxref, and the cross-reference sections —
+    * classic `xref` keyword tables or /Type /XRef STREAMS, dispatched
+    * per section — INCLUDING incremental-update chains: trailer /Prev
+    * links walk newest → oldest, newer sections shadow older ones
+    * (including deletions via free entries), and /Root · /Info come
+    * from the NEWEST trailer. Fail closed (None) on: encryption,
+    * hybrid-reference files (XRefStm), /Prev cycles or chains past
+    * [[MaxPrevChain]], malformed anything.
     */
   def parse(bytes: Array[Byte]): Option[Doc] = {
     if (!isPdf(bytes)) return None
@@ -588,6 +592,85 @@ object Pdf {
     } finally inf.end()
   }
 
+  /** ASCIIHexDecode (ISO 32000-1 §7.4.2): hex pairs, whitespace
+    * ignored, `>` is EOD (data past it ignored), an odd trailing digit
+    * is padded with 0. Any other character is malformed → None.
+    */
+  private[graft] def asciiHexDecode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    while (i < data.length) {
+      val c = data(i) & 0xff
+      val d =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else if (c >= 'A' && c <= 'F') c - 'A' + 10
+        else if (c == '>') {
+          if (hi >= 0) out.write(hi << 4) // odd final digit: pad 0
+          return Some(out.toByteArray)
+        } else if (isWs(c)) -1
+        else return None
+      if (d >= 0) {
+        if (hi < 0) hi = d
+        else { out.write((hi << 4) | d); hi = -1 }
+      }
+      i += 1
+    }
+    // a missing EOD marker is tolerated (common in the wild): decode
+    // what's there, same odd-digit padding rule
+    if (hi >= 0) out.write(hi << 4)
+    Some(out.toByteArray)
+  }
+
+  /** LZWDecode (ISO 32000-1 §7.4.4; TIFF-convention LZW): 9→12-bit
+    * MSB-first codes, 256 = clear-table, 257 = EOD, the code width
+    * grows when `next + EarlyChange` reaches a power of two
+    * (EarlyChange = 1 unless /DecodeParms says 0). Output capped like
+    * FlateDecode; any malformed code stream → None.
+    */
+  private[graft] def lzwDecode(data: Array[Byte], earlyChange: Int)
+      : Option[Array[Byte]] = {
+    val cap = math.min(MaxInflateBytes.toLong,
+      data.length.toLong * 1032 + 64).toInt
+    val out = new java.io.ByteArrayOutputStream(math.min(8192, cap))
+    val dict = new Array[Array[Byte]](4096)
+    var i = 0
+    while (i < 256) { dict(i) = Array(i.toByte); i += 1 }
+    var next = 258
+    var width = 9
+    var prev: Array[Byte] = null
+    var bitBuf = 0L
+    var bitCnt = 0
+    var pos = 0
+    while (true) {
+      while (bitCnt < width && pos < data.length) {
+        bitBuf = (bitBuf << 8) | (data(pos) & 0xff); bitCnt += 8; pos += 1
+      }
+      if (bitCnt < width) return None // truncated: no EOD seen
+      val code = ((bitBuf >> (bitCnt - width)) & ((1 << width) - 1)).toInt
+      bitCnt -= width
+      if (code == 257) return Some(out.toByteArray)
+      else if (code == 256) { next = 258; width = 9; prev = null }
+      else if (prev == null) {
+        if (code > 255) return None // first code after clear: literal only
+        out.write(code)
+        prev = dict(code)
+      } else {
+        val entry =
+          if (code < next && code != 256 && code != 257) dict(code)
+          else if (code == next) prev :+ prev(0) // the KwKwK case
+          else return None
+        if (next < 4096) { dict(next) = prev :+ entry(0); next += 1 }
+        if (out.size() + entry.length > cap) return None
+        out.write(entry, 0, entry.length)
+        prev = entry
+        if (next + earlyChange >= (1 << width) && width < 12) width += 1
+      }
+    }
+    None // unreachable
+  }
+
   /** Undo PNG row predictors (RFC 2083 filter types 0–4) at one byte
     * per pixel — the /Predictor ≥ 10 form xref streams use. None on a
     * ragged payload or an unknown filter type.
@@ -633,44 +716,74 @@ object Pdf {
     Some(out)
   }
 
-  /** Stream payload after filters: none, or /Filter /FlateDecode
-    * (name or single-element array), then /DecodeParms predictors
-    * (1 = none, ≥ 10 = PNG row filters at Colors 1 / 8 bits).
-    * Anything else fails closed. `look` resolves indirect filter
-    * params — identity for self-describing streams like the xref
-    * stream, which must parse before any object can resolve.
+  /** Stream payload after filters: none, one, or a CHAIN of
+    * FlateDecode / LZWDecode / ASCIIHexDecode (applied in /Filter
+    * order — the decode order, per spec), each with its aligned
+    * /DecodeParms entry (1 = none, ≥ 10 = PNG row filters at Colors 1
+    * / 8 bits; /EarlyChange 0|1 for LZW). Anything else — an image
+    * filter, an unresolvable parms object that could be hiding a
+    * predictor — fails closed (the header contract: refuse rather
+    * than misread). `look` resolves indirect filter params — identity
+    * for self-describing streams like the xref stream, which must
+    * parse before any object can resolve.
     */
   private def decodeStream(dict: Map[String, Obj], data: Array[Byte],
       look: Obj => Option[Obj]): Option[Array[Byte]] = {
-    val inflated = dict.get("Filter").map(f => look(f).getOrElse(return None)) match {
-      case None => Some(data)
-      case Some(PName("FlateDecode")) => inflateAll(data)
-      case Some(PArr(Vector(PName("FlateDecode")))) => inflateAll(data)
-      case Some(PArr(Vector())) => Some(data)
-      case _ => None
+    val filters: Vector[String] =
+      dict.get("Filter").map(f => look(f).getOrElse(return None)) match {
+        case None => Vector.empty
+        case Some(PName(n)) => Vector(n)
+        case Some(PArr(items)) => items.map {
+          case PName(n) => n
+          case other => look(other) match {
+            case Some(PName(n)) => n
+            case _ => return None
+          }
+        }
+        case _ => return None
+      }
+    val parms: Vector[Option[Map[String, Obj]]] =
+      dict.get("DecodeParms").map(p => look(p).getOrElse(return None)) match {
+        case None => Vector.fill(filters.length)(None)
+        case Some(PDict(pm)) if filters.length == 1 => Vector(Some(pm))
+        case Some(PNull) => Vector.fill(filters.length)(None)
+        case Some(PArr(items)) if items.length <= filters.length =>
+          // a SHORTER array pads with no-parms (writers omit the tail);
+          // a longer one is malformed and falls to the catch-all
+          items.map {
+            case PDict(pm) => Some(pm)
+            case PNull => None
+            case other => look(other) match {
+              case Some(PDict(pm)) => Some(pm)
+              case Some(PNull) => None
+              case _ => return None
+            }
+          }.padTo(filters.length, None)
+        case _ => return None // lone dict against a chain / longer array
+      }
+    def num(pm: Map[String, Obj], k: String, dflt: Int): Int =
+      pm.get(k).flatMap(look).collect { case PNum(x) => x.toInt }
+        .getOrElse(dflt)
+    def predict(d: Array[Byte], pmOpt: Option[Map[String, Obj]])
+        : Option[Array[Byte]] = pmOpt match {
+      case None => Some(d)
+      case Some(pm) =>
+        val pred = num(pm, "Predictor", 1)
+        if (pred == 1) Some(d)
+        else if (pred >= 10 && num(pm, "Colors", 1) == 1 &&
+            num(pm, "BitsPerComponent", 8) == 8)
+          pngPredict(d, num(pm, "Columns", 1))
+        else None
     }
-    def predict(d: Array[Byte], pm: Map[String, Obj]): Option[Array[Byte]] = {
-      def num(k: String, dflt: Int): Int =
-        pm.get(k).flatMap(look).collect { case PNum(x) => x.toInt }
-          .getOrElse(dflt)
-      val pred = num("Predictor", 1)
-      if (pred == 1) Some(d)
-      else if (pred >= 10 && num("Colors", 1) == 1 &&
-          num("BitsPerComponent", 8) == 8)
-        pngPredict(d, num("Columns", 1))
-      else None
-    }
-    inflated.flatMap { d =>
-      dict.get("DecodeParms") match {
-        case None => Some(d)
-        case Some(parms) => look(parms) match {
-          case Some(PDict(pm)) => predict(d, pm)
-          case Some(PNull) => Some(d)
-          case Some(PArr(Vector(PDict(pm)))) => predict(d, pm) // 1 filter
-          case Some(PArr(Vector(PNull))) | Some(PArr(Vector())) => Some(d)
-          // an UNRESOLVABLE or unrecognized parms object could be
-          // hiding a predictor: decoding without it would misread, so
-          // refuse (the header contract: refuse rather than misread)
+    filters.zip(parms).foldLeft(Option(data)) { case (acc, (name, pm)) =>
+      acc.flatMap { d =>
+        name match {
+          case "FlateDecode" | "Fl" =>
+            inflateAll(d).flatMap(predict(_, pm))
+          case "LZWDecode" | "LZW" =>
+            lzwDecode(d, pm.map(num(_, "EarlyChange", 1)).getOrElse(1))
+              .flatMap(predict(_, pm))
+          case "ASCIIHexDecode" | "AHx" => asciiHexDecode(d)
           case _ => None
         }
       }
@@ -843,15 +956,21 @@ object Pdf {
   /** @param pages  page → chunks; each chunk becomes one show op
     * @param seed   drives the chunk encoding rotation (literal / hex /
     *               TJ split) so every path is exercised
-    * @param flate  FlateDecode the content streams
+    * @param flate  FlateDecode the content streams (ignored when
+    *               `contentFilter` is set)
     * @param modern emit the PDF 1.5+ layout: dictionary objects packed
     *               into a /Type /ObjStm object stream and a /Type
     *               /XRef cross-reference STREAM (W [1 4 2], PNG Up
     *               predictor) instead of the classic xref table
+    * @param contentFilter content-stream encoding override: "none" |
+    *               "flate" | "lzw" | "ahx" | "ahx+flate" (the chain:
+    *               Flate applied first, hex on top — decoded
+    *               ASCIIHexDecode-then-FlateDecode per /Filter order)
     */
   final case class BuildSpec(pages: Seq[Seq[String]], title: String,
       author: String, producer: String, created: String,
-      seed: Long = 0L, flate: Boolean = true, modern: Boolean = false)
+      seed: Long = 0L, flate: Boolean = true, modern: Boolean = false,
+      contentFilter: String = "")
 
   private def escapeLiteral(s: String): String = {
     val sb = new StringBuilder
@@ -879,6 +998,95 @@ object Pdf {
       while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
       bos.toByteArray
     } finally d.end()
+  }
+
+  /** LZW encoder twin of [[lzwDecode]] (EarlyChange = 1 convention):
+    * leading clear code, (prefix, byte) dictionary, width grows when
+    * `next + 1` reaches a power of two, table cleared before it
+    * overflows, EOD last.
+    */
+  private[graft] def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 16)
+    var bitBuf = 0L
+    var bitCnt = 0
+    var width = 9
+    var next = 258
+    def emit(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code
+      bitCnt += width
+      while (bitCnt >= 8) {
+        bos.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt)
+        bitCnt -= 8
+      }
+    }
+    val map = new java.util.HashMap[Long, Integer]()
+    emit(256)
+    var prefix = -1
+    var i = 0
+    while (i < data.length) {
+      val b = data(i) & 0xff
+      if (prefix < 0) prefix = b
+      else {
+        val key = (prefix.toLong << 8) | b
+        val hit = map.get(key)
+        if (hit != null) prefix = hit.intValue()
+        else {
+          emit(prefix)
+          map.put(key, Integer.valueOf(next))
+          next += 1
+          // the decoder's counter runs ONE entry behind the encoder's
+          // at each code boundary (its first code adds no entry), so
+          // the encoder bumps at next >= 2^w where the decoder bumps
+          // at next + EarlyChange >= 2^w — verified against the ISO
+          // 32000 §7.4.4 worked example in PdfSpec
+          if (next >= (1 << width) && width < 12) width += 1
+          if (next == 4095) { // table nearly full: clear (early-change
+            emit(256) //       convention also reserves the last slot)
+            map.clear()
+            next = 258
+            width = 9
+          }
+          prefix = b
+        }
+      }
+      i += 1
+    }
+    if (prefix >= 0) emit(prefix)
+    emit(257)
+    if (bitCnt > 0) // flush: pad the tail byte with zero bits
+      bos.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    bos.toByteArray
+  }
+
+  /** ASCIIHexDecode encoder twin: hex pairs, 64-char lines, `>` EOD. */
+  private[graft] def ahxEncode(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder(data.length * 2 + data.length / 32 + 2)
+    var i = 0
+    while (i < data.length) {
+      sb.append(f"${data(i) & 0xff}%02x")
+      if (i % 32 == 31) sb.append('\n')
+      i += 1
+    }
+    sb.append('>')
+    sb.toString.getBytes("US-ASCII")
+  }
+
+  /** (encoded bytes, the /Filter clause) for a content stream. */
+  private def encodeContent(raw: Array[Byte], spec: BuildSpec)
+      : (Array[Byte], String) = {
+    val mode =
+      if (spec.contentFilter.nonEmpty) spec.contentFilter
+      else if (spec.flate) "flate" else "none"
+    mode match {
+      case "none" => (raw, "")
+      case "flate" => (deflate(raw), " /Filter /FlateDecode")
+      case "lzw" => (lzwEncode(raw), " /Filter /LZWDecode")
+      case "ahx" => (ahxEncode(raw), " /Filter /ASCIIHexDecode")
+      case "ahx+flate" => (ahxEncode(deflate(raw)),
+        " /Filter [/ASCIIHexDecode /FlateDecode]")
+      case other =>
+        throw new IllegalArgumentException(s"contentFilter: $other")
+    }
   }
 
   // ---- shared dictionary/content builders (both writer layouts) ----
@@ -947,9 +1155,7 @@ object Pdf {
     obj(3)(w(fontDict))
     for ((chunks, i) <- spec.pages.zipWithIndex) {
       obj(4 + 2 * i)(w(pageDict(i)))
-      val raw = contentFor(chunks, spec.seed)
-      val (data, filter) =
-        if (spec.flate) (deflate(raw), " /Filter /FlateDecode") else (raw, "")
+      val (data, filter) = encodeContent(contentFor(chunks, spec.seed), spec)
       obj(5 + 2 * i) {
         w(s"<< /Length ${data.length}$filter >>\nstream\n")
         wb(data)
@@ -988,9 +1194,7 @@ object Pdf {
     }
     // content streams as direct objects
     for ((chunks, i) <- spec.pages.zipWithIndex) {
-      val raw = contentFor(chunks, spec.seed)
-      val (data, filter) =
-        if (spec.flate) (deflate(raw), " /Filter /FlateDecode") else (raw, "")
+      val (data, filter) = encodeContent(contentFor(chunks, spec.seed), spec)
       obj(5 + 2 * i) {
         w(s"<< /Length ${data.length}$filter >>\nstream\n")
         wb(data)
@@ -1082,13 +1286,16 @@ object Pdf {
   }
 
   /** One deterministic PDF per document holding its ACTUAL text: 48-char
-    * chunks, 5 chunks per page, Flate for odd ids, the MODERN layout
-    * (object stream + xref stream, PDF 1.5) for ids ≡ 0 (mod 3), Info
-    * fields in closed form — q_pdf_meta/q_pdf_text recompute
-    * everything, and the text round trip (source column → content
-    * streams → extraction) is exact by the uniform '\n'-every-48-chars
-    * rule (page joins land on chunk boundaries). A third of the corpus
-    * only passes through the xref-stream/ObjStm path.
+    * chunks, 5 chunks per page, the MODERN layout (object stream +
+    * xref stream, PDF 1.5) for ids ≡ 0 (mod 3), content-stream filter
+    * rotated by id % 5 (ASCIIHex / Flate / LZW / none / the
+    * ASCIIHex-over-Flate CHAIN — older corpora are full of LZW and
+    * hex-armored streams), Info fields in closed form — q_pdf_meta/
+    * q_pdf_text recompute everything, and the text round trip (source
+    * column → content streams → extraction) is exact by the uniform
+    * '\n'-every-48-chars rule (page joins land on chunk boundaries).
+    * A third of the corpus only passes through the xref-stream/ObjStm
+    * path; 3/5 only through a non-trivial content filter.
     */
   def syntheticPdfMedia(docs: Dataset[(java.lang.Long, String)]): DataFrame = {
     val spark = docs.sparkSession
@@ -1105,10 +1312,17 @@ object Pdf {
       val pages = chunks.grouped(5).toSeq
       val created = f"D:${2000 + id % 22}%04d${1 + id % 12}%02d" +
         f"${1 + id % 28}%02d${id % 24}%02d${id % 60}%02d${id % 60}%02d"
+      val filter = (id % 5) match {
+        case 0 => "ahx"
+        case 1 => "flate"
+        case 2 => "lzw"
+        case 3 => "none"
+        case _ => "ahx+flate"
+      }
       val pdf = write(BuildSpec(pages, title = s"Doc $id",
         author = s"Author${id % 5}", producer = "graft-pdf 1.0",
-        created = created, seed = id, flate = id % 2 == 1,
-        modern = id % 3 == 0))
+        created = created, seed = id, modern = id % 3 == 0,
+        contentFilter = filter))
       (id, pdf, "application/pdf")
     }).toDF("doc_id", "bytes", "mime")
   }

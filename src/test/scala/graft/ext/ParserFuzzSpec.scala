@@ -53,6 +53,12 @@ class ParserFuzzSpec extends AnyFunSuite {
     Pdf.write(Pdf.BuildSpec(Seq(Seq("page one text"), Seq("page two")),
       title = "t", author = "a", producer = "p",
       created = "D:20240101000000", seed = 1, flate = true)),
+    Pdf.write(Pdf.BuildSpec(Seq(Seq("lzw page text")), title = "t",
+      author = "a", producer = "p", created = "D:20240101000000",
+      seed = 2, contentFilter = "lzw")),
+    Pdf.write(Pdf.BuildSpec(Seq(Seq("hex armored page")), title = "t",
+      author = "a", producer = "p", created = "D:20240101000000",
+      seed = 0, contentFilter = "ahx+flate")),
     Pdf.write(Pdf.BuildSpec(Seq(Seq("modern page")), title = "t",
       author = "a", producer = "p", created = "D:20240101000000",
       seed = 2, flate = true, modern = true)),

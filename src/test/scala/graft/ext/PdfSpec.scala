@@ -196,6 +196,64 @@ class PdfSpec extends AnyFunSuite with SparkTestBase {
     assert(texts == Seq((1L, "alpha\nbeta")))
   }
 
+  test("LZWDecode matches the ISO 32000 §7.4.4 worked example") {
+    // input 45×5 65 45×3 66 encodes (EarlyChange irrelevant at this
+    // size) to 80 0B 60 50 22 0C 0C 85 01 — the spec's own vector
+    val enc = Array(0x80, 0x0b, 0x60, 0x50, 0x22, 0x0c, 0x0c, 0x85, 0x01)
+      .map(_.toByte)
+    assert(Pdf.lzwDecode(enc, 1).map(_.toSeq).contains(
+      Seq[Byte](45, 45, 45, 45, 45, 65, 45, 45, 45, 66)))
+    // and the encoder twin reproduces the spec bytes exactly
+    assert(Pdf.lzwEncode(Array[Byte](45, 45, 45, 45, 45, 65, 45, 45,
+      45, 66)).toSeq == enc.toSeq)
+  }
+
+  test("LZW round-trips across code-width growth and table clears") {
+    val rnd = new scala.util.Random(11)
+    val big = Array.tabulate(300000)(_ => (rnd.nextInt(17) * 13).toByte)
+    for (data <- Seq(Array.empty[Byte], Array.fill(5000)('a'.toByte),
+        "mixed content 123 mixed content".getBytes("UTF-8"), big)) {
+      val enc = Pdf.lzwEncode(data)
+      assert(Pdf.lzwDecode(enc, 1).exists(_.sameElements(data)),
+        s"len=${data.length}")
+    }
+    // a truncated stream (EOD gone) fails closed
+    val enc = Pdf.lzwEncode("hello hello hello hello".getBytes("UTF-8"))
+    assert(Pdf.lzwDecode(enc.dropRight(2), 1).isEmpty)
+    // garbage never throws
+    for (_ <- 1 to 50)
+      Pdf.lzwDecode(Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte), 1)
+  }
+
+  test("ASCIIHexDecode: pairs, whitespace, odd padding, EOD, garbage") {
+    def d(s: String) = Pdf.asciiHexDecode(s.getBytes("US-ASCII"))
+      .map(_.toSeq)
+    assert(d("48656C6C6F>").contains("Hello".getBytes("US-ASCII").toSeq))
+    assert(d("48 65\n6c6C\t 6f>").contains("Hello".getBytes("US-ASCII").toSeq))
+    assert(d("7>").contains(Seq(0x70.toByte))) // odd final digit pads 0
+    assert(d("48xx>").isEmpty) // non-hex, non-ws: malformed
+    assert(d("4865").contains(Seq(0x48.toByte, 0x65.toByte))) // no EOD
+    assert(d("48>ignored").contains(Seq(0x48.toByte))) // data past EOD
+    assert(d(">").contains(Seq.empty[Byte]))
+  }
+
+  test("content filters: lzw / ahx / chain round-trip in both layouts") {
+    val pages = Seq(Seq("filter test page", "second chunk here"))
+    for (f <- Seq("none", "flate", "lzw", "ahx", "ahx+flate");
+        modern <- Seq(false, true)) {
+      val pdf = Pdf.write(spec(pages, modern = modern)
+        .copy(contentFilter = f))
+      assert(Pdf.extractText(pdf)
+        .contains("filter test page\nsecond chunk here"),
+        s"filter=$f modern=$modern")
+    }
+    // an image filter still fails closed rather than misreads
+    val dct = new String(Pdf.write(spec(pages).copy(contentFilter = "none")),
+      "ISO-8859-1").replaceFirst("<< /Length (\\d+) >>",
+      "<< /Length $1 /Filter /DCTDecode >>")
+    assert(Pdf.extractText(dct.getBytes("ISO-8859-1")).isEmpty)
+  }
+
   test("synthetic corpus spec: text round-trips at the 48-char rule") {
     import spark.implicits._
     val docs = spark.createDataset(Seq(
