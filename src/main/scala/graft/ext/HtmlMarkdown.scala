@@ -110,7 +110,16 @@ object HtmlMarkdown {
             val vs = i
             while (i < n && !html.charAt(i).isWhitespace &&
                 html.charAt(i) != '>') i += 1
-            attrs += (aname -> unescape(html.substring(vs, i)))
+            // HTML5 folds a trailing '/' of a self-closing tag into an
+            // unquoted value (<img src=x.png/> → "x.png/"), but the
+            // author meant x.png — strip it ONLY in that position, so
+            // href=/about and full URLs keep their slashes (and a bare
+            // href=/ keeps its single one)
+            val ve =
+              if (i < n && html.charAt(i) == '>' && i - vs > 1 &&
+                  html.charAt(i - 1) == '/') i - 1
+              else i
+            attrs += (aname -> unescape(html.substring(vs, ve)))
           }
         } else if (aname.nonEmpty) attrs += (aname -> "")
         else i += 1 // defensive: never stall
@@ -133,7 +142,11 @@ object HtmlMarkdown {
     var blockGroup = -1
     // open inline wrappers: (tag, buffer offset, href/src payload)
     var wrappers = List.empty[(String, Int, String)]
-    var listStack = List.empty[(Boolean, Int)] // (ordered, counter)
+    // (ordered, counter, group id): the group id is FROZEN at list
+    // open — after a nested list closes, outer items must keep THEIR
+    // list's id, not the global count (else one outer list renders
+    // split around the nested one's items)
+    var listStack = List.empty[(Boolean, Int, Int)]
     var listGroups = 0
     // tables: first row is the header row (pipe table + --- separator)
     var tableRows: mutable.ArrayBuffer[Seq[String]] = null
@@ -252,17 +265,17 @@ object HtmlMarkdown {
             case "ul" | "ol" =>
               flush()
               listGroups += 1
-              listStack ::= (name == "ol", 0)
+              listStack ::= (name == "ol", 0, listGroups)
             case "/ul" | "/ol" =>
               flush()
               if (listStack.nonEmpty) listStack = listStack.tail
             case "li" =>
               flush()
               listStack match {
-                case (ordered, k) :: rest =>
-                  listStack = (ordered, k + 1) :: rest
+                case (ordered, k, g) :: rest =>
+                  listStack = (ordered, k + 1, g) :: rest
                   prefix = if (ordered) s"${k + 1}. " else "- "
-                  blockGroup = listGroups
+                  blockGroup = g
                 case Nil => prefix = "- " // stray li: still a bullet
               }
             case "br" => inline.append(Br)

@@ -109,6 +109,32 @@ class HtmlMarkdownSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("a nested list does not split the outer list's items") {
+    // outer items before AND after the nested ul share one group: the
+    // outer list renders contiguously (single newlines), the nested
+    // one is its own block
+    val md = HtmlMarkdown.toMarkdown(
+      "<ul><li>a</li><li>b<ul><li>x</li><li>y</li></ul></li>" +
+        "<li>c</li><li>d</li></ul>")
+    assert(md == "- a\n- b\n\n- x\n- y\n\n- c\n- d", md)
+    // two SIBLING lists still render as distinct blocks
+    val sib = HtmlMarkdown.toMarkdown(
+      "<ul><li>a</li></ul><ul><li>b</li></ul>")
+    assert(sib == "- a\n\n- b", sib)
+  }
+
+  test("self-closing tags with unquoted attrs drop only the stray '/'") {
+    assert(HtmlMarkdown.toMarkdown("<p><img src=x.png/></p>")
+      == "![](x.png)")
+    // real slashes inside unquoted values survive
+    assert(HtmlMarkdown.toMarkdown("<p><a href=/about>go</a></p>")
+      == "[go](/about)")
+    assert(HtmlMarkdown.toMarkdown("<p><a href=https://e.test/a/b>x</a></p>")
+      == "[x](https://e.test/a/b)")
+    // a bare root href keeps its single slash
+    assert(HtmlMarkdown.toMarkdown("<p><a href=/>r</a></p>") == "[r](/)")
+  }
+
   test("htmlToMarkdown stage over the synthetic corpus") {
     import spark.implicits._
     val docs = spark.createDataset(Seq(
