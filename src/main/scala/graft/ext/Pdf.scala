@@ -23,10 +23,11 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * /Type /ObjStm object streams (the post-2007 producer layout),
   * INCLUDING incremental-update /Prev chains (newest section wins,
   * free entries shadow older in-use ones, cycle and chain-length
-  * guarded). Stream filters: FlateDecode, LZWDecode, ASCIIHexDecode —
-  * singly or chained — with PNG predictors. Encryption, hybrid
-  * XRefStm files, and the image filters (DCT/JPX/CCITT/JBIG2) fail
-  * closed — the parser refuses rather than misreads.
+  * guarded). Stream filters: FlateDecode, LZWDecode, ASCIIHexDecode,
+  * ASCII85Decode — singly or chained — with PNG predictors.
+  * Encryption, hybrid XRefStm files, and the image filters
+  * (DCT/JPX/CCITT/JBIG2) fail closed — the parser refuses rather
+  * than misreads.
   */
 object Pdf {
 
@@ -623,6 +624,79 @@ object Pdf {
     Some(out.toByteArray)
   }
 
+  /** ASCII85Decode (ISO 32000-1 §7.4.3): 5 chars `!`..`u` → 4 bytes
+    * big-endian base 85; `z` = a zero group (only at a group start);
+    * whitespace ignored; `~>` is EOD; a final partial group of n chars
+    * (2–4) pads with `u` and keeps n−1 bytes. Overflow, a 1-char
+    * final group, `z` mid-group, or any other character → None.
+    */
+  private[graft] def ascii85Decode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 4)
+    val group = new Array[Int](5)
+    var k = 0
+    def flush(n: Int): Boolean = { // n chars of the group are real
+      var v = 0L
+      var i = 0
+      while (i < 5) { v = v * 85 + (if (i < n) group(i) else 84); i += 1 }
+      if (v > 0xffffffffL) return false
+      var b = 3
+      while (b >= 4 - (n - 1)) { out.write(((v >> (8 * b)) & 0xff).toInt); b -= 1 }
+      true
+    }
+    var i = 0
+    while (i < data.length) {
+      val c = data(i) & 0xff
+      if (c == '~') {
+        if (i + 1 >= data.length || (data(i + 1) & 0xff) != '>') return None
+        if (k == 1) return None // a lone trailing char is malformed
+        if (k >= 2 && !flush(k)) return None
+        return Some(out.toByteArray)
+      } else if (c == 'z') {
+        if (k != 0) return None
+        out.write(0); out.write(0); out.write(0); out.write(0)
+      } else if (c >= '!' && c <= 'u') {
+        group(k) = c - '!'
+        k += 1
+        if (k == 5) { if (!flush(5)) return None; k = 0 }
+      } else if (!isWs(c)) return None
+      i += 1
+    }
+    // missing EOD tolerated like ASCIIHex: decode the partial tail
+    if (k == 1) return None
+    if (k >= 2 && !flush(k)) return None
+    Some(out.toByteArray)
+  }
+
+  /** ASCII85 encoder twin: 4-byte groups → 5 chars, `z` for interior
+    * zero groups, padded final group keeps n+1 chars, `~>` EOD.
+    */
+  private[graft] def a85Encode(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder(data.length * 5 / 4 + 8)
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(4, data.length - i)
+      var v = 0L
+      var b = 0
+      while (b < 4) {
+        v = (v << 8) | (if (b < n) data(i + b) & 0xffL else 0L)
+        b += 1
+      }
+      if (v == 0 && n == 4) sb.append('z')
+      else {
+        val cs = new Array[Char](5)
+        var j = 4
+        var x = v
+        while (j >= 0) { cs(j) = ('!' + (x % 85).toInt).toChar; x /= 85; j -= 1 }
+        var c = 0
+        while (c < n + 1) { sb.append(cs(c)); c += 1 }
+      }
+      if (sb.length % 64 < 5) sb.append('\n')
+      i += n
+    }
+    sb.append("~>")
+    sb.toString.getBytes("US-ASCII")
+  }
+
   /** LZWDecode (ISO 32000-1 §7.4.4; TIFF-convention LZW): 9→12-bit
     * MSB-first codes, 256 = clear-table, 257 = EOD, the code width
     * grows when `next + EarlyChange` reaches a power of two
@@ -784,6 +858,7 @@ object Pdf {
             lzwDecode(d, pm.map(num(_, "EarlyChange", 1)).getOrElse(1))
               .flatMap(predict(_, pm))
           case "ASCIIHexDecode" | "AHx" => asciiHexDecode(d)
+          case "ASCII85Decode" | "A85" => ascii85Decode(d)
           case _ => None
         }
       }
@@ -963,9 +1038,10 @@ object Pdf {
     *               /XRef cross-reference STREAM (W [1 4 2], PNG Up
     *               predictor) instead of the classic xref table
     * @param contentFilter content-stream encoding override: "none" |
-    *               "flate" | "lzw" | "ahx" | "ahx+flate" (the chain:
-    *               Flate applied first, hex on top — decoded
-    *               ASCIIHexDecode-then-FlateDecode per /Filter order)
+    *               "flate" | "lzw" | "ahx" | "a85" | "ahx+flate" |
+    *               "a85+flate" (chains: Flate applied first, the
+    *               ASCII armor on top — decoded armor-then-Flate per
+    *               /Filter order)
     */
   final case class BuildSpec(pages: Seq[Seq[String]], title: String,
       author: String, producer: String, created: String,
@@ -1082,8 +1158,11 @@ object Pdf {
       case "flate" => (deflate(raw), " /Filter /FlateDecode")
       case "lzw" => (lzwEncode(raw), " /Filter /LZWDecode")
       case "ahx" => (ahxEncode(raw), " /Filter /ASCIIHexDecode")
+      case "a85" => (a85Encode(raw), " /Filter /ASCII85Decode")
       case "ahx+flate" => (ahxEncode(deflate(raw)),
         " /Filter [/ASCIIHexDecode /FlateDecode]")
+      case "a85+flate" => (a85Encode(deflate(raw)),
+        " /Filter [/ASCII85Decode /FlateDecode]")
       case other =>
         throw new IllegalArgumentException(s"contentFilter: $other")
     }
@@ -1288,14 +1367,14 @@ object Pdf {
   /** One deterministic PDF per document holding its ACTUAL text: 48-char
     * chunks, 5 chunks per page, the MODERN layout (object stream +
     * xref stream, PDF 1.5) for ids ≡ 0 (mod 3), content-stream filter
-    * rotated by id % 5 (ASCIIHex / Flate / LZW / none / the
-    * ASCIIHex-over-Flate CHAIN — older corpora are full of LZW and
-    * hex-armored streams), Info fields in closed form — q_pdf_meta/
+    * rotated by id % 6 (ASCIIHex / Flate / LZW / none / the
+    * ASCIIHex-over-Flate CHAIN / ASCII85 — older corpora are full of
+    * LZW and ASCII-armored streams), Info fields in closed form — q_pdf_meta/
     * q_pdf_text recompute everything, and the text round trip (source
     * column → content streams → extraction) is exact by the uniform
     * '\n'-every-48-chars rule (page joins land on chunk boundaries).
     * A third of the corpus only passes through the xref-stream/ObjStm
-    * path; 3/5 only through a non-trivial content filter.
+    * path; 4/6 only through a non-trivial content filter.
     */
   def syntheticPdfMedia(docs: Dataset[(java.lang.Long, String)]): DataFrame = {
     val spark = docs.sparkSession
@@ -1312,12 +1391,13 @@ object Pdf {
       val pages = chunks.grouped(5).toSeq
       val created = f"D:${2000 + id % 22}%04d${1 + id % 12}%02d" +
         f"${1 + id % 28}%02d${id % 24}%02d${id % 60}%02d${id % 60}%02d"
-      val filter = (id % 5) match {
+      val filter = (id % 6) match {
         case 0 => "ahx"
         case 1 => "flate"
         case 2 => "lzw"
         case 3 => "none"
-        case _ => "ahx+flate"
+        case 4 => "ahx+flate"
+        case _ => "a85"
       }
       val pdf = write(BuildSpec(pages, title = s"Doc $id",
         author = s"Author${id % 5}", producer = "graft-pdf 1.0",

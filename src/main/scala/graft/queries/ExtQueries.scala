@@ -1579,6 +1579,28 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // politeness SCHEDULER — the crawl-delay consumer: admitted
+    // frontier rows get a per-domain fetch slot (row_number over the
+    // domain, the natural politeness unit — a "partition" here is one
+    // domain's queue, bounded by per-domain page counts, never corpus
+    // rows) and an ETA = slot × the domain's Crawl-delay (1 s default
+    // when robots stated none). Pairs with q_domain_cap's quota op:
+    // cap decides HOW MANY pages per domain, this decides WHEN.
+    "q_politeness_schedule" -> ((s, dir) => {
+      import s.implicits._
+      val (pages, robots) = graft.ext.Robots.syntheticFrontier(
+        docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+          .select("doc_id").as[java.lang.Long])
+      graft.ext.Robots.gateByDomain(pages, robots, agent = "graftbot")
+        .where(col("allowed"))
+        .withColumn("slot", (row_number().over(
+          Window.partitionBy("domain").orderBy("doc_id")) - 1).cast("long"))
+        .withColumn("eta_sec",
+          col("slot") * coalesce(col("crawl_delay_sec"), lit(1.0)))
+        .select("doc_id", "domain", "path", "slot", "eta_sec")
+        .orderBy("doc_id")
+    }),
+
     // discovery → admission in ONE flow: sitemap bytes as fetched
     // (gzipped for odd ids, namespaced/CDATA for ids % 4 == 0) →
     // entries → host/path split (parse_url, per-row) → executor-
@@ -4485,6 +4507,32 @@ object ExtQueries {
         |       ELSE NULL END AS crawl_delay_sec
         |FROM documents WHERE doc_id IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
+
+    // the scheduler recomputed over the allowed subset of the gate
+    // oracle: per-domain slot by doc_id order, ETA at the domain's
+    // delay (2 s for kind 0, the 1 s default elsewhere)
+    "q_politeness_schedule" ->
+      """WITH g AS (SELECT doc_id,
+        |    'd' || (doc_id % 50)::VARCHAR || '.test' AS domain,
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN '/a/b' || doc_id::VARCHAR
+        |      WHEN 1 THEN '/private/x' || doc_id::VARCHAR
+        |      WHEN 2 THEN '/private/ok/y' || doc_id::VARCHAR
+        |      WHEN 3 THEN '/doc' || doc_id::VARCHAR || '.pdf'
+        |      WHEN 4 THEN '/nobot/z' || doc_id::VARCHAR
+        |      ELSE '/doc' || doc_id::VARCHAR || '.pdf?x=1' END AS path,
+        |    CASE WHEN (doc_id % 50) % 3 = 2 THEN true
+        |         WHEN (doc_id % 50) % 3 = 1 THEN doc_id % 6 <> 4
+        |         ELSE doc_id % 6 NOT IN (1, 3) END AS allowed,
+        |    CASE WHEN (doc_id % 50) % 3 = 0 THEN 2.0::DOUBLE
+        |         ELSE NULL END AS crawl_delay_sec
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT doc_id, domain, path,
+        |  (row_number() OVER (PARTITION BY domain ORDER BY doc_id) - 1)
+        |    AS slot,
+        |  ((row_number() OVER (PARTITION BY domain ORDER BY doc_id) - 1)
+        |    * coalesce(crawl_delay_sec, 1.0::DOUBLE)) AS eta_sec
+        |FROM g WHERE allowed ORDER BY doc_id""".stripMargin,
 
     // the composition recomputed: n = 1+(id%3) sitemap urls per
     // domain f<id>.test; robots by id%4 — 0 blocks /p1 (+1.5 s

@@ -237,9 +237,35 @@ class PdfSpec extends AnyFunSuite with SparkTestBase {
     assert(d(">").contains(Seq.empty[Byte]))
   }
 
-  test("content filters: lzw / ahx / chain round-trip in both layouts") {
+  test("ASCII85Decode: spec vector, z groups, partial tail, garbage") {
+    def d(s: String) = Pdf.ascii85Decode(s.getBytes("US-ASCII"))
+      .map(_.toSeq)
+    assert(d("9jqo^~>").contains("Man ".getBytes("US-ASCII").toSeq))
+    assert(d("z~>").contains(Seq[Byte](0, 0, 0, 0)))
+    assert(d(" 9jq\no^ ~>").contains("Man ".getBytes("US-ASCII").toSeq))
+    // partial group: n chars keep n-1 bytes
+    assert(d("9jqo~>").contains("Man".getBytes("US-ASCII").toSeq))
+    assert(d("9jqo^9~>").isEmpty) // a lone trailing char is malformed
+    assert(d("9jzqo^~>").isEmpty) // z mid-group
+    assert(d("s8W-!~>").contains( // exactly 2^32 - 1: the legal max
+      Seq(0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte)))
+    assert(d("s8W-\"~>").isEmpty) // one past it overflows
+    assert(d("9jqo^").contains("Man ".getBytes("US-ASCII").toSeq)) // no EOD
+    assert(d("9jq{^~>").isEmpty) // out-of-alphabet char
+    // encoder twin round-trips arbitrary payloads incl. zero runs
+    val rnd = new scala.util.Random(5)
+    for (len <- Seq(0, 1, 2, 3, 4, 5, 63, 64, 65, 4096)) {
+      val data = Array.fill(len)(rnd.nextInt(256).toByte)
+      assert(Pdf.ascii85Decode(Pdf.a85Encode(data)).exists(_.sameElements(data)))
+      val zeros = new Array[Byte](len)
+      assert(Pdf.ascii85Decode(Pdf.a85Encode(zeros)).exists(_.sameElements(zeros)))
+    }
+  }
+
+  test("content filters: lzw / ahx / a85 / chains round-trip in both layouts") {
     val pages = Seq(Seq("filter test page", "second chunk here"))
-    for (f <- Seq("none", "flate", "lzw", "ahx", "ahx+flate");
+    for (f <- Seq("none", "flate", "lzw", "ahx", "a85", "ahx+flate",
+        "a85+flate");
         modern <- Seq(false, true)) {
       val pdf = Pdf.write(spec(pages, modern = modern)
         .copy(contentFilter = f))

@@ -194,6 +194,9 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // sitemap explode + per-row URL split + the same broadcast gate +
     // final order: one range exchange total
     "q_frontier_pipeline" -> 1,
+    // broadcast gate + ONE per-domain window hash + final order; the
+    // window partitions by domain (the politeness unit), never corpus
+    "q_politeness_schedule" -> 2,
     // postings chain: (doc,pos) equi-joins + per-doc count + order
     "q_phrase_search" -> 6,
     // one full-outer key join + order
