@@ -131,6 +131,26 @@ object Robots {
   def crawlDelayFor(groups: Seq[Group], agent: String): Option[Double] =
     selectGroups(groups, agent).flatMap(_.crawlDelaySec).headOption
 
+  /** Sitemap URLs declared in a robots.txt — the `Sitemap:` directive
+    * is GROUP-INDEPENDENT (sitemaps.org / RFC 9309 §2.3's "other
+    * records"), so it is extracted from the whole file, in order,
+    * comments stripped. The discovery seed [[parseSitemap]] consumes.
+    */
+  def sitemapUrls(txt: String): Seq[String] =
+    txt.linesIterator.flatMap { raw =>
+      val line = raw.indexOf('#') match {
+        case -1 => raw
+        case h => raw.substring(0, h)
+      }
+      val colon = line.indexOf(':')
+      if (colon > 0 && line.substring(0, colon).trim
+          .equalsIgnoreCase("sitemap")) {
+        // the URL's own "https:" colon sits AFTER the directive colon
+        val v = line.substring(colon + 1).trim
+        if (v.nonEmpty) Some(v) else None
+      } else None
+    }.toSeq
+
   /** Longest-match precedence over PRE-SELECTED rules, allow on tie,
     * allowed when nothing matches (RFC 9309 §2.2.2).
     */
@@ -159,91 +179,17 @@ object Robots {
   final case class SitemapEntry(kind: String, loc: String,
       lastmod: String, priority: String)
 
-  /** True when the qname at `at` (just past '<' or "</") has local
-    * name `local`: an optional `prefix:` is skipped (real sitemaps are
-    * routinely namespace-prefixed), the match is case-insensitive, and
-    * the name must be DELIMITED by whitespace, '>', or '/' — so
-    * `<sitemapindex>` never matches a `sitemap` member probe.
-    */
-  private def qnameMatches(xml: String, at: Int, local: String): Boolean = {
-    var j = at
-    val n = xml.length
-    while (j < n && (xml.charAt(j).isLetterOrDigit ||
-        xml.charAt(j) == '_' || xml.charAt(j) == '-')) j += 1
-    var start = at
-    if (j < n && xml.charAt(j) == ':') { // namespace prefix: skip it
-      start = j + 1
-      j = start
-      while (j < n && (xml.charAt(j).isLetterOrDigit ||
-          xml.charAt(j) == '_' || xml.charAt(j) == '-')) j += 1
-    }
-    j - start == local.length &&
-      xml.regionMatches(true, start, local, 0, local.length) &&
-      (j >= n || xml.charAt(j).isWhitespace || xml.charAt(j) == '>' ||
-        xml.charAt(j) == '/')
-  }
-
-  /** Index of the '<' opening a `local` tag (prefix/attr-tolerant) at
-    * or after `from`; -1 when absent.
-    */
-  private def tagOpen(xml: String, local: String, from: Int): Int = {
-    var i = xml.indexOf('<', from)
-    while (i >= 0) {
-      if (i + 1 < xml.length && xml.charAt(i + 1) != '/' &&
-          qnameMatches(xml, i + 1, local)) return i
-      i = xml.indexOf('<', i + 1)
-    }
-    -1
-  }
-
-  /** Index of the "</" closing a `local` tag at or after `from`. */
-  private def tagClose(xml: String, local: String, from: Int): Int = {
-    var i = xml.indexOf("</", from)
-    while (i >= 0) {
-      if (qnameMatches(xml, i + 2, local)) return i
-      i = xml.indexOf("</", i + 1)
-    }
-    -1
-  }
-
   /** Parse a sitemap.xml body: `<urlset>` → `<url>` members,
     * `<sitemapindex>` → `<sitemap>` children; `<loc>` text is
     * entity-decoded (URLs carry `&amp;`) unless it sits in a CDATA
     * section (taken verbatim, per XML). Member tags may carry
     * namespace prefixes (`<sm:loc>`) and attributes — both routine in
-    * crawled sitemaps. Tag scan, not an XML parser — hostile input
-    * yields fewer entries, never a throw.
+    * crawled sitemaps ([[XmlScan]]). Tag scan, not an XML parser —
+    * hostile input yields fewer entries, never a throw.
     */
   def parseSitemap(xml: String): Seq[SitemapEntry] = {
-    def field(block: String, local: String): String = {
-      val open = tagOpen(block, local, 0)
-      if (open < 0) return ""
-      val gt = block.indexOf('>', open)
-      if (gt < 0) return ""
-      if (block.charAt(gt - 1) == '/') return "" // self-closing: empty
-      val close = tagClose(block, local, gt + 1)
-      if (close < 0) return ""
-      val raw = block.substring(gt + 1, close).trim
-      val text =
-        if (raw.startsWith("<![CDATA[")) {
-          val e = raw.indexOf("]]>")
-          if (e < 0) raw.substring(9) else raw.substring(9, e)
-        } else HtmlEntities.unescape(raw)
-      text.trim
-    }
-    def blocks(local: String): Seq[String] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      var i = tagOpen(xml, local, 0)
-      while (i >= 0 && out.size < 65536) {
-        val gt = xml.indexOf('>', i)
-        if (gt < 0) return out.toSeq
-        val close = tagClose(xml, local, gt + 1)
-        if (close < 0) return out.toSeq
-        out += xml.substring(gt + 1, close)
-        i = tagOpen(xml, local, close + 1)
-      }
-      out.toSeq
-    }
+    import XmlScan.field
+    def blocks(local: String): Seq[String] = XmlScan.blocks(xml, local)
     val urls = blocks("url").map(b =>
       SitemapEntry("url", field(b, "loc"), field(b, "lastmod"),
         field(b, "priority")))
@@ -437,6 +383,8 @@ object Robots {
         |Allow: /private/ok/
         |Disallow: /*.pdf$
         |Crawl-delay: 2
+        |Sitemap: https://maps.example.test/a.xml
+        |Sitemap: https://maps.example.test/b.xml
         |""".stripMargin
     case 1 =>
       """User-agent: graftbot
@@ -477,6 +425,19 @@ object Robots {
         (s"d$k.test", robotsFor(k % 3))
       }).toDF("domain", "robots")
     (pages, robots)
+  }
+
+  /** (domain, robots) → one row per declared sitemap URL: the
+    * robots-side discovery stage (per-row [[sitemapUrls]] — zero
+    * shuffle), whose output feeds [[sitemapEntriesRaw]] after fetch.
+    */
+  def sitemapsByDomain(robots: DataFrame): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select("domain", "robots").as[(String, String)]
+      .mapPartitions(_.flatMap { case (d, txt) =>
+        sitemapUrls(txt).iterator.map(u => (d, u))
+      }).toDF("domain", "sitemap")
   }
 
   // ------------------------------------------------------------------

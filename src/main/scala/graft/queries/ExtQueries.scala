@@ -1579,6 +1579,32 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // robots-declared sitemap discovery (Robots.sitemapUrls): the
+    // Sitemap: directive is group-independent, extracted per domain —
+    // the seed list the sitemap fetch stage consumes. The d-domain
+    // fixture's kind-0 robots declares TWO sitemaps, kind 2 one,
+    // kind 1 none.
+    "q_robots_sitemaps" -> ((s, dir) => {
+      import s.implicits._
+      val (_, robots) = graft.ext.Robots.syntheticFrontier(
+        docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+          .select("doc_id").as[java.lang.Long])
+      graft.ext.Robots.sitemapsByDomain(robots)
+        .orderBy("domain", "sitemap")
+    }),
+
+    // RSS/Atom feed parsing (graft.ext.Feeds): the third discovery
+    // channel — RSS items (element-text links, pubDate) and Atom
+    // entries (href-attribute links, published/updated fallback),
+    // namespace-prefixed/CDATA/gzipped per family, one oracle.
+    "q_feed_entries" -> ((s, dir) => {
+      import s.implicits._
+      graft.ext.Feeds.feedEntries(graft.ext.Feeds.syntheticFeeds(
+        docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+          .select("doc_id").as[java.lang.Long]))
+        .orderBy("doc_id", "link")
+    }),
+
     // politeness SCHEDULER — the crawl-delay consumer: admitted
     // frontier rows get a per-domain fetch slot (row_number over the
     // domain, the natural politeness unit — a "partition" here is one
@@ -4507,6 +4533,46 @@ object ExtQueries {
         |       ELSE NULL END AS crawl_delay_sec
         |FROM documents WHERE doc_id IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
+
+    // the 50 fixture domains recomputed: kind k%3 — 0 declares a.xml
+    // + b.xml, 2 declares sitemap.xml, 1 declares none
+    "q_robots_sitemaps" ->
+      """WITH d AS (SELECT unnest(generate_series(0, 49)) AS k),
+        |m AS (
+        |  SELECT k, 'https://maps.example.test/a.xml' AS sitemap
+        |  FROM d WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k, 'https://maps.example.test/b.xml' FROM d WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k, 'https://example.test/sitemap.xml' FROM d WHERE k % 3 = 2)
+        |SELECT 'd' || k::VARCHAR || '.test' AS domain, sitemap
+        |FROM m ORDER BY domain, sitemap""".stripMargin,
+
+    // the feed muxer recomputed: even ids RSS (1+(id%3) items), odd
+    // Atom (1+(id%2) entries); titles/links/dates in closed form —
+    // CDATA and entity titles decode identically
+    "q_feed_entries" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 3
+        |         ELSE 1 + doc_id % 2 END::BIGINT AS n
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |s AS (SELECT doc_id, unnest(generate_series(1, n)) AS j FROM p)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN 'Post ' || j::VARCHAR || ' & notes'
+        |       ELSE 'Entry ' || j::VARCHAR END AS title,
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN 'https://n' || doc_id::VARCHAR || '.test/post' ||
+        |            j::VARCHAR || '?u=1&v=2'
+        |       ELSE 'https://n' || doc_id::VARCHAR || '.test/e' ||
+        |            j::VARCHAR END AS link,
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN '0' || (1 + doc_id % 9)::VARCHAR ||
+        |            ' Jan 2024 00:00:00 GMT'
+        |       ELSE '2024-0' || (1 + doc_id % 9)::VARCHAR ||
+        |            '-01T00:00:00Z' END AS published
+        |FROM s ORDER BY doc_id, link""".stripMargin,
 
     // the scheduler recomputed over the allowed subset of the gate
     // oracle: per-domain slot by doc_id order, ETA at the domain's

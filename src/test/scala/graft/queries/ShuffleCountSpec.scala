@@ -197,6 +197,10 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // broadcast gate + ONE per-domain window hash + final order; the
     // window partitions by domain (the politeness unit), never corpus
     "q_politeness_schedule" -> 2,
+    // per-row directive scan + final order only
+    "q_robots_sitemaps" -> 1,
+    // per-row feed parse (gunzip + tag scan) + final order only
+    "q_feed_entries" -> 1,
     // postings chain: (doc,pos) equi-joins + per-doc count + order
     "q_phrase_search" -> 6,
     // one full-outer key join + order
