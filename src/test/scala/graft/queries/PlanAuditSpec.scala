@@ -50,8 +50,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
   }
 
   // positive shape assertions: the broadcasts that are load-bearing for
-  // the 100 TB story must actually plan as broadcasts
-  for (name <- Seq("q_broadcast_join", "q_decontam")) {
+  // the 100 TB story must actually plan as broadcasts (q_robots_gate:
+  // the frontier side must NEVER shuffle for the rules join under the
+  // domain-count threshold — the r16 driver-collect fix's plan witness)
+  for (name <- Seq("q_broadcast_join", "q_decontam", "q_robots_gate")) {
     test(s"$name plans its small side as a broadcast") {
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
