@@ -47,31 +47,14 @@ object Feeds {
   }
 
   /** Bytes-as-fetched: gzip-tolerant + charset-sniffed, like
-    * [[Robots.parseSitemapBytes]] (feeds gzip the same way).
+    * [[Robots.parseSitemapBytes]] (feeds gzip the same way;
+    * [[Gunzip.capped]] is the shared fail-closed path).
     */
-  def parseFeedBytes(b: Array[Byte]): Seq[FeedEntry] = {
-    val MaxXmlBytes = 1 << 26
-    val xmlBytes: Array[Byte] =
-      if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) {
-        try {
-          val in = new java.util.zip.GZIPInputStream(
-            new java.io.ByteArrayInputStream(b))
-          try {
-            val out = new java.io.ByteArrayOutputStream(
-              math.min(b.length * 4, MaxXmlBytes))
-            val buf = new Array[Byte](8192)
-            var n = in.read(buf)
-            while (n >= 0) {
-              if (out.size() + n > MaxXmlBytes) return Seq.empty
-              out.write(buf, 0, n)
-              n = in.read(buf)
-            }
-            out.toByteArray
-          } finally in.close()
-        } catch { case _: java.io.IOException => return Seq.empty }
-      } else b
-    parseFeed(Charsets.decode(xmlBytes)._1)
-  }
+  def parseFeedBytes(b: Array[Byte]): Seq[FeedEntry] =
+    Gunzip.capped(b, 1 << 26) match {
+      case Some(xml) => parseFeed(Charsets.decode(xml)._1)
+      case None => Seq.empty
+    }
 
   // ------------------------------------------------------------------
   // Spark stage + fixture twin

@@ -114,7 +114,11 @@ object HtmlMarkdown {
             // unquoted value (<img src=x.png/> → "x.png/"), but the
             // author meant x.png — strip it ONLY in that position, so
             // href=/about and full URLs keep their slashes (and a bare
-            // href=/ keeps its single one)
+            // href=/ keeps its single one). Accepted cost: a genuine
+            // directory URL written unquoted against '>' (<a
+            // href=/docs/>) also sheds its slash — indistinguishable
+            // from the self-closing idiom, and the idiom is the far
+            // more common shape in crawled HTML.
             val ve =
               if (i < n && html.charAt(i) == '>' && i - vs > 1 &&
                   html.charAt(i - 1) == '/') i - 1

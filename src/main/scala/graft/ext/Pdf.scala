@@ -857,8 +857,15 @@ object Pdf {
           case "LZWDecode" | "LZW" =>
             lzwDecode(d, pm.map(num(_, "EarlyChange", 1)).getOrElse(1))
               .flatMap(predict(_, pm))
-          case "ASCIIHexDecode" | "AHx" => asciiHexDecode(d)
-          case "ASCII85Decode" | "A85" => ascii85Decode(d)
+          // the ASCII armors define no DecodeParms of their own, but a
+          // parms entry aligned with them could still carry a
+          // predictor — route through the same predict() as the
+          // compression arms so it applies or refuses, never silently
+          // drops (the header contract)
+          case "ASCIIHexDecode" | "AHx" =>
+            asciiHexDecode(d).flatMap(predict(_, pm))
+          case "ASCII85Decode" | "A85" =>
+            ascii85Decode(d).flatMap(predict(_, pm))
           case _ => None
         }
       }

@@ -204,29 +204,11 @@ object Robots {
     * charset-sniff ([[Charsets.decode]] — sitemaps are UTF-8, often
     * BOM'd), then [[parseSitemap]].
     */
-  def parseSitemapBytes(b: Array[Byte]): Seq[SitemapEntry] = {
-    val MaxXmlBytes = 1 << 26 // 64 MiB decompressed ceiling
-    val xmlBytes: Array[Byte] =
-      if (b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) {
-        try {
-          val in = new java.util.zip.GZIPInputStream(
-            new java.io.ByteArrayInputStream(b))
-          try {
-            val out = new java.io.ByteArrayOutputStream(
-              math.min(b.length * 4, MaxXmlBytes))
-            val buf = new Array[Byte](8192)
-            var n = in.read(buf)
-            while (n >= 0) {
-              if (out.size() + n > MaxXmlBytes) return Seq.empty
-              out.write(buf, 0, n)
-              n = in.read(buf)
-            }
-            out.toByteArray
-          } finally in.close()
-        } catch { case _: java.io.IOException => return Seq.empty }
-      } else b
-    parseSitemap(Charsets.decode(xmlBytes)._1)
-  }
+  def parseSitemapBytes(b: Array[Byte]): Seq[SitemapEntry] =
+    Gunzip.capped(b, 1 << 26) match { // 64 MiB decompressed ceiling
+      case Some(xml) => parseSitemap(Charsets.decode(xml)._1)
+      case None => Seq.empty
+    }
 
   /** (doc_id, xml) → one row per entry: the frontier-seeding stage. */
   def sitemapEntries(docs: Dataset[(java.lang.Long, String)]): DataFrame = {
@@ -346,7 +328,9 @@ object Robots {
     * `maxBroadcastDomains`, sized so the broadcast stays ~100 MB at
     * typical rule lists), else a domain-keyed equi-join — the
     * frontier shuffles once on domain, never collects, and AQE's
-    * skew handling covers hot domains.
+    * skew handling covers hot domains. A caller that already knows
+    * the shape pins it WITHOUT the counting pass: threshold 0 forces
+    * the equi-join, `Long.MaxValue` forces broadcast.
     */
   def gateByDomain(pages: DataFrame, robots: DataFrame, agent: String,
       maxBroadcastDomains: Long = 1000000L): DataFrame = {
@@ -354,9 +338,11 @@ object Robots {
     import spark.implicits._
     import org.apache.spark.sql.functions.broadcast
     val rules = rulesByDomain(robots, agent)
-    val rulesSide =
-      if (robots.count() <= maxBroadcastDomains) broadcast(rules)
-      else rules
+    val useBroadcast =
+      if (maxBroadcastDomains <= 0L) false
+      else if (maxBroadcastDomains == Long.MaxValue) true
+      else robots.count() <= maxBroadcastDomains
+    val rulesSide = if (useBroadcast) broadcast(rules) else rules
     pages.select("doc_id", "domain", "path")
       .join(rulesSide, Seq("domain"), "left")
       .select("doc_id", "domain", "path", "rules", "crawl_delay_sec")

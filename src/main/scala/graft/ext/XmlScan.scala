@@ -57,18 +57,25 @@ private[ext] object XmlScan {
 
   /** All `local` block bodies in document order (content between the
     * open tag's '>' and the matching close), capped at 65536 —
-    * unclosed tails yield what parsed so far.
+    * unclosed tails yield what parsed so far. A SELF-CLOSING member
+    * (`<item/>`) has no body and must not swallow the next sibling's
+    * content: it is skipped, not treated as an open tag.
     */
   def blocks(xml: String, local: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = tagOpen(xml, local, 0)
-    while (i >= 0 && out.size < 65536) {
+    var seen = 0
+    while (i >= 0 && seen < 65536) {
+      seen += 1
       val gt = xml.indexOf('>', i)
       if (gt < 0) return out.toSeq
-      val close = tagClose(xml, local, gt + 1)
-      if (close < 0) return out.toSeq
-      out += xml.substring(gt + 1, close)
-      i = tagOpen(xml, local, close + 1)
+      if (xml.charAt(gt - 1) == '/') i = tagOpen(xml, local, gt + 1)
+      else {
+        val close = tagClose(xml, local, gt + 1)
+        if (close < 0) return out.toSeq
+        out += xml.substring(gt + 1, close)
+        i = tagOpen(xml, local, close + 1)
+      }
     }
     out.toSeq
   }
@@ -95,39 +102,55 @@ private[ext] object XmlScan {
   }
 
   /** Value of `attr` on the FIRST `local` tag inside `block` (the
-    * Atom `<link href=...>` shape): quoted or unquoted, entity-
-    * decoded; "" when tag or attribute is absent.
+    * Atom `<link href=...>` shape): a real attribute TOKENIZER, not a
+    * substring probe — names and values are walked in sequence, so
+    * attribute-like text INSIDE another attribute's quoted value
+    * (`title="see href=x"`) can never match. Values are quoted or
+    * unquoted, entity-decoded; unquoted values keep interior slashes
+    * (`href=https://e.test/p`) and shed only a trailing '/' that is
+    * the self-closing solidus against '>'; "" when tag or attribute
+    * is absent.
     */
   def attr(block: String, local: String, attr: String): String = {
     val open = tagOpen(block, local, 0)
     if (open < 0) return ""
     val gt = block.indexOf('>', open)
     val end = if (gt < 0) block.length else gt
+    // skip past the (possibly prefixed) tag name
     var i = open + 1
+    while (i < end && !block.charAt(i).isWhitespace) i += 1
     while (i < end) {
-      // attribute name start: previous char is whitespace
-      if (block.charAt(i - 1).isWhitespace &&
-          block.regionMatches(true, i, attr, 0, attr.length)) {
-        var j = i + attr.length
-        while (j < end && block.charAt(j).isWhitespace) j += 1
-        if (j < end && block.charAt(j) == '=') {
-          j += 1
-          while (j < end && block.charAt(j).isWhitespace) j += 1
-          if (j < end && (block.charAt(j) == '"' || block.charAt(j) == '\'')) {
-            val q = block.charAt(j)
-            val vs = j + 1
+      val c = block.charAt(i)
+      if (c.isWhitespace || c == '/') i += 1
+      else {
+        val ns = i // attribute name
+        while (i < end && !block.charAt(i).isWhitespace &&
+            block.charAt(i) != '=' && block.charAt(i) != '/') i += 1
+        val name = block.substring(ns, i)
+        while (i < end && block.charAt(i).isWhitespace) i += 1
+        if (i < end && block.charAt(i) == '=') {
+          i += 1
+          while (i < end && block.charAt(i).isWhitespace) i += 1
+          if (i < end && (block.charAt(i) == '"' || block.charAt(i) == '\'')) {
+            val q = block.charAt(i)
+            val vs = i + 1
             val ve = block.indexOf(q, vs)
-            return HtmlEntities.unescape(
-              block.substring(vs, if (ve < 0 || ve > end) end else ve))
+            val stop = if (ve < 0 || ve > end) end else ve
+            if (name.equalsIgnoreCase(attr))
+              return HtmlEntities.unescape(block.substring(vs, stop))
+            i = if (ve < 0 || ve > end) end else ve + 1
           } else {
-            val vs = j
-            while (j < end && !block.charAt(j).isWhitespace &&
-                block.charAt(j) != '/' && block.charAt(j) != '>') j += 1
-            return HtmlEntities.unescape(block.substring(vs, j))
+            val vs = i
+            while (i < end && !block.charAt(i).isWhitespace) i += 1
+            // self-closing solidus folded into an unquoted value
+            val ve =
+              if (i == end && i - vs > 1 && block.charAt(i - 1) == '/') i - 1
+              else i
+            if (name.equalsIgnoreCase(attr))
+              return HtmlEntities.unescape(block.substring(vs, ve))
           }
-        }
+        } else if (name.isEmpty) i += 1 // defensive: never stall
       }
-      i += 1
     }
     ""
   }

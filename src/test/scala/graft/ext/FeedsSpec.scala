@@ -65,6 +65,38 @@ class FeedsSpec extends AnyFunSuite with SparkTestBase {
     assert(Feeds.parseFeed(tricky).head.link == "https://e.test/h")
   }
 
+  test("attr tokenizer: quoted decoys and unquoted URLs with slashes") {
+    // attribute-like text INSIDE another attribute's value must not
+    // win over the real attribute
+    val decoy = "<feed><entry><title>t</title>" +
+      "<link title=\"see href=x\" href=\"https://real.test/\"/></entry></feed>"
+    assert(Feeds.parseFeed(decoy).head.link == "https://real.test/")
+    // unquoted href keeps its interior slashes
+    val unq = "<feed><entry><title>t</title>" +
+      "<link href=https://e.test/a/b ></link></entry></feed>"
+    assert(Feeds.parseFeed(unq).head.link == "https://e.test/a/b")
+  }
+
+  test("a self-closing item does not swallow the next sibling") {
+    val xml = "<rss><channel><item/>" +
+      "<item><title>A</title><link>https://e.test/a</link></item>" +
+      "<item><title>B</title><link>https://e.test/b</link></item>" +
+      "</channel></rss>"
+    assert(Feeds.parseFeed(xml).map(_.title) == Seq("A", "B"))
+  }
+
+  test("oversized declared gzip fails closed, never throws") {
+    // a bomb-shaped payload: gzip of 100 MiB of zeros exceeds the
+    // 64 MiB ceiling -> empty, no throw
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    val chunk = new Array[Byte](1 << 20)
+    for (_ <- 1 to 100) gz.write(chunk)
+    gz.close()
+    assert(Feeds.parseFeedBytes(bos.toByteArray).isEmpty)
+    assert(Robots.parseSitemapBytes(bos.toByteArray).isEmpty)
+  }
+
   test("gzip bytes path round-trips; truncated gzip fails closed") {
     val xml = "<rss><channel><item><title>z</title>" +
       "<link>https://e.test/z</link></item></channel></rss>"
