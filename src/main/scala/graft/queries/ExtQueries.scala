@@ -1696,6 +1696,19 @@ object ExtQueries {
         .orderBy("page_url")
     }),
 
+    // WET sidecar extraction (graft.wat.WetText): the THIRD CC archive
+    // format — `conversion` records carry the crawler's own text
+    // extraction, so a text pipeline reading WET skips HTML parsing
+    // entirely. Fixture: the documents table framed as WET shards
+    // (a warcinfo header record per shard — skipped by type — then one
+    // conversion record per doc); one task per archive, like WAT/WARC.
+    "q_wet_extract" -> ((s, dir) => {
+      val wets = graft.wat.WatFixture.ensureDocWets(s, dir)
+      graft.wat.WetText.docs(s, wets)
+        .select(col("page_url"), col("wet_text"))
+        .orderBy("page_url")
+    }),
+
     // PDF metadata (graft.ext.Pdf): classic xref walk + trailer /Root
     // → /Pages /Count + /Info dict, with the xref offsets VALIDATED
     // (xref_ok) — each doc is a real multi-page PDF of its own text.
@@ -4708,6 +4721,15 @@ object ExtQueries {
         |    '](i' || doc_id::VARCHAR || '.png) with `inline ' ||
         |    (doc_id % 2)::VARCHAR || '` code & entities.' AS markdown
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the WET round trip is lossless by format: conversion payload IS
+    // the document text
+    "q_wet_extract" ->
+      """SELECT 'https://docs.test/doc' || doc_id::VARCHAR || '.html'
+        |    AS page_url,
+        |  text AS wet_text
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY page_url""".stripMargin,
 
     // the pdf muxer's spec recomputed: ceil(len/48) chunks (min 1),
     // 5 chunks per page, Info fields in closed form; xref validation

@@ -335,7 +335,7 @@ object WatFixture {
     }
     val fp = md.digest().take(6).map("%02x".format(_)).mkString
     val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_") +
-      s"-${docs.length}-$fp"
+      s"-${docs.length}-$fp-s$shards"
     (0 until shards).map { i =>
       val f = new java.io.File(dir, s"docs-$tag-$i.warc.gz")
       if (!f.exists()) {
@@ -354,6 +354,54 @@ object WatFixture {
             out.write(gzipMember(warcRecordBytes("response", http ++ html,
               Some(s"https://docs.test/doc$id.html"),
               "application/http; msgtype=response")))
+          }
+        } finally out.close()
+        if (!tmp.renameTo(f) && !f.exists())
+          throw new java.io.IOException(s"could not materialize $f")
+        tmp.delete()
+      }
+      f.getAbsolutePath
+    }
+  }
+
+  /** The documents table framed as WET shards: one warcinfo header
+    * record per shard (CC writes one; the reader must skip it), then
+    * one `conversion` record per document — target URI matching
+    * [[ensureDocWarcs]]'s pages, payload the RAW document text as
+    * UTF-8 (that is the WET format: the crawler's extraction, no
+    * HTTP envelope). Same content-fingerprint cache key discipline.
+    */
+  def ensureDocWets(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, shards: Int = 4): Seq[String] = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(org.apache.spark.sql.functions.col("doc_id").isNotNull)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-doc-wets-v$GenVersion")
+    dir.mkdirs()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    docs.foreach { case (id, text) =>
+      md.update(s"$id:$text\u0000".getBytes(UTF_8))
+    }
+    val fp = md.digest().take(6).map("%02x".format(_)).mkString
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_") +
+      s"-${docs.length}-$fp-s$shards"
+    (0 until shards).map { i =>
+      val f = new java.io.File(dir, s"docs-$tag-$i.warc.wet.gz")
+      if (!f.exists()) {
+        val tmp = new java.io.File(dir, f.getName +
+          s".tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}-${System.nanoTime()}")
+        val out = new FileOutputStream(tmp)
+        try {
+          out.write(gzipMember(warcRecordBytes("warcinfo",
+            "software: graft-wet-fixture\r\n".getBytes(UTF_8), None,
+            "application/warc-fields")))
+          for ((id, text) <- docs if id % shards == i) {
+            out.write(gzipMember(warcRecordBytes("conversion",
+              text.getBytes(UTF_8),
+              Some(s"https://docs.test/doc$id.html"), "text/plain")))
           }
         } finally out.close()
         if (!tmp.renameTo(f) && !f.exists())

@@ -201,6 +201,9 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     "q_robots_sitemaps" -> 1,
     // per-row feed parse (gunzip + tag scan) + final order only
     "q_feed_entries" -> 1,
+    // one task per WET archive + final order only — the conversion-
+    // record read must never shuffle page text
+    "q_wet_extract" -> 1,
     // postings chain: (doc,pos) equi-joins + per-doc count + order
     "q_phrase_search" -> 6,
     // one full-outer key join + order
