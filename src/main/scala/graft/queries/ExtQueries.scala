@@ -1693,7 +1693,10 @@ object ExtQueries {
       val pages = s.read.format("warc").load(warcs: _*)
         .select(col("page_url"), col("html")).as[(String, String)]
       graft.ext.HtmlMarkdown.htmlToMarkdownKeyed(pages)
-        .orderBy("page_url")
+        // no exchange below the sort → a global orderBy would range-
+        // sample and run the warc read + markdown render TWICE
+        .repartition(1)
+        .sortWithinPartitions("page_url")
     }),
 
     // WET sidecar extraction (graft.wat.WetText): the THIRD CC archive
@@ -1706,7 +1709,12 @@ object ExtQueries {
       val wets = graft.wat.WatFixture.ensureDocWets(s, dir)
       graft.wat.WetText.docs(s, wets)
         .select(col("page_url"), col("wet_text"))
-        .orderBy("page_url")
+        // a global orderBy would RANGE-SAMPLE the exchange-free read
+        // and run the whole WET decode twice (the wat-extract family's
+        // documented fix) — one round-robin exchange + in-partition
+        // sort is one pass
+        .repartition(1)
+        .sortWithinPartitions("page_url")
     }),
 
     // PDF metadata (graft.ext.Pdf): classic xref walk + trailer /Root

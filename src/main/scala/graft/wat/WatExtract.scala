@@ -47,20 +47,8 @@ object WatExtract {
       readErrors: org.apache.spark.util.LongAccumulator,
       streamThresholdBytes: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
-    val confBc = spark.sparkContext.broadcast(
-      new org.apache.spark.util.SerializableConfiguration(
-        spark.sparkContext.hadoopConfiguration))
-    spark.createDataset(spark.sparkContext.parallelize(paths, math.max(1, paths.size)))
-      .flatMap { p =>
-        val it = WatReader.metadataPayloads(p, confBc.value.value,
-          _ => readErrors.add(1L), streamThresholdBytes)
-        // a limit/take/kill ends the task without exhausting the
-        // iterator; on the streaming-decode path that strands an open
-        // FS/S3 handle — close (idempotently) at task completion
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => it.close()))
-        it
-      }
+    ArchiveTasks.perArchive(spark, paths, readErrors,
+      streamThresholdBytes)(WatReader.metadataPayloads(_, _, _, _))
       .toDF("payload")
   }
 

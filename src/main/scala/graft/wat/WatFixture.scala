@@ -305,30 +305,27 @@ object WatFixture {
   def ensureWarcFleet(): Seq[String] =
     ensureBenchWarcs(BenchFleet._1, BenchFleet._2, BenchFleet._3)
 
-  /** WARC shards carrying the DOCUMENTS table as HTML pages: doc r
-    * becomes a response record at the closed-form url
-    * `https://docs.test/doc<id>.html` whose body is the q_boilerplate
-    * scaffold around the doc's text (ExtQueries.bpHtmlFor) — so the
-    * raw-WARC text pipeline is oracle-checkable ENTIRELY in SQL: DuckDB
-    * rebuilds the identical pages from the documents table, no
-    * committed dump needed. Shards are cached per (sfDir, row count);
-    * docs are sharded by doc_id % shards and written in doc_id order,
-    * so regeneration is value-identical.
+  /** Shared scaffold for the documents-table archive fixtures: read +
+    * sort the docs, build the cache tag -- a CONTENT fingerprint (a
+    * regenerated table at the same path/cardinality must invalidate
+    * the shards, or the Spark side would read stale pages while the
+    * oracle reads fresh parquet) PLUS the shard count (a 3-shard
+    * request must never reuse a 4-shard layout: the id % shards
+    * membership differs) -- and write-then-rename each missing shard
+    * through `writeShard`.
     */
-  def ensureDocWarcs(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String, shards: Int = 4): Seq[String] = {
+  private def ensureDocShards(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, shards: Int, dirName: String, suffix: String)(
+      writeShard: (FileOutputStream, Seq[(Long, String)]) => Unit)
+      : Seq[String] = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .where(org.apache.spark.sql.functions.col("doc_id").isNotNull)
       .select("doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getString(1)))
       .sortBy(_._1)
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft-doc-warcs-v$GenVersion")
+      s"$dirName-v$GenVersion")
     dir.mkdirs()
-    // cache key carries a CONTENT fingerprint, not just path+count: a
-    // regenerated documents table at the same path and cardinality must
-    // invalidate the shards, or the Spark side would read stale pages
-    // while the oracle reads the fresh parquet
     val md = java.security.MessageDigest.getInstance("MD5")
     docs.foreach { case (id, text) =>
       md.update(s"$id:$text\u0000".getBytes(UTF_8))
@@ -337,25 +334,13 @@ object WatFixture {
     val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_") +
       s"-${docs.length}-$fp-s$shards"
     (0 until shards).map { i =>
-      val f = new java.io.File(dir, s"docs-$tag-$i.warc.gz")
+      val f = new java.io.File(dir, s"docs-$tag-$i$suffix")
       if (!f.exists()) {
         val tmp = new java.io.File(dir, f.getName +
           s".tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}-${System.nanoTime()}")
         val out = new FileOutputStream(tmp)
-        try {
-          for ((id, text) <- docs if id % shards == i) {
-            require(!text.contains('<') && !text.contains('&'),
-              s"doc $id text is not HTML-safe to embed raw")
-            val html = graft.queries.ExtQueries.bpHtmlFor(id, text)
-              .getBytes(UTF_8)
-            val http = (s"HTTP/1.1 200 OK\r\n" +
-              s"Content-Type: text/html; charset=UTF-8\r\n" +
-              s"Content-Length: ${html.length}\r\n\r\n").getBytes(UTF_8)
-            out.write(gzipMember(warcRecordBytes("response", http ++ html,
-              Some(s"https://docs.test/doc$id.html"),
-              "application/http; msgtype=response")))
-          }
-        } finally out.close()
+        try writeShard(out, docs.filter(_._1 % shards == i).toSeq)
+        finally out.close()
         if (!tmp.renameTo(f) && !f.exists())
           throw new java.io.IOException(s"could not materialize $f")
         tmp.delete()
@@ -364,53 +349,61 @@ object WatFixture {
     }
   }
 
+  /** WARC shards carrying the DOCUMENTS table as HTML pages: doc r
+    * becomes a response record at the closed-form url
+    * `https://docs.test/doc<id>.html` whose body is the q_boilerplate
+    * scaffold around the doc's text (ExtQueries.bpHtmlFor) — so the
+    * raw-WARC text pipeline is oracle-checkable ENTIRELY in SQL:
+    * DuckDB rebuilds the identical pages from the documents table, no
+    * committed dump needed. Caching/sharding via [[ensureDocShards]].
+    */
+  def ensureDocWarcs(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, shards: Int = 4): Seq[String] =
+    ensureDocShards(spark, sfDir, shards, "graft-doc-warcs", ".warc.gz") {
+      (out, docs) =>
+        for ((id, text) <- docs) {
+          require(!text.contains('<') && !text.contains('&'),
+            s"doc $id text is not HTML-safe to embed raw")
+          val html = graft.queries.ExtQueries.bpHtmlFor(id, text)
+            .getBytes(UTF_8)
+          val http = (s"HTTP/1.1 200 OK\r\n" +
+            s"Content-Type: text/html; charset=UTF-8\r\n" +
+            s"Content-Length: ${html.length}\r\n\r\n").getBytes(UTF_8)
+          out.write(gzipMember(warcRecordBytes("response", http ++ html,
+            Some(s"https://docs.test/doc$id.html"),
+            "application/http; msgtype=response")))
+        }
+    }
+
   /** The documents table framed as WET shards: one warcinfo header
     * record per shard (CC writes one; the reader must skip it), then
-    * one `conversion` record per document — target URI matching
+    * one `conversion` record per document -- target URI matching
     * [[ensureDocWarcs]]'s pages, payload the RAW document text as
     * UTF-8 (that is the WET format: the crawler's extraction, no
-    * HTTP envelope). Same content-fingerprint cache key discipline.
+    * HTTP envelope). Same cache-key discipline via the shared
+    * scaffold.
     */
   def ensureDocWets(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String, shards: Int = 4): Seq[String] = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .where(org.apache.spark.sql.functions.col("doc_id").isNotNull)
-      .select("doc_id", "text")
-      .collect().map(r => (r.getLong(0), r.getString(1)))
-      .sortBy(_._1)
-    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft-doc-wets-v$GenVersion")
-    dir.mkdirs()
-    val md = java.security.MessageDigest.getInstance("MD5")
-    docs.foreach { case (id, text) =>
-      md.update(s"$id:$text\u0000".getBytes(UTF_8))
-    }
-    val fp = md.digest().take(6).map("%02x".format(_)).mkString
-    val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_") +
-      s"-${docs.length}-$fp-s$shards"
-    (0 until shards).map { i =>
-      val f = new java.io.File(dir, s"docs-$tag-$i.warc.wet.gz")
-      if (!f.exists()) {
-        val tmp = new java.io.File(dir, f.getName +
-          s".tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}-${System.nanoTime()}")
-        val out = new FileOutputStream(tmp)
-        try {
-          out.write(gzipMember(warcRecordBytes("warcinfo",
-            "software: graft-wet-fixture\r\n".getBytes(UTF_8), None,
-            "application/warc-fields")))
-          for ((id, text) <- docs if id % shards == i) {
-            out.write(gzipMember(warcRecordBytes("conversion",
-              text.getBytes(UTF_8),
-              Some(s"https://docs.test/doc$id.html"), "text/plain")))
-          }
-        } finally out.close()
-        if (!tmp.renameTo(f) && !f.exists())
-          throw new java.io.IOException(s"could not materialize $f")
-        tmp.delete()
+      sfDir: String, shards: Int = 4): Seq[String] =
+    ensureDocShards(spark, sfDir, shards, "graft-doc-wets",
+      ".warc.wet.gz") { (out, docs) =>
+      out.write(gzipMember(warcRecordBytes("warcinfo",
+        "software: graft-wet-fixture\r\n".getBytes(UTF_8), None,
+        "application/warc-fields")))
+      for ((id, text) <- docs) {
+        // the q_wet_extract oracle claims the round trip is LOSSLESS,
+        // but the reader decodes via Charsets.decode -- a leading BOM
+        // would be stripped and a '<meta charset=>' in the first KiB
+        // would hijack detection. Fail LOUD if the corpus ever gains
+        // sniff-unsafe text (the warc twin guards its own invariant
+        // the same way).
+        require(!text.startsWith("\uFEFF") && !text.contains('<'),
+          s"doc $id text is not charset-sniff-safe to embed raw")
+        out.write(gzipMember(warcRecordBytes("conversion",
+          text.getBytes(UTF_8),
+          Some(s"https://docs.test/doc$id.html"), "text/plain")))
       }
-      f.getAbsolutePath
     }
-  }
 
   def ensureBenchWarcs(n: Int, nRecords: Int = 500,
       linksPerRecord: Int = 20): Seq[String] = {

@@ -53,18 +53,7 @@ object WetText {
       readErrors: org.apache.spark.util.LongAccumulator,
       streamThresholdBytes: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
-    val confBc = spark.sparkContext.broadcast(
-      new org.apache.spark.util.SerializableConfiguration(
-        spark.sparkContext.hadoopConfiguration))
-    spark.createDataset(
-      spark.sparkContext.parallelize(paths, math.max(1, paths.size)))
-      .flatMap { p =>
-        val it = docsOf(p, confBc.value.value,
-          _ => readErrors.add(1L), streamThresholdBytes)
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => it.close()))
-        it
-      }
-      .toDF()
+    ArchiveTasks.perArchive(spark, paths, readErrors,
+      streamThresholdBytes)(docsOf(_, _, _, _)).toDF()
   }
 }

@@ -78,8 +78,12 @@ class WetTextSpec extends AnyFunSuite with SparkTestBase {
     val paths = WatFixture.ensureDocWets(spark, sfDir, shards = 3)
     val frame = WetText.docs(spark, paths)
     assert(frame.rdd.getNumPartitions == 3)
-    val got = frame.select("page_url", "wet_text")
-      .as[(String, String)].collect().toMap
+    val rows = frame.select("page_url", "wet_text")
+      .as[(String, String)].collect()
+    val got = rows.toMap
+    // toMap would silently collapse a double-emitted page or a doc
+    // routed into two shards — pin the raw row count too
+    assert(rows.length == got.size)
     val want = spark.read.parquet(s"$sfDir/documents.parquet")
       .where(col("doc_id").isNotNull).select("doc_id", "text")
       .as[(Long, String)].collect()
