@@ -1207,6 +1207,12 @@ object Multimodal {
     else if (Gif.isGif(b)) Gif.parse(b).map(m =>
       row("gif", m.width.toLong, m.height.toLong, m.frames.size.toLong))
       .getOrElse(unknown)
+    else if (Png.isPng(b)) Png.parse(b).map(m =>
+      row("png", m.width.toLong, m.height.toLong, m.frames.toLong))
+      .getOrElse(unknown)
+    else if (WebP.isWebP(b)) WebP.parse(b).map(m =>
+      row("webp", m.width.toLong, m.height.toLong, m.frames.toLong))
+      .getOrElse(unknown)
     else if (Exif.isJpeg(b)) Exif.parse(b).map(m =>
       row("jpeg", m.width.toLong, m.height.toLong, 1L)).getOrElse(unknown)
     else if (Tar.isTar(b)) {
@@ -1231,12 +1237,13 @@ object Multimodal {
       .mapPartitions(_.map { case (id, b) => describeAny(id, b) })
   }
 
-  /** A mixed ten-way corpus (format by id%10, arithmetic mirrored by
-    * the q_media_triage oracle): mp4 / webm / avi / gif / wav / tar /
-    * zip / pdf / exif-jpeg / plain text (= "unknown"). Each family
-    * uses its real muxer twin with COMPACT closed forms — this is the
-    * fixture for the dispatch semantics; per-family depth is oracled
-    * by the format queries.
+  /** A mixed twelve-way corpus (format by id%12, arithmetic mirrored
+    * by the q_media_triage oracle): mp4 / webm / avi / gif / wav /
+    * tar / zip / pdf / exif-jpeg / plain text (= "unknown") / png
+    * (APNG-framed by (id/12)%3) / webp (layout rotated vp8 → vp8l →
+    * animated vp8x by (id/12)%3). Each family uses its real muxer twin
+    * with COMPACT closed forms — this is the fixture for the dispatch
+    * semantics; per-family depth is oracled by the format queries.
     */
   def syntheticMixedCorpus(ids: Dataset[java.lang.Long]): DataFrame = {
     val spark = ids.sparkSession
@@ -1245,7 +1252,7 @@ object Multimodal {
       val id = boxed.longValue()
       val w = (16 * (1 + id % 5)).toInt
       val h = (16 * (1 + id % 4)).toInt
-      val bytes: Array[Byte] = (id % 10) match {
+      val bytes: Array[Byte] = (id % 12) match {
         case 0 => Mp4.write(Mp4.BuildSpec(w, h,
           (1 to (2 + id % 3).toInt).map(j => 30 + j), syncEvery = 2))
         case 1 => Webm.write(Webm.BuildSpec(w, h,
@@ -1269,9 +1276,62 @@ object Multimodal {
           orientation = 1, make = "MakeX", model = "ModelX",
           dateTimeOriginal = "2024:01:01 00:00:00",
           latArcsec = 0L, lonArcsec = 0L, hasGps = false)
+        // the inner rotations step by id/12: within a residue class
+        // mod 12, id % 3 is CONSTANT (12 ≡ 0 mod 3) and would pin one
+        // layout forever
+        case 10 => Png.write(w, h, seed = id,
+          frames = (1 + (id / 12) % 3).toInt)
+        case 11 => WebP.write(
+          ((id / 12) % 3) match {
+            case 0 => "vp8"; case 1 => "vp8l"; case _ => "vp8x"
+          },
+          w, h, seed = id,
+          frames = if ((id / 12) % 3 == 2) (2 + (id / 12) % 2).toInt else 1)
         case _ => s"plain text payload $id".getBytes("UTF-8")
       }
       (id, bytes, "application/octet-stream")
+    }).toDF("doc_id", "bytes", "mime")
+  }
+
+  /** Dedicated image-probe stage over png/webp payloads: one row per
+    * blob with the layout kind the triage row cannot carry —
+    * (doc_id, format, kind, width, height, frames). Per-row header
+    * parse in mapPartitions, zero shuffle.
+    */
+  def imageProbe(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "bytes").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        if (Png.isPng(b)) Png.parse(b).map(m =>
+          (id, "png", if (m.frames > 1) "apng" else "static",
+            m.width.toLong, m.height.toLong, m.frames.toLong))
+        else if (WebP.isWebP(b)) WebP.parse(b).map(m =>
+          (id, "webp", m.kind, m.width.toLong, m.height.toLong,
+            m.frames.toLong))
+        else None
+      }).toDF("doc_id", "format", "kind", "width", "height", "frames")
+  }
+
+  /** One image per id for q_image_probe: even ids PNG (APNG acTL when
+    * id % 3 > 0), odd ids WebP rotating vp8 / vp8l / animated vp8x by
+    * id % 3 — dims by the shared 16-multiples, all closed-form.
+    */
+  def syntheticImageMedia(ids: Dataset[java.lang.Long]): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions(_.map { boxed =>
+      val id = boxed.longValue()
+      val w = (16 * (1 + id % 5)).toInt
+      val h = (16 * (1 + id % 4)).toInt
+      val bytes =
+        if (id % 2 == 0) Png.write(w, h, seed = id,
+          frames = (1 + id % 3).toInt)
+        else WebP.write(
+          (id % 3) match { case 0 => "vp8"; case 1 => "vp8l"; case _ => "vp8x" },
+          w, h, seed = id,
+          frames = if (id % 3 == 2) (2 + id % 2).toInt else 1)
+      (id, bytes, if (id % 2 == 0) "image/png" else "image/webp")
     }).toDF("doc_id", "bytes", "mime")
   }
 }

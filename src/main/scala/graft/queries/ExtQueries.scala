@@ -1670,8 +1670,9 @@ object ExtQueries {
     // a mixed crawled-blob corpus runs — sniff the container magic,
     // route to the right parser, emit one TOTAL row per blob (format,
     // dims, natural unit count; hostile payloads verdict "unknown",
-    // never a dropped row or a dead task). Ten-way mixed fixture, all
-    // real muxer twins.
+    // never a dropped row or a dead task). Twelve-way mixed fixture,
+    // all real muxer twins (incl. APNG-framed png + the three webp
+    // layouts).
     "q_media_triage" -> ((s, dir) => {
       import s.implicits._
       Multimodal.mediaTriage(Multimodal.syntheticMixedCorpus(
@@ -1679,6 +1680,19 @@ object ExtQueries {
           .select("doc_id").as[java.lang.Long]))
         .select(col("doc_id"), col("format"), col("width"),
           col("height"), col("n_units"))
+        .orderBy("doc_id")
+    }),
+
+    // Byte-level image probe (graft.ext.Png / WebP): IHDR dims +
+    // APNG acTL frames with per-chunk CRC32 verification; WebP dims
+    // from whichever bitstream leads (VP8 keyframe tag / VP8L packed
+    // / VP8X canvas) + ANMF animation frames — the layout `kind` the
+    // triage row cannot carry.
+    "q_image_probe" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.imageProbe(Multimodal.syntheticImageMedia(
+        docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+          .select("doc_id").as[java.lang.Long]))
         .orderBy("doc_id")
     }),
 
@@ -4662,23 +4676,28 @@ object ExtQueries {
         |FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
 
-    // the mixed-corpus spec by id%10: format name, dims for the visual
-    // families, the per-family unit arithmetic
+    // the mixed-corpus spec by id%12: format name, dims for the visual
+    // families, the per-family unit arithmetic (png/webp inner
+    // rotations step by id//12 — see the fixture's modulus note)
     "q_media_triage" ->
       """SELECT doc_id,
-        |  CASE doc_id % 10 WHEN 0 THEN 'mp4' WHEN 1 THEN 'webm'
+        |  CASE doc_id % 12 WHEN 0 THEN 'mp4' WHEN 1 THEN 'webm'
         |    WHEN 2 THEN 'avi' WHEN 3 THEN 'gif' WHEN 4 THEN 'audio'
         |    WHEN 5 THEN 'tar' WHEN 6 THEN 'zip' WHEN 7 THEN 'pdf'
-        |    WHEN 8 THEN 'jpeg' ELSE 'unknown' END AS format,
-        |  (CASE WHEN doc_id % 10 IN (0, 1, 2, 3, 8)
+        |    WHEN 8 THEN 'jpeg' WHEN 10 THEN 'png' WHEN 11 THEN 'webp'
+        |    ELSE 'unknown' END AS format,
+        |  (CASE WHEN doc_id % 12 IN (0, 1, 2, 3, 8, 10, 11)
         |        THEN 16 * (1 + doc_id % 5) ELSE 0 END)::BIGINT AS width,
-        |  (CASE WHEN doc_id % 10 IN (0, 1, 2, 3, 8)
+        |  (CASE WHEN doc_id % 12 IN (0, 1, 2, 3, 8, 10, 11)
         |        THEN 16 * (1 + doc_id % 4) ELSE 0 END)::BIGINT AS height,
-        |  (CASE doc_id % 10 WHEN 0 THEN 2 + doc_id % 3
+        |  (CASE doc_id % 12 WHEN 0 THEN 2 + doc_id % 3
         |    WHEN 1 THEN 2 + doc_id % 4 WHEN 2 THEN 2 + doc_id % 5
         |    WHEN 3 THEN 1 + doc_id % 3 WHEN 4 THEN 100 + doc_id % 50
         |    WHEN 5 THEN 1 + doc_id % 4 WHEN 6 THEN 1 + doc_id % 3
         |    WHEN 7 THEN 1 + doc_id % 2 WHEN 8 THEN 1
+        |    WHEN 10 THEN 1 + (doc_id // 12) % 3
+        |    WHEN 11 THEN CASE WHEN (doc_id // 12) % 3 = 2
+        |                      THEN 2 + (doc_id // 12) % 2 ELSE 1 END
         |    ELSE 0 END)::BIGINT AS n_units
         |FROM documents WHERE doc_id IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
@@ -4729,6 +4748,25 @@ object ExtQueries {
         |    '](i' || doc_id::VARCHAR || '.png) with `inline ' ||
         |    (doc_id % 2)::VARCHAR || '` code & entities.' AS markdown
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the image muxer twins recomputed: even ids png (apng when
+    // id%3>0, frames 1+id%3), odd ids webp (kind by id%3, animated
+    // vp8x frames 2+id%2); dims by the shared 16-multiples
+    "q_image_probe" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'webp' END AS format,
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN CASE WHEN doc_id % 3 = 0 THEN 'static'
+        |                 ELSE 'apng' END
+        |       ELSE CASE doc_id % 3 WHEN 0 THEN 'vp8'
+        |            WHEN 1 THEN 'vp8l' ELSE 'vp8x' END END AS kind,
+        |  (16 * (1 + doc_id % 5))::BIGINT AS width,
+        |  (16 * (1 + doc_id % 4))::BIGINT AS height,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 3
+        |        WHEN doc_id % 3 = 2 THEN 2 + doc_id % 2
+        |        ELSE 1 END)::BIGINT AS frames
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
 
     // the WET round trip is lossless by format: conversion payload IS
     // the document text

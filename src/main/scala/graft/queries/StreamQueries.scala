@@ -217,8 +217,8 @@ object StreamQueries {
     }),
 
     // Streaming cross-format triage: the binary-decode path through a
-    // real micro-batch file stream — mixed blobs (all ten muxer-twin
-    // families) arrive as a stream, each micro-batch sniffs + parses
+    // real micro-batch file stream — mixed blobs (all twelve muxer-
+    // twin families) arrive as a stream, each micro-batch sniffs + parses
     // per-row (stateless mapPartitions: no state store, no watermark),
     // exactly-once through the checkpointed parquet sink. Same oracle
     // as the batch q_media_triage: stream == batch on decode.
@@ -367,22 +367,27 @@ object StreamQueries {
         |ORDER BY hour, event_type""".stripMargin,
 
     // stream == batch on binary decode: the q_media_triage spec
-    // arithmetic verbatim (format/dims/units by id%10)
+    // arithmetic verbatim (format/dims/units by id%12; png/webp inner
+    // rotations by id//12)
     "q_triage_stream" ->
       """SELECT doc_id,
-        |  CASE doc_id % 10 WHEN 0 THEN 'mp4' WHEN 1 THEN 'webm'
+        |  CASE doc_id % 12 WHEN 0 THEN 'mp4' WHEN 1 THEN 'webm'
         |    WHEN 2 THEN 'avi' WHEN 3 THEN 'gif' WHEN 4 THEN 'audio'
         |    WHEN 5 THEN 'tar' WHEN 6 THEN 'zip' WHEN 7 THEN 'pdf'
-        |    WHEN 8 THEN 'jpeg' ELSE 'unknown' END AS format,
-        |  (CASE WHEN doc_id % 10 IN (0, 1, 2, 3, 8)
+        |    WHEN 8 THEN 'jpeg' WHEN 10 THEN 'png' WHEN 11 THEN 'webp'
+        |    ELSE 'unknown' END AS format,
+        |  (CASE WHEN doc_id % 12 IN (0, 1, 2, 3, 8, 10, 11)
         |        THEN 16 * (1 + doc_id % 5) ELSE 0 END)::BIGINT AS width,
-        |  (CASE WHEN doc_id % 10 IN (0, 1, 2, 3, 8)
+        |  (CASE WHEN doc_id % 12 IN (0, 1, 2, 3, 8, 10, 11)
         |        THEN 16 * (1 + doc_id % 4) ELSE 0 END)::BIGINT AS height,
-        |  (CASE doc_id % 10 WHEN 0 THEN 2 + doc_id % 3
+        |  (CASE doc_id % 12 WHEN 0 THEN 2 + doc_id % 3
         |    WHEN 1 THEN 2 + doc_id % 4 WHEN 2 THEN 2 + doc_id % 5
         |    WHEN 3 THEN 1 + doc_id % 3 WHEN 4 THEN 100 + doc_id % 50
         |    WHEN 5 THEN 1 + doc_id % 4 WHEN 6 THEN 1 + doc_id % 3
         |    WHEN 7 THEN 1 + doc_id % 2 WHEN 8 THEN 1
+        |    WHEN 10 THEN 1 + (doc_id // 12) % 3
+        |    WHEN 11 THEN CASE WHEN (doc_id // 12) % 3 = 2
+        |                      THEN 2 + (doc_id // 12) % 2 ELSE 1 END
         |    ELSE 0 END)::BIGINT AS n_units
         |FROM documents WHERE doc_id IS NOT NULL
         |ORDER BY doc_id""".stripMargin,

@@ -23,6 +23,8 @@ class ParserFuzzSpec extends AnyFunSuite {
       Zip.members(b).map(m => Zip.extract(b, m))),
     ("pdf", (b: Array[Byte]) => (Pdf.meta(b), Pdf.extractText(b))),
     ("exif", Exif.parse _),
+    ("png", Png.parse _),
+    ("webp", WebP.parse _),
     ("audio", Audio.parse _),
     ("subtitles", (b: Array[Byte]) =>
       Subtitles.parse(new String(b, java.nio.charset.StandardCharsets.UTF_8))),
@@ -44,6 +46,10 @@ class ParserFuzzSpec extends AnyFunSuite {
       pesChunk = 40)),
     Gif.write(Gif.BuildSpec(width = 64, height = 48,
       frameDataSizes = Seq(20, 21), delaysCs = Seq(5, 6), loop = 2)),
+    Png.write(32, 24, seed = 9, frames = 3),
+    WebP.write("vp8", 48, 32, seed = 4),
+    WebP.write("vp8l", 48, 32, seed = 5),
+    WebP.write("vp8x", 48, 32, seed = 6, frames = 2),
     Tar.write(Seq(("a.img", Array.fill(100)(1.toByte)),
       ("a.txt", "hi".getBytes("UTF-8")))),
     Zip.write(Seq(("a.txt", "hello zip".getBytes("UTF-8"), true),
@@ -111,7 +117,8 @@ class ParserFuzzSpec extends AnyFunSuite {
     val sniffers: Seq[(String, Array[Byte] => Boolean)] = Seq(
       ("mp4", Mp4.isMp4 _), ("webm", Webm.isWebm _), ("avi", Avi.isAvi _),
       ("mpeg", Mpeg.isMpeg _), ("gif", Gif.isGif _), ("tar", Tar.isTar _),
-      ("zip", Zip.isZip _), ("pdf", Pdf.isPdf _), ("jpeg", Exif.isJpeg _))
+      ("zip", Zip.isZip _), ("pdf", Pdf.isPdf _), ("jpeg", Exif.isJpeg _),
+      ("png", Png.isPng _), ("webp", WebP.isWebP _))
     for (fx <- validFixtures) {
       val claims = sniffers.count { case (_, s) => s(fx) }
       assert(claims <= 1, "two container sniffers claimed one payload")

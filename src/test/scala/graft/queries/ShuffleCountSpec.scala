@@ -204,6 +204,8 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // one task per WET archive + final order only — the conversion-
     // record read must never shuffle page text
     "q_wet_extract" -> 1,
+    // per-row header parse + final order only
+    "q_image_probe" -> 1,
     // postings chain: (doc,pos) equi-joins + per-doc count + order
     "q_phrase_search" -> 6,
     // one full-outer key join + order
