@@ -1180,7 +1180,12 @@ object Multimodal {
     def row(fmt: String, w: Long, h: Long, units: Long) =
       TriageRow(id, fmt, b.length.toLong, w, h, units)
     def unknown = row("unknown", 0, 0, 0)
-    if (Mp4.isMp4(b)) Mp4.parse(b).map { m =>
+    // brand-first: AVIF/HEIC carry ftyp (Mp4 sniffs them) but hold a
+    // meta image, not a movie — route before the movie parser
+    if (Avif.isAvif(b)) Avif.parse(b).map(m =>
+      row("avif", m.width.toLong, m.height.toLong,
+        math.max(1, m.items).toLong)).getOrElse(unknown)
+    else if (Mp4.isMp4(b)) Mp4.parse(b).map { m =>
       m.tracks.find(_.handler == "vide") match {
         case Some(t) =>
           row("mp4", t.width.toLong, t.height.toLong, t.sampleCount.toLong)
@@ -1293,9 +1298,10 @@ object Multimodal {
     }).toDF("doc_id", "bytes", "mime")
   }
 
-  /** Dedicated image-probe stage over png/webp payloads: one row per
-    * blob with the layout kind the triage row cannot carry —
-    * (doc_id, format, kind, width, height, frames). Per-row header
+  /** Dedicated image-probe stage over png/webp/avif payloads: one row
+    * per blob with the layout kind the triage row cannot carry —
+    * (doc_id, format, kind, width, height, frames: APNG/ANMF frame
+    * count, or the iinf item count for avif/heic). Per-row header
     * parse in mapPartitions, zero shuffle.
     */
   def imageProbe(media: DataFrame): DataFrame = {
@@ -1309,13 +1315,19 @@ object Multimodal {
         else if (WebP.isWebP(b)) WebP.parse(b).map(m =>
           (id, "webp", m.kind, m.width.toLong, m.height.toLong,
             m.frames.toLong))
+        else if (Avif.isAvif(b)) Avif.parse(b).map(m =>
+          (id, "avif", m.brand, m.width.toLong, m.height.toLong,
+            m.items.toLong))
         else None
       }).toDF("doc_id", "format", "kind", "width", "height", "frames")
   }
 
-  /** One image per id for q_image_probe: even ids PNG (APNG acTL when
-    * id % 3 > 0), odd ids WebP rotating vp8 / vp8l / animated vp8x by
-    * id % 3 — dims by the shared 16-multiples, all closed-form.
+  /** One image per id for q_image_probe, format by id % 3 — 0: PNG
+    * (APNG acTL by (id/3)%3), 1: WebP (vp8 / vp8l / animated vp8x by
+    * (id/3)%3), 2: AVIF/HEIC (brand by (id/3)%2, iinf items
+    * 1+(id/3)%3, a 4-tile grid when (id/3)%2=1 — the canvas-ispe
+    * pick). Inner rotations step by id/3: within a residue class
+    * mod 3, id % 3 is constant. Dims by the shared 16-multiples.
     */
   def syntheticImageMedia(ids: Dataset[java.lang.Long]): DataFrame = {
     val spark = ids.sparkSession
@@ -1324,14 +1336,23 @@ object Multimodal {
       val id = boxed.longValue()
       val w = (16 * (1 + id % 5)).toInt
       val h = (16 * (1 + id % 4)).toInt
-      val bytes =
-        if (id % 2 == 0) Png.write(w, h, seed = id,
-          frames = (1 + id % 3).toInt)
-        else WebP.write(
-          (id % 3) match { case 0 => "vp8"; case 1 => "vp8l"; case _ => "vp8x" },
-          w, h, seed = id,
-          frames = if (id % 3 == 2) (2 + id % 2).toInt else 1)
-      (id, bytes, if (id % 2 == 0) "image/png" else "image/webp")
+      val r = id / 3
+      val (bytes, mime) = (id % 3) match {
+        case 0 =>
+          (Png.write(w, h, seed = id, frames = (1 + r % 3).toInt),
+            "image/png")
+        case 1 =>
+          (WebP.write(
+            (r % 3) match { case 0 => "vp8"; case 1 => "vp8l"; case _ => "vp8x" },
+            w, h, seed = id,
+            frames = if (r % 3 == 2) (2 + r % 2).toInt else 1),
+            "image/webp")
+        case _ =>
+          (Avif.write(if (r % 2 == 0) "avif" else "heic", w, h,
+            items = (1 + r % 3).toInt, tiles = if (r % 2 == 1) 4 else 0,
+            seed = id), "image/avif")
+      }
+      (id, bytes, mime)
     }).toDF("doc_id", "bytes", "mime")
   }
 }

@@ -1683,11 +1683,12 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
-    // Byte-level image probe (graft.ext.Png / WebP): IHDR dims +
-    // APNG acTL frames with per-chunk CRC32 verification; WebP dims
+    // Byte-level image probe (graft.ext.Png / WebP / Avif): IHDR dims
+    // + APNG acTL frames with per-chunk CRC32 verification; WebP dims
     // from whichever bitstream leads (VP8 keyframe tag / VP8L packed
-    // / VP8X canvas) + ANMF animation frames — the layout `kind` the
-    // triage row cannot carry.
+    // / VP8X canvas) + ANMF animation frames; AVIF/HEIC dims from the
+    // largest meta→iprp→ipco ispe (the grid CANVAS) + iinf item
+    // count — the layout `kind` the triage row cannot carry.
     "q_image_probe" -> ((s, dir) => {
       import s.implicits._
       Multimodal.imageProbe(Multimodal.syntheticImageMedia(
@@ -4749,24 +4750,31 @@ object ExtQueries {
         |    (doc_id % 2)::VARCHAR || '` code & entities.' AS markdown
         |FROM d ORDER BY doc_id""".stripMargin,
 
-    // the image muxer twins recomputed: even ids png (apng when
-    // id%3>0, frames 1+id%3), odd ids webp (kind by id%3, animated
-    // vp8x frames 2+id%2); dims by the shared 16-multiples
+    // the image muxer twins recomputed: format by id%3 (png / webp /
+    // avif), inner layout rotations by r = id//3 (within a residue
+    // class mod 3, id%3 is constant — same modulus note as the mixed
+    // corpus); dims by the shared 16-multiples; avif frames = iinf
+    // item count
     "q_image_probe" ->
-      """SELECT doc_id,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'webp' END AS format,
-        |  CASE WHEN doc_id % 2 = 0
-        |       THEN CASE WHEN doc_id % 3 = 0 THEN 'static'
-        |                 ELSE 'apng' END
-        |       ELSE CASE doc_id % 3 WHEN 0 THEN 'vp8'
-        |            WHEN 1 THEN 'vp8l' ELSE 'vp8x' END END AS kind,
+      """WITH p AS (SELECT doc_id, (doc_id // 3) AS r
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'webp'
+        |    ELSE 'avif' END AS format,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN CASE WHEN r % 3 = 0 THEN 'static'
+        |                ELSE 'apng' END
+        |    WHEN 1 THEN CASE r % 3 WHEN 0 THEN 'vp8'
+        |                WHEN 1 THEN 'vp8l' ELSE 'vp8x' END
+        |    ELSE CASE WHEN r % 2 = 0 THEN 'avif' ELSE 'heic' END
+        |    END AS kind,
         |  (16 * (1 + doc_id % 5))::BIGINT AS width,
         |  (16 * (1 + doc_id % 4))::BIGINT AS height,
-        |  (CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 3
-        |        WHEN doc_id % 3 = 2 THEN 2 + doc_id % 2
-        |        ELSE 1 END)::BIGINT AS frames
-        |FROM documents WHERE doc_id IS NOT NULL
-        |ORDER BY doc_id""".stripMargin,
+        |  (CASE doc_id % 3
+        |    WHEN 0 THEN 1 + r % 3
+        |    WHEN 1 THEN CASE WHEN r % 3 = 2 THEN 2 + r % 2 ELSE 1 END
+        |    ELSE 1 + r % 3 END)::BIGINT AS frames
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // the WET round trip is lossless by format: conversion payload IS
     // the document text

@@ -74,6 +74,35 @@ class ImageProbeSpec extends AnyFunSuite with SparkTestBase {
     assert(WebP.parse(lying).isEmpty)
   }
 
+  test("avif roundtrip: brands, canvas ispe over tiles, iinf items") {
+    val a = Avif.parse(Avif.write("avif", 320, 240, items = 1)).get
+    assert(a == Avif.AvifInfo("avif", 320, 240, 1))
+    // grid: 4 half-size tile ispe + the canvas ispe — largest wins
+    val g = Avif.parse(Avif.write("heic", 128, 96, items = 5,
+      tiles = 4)).get
+    assert(g == Avif.AvifInfo("heic", 128, 96, 5))
+    // Mp4 sniffs the same bytes (ftyp) but refuses them (no moov):
+    // the brand-first dispatch is what routes them correctly
+    val bytes = Avif.write("avif", 64, 64, items = 1)
+    assert(Mp4.isMp4(bytes) && Mp4.parse(bytes).isEmpty)
+    assert(Multimodal.describeAny(1L, bytes).format == "avif")
+  }
+
+  test("avif hostile: truncations, missing boxes, giant dims fail closed") {
+    val avif = Avif.write("avif", 64, 48, items = 2, tiles = 4)
+    for (cut <- 0 to avif.length by 3) Avif.parse(avif.take(cut))
+    assert(Avif.parse(Array.empty[Byte]).isEmpty)
+    // an mp4 movie is NOT claimed by the avif sniffer (brand gate)
+    val mp4 = Mp4.write(Mp4.BuildSpec(64, 48, Seq(50, 51), syncEvery = 2))
+    assert(!Avif.isAvif(mp4))
+    // ispe declaring a hostile dimension fails closed
+    val big = Avif.write("avif", (1 << 24) + 1, 10, items = 1)
+    assert(Avif.parse(big).isEmpty)
+    // no meta box at all
+    val noMeta = avif.take(20) ++ Array.fill(20)(0.toByte)
+    assert(Avif.parse(noMeta).isEmpty)
+  }
+
   test("triage dispatches png and webp with dims + frames") {
     val r1 = Multimodal.describeAny(1L, Png.write(32, 16, 0, frames = 2))
     assert(r1.format == "png" && r1.width == 32 && r1.height == 16 &&
@@ -85,15 +114,18 @@ class ImageProbeSpec extends AnyFunSuite with SparkTestBase {
 
   test("imageProbe stage over the synthetic corpus") {
     import spark.implicits._
-    val ids = spark.createDataset((0L to 11L).map(java.lang.Long.valueOf))
+    val ids = spark.createDataset((0L to 17L).map(java.lang.Long.valueOf))
     val out = Multimodal.imageProbe(Multimodal.syntheticImageMedia(ids))
       .as[(Long, String, String, Long, Long, Long)].collect()
       .map(r => r._1 -> r).toMap
-    assert(out.size == 12)
-    assert(out(0L) == ((0L, "png", "static", 16L, 16L, 1L)))
-    assert(out(2L) == ((2L, "png", "apng", 48L, 48L, 3L)))
-    assert(out(1L) == ((1L, "webp", "vp8l", 32L, 32L, 1L)))
-    assert(out(3L) == ((3L, "webp", "vp8", 64L, 64L, 1L)))
-    assert(out(5L)._3 == "vp8x" && out(5L)._6 == 3L) // 5%3=2 → animated
+    assert(out.size == 18)
+    // id%3 picks the format; r = id/3 rotates the layout
+    assert(out(0L) == ((0L, "png", "static", 16L, 16L, 1L))) // r=0
+    assert(out(3L) == ((3L, "png", "apng", 64L, 64L, 2L))) // r=1
+    assert(out(1L) == ((1L, "webp", "vp8", 32L, 32L, 1L))) // r=0
+    assert(out(4L) == ((4L, "webp", "vp8l", 80L, 16L, 1L))) // r=1
+    assert(out(7L)._3 == "vp8x" && out(7L)._6 == 2L) // r=2 → animated
+    assert(out(2L) == ((2L, "avif", "avif", 48L, 48L, 1L))) // r=0
+    assert(out(5L) == ((5L, "avif", "heic", 16L, 32L, 2L))) // r=1, grid
   }
 }

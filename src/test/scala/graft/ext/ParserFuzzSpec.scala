@@ -25,6 +25,7 @@ class ParserFuzzSpec extends AnyFunSuite {
     ("exif", Exif.parse _),
     ("png", Png.parse _),
     ("webp", WebP.parse _),
+    ("avif", Avif.parse _),
     ("audio", Audio.parse _),
     ("subtitles", (b: Array[Byte]) =>
       Subtitles.parse(new String(b, java.nio.charset.StandardCharsets.UTF_8))),
@@ -50,6 +51,9 @@ class ParserFuzzSpec extends AnyFunSuite {
     WebP.write("vp8", 48, 32, seed = 4),
     WebP.write("vp8l", 48, 32, seed = 5),
     WebP.write("vp8x", 48, 32, seed = 6, frames = 2),
+    // NOT in the sniffer-disjointness list below: avif legitimately
+    // shares ftyp with mp4 — describeAny routes brand-first instead
+    Avif.write("avif", 64, 48, items = 2, tiles = 4, seed = 7),
     Tar.write(Seq(("a.img", Array.fill(100)(1.toByte)),
       ("a.txt", "hi".getBytes("UTF-8")))),
     Zip.write(Seq(("a.txt", "hello zip".getBytes("UTF-8"), true),
