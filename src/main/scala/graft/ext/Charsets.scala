@@ -60,18 +60,59 @@ object Charsets {
       case "big5" | "big5-hkscs" | "cn-big5" | "csbig5" | "x-x-big5" =>
         Some("Big5")
       // Korean: WHATWG unifies the ksc/windows-949 family into its
-      // euc-kr; the JDK EUC-KR covers the KS X 1001 repertoire
+      // euc-kr, whose repertoire is the UHC superset — the JDK charset
+      // with that repertoire is MS949 (x-windows-949), same superset
+      // rule as shift_jis → windows-31j above; plain EUC-KR would drop
+      // the extended-hangul rows to replacement chars
       case "euc-kr" | "cseuckr" | "csksc56011987" | "iso-ir-149" |
           "korean" | "ks_c_5601-1987" | "ks_c_5601-1989" | "ksc5601" |
           "ksc_5601" | "windows-949" =>
-        Some("EUC-KR")
+        Some("x-windows-949")
       case "koi8-r" | "koi8_r" | "koi8" | "cskoi8r" => Some("KOI8-R")
       case "koi8-u" | "koi8-ru" => Some("KOI8-U")
-      case "windows-1250" | "x-cp1250" => Some("windows-1250")
-      case "windows-1251" | "x-cp1251" => Some("windows-1251")
-      case "windows-1254" | "iso-8859-9" | "latin5" =>
+      case "windows-1250" | "cp1250" | "x-cp1250" => Some("windows-1250")
+      case "windows-1251" | "cp1251" | "x-cp1251" => Some("windows-1251")
+      case "windows-1254" | "cp1254" | "x-cp1254" | "iso-8859-9" |
+          "iso8859-9" | "iso88599" | "iso_8859-9" | "iso_8859-9:1989" |
+          "iso-ir-148" | "latin5" | "l5" | "csisolatin5" =>
         // same WHATWG superset rule as 8859-1 → 1252
         Some("windows-1254")
+      // Central European: WHATWG keeps 8859-2 distinct from 1250
+      case "iso-8859-2" | "iso8859-2" | "iso88592" | "iso_8859-2" |
+          "iso_8859-2:1987" | "iso-ir-101" | "latin2" | "l2" |
+          "csisolatin2" =>
+        Some("ISO-8859-2")
+      // Thai: WHATWG decodes the whole tis-620/8859-11 family as the
+      // windows-874 superset (same rule as 8859-1 → 1252)
+      case "windows-874" | "cp874" | "x-cp874" | "dos-874" | "tis-620" |
+          "iso-8859-11" | "iso8859-11" | "iso885911" =>
+        Some("x-windows-874")
+      // Greek: 1253 and 8859-7 stay distinct in the WHATWG registry
+      case "windows-1253" | "cp1253" | "x-cp1253" => Some("windows-1253")
+      case "iso-8859-7" | "iso8859-7" | "iso88597" | "iso_8859-7" |
+          "iso_8859-7:1987" | "iso-ir-126" | "ecma-118" | "elot_928" |
+          "greek" | "greek8" | "csisolatingreek" | "sun_eu_greek" =>
+        Some("ISO-8859-7")
+      // Hebrew: WHATWG maps the logical-order label (8859-8-i) and
+      // 1255 to windows-1255; visual-order iso-8859-8 stays itself
+      case "windows-1255" | "cp1255" | "x-cp1255" | "iso-8859-8-i" |
+          "csiso88598i" | "logical" =>
+        Some("windows-1255")
+      case "iso-8859-8" | "iso8859-8" | "iso88598" | "iso_8859-8" |
+          "iso_8859-8:1988" | "iso-ir-138" | "hebrew" | "visual" |
+          "csisolatinhebrew" | "csiso88598e" =>
+        Some("ISO-8859-8")
+      // Arabic: 1256 and 8859-6 stay distinct
+      case "windows-1256" | "cp1256" | "x-cp1256" => Some("windows-1256")
+      case "iso-8859-6" | "iso8859-6" | "iso88596" | "iso_8859-6" |
+          "iso_8859-6:1987" | "iso-ir-127" | "arabic" | "asmo-708" |
+          "ecma-114" | "csisolatinarabic" | "csiso88596e" |
+          "csiso88596i" =>
+        Some("ISO-8859-6")
+      // Baltic: WHATWG keeps 1257 and 8859-13 distinct
+      case "windows-1257" | "cp1257" | "x-cp1257" => Some("windows-1257")
+      case "iso-8859-13" | "iso8859-13" | "iso885913" =>
+        Some("ISO-8859-13")
       case _ => None
     }
   }
@@ -204,8 +245,8 @@ object Charsets {
       }).toDF("doc_id", "charset", "decoded")
   }
 
-  /** Ten-way encoded corpus: each document's text plus a non-ASCII
-    * marker the target charset can carry, encoded by id%10 as
+  /** Sixteen-way encoded corpus: each document's text plus a
+    * non-ASCII marker the target charset can carry, encoded by id%16 as
     *  0: UTF-8 with BOM (BOM precedence),
     *  1: UTF-16LE with BOM,
     *  2: windows-1252 declared by TRANSPORT only,
@@ -219,10 +260,21 @@ object Charsets {
     *  7: GBK by transport under the legacy `gb2312` label — the
     *     WHATWG gb-family unification witness,
     *  8: Big5 by meta tag — traditional-Chinese marker,
-    *  9: EUC-KR by transport under the `korean` label — hangul marker.
+    *  9: UHC by transport under the `korean` label — hangul marker
+    *     including 뷁, a syllable OUTSIDE KS X 1001 that witnesses the
+    *     windows-949 superset mapping (plain EUC-KR would '?' it),
+    * 10: ISO-8859-2 by transport under the `latin2` label — Czech
+    *     marker (č/š are NOT in 1252 — a fallback would mojibake),
+    * 11: windows-874 by meta tag under the `tis-620` label — Thai
+    *     marker (the WHATWG 874-superset rule, like 8859-1 → 1252),
+    * 12: windows-1253 by transport under `cp1253` — Greek marker,
+    * 13: windows-1255 by meta tag under the LOGICAL-order Hebrew
+    *     label `iso-8859-8-i` — Hebrew marker,
+    * 14: windows-1256 by transport under `cp1256` — Arabic marker,
+    * 15: windows-1257 by meta tag — Lithuanian marker (ą/ž).
     * Families 0–4 carry " café À<id%7>" (Latin-1-representable);
-    * 5–9 carry their own CJK marker + id%7. A blind UTF-8 decode
-    * would U+FFFD families 1/2/3/5..9 — the oracle rebuilds charset +
+    * 5–15 carry their own script marker + id%7. A blind UTF-8 decode
+    * would U+FFFD families 1/2/3/5..15 — the oracle rebuilds charset +
     * decoded text per family in closed form.
     */
   def syntheticEncodedDocs(
@@ -232,10 +284,10 @@ object Charsets {
     import spark.implicits._
     docs.mapPartitions(_.map { case (boxed, text) =>
       val id = boxed.longValue()
-      val fam = (id % 10).toInt
-      // families 2/3 encode via single-byte charsets and 5-9 via CJK
-      // ones, where getBytes SILENTLY writes '?' for unmappable chars
-      // and the oracle (which carries the original text) would
+      val fam = (id % 16).toInt
+      // families 2/3 encode via single-byte charsets and 5-15 via
+      // legacy ones, where getBytes SILENTLY writes '?' for unmappable
+      // chars and the oracle (which carries the original text) would
       // mismatch by one baffling character — fail LOUD instead if the
       // corpus ever gains one. The guard rejects C1 controls too:
       // U+0080-U+009F don't round-trip windows-1252 (getBytes '?'s
@@ -249,14 +301,20 @@ object Charsets {
             "8859-1 fixture families cannot encode it losslessly")
       if (fam >= 5)
         require(text.forall(_ < 0x80.toChar),
-          s"doc $id: text has a non-ASCII char; the CJK fixture " +
+          s"doc $id: text has a non-ASCII char; the legacy fixture " +
             "families only guarantee lossless encode for ASCII text")
       val full = text + (fam match {
         case 5 => s" テスト${id % 7}"
         case 6 => s" 日本語${id % 7}"
         case 7 => s" 中文${id % 7}"
         case 8 => s" 繁體字${id % 7}"
-        case 9 => s" 한국어${id % 7}"
+        case 9 => s" 한국어뷁${id % 7}"
+        case 10 => s" čeština${id % 7}"
+        case 11 => s" ไทย${id % 7}"
+        case 12 => s" Ελληνικά${id % 7}"
+        case 13 => s" עברית${id % 7}"
+        case 14 => s" العربية${id % 7}"
+        case 15 => s" ąžuolas${id % 7}"
         case _ => s" café À${id % 7}"
       })
       val (bytes, transport): (Array[Byte], Option[String]) = fam match {
@@ -277,7 +335,19 @@ object Charsets {
         case 7 => (full.getBytes("GBK"), Some("gb2312"))
         case 8 =>
           (("<meta charset=\"big5\">" + full).getBytes("Big5"), None)
-        case _ => (full.getBytes("EUC-KR"), Some("korean"))
+        case 9 => (full.getBytes("x-windows-949"), Some("korean"))
+        case 10 => (full.getBytes("ISO-8859-2"), Some("latin2"))
+        case 11 =>
+          (("<meta charset=\"tis-620\">" + full)
+            .getBytes("x-windows-874"), None)
+        case 12 => (full.getBytes("windows-1253"), Some("cp1253"))
+        case 13 =>
+          (("<meta charset=\"iso-8859-8-i\">" + full)
+            .getBytes("windows-1255"), None)
+        case 14 => (full.getBytes("windows-1256"), Some("cp1256"))
+        case _ =>
+          (("<meta charset=\"windows-1257\">" + full)
+            .getBytes("windows-1257"), None)
       }
       (id, bytes, transport)
     }).toDF("doc_id", "bytes", "transport")

@@ -1134,7 +1134,15 @@ object Pdf {
       }
       i += 1
     }
-    if (prefix >= 0) emit(prefix)
+    if (prefix >= 0) {
+      emit(prefix)
+      // the decoder adds a dictionary entry for this final data code
+      // and (EarlyChange = 1) grows the width when next + 1 crosses a
+      // power of two BEFORE reading the next code — so EOD must be
+      // written at the grown width or boundary-length inputs (e.g.
+      // 254/766/1790 emitted codes) desynchronize at the last code
+      if (next + 1 >= (1 << width) && width < 12) width += 1
+    }
     emit(257)
     if (bitCnt > 0) // flush: pad the tail byte with zero bits
       bos.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)

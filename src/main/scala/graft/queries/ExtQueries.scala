@@ -1651,11 +1651,13 @@ object ExtQueries {
 
     // Charset detection + transcode (graft.ext.Charsets): the WHATWG
     // sniff order (BOM > transport charset= > meta prescan > UTF-8
-    // validation > windows-1252 fallback) over a TEN-way encoded
-    // corpus including the CJK long tail (Shift_JIS/EUC-JP/GBK/Big5/
-    // EUC-KR under their legacy WHATWG labels) — each family's
+    // validation > windows-1252 fallback) over a SIXTEEN-way encoded
+    // corpus spanning the CJK long tail (Shift_JIS/EUC-JP/GBK/Big5/
+    // UHC under their legacy WHATWG labels) plus the single-byte tail
+    // (8859-2, Thai 874, Greek 1253, Hebrew 1255 via the logical-order
+    // 8859-8-i label, Arabic 1256, Baltic 1257) — each family's
     // non-ASCII marker must survive its path exactly, which a blind
-    // UTF-8 decode cannot do (it would U+FFFD families 1/2/3/5-9).
+    // UTF-8 decode cannot do (it would U+FFFD families 1/2/3/5-15).
     "q_charset_decode" -> ((s, dir) => {
       import s.implicits._
       graft.ext.Charsets.decodeFrame(
@@ -4654,25 +4656,35 @@ object ExtQueries {
         |       ELSE NULL END AS crawl_delay_sec
         |FROM s ORDER BY doc_id, path""".stripMargin,
 
-    // the ten-way encode spec by id%10: meta families (3/6/8) keep
-    // their tag in the text; legacy labels canonicalize per WHATWG
-    // (iso-8859-1 → windows-1252, shift_jis → windows-31j, gb2312 →
-    // GBK, korean → EUC-KR); each family's marker round-trips its
-    // charset
+    // the sixteen-way encode spec by id%16: meta families
+    // (3/6/8/11/13/15) keep their tag in the text; legacy labels
+    // canonicalize per WHATWG (iso-8859-1 → windows-1252, shift_jis →
+    // windows-31j, gb2312 → GBK, korean → x-windows-949 UHC superset,
+    // latin2 → ISO-8859-2, tis-620 → x-windows-874, iso-8859-8-i →
+    // windows-1255); each family's marker round-trips its charset
     "q_charset_decode" ->
       """SELECT doc_id,
-        |  CASE doc_id % 10 WHEN 0 THEN 'UTF-8' WHEN 1 THEN 'UTF-16LE'
+        |  CASE doc_id % 16 WHEN 0 THEN 'UTF-8' WHEN 1 THEN 'UTF-16LE'
         |    WHEN 2 THEN 'windows-1252' WHEN 3 THEN 'windows-1252'
         |    WHEN 4 THEN 'UTF-8' WHEN 5 THEN 'windows-31j'
         |    WHEN 6 THEN 'EUC-JP' WHEN 7 THEN 'GBK' WHEN 8 THEN 'Big5'
-        |    ELSE 'EUC-KR' END AS charset,
-        |  CASE doc_id % 10 WHEN 3 THEN '<meta charset="iso-8859-1">'
+        |    WHEN 9 THEN 'x-windows-949' WHEN 10 THEN 'ISO-8859-2'
+        |    WHEN 11 THEN 'x-windows-874' WHEN 12 THEN 'windows-1253'
+        |    WHEN 13 THEN 'windows-1255' WHEN 14 THEN 'windows-1256'
+        |    ELSE 'windows-1257' END AS charset,
+        |  CASE doc_id % 16 WHEN 3 THEN '<meta charset="iso-8859-1">'
         |    WHEN 6 THEN '<meta charset="euc-jp">'
-        |    WHEN 8 THEN '<meta charset="big5">' ELSE '' END ||
+        |    WHEN 8 THEN '<meta charset="big5">'
+        |    WHEN 11 THEN '<meta charset="tis-620">'
+        |    WHEN 13 THEN '<meta charset="iso-8859-8-i">'
+        |    WHEN 15 THEN '<meta charset="windows-1257">' ELSE '' END ||
         |  text ||
-        |  CASE doc_id % 10 WHEN 5 THEN ' テスト' WHEN 6 THEN ' 日本語'
+        |  CASE doc_id % 16 WHEN 5 THEN ' テスト' WHEN 6 THEN ' 日本語'
         |    WHEN 7 THEN ' 中文' WHEN 8 THEN ' 繁體字'
-        |    WHEN 9 THEN ' 한국어' ELSE ' café À' END ||
+        |    WHEN 9 THEN ' 한국어뷁' WHEN 10 THEN ' čeština'
+        |    WHEN 11 THEN ' ไทย' WHEN 12 THEN ' Ελληνικά'
+        |    WHEN 13 THEN ' עברית' WHEN 14 THEN ' العربية'
+        |    WHEN 15 THEN ' ąžuolas' ELSE ' café À' END ||
         |  (doc_id % 7)::VARCHAR AS decoded
         |FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
         |ORDER BY doc_id""".stripMargin,

@@ -105,9 +105,9 @@ class CharsetsSpec extends AnyFunSuite with SparkTestBase {
     assert(graft.wat.WarcHtml.htmlOfHttpResponse(resp2).get.contains("café"))
   }
 
-  test("decodeFrame stage over the ten-way encoded corpus") {
+  test("decodeFrame stage over the sixteen-way encoded corpus") {
     import spark.implicits._
-    val docs = spark.createDataset((0L to 19L).map(i =>
+    val docs = spark.createDataset((0L to 31L).map(i =>
       (java.lang.Long.valueOf(i), s"text $i")))
     val out = Charsets.decodeFrame(Charsets.syntheticEncodedDocs(docs))
       .as[(Long, String, String)].collect().map(r => r._1 -> r).toMap
@@ -124,11 +124,26 @@ class CharsetsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(7L)._2 == "GBK" && out(7L)._3 == "text 7 中文0")
     assert(out(8L)._2 == "Big5" &&
       out(8L)._3 == "<meta charset=\"big5\">text 8 繁體字1")
-    assert(out(9L)._2 == "EUC-KR" && out(9L)._3 == "text 9 한국어2")
-    assert(out.size == 20)
+    // 뷁 is outside KS X 1001: only the 949 superset carries it
+    assert(out(9L)._2 == "x-windows-949" &&
+      out(9L)._3 == "text 9 한국어뷁2")
+    // the single-byte long tail
+    assert(out(10L)._2 == "ISO-8859-2" &&
+      out(10L)._3 == "text 10 čeština3")
+    assert(out(11L)._2 == "x-windows-874" &&
+      out(11L)._3 == "<meta charset=\"tis-620\">text 11 ไทย4")
+    assert(out(12L)._2 == "windows-1253" &&
+      out(12L)._3 == "text 12 Ελληνικά5")
+    assert(out(13L)._2 == "windows-1255" &&
+      out(13L)._3 == "<meta charset=\"iso-8859-8-i\">text 13 עברית6")
+    assert(out(14L)._2 == "windows-1256" &&
+      out(14L)._3 == "text 14 العربية0")
+    assert(out(15L)._2 == "windows-1257" &&
+      out(15L)._3 == "<meta charset=\"windows-1257\">text 15 ąžuolas1")
+    assert(out.size == 32)
   }
 
-  test("WHATWG CJK labels canonicalize to their JDK charsets") {
+  test("WHATWG legacy labels canonicalize to their JDK charsets") {
     assert(Charsets.canonical("SJIS").contains("windows-31j"))
     assert(Charsets.canonical("x-sjis").contains("windows-31j"))
     assert(Charsets.canonical("ms_kanji").contains("windows-31j"))
@@ -136,28 +151,62 @@ class CharsetsSpec extends AnyFunSuite with SparkTestBase {
     assert(Charsets.canonical("csiso58gb231280").contains("GBK"))
     assert(Charsets.canonical("gb18030").contains("GB18030"))
     assert(Charsets.canonical("big5-hkscs").contains("Big5"))
-    assert(Charsets.canonical("ks_c_5601-1987").contains("EUC-KR"))
-    assert(Charsets.canonical("windows-949").contains("EUC-KR"))
+    // the Korean family lands on the UHC superset (MS949), matching
+    // the shift_jis → windows-31j superset rule
+    assert(Charsets.canonical("ks_c_5601-1987").contains("x-windows-949"))
+    assert(Charsets.canonical("windows-949").contains("x-windows-949"))
+    assert(Charsets.canonical("euc-kr").contains("x-windows-949"))
     assert(Charsets.canonical("cskoi8r").contains("KOI8-R"))
     assert(Charsets.canonical("iso-8859-9").contains("windows-1254"))
+    // the single-byte long tail: WHATWG keeps the 8859 pages distinct
+    // from their windows cousins except Thai (874 superset) and
+    // logical-order Hebrew (8859-8-i → 1255)
+    assert(Charsets.canonical("latin2").contains("ISO-8859-2"))
+    assert(Charsets.canonical("iso_8859-2:1987").contains("ISO-8859-2"))
+    assert(Charsets.canonical("tis-620").contains("x-windows-874"))
+    assert(Charsets.canonical("iso-8859-11").contains("x-windows-874"))
+    assert(Charsets.canonical("dos-874").contains("x-windows-874"))
+    assert(Charsets.canonical("x-cp1253").contains("windows-1253"))
+    assert(Charsets.canonical("greek8").contains("ISO-8859-7"))
+    assert(Charsets.canonical("sun_eu_greek").contains("ISO-8859-7"))
+    assert(Charsets.canonical("iso-8859-8-i").contains("windows-1255"))
+    assert(Charsets.canonical("logical").contains("windows-1255"))
+    assert(Charsets.canonical("visual").contains("ISO-8859-8"))
+    assert(Charsets.canonical("hebrew").contains("ISO-8859-8"))
+    assert(Charsets.canonical("asmo-708").contains("ISO-8859-6"))
+    assert(Charsets.canonical("cp1256").contains("windows-1256"))
+    assert(Charsets.canonical("cp1257").contains("windows-1257"))
+    assert(Charsets.canonical("iso-8859-13").contains("ISO-8859-13"))
     // every canonical target must actually resolve in this JVM
     for (label <- Seq("shift_jis", "euc-jp", "iso-2022-jp", "gbk",
         "gb18030", "big5", "euc-kr", "koi8-r", "koi8-u",
-        "windows-1250", "windows-1251", "windows-1254"))
+        "windows-1250", "windows-1251", "windows-1254", "iso-8859-2",
+        "tis-620", "windows-1253", "iso-8859-7", "windows-1255",
+        "iso-8859-8", "windows-1256", "iso-8859-6", "windows-1257",
+        "iso-8859-13"))
       java.nio.charset.Charset.forName(Charsets.canonical(label).get)
   }
 
-  test("CJK transport/meta decode beats the 1252 fallback") {
+  test("legacy transport/meta decode beats the 1252 fallback") {
     // Shift_JIS katakana by transport: bytes are NOT valid UTF-8, so
     // without the label this would mojibake via the 1252 fallback
     val sj = "テスト".getBytes("windows-31j")
     assert(Charsets.decode(sj, Some("shift_jis")) == ("テスト", "windows-31j"))
     assert(Charsets.decode(sj)._2 == "windows-1252") // the counterfactual
-    // EUC-KR hangul by meta prescan
-    val kr = "<meta charset=\"euc-kr\">한국".getBytes("EUC-KR")
-    assert(Charsets.decode(kr) == ("<meta charset=\"euc-kr\">한국", "EUC-KR"))
+    // Korean hangul by meta prescan decodes via the UHC superset —
+    // including 뷁, which plain EUC-KR cannot represent
+    val kr = "<meta charset=\"euc-kr\">한국뷁".getBytes("x-windows-949")
+    assert(Charsets.decode(kr) ==
+      ("<meta charset=\"euc-kr\">한국뷁", "x-windows-949"))
     // GB18030 4-byte sequence round-trips
     val gb = "ḿ".getBytes("GB18030") // U+1E3F, a 4-byte GB18030 code
     assert(Charsets.decode(gb, Some("gb18030")) == ("ḿ", "GB18030"))
+    // Thai by transport tis-620 label → the 874 superset
+    val th = "ไทย".getBytes("x-windows-874")
+    assert(Charsets.decode(th, Some("TIS-620")) == ("ไทย", "x-windows-874"))
+    // Greek by meta
+    val el = "<meta charset=\"greek\">αβγ".getBytes("ISO-8859-7")
+    assert(Charsets.decode(el) ==
+      ("<meta charset=\"greek\">αβγ", "ISO-8859-7"))
   }
 }

@@ -220,6 +220,16 @@ class PdfSpec extends AnyFunSuite with SparkTestBase {
     // a truncated stream (EOD gone) fails closed
     val enc = Pdf.lzwEncode("hello hello hello hello".getBytes("UTF-8"))
     assert(Pdf.lzwDecode(enc.dropRight(2), 1).isEmpty)
+    // width-boundary sweep: all-distinct-byte inputs emit one code per
+    // byte, so lengths around 254/766/1790 land the FINAL data code
+    // exactly where the decoder (EarlyChange = 1) grows the width
+    // before reading EOD — the encoder must write EOD at the grown
+    // width (regression: lengths 256/257/1555-1558 used to fail)
+    for (base <- Seq(254, 766, 1790); d <- -4 to 4; n = base + d) {
+      val data = Array.tabulate(n)(i => (i % 251).toByte)
+      assert(Pdf.lzwDecode(Pdf.lzwEncode(data), 1)
+        .exists(_.sameElements(data)), s"boundary len=$n")
+    }
     // garbage never throws
     for (_ <- 1 to 50)
       Pdf.lzwDecode(Array.fill(rnd.nextInt(64))(rnd.nextInt(256).toByte), 1)
