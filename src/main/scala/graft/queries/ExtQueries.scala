@@ -1716,6 +1716,32 @@ object ExtQueries {
         .sortWithinPartitions("page_url")
     }),
 
+    // Index-driven targeted extraction (graft.wat.CcIndex): the access
+    // pattern that supersedes whole-archive scans — filter the
+    // cc-index-shaped parquet RELATIONALLY (status/mime/host predicates
+    // push into the scan; %11==3 rows are 404s and %13==5 rows non-HTML,
+    // both must never be fetched), then ranged-read ONLY the selected
+    // gzip members via positioned reads grouped per archive region.
+    // Oracle = the q_warc_markdown rendering restricted to the
+    // index-selected ids, proving the ranged path returns byte-identical
+    // pages to the whole-file scan.
+    "q_ccindex_fetch" -> ((s, dir) => {
+      import s.implicits._
+      val (idxPath, _) = graft.wat.WatFixture.ensureDocCcIndex(s, dir)
+      val idx = s.read.parquet(idxPath)
+        .where(col("fetch_status") === 200 &&
+          col("content_mime_type") === "text/html" &&
+          col("url_host_name") === "docs.test")
+      val pages = graft.wat.CcIndex.fetchHtmlPages(idx)
+        .as[(String, String)]
+      graft.ext.HtmlMarkdown.htmlToMarkdownKeyed(pages)
+        // the fetch already shuffled (path, offset, length) triples; a
+        // global orderBy would range-sample and fetch twice — one
+        // single-partition exchange + in-partition sort instead
+        .repartition(1)
+        .sortWithinPartitions("page_url")
+    }),
+
     // WET sidecar extraction (graft.wat.WetText): the THIRD CC archive
     // format — `conversion` records carry the crawler's own text
     // extraction, so a text pipeline reading WET skips HTML parsing
@@ -4721,6 +4747,27 @@ object ExtQueries {
       """WITH d AS (SELECT doc_id,
         |    regexp_replace(trim(text), '\s+', ' ', 'g') AS t
         |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT 'https://docs.test/doc' || doc_id::VARCHAR || '.html'
+        |    AS page_url,
+        |  '[home](/) [about](/a) [links](/x)' ||
+        |  CASE WHEN t = '' THEN '' ELSE chr(10) || chr(10) || t END ||
+        |  CASE WHEN doc_id % 4 = 0
+        |       THEN chr(10) || chr(10) || '[click now](/b) [buy](/p)'
+        |       ELSE '' END ||
+        |  chr(10) || chr(10) || '[contact](/c) [terms](/t) c 2026'
+        |    AS markdown
+        |FROM d ORDER BY page_url""".stripMargin,
+
+    // the warc-markdown rendering RESTRICTED to the index-selected ids:
+    // the synthesized 404s (%11==3) and non-HTML rows (%13==5) must be
+    // absent — the witness that the ranged fetch read only the members
+    // the index filter selected
+    "q_ccindex_fetch" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL
+        |    AND doc_id % 11 <> 3 AND doc_id % 13 <> 5)
         |SELECT 'https://docs.test/doc' || doc_id::VARCHAR || '.html'
         |    AS page_url,
         |  '[home](/) [about](/a) [links](/x)' ||

@@ -1,0 +1,97 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.wat.{CcIndex, WatFixture}
+
+/** Prices the index-driven ranged-fetch path (graft.wat.CcIndex)
+  * across record-count decades and against the whole-file scan at a
+  * selectivity sweep — the SCALING.md evidence for the targeted
+  * access pattern.
+  *
+  * Two claims to measure:
+  *  1. per-record ranged-fetch cost stays flat across decades (the
+  *     shuffle moves only (path, offset, length) triples; tasks are
+  *     region-bounded) — records/s/core at 8/32/128 archives;
+  *  2. the selectivity crossover: at low selectivity the ranged path
+  *     reads only the selected members and beats the whole-file scan;
+  *     near 100% the whole-file scan's sequential decode wins — the
+  *     real-CC rule of thumb for when to use which.
+  *
+  * Run: sbt "runMain graft.tools.CcIndexScaleProbe [decades]"
+  */
+object CcIndexScaleProbe {
+
+  private def time2(f: => Long): (Double, Long) = {
+    var best = Double.MaxValue
+    var rows = 0L
+    for (_ <- 1 to 2) {
+      val t0 = System.nanoTime()
+      rows = f
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+    }
+    (best, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val decades = args.lift(0).map(_.toInt).getOrElse(3)
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .appName("ccindex-scale-probe")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def indexOver(paths: Seq[String]) =
+      CcIndex.buildIndex(spark, paths,
+        mimeOf = _ => "text/html", statusOf = _ => 200)
+
+    // warm-up
+    locally {
+      val w = WatFixture.ensureBenchWarcs(1, 50, 5)
+      CcIndex.fetchHtmlPages(indexOver(w)).count()
+    }
+
+    // decade sweep: 8 -> 32 -> 128 archives x 500 records, fetch ALL
+    for (d <- 0 until decades) {
+      val n = 8 * math.pow(4, d).toInt
+      val warcs = WatFixture.ensureBenchWarcs(n, 500, 20)
+      val idx = indexOver(warcs).cache()
+      val total = idx.count()
+      val (t, rows) = time2(CcIndex.fetchHtmlPages(idx).count())
+      println(f"decade d=$d archives=$n records=$total " +
+        f"fetched=$rows wall=$t%.2fs " +
+        f"rate=${rows / t}%.0f rec/s (${rows / t / cores}%.0f rec/s/core)")
+      idx.unpersist()
+    }
+
+    // selectivity sweep on the top shape: ranged vs whole-file. BOTH
+    // sides force the html column (sum of lengths) so neither can
+    // prune the decode; note local disk makes whole-file reads
+    // unrealistically cheap vs S3 (no network bytes saved), so the
+    // crossover here is a PESSIMISTIC bound for the ranged path.
+    val warcs = WatFixture.ensureBenchWarcs(
+      8 * math.pow(4, math.max(0, decades - 1)).toInt, 500, 20)
+    val idx = indexOver(warcs).cache()
+    idx.count()
+    def forceHtml(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(length(col("html")))).head().getLong(0)
+    val (fullT, fullB) = time2(forceHtml(
+      spark.read.format("warc").load(warcs: _*)
+        .select(col("page_url"), col("html"))))
+    println(f"whole-file scan: htmlBytes=$fullB wall=$fullT%.2fs")
+    for (pct <- Seq(1, 10, 50, 100)) {
+      val sel = idx.where(
+        abs(hash(col("url"))) % 100 < lit(pct))
+      val (t, b) = time2(forceHtml(CcIndex.fetchHtmlPages(sel)))
+      println(f"ranged pct=$pct%3d%%: htmlBytes=$b wall=$t%.2fs " +
+        f"(vs whole-file $fullT%.2fs -> ${fullT / t}%.2fx)")
+    }
+    idx.unpersist()
+    spark.stop()
+  }
+}

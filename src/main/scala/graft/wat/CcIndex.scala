@@ -1,0 +1,387 @@
+package graft.wat
+
+import java.io.ByteArrayInputStream
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The columnar-index access path: instead of scanning whole archives
+  * (the reference reads entire WATs — cc2dataset/main.py:186-206), a
+  * targeted extraction filters the cc-index table RELATIONALLY (its
+  * mime/status/host predicates push into the parquet scan), groups the
+  * surviving `(warc_filename, offset, length)` ranges by archive
+  * region, and fetches ONLY the selected records with positioned
+  * reads. CC publishes every record as its own gzip member precisely
+  * so this works: a `(offset, length)` slice is a self-contained gzip
+  * stream.
+  *
+  * 100 TB posture: the shuffle moves only `(path, offset, length)`
+  * triples for records that SURVIVED the index filter (bytes never
+  * shuffle); tasks are bounded by [[fetchHtmlPages]]'s `splitBytes`
+  * region split, so a hot archive (every record selected) splits into
+  * ~1 GiB regions instead of funneling into one task; each task opens
+  * its archive once and reads ranges in offset order (monotone seeks —
+  * S3A translates positioned reads into ranged GETs).
+  */
+object CcIndex {
+
+  /** RFC 1952 member boundaries of a concatenated gzip stream:
+    * `(offset, length)` per member, parsed from the real framing —
+    * 10-byte fixed header, FEXTRA/FNAME/FCOMMENT/FHCRC optionals,
+    * deflate body walked with an `Inflater` (`getRemaining` marks the
+    * compressed end), 8-byte CRC32+ISIZE trailer. Truncation or
+    * garbage ends the walk with the members already found (fail-soft,
+    * like the record reader) — never a throw.
+    */
+  def memberSpans(b: Array[Byte]): Seq[(Long, Long)] = {
+    val spans = Seq.newBuilder[(Long, Long)]
+    var off = 0
+    var ok = true
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      while (ok && off + 18 <= b.length) {
+        val p = headerEnd(b, off, b.length)
+        if (p < 0) ok = false
+        else {
+          try {
+            inf.reset()
+            inf.setInput(b, p, b.length - p)
+            val buf = new Array[Byte](1 << 16)
+            var stuck = false
+            while (!inf.finished() && !stuck) {
+              val n = inf.inflate(buf)
+              if (n == 0 && !inf.finished() && inf.needsInput())
+                stuck = true // truncated body
+            }
+            if (stuck || !inf.finished()) ok = false
+            else {
+              val end = b.length - inf.getRemaining + 8 // CRC32+ISIZE
+              if (end > b.length) ok = false
+              else {
+                spans += ((off.toLong, (end - off).toLong))
+                off = end
+              }
+            }
+          } catch {
+            case _: java.util.zip.DataFormatException => ok = false
+          }
+        }
+      }
+    } finally inf.end()
+    spans.result()
+  }
+
+  /** RFC 1952 header walk: offset of the first deflate byte, or -1
+    * when `[off, end)` does not start a well-formed member header.
+    */
+  private def headerEnd(b: Array[Byte], off: Int, end: Int): Int = {
+    if (off + 10 > end || (b(off) & 0xff) != 0x1f ||
+        (b(off + 1) & 0xff) != 0x8b || (b(off + 2) & 0xff) != 8)
+      return -1
+    val flg = b(off + 3) & 0xff
+    var p = off + 10
+    if ((flg & 4) != 0) { // FEXTRA: 2-byte LE length + payload
+      if (p + 2 > end) return -1
+      p += 2 + ((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8))
+    }
+    if ((flg & 8) != 0) { // FNAME: NUL-terminated
+      while (p < end && b(p) != 0) p += 1
+      p += 1
+    }
+    if ((flg & 16) != 0) { // FCOMMENT: NUL-terminated
+      while (p < end && b(p) != 0) p += 1
+      p += 1
+    }
+    if ((flg & 2) != 0) p += 2 // FHCRC
+    if (p >= end) -1 else p
+  }
+
+  /** One member `[off, off+len)` → its decompressed payload, with a
+    * REUSED `Inflater` — the hot ranged path decodes one member per
+    * index row, and the whole-file reader's per-record stream stack
+    * (BufferedInputStream + GZIPInputStream + iterator) costs more
+    * than the inflate itself at that grain. Exact allocation from the
+    * trailer's ISIZE, CRC32-verified like GZIPInputStream would (a
+    * flipped byte can't yield a silently-wrong record). None on any
+    * malformation — hostile ISIZE (> 256 MiB or a lie vs the actual
+    * stream) fails closed.
+    */
+  private[wat] def inflateMember(b: Array[Byte], off: Int, len: Int,
+      inf: java.util.zip.Inflater): Option[Array[Byte]] = {
+    val end = off + len
+    if (end > b.length || len < 18) return None
+    val p = headerEnd(b, off, end)
+    if (p < 0 || p >= end - 8) return None
+    val isize = (b(end - 4) & 0xffL) | ((b(end - 3) & 0xffL) << 8) |
+      ((b(end - 2) & 0xffL) << 16) | ((b(end - 1) & 0xffL) << 24)
+    if (isize > (256L << 20)) return None // decompression-bomb bound
+    val out = new Array[Byte](isize.toInt)
+    try {
+      inf.reset()
+      inf.setInput(b, p, end - 8 - p)
+      var at = 0
+      while (at < out.length && !inf.finished()) {
+        val n = inf.inflate(out, at, out.length - at)
+        if (n == 0 && !inf.finished() && inf.needsInput()) return None
+        at += n
+      }
+      // the exact-sized buffer can fill before the inflater consumes
+      // the stream-end marker: probe one byte — data means ISIZE lied
+      // small, no data + still unfinished means truncation
+      if (!inf.finished()) {
+        val probe = new Array[Byte](1)
+        val n = inf.inflate(probe)
+        if (n > 0 || !inf.finished()) return None
+      }
+      if (at != out.length) return None
+      val crc = new java.util.zip.CRC32()
+      crc.update(out)
+      val want = (b(end - 8) & 0xffL) | ((b(end - 7) & 0xffL) << 8) |
+        ((b(end - 6) & 0xffL) << 16) | ((b(end - 5) & 0xffL) << 24)
+      if (crc.getValue != want) None else Some(out)
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    }
+  }
+
+  /** One member's bytes → its WARC record via the lean path:
+    * [[inflateMember]] + direct header parse, no per-record stream
+    * stack. None on malformation.
+    */
+  private[wat] def memberRecord(b: Array[Byte], off: Int, len: Int,
+      inf: java.util.zip.Inflater): Option[WarcRecord] =
+    inflateMember(b, off, len, inf).flatMap { dec =>
+      try WatReader.readRecord(new ByteArrayInputStream(dec))
+      catch { case _: java.io.EOFException => None }
+    }
+
+  /** Positioned ranged read with the same ≤10-attempt retry discipline
+    * as [[WatReader.fetchAllBytes]] — `readFully(pos, …)` is the
+    * Hadoop positioned-read API (a ranged GET on S3A, `pread` on
+    * local/HDFS). None after final failure.
+    */
+  def fetchRange(path: String, offset: Long, length: Int,
+      conf: Configuration = new Configuration(),
+      attempts: Int = 10, sleepMs: Long = 1000L): Option[Array[Byte]] = {
+    var i = 0
+    while (i < attempts) {
+      try {
+        val p = new Path(path)
+        val fs = p.getFileSystem(conf)
+        val in = fs.open(p)
+        try {
+          val buf = new Array[Byte](length)
+          in.readFully(offset, buf, 0, length)
+          return Some(buf)
+        } finally in.close()
+      } catch {
+        case e: InterruptedException => throw e
+        case scala.util.control.NonFatal(_) =>
+          i += 1
+          if (i < attempts) Thread.sleep(sleepMs)
+      }
+    }
+    None
+  }
+
+  /** Single-record ranged fetch: the index row's `(warc_filename,
+    * warc_record_offset, warc_record_length)` → the one WARC record
+    * inside that gzip member. None on fetch failure or frame garbage.
+    */
+  def recordAt(path: String, offset: Long, length: Long,
+      conf: Configuration = new Configuration(),
+      onCorrupt: Exception => Unit = WatReader.logCorruptDefault)
+      : Option[WarcRecord] = {
+    if (length <= 0 || length > Int.MaxValue) return None
+    fetchRange(path, offset, length.toInt, conf).flatMap { bytes =>
+      val it = WatReader.records(new ByteArrayInputStream(bytes),
+        gzipped = true, onCorrupt)
+      try if (it.hasNext) Some(it.next()) else None
+      finally it.close()
+    }
+  }
+
+  /** Index-driven page fetch: a filtered cc-index frame (columns
+    * `warc_filename`, `warc_record_offset`, `warc_record_length`) →
+    * `(page_url, html)` rows for exactly the selected records.
+    *
+    * Plan shape: one narrow projection off the (already filter-pruned)
+    * index scan, one shuffle of `(path, offset, length)` triples keyed
+    * by `(archive, offset / splitBytes)` — the region split that
+    * bounds a task to ~`splitBytes` of one archive even when the
+    * filter selects every record of a hot file — then one imperative
+    * task per region: open once, positioned reads in offset order.
+    * Records that fail to fetch or parse count into `readErrors` and
+    * drop (one bad range must not kill a 10⁶-range job).
+    */
+  def fetchHtmlPages(idx: DataFrame,
+      splitBytes: Long = 1L << 30,
+      gapBytes: Long = 64L << 10,
+      maxReadBytes: Long = 16L << 20): DataFrame = {
+    val spark = idx.sparkSession
+    fetchHtmlPages(idx,
+      spark.sparkContext.longAccumulator("graft.ccindex.read_errors"),
+      splitBytes, gapBytes, maxReadBytes)
+  }
+
+  /** Coalesce offset-sorted `(offset, length)` ranges into read
+    * groups: a range joins the current group when the seek gap from
+    * the group's end is ≤ `gapBytes` and the grown group stays ≤
+    * `maxReadBytes`. One positioned read per GROUP — at high
+    * selectivity adjacent members merge into streaming-sized reads
+    * (the S3A-vectored-IO trick: one GET instead of hundreds), at low
+    * selectivity groups stay singletons and only selected bytes move.
+    * Returns (readOffset, readLength, members-in-group).
+    */
+  private[wat] def coalesce(ranges: Seq[(Long, Long)], gapBytes: Long,
+      maxReadBytes: Long): Seq[(Long, Long, Seq[(Long, Long)])] = {
+    val out = Seq.newBuilder[(Long, Long, Seq[(Long, Long)])]
+    var start = -1L
+    var end = -1L
+    var members = List.empty[(Long, Long)]
+    for ((o, l) <- ranges if l > 0) {
+      val memberEnd = o + l
+      if (start < 0) { start = o; end = memberEnd; members = (o, l) :: Nil }
+      else if (o - end <= gapBytes && memberEnd - start <= maxReadBytes) {
+        end = math.max(end, memberEnd)
+        members = (o, l) :: members
+      } else {
+        out += ((start, end - start, members.reverse))
+        start = o; end = memberEnd; members = (o, l) :: Nil
+      }
+    }
+    if (start >= 0) out += ((start, end - start, members.reverse))
+    out.result()
+  }
+
+  def fetchHtmlPages(idx: DataFrame,
+      readErrors: org.apache.spark.util.LongAccumulator,
+      splitBytes: Long, gapBytes: Long, maxReadBytes: Long): DataFrame = {
+    val spark = idx.sparkSession
+    import spark.implicits._
+    require(splitBytes > 0, s"splitBytes: $splitBytes")
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    idx
+      .select(col("warc_filename").cast("string").as("f"),
+        col("warc_record_offset").cast("long").as("o"),
+        col("warc_record_length").cast("long").as("l"))
+      .groupBy(col("f"), floor(col("o") / lit(splitBytes)).as("region"))
+      // sort_array on (o, l) structs orders by offset first — the
+      // monotone-seek order the positioned reader wants
+      .agg(sort_array(collect_list(struct(col("o"), col("l"))))
+        .as("ranges"))
+      .select(col("f"), col("ranges"))
+      .as[(String, Seq[(Long, Long)])]
+      .flatMap { case (path, ranges) =>
+        val conf = confBc.value.value
+        val p = new Path(path)
+        var in: org.apache.hadoop.fs.FSDataInputStream = null
+        try in = p.getFileSystem(conf).open(p)
+        catch { case scala.util.control.NonFatal(_) => }
+        if (in == null) {
+          readErrors.add(ranges.size.toLong)
+          Iterator.empty
+        } else {
+          val stream = in
+          val inf = new java.util.zip.Inflater(true)
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit] { _ =>
+              stream.close(); inf.end()
+            })
+          coalesce(ranges, gapBytes, maxReadBytes).iterator.flatMap {
+            case (readOff, readLen, members) =>
+              val bytes: Option[Array[Byte]] =
+                if (readLen <= 0 || readLen > Int.MaxValue) None
+                else try {
+                  val buf = new Array[Byte](readLen.toInt)
+                  stream.readFully(readOff, buf, 0, readLen.toInt)
+                  Some(buf)
+                } catch {
+                  case e: InterruptedException => throw e
+                  case scala.util.control.NonFatal(_) => None
+                }
+              bytes match {
+                case None =>
+                  readErrors.add(members.size.toLong)
+                  Iterator.empty
+                case Some(buf) =>
+                  members.iterator.flatMap { case (o, l) =>
+                    val page =
+                      if (l > Int.MaxValue) None
+                      else memberRecord(buf, (o - readOff).toInt, l.toInt,
+                        inf).flatMap { r =>
+                        if (r.warcType.equalsIgnoreCase("response"))
+                          WarcHtml.htmlOfHttpResponse(r.payload).map(h =>
+                            (r.headers.getOrElse("warc-target-uri", ""), h))
+                        else None
+                      }
+                    if (page.isEmpty) readErrors.add(1L)
+                    page.iterator
+                  }
+              }
+          }
+        }
+      }
+      .toDF("page_url", "html")
+  }
+
+  /** Build a cc-index-shaped frame over local archive shards — the
+    * fixture-side index builder (real CC publishes this table; a
+    * private crawl runs exactly this walk once per archive). One task
+    * per archive: whole-file read, [[memberSpans]] walk, one row per
+    * member with the record's target URI. The caller supplies the
+    * `mime`/`status` synthesis (the fixture's closed-form rotation).
+    */
+  def buildIndex(spark: SparkSession, paths: Seq[String],
+      mimeOf: Long => String, statusOf: Long => Int): DataFrame = {
+    import spark.implicits._
+    val errors =
+      spark.sparkContext.longAccumulator("graft.ccindex.build_errors")
+    ArchiveTasks.perArchive[
+        (String, String, String, Int, String, Long, Long)](
+        spark, paths, errors, Long.MaxValue) { (path, conf, onCorrupt, _) =>
+      WatReader.fetchAllBytes(path, conf) match {
+        case None =>
+          onCorrupt(new java.io.IOException(s"fetch failed: $path"))
+          ClosingIterator.empty
+        case Some(bytes) =>
+          val inf = new java.util.zip.Inflater(true)
+          val rows = memberSpans(bytes).iterator.flatMap {
+            case (off, len) =>
+              memberRecord(bytes, off.toInt, len.toInt, inf).flatMap { r =>
+                val url = r.headers.getOrElse("warc-target-uri", "")
+                if (r.warcType.equalsIgnoreCase("response") &&
+                    url.nonEmpty) {
+                  val host = hostOf(url)
+                  val id = docIdOf(url)
+                  Some((url, host, mimeOf(id), statusOf(id),
+                    path, off, len))
+                } else None
+              }.iterator
+          }
+          new ClosingIterator(rows, () => inf.end())
+      }
+    }.toDF("url", "url_host_name", "content_mime_type", "fetch_status",
+      "warc_filename", "warc_record_offset", "warc_record_length")
+  }
+
+  private[wat] def hostOf(url: String): String = {
+    val schemeEnd = url.indexOf("://")
+    if (schemeEnd < 0) return ""
+    val rest = url.substring(schemeEnd + 3)
+    val slash = rest.indexOf('/')
+    if (slash < 0) rest else rest.substring(0, slash)
+  }
+
+  /** doc<id>.html → id; -1 when the URL is not a doc page (the
+    * fixture synthesis only — never used on real index rows).
+    */
+  private[wat] def docIdOf(url: String): Long = {
+    val m = "doc(\\d+)\\.html$".r.findFirstMatchIn(url)
+    m.map(_.group(1).toLong).getOrElse(-1L)
+  }
+}

@@ -405,6 +405,44 @@ object WatFixture {
       }
     }
 
+  /** cc-index-shaped parquet over the [[ensureDocWarcs]] shards: one
+    * row per response record with the PUBLIC cc-index columns (url,
+    * url_host_name, content_mime_type, fetch_status, warc_filename,
+    * warc_record_offset, warc_record_length), offsets/lengths read
+    * back from the real gzip-member framing ([[graft.wat.CcIndex
+    * .memberSpans]]), mime/status synthesized in closed form from the
+    * doc id (`%13==5` → application/pdf, `%11==3` → 404 — the rows an
+    * index-side filter must EXCLUDE, so the ranged-fetch query proves
+    * it reads only the selected members). Cache key reuses the warc
+    * shards' content-fingerprint tag: same docs + same shard count →
+    * same archives → same index.
+    */
+  def ensureDocCcIndex(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, shards: Int = 4): (String, Seq[String]) = {
+    val warcs = ensureDocWarcs(spark, sfDir, shards)
+    val first = new java.io.File(warcs.head).getName
+    val tag = first.stripPrefix("docs-").stripSuffix("-0.warc.gz")
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-doc-ccindex-v$GenVersion")
+    dir.mkdirs()
+    val out = new java.io.File(dir, s"idx-$tag.parquet")
+    if (!out.exists()) {
+      val tmp = new java.io.File(dir, out.getName +
+        s".tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}-${System.nanoTime()}")
+      graft.wat.CcIndex.buildIndex(spark, warcs,
+          mimeOf = id =>
+            if (id % 13 == 5) "application/pdf" else "text/html",
+          statusOf = id => if (id % 11 == 3) 404 else 200)
+        .repartition(1)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      if (!tmp.renameTo(out) && !out.exists())
+        throw new java.io.IOException(s"could not materialize $out")
+      if (tmp.exists())
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+    (out.getAbsolutePath, warcs)
+  }
+
   def ensureBenchWarcs(n: Int, nRecords: Int = 500,
       linksPerRecord: Int = 20): Seq[String] = {
     val dir = new java.io.File(

@@ -295,7 +295,9 @@ object WatReader {
     Some(sb.toString)
   }
 
-  private def readRecord(in: InputStream): Option[WarcRecord] = {
+  // private[wat]: the single-member ranged path (CcIndex) parses a
+  // decompressed member directly, skipping the per-record stream stack
+  private[wat] def readRecord(in: InputStream): Option[WarcRecord] = {
     // seek the version line, skipping inter-record blank lines
     var line = readLine(in)
     while (line.exists(l => l.isEmpty)) line = readLine(in)

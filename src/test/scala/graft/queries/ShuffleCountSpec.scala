@@ -204,6 +204,10 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // one task per WET archive + final order only — the conversion-
     // record read must never shuffle page text
     "q_wet_extract" -> 1,
+    // ONE (path, offset, length) triple shuffle for the region group
+    // + the final single-partition exchange — page bytes themselves
+    // must never shuffle (they are born inside the fetch task)
+    "q_ccindex_fetch" -> 2,
     // per-row header parse + final order only
     "q_image_probe" -> 1,
     // postings chain: (doc,pos) equi-joins + per-doc count + order

@@ -1,0 +1,204 @@
+package graft.wat
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{Deflater, GZIPOutputStream}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** The columnar-index access path: RFC 1952 member-boundary walk,
+  * single-record ranged fetch, index build over real shards, the
+  * predicate-pushdown contract on the index scan, and parity between
+  * the ranged path and the whole-file warc scan.
+  */
+class CcIndexSpec extends AnyFunSuite with SparkTestBase {
+
+  private def gz(payload: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val g = new GZIPOutputStream(bos)
+    g.write(payload); g.close()
+    bos.toByteArray
+  }
+
+  /** A member with FNAME + FCOMMENT + FEXTRA + FHCRC set — the header
+    * optionals memberSpans must skip (GZIPOutputStream never writes
+    * them, so build by hand: deflate-raw body + crc trailer).
+    */
+  private def gzWithOptionals(payload: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    // FLG = FHCRC|FEXTRA|FNAME|FCOMMENT = 2|4|8|16 = 0x1e
+    bos.write(Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0x1e.toByte,
+      0, 0, 0, 0, 0, 0))
+    bos.write(Array[Byte](3, 0, 'x', 'y', 'z')) // FEXTRA len=3
+    bos.write("name.txt".getBytes(UTF_8)); bos.write(0) // FNAME
+    bos.write("a comment".getBytes(UTF_8)); bos.write(0) // FCOMMENT
+    // FHCRC = low 16 bits of CRC32 over the header so far, LE
+    // (GZIPInputStream VERIFIES it on the re-slice decode below)
+    val hcrc = new java.util.zip.CRC32()
+    hcrc.update(bos.toByteArray)
+    val h = hcrc.getValue
+    bos.write(Array[Byte](h.toByte, (h >> 8).toByte))
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(payload); d.finish()
+    val buf = new Array[Byte](1 << 14)
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    d.end()
+    val crc = new java.util.zip.CRC32()
+    crc.update(payload)
+    val v = crc.getValue
+    bos.write(Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte,
+      (v >> 24).toByte, payload.length.toByte,
+      (payload.length >> 8).toByte, (payload.length >> 16).toByte,
+      (payload.length >> 24).toByte))
+    bos.toByteArray
+  }
+
+  test("memberSpans: plain members, header optionals, tail garbage") {
+    val a = gz("alpha".getBytes(UTF_8))
+    val b = gzWithOptionals("beta with all header optionals".getBytes(UTF_8))
+    val c = gz(Array.fill(100000)('c'.toByte))
+    val whole = a ++ b ++ c
+    assert(CcIndex.memberSpans(whole) == Seq(
+      (0L, a.length.toLong),
+      (a.length.toLong, b.length.toLong),
+      ((a.length + b.length).toLong, c.length.toLong)))
+    // a span re-slices to a self-contained gzip stream
+    val slice = whole.slice(a.length, a.length + b.length)
+    val back = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(slice)).readAllBytes()
+    assert(back.sameElements(
+      "beta with all header optionals".getBytes(UTF_8)))
+    // truncation mid-member keeps the members already found
+    assert(CcIndex.memberSpans(whole.dropRight(c.length / 2)) == Seq(
+      (0L, a.length.toLong), (a.length.toLong, b.length.toLong)))
+    // tail garbage after valid members: same fail-soft
+    assert(CcIndex.memberSpans(a ++ Array[Byte](1, 2, 3)) ==
+      Seq((0L, a.length.toLong)))
+    assert(CcIndex.memberSpans(Array[Byte](1, 2, 3)).isEmpty)
+    assert(CcIndex.memberSpans(Array.empty[Byte]).isEmpty)
+  }
+
+  test("coalesce merges gap-adjacent ranges under the read cap") {
+    // contiguous members merge into one read
+    assert(CcIndex.coalesce(
+      Seq((0L, 10L), (10L, 10L), (20L, 10L)), 0L, 1000L) ==
+      Seq((0L, 30L, Seq((0L, 10L), (10L, 10L), (20L, 10L)))))
+    // a gap over gapBytes splits groups
+    assert(CcIndex.coalesce(
+      Seq((0L, 10L), (100L, 10L)), 50L, 1000L) ==
+      Seq((0L, 10L, Seq((0L, 10L))), (100L, 10L, Seq((100L, 10L)))))
+    // a gap within gapBytes merges ACROSS the unselected bytes
+    assert(CcIndex.coalesce(
+      Seq((0L, 10L), (100L, 10L)), 90L, 1000L) ==
+      Seq((0L, 110L, Seq((0L, 10L), (100L, 10L)))))
+    // maxReadBytes caps group growth even when contiguous
+    assert(CcIndex.coalesce(
+      Seq((0L, 10L), (10L, 10L), (20L, 10L)), 0L, 25L) ==
+      Seq((0L, 20L, Seq((0L, 10L), (10L, 10L))),
+        (20L, 10L, Seq((20L, 10L)))))
+    // zero/negative lengths drop
+    assert(CcIndex.coalesce(Seq((0L, 0L), (5L, -3L)), 0L, 10L).isEmpty)
+    assert(CcIndex.coalesce(Nil, 0L, 10L).isEmpty)
+  }
+
+  test("recordAt fetches exactly the member's record by (offset, length)") {
+    val recs = (0 until 5).map { i =>
+      gz(WatFixture.warcRecord("response", s"payload-$i",
+        Some(s"https://e.test/p$i"), "application/http; msgtype=response"))
+    }
+    val f = java.io.File.createTempFile("ccindex-recordat", ".warc.gz")
+    f.deleteOnExit()
+    val out = new java.io.FileOutputStream(f)
+    recs.foreach(out.write); out.close()
+    val spans = CcIndex.memberSpans(
+      java.nio.file.Files.readAllBytes(f.toPath))
+    assert(spans.size == 5)
+    val (off, len) = spans(3)
+    val r = CcIndex.recordAt(f.getAbsolutePath, off, len).get
+    assert(r.headers("warc-target-uri") == "https://e.test/p3")
+    assert(r.payloadString == "payload-3")
+    // degenerate lengths fail closed
+    assert(CcIndex.recordAt(f.getAbsolutePath, off, 0L).isEmpty)
+    assert(CcIndex.recordAt(f.getAbsolutePath, off, -5L).isEmpty)
+  }
+
+  test("index predicates push into the parquet scan") {
+    val (idxPath, _) =
+      WatFixture.ensureDocCcIndex(spark, "/root/testdata/sf0.001")
+    val filtered = spark.read.parquet(idxPath)
+      .where(col("fetch_status") === 200 &&
+        col("content_mime_type") === "text/html")
+    // executedPlan.toString truncates long field lists at ~100 chars,
+    // so assert on fragments that survive the truncation
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(fetch_status), " +
+      "IsNotNull(content_mime_type), EqualTo(fetch_status,200)"),
+      s"index predicates must reach the scan:\n$plan")
+  }
+
+  test("ranged fetch matches the whole-file warc scan on the selected subset") {
+    val (idxPath, warcs) =
+      WatFixture.ensureDocCcIndex(spark, "/root/testdata/sf0.001")
+    val idx = spark.read.parquet(idxPath)
+      .where(col("fetch_status") === 200 &&
+        col("content_mime_type") === "text/html")
+    val ranged = CcIndex.fetchHtmlPages(idx)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    // the whole-file path over the same archives, filtered to the ids
+    // the index selected
+    val keepIds = idx.select("url").collect().map(_.getString(0)).toSet
+    val full = spark.read.format("warc").load(warcs: _*)
+      .select(col("page_url"), col("html"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .filter(p => keepIds.contains(p._1)).sorted
+    assert(ranged.length == full.length && ranged.sameElements(full))
+    // and the excluded rows (404s / non-HTML mime) were never fetched
+    val allUrls = spark.read.parquet(idxPath).count()
+    assert(ranged.length < allUrls)
+  }
+
+  test("region split (tiny splitBytes) yields the same rows") {
+    val (idxPath, _) =
+      WatFixture.ensureDocCcIndex(spark, "/root/testdata/sf0.001")
+    val idx = spark.read.parquet(idxPath)
+      .where(col("fetch_status") === 200 &&
+        col("content_mime_type") === "text/html")
+    val wide = CcIndex.fetchHtmlPages(idx)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    // 4 KiB regions: many groups per archive, order preserved per task
+    val narrow = CcIndex.fetchHtmlPages(idx, splitBytes = 4096L)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(narrow.sameElements(wide))
+  }
+
+  test("buildIndex rows carry real offsets and the closed-form columns") {
+    val (idxPath, warcs) =
+      WatFixture.ensureDocCcIndex(spark, "/root/testdata/sf0.001")
+    val rows = spark.read.parquet(idxPath).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows.take(20)) {
+      val url = r.getAs[String]("url")
+      val id = CcIndex.docIdOf(url)
+      assert(id >= 0)
+      assert(r.getAs[String]("url_host_name") == "docs.test")
+      assert(r.getAs[String]("content_mime_type") ==
+        (if (id % 13 == 5) "application/pdf" else "text/html"))
+      assert(r.getAs[Int]("fetch_status") ==
+        (if (id % 11 == 3) 404 else 200))
+      // the (offset, length) really frames this url's record
+      val rec = CcIndex.recordAt(r.getAs[String]("warc_filename"),
+        r.getAs[Long]("warc_record_offset"),
+        r.getAs[Long]("warc_record_length")).get
+      assert(rec.headers("warc-target-uri") == url)
+    }
+    // one row per document, all shards covered
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("doc_id").isNotNull).count()
+    assert(rows.length.toLong == docs)
+    assert(rows.map(_.getAs[String]("warc_filename")).distinct.length ==
+      warcs.length)
+  }
+}
