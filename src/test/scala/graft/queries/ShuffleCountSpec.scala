@@ -194,9 +194,12 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // sitemap explode + per-row URL split + the same broadcast gate +
     // final order: one range exchange total
     "q_frontier_pipeline" -> 1,
-    // broadcast gate + ONE per-domain window hash + final order; the
-    // window partitions by domain (the politeness unit), never corpus
-    "q_politeness_schedule" -> 2,
+    // broadcast gate + the TWO-PHASE rank (r17 verdict's skew fix):
+    // one corpus (domain, bucket) window hash, one aggregate-sized
+    // bases shuffle (map-side combined), one tiny per-domain window
+    // over the aggregate, + final order. The corpus itself shuffles
+    // exactly once — the extra exchanges move aggregate rows only
+    "q_politeness_schedule" -> 4,
     // per-row directive scan + final order only
     "q_robots_sitemaps" -> 1,
     // per-row feed parse (gunzip + tag scan) + final order only
