@@ -568,6 +568,52 @@ object Pdf {
       compressed.toMap, xrefOk))
   }
 
+  /** Header version without a full parse — the only field an
+    * encrypted document still surrenders.
+    */
+  private def headerVersion(bytes: Array[Byte]): String = {
+    if (!isPdf(bytes)) return ""
+    var v = 5
+    while (v < bytes.length && !isWs(bytes(v) & 0xff)) v += 1
+    new String(bytes, 5, v - 5, "US-ASCII")
+  }
+
+  /** Does any trailer in the update chain carry /Encrypt? [[parse]]
+    * fails closed on encryption (object streams, strings, and content
+    * are ciphertext without the key material), but a corpus triage
+    * must still WITNESS the document as encrypted rather than lump it
+    * with garbage — this walk reads only the xref/trailer skeleton
+    * (which the spec leaves unencrypted) under the same cycle caps.
+    */
+  def isEncrypted(bytes: Array[Byte]): Boolean = {
+    if (!isPdf(bytes)) return false
+    val tail = new String(bytes, math.max(0, bytes.length - 2048),
+      math.min(2048, bytes.length), "ISO-8859-1")
+    val sx = tail.lastIndexOf("startxref")
+    if (sx < 0) return false
+    val lex0 = new Lexer(bytes, math.max(0, bytes.length - 2048) + sx + 9)
+    var cur = lex0.int().getOrElse(return false)
+    val visited = mutable.Set.empty[Long]
+    while (cur >= 0 && cur < bytes.length) {
+      if (visited.contains(cur) || visited.size >= MaxPrevChain)
+        return false
+      visited += cur
+      val probe = new Lexer(bytes, cur.toInt)
+      val trailer = (if (probe.word() == "xref")
+        parseXrefSection(bytes, cur.toInt)
+      else parseXrefStreamAt(bytes, cur.toInt)) match {
+        case Some((_, t)) => t
+        case None => return false
+      }
+      if (trailer.contains("Encrypt")) return true
+      cur = trailer.get("Prev") match {
+        case Some(PNum(p)) if p >= 0 => p.toLong
+        case _ => -1L
+      }
+    }
+    false
+  }
+
   /** Inflate a zlib (FlateDecode) stream with hard output caps. */
   private def inflateAll(data: Array[Byte]): Option[Array[Byte]] = {
     val cap = math.min(MaxInflateBytes.toLong,
@@ -695,6 +741,68 @@ object Pdf {
     }
     sb.append("~>")
     sb.toString.getBytes("US-ASCII")
+  }
+
+  /** RunLengthDecode (ISO 32000-1 §7.4.5): length byte L — 0..127
+    * copies the next L+1 bytes literally, 129..255 repeats the next
+    * byte 257−L times, 128 is EOD. Truncation mid-token is malformed
+    * → None; a missing EOD is tolerated like the ASCII armors (decode
+    * what's there).
+    */
+  private[graft] def runLengthDecode(data: Array[Byte])
+      : Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 2 + 16)
+    var i = 0
+    while (i < data.length) {
+      val l = data(i) & 0xff
+      if (l == 128) return Some(out.toByteArray) // EOD
+      else if (l < 128) {
+        if (i + 1 + l + 1 > data.length) return None
+        out.write(data, i + 1, l + 1)
+        i += l + 2
+      } else {
+        if (i + 1 >= data.length) return None
+        val b = data(i + 1) & 0xff
+        var k = 257 - l
+        while (k > 0) { out.write(b); k -= 1 }
+        i += 2
+      }
+      if (out.size() > MaxInflateBytes) return None // bomb bound
+    }
+    Some(out.toByteArray)
+  }
+
+  /** RunLength encoder twin: greedy — a run of ≥2 identical bytes at
+    * the cursor becomes a repeat token (capped at 128 repetitions);
+    * otherwise bytes pack into a literal token (capped at 128 bytes)
+    * that ends at the next ≥3-run, where a repeat starts paying; EOD
+    * last.
+    */
+  private[graft] def rleEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + 16)
+    var i = 0
+    while (i < data.length) {
+      // measure the run at i
+      var run = 1
+      while (i + run < data.length && data(i + run) == data(i) &&
+          run < 128) run += 1
+      if (run >= 2) {
+        out.write(257 - run); out.write(data(i))
+        i += run
+      } else {
+        // literal stretch: until the next ≥3-run or 128 bytes
+        val start = i
+        var j = i
+        while (j < data.length && j - start < 128 &&
+            !(j + 2 < data.length && data(j) == data(j + 1) &&
+              data(j) == data(j + 2))) j += 1
+        out.write(j - start - 1)
+        out.write(data, start, j - start)
+        i = j
+      }
+    }
+    out.write(128) // EOD
+    out.toByteArray
   }
 
   /** LZWDecode (ISO 32000-1 §7.4.4; TIFF-convention LZW): 9→12-bit
@@ -866,6 +974,8 @@ object Pdf {
             asciiHexDecode(d).flatMap(predict(_, pm))
           case "ASCII85Decode" | "A85" =>
             ascii85Decode(d).flatMap(predict(_, pm))
+          case "RunLengthDecode" | "RL" =>
+            runLengthDecode(d).flatMap(predict(_, pm))
           case _ => None
         }
       }
@@ -879,7 +989,8 @@ object Pdf {
   // metadata
   // ------------------------------------------------------------------
   final case class PdfMeta(version: String, nPages: Long, title: String,
-      author: String, producer: String, created: String, xrefOk: Boolean)
+      author: String, producer: String, created: String,
+      xrefOk: Boolean, encrypted: Boolean = false)
 
   /** PDFDocEncoding ≈ Latin-1 for the ASCII range; UTF-16BE with BOM
     * per the spec's other branch.
@@ -1045,15 +1156,19 @@ object Pdf {
     *               /XRef cross-reference STREAM (W [1 4 2], PNG Up
     *               predictor) instead of the classic xref table
     * @param contentFilter content-stream encoding override: "none" |
-    *               "flate" | "lzw" | "ahx" | "a85" | "ahx+flate" |
-    *               "a85+flate" (chains: Flate applied first, the
-    *               ASCII armor on top — decoded armor-then-Flate per
-    *               /Filter order)
+    *               "flate" | "lzw" | "ahx" | "a85" | "rle" |
+    *               "ahx+flate" | "a85+flate" (chains: Flate applied
+    *               first, the ASCII armor on top — decoded
+    *               armor-then-Flate per /Filter order)
+    * @param encrypt put an /Encrypt key in the trailer: the document
+    *               parses as ENCRYPTED (the reader fails closed before
+    *               touching objects, so the referenced dict need not
+    *               exist) — the q_pdf_meta `encrypted` witness
     */
   final case class BuildSpec(pages: Seq[Seq[String]], title: String,
       author: String, producer: String, created: String,
       seed: Long = 0L, flate: Boolean = true, modern: Boolean = false,
-      contentFilter: String = "")
+      contentFilter: String = "", encrypt: Boolean = false)
 
   private def escapeLiteral(s: String): String = {
     val sb = new StringBuilder
@@ -1174,6 +1289,7 @@ object Pdf {
       case "lzw" => (lzwEncode(raw), " /Filter /LZWDecode")
       case "ahx" => (ahxEncode(raw), " /Filter /ASCIIHexDecode")
       case "a85" => (a85Encode(raw), " /Filter /ASCII85Decode")
+      case "rle" => (rleEncode(raw), " /Filter /RunLengthDecode")
       case "ahx+flate" => (ahxEncode(deflate(raw)),
         " /Filter [/ASCIIHexDecode /FlateDecode]")
       case "a85+flate" => (a85Encode(deflate(raw)),
@@ -1261,7 +1377,8 @@ object Pdf {
     w(s"xref\n0 ${infoNum + 1}\n")
     w("0000000000 65535 f \n")
     for (n <- 1 to infoNum) w(f"${offsets(n)}%010d 00000 n \n")
-    w(s"trailer\n<< /Size ${infoNum + 1} /Root 1 0 R /Info $infoNum 0 R >>\n")
+    val enc = if (spec.encrypt) s" /Encrypt ${infoNum + 1} 0 R" else ""
+    w(s"trailer\n<< /Size ${infoNum + 1} /Root 1 0 R /Info $infoNum 0 R$enc >>\n")
     w(s"startxref\n$xrefOff\n%%EOF\n")
     bos.toByteArray
   }
@@ -1342,8 +1459,9 @@ object Pdf {
     }
     val zenc = deflate(enc.toByteArray)
     obj(xrefNum) {
+      val enc = if (spec.encrypt) s"/Encrypt ${xrefNum + 1} 0 R " else ""
       w(s"<< /Type /XRef /Size ${xrefNum + 1} /W [1 4 2] " +
-        s"/Index [0 ${xrefNum + 1}] /Root 1 0 R /Info $infoNum 0 R " +
+        s"/Index [0 ${xrefNum + 1}] /Root 1 0 R /Info $infoNum 0 R $enc" +
         s"/Filter /FlateDecode " +
         s"/DecodeParms << /Predictor 12 /Columns $cols >> " +
         s"/Length ${zenc.length} >>\nstream\n")
@@ -1364,10 +1482,19 @@ object Pdf {
     import spark.implicits._
     media.select("doc_id", "bytes").as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, b) =>
-        meta(b).map(m => (id, m.version, m.nPages, m.title, m.author,
-          m.producer, m.created, m.xrefOk))
+        meta(b) match {
+          case Some(m) =>
+            Some((id, m.version, m.nPages, m.title, m.author,
+              m.producer, m.created, m.xrefOk, m.encrypted))
+          case None if isEncrypted(b) =>
+            // encrypted: everything past the header is ciphertext to
+            // us, but the row must SAY so instead of vanishing into
+            // the parse-failure bucket
+            Some((id, headerVersion(b), 0L, "", "", "", "", false, true))
+          case None => None
+        }
       }).toDF("doc_id", "version", "n_pages", "title", "author",
-        "producer", "created", "xref_ok")
+        "producer", "created", "xref_ok", "encrypted")
   }
 
   def pdfTexts(media: DataFrame): DataFrame = {
@@ -1382,14 +1509,17 @@ object Pdf {
   /** One deterministic PDF per document holding its ACTUAL text: 48-char
     * chunks, 5 chunks per page, the MODERN layout (object stream +
     * xref stream, PDF 1.5) for ids ≡ 0 (mod 3), content-stream filter
-    * rotated by id % 6 (ASCIIHex / Flate / LZW / none / the
-    * ASCIIHex-over-Flate CHAIN / ASCII85 — older corpora are full of
-    * LZW and ASCII-armored streams), Info fields in closed form — q_pdf_meta/
+    * rotated by id % 7 (ASCIIHex / Flate / LZW / none / the
+    * ASCIIHex-over-Flate CHAIN / ASCII85 / RunLength — older corpora
+    * are full of LZW, RLE, and ASCII-armored streams), Info fields in
+    * closed form — q_pdf_meta/
     * q_pdf_text recompute everything, and the text round trip (source
     * column → content streams → extraction) is exact by the uniform
     * '\n'-every-48-chars rule (page joins land on chunk boundaries).
     * A third of the corpus only passes through the xref-stream/ObjStm
-    * path; 4/6 only through a non-trivial content filter.
+    * path; 5/7 only through a non-trivial content filter. Ids ≡ 7
+    * (mod 17) carry an /Encrypt trailer key: q_pdf_meta must witness
+    * them as `encrypted` rows, q_pdf_text must drop them (ciphertext).
     */
   def syntheticPdfMedia(docs: Dataset[(java.lang.Long, String)]): DataFrame = {
     val spark = docs.sparkSession
@@ -1406,18 +1536,19 @@ object Pdf {
       val pages = chunks.grouped(5).toSeq
       val created = f"D:${2000 + id % 22}%04d${1 + id % 12}%02d" +
         f"${1 + id % 28}%02d${id % 24}%02d${id % 60}%02d${id % 60}%02d"
-      val filter = (id % 6) match {
+      val filter = (id % 7) match {
         case 0 => "ahx"
         case 1 => "flate"
         case 2 => "lzw"
         case 3 => "none"
         case 4 => "ahx+flate"
-        case _ => "a85"
+        case 5 => "a85"
+        case _ => "rle"
       }
       val pdf = write(BuildSpec(pages, title = s"Doc $id",
         author = s"Author${id % 5}", producer = "graft-pdf 1.0",
         created = created, seed = id, modern = id % 3 == 0,
-        contentFilter = filter))
+        contentFilter = filter, encrypt = id % 17 == 7))
       (id, pdf, "application/pdf")
     }).toDF("doc_id", "bytes", "mime")
   }

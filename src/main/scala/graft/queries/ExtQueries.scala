@@ -1764,6 +1764,8 @@ object ExtQueries {
     // PDF metadata (graft.ext.Pdf): classic xref walk + trailer /Root
     // → /Pages /Count + /Info dict, with the xref offsets VALIDATED
     // (xref_ok) — each doc is a real multi-page PDF of its own text.
+    // Ids %17==7 carry an /Encrypt trailer key and surface as
+    // `encrypted` rows (header version only) instead of vanishing.
     "q_pdf_meta" -> ((s, dir) => {
       import s.implicits._
       graft.ext.Pdf.pdfMeta(graft.ext.Pdf.syntheticPdfMedia(
@@ -1775,8 +1777,10 @@ object ExtQueries {
 
     // PDF text extraction: the document's text round-trips through
     // 48-char show ops (literal/hex/TJ-array rotation), Td line moves,
-    // 5-chunk pages, and FlateDecode (odd ids) — extraction must
-    // reproduce it exactly under the uniform '\n'-per-48-chars rule.
+    // 5-chunk pages, and the id%7 content-filter rotation (ahx/flate/
+    // lzw/none/ahx+flate/a85/rle) — extraction must reproduce it
+    // exactly under the uniform '\n'-per-48-chars rule; encrypted ids
+    // (%17==7) yield no row.
     "q_pdf_text" -> ((s, dir) => {
       import s.implicits._
       graft.ext.Pdf.pdfTexts(graft.ext.Pdf.syntheticPdfMedia(
@@ -4851,15 +4855,21 @@ object ExtQueries {
     "q_pdf_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN '1.5' ELSE '1.4' END AS version,
-        |  ((greatest(1, (length(text) + 47) // 48) + 4) // 5)::BIGINT
-        |    AS n_pages,
-        |  'Doc ' || doc_id::VARCHAR AS title,
-        |  'Author' || (doc_id % 5)::VARCHAR AS author,
-        |  'graft-pdf 1.0' AS producer,
-        |  printf('D:%04d%02d%02d%02d%02d%02d',
-        |    2000 + doc_id % 22, 1 + doc_id % 12, 1 + doc_id % 28,
-        |    doc_id % 24, doc_id % 60, doc_id % 60) AS created,
-        |  true AS xref_ok
+        |  CASE WHEN doc_id % 17 = 7 THEN 0 ELSE
+        |    ((greatest(1, (length(text) + 47) // 48) + 4) // 5)
+        |  END::BIGINT AS n_pages,
+        |  CASE WHEN doc_id % 17 = 7 THEN ''
+        |    ELSE 'Doc ' || doc_id::VARCHAR END AS title,
+        |  CASE WHEN doc_id % 17 = 7 THEN ''
+        |    ELSE 'Author' || (doc_id % 5)::VARCHAR END AS author,
+        |  CASE WHEN doc_id % 17 = 7 THEN ''
+        |    ELSE 'graft-pdf 1.0' END AS producer,
+        |  CASE WHEN doc_id % 17 = 7 THEN ''
+        |    ELSE printf('D:%04d%02d%02d%02d%02d%02d',
+        |      2000 + doc_id % 22, 1 + doc_id % 12, 1 + doc_id % 28,
+        |      doc_id % 24, doc_id % 60, doc_id % 60) END AS created,
+        |  (doc_id % 17 <> 7) AS xref_ok,
+        |  (doc_id % 17 = 7) AS encrypted
         |FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
 
@@ -4869,7 +4879,8 @@ object ExtQueries {
     "q_pdf_text" ->
       """WITH p AS (SELECT doc_id, text,
         |    greatest(1, (length(text) + 47) // 48) AS nc
-        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND doc_id % 17 <> 7), -- encrypted docs: no plaintext
         |c AS (SELECT doc_id, text,
         |        unnest(generate_series(1, nc)) AS i FROM p)
         |SELECT doc_id,

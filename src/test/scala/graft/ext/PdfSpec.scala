@@ -272,10 +272,34 @@ class PdfSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("content filters: lzw / ahx / a85 / chains round-trip in both layouts") {
+  test("RunLengthDecode: spec tokens, EOD, truncation, bombs") {
+    def d(b: Int*) = Pdf.runLengthDecode(b.map(_.toByte).toArray)
+      .map(_.toSeq)
+    // literal: L=2 copies 3 bytes; repeat: L=254 repeats 257-254=3×
+    assert(d(2, 'a', 'b', 'c', 128).contains(Seq[Byte]('a', 'b', 'c')))
+    assert(d(254, 'x', 128).contains(Seq[Byte]('x', 'x', 'x')))
+    // mixed + data past EOD ignored
+    assert(d(0, 'q', 255, 'r', 128, 99, 99)
+      .contains(Seq[Byte]('q', 'r', 'r')))
+    // missing EOD tolerated; truncation mid-token malformed
+    assert(d(1, 'a', 'b').contains(Seq[Byte]('a', 'b')))
+    assert(d(2, 'a', 'b').isEmpty) // literal claims 3, has 2
+    assert(d(253).isEmpty) // repeat with no byte
+    // encoder twin round-trips runs, literals, and 128-caps
+    val rnd = new scala.util.Random(7)
+    for (data <- Seq(Array.empty[Byte], Array.fill(1000)('z'.toByte),
+        Array.tabulate(300)(i => (i % 251).toByte),
+        Array.fill(5000)(rnd.nextInt(3).toByte))) {
+      val enc = Pdf.rleEncode(data)
+      assert(Pdf.runLengthDecode(enc).exists(_.sameElements(data)),
+        s"len=${data.length}")
+    }
+  }
+
+  test("content filters: lzw / ahx / a85 / rle / chains round-trip in both layouts") {
     val pages = Seq(Seq("filter test page", "second chunk here"))
-    for (f <- Seq("none", "flate", "lzw", "ahx", "a85", "ahx+flate",
-        "a85+flate");
+    for (f <- Seq("none", "flate", "lzw", "ahx", "a85", "rle",
+        "ahx+flate", "a85+flate");
         modern <- Seq(false, true)) {
       val pdf = Pdf.write(spec(pages, modern = modern)
         .copy(contentFilter = f))
@@ -305,9 +329,39 @@ class PdfSpec extends AnyFunSuite with SparkTestBase {
     assert(texts(2L) == expected("x" * 300))
     assert(texts(3L) == expected("word " * 60))
     val metas = Pdf.pdfMeta(media)
-      .as[(Long, String, Long, String, String, String, String, Boolean)]
+      .as[(Long, String, Long, String, String, String, String, Boolean,
+        Boolean)]
       .collect().map(k => k._1 -> k).toMap
     // 300 chars → 7 chunks → 2 pages
-    assert(metas(2L)._3 == 2L && metas(2L)._8)
+    assert(metas(2L)._3 == 2L && metas(2L)._8 && !metas(2L)._9)
+  }
+
+  test("encrypted documents witness as encrypted instead of vanishing") {
+    val pages = Seq(Seq("secret page"))
+    for (modern <- Seq(false, true)) {
+      val pdf = Pdf.write(spec(pages, modern = modern)
+        .copy(encrypt = true))
+      // parse/meta/text fail closed — ciphertext must never misread
+      assert(Pdf.parse(pdf).isEmpty && Pdf.meta(pdf).isEmpty &&
+        Pdf.extractText(pdf).isEmpty, s"modern=$modern")
+      assert(Pdf.isEncrypted(pdf), s"modern=$modern")
+      // and a plain doc is NOT flagged
+      assert(!Pdf.isEncrypted(Pdf.write(spec(pages, modern = modern))))
+    }
+    // the Spark stage surfaces the row with header version + flag
+    import spark.implicits._
+    // id 7 ≡ 7 (mod 17) → encrypted; ids 1, 2 plain
+    val docs = spark.createDataset(Seq(1L, 2L, 7L)
+      .map(i => (java.lang.Long.valueOf(i), s"text $i")))
+    val rows = Pdf.pdfMeta(Pdf.syntheticPdfMedia(docs))
+      .as[(Long, String, Long, String, String, String, String, Boolean,
+        Boolean)]
+      .collect().map(k => k._1 -> k).toMap
+    assert(rows.size == 3)
+    assert(!rows(1L)._9 && !rows(2L)._9)
+    assert(rows(7L)._9 && rows(7L)._2 == "1.4" && rows(7L)._3 == 0L &&
+      rows(7L)._4 == "" && !rows(7L)._8)
+    // text extraction drops only the encrypted doc
+    assert(Pdf.pdfTexts(Pdf.syntheticPdfMedia(docs)).count() == 2)
   }
 }
