@@ -98,14 +98,10 @@ object Exif {
     val le = b(t) == 'I' && b(t + 1) == 'I'
     val be = b(t) == 'M' && b(t + 1) == 'M'
     if (!le && !be) return TiffFields.Empty
-    def u16(i: Int): Int =
-      if (le) (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-      else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
-    def u32(i: Int): Long =
-      if (le) (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
-        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
-      else ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
-        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    // byte-order reads + IFD entry walk shared with the bare-TIFF
+    // probe (graft.ext.TiffIfd) — EXIF is a TIFF file in a JPEG segment
+    def u16(i: Int): Int = TiffIfd.u16(b, i, le)
+    def u32(i: Int): Long = TiffIfd.u32(b, i, le)
     if (u16(t + 2) != 42) return TiffFields.Empty
     var orientation = 0
     var make = ""
@@ -117,19 +113,8 @@ object Exif {
     var lon = Long.MinValue
     var exifIfd = -1L
     var gpsIfd = -1L
-    /** Walk one IFD, dispatching entries to `handle(tag, typ, count,
-      * entryOff)`. Entry count is bounded by the segment extent.
-      */
-    def walkIfd(ifd: Int)(handle: (Int, Int, Long, Int) => Unit): Unit = {
-      if (ifd < t || ifd + 2 > end) return
-      val n = u16(ifd)
-      var k = 0
-      while (k < n && ifd + 2 + 12 * (k + 1) <= end) {
-        val e = ifd + 2 + 12 * k
-        handle(u16(e), u16(e + 2), u32(e + 4), e)
-        k += 1
-      }
-    }
+    def walkIfd(ifd: Int)(handle: (Int, Int, Long, Int) => Unit): Unit =
+      if (ifd >= t) TiffIfd.walkIfd(b, t, end, le, ifd)(handle)
     def ascii(e: Int, count: Long): String = {
       val start = if (count <= 4) e + 8 else t + u32(e + 8).toInt
       val lim = math.min(end.toLong, start + count).toInt

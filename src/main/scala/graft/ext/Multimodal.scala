@@ -1220,6 +1220,9 @@ object Multimodal {
       .getOrElse(unknown)
     else if (Exif.isJpeg(b)) Exif.parse(b).map(m =>
       row("jpeg", m.width.toLong, m.height.toLong, 1L)).getOrElse(unknown)
+    else if (Tiff.isTiff(b)) Tiff.parse(b).map(m =>
+      row("tiff", m.width.toLong, m.height.toLong, m.pages.toLong))
+      .getOrElse(unknown)
     else if (Tar.isTar(b)) {
       val ms = Tar.members(b)
       if (ms.nonEmpty) row("tar", 0, 0, ms.size.toLong) else unknown
@@ -1242,13 +1245,15 @@ object Multimodal {
       .mapPartitions(_.map { case (id, b) => describeAny(id, b) })
   }
 
-  /** A mixed twelve-way corpus (format by id%12, arithmetic mirrored
+  /** A mixed thirteen-way corpus (format by id%13, arithmetic mirrored
     * by the q_media_triage oracle): mp4 / webm / avi / gif / wav /
     * tar / zip / pdf / exif-jpeg / plain text (= "unknown") / png
-    * (APNG-framed by (id/12)%3) / webp (layout rotated vp8 → vp8l →
-    * animated vp8x by (id/12)%3). Each family uses its real muxer twin
-    * with COMPACT closed forms — this is the fixture for the dispatch
-    * semantics; per-family depth is oracled by the format queries.
+    * (APNG-framed by (id/13)%3) / webp (layout rotated vp8 → vp8l →
+    * animated vp8x by (id/13)%3) / multi-page tiff (pages by
+    * 1+(id/13)%3, packbits on odd (id/13)). Each family uses its real
+    * muxer twin with COMPACT closed forms — this is the fixture for
+    * the dispatch semantics; per-family depth is oracled by the
+    * format queries.
     */
   def syntheticMixedCorpus(ids: Dataset[java.lang.Long]): DataFrame = {
     val spark = ids.sparkSession
@@ -1257,7 +1262,7 @@ object Multimodal {
       val id = boxed.longValue()
       val w = (16 * (1 + id % 5)).toInt
       val h = (16 * (1 + id % 4)).toInt
-      val bytes: Array[Byte] = (id % 12) match {
+      val bytes: Array[Byte] = (id % 13) match {
         case 0 => Mp4.write(Mp4.BuildSpec(w, h,
           (1 to (2 + id % 3).toInt).map(j => 30 + j), syncEvery = 2))
         case 1 => Webm.write(Webm.BuildSpec(w, h,
@@ -1281,17 +1286,19 @@ object Multimodal {
           orientation = 1, make = "MakeX", model = "ModelX",
           dateTimeOriginal = "2024:01:01 00:00:00",
           latArcsec = 0L, lonArcsec = 0L, hasGps = false)
-        // the inner rotations step by id/12: within a residue class
-        // mod 12, id % 3 is CONSTANT (12 ≡ 0 mod 3) and would pin one
-        // layout forever
+        // the inner rotations step by id/13: within a residue class
+        // mod m, id % k is CONSTANT whenever k divides m — stepping by
+        // the quotient is the documented fixture rule
         case 10 => Png.write(w, h, seed = id,
-          frames = (1 + (id / 12) % 3).toInt)
+          frames = (1 + (id / 13) % 3).toInt)
         case 11 => WebP.write(
-          ((id / 12) % 3) match {
+          ((id / 13) % 3) match {
             case 0 => "vp8"; case 1 => "vp8l"; case _ => "vp8x"
           },
           w, h, seed = id,
-          frames = if ((id / 12) % 3 == 2) (2 + (id / 12) % 2).toInt else 1)
+          frames = if ((id / 13) % 3 == 2) (2 + (id / 13) % 2).toInt else 1)
+        case 12 => Tiff.write(w, h, pages = (1 + (id / 13) % 3).toInt,
+          packbits = (id / 13) % 2 == 1, seed = id)
         case _ => s"plain text payload $id".getBytes("UTF-8")
       }
       (id, bytes, "application/octet-stream")
@@ -1318,16 +1325,21 @@ object Multimodal {
         else if (Avif.isAvif(b)) Avif.parse(b).map(m =>
           (id, "avif", m.brand, m.width.toLong, m.height.toLong,
             m.items.toLong))
+        else if (Tiff.isTiff(b)) Tiff.parse(b).map(m =>
+          (id, "tiff", m.compressionName, m.width.toLong,
+            m.height.toLong, m.pages.toLong))
         else None
       }).toDF("doc_id", "format", "kind", "width", "height", "frames")
   }
 
-  /** One image per id for q_image_probe, format by id % 3 — 0: PNG
-    * (APNG acTL by (id/3)%3), 1: WebP (vp8 / vp8l / animated vp8x by
-    * (id/3)%3), 2: AVIF/HEIC (brand by (id/3)%2, iinf items
-    * 1+(id/3)%3, a 4-tile grid when (id/3)%2=1 — the canvas-ispe
-    * pick). Inner rotations step by id/3: within a residue class
-    * mod 3, id % 3 is constant. Dims by the shared 16-multiples.
+  /** One image per id for q_image_probe, format by id % 4 — 0: PNG
+    * (APNG acTL by (id/4)%3), 1: WebP (vp8 / vp8l / animated vp8x by
+    * (id/4)%3), 2: AVIF/HEIC (brand by (id/4)%2, iinf items
+    * 1+(id/4)%3, a 4-tile grid when (id/4)%2=1 — the canvas-ispe
+    * pick), 3: TIFF (pages 1+(id/4)%3, packbits on odd (id/4), the
+    * `kind` column carrying the compression name). Inner rotations
+    * step by id/4: within a residue class mod 4, id % 4 (and id % 2)
+    * is constant. Dims by the shared 16-multiples.
     */
   def syntheticImageMedia(ids: Dataset[java.lang.Long]): DataFrame = {
     val spark = ids.sparkSession
@@ -1336,8 +1348,8 @@ object Multimodal {
       val id = boxed.longValue()
       val w = (16 * (1 + id % 5)).toInt
       val h = (16 * (1 + id % 4)).toInt
-      val r = id / 3
-      val (bytes, mime) = (id % 3) match {
+      val r = id / 4
+      val (bytes, mime) = (id % 4) match {
         case 0 =>
           (Png.write(w, h, seed = id, frames = (1 + r % 3).toInt),
             "image/png")
@@ -1347,10 +1359,13 @@ object Multimodal {
             w, h, seed = id,
             frames = if (r % 3 == 2) (2 + r % 2).toInt else 1),
             "image/webp")
-        case _ =>
+        case 2 =>
           (Avif.write(if (r % 2 == 0) "avif" else "heic", w, h,
             items = (1 + r % 3).toInt, tiles = if (r % 2 == 1) 4 else 0,
             seed = id), "image/avif")
+        case _ =>
+          (Tiff.write(w, h, pages = (1 + r % 3).toInt,
+            packbits = r % 2 == 1, seed = id), "image/tiff")
       }
       (id, bytes, mime)
     }).toDF("doc_id", "bytes", "mime")

@@ -1673,9 +1673,9 @@ object ExtQueries {
     // a mixed crawled-blob corpus runs — sniff the container magic,
     // route to the right parser, emit one TOTAL row per blob (format,
     // dims, natural unit count; hostile payloads verdict "unknown",
-    // never a dropped row or a dead task). Twelve-way mixed fixture,
-    // all real muxer twins (incl. APNG-framed png + the three webp
-    // layouts).
+    // never a dropped row or a dead task). Thirteen-way mixed fixture,
+    // all real muxer twins (incl. APNG-framed png, the three webp
+    // layouts, and multi-page packbits tiff).
     "q_media_triage" -> ((s, dir) => {
       import s.implicits._
       Multimodal.mediaTriage(Multimodal.syntheticMixedCorpus(
@@ -1686,12 +1686,14 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
-    // Byte-level image probe (graft.ext.Png / WebP / Avif): IHDR dims
-    // + APNG acTL frames with per-chunk CRC32 verification; WebP dims
-    // from whichever bitstream leads (VP8 keyframe tag / VP8L packed
-    // / VP8X canvas) + ANMF animation frames; AVIF/HEIC dims from the
-    // largest meta→iprp→ipco ispe (the grid CANVAS) + iinf item
-    // count — the layout `kind` the triage row cannot carry.
+    // Byte-level image probe (graft.ext.Png / WebP / Avif / Tiff):
+    // IHDR dims + APNG acTL frames with per-chunk CRC32 verification;
+    // WebP dims from whichever bitstream leads (VP8 keyframe tag /
+    // VP8L packed / VP8X canvas) + ANMF animation frames; AVIF/HEIC
+    // dims from the largest meta→iprp→ipco ispe (the grid CANVAS) +
+    // iinf item count; TIFF dims/compression from IFD0 + page count
+    // from the IFD chain — the layout `kind` the triage row cannot
+    // carry.
     "q_image_probe" -> ((s, dir) => {
       import s.implicits._
       Multimodal.imageProbe(Multimodal.syntheticImageMedia(
@@ -4720,28 +4722,29 @@ object ExtQueries {
         |FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
 
-    // the mixed-corpus spec by id%12: format name, dims for the visual
-    // families, the per-family unit arithmetic (png/webp inner
-    // rotations step by id//12 — see the fixture's modulus note)
+    // the mixed-corpus spec by id%13: format name, dims for the visual
+    // families, the per-family unit arithmetic (png/webp/tiff inner
+    // rotations step by id//13 — see the fixture's modulus note)
     "q_media_triage" ->
       """SELECT doc_id,
-        |  CASE doc_id % 12 WHEN 0 THEN 'mp4' WHEN 1 THEN 'webm'
+        |  CASE doc_id % 13 WHEN 0 THEN 'mp4' WHEN 1 THEN 'webm'
         |    WHEN 2 THEN 'avi' WHEN 3 THEN 'gif' WHEN 4 THEN 'audio'
         |    WHEN 5 THEN 'tar' WHEN 6 THEN 'zip' WHEN 7 THEN 'pdf'
         |    WHEN 8 THEN 'jpeg' WHEN 10 THEN 'png' WHEN 11 THEN 'webp'
-        |    ELSE 'unknown' END AS format,
-        |  (CASE WHEN doc_id % 12 IN (0, 1, 2, 3, 8, 10, 11)
+        |    WHEN 12 THEN 'tiff' ELSE 'unknown' END AS format,
+        |  (CASE WHEN doc_id % 13 IN (0, 1, 2, 3, 8, 10, 11, 12)
         |        THEN 16 * (1 + doc_id % 5) ELSE 0 END)::BIGINT AS width,
-        |  (CASE WHEN doc_id % 12 IN (0, 1, 2, 3, 8, 10, 11)
+        |  (CASE WHEN doc_id % 13 IN (0, 1, 2, 3, 8, 10, 11, 12)
         |        THEN 16 * (1 + doc_id % 4) ELSE 0 END)::BIGINT AS height,
-        |  (CASE doc_id % 12 WHEN 0 THEN 2 + doc_id % 3
+        |  (CASE doc_id % 13 WHEN 0 THEN 2 + doc_id % 3
         |    WHEN 1 THEN 2 + doc_id % 4 WHEN 2 THEN 2 + doc_id % 5
         |    WHEN 3 THEN 1 + doc_id % 3 WHEN 4 THEN 100 + doc_id % 50
         |    WHEN 5 THEN 1 + doc_id % 4 WHEN 6 THEN 1 + doc_id % 3
         |    WHEN 7 THEN 1 + doc_id % 2 WHEN 8 THEN 1
-        |    WHEN 10 THEN 1 + (doc_id // 12) % 3
-        |    WHEN 11 THEN CASE WHEN (doc_id // 12) % 3 = 2
-        |                      THEN 2 + (doc_id // 12) % 2 ELSE 1 END
+        |    WHEN 10 THEN 1 + (doc_id // 13) % 3
+        |    WHEN 11 THEN CASE WHEN (doc_id // 13) % 3 = 2
+        |                      THEN 2 + (doc_id // 13) % 2 ELSE 1 END
+        |    WHEN 12 THEN 1 + (doc_id // 13) % 3
         |    ELSE 0 END)::BIGINT AS n_units
         |FROM documents WHERE doc_id IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
@@ -4820,21 +4823,22 @@ object ExtQueries {
     // corpus); dims by the shared 16-multiples; avif frames = iinf
     // item count
     "q_image_probe" ->
-      """WITH p AS (SELECT doc_id, (doc_id // 3) AS r
+      """WITH p AS (SELECT doc_id, (doc_id // 4) AS r
         |  FROM documents WHERE doc_id IS NOT NULL)
         |SELECT doc_id,
-        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'webp'
-        |    ELSE 'avif' END AS format,
-        |  CASE doc_id % 3
+        |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'webp'
+        |    WHEN 2 THEN 'avif' ELSE 'tiff' END AS format,
+        |  CASE doc_id % 4
         |    WHEN 0 THEN CASE WHEN r % 3 = 0 THEN 'static'
         |                ELSE 'apng' END
         |    WHEN 1 THEN CASE r % 3 WHEN 0 THEN 'vp8'
         |                WHEN 1 THEN 'vp8l' ELSE 'vp8x' END
-        |    ELSE CASE WHEN r % 2 = 0 THEN 'avif' ELSE 'heic' END
+        |    WHEN 2 THEN CASE WHEN r % 2 = 0 THEN 'avif' ELSE 'heic' END
+        |    ELSE CASE WHEN r % 2 = 0 THEN 'none' ELSE 'packbits' END
         |    END AS kind,
         |  (16 * (1 + doc_id % 5))::BIGINT AS width,
         |  (16 * (1 + doc_id % 4))::BIGINT AS height,
-        |  (CASE doc_id % 3
+        |  (CASE doc_id % 4
         |    WHEN 0 THEN 1 + r % 3
         |    WHEN 1 THEN CASE WHEN r % 3 = 2 THEN 2 + r % 2 ELSE 1 END
         |    ELSE 1 + r % 3 END)::BIGINT AS frames

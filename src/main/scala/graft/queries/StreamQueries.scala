@@ -217,7 +217,7 @@ object StreamQueries {
     }),
 
     // Streaming cross-format triage: the binary-decode path through a
-    // real micro-batch file stream — mixed blobs (all twelve muxer-
+    // real micro-batch file stream — mixed blobs (all thirteen muxer-
     // twin families) arrive as a stream, each micro-batch sniffs + parses
     // per-row (stateless mapPartitions: no state store, no watermark),
     // exactly-once through the checkpointed parquet sink. Same oracle
@@ -367,27 +367,28 @@ object StreamQueries {
         |ORDER BY hour, event_type""".stripMargin,
 
     // stream == batch on binary decode: the q_media_triage spec
-    // arithmetic verbatim (format/dims/units by id%12; png/webp inner
-    // rotations by id//12)
+    // arithmetic verbatim (format/dims/units by id%13; png/webp/tiff
+    // inner rotations by id//13)
     "q_triage_stream" ->
       """SELECT doc_id,
-        |  CASE doc_id % 12 WHEN 0 THEN 'mp4' WHEN 1 THEN 'webm'
+        |  CASE doc_id % 13 WHEN 0 THEN 'mp4' WHEN 1 THEN 'webm'
         |    WHEN 2 THEN 'avi' WHEN 3 THEN 'gif' WHEN 4 THEN 'audio'
         |    WHEN 5 THEN 'tar' WHEN 6 THEN 'zip' WHEN 7 THEN 'pdf'
         |    WHEN 8 THEN 'jpeg' WHEN 10 THEN 'png' WHEN 11 THEN 'webp'
-        |    ELSE 'unknown' END AS format,
-        |  (CASE WHEN doc_id % 12 IN (0, 1, 2, 3, 8, 10, 11)
+        |    WHEN 12 THEN 'tiff' ELSE 'unknown' END AS format,
+        |  (CASE WHEN doc_id % 13 IN (0, 1, 2, 3, 8, 10, 11, 12)
         |        THEN 16 * (1 + doc_id % 5) ELSE 0 END)::BIGINT AS width,
-        |  (CASE WHEN doc_id % 12 IN (0, 1, 2, 3, 8, 10, 11)
+        |  (CASE WHEN doc_id % 13 IN (0, 1, 2, 3, 8, 10, 11, 12)
         |        THEN 16 * (1 + doc_id % 4) ELSE 0 END)::BIGINT AS height,
-        |  (CASE doc_id % 12 WHEN 0 THEN 2 + doc_id % 3
+        |  (CASE doc_id % 13 WHEN 0 THEN 2 + doc_id % 3
         |    WHEN 1 THEN 2 + doc_id % 4 WHEN 2 THEN 2 + doc_id % 5
         |    WHEN 3 THEN 1 + doc_id % 3 WHEN 4 THEN 100 + doc_id % 50
         |    WHEN 5 THEN 1 + doc_id % 4 WHEN 6 THEN 1 + doc_id % 3
         |    WHEN 7 THEN 1 + doc_id % 2 WHEN 8 THEN 1
-        |    WHEN 10 THEN 1 + (doc_id // 12) % 3
-        |    WHEN 11 THEN CASE WHEN (doc_id // 12) % 3 = 2
-        |                      THEN 2 + (doc_id // 12) % 2 ELSE 1 END
+        |    WHEN 10 THEN 1 + (doc_id // 13) % 3
+        |    WHEN 11 THEN CASE WHEN (doc_id // 13) % 3 = 2
+        |                      THEN 2 + (doc_id // 13) % 2 ELSE 1 END
+        |    WHEN 12 THEN 1 + (doc_id // 13) % 3
         |    ELSE 0 END)::BIGINT AS n_units
         |FROM documents WHERE doc_id IS NOT NULL
         |ORDER BY doc_id""".stripMargin,

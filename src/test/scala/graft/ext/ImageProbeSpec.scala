@@ -114,18 +114,20 @@ class ImageProbeSpec extends AnyFunSuite with SparkTestBase {
 
   test("imageProbe stage over the synthetic corpus") {
     import spark.implicits._
-    val ids = spark.createDataset((0L to 17L).map(java.lang.Long.valueOf))
+    val ids = spark.createDataset((0L to 23L).map(java.lang.Long.valueOf))
     val out = Multimodal.imageProbe(Multimodal.syntheticImageMedia(ids))
       .as[(Long, String, String, Long, Long, Long)].collect()
       .map(r => r._1 -> r).toMap
-    assert(out.size == 18)
-    // id%3 picks the format; r = id/3 rotates the layout
+    assert(out.size == 24)
+    // id%4 picks the format; r = id/4 rotates the layout
     assert(out(0L) == ((0L, "png", "static", 16L, 16L, 1L))) // r=0
-    assert(out(3L) == ((3L, "png", "apng", 64L, 64L, 2L))) // r=1
+    assert(out(4L) == ((4L, "png", "apng", 80L, 16L, 2L))) // r=1
     assert(out(1L) == ((1L, "webp", "vp8", 32L, 32L, 1L))) // r=0
-    assert(out(4L) == ((4L, "webp", "vp8l", 80L, 16L, 1L))) // r=1
-    assert(out(7L)._3 == "vp8x" && out(7L)._6 == 2L) // r=2 → animated
+    assert(out(5L) == ((5L, "webp", "vp8l", 16L, 32L, 1L))) // r=1
+    assert(out(9L)._3 == "vp8x" && out(9L)._6 == 2L) // r=2 → animated
     assert(out(2L) == ((2L, "avif", "avif", 48L, 48L, 1L))) // r=0
-    assert(out(5L) == ((5L, "avif", "heic", 16L, 32L, 2L))) // r=1, grid
+    assert(out(6L) == ((6L, "avif", "heic", 32L, 48L, 2L))) // r=1, grid
+    assert(out(3L) == ((3L, "tiff", "none", 64L, 64L, 1L))) // r=0
+    assert(out(7L) == ((7L, "tiff", "packbits", 48L, 64L, 2L))) // r=1
   }
 }

@@ -12,27 +12,31 @@ class TriageSpec extends AnyFunSuite with SparkTestBase {
 
   test("mixed corpus routes every family to the right format") {
     import spark.implicits._
-    val ids = spark.createDataset((0L to 23L).map(java.lang.Long.valueOf))
+    val ids = spark.createDataset((0L to 25L).map(java.lang.Long.valueOf))
     val rows = Multimodal.mediaTriage(Multimodal.syntheticMixedCorpus(ids))
       .collect().map(r => r.doc_id -> r).toMap
     val want = Map(0L -> "mp4", 1L -> "webm", 2L -> "avi", 3L -> "gif",
       4L -> "audio", 5L -> "tar", 6L -> "zip", 7L -> "pdf",
-      8L -> "jpeg", 9L -> "unknown", 10L -> "png", 11L -> "webp")
-    for (id <- 0L to 23L)
-      assert(rows(id).format == want(id % 12), s"id=$id")
+      8L -> "jpeg", 9L -> "unknown", 10L -> "png", 11L -> "webp",
+      12L -> "tiff")
+    for (id <- 0L to 25L)
+      assert(rows(id).format == want(id % 13), s"id=$id")
     // dims only on the visual families; units per the fixture spec
-    assert(rows(12L).width == 16 * (1 + 12 % 5) &&
-      rows(12L).n_units == 2 + 12 % 3) // mp4
-    assert(rows(16L).width == 0 && rows(16L).n_units == 100 + 16 % 50) // wav
-    assert(rows(19L).n_units == 1 + 19 % 2) // pdf pages
-    assert(rows(21L).n_units == 0) // unknown
-    // png/webp: dims + frame rotation by id/12
-    assert(rows(10L).width == 16 && rows(10L).n_units == 1) // 10/12=0
-    assert(rows(22L).n_units == 2) // 22/12=1 → apng 2 frames
-    assert(rows(11L).n_units == 1) // 11/12=0 → vp8 still
-    assert(rows(23L).n_units == 1) // 23/12=1 → vp8l still
+    assert(rows(13L).width == 16 * (1 + 13 % 5) &&
+      rows(13L).n_units == 2 + 13 % 3) // mp4
+    assert(rows(17L).width == 0 && rows(17L).n_units == 100 + 17 % 50) // wav
+    assert(rows(20L).n_units == 1 + 20 % 2) // pdf pages
+    assert(rows(22L).n_units == 0) // unknown
+    // png/webp/tiff: dims + frame/page rotation by id/13
+    assert(rows(10L).width == 16 && rows(10L).n_units == 1) // 10/13=0
+    assert(rows(23L).n_units == 2) // 23/13=1 → apng 2 frames
+    assert(rows(11L).n_units == 1) // 11/13=0 → vp8 still
+    assert(rows(24L).n_units == 1) // 24/13=1 → vp8l still
+    assert(rows(12L).n_units == 1 && rows(12L).width == 48) // 12/13=0
+    assert(rows(25L).n_units == 2 && // 25/13=1 → 2-page packbits tiff
+      rows(25L).width == 16 * (1 + 25 % 5))
     // triage is TOTAL: one row per input blob
-    assert(rows.size == 24)
+    assert(rows.size == 26)
   }
 
   test("ISO-BMFF self-dispatch: m4a routes to audio with unit count") {
