@@ -492,4 +492,28 @@ object Robots {
       else Iterator.single((s"f$id.test", body))
     }).toDF("domain", "robots")
   }
+
+  /** Robots rows for the FEED channel's domains (`n<id>.test`, see
+    * [[Feeds.syntheticFeeds]]): id%4 == 0 blocks /post1 with a 2 s
+    * delay, 1's graftbot group blocks /e2, 2 allows everything, 3 has
+    * NO row (the left-join miss path: allowed, null delay) — the same
+    * admission shapes the sitemap channel oracles, over the feed
+    * corpus.
+    */
+  def syntheticFeedRobots(ids: Dataset[java.lang.Long]): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions(_.flatMap { boxed =>
+      val id = boxed.longValue()
+      val body = (id % 4) match {
+        case 0 => "User-agent: *\nDisallow: /post1\nCrawl-delay: 2\n"
+        case 1 => "User-agent: graftbot\nDisallow: /e2\n\n" +
+          "User-agent: *\nDisallow: /\n"
+        case 2 => "User-agent: *\nDisallow:\n"
+        case _ => ""
+      }
+      if (id % 4 == 3) Iterator.empty
+      else Iterator.single((s"n$id.test", body))
+    }).toDF("domain", "robots")
+  }
 }

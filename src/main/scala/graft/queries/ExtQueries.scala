@@ -1605,6 +1605,28 @@ object ExtQueries {
         .orderBy("doc_id", "link")
     }),
 
+    // feed → frontier composition: the THIRD discovery channel (after
+    // crawl-index and sitemaps) composed into admission — feed bytes
+    // as fetched (gzip odd-thirds, CDATA/entity titles) → entries →
+    // host/path split (parse_url, per-row) → executor-parsed robots
+    // gate with crawl delay. Same left-join miss path oracled: ids
+    // % 4 == 3 have no robots row.
+    "q_feed_frontier" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+        .select("doc_id").as[java.lang.Long]
+      val entries = graft.ext.Feeds.feedEntries(
+        graft.ext.Feeds.syntheticFeeds(ids))
+      val pages = entries.select(col("doc_id"),
+        parse_url(col("link"), lit("HOST")).as("domain"),
+        concat(parse_url(col("link"), lit("PATH")),
+          coalesce(concat(lit("?"), parse_url(col("link"), lit("QUERY"))),
+            lit(""))).as("path"))
+      graft.ext.Robots.gateByDomain(pages,
+        graft.ext.Robots.syntheticFeedRobots(ids), agent = "graftbot")
+        .orderBy("doc_id", "path")
+    }),
+
     // politeness SCHEDULER — the crawl-delay consumer: admitted
     // frontier rows get a per-domain fetch slot and an ETA = slot ×
     // the domain's Crawl-delay (1 s default when robots stated none).
@@ -4644,6 +4666,28 @@ object ExtQueries {
         |       ELSE '2024-0' || (1 + doc_id % 9)::VARCHAR ||
         |            '-01T00:00:00Z' END AS published
         |FROM s ORDER BY doc_id, link""".stripMargin,
+
+    // the feed-channel admission recomputed: paths per dialect (rss
+    // /post<j>?u=1&v=2, atom /e<j>), gate by id%4 — 0 blocks the
+    // /post1 prefix (2 s delay), 1's graftbot group blocks /e2,
+    // 2 allows all, 3 has no robots row (allowed, null delay)
+    "q_feed_frontier" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 3
+        |         ELSE 1 + doc_id % 2 END::BIGINT AS n
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |s AS (SELECT doc_id, unnest(generate_series(1, n)) AS j FROM p)
+        |SELECT doc_id,
+        |  'n' || doc_id::VARCHAR || '.test' AS domain,
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN '/post' || j::VARCHAR || '?u=1&v=2'
+        |       ELSE '/e' || j::VARCHAR END AS path,
+        |  CASE WHEN doc_id % 4 = 0 THEN j <> 1
+        |       WHEN doc_id % 4 = 1 THEN j <> 2
+        |       ELSE true END AS allowed,
+        |  CASE WHEN doc_id % 4 = 0 THEN 2.0::DOUBLE
+        |       ELSE NULL END AS crawl_delay_sec
+        |FROM s ORDER BY doc_id, path""".stripMargin,
 
     // the scheduler recomputed over the allowed subset of the gate
     // oracle: per-domain slot by doc_id order, ETA at the domain's

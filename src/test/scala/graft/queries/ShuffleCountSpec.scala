@@ -194,6 +194,9 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // sitemap explode + per-row URL split + the same broadcast gate +
     // final order: one range exchange total
     "q_frontier_pipeline" -> 1,
+    // the feed channel composes the same per-row parse + broadcast
+    // gate: one range exchange total
+    "q_feed_frontier" -> 1,
     // broadcast gate + the TWO-PHASE rank (r17 verdict's skew fix):
     // one corpus (domain, bucket) window hash, one aggregate-sized
     // bases shuffle (map-side combined), one tiny per-domain window
