@@ -1605,6 +1605,25 @@ object ExtQueries {
         .orderBy("doc_id", "link")
     }),
 
+    // quota-composed scheduler (graft.ext.Politeness.scheduleCapped):
+    // the curation quota (at most K fetches per domain, q_domain_cap's
+    // policy) decided on the SAME two-phase rank the scheduler uses —
+    // slots past K drop before any ETA is planned, so the crawl plan
+    // and the admission policy cannot disagree. Both passes skew-safe.
+    "q_politeness_capped" -> ((s, dir) => {
+      import s.implicits._
+      val (pages, robots) = graft.ext.Robots.syntheticFrontier(
+        docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+          .select("doc_id").as[java.lang.Long])
+      graft.ext.Politeness.scheduleCapped(
+        graft.ext.Robots.gateByDomain(pages, robots, agent = "graftbot")
+          .where(col("allowed")),
+        domainCol = "domain", orderCol = "doc_id",
+        delayCol = "crawl_delay_sec", maxPerDomain = 5L)
+        .select("doc_id", "domain", "path", "slot", "eta_sec")
+        .orderBy("doc_id")
+    }),
+
     // feed → frontier composition: the THIRD discovery channel (after
     // crawl-index and sitemaps) composed into admission — feed bytes
     // as fetched (gzip odd-thirds, CDATA/entity titles) → entries →
@@ -4688,6 +4707,32 @@ object ExtQueries {
         |  CASE WHEN doc_id % 4 = 0 THEN 2.0::DOUBLE
         |       ELSE NULL END AS crawl_delay_sec
         |FROM s ORDER BY doc_id, path""".stripMargin,
+
+    // the capped scheduler: the schedule oracle with slots >= 5
+    // dropped (rank over the allowed subset, then the quota)
+    "q_politeness_capped" ->
+      """WITH g AS (SELECT doc_id,
+        |    'd' || (doc_id % 50)::VARCHAR || '.test' AS domain,
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN '/a/b' || doc_id::VARCHAR
+        |      WHEN 1 THEN '/private/x' || doc_id::VARCHAR
+        |      WHEN 2 THEN '/private/ok/y' || doc_id::VARCHAR
+        |      WHEN 3 THEN '/doc' || doc_id::VARCHAR || '.pdf'
+        |      WHEN 4 THEN '/nobot/z' || doc_id::VARCHAR
+        |      ELSE '/doc' || doc_id::VARCHAR || '.pdf?x=1' END AS path,
+        |    CASE WHEN (doc_id % 50) % 3 = 2 THEN true
+        |         WHEN (doc_id % 50) % 3 = 1 THEN doc_id % 6 <> 4
+        |         ELSE doc_id % 6 NOT IN (1, 3) END AS allowed,
+        |    CASE WHEN (doc_id % 50) % 3 = 0 THEN 2.0::DOUBLE
+        |         ELSE NULL END AS crawl_delay_sec
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |r AS (SELECT doc_id, domain, path, crawl_delay_sec,
+        |    (row_number() OVER (PARTITION BY domain ORDER BY doc_id) - 1)
+        |      AS slot
+        |  FROM g WHERE allowed)
+        |SELECT doc_id, domain, path, slot,
+        |  (slot * coalesce(crawl_delay_sec, 1.0::DOUBLE)) AS eta_sec
+        |FROM r WHERE slot < 5 ORDER BY doc_id""".stripMargin,
 
     // the scheduler recomputed over the allowed subset of the gate
     // oracle: per-domain slot by doc_id order, ETA at the domain's

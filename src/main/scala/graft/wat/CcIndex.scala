@@ -151,11 +151,23 @@ object CcIndex {
     * stack. None on malformation.
     */
   private[wat] def memberRecord(b: Array[Byte], off: Int, len: Int,
-      inf: java.util.zip.Inflater): Option[WarcRecord] =
+      inf: java.util.zip.Inflater): Option[WarcRecord] = {
+    if (len < 2 || off + len > b.length) return None
+    // non-gzip member (a zstd-mirror frame, or plain WARC bytes):
+    // fall back to the sniffing stream reader — slower per record,
+    // but the ranged path stays TOTAL across the same three framings
+    // the whole-file reader accepts
+    if ((b(off) & 0xff) != 0x1f || (b(off + 1) & 0xff) != 0x8b) {
+      val it = WatReader.records(
+        new ByteArrayInputStream(b, off, len), gzipped = true, _ => ())
+      try return if (it.hasNext) Some(it.next()) else None
+      finally it.close()
+    }
     inflateMember(b, off, len, inf).flatMap { dec =>
       try WatReader.readRecord(new ByteArrayInputStream(dec))
       catch { case _: java.io.EOFException => None }
     }
+  }
 
   /** Positioned ranged read with the same ≤10-attempt retry discipline
     * as [[WatReader.fetchAllBytes]] — `readFully(pos, …)` is the

@@ -197,6 +197,8 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // the feed channel composes the same per-row parse + broadcast
     // gate: one range exchange total
     "q_feed_frontier" -> 1,
+    // the quota composed on the same two-phase rank: same exchanges
+    "q_politeness_capped" -> 4,
     // broadcast gate + the TWO-PHASE rank (r17 verdict's skew fix):
     // one corpus (domain, bucket) window hash, one aggregate-sized
     // bases shuffle (map-side combined), one tiny per-domain window

@@ -120,6 +120,18 @@ class CcIndexSpec extends AnyFunSuite with SparkTestBase {
     val r = CcIndex.recordAt(f.getAbsolutePath, off, len).get
     assert(r.headers("warc-target-uri") == "https://e.test/p3")
     assert(r.payloadString == "payload-3")
+    // a non-gzip member (zstd frame / plain bytes) takes the sniffing
+    // fallback: same record either way
+    val plain = WatFixture.warcRecord("response", "plain-rec",
+      Some("https://e.test/plain"), "application/http; msgtype=response")
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      val viaFallback = CcIndex.memberRecord(plain, 0, plain.length, inf)
+      assert(viaFallback.exists(_.payloadString == "plain-rec"))
+      val zBytes = com.github.luben.zstd.Zstd.compress(plain)
+      assert(CcIndex.memberRecord(zBytes, 0, zBytes.length, inf)
+        .exists(_.payloadString == "plain-rec"))
+    } finally inf.end()
     // degenerate lengths fail closed
     assert(CcIndex.recordAt(f.getAbsolutePath, off, 0L).isEmpty)
     assert(CcIndex.recordAt(f.getAbsolutePath, off, -5L).isEmpty)
