@@ -1786,6 +1786,53 @@ object ExtQueries {
         .sortWithinPartitions("page_url")
     }),
 
+    // CDXJ — the TEXT form of the same index (pywb spec; CC publishes
+    // cdx-*.gz shards): SURT-sorted lines parsed per-row (line-level
+    // error tolerance), filtered relationally, and fed to the SAME
+    // ranged fetch — a CDXJ shard set is a cc-index without a SQL
+    // engine in front. Oracle identical to q_ccindex_fetch: both
+    // index forms must select and fetch the same members.
+    "q_cdxj_fetch" -> ((s, dir) => {
+      import s.implicits._
+      val (cdxjs, _) = graft.wat.WatFixture.ensureDocCdxj(s, dir)
+      val idx = graft.wat.Cdxj.indexFrame(s, cdxjs)
+        .where(col("fetch_status") === 200 &&
+          col("content_mime_type") === "text/html")
+      val pages = graft.wat.CcIndex.fetchHtmlPages(idx)
+        .as[(String, String)]
+      graft.ext.HtmlMarkdown.htmlToMarkdownKeyed(pages)
+        .repartition(1)
+        .sortWithinPartitions("page_url")
+    }),
+
+    // SURT canonicalization (graft.ext.Surt) — the key scheme every
+    // web-archive index sorts by (cc-index url_surtkey, CDX/CDXJ
+    // ordering): scheme/userinfo/fragment drop, www-label strip,
+    // host reversal, default-port drop, bytewise query-param sort —
+    // over a URL corpus rotating every rule.
+    "q_surt_key" -> ((s, dir) => {
+      import s.implicits._
+      docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+        .select("doc_id").as[java.lang.Long]
+        .mapPartitions(_.map { boxed =>
+          val id = boxed.longValue()
+          val scheme = if (id % 2 == 0) "https" else "http"
+          val host = (if (id % 3 == 0) "www." else "") +
+            s"site${id % 20}.example"
+          val port =
+            if (id % 5 == 0) ":8080"
+            else if (id % 5 == 1) ":443" else ""
+          val path = s"/Path${id % 7}/item"
+          val query =
+            if (id % 4 == 0) s"?b=2&a=${id % 9}"
+            else if (id % 4 == 1) "?z=1" else ""
+          val frag = if (id % 7 == 0) "#frag" else ""
+          val url = s"$scheme://$host$port$path$query$frag"
+          (id, url, graft.ext.Surt.surtKey(url))
+        }).toDF("doc_id", "url", "surt_key")
+        .orderBy("doc_id")
+    }),
+
     // WET sidecar extraction (graft.wat.WetText): the THIRD CC archive
     // format — `conversion` records carry the crawler's own text
     // extraction, so a text pipeline reading WET skips HTML parsing
@@ -4875,6 +4922,50 @@ object ExtQueries {
         |  chr(10) || chr(10) || '[contact](/c) [terms](/t) c 2026'
         |    AS markdown
         |FROM d ORDER BY page_url""".stripMargin,
+
+    // the CDXJ path must fetch the identical subset: same rendering,
+    // same excluded synthesized 404s/non-HTML rows
+    "q_cdxj_fetch" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL
+        |    AND doc_id % 11 <> 3 AND doc_id % 13 <> 5)
+        |SELECT 'https://docs.test/doc' || doc_id::VARCHAR || '.html'
+        |    AS page_url,
+        |  '[home](/) [about](/a) [links](/x)' ||
+        |  CASE WHEN t = '' THEN '' ELSE chr(10) || chr(10) || t END ||
+        |  CASE WHEN doc_id % 4 = 0
+        |       THEN chr(10) || chr(10) || '[click now](/b) [buy](/p)'
+        |       ELSE '' END ||
+        |  chr(10) || chr(10) || '[contact](/c) [terms](/t) c 2026'
+        |    AS markdown
+        |FROM d ORDER BY page_url""".stripMargin,
+
+    // every SURT rule recomputed in closed form: scheme/fragment
+    // drop, www strip, host reversal, :8080 kept / :443 dropped,
+    // path lowercased, query params sorted (b=2&a=N -> a=N&b=2)
+    "q_surt_key" ->
+      """SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) ||
+        |  '://' ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+        |  'site' || (doc_id % 20)::VARCHAR || '.example' ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN ':8080'
+        |        WHEN doc_id % 5 = 1 THEN ':443' ELSE '' END) ||
+        |  '/Path' || (doc_id % 7)::VARCHAR || '/item' ||
+        |  (CASE WHEN doc_id % 4 = 0
+        |        THEN '?b=2&a=' || (doc_id % 9)::VARCHAR
+        |        WHEN doc_id % 4 = 1 THEN '?z=1' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url,
+        |  'example,site' || (doc_id % 20)::VARCHAR ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END) ||
+        |  ')/path' || (doc_id % 7)::VARCHAR || '/item' ||
+        |  (CASE WHEN doc_id % 4 = 0
+        |        THEN '?a=' || (doc_id % 9)::VARCHAR || '&b=2'
+        |        WHEN doc_id % 4 = 1 THEN '?z=1' ELSE '' END) AS surt_key
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
 
     // the markdown rendering of the fixture page, rebuilt literally:
     // blocks joined by blank lines, one-list items by single newlines.

@@ -443,6 +443,60 @@ object WatFixture {
     (out.getAbsolutePath, warcs)
   }
 
+  /** CDXJ text shards over the SAME captures as [[ensureDocCcIndex]]:
+    * one `.cdxj.gz` per warc shard, lines SURT-SORTED within the
+    * shard (the format's seekability contract), offsets/lengths the
+    * real gzip-member frames, mime/status the same closed-form
+    * rotation. Timestamp is a deterministic 14-digit stamp from the
+    * doc id. Same cache-tag discipline.
+    */
+  def ensureDocCdxj(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, shards: Int = 4): (Seq[String], Seq[String]) = {
+    val (idxPath, warcs) = ensureDocCcIndex(spark, sfDir, shards)
+    val first = new java.io.File(warcs.head).getName
+    val tag = first.stripPrefix("docs-").stripSuffix("-0.warc.gz")
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-doc-cdxj-v$GenVersion")
+    dir.mkdirs()
+    val missing = (0 until shards).exists(i =>
+      !new java.io.File(dir, s"docs-$tag-$i.cdxj.gz").exists())
+    if (missing) {
+      val rows = spark.read.parquet(idxPath).collect().map { r =>
+        val url = r.getAs[String]("url")
+        val id = graft.wat.CcIndex.docIdOf(url)
+        val ts = f"20240101${id % 24}%02d${id % 60}%02d${(id * 7) % 60}%02d"
+        (r.getAs[String]("warc_filename"),
+          Cdxj.formatLine(url, ts,
+            r.getAs[String]("content_mime_type"),
+            r.getAs[Int]("fetch_status"), "",
+            r.getAs[String]("warc_filename"),
+            r.getAs[Long]("warc_record_offset"),
+            r.getAs[Long]("warc_record_length")))
+      }.groupBy(_._1)
+      for ((warcPath, i) <- warcs.zipWithIndex) {
+        val f = new java.io.File(dir, s"docs-$tag-$i.cdxj.gz")
+        if (!f.exists()) {
+          val tmp = new java.io.File(dir, f.getName +
+            s".tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}-${System.nanoTime()}")
+          val out = new FileOutputStream(tmp)
+          try {
+            val gz = new GZIPOutputStream(out)
+            for (line <- rows.getOrElse(warcPath, Array.empty)
+                .map(_._2).sorted)
+              gz.write((line + "\n").getBytes(UTF_8))
+            gz.close()
+          } finally out.close()
+          if (!tmp.renameTo(f) && !f.exists())
+            throw new java.io.IOException(s"could not materialize $f")
+          tmp.delete()
+        }
+      }
+    }
+    ((0 until shards).map(i =>
+      new java.io.File(dir, s"docs-$tag-$i.cdxj.gz").getAbsolutePath),
+      warcs)
+  }
+
   def ensureBenchWarcs(n: Int, nRecords: Int = 500,
       linksPerRecord: Int = 20): Seq[String] = {
     val dir = new java.io.File(

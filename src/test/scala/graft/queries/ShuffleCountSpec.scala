@@ -216,6 +216,11 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // + the final single-partition exchange — page bytes themselves
     // must never shuffle (they are born inside the fetch task)
     "q_ccindex_fetch" -> 2,
+    // the text-index form takes the same path: per-row line parse
+    // rides the shard task, then the same two exchanges
+    "q_cdxj_fetch" -> 2,
+    // pure per-row canonicalization + final order only
+    "q_surt_key" -> 1,
     // per-row header parse + final order only
     "q_image_probe" -> 1,
     // postings chain: (doc,pos) equi-joins + per-doc count + order
