@@ -277,18 +277,31 @@ object CcIndex {
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
+    // when the index carries content_digest (the WARC-Payload-Digest
+    // sha1-base32 the public table publishes), every fetched record is
+    // VERIFIED against it — a stale index row (archive rewritten, or an
+    // offset pointing at a different-but-well-formed member) drops and
+    // counts instead of silently yielding the wrong page
+    val digestCol =
+      if (idx.columns.contains("content_digest"))
+        org.apache.spark.sql.functions.coalesce( // (local coalesce = ranges)
+          col("content_digest").cast("string"), lit(""))
+      else lit("")
     idx
       .select(col("warc_filename").cast("string").as("f"),
         col("warc_record_offset").cast("long").as("o"),
-        col("warc_record_length").cast("long").as("l"))
+        col("warc_record_length").cast("long").as("l"),
+        digestCol.as("d"))
       .groupBy(col("f"), floor(col("o") / lit(splitBytes)).as("region"))
-      // sort_array on (o, l) structs orders by offset first — the
+      // sort_array on (o, l, d) structs orders by offset first — the
       // monotone-seek order the positioned reader wants
-      .agg(sort_array(collect_list(struct(col("o"), col("l"))))
+      .agg(sort_array(collect_list(struct(col("o"), col("l"), col("d"))))
         .as("ranges"))
       .select(col("f"), col("ranges"))
-      .as[(String, Seq[(Long, Long)])]
-      .flatMap { case (path, ranges) =>
+      .as[(String, Seq[(Long, Long, String)])]
+      .flatMap { case (path, members) =>
+        val ranges = members.map(m => (m._1, m._2))
+        val digestOf = members.iterator.map(m => m._1 -> m._3).toMap
         val conf = confBc.value.value
         val p = new Path(path)
         var in: org.apache.hadoop.fs.FSDataInputStream = null
@@ -305,7 +318,7 @@ object CcIndex {
               stream.close(); inf.end()
             })
           coalesce(ranges, gapBytes, maxReadBytes).iterator.flatMap {
-            case (readOff, readLen, members) =>
+            case (readOff, readLen, groupMembers) =>
               val bytes: Option[Array[Byte]] =
                 if (readLen <= 0 || readLen > Int.MaxValue) None
                 else try {
@@ -318,18 +331,20 @@ object CcIndex {
                 }
               bytes match {
                 case None =>
-                  readErrors.add(members.size.toLong)
+                  readErrors.add(groupMembers.size.toLong)
                   Iterator.empty
                 case Some(buf) =>
-                  members.iterator.flatMap { case (o, l) =>
+                  groupMembers.iterator.flatMap { case (o, l) =>
+                    val want = digestOf.getOrElse(o, "")
                     val page =
                       if (l > Int.MaxValue) None
                       else memberRecord(buf, (o - readOff).toInt, l.toInt,
                         inf).flatMap { r =>
-                        if (r.warcType.equalsIgnoreCase("response"))
-                          WarcHtml.htmlOfHttpResponse(r.payload).map(h =>
-                            (r.headers.getOrElse("warc-target-uri", ""), h))
-                        else None
+                        if (!r.warcType.equalsIgnoreCase("response")) None
+                        else if (want.nonEmpty &&
+                            sha1Base32(r.payload) != want) None
+                        else WarcHtml.htmlOfHttpResponse(r.payload).map(h =>
+                          (r.headers.getOrElse("warc-target-uri", ""), h))
                       }
                     if (page.isEmpty) readErrors.add(1L)
                     page.iterator
@@ -354,7 +369,7 @@ object CcIndex {
     val errors =
       spark.sparkContext.longAccumulator("graft.ccindex.build_errors")
     ArchiveTasks.perArchive[
-        (String, String, String, Int, String, Long, Long)](
+        (String, String, String, Int, String, String, Long, Long)](
         spark, paths, errors, Long.MaxValue) { (path, conf, onCorrupt, _) =>
       WatReader.fetchAllBytes(path, conf) match {
         case None =>
@@ -371,14 +386,37 @@ object CcIndex {
                   val host = hostOf(url)
                   val id = docIdOf(url)
                   Some((url, host, mimeOf(id), statusOf(id),
-                    path, off, len))
+                    sha1Base32(r.payload), path, off, len))
                 } else None
               }.iterator
           }
           new ClosingIterator(rows, () => inf.end())
       }
     }.toDF("url", "url_host_name", "content_mime_type", "fetch_status",
-      "warc_filename", "warc_record_offset", "warc_record_length")
+      "content_digest", "warc_filename", "warc_record_offset",
+      "warc_record_length")
+  }
+
+  /** WARC-Payload-Digest convention: SHA-1 over the payload, RFC 4648
+    * base32 (the `sha1:B32…` form CC's index carries in
+    * `content_digest`, prefix dropped like the public table does).
+    */
+  def sha1Base32(b: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1").digest(b)
+    val alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    val sb = new StringBuilder(32)
+    var buf = 0L
+    var bits = 0
+    for (x <- d) {
+      buf = (buf << 8) | (x & 0xffL)
+      bits += 8
+      while (bits >= 5) {
+        sb.append(alphabet(((buf >> (bits - 5)) & 31).toInt))
+        bits -= 5
+      }
+    }
+    if (bits > 0) sb.append(alphabet(((buf << (5 - bits)) & 31).toInt))
+    sb.toString
   }
 
   private[wat] def hostOf(url: String): String = {

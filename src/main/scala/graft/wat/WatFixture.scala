@@ -425,7 +425,7 @@ object WatFixture {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft-doc-ccindex-v$GenVersion")
     dir.mkdirs()
-    val out = new java.io.File(dir, s"idx-$tag.parquet")
+    val out = new java.io.File(dir, s"idx2-$tag.parquet")
     if (!out.exists()) {
       val tmp = new java.io.File(dir, out.getName +
         s".tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}-${System.nanoTime()}")
@@ -459,7 +459,7 @@ object WatFixture {
       s"graft-doc-cdxj-v$GenVersion")
     dir.mkdirs()
     val missing = (0 until shards).exists(i =>
-      !new java.io.File(dir, s"docs-$tag-$i.cdxj.gz").exists())
+      !new java.io.File(dir, s"docs2-$tag-$i.cdxj.gz").exists())
     if (missing) {
       val rows = spark.read.parquet(idxPath).collect().map { r =>
         val url = r.getAs[String]("url")
@@ -468,13 +468,14 @@ object WatFixture {
         (r.getAs[String]("warc_filename"),
           Cdxj.formatLine(url, ts,
             r.getAs[String]("content_mime_type"),
-            r.getAs[Int]("fetch_status"), "",
+            r.getAs[Int]("fetch_status"),
+            r.getAs[String]("content_digest"),
             r.getAs[String]("warc_filename"),
             r.getAs[Long]("warc_record_offset"),
             r.getAs[Long]("warc_record_length")))
       }.groupBy(_._1)
       for ((warcPath, i) <- warcs.zipWithIndex) {
-        val f = new java.io.File(dir, s"docs-$tag-$i.cdxj.gz")
+        val f = new java.io.File(dir, s"docs2-$tag-$i.cdxj.gz")
         if (!f.exists()) {
           val tmp = new java.io.File(dir, f.getName +
             s".tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}-${System.nanoTime()}")
@@ -493,7 +494,7 @@ object WatFixture {
       }
     }
     ((0 until shards).map(i =>
-      new java.io.File(dir, s"docs-$tag-$i.cdxj.gz").getAbsolutePath),
+      new java.io.File(dir, s"docs2-$tag-$i.cdxj.gz").getAbsolutePath),
       warcs)
   }
 

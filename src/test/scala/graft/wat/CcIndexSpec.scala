@@ -186,6 +186,38 @@ class CcIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(narrow.sameElements(wide))
   }
 
+  test("content_digest verifies on fetch: a stale index row drops") {
+    import spark.implicits._
+    val (idxPath, _) =
+      WatFixture.ensureDocCcIndex(spark, "/root/testdata/sf0.001")
+    val idx = spark.read.parquet(idxPath)
+      .where(col("fetch_status") === 200 &&
+        col("content_mime_type") === "text/html")
+    // RFC 4648 vector: base32(sha1("abc")) — 20 bytes, 32 chars exactly
+    assert(CcIndex.sha1Base32("abc".getBytes("UTF-8")) ==
+      "VGMT4NSHA2AWVOR6EVYXQUGCNSONBWE5")
+    // baseline: every row fetches with its real digest
+    val ok = CcIndex.fetchHtmlPages(idx).count()
+    assert(ok == idx.count())
+    // a stale index: one row's offset/length swapped with ANOTHER
+    // valid member — the member decodes fine (gzip CRC passes), only
+    // the digest can catch that it is the WRONG record
+    val rows = idx.orderBy("url").limit(2).collect()
+    val swapped = idx
+      .where(col("url") === rows(0).getAs[String]("url"))
+      .withColumn("warc_record_offset",
+        lit(rows(1).getAs[Long]("warc_record_offset")))
+      .withColumn("warc_record_length",
+        lit(rows(1).getAs[Long]("warc_record_length")))
+      .withColumn("warc_filename",
+        lit(rows(1).getAs[String]("warc_filename")))
+    assert(CcIndex.fetchHtmlPages(swapped).count() == 0)
+    // …and WITHOUT the digest column the wrong page comes back — the
+    // counterfactual showing the verification is load-bearing
+    assert(CcIndex.fetchHtmlPages(swapped.drop("content_digest"))
+      .count() == 1)
+  }
+
   test("buildIndex rows carry real offsets and the closed-form columns") {
     val (idxPath, warcs) =
       WatFixture.ensureDocCcIndex(spark, "/root/testdata/sf0.001")

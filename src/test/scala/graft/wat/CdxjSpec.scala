@@ -72,11 +72,13 @@ class CdxjSpec extends AnyFunSuite with SparkTestBase {
       WatFixture.ensureDocCcIndex(spark, "/root/testdata/sf0.001")
     val fromText = Cdxj.indexFrame(spark, cdxjs)
       .select("url", "content_mime_type", "fetch_status",
-        "warc_filename", "warc_record_offset", "warc_record_length")
+        "content_digest", "warc_filename", "warc_record_offset",
+        "warc_record_length")
       .collect().map(_.toSeq).sortBy(_.toString)
     val fromParquet = spark.read.parquet(idxPath)
       .select("url", "content_mime_type", "fetch_status",
-        "warc_filename", "warc_record_offset", "warc_record_length")
+        "content_digest", "warc_filename", "warc_record_offset",
+        "warc_record_length")
       .collect().map(_.toSeq).sortBy(_.toString)
     assert(fromText.length == fromParquet.length &&
       fromText.sameElements(fromParquet))
