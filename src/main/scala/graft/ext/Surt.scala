@@ -17,6 +17,36 @@ package graft.ext
   */
 object Surt {
 
+  /** URL corpus rotating every canonicalization rule (scheme by %2,
+    * www label by %3, port keep/drop by %5, path case, query order by
+    * %4, fragment by %7) → (doc_id, url, surt_key). Lives HERE, not in
+    * the query registry: a lambda defined inside the registry object
+    * drags that object's static init onto executor JVMs (the
+    * local-cluster battery catches exactly this).
+    */
+  def syntheticUrlKeys(
+      ids: org.apache.spark.sql.Dataset[java.lang.Long])
+      : org.apache.spark.sql.DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions(_.map { boxed =>
+      val id = boxed.longValue()
+      val scheme = if (id % 2 == 0) "https" else "http"
+      val host = (if (id % 3 == 0) "www." else "") +
+        s"site${id % 20}.example"
+      val port =
+        if (id % 5 == 0) ":8080"
+        else if (id % 5 == 1) ":443" else ""
+      val path = s"/Path${id % 7}/item"
+      val query =
+        if (id % 4 == 0) s"?b=2&a=${id % 9}"
+        else if (id % 4 == 1) "?z=1" else ""
+      val frag = if (id % 7 == 0) "#frag" else ""
+      val url = s"$scheme://$host$port$path$query$frag"
+      (id, url, surtKey(url))
+    }).toDF("doc_id", "url", "surt_key")
+  }
+
   def surtKey(url: String): String = {
     val u = url.trim.toLowerCase(java.util.Locale.ROOT)
     // strip fragment first — never part of the key

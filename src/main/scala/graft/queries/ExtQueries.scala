@@ -1812,24 +1812,9 @@ object ExtQueries {
     // over a URL corpus rotating every rule.
     "q_surt_key" -> ((s, dir) => {
       import s.implicits._
-      docsWithTokens(s, dir).where(col("doc_id").isNotNull)
-        .select("doc_id").as[java.lang.Long]
-        .mapPartitions(_.map { boxed =>
-          val id = boxed.longValue()
-          val scheme = if (id % 2 == 0) "https" else "http"
-          val host = (if (id % 3 == 0) "www." else "") +
-            s"site${id % 20}.example"
-          val port =
-            if (id % 5 == 0) ":8080"
-            else if (id % 5 == 1) ":443" else ""
-          val path = s"/Path${id % 7}/item"
-          val query =
-            if (id % 4 == 0) s"?b=2&a=${id % 9}"
-            else if (id % 4 == 1) "?z=1" else ""
-          val frag = if (id % 7 == 0) "#frag" else ""
-          val url = s"$scheme://$host$port$path$query$frag"
-          (id, url, graft.ext.Surt.surtKey(url))
-        }).toDF("doc_id", "url", "surt_key")
+      graft.ext.Surt.syntheticUrlKeys(
+        docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+          .select("doc_id").as[java.lang.Long])
         .orderBy("doc_id")
     }),
 
