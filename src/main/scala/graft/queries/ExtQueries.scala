@@ -1786,6 +1786,34 @@ object ExtQueries {
         .sortWithinPartitions("page_url")
     }),
 
+    // Incremental crawl via the index (the cross-crawl pattern): the
+    // previous snapshot's (url, digest) set anti-joins the current
+    // index, so only NEW urls (ids %5==0, absent from the previous
+    // set) and CHANGED content (ids %7==0 carry an altered previous
+    // digest) are ranged-fetched — 100 TB posture: the anti-join is a
+    // url-keyed shuffle equi-join of two narrow index frames (AQE
+    // splittable), archive bytes move only for the delta.
+    "q_ccindex_delta" -> ((s, dir) => {
+      import s.implicits._
+      val (idxPath, _) = graft.wat.WatFixture.ensureDocCcIndex(s, dir)
+      val idx = s.read.parquet(idxPath)
+        .where(col("fetch_status") === 200 &&
+          col("content_mime_type") === "text/html")
+      val id = regexp_extract(col("url"), "doc(\\d+)\\.html$", 1)
+        .cast("long")
+      val prev = idx.where(id % 5 =!= 0)
+        .select(col("url"),
+          when(id % 7 === 0, concat(col("content_digest"), lit("-old")))
+            .otherwise(col("content_digest")).as("content_digest"))
+      val fresh = idx.join(prev, Seq("url", "content_digest"),
+        "left_anti")
+      val pages = graft.wat.CcIndex.fetchHtmlPages(fresh)
+        .as[(String, String)]
+      graft.ext.HtmlMarkdown.htmlToMarkdownKeyed(pages)
+        .repartition(1)
+        .sortWithinPartitions("page_url")
+    }),
+
     // CDXJ — the TEXT form of the same index (pywb spec; CC publishes
     // cdx-*.gz shards): SURT-sorted lines parsed per-row (line-level
     // error tolerance), filtered relationally, and fed to the SAME
@@ -4897,6 +4925,26 @@ object ExtQueries {
         |  FROM documents
         |  WHERE doc_id IS NOT NULL
         |    AND doc_id % 11 <> 3 AND doc_id % 13 <> 5)
+        |SELECT 'https://docs.test/doc' || doc_id::VARCHAR || '.html'
+        |    AS page_url,
+        |  '[home](/) [about](/a) [links](/x)' ||
+        |  CASE WHEN t = '' THEN '' ELSE chr(10) || chr(10) || t END ||
+        |  CASE WHEN doc_id % 4 = 0
+        |       THEN chr(10) || chr(10) || '[click now](/b) [buy](/p)'
+        |       ELSE '' END ||
+        |  chr(10) || chr(10) || '[contact](/c) [terms](/t) c 2026'
+        |    AS markdown
+        |FROM d ORDER BY page_url""".stripMargin,
+
+    // the delta subset: new urls (%5==0) plus changed content
+    // (%7==0), still inside the index-admitted rows
+    "q_ccindex_delta" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL
+        |    AND doc_id % 11 <> 3 AND doc_id % 13 <> 5
+        |    AND (doc_id % 5 = 0 OR doc_id % 7 = 0))
         |SELECT 'https://docs.test/doc' || doc_id::VARCHAR || '.html'
         |    AS page_url,
         |  '[home](/) [about](/a) [links](/x)' ||

@@ -219,6 +219,9 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // the text-index form takes the same path: per-row line parse
     // rides the shard task, then the same two exchanges
     "q_cdxj_fetch" -> 2,
+    // + the url-keyed anti-join of the two index frames (both sides
+    // narrow; AQE may broadcast the previous set when small)
+    "q_ccindex_delta" -> 4,
     // pure per-row canonicalization + final order only
     "q_surt_key" -> 1,
     // per-row header parse + final order only
