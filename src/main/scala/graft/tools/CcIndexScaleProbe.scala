@@ -92,6 +92,53 @@ object CcIndexScaleProbe {
         f"(vs whole-file $fullT%.2fs -> ${fullT / t}%.2fx)")
     }
     idx.unpersist()
+
+    // CDXJ parse decades: a real index is ~300M text lines — price
+    // lines/s through the gzip + line-grammar + JSON path (one task
+    // per shard), and the delta anti-join on top of the parsed frame
+    locally {
+      import graft.wat.Cdxj
+      val tmp = java.nio.file.Files.createTempDirectory("cdxj-probe")
+      def shardsFor(n: Int): Seq[String] = {
+        val warcs = WatFixture.ensureBenchWarcs(n, 500, 20)
+        val rows = indexOver(warcs).collect()
+        val byFile = rows.groupBy(_.getAs[String]("warc_filename"))
+        warcs.zipWithIndex.map { case (w, i) =>
+          val f = tmp.resolve(s"probe-$n-$i.cdxj.gz").toFile
+          if (!f.exists()) {
+            val out = new java.util.zip.GZIPOutputStream(
+              new java.io.FileOutputStream(f))
+            for (r <- byFile.getOrElse(w, Array.empty).map(r =>
+                Cdxj.formatLine(r.getAs[String]("url"), "20240101000000",
+                  r.getAs[String]("content_mime_type"),
+                  r.getAs[Int]("fetch_status"),
+                  r.getAs[String]("content_digest"), w,
+                  r.getAs[Long]("warc_record_offset"),
+                  r.getAs[Long]("warc_record_length"))).sorted)
+              out.write((r + "\n").getBytes("UTF-8"))
+            out.close()
+          }
+          f.getAbsolutePath
+        }
+      }
+      for (d <- 0 until decades) {
+        val n = 8 * math.pow(4, d).toInt
+        val shards = shardsFor(n)
+        val (t, lines) = time2(Cdxj.indexFrame(spark, shards).count())
+        println(f"cdxj d=$d shards=$n lines=$lines wall=$t%.2fs " +
+          f"rate=${lines / t}%.0f lines/s")
+        // the incremental pattern: previous (url, digest) anti-join —
+        // two narrow frames, url-keyed shuffle
+        val cur = Cdxj.indexFrame(spark, shards)
+        val prev = Cdxj.indexFrame(spark, shards)
+          .where(abs(hash(col("url"))) % 10 =!= 0)
+          .select(col("url"), col("content_digest"))
+        val (dt, kept) = time2(
+          cur.join(prev, Seq("url", "content_digest"), "left_anti")
+            .count())
+        println(f"delta d=$d: ${kept} of $lines new wall=$dt%.2fs")
+      }
+    }
     spark.stop()
   }
 }
