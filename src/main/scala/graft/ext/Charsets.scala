@@ -93,14 +93,19 @@ object Charsets {
           "iso_8859-7:1987" | "iso-ir-126" | "ecma-118" | "elot_928" |
           "greek" | "greek8" | "csisolatingreek" | "sun_eu_greek" =>
         Some("ISO-8859-7")
-      // Hebrew: WHATWG maps the logical-order label (8859-8-i) and
-      // 1255 to windows-1255; visual-order iso-8859-8 stays itself
-      case "windows-1255" | "cp1255" | "x-cp1255" | "iso-8859-8-i" |
-          "csiso88598i" | "logical" =>
+      // Hebrew: the 1255 labels stay themselves; the logical-order
+      // labels (iso-8859-8-i/csiso88598i/logical) map to WHATWG's
+      // ISO-8859-8-I, whose DECODER is byte-identical to ISO-8859-8
+      // (the -I bit is a bidi-presentation flag, not a byte map) — NOT
+      // to windows-1255, which differs at 0xA4 (sheqel vs currency
+      // sign), 0xAA, and maps 0xC0-0xCF to niqqud where 8859-8 is
+      // undefined
+      case "windows-1255" | "cp1255" | "x-cp1255" =>
         Some("windows-1255")
       case "iso-8859-8" | "iso8859-8" | "iso88598" | "iso_8859-8" |
           "iso_8859-8:1988" | "iso-ir-138" | "hebrew" | "visual" |
-          "csisolatinhebrew" | "csiso88598e" =>
+          "csisolatinhebrew" | "csiso88598e" | "iso-8859-8-i" |
+          "csiso88598i" | "logical" =>
         Some("ISO-8859-8")
       // Arabic: 1256 and 8859-6 stay distinct
       case "windows-1256" | "cp1256" | "x-cp1256" => Some("windows-1256")
@@ -268,8 +273,9 @@ object Charsets {
     * 11: windows-874 by meta tag under the `tis-620` label — Thai
     *     marker (the WHATWG 874-superset rule, like 8859-1 → 1252),
     * 12: windows-1253 by transport under `cp1253` — Greek marker,
-    * 13: windows-1255 by meta tag under the LOGICAL-order Hebrew
-    *     label `iso-8859-8-i` — Hebrew marker,
+    * 13: ISO-8859-8 by meta tag under the LOGICAL-order Hebrew label
+    *     `iso-8859-8-i` (WHATWG ISO-8859-8-I — decoder byte-identical
+    *     to 8859-8) — Hebrew marker,
     * 14: windows-1256 by transport under `cp1256` — Arabic marker,
     * 15: windows-1257 by meta tag — Lithuanian marker (ą/ž).
     * Families 0–4 carry " café À<id%7>" (Latin-1-representable);
@@ -343,7 +349,7 @@ object Charsets {
         case 12 => (full.getBytes("windows-1253"), Some("cp1253"))
         case 13 =>
           (("<meta charset=\"iso-8859-8-i\">" + full)
-            .getBytes("windows-1255"), None)
+            .getBytes("ISO-8859-8"), None)
         case 14 => (full.getBytes("windows-1256"), Some("cp1256"))
         case _ =>
           (("<meta charset=\"windows-1257\">" + full)

@@ -1696,8 +1696,8 @@ object ExtQueries {
     // validation > windows-1252 fallback) over a SIXTEEN-way encoded
     // corpus spanning the CJK long tail (Shift_JIS/EUC-JP/GBK/Big5/
     // UHC under their legacy WHATWG labels) plus the single-byte tail
-    // (8859-2, Thai 874, Greek 1253, Hebrew 1255 via the logical-order
-    // 8859-8-i label, Arabic 1256, Baltic 1257) — each family's
+    // (8859-2, Thai 874, Greek 1253, Hebrew 8859-8 via the
+    // logical-order 8859-8-i label, Arabic 1256, Baltic 1257) — each
     // non-ASCII marker must survive its path exactly, which a blind
     // UTF-8 decode cannot do (it would U+FFFD families 1/2/3/5-15).
     "q_charset_decode" -> ((s, dir) => {
@@ -4843,7 +4843,8 @@ object ExtQueries {
     // canonicalize per WHATWG (iso-8859-1 → windows-1252, shift_jis →
     // windows-31j, gb2312 → GBK, korean → x-windows-949 UHC superset,
     // latin2 → ISO-8859-2, tis-620 → x-windows-874, iso-8859-8-i →
-    // windows-1255); each family's marker round-trips its charset
+    // ISO-8859-8 per WHATWG ISO-8859-8-I); each family's marker
+    // round-trips its charset
     "q_charset_decode" ->
       """SELECT doc_id,
         |  CASE doc_id % 16 WHEN 0 THEN 'UTF-8' WHEN 1 THEN 'UTF-16LE'
@@ -4852,7 +4853,7 @@ object ExtQueries {
         |    WHEN 6 THEN 'EUC-JP' WHEN 7 THEN 'GBK' WHEN 8 THEN 'Big5'
         |    WHEN 9 THEN 'x-windows-949' WHEN 10 THEN 'ISO-8859-2'
         |    WHEN 11 THEN 'x-windows-874' WHEN 12 THEN 'windows-1253'
-        |    WHEN 13 THEN 'windows-1255' WHEN 14 THEN 'windows-1256'
+        |    WHEN 13 THEN 'ISO-8859-8' WHEN 14 THEN 'windows-1256'
         |    ELSE 'windows-1257' END AS charset,
         |  CASE doc_id % 16 WHEN 3 THEN '<meta charset="iso-8859-1">'
         |    WHEN 6 THEN '<meta charset="euc-jp">'

@@ -313,11 +313,23 @@ object CcIndex {
         } else {
           val stream = in
           val inf = new java.util.zip.Inflater(true)
+          var done = false
+          def release(): Unit = if (!done) {
+            done = true
+            try stream.close()
+            catch { case scala.util.control.NonFatal(_) => }
+            inf.end()
+          }
+          // Dataset.flatMap drains each row's iterator fully before
+          // the next row, so releasing on exhaustion closes this
+          // archive's handle as soon as its group is done — a task
+          // spanning many (archive, region) rows holds ONE open stream
+          // at a time, not one per row until task end. The completion
+          // listener stays as the safety net for abandoned iterators
+          // (task kill, limit, downstream failure).
           Option(org.apache.spark.TaskContext.get())
-            .foreach(_.addTaskCompletionListener[Unit] { _ =>
-              stream.close(); inf.end()
-            })
-          coalesce(ranges, gapBytes, maxReadBytes).iterator.flatMap {
+            .foreach(_.addTaskCompletionListener[Unit](_ => release()))
+          val body = coalesce(ranges, gapBytes, maxReadBytes).iterator.flatMap {
             case (readOff, readLen, groupMembers) =>
               val bytes: Option[Array[Byte]] =
                 if (readLen <= 0 || readLen > Int.MaxValue) None
@@ -342,7 +354,7 @@ object CcIndex {
                         inf).flatMap { r =>
                         if (!r.warcType.equalsIgnoreCase("response")) None
                         else if (want.nonEmpty &&
-                            sha1Base32(r.payload) != want) None
+                            payloadDigest(r.payload) != want) None
                         else WarcHtml.htmlOfHttpResponse(r.payload).map(h =>
                           (r.headers.getOrElse("warc-target-uri", ""), h))
                       }
@@ -350,6 +362,14 @@ object CcIndex {
                     page.iterator
                   }
               }
+          }
+          new Iterator[(String, String)] {
+            override def hasNext: Boolean = {
+              val h = body.hasNext
+              if (!h) release() // group exhausted: free the handle now
+              h
+            }
+            override def next(): (String, String) = body.next()
           }
         }
       }
@@ -386,7 +406,7 @@ object CcIndex {
                   val host = hostOf(url)
                   val id = docIdOf(url)
                   Some((url, host, mimeOf(id), statusOf(id),
-                    sha1Base32(r.payload), path, off, len))
+                    payloadDigest(r.payload), path, off, len))
                 } else None
               }.iterator
           }
@@ -397,12 +417,45 @@ object CcIndex {
       "warc_record_length")
   }
 
-  /** WARC-Payload-Digest convention: SHA-1 over the payload, RFC 4648
-    * base32 (the `sha1:B32…` form CC's index carries in
-    * `content_digest`, prefix dropped like the public table does).
+  /** WARC-Payload-Digest over a record block: for `application/http`
+    * records the PAYLOAD is the HTTP entity body only — the bytes past
+    * the `CRLF CRLF` header terminator, NOT the status line + headers
+    * (WARC 1.1 §5.9; this is what the public cc-index/CDXJ
+    * `content_digest` column carries, so hashing the whole block would
+    * mismatch every real index row and silently drop 100% of fetches).
+    * Blocks that are not HTTP messages (no `HTTP/` prefix or no
+    * terminator) digest whole — their payload IS the block.
     */
-  def sha1Base32(b: Array[Byte]): String = {
-    val d = java.security.MessageDigest.getInstance("SHA-1").digest(b)
+  def payloadDigest(block: Array[Byte]): String = {
+    val start = httpBodyStart(block)
+    sha1Base32(block, start, block.length - start)
+  }
+
+  /** Offset of the HTTP entity body inside an `application/http`
+    * block, or 0 when the block is not an HTTP message (then the whole
+    * block is the payload).
+    */
+  private[wat] def httpBodyStart(b: Array[Byte]): Int = {
+    if (b.length < 5 || b(0) != 'H' || b(1) != 'T' || b(2) != 'T' ||
+        b(3) != 'P' || b(4) != '/') return 0
+    var i = 0
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' &&
+          b(i + 3) == '\n') return i + 4
+      i += 1
+    }
+    0 // headerless/truncated HTTP: treat the block as the payload
+  }
+
+  /** SHA-1 + RFC 4648 base32 (the `sha1:B32…` form CC's index carries
+    * in `content_digest`, prefix dropped like the public table does).
+    */
+  def sha1Base32(b: Array[Byte]): String = sha1Base32(b, 0, b.length)
+
+  def sha1Base32(b: Array[Byte], off: Int, len: Int): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    md.update(b, off, len)
+    val d = md.digest()
     val alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
     val sb = new StringBuilder(32)
     var buf = 0L

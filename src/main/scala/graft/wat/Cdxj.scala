@@ -20,9 +20,24 @@ object Cdxj {
       url: String, mime: String, status: Int, digest: String,
       filename: String, offset: Long, length: Long)
 
+  /** Shared parser — `ObjectMapper` construction is heavyweight and
+    * `readTree` is thread-safe, so one instance serves every line of a
+    * ~300M-line monthly index instead of being rebuilt per line.
+    */
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** ASCII '0'-'9' only: `Char.isDigit` admits Unicode digit classes
+    * (Arabic-Indic etc.) that `toLong` would then throw on.
+    */
+  private def asciiDigits(s: String): Boolean =
+    s.nonEmpty && s.forall(c => c >= '0' && c <= '9')
+
   /** One line → Some(row); malformed lines (bad field count, broken
-    * JSON, non-numeric offset/length/status) → None — a corrupt line
-    * in a 300M-line index must drop, not kill the shard.
+    * JSON, non-numeric or Long-overflowing offset/length/status) →
+    * None — a corrupt line in a 300M-line index must drop, not kill
+    * the shard. The numeric conversions sit INSIDE the catch: a
+    * 20+-digit all-ASCII-digit offset overflows Long and throws
+    * NumberFormatException, which must be a dropped line too.
     */
   def parseLine(line: String): Option[CdxjRow] = {
     val s1 = line.indexOf(' ')
@@ -31,11 +46,10 @@ object Cdxj {
     if (s2 <= s1 + 1) return None
     val key = line.substring(0, s1)
     val ts = line.substring(s1 + 1, s2)
-    if (ts.length != 14 || !ts.forall(_.isDigit)) return None
+    if (ts.length != 14 || !asciiDigits(ts)) return None
     val json = line.substring(s2 + 1)
     try {
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val node = om.readTree(json)
+      val node = mapper.readTree(json)
       if (node == null || !node.isObject) return None
       def str(f: String): String = {
         val v = node.get(f)
@@ -46,14 +60,13 @@ object Cdxj {
       val offset = str("offset")
       val length = str("length")
       val status = str("status")
-      if (!offset.forall(_.isDigit) || offset.isEmpty) return None
-      if (!length.forall(_.isDigit) || length.isEmpty) return None
+      if (!asciiDigits(offset) || !asciiDigits(length)) return None
       Some(CdxjRow(key, ts, url, str("mime"),
-        if (status.nonEmpty && status.forall(_.isDigit)) status.toInt
-        else 0,
+        if (asciiDigits(status)) status.toInt else 0,
         str("digest"), str("filename"), offset.toLong, length.toLong))
     } catch {
       case _: com.fasterxml.jackson.core.JacksonException => None
+      case _: NumberFormatException => None
     }
   }
 

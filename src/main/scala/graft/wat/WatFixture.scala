@@ -425,7 +425,7 @@ object WatFixture {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft-doc-ccindex-v$GenVersion")
     dir.mkdirs()
-    val out = new java.io.File(dir, s"idx2-$tag.parquet")
+    val out = new java.io.File(dir, s"idx3-$tag.parquet")
     if (!out.exists()) {
       val tmp = new java.io.File(dir, out.getName +
         s".tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}-${System.nanoTime()}")
@@ -459,7 +459,7 @@ object WatFixture {
       s"graft-doc-cdxj-v$GenVersion")
     dir.mkdirs()
     val missing = (0 until shards).exists(i =>
-      !new java.io.File(dir, s"docs2-$tag-$i.cdxj.gz").exists())
+      !new java.io.File(dir, s"docs3-$tag-$i.cdxj.gz").exists())
     if (missing) {
       val rows = spark.read.parquet(idxPath).collect().map { r =>
         val url = r.getAs[String]("url")
@@ -475,7 +475,7 @@ object WatFixture {
             r.getAs[Long]("warc_record_length")))
       }.groupBy(_._1)
       for ((warcPath, i) <- warcs.zipWithIndex) {
-        val f = new java.io.File(dir, s"docs2-$tag-$i.cdxj.gz")
+        val f = new java.io.File(dir, s"docs3-$tag-$i.cdxj.gz")
         if (!f.exists()) {
           val tmp = new java.io.File(dir, f.getName +
             s".tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}-${System.nanoTime()}")
@@ -494,7 +494,7 @@ object WatFixture {
       }
     }
     ((0 until shards).map(i =>
-      new java.io.File(dir, s"docs2-$tag-$i.cdxj.gz").getAbsolutePath),
+      new java.io.File(dir, s"docs3-$tag-$i.cdxj.gz").getAbsolutePath),
       warcs)
   }
 

@@ -134,7 +134,7 @@ class CharsetsSpec extends AnyFunSuite with SparkTestBase {
       out(11L)._3 == "<meta charset=\"tis-620\">text 11 ไทย4")
     assert(out(12L)._2 == "windows-1253" &&
       out(12L)._3 == "text 12 Ελληνικά5")
-    assert(out(13L)._2 == "windows-1255" &&
+    assert(out(13L)._2 == "ISO-8859-8" &&
       out(13L)._3 == "<meta charset=\"iso-8859-8-i\">text 13 עברית6")
     assert(out(14L)._2 == "windows-1256" &&
       out(14L)._3 == "text 14 العربية0")
@@ -159,8 +159,10 @@ class CharsetsSpec extends AnyFunSuite with SparkTestBase {
     assert(Charsets.canonical("cskoi8r").contains("KOI8-R"))
     assert(Charsets.canonical("iso-8859-9").contains("windows-1254"))
     // the single-byte long tail: WHATWG keeps the 8859 pages distinct
-    // from their windows cousins except Thai (874 superset) and
-    // logical-order Hebrew (8859-8-i → 1255)
+    // from their windows cousins except Thai (874 superset); the
+    // logical-order Hebrew labels map to ISO-8859-8-I, whose DECODER
+    // is ISO-8859-8 (not windows-1255, which differs at 0xA4/0xAA and
+    // the 0xC0-0xCF niqqud block)
     assert(Charsets.canonical("latin2").contains("ISO-8859-2"))
     assert(Charsets.canonical("iso_8859-2:1987").contains("ISO-8859-2"))
     assert(Charsets.canonical("tis-620").contains("x-windows-874"))
@@ -169,10 +171,18 @@ class CharsetsSpec extends AnyFunSuite with SparkTestBase {
     assert(Charsets.canonical("x-cp1253").contains("windows-1253"))
     assert(Charsets.canonical("greek8").contains("ISO-8859-7"))
     assert(Charsets.canonical("sun_eu_greek").contains("ISO-8859-7"))
-    assert(Charsets.canonical("iso-8859-8-i").contains("windows-1255"))
-    assert(Charsets.canonical("logical").contains("windows-1255"))
+    assert(Charsets.canonical("iso-8859-8-i").contains("ISO-8859-8"))
+    assert(Charsets.canonical("logical").contains("ISO-8859-8"))
+    assert(Charsets.canonical("csiso88598i").contains("ISO-8859-8"))
     assert(Charsets.canonical("visual").contains("ISO-8859-8"))
     assert(Charsets.canonical("hebrew").contains("ISO-8859-8"))
+    assert(Charsets.canonical("cp1255").contains("windows-1255"))
+    // the distinguishing byte: 0xA4 is U+00A4 (currency sign) in
+    // 8859-8 but U+20AA (sheqel) in 1255 — the logical-order label
+    // must take the 8859-8 reading, the 1255 label its own
+    val a4 = Array(0xa4.toByte)
+    assert(Charsets.decode(a4, Some("iso-8859-8-i"))._1 == "¤")
+    assert(Charsets.decode(a4, Some("windows-1255"))._1 == "₪")
     assert(Charsets.canonical("asmo-708").contains("ISO-8859-6"))
     assert(Charsets.canonical("cp1256").contains("windows-1256"))
     assert(Charsets.canonical("cp1257").contains("windows-1257"))

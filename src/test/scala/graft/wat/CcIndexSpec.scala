@@ -186,6 +186,32 @@ class CcIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(narrow.sameElements(wide))
   }
 
+  test("payloadDigest hashes the HTTP entity body only (WARC-Payload-Digest)") {
+    val body = "<html><body>hello digest</body></html>".getBytes(UTF_8)
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++ body
+    // pinned independently (python hashlib + base64.b32encode): the
+    // digest of the BODY — the public content_digest convention — not
+    // of the whole block (status line + headers + body), which would
+    // mismatch every real cc-index row and drop 100% of fetches
+    assert(CcIndex.payloadDigest(http) ==
+      "UR74RV4TSKC32Y2NZJXSJPQZLBBK35V5")
+    assert(CcIndex.sha1Base32(http) == // what full-block hashing reads
+      "W2VFRGBDMWBNI6IPHBYQ2YHKVBFUEWPG")
+    // different headers, same body → same payload digest (the witness
+    // that headers are outside the digest)
+    val http2 = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      s"Server: other\r\nContent-Length: ${body.length}\r\n\r\n")
+      .getBytes(UTF_8) ++ body
+    assert(CcIndex.payloadDigest(http2) == CcIndex.payloadDigest(http))
+    // non-HTTP block: the whole block is the payload
+    assert(CcIndex.payloadDigest("abc".getBytes(UTF_8)) ==
+      "VGMT4NSHA2AWVOR6EVYXQUGCNSONBWE5")
+    // headerless/truncated HTTP prefix: falls back to whole-block
+    val trunc = "HTTP/1.1 200 OK\r\nContent-".getBytes(UTF_8)
+    assert(CcIndex.payloadDigest(trunc) == CcIndex.sha1Base32(trunc))
+  }
+
   test("content_digest verifies on fetch: a stale index row drops") {
     import spark.implicits._
     val (idxPath, _) =

@@ -60,6 +60,25 @@ class CdxjSpec extends AnyFunSuite with SparkTestBase {
     assert(Cdxj.parseLine(
       "k 20240101000000 {\"url\": \"u\", \"offset\": \"x\", \"length\": \"1\"}")
       .isEmpty)
+    // all-ASCII-digit but Long-overflowing offset (20+ digits): must
+    // DROP, not throw NumberFormatException and kill the shard task
+    assert(Cdxj.parseLine(
+      "k 20240101000000 {\"url\": \"u\", " +
+        "\"offset\": \"99999999999999999999\", \"length\": \"1\"}")
+      .isEmpty)
+    // Int-overflowing status: same fail-soft contract
+    assert(Cdxj.parseLine(
+      "k 20240101000000 {\"url\": \"u\", \"offset\": \"1\", " +
+        "\"length\": \"1\", \"status\": \"99999999999\"}")
+      .isEmpty)
+    // non-ASCII Unicode digits (Arabic-Indic ٣): Char.isDigit admits
+    // them but toLong throws — validation is ASCII-only now
+    assert(Cdxj.parseLine(
+      "k 20240101000000 {\"url\": \"u\", \"offset\": \"٣\", " +
+        "\"length\": \"1\"}").isEmpty)
+    assert(Cdxj.parseLine(
+      "k 2024010100000٣ {\"url\": \"u\", \"offset\": \"1\", " +
+        "\"length\": \"1\"}").isEmpty)
     val rnd = new scala.util.Random(3)
     for (_ <- 1 to 100)
       Cdxj.parseLine(new String(
