@@ -1814,6 +1814,35 @@ object ExtQueries {
         .sortWithinPartitions("page_url")
     }),
 
+    // Revisit-record resolution (graft.wat.CcIndex.resolveRevisits):
+    // real CC crawls dedup at capture time — crawl-2 captures of ids
+    // %9==2 are `revisit` records whose payload lives in CRAWL 1's
+    // response member (same content_digest). A fetch of the crawl-2
+    // index alone would silently drop them; the resolver keeps
+    // response rows and satisfies revisits via a digest-keyed
+    // equi-join against the crawl-1 index (narrow frames only — the
+    // locator triple of the ORIGINAL capture rides back), then ONE
+    // ranged fetch serves both. Oracle = the markdown rendering over
+    // responses AND revisit-resolved pages — revisit captures count
+    // as present.
+    "q_ccindex_revisit" -> ((s, dir) => {
+      import s.implicits._
+      val (idx1Path, _) = graft.wat.WatFixture.ensureDocCcIndex(s, dir)
+      val (idx2Path, _) = graft.wat.WatFixture.ensureDocCcIndex2(s, dir)
+      val cur = s.read.parquet(idx2Path)
+        .where(col("fetch_status") === 200 &&
+          (col("content_mime_type") === "text/html" ||
+            col("content_mime_type") === "warc/revisit") &&
+          col("url_host_name") === "docs.test")
+      val prev = s.read.parquet(idx1Path)
+      val pages = graft.wat.CcIndex.fetchHtmlPages(
+        graft.wat.CcIndex.resolveRevisits(cur, prev))
+        .as[(String, String)]
+      graft.ext.HtmlMarkdown.htmlToMarkdownKeyed(pages)
+        .repartition(1)
+        .sortWithinPartitions("page_url")
+    }),
+
     // CDXJ — the TEXT form of the same index (pywb spec; CC publishes
     // cdx-*.gz shards): SURT-sorted lines parsed per-row (line-level
     // error tolerance), filtered relationally, and fed to the SAME
@@ -4946,6 +4975,27 @@ object ExtQueries {
         |  WHERE doc_id IS NOT NULL
         |    AND doc_id % 11 <> 3 AND doc_id % 13 <> 5
         |    AND (doc_id % 5 = 0 OR doc_id % 7 = 0))
+        |SELECT 'https://docs.test/doc' || doc_id::VARCHAR || '.html'
+        |    AS page_url,
+        |  '[home](/) [about](/a) [links](/x)' ||
+        |  CASE WHEN t = '' THEN '' ELSE chr(10) || chr(10) || t END ||
+        |  CASE WHEN doc_id % 4 = 0
+        |       THEN chr(10) || chr(10) || '[click now](/b) [buy](/p)'
+        |       ELSE '' END ||
+        |  chr(10) || chr(10) || '[contact](/c) [terms](/t) c 2026'
+        |    AS markdown
+        |FROM d ORDER BY page_url""".stripMargin,
+
+    // crawl-2 admitted rows: 404s (%11==3) out; %9==2 ids are
+    // warc/revisit rows (IN — the resolver must surface them), the
+    // rest follow the html/pdf mime rotation (%13==5 out)
+    "q_ccindex_revisit" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL
+        |    AND doc_id % 11 <> 3
+        |    AND (doc_id % 9 = 2 OR doc_id % 13 <> 5))
         |SELECT 'https://docs.test/doc' || doc_id::VARCHAR || '.html'
         |    AS page_url,
         |  '[home](/) [about](/a) [links](/x)' ||

@@ -376,6 +376,52 @@ object CcIndex {
       .toDF("page_url", "html")
   }
 
+  /** Resolve `revisit` index rows into fetchable targets. Real CC
+    * crawls dedup at capture time: a meaningful fraction of index rows
+    * are `revisit` records whose payload lives in an EARLIER crawl's
+    * `response` record with the same `content_digest` — a targeted
+    * extraction that fetches only `response` rows silently loses those
+    * captures. This splits `idx` on the `warc/revisit` mime (the
+    * public-index convention), keeps response rows as-is, and
+    * satisfies each revisit by a DIGEST-KEYED equi-join against
+    * `original` (the earlier crawl's index): the revisit keeps its own
+    * url/digest, the ranged-read target `(warc_filename, offset,
+    * length)` comes from the original capture that actually holds the
+    * bytes.
+    *
+    * 100 TB posture: both join sides are NARROW index frames (url +
+    * digest + locator triple — bytes never join); the original side is
+    * pre-aggregated to ONE capture per digest via a combinable
+    * `min(struct(...))` (no window — identical content captured at
+    * many urls must not multiply the join), so the join is an
+    * AQE-splittable equi-join on the digest key. Archive bytes move
+    * only in the subsequent [[fetchHtmlPages]] call, and the digest
+    * verification there holds for resolved rows by construction (the
+    * row's digest IS the original payload's digest).
+    *
+    * Note the fetched page's `page_url` is the ORIGINAL capture's
+    * target URI (the record the bytes live in) — for the overwhelmingly
+    * common same-url revisit this is also the revisit's url.
+    */
+  def resolveRevisits(idx: DataFrame, original: DataFrame): DataFrame = {
+    val fetchCols = Seq("url", "content_digest", "warc_filename",
+      "warc_record_offset", "warc_record_length").map(col)
+    val isRevisit = col("content_mime_type") === "warc/revisit"
+    val responses = idx.where(!isRevisit).select(fetchCols: _*)
+    val originals = original
+      .where(col("content_mime_type") =!= "warc/revisit")
+      .groupBy(col("content_digest"))
+      .agg(min(struct(col("warc_filename"), col("warc_record_offset"),
+        col("warc_record_length"))).as("t"))
+      .select(col("content_digest"), col("t.warc_filename"),
+        col("t.warc_record_offset"), col("t.warc_record_length"))
+    val resolved = idx.where(isRevisit)
+      .select(col("url"), col("content_digest"))
+      .join(originals, Seq("content_digest"))
+      .select(fetchCols: _*)
+    responses.unionByName(resolved)
+  }
+
   /** Build a cc-index-shaped frame over local archive shards — the
     * fixture-side index builder (real CC publishes this table; a
     * private crawl runs exactly this walk once per archive). One task
@@ -401,12 +447,26 @@ object CcIndex {
             case (off, len) =>
               memberRecord(bytes, off.toInt, len.toInt, inf).flatMap { r =>
                 val url = r.headers.getOrElse("warc-target-uri", "")
-                if (r.warcType.equalsIgnoreCase("response") &&
-                    url.nonEmpty) {
+                if (url.isEmpty) None
+                else if (r.warcType.equalsIgnoreCase("response")) {
                   val host = hostOf(url)
                   val id = docIdOf(url)
                   Some((url, host, mimeOf(id), statusOf(id),
                     payloadDigest(r.payload), path, off, len))
+                } else if (r.warcType.equalsIgnoreCase("revisit")) {
+                  // crawl-time dedup: the payload lives in an EARLIER
+                  // capture; the index row carries the convention the
+                  // public table uses — mime `warc/revisit`, digest =
+                  // the record's WARC-Payload-Digest header (the
+                  // ORIGINAL payload's digest, which is what lets
+                  // resolveRevisits find the capture that has the bytes)
+                  val digest = r.headers
+                    .getOrElse("warc-payload-digest", "")
+                    .stripPrefix("sha1:")
+                  val id = docIdOf(url)
+                  if (digest.isEmpty) None
+                  else Some((url, hostOf(url), "warc/revisit",
+                    statusOf(id), digest, path, off, len))
                 } else None
               }.iterator
           }

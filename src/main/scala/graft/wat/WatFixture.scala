@@ -19,11 +19,13 @@ object WatFixture {
 
   def warcRecordBytes(warcType: String, body: Array[Byte],
       targetUri: Option[String],
-      contentType: String): Array[Byte] = {
+      contentType: String,
+      extraHeaders: Seq[(String, String)] = Nil): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("WARC/1.0\r\n")
     sb.append(s"WARC-Type: $warcType\r\n")
     targetUri.foreach(u => sb.append(s"WARC-Target-URI: $u\r\n"))
+    extraHeaders.foreach { case (k, v) => sb.append(s"$k: $v\r\n") }
     sb.append(s"Content-Type: $contentType\r\n")
     sb.append(s"Content-Length: ${body.length}\r\n")
     sb.append("\r\n")
@@ -424,6 +426,77 @@ object WatFixture {
     val tag = first.stripPrefix("docs-").stripSuffix("-0.warc.gz")
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft-doc-ccindex-v$GenVersion")
+    dir.mkdirs()
+    val out = new java.io.File(dir, s"idx3-$tag.parquet")
+    if (!out.exists()) {
+      val tmp = new java.io.File(dir, out.getName +
+        s".tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}-${System.nanoTime()}")
+      graft.wat.CcIndex.buildIndex(spark, warcs,
+          mimeOf = id =>
+            if (id % 13 == 5) "application/pdf" else "text/html",
+          statusOf = id => if (id % 11 == 3) 404 else 200)
+        .repartition(1)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      if (!tmp.renameTo(out) && !out.exists())
+        throw new java.io.IOException(s"could not materialize $out")
+      if (tmp.exists())
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+    (out.getAbsolutePath, warcs)
+  }
+
+  /** Second-crawl WARC shards over the SAME documents — the crawl-time
+    * dedup shape real CC archives have: ids `%9==2` are captured as
+    * `revisit` records (headers-only payload; `WARC-Payload-Digest`
+    * names the ORIGINAL body, which lives in the crawl-1 archives),
+    * everything else re-captured as a full response. The revisit digest
+    * is computed from the same closed-form page bytes crawl 1 wrote, so
+    * digest-keyed resolution against the crawl-1 index finds the
+    * capture that holds the bytes.
+    */
+  def ensureDocWarcs2(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, shards: Int = 4): Seq[String] =
+    ensureDocShards(spark, sfDir, shards, "graft-doc-warcs2",
+      ".warc.gz") { (out, docs) =>
+      for ((id, text) <- docs) {
+        require(!text.contains('<') && !text.contains('&'),
+          s"doc $id text is not HTML-safe to embed raw")
+        val html = graft.queries.ExtQueries.bpHtmlFor(id, text)
+          .getBytes(UTF_8)
+        val uri = s"https://docs.test/doc$id.html"
+        if (id % 9 == 2) {
+          // identical-payload-digest revisit: HTTP headers only, no
+          // body — the whole point is that the bytes are NOT here
+          val http = ("HTTP/1.1 200 OK\r\n" +
+            "Content-Type: text/html; charset=UTF-8\r\n\r\n")
+            .getBytes(UTF_8)
+          val digest = graft.wat.CcIndex.sha1Base32(html)
+          out.write(gzipMember(warcRecordBytes("revisit", http,
+            Some(uri), "application/http; msgtype=response",
+            Seq("WARC-Payload-Digest" -> s"sha1:$digest"))))
+        } else {
+          val http = (s"HTTP/1.1 200 OK\r\n" +
+            s"Content-Type: text/html; charset=UTF-8\r\n" +
+            s"Content-Length: ${html.length}\r\n\r\n").getBytes(UTF_8)
+          out.write(gzipMember(warcRecordBytes("response", http ++ html,
+            Some(uri), "application/http; msgtype=response")))
+        }
+      }
+    }
+
+  /** cc-index parquet over the crawl-2 shards ([[ensureDocWarcs2]]):
+    * same closed-form mime/status rotation, plus `warc/revisit` rows
+    * for the `%9==2` captures (digest = the original payload's, from
+    * the record's WARC-Payload-Digest header — the public-index
+    * convention [[graft.wat.CcIndex.buildIndex]] implements).
+    */
+  def ensureDocCcIndex2(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, shards: Int = 4): (String, Seq[String]) = {
+    val warcs = ensureDocWarcs2(spark, sfDir, shards)
+    val first = new java.io.File(warcs.head).getName
+    val tag = first.stripPrefix("docs-").stripSuffix("-0.warc.gz")
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-doc-ccindex2-v$GenVersion")
     dir.mkdirs()
     val out = new java.io.File(dir, s"idx3-$tag.parquet")
     if (!out.exists()) {

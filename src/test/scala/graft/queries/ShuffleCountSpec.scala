@@ -222,6 +222,11 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // + the url-keyed anti-join of the two index frames (both sides
     // narrow; AQE may broadcast the previous set when small)
     "q_ccindex_delta" -> 4,
+    // + the digest-keyed revisit resolution: one combinable
+    // one-capture-per-digest agg over the crawl-1 index + the equi-
+    // join of the two NARROW frames + the union's fetch shuffle —
+    // page bytes still never shuffle
+    "q_ccindex_revisit" -> 6,
     // pure per-row canonicalization + final order only
     "q_surt_key" -> 1,
     // per-row header parse + final order only

@@ -244,6 +244,50 @@ class CcIndexSpec extends AnyFunSuite with SparkTestBase {
       .count() == 1)
   }
 
+  test("revisit rows resolve to the original capture, byte-identical") {
+    val (idx1Path, _) =
+      WatFixture.ensureDocCcIndex(spark, "/root/testdata/sf0.001")
+    val (idx2Path, _) =
+      WatFixture.ensureDocCcIndex2(spark, "/root/testdata/sf0.001")
+    val idx2 = spark.read.parquet(idx2Path)
+    // the crawl-2 index carries warc/revisit rows for exactly %9==2,
+    // each with the ORIGINAL payload's digest (from the record's
+    // WARC-Payload-Digest header)
+    val revisits = idx2.where(col("content_mime_type") === "warc/revisit")
+    assert(revisits.count() > 0)
+    for (r <- revisits.collect()) {
+      val id = CcIndex.docIdOf(r.getAs[String]("url"))
+      assert(id % 9 == 2, s"unexpected revisit id $id")
+    }
+    val cur = idx2.where(col("fetch_status") === 200)
+    val prev = spark.read.parquet(idx1Path)
+    // WITHOUT resolution the revisit captures silently vanish (the
+    // non-response record drops into readErrors) — the data-loss
+    // counterfactual this operator exists for
+    val unresolved = CcIndex.fetchHtmlPages(
+        cur.where(col("content_mime_type") =!= "warc/revisit"))
+      .collect().map(_.getString(0)).toSet
+    val resolved = CcIndex.fetchHtmlPages(
+        CcIndex.resolveRevisits(cur, prev))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val revisitUrls = cur
+      .where(col("content_mime_type") === "warc/revisit")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(revisitUrls.nonEmpty)
+    assert(revisitUrls.forall(u => !unresolved.contains(u)))
+    val resolvedUrls = resolved.map(_._1).toSet
+    assert(revisitUrls.forall(resolvedUrls.contains))
+    assert(resolved.length.toLong == cur.count()) // nothing dropped
+    // byte-identity: the revisit-resolved page equals a direct fetch
+    // of the crawl-1 capture for the same url
+    val direct = CcIndex.fetchHtmlPages(
+        prev.where(col("url").isin(revisitUrls.toSeq: _*)))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val byUrl = resolved.toMap
+    for (u <- revisitUrls) assert(byUrl(u) == direct(u),
+      s"revisit payload for $u differs from the original capture")
+  }
+
   test("buildIndex rows carry real offsets and the closed-form columns") {
     val (idxPath, warcs) =
       WatFixture.ensureDocCcIndex(spark, "/root/testdata/sf0.001")
