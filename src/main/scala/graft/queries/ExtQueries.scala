@@ -1786,26 +1786,38 @@ object ExtQueries {
         .sortWithinPartitions("page_url")
     }),
 
-    // Incremental crawl via the index (the cross-crawl pattern): the
-    // previous snapshot's (url, digest) set anti-joins the current
-    // index, so only NEW urls (ids %5==0, absent from the previous
-    // set) and CHANGED content (ids %7==0 carry an altered previous
-    // digest) are ranged-fetched — 100 TB posture: the anti-join is a
-    // url-keyed shuffle equi-join of two narrow index frames (AQE
-    // splittable), archive bytes move only for the delta.
+    // Incremental crawl via the index in the PUBLIC table's layout
+    // (crawl=CC-MAIN-YYYY-WW/subset=warc): the previous crawl
+    // partition's (url, digest) set anti-joins the current crawl
+    // partition, so only NEW urls (ids %5==0, absent from the
+    // previous crawl) and CHANGED content (ids %7==0 carry an altered
+    // previous digest) are ranged-fetched. The two crawl= predicates
+    // STATICALLY prune the scan to exactly the two partitions touched
+    // (pinned in CcIndexSpec — on the real 90-crawl table that is the
+    // difference between reading 2 months and reading a decade), and
+    // the public content_languages column gates the fetch side
+    // relationally (eng-bearing rows only, ids %3!=2). 100 TB
+    // posture: the anti-join is a url-keyed shuffle equi-join of two
+    // narrow index frames (AQE splittable), archive bytes move only
+    // for the delta.
     "q_ccindex_delta" -> ((s, dir) => {
       import s.implicits._
-      val (idxPath, _) = graft.wat.WatFixture.ensureDocCcIndex(s, dir)
-      val idx = s.read.parquet(idxPath)
-        .where(col("fetch_status") === 200 &&
+      val (pidxPath, _) =
+        graft.wat.WatFixture.ensureDocCcIndexPartitioned(s, dir)
+      val idx = s.read.parquet(pidxPath)
+      val cur = idx
+        .where(col("crawl") === "CC-TEST-2024-02" &&
+          col("subset") === "warc" &&
+          col("fetch_status") === 200 &&
+          col("content_mime_type") === "text/html" &&
+          col("content_languages").contains("eng"))
+      val prev = idx
+        .where(col("crawl") === "CC-TEST-2024-01" &&
+          col("subset") === "warc" &&
+          col("fetch_status") === 200 &&
           col("content_mime_type") === "text/html")
-      val id = regexp_extract(col("url"), "doc(\\d+)\\.html$", 1)
-        .cast("long")
-      val prev = idx.where(id % 5 =!= 0)
-        .select(col("url"),
-          when(id % 7 === 0, concat(col("content_digest"), lit("-old")))
-            .otherwise(col("content_digest")).as("content_digest"))
-      val fresh = idx.join(prev, Seq("url", "content_digest"),
+        .select("url", "content_digest")
+      val fresh = cur.join(prev, Seq("url", "content_digest"),
         "left_anti")
       val pages = graft.wat.CcIndex.fetchHtmlPages(fresh)
         .as[(String, String)]
@@ -4967,13 +4979,15 @@ object ExtQueries {
         |FROM d ORDER BY page_url""".stripMargin,
 
     // the delta subset: new urls (%5==0) plus changed content
-    // (%7==0), still inside the index-admitted rows
+    // (%7==0), inside the index-admitted rows AND the eng-language
+    // gate (%3!=2 — 'deu'-only rows fail contains('eng'))
     "q_ccindex_delta" ->
       """WITH d AS (SELECT doc_id,
         |    regexp_replace(trim(text), '\s+', ' ', 'g') AS t
         |  FROM documents
         |  WHERE doc_id IS NOT NULL
         |    AND doc_id % 11 <> 3 AND doc_id % 13 <> 5
+        |    AND doc_id % 3 <> 2
         |    AND (doc_id % 5 = 0 OR doc_id % 7 = 0))
         |SELECT 'https://docs.test/doc' || doc_id::VARCHAR || '.html'
         |    AS page_url,

@@ -445,6 +445,60 @@ object WatFixture {
     (out.getAbsolutePath, warcs)
   }
 
+  /** The cc-index in the PUBLIC table's directory layout:
+    * `crawl=CC-TEST-2024-01/subset=warc` carries the previous
+    * snapshot (ids `%5==0` absent — they are "new" in the current
+    * crawl — and `%7==0` rows carry an altered digest — "changed"
+    * content), `crawl=CC-TEST-2024-02/subset=warc` the current full
+    * index. Both partitions add the public `content_languages` column
+    * (closed form by id%3: eng / eng,fra / deu). A cross-crawl delta
+    * query must STATICALLY prune to exactly its two crawl partitions —
+    * the layout exists so a spec can pin that.
+    */
+  def ensureDocCcIndexPartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, shards: Int = 4): (String, Seq[String]) = {
+    import org.apache.spark.sql.functions._
+    val (idxPath, warcs) = ensureDocCcIndex(spark, sfDir, shards)
+    val first = new java.io.File(warcs.head).getName
+    val tag = first.stripPrefix("docs-").stripSuffix("-0.warc.gz")
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-doc-ccindex-part-v$GenVersion")
+    dir.mkdirs()
+    val out = new java.io.File(dir, s"pidx1-$tag")
+    if (!new java.io.File(out, "_SUCCESS_PART").exists()) {
+      val tmp = new java.io.File(dir, out.getName +
+        s".tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}-${System.nanoTime()}")
+      val id = regexp_extract(col("url"), "doc(\\d+)\\.html$", 1)
+        .cast("long")
+      val base = spark.read.parquet(idxPath)
+        .withColumn("content_languages",
+          when(id % 3 === 0, "eng")
+            .when(id % 3 === 1, "eng,fra")
+            .otherwise("deu"))
+      val prev = base.where(id % 5 =!= 0)
+        .withColumn("content_digest",
+          when(id % 7 === 0, concat(col("content_digest"), lit("-old")))
+            .otherwise(col("content_digest")))
+        .withColumn("crawl", lit("CC-TEST-2024-01"))
+      val cur = base.withColumn("crawl", lit("CC-TEST-2024-02"))
+      prev.unionByName(cur)
+        .withColumn("subset", lit("warc"))
+        .repartition(1)
+        .write.mode("overwrite").partitionBy("crawl", "subset")
+        .parquet(tmp.getAbsolutePath)
+      java.nio.file.Files.write(
+        new java.io.File(tmp, "_SUCCESS_PART").toPath,
+        Array.emptyByteArray)
+      if (!tmp.renameTo(out) &&
+          !new java.io.File(out, "_SUCCESS_PART").exists())
+        throw new java.io.IOException(s"could not materialize $out")
+      if (tmp.exists() && !tmp.getCanonicalPath.equals(out.getCanonicalPath))
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+    (out.getAbsolutePath, warcs)
+  }
+
   /** Second-crawl WARC shards over the SAME documents — the crawl-time
     * dedup shape real CC archives have: ids `%9==2` are captured as
     * `revisit` records (headers-only payload; `WARC-Payload-Digest`

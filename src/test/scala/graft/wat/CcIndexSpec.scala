@@ -244,6 +244,47 @@ class CcIndexSpec extends AnyFunSuite with SparkTestBase {
       .count() == 1)
   }
 
+  test("crawl= partition layout statically prunes to the crawls touched") {
+    val (pidxPath, _) = WatFixture.ensureDocCcIndexPartitioned(spark,
+      "/root/testdata/sf0.001")
+    // the public table's directory shape exists on disk
+    val crawlDirs = new java.io.File(pidxPath).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(crawlDirs.toSeq ==
+      Seq("crawl=CC-TEST-2024-01", "crawl=CC-TEST-2024-02"))
+    assert(new java.io.File(new java.io.File(pidxPath, crawlDirs(0)),
+      "subset=warc").isDirectory)
+    val idx = spark.read.parquet(pidxPath)
+    // a one-crawl predicate lands in PartitionFilters and lists ONE
+    // of the two crawl partitions — on the real ~90-crawl table this
+    // is the difference between scanning 2 months and a decade
+    val one = idx.where(col("crawl") === "CC-TEST-2024-02" &&
+      col("subset") === "warc")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") &&
+      "\\(crawl#\\d+ = CC-TEST-2024-02\\)".r.findFirstIn(plan).isDefined,
+      s"the crawl predicate must land in PartitionFilters:\n${plan.take(1500)}")
+    val scanned = one.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.partitionCount
+    }
+    assert(scanned == Seq(1),
+      s"expected exactly 1 selected partition, got $scanned")
+    // content_languages is a DATA column (not a partition) and its
+    // predicate pushes into the parquet scan
+    val lang = idx.where(col("crawl") === "CC-TEST-2024-02" &&
+      col("content_languages").contains("eng"))
+    assert(lang.queryExecution.executedPlan.toString
+      .contains("StringContains(content_languages,eng)"),
+      "the language predicate must push into the scan")
+    // the current partition is the full index; the previous drops %5==0
+    val (idxPath, _) =
+      WatFixture.ensureDocCcIndex(spark, "/root/testdata/sf0.001")
+    val base = spark.read.parquet(idxPath).count()
+    assert(one.count() == base)
+    assert(idx.where(col("crawl") === "CC-TEST-2024-01").count() < base)
+  }
+
   test("revisit rows resolve to the original capture, byte-identical") {
     val (idx1Path, _) =
       WatFixture.ensureDocCcIndex(spark, "/root/testdata/sf0.001")
