@@ -1874,6 +1874,29 @@ object ExtQueries {
         .sortWithinPartitions("page_url")
     }),
 
+    // Targeted CDXJ lookup via the cluster.idx secondary index: the
+    // index lines live globally SURT-sorted in blocked-gzip shards;
+    // a domain/prefix query binary-searches the (small) cluster.idx,
+    // ranged-reads ONLY the matching compressed blocks, and feeds the
+    // survivors to the same ranged page fetch — shards outside the
+    // prefix range are never opened (spec-pinned by deleting them).
+    // Prefix `test,docs)/doc1` = ids whose decimal form starts with 1.
+    // Oracle = the fetch rendering restricted to that closed-form set.
+    "q_cdxj_lookup" -> ((s, dir) => {
+      import s.implicits._
+      val (clusterIdx, shardDir, _) =
+        graft.wat.WatFixture.ensureDocCdxjClustered(s, dir)
+      val idx = graft.wat.Cdxj.lookupPrefix(s, clusterIdx, shardDir,
+          "test,docs)/doc1")
+        .where(col("fetch_status") === 200 &&
+          col("content_mime_type") === "text/html")
+      val pages = graft.wat.CcIndex.fetchHtmlPages(idx)
+        .as[(String, String)]
+      graft.ext.HtmlMarkdown.htmlToMarkdownKeyed(pages)
+        .repartition(1)
+        .sortWithinPartitions("page_url")
+    }),
+
     // SURT canonicalization (graft.ext.Surt) — the key scheme every
     // web-archive index sorts by (cc-index url_surtkey, CDX/CDXJ
     // ordering): scheme/userinfo/fragment drop, www-label strip,
@@ -5029,6 +5052,26 @@ object ExtQueries {
         |  FROM documents
         |  WHERE doc_id IS NOT NULL
         |    AND doc_id % 11 <> 3 AND doc_id % 13 <> 5)
+        |SELECT 'https://docs.test/doc' || doc_id::VARCHAR || '.html'
+        |    AS page_url,
+        |  '[home](/) [about](/a) [links](/x)' ||
+        |  CASE WHEN t = '' THEN '' ELSE chr(10) || chr(10) || t END ||
+        |  CASE WHEN doc_id % 4 = 0
+        |       THEN chr(10) || chr(10) || '[click now](/b) [buy](/p)'
+        |       ELSE '' END ||
+        |  chr(10) || chr(10) || '[contact](/c) [terms](/t) c 2026'
+        |    AS markdown
+        |FROM d ORDER BY page_url""".stripMargin,
+
+    // the prefix-selected subset: decimal id starts with '1', inside
+    // the same admitted rows as the full fetch
+    "q_cdxj_lookup" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL
+        |    AND doc_id % 11 <> 3 AND doc_id % 13 <> 5
+        |    AND doc_id::VARCHAR LIKE '1%')
         |SELECT 'https://docs.test/doc' || doc_id::VARCHAR || '.html'
         |    AS page_url,
         |  '[home](/) [about](/a) [links](/x)' ||

@@ -139,6 +139,76 @@ object CcIndexScaleProbe {
         println(f"delta d=$d: ${kept} of $lines new wall=$dt%.2fs")
       }
     }
+
+    // cluster.idx targeted lookup vs full-scan filter: one domain's
+    // rows out of the whole index. The I/O axis is blocks read — the
+    // full scan decompresses EVERY block of every shard, the lookup
+    // only the binary-search-selected ones (on S3 that is also the
+    // bytes-moved axis)
+    locally {
+      import graft.wat.Cdxj
+      val tmp = java.nio.file.Files.createTempDirectory("cdxj-cluster-probe")
+      val blockLines = 100
+      for (d <- 0 until decades) {
+        val n = 8 * math.pow(4, d).toInt
+        val warcs = WatFixture.ensureBenchWarcs(n, 500, 20)
+        val lines = indexOver(warcs).collect().map(r =>
+          Cdxj.formatLine(r.getAs[String]("url"), "20240101000000",
+            r.getAs[String]("content_mime_type"),
+            r.getAs[Int]("fetch_status"),
+            r.getAs[String]("content_digest"),
+            r.getAs[String]("warc_filename"),
+            r.getAs[Long]("warc_record_offset"),
+            r.getAs[Long]("warc_record_length"))).sorted
+        val shards = math.max(4, n / 4)
+        val perShard = (lines.length + shards - 1) / shards
+        val root = tmp.resolve(s"clu-$n").toFile
+        root.mkdirs()
+        val idxLines = Seq.newBuilder[String]
+        var seq = 0L
+        for (i <- 0 until shards) {
+          val sl = lines.slice(i * perShard,
+            math.min((i + 1) * perShard, lines.length))
+          val name = f"cdx-$i%05d.gz"
+          val out = new java.io.FileOutputStream(
+            new java.io.File(root, name))
+          var off = 0L
+          for (block <- sl.grouped(blockLines)) {
+            val bos = new java.io.ByteArrayOutputStream()
+            val gz = new java.util.zip.GZIPOutputStream(bos)
+            gz.write(block.map(_ + "\n").mkString.getBytes("UTF-8"))
+            gz.close()
+            val member = bos.toByteArray
+            out.write(member)
+            idxLines += Cdxj.formatClusterLine(Cdxj.IdxBlock(
+              block.head.split(' ').take(2).mkString(" "), name, off,
+              member.length.toLong), seq)
+            seq += 1
+            off += member.length
+          }
+          out.close()
+        }
+        val ciPath = new java.io.File(root, "cluster.idx")
+        val iw = new java.io.FileOutputStream(ciPath)
+        iw.write(idxLines.result().mkString("\n").getBytes("UTF-8"))
+        iw.close()
+        val shardPaths = (0 until shards).map(i =>
+          new java.io.File(root, f"cdx-$i%05d.gz").getAbsolutePath)
+        val prefix = "test,site42)"
+        val (ft, fk) = time2(Cdxj.indexFrame(spark, shardPaths)
+          .where(col("url_surtkey").startsWith(prefix)).count())
+        val blocks = Cdxj.readClusterIdx(ciPath.getAbsolutePath)
+        val sel = Cdxj.selectBlocks(blocks, prefix)
+        val (lt, lk) = time2(Cdxj.lookupPrefix(spark,
+          ciPath.getAbsolutePath, root.getAbsolutePath, prefix).count())
+        println(f"lookup d=$d lines=${lines.length} shards=$shards " +
+          f"blocks=${blocks.size}: full-scan $fk rows $ft%.2fs, " +
+          f"lookup $lk rows $lt%.2fs (${ft / lt}%.2fx), blocks read " +
+          f"${sel.size}/${blocks.size} " +
+          f"(${100.0 * sel.size / blocks.size}%.1f%% of index I/O)")
+        require(fk == lk, s"lookup mismatch: $fk vs $lk")
+      }
+    }
     spark.stop()
   }
 }

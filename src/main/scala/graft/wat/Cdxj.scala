@@ -109,6 +109,152 @@ object Cdxj {
       "warc_record_offset", "warc_record_length")
   }
 
+  /** One `cluster.idx` entry: the FIRST `<surt> <ts>` key of a
+    * gzip-compressed block of CDXJ lines, plus where that block lives
+    * (`shard`, byte `offset`, compressed `length`). CC pairs its
+    * `cdx-*.gz` shards with exactly this secondary index so a domain
+    * lookup binary-searches ONE small file and ranged-reads only the
+    * matching compressed blocks — the alternative is decompressing a
+    * ~300M-line monthly index to find one domain's rows.
+    */
+  final case class IdxBlock(firstKey: String, shard: String,
+      offset: Long, length: Long)
+
+  /** Render a cluster.idx line (writer twin):
+    * `<surt> <ts>\t<shard>\t<offset>\t<length>\t<seq>`.
+    */
+  def formatClusterLine(b: IdxBlock, seq: Long): String =
+    s"${b.firstKey}\t${b.shard}\t${b.offset}\t${b.length}\t$seq"
+
+  /** Parse one cluster.idx line; malformed lines drop (same fail-soft
+    * contract as [[parseLine]]).
+    */
+  def parseClusterLine(line: String): Option[IdxBlock] = {
+    val parts = line.split('\t')
+    if (parts.length < 4) return None
+    try {
+      val off = parts(2)
+      val len = parts(3)
+      if (!off.forall(c => c >= '0' && c <= '9') || off.isEmpty ||
+          !len.forall(c => c >= '0' && c <= '9') || len.isEmpty)
+        return None
+      Some(IdxBlock(parts(0), parts(1), off.toLong, len.toLong))
+    } catch { case _: NumberFormatException => None }
+  }
+
+  /** The blocks that can contain a key starting with `prefix`, by
+    * binary search over the (sorted) cluster.idx entries. Block `i`
+    * covers the key range `[k_i, k_{i+1})`: it is selected iff
+    * `k_i < prefix + U+FFFF` (starts before the prefix range ends) and
+    * `k_{i+1} > prefix` (reaches into it) — the boundary block whose
+    * first key precedes the prefix is included, because the range can
+    * start mid-block. Two O(log n) searches; the scan never touches
+    * blocks outside `[lo, hi]`.
+    */
+  def selectBlocks(blocks: IndexedSeq[IdxBlock], prefix: String)
+      : Seq[IdxBlock] = {
+    if (blocks.isEmpty) return Nil
+    val upper = prefix + '\uffff'
+    // lo: the last block whose first key <= prefix (0 when none — the
+    // range can only start at the first block)
+    var l = 0
+    var r = blocks.length - 1
+    var lo = 0
+    while (l <= r) {
+      val m = (l + r) >>> 1
+      if (blocks(m).firstKey <= prefix) { lo = m; l = m + 1 }
+      else r = m - 1
+    }
+    // hi: the last block whose first key < upper (none → no matches)
+    l = 0; r = blocks.length - 1
+    var hi = -1
+    while (l <= r) {
+      val m = (l + r) >>> 1
+      if (blocks(m).firstKey < upper) { hi = m; l = m + 1 }
+      else r = m - 1
+    }
+    if (hi < lo) Nil else blocks.slice(lo, hi + 1)
+  }
+
+  /** Read a cluster.idx file (driver-side — one line per ~thousands-
+    * of-lines block, small by construction: CC's monthly one is tens
+    * of MB for a 300M-line index).
+    */
+  def readClusterIdx(path: String,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration())
+      : IndexedSeq[IdxBlock] = {
+    val bytes = WatReader.fetchAllBytes(path, conf).getOrElse(
+      throw new java.io.IOException(s"cluster.idx fetch failed: $path"))
+    val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+      WatReader.decompressed(new java.io.ByteArrayInputStream(bytes)),
+      "UTF-8"))
+    try Iterator.continually(reader.readLine()).takeWhile(_ != null)
+      .flatMap(l => parseClusterLine(l).iterator).toIndexedSeq
+    finally reader.close()
+  }
+
+  /** Targeted SURT-prefix lookup: binary-search the cluster.idx,
+    * ranged-read ONLY the matching compressed blocks (offset-sorted
+    * positioned reads, gap-coalesced — the same S3A-vectored shape as
+    * [[CcIndex.fetchHtmlPages]]), parse their lines, keep the prefix's
+    * rows. Shards outside the selected blocks are NEVER OPENED —
+    * against a monthly index a domain query reads a few blocks instead
+    * of every shard. Emits the same frame shape as [[indexFrame]].
+    */
+  def lookupPrefix(spark: SparkSession, clusterIdxPath: String,
+      shardDir: String, prefix: String,
+      gapBytes: Long = 64L << 10, maxReadBytes: Long = 16L << 20)
+      : DataFrame = {
+    import spark.implicits._
+    val blocks = selectBlocks(readClusterIdx(clusterIdxPath,
+      spark.sparkContext.hadoopConfiguration), prefix)
+    val byShard = blocks.groupBy(_.shard).toSeq.sortBy(_._1)
+      .map { case (shard, bs) =>
+        (new org.apache.hadoop.fs.Path(shardDir, shard).toString,
+          bs.map(b => (b.offset, b.length)).sortBy(_._1))
+      }
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val readErrors =
+      spark.sparkContext.longAccumulator("graft.cdxj.lookup_errors")
+    spark.createDataset(byShard)
+      .repartition(math.max(1, byShard.size)) // one task per shard group
+      .flatMap { case (path, ranges) =>
+        val conf = confBc.value.value
+        val inf = new java.util.zip.Inflater(true)
+        val rows = CcIndex.coalesce(ranges, gapBytes, maxReadBytes)
+          .iterator.flatMap { case (readOff, readLen, members) =>
+            val bytes =
+              if (readLen <= 0 || readLen > Int.MaxValue) None
+              else CcIndex.fetchRange(path, readOff, readLen.toInt, conf)
+            bytes match {
+              case None =>
+                readErrors.add(members.size.toLong); Iterator.empty
+              case Some(buf) =>
+                members.iterator.flatMap { case (o, l) =>
+                  CcIndex.inflateMember(buf, (o - readOff).toInt,
+                      l.toInt, inf) match {
+                    case None => readErrors.add(1L); Iterator.empty
+                    case Some(dec) =>
+                      new String(dec, "UTF-8").linesIterator
+                        .flatMap(ln => parseLine(ln).iterator)
+                        .filter(_.surtKey.startsWith(prefix))
+                        .map(r => (r.surtKey, r.timestamp, r.url,
+                          r.mime, r.status, r.digest, r.filename,
+                          r.offset, r.length))
+                  }
+                }
+            }
+          }
+        new ClosingIterator(rows, () => inf.end())
+      }
+      .toDF("url_surtkey", "fetch_time", "url", "content_mime_type",
+        "fetch_status", "content_digest", "warc_filename",
+        "warc_record_offset", "warc_record_length")
+  }
+
   /** Render one capture as a CDXJ line (writer twin). */
   def formatLine(url: String, timestamp: String, mime: String,
       status: Int, digest: String, filename: String, offset: Long,

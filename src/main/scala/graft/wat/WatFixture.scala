@@ -625,6 +625,77 @@ object WatFixture {
       warcs)
   }
 
+  /** The CDXJ index in CC's CLUSTERED publication shape: the whole
+    * line set globally SURT-sorted, split into `shards` contiguous
+    * `cdx-NNNNN.gz` files, each written as independent gzip members of
+    * ≤ `blockLines` lines, plus the `cluster.idx` sidecar (one line
+    * per block: first key + shard + offset + compressed length) — the
+    * secondary index [[graft.wat.Cdxj.lookupPrefix]] binary-searches.
+    * Returns (cluster.idx path, shard dir, shard paths).
+    */
+  def ensureDocCdxjClustered(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, shards: Int = 4, blockLines: Int = 16)
+      : (String, String, Seq[String]) = {
+    val (idxPath, warcs) = ensureDocCcIndex(spark, sfDir, shards)
+    val first = new java.io.File(warcs.head).getName
+    val tag = first.stripPrefix("docs-").stripSuffix("-0.warc.gz")
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-doc-cdxj-cluster-v$GenVersion")
+    val root = new java.io.File(dir, s"clu1-$tag-b$blockLines")
+    val clusterIdx = new java.io.File(root, "cluster.idx")
+    val shardNames = (0 until shards).map(i => f"cdx-$i%05d.gz")
+    if (!clusterIdx.exists()) {
+      val tmp = new java.io.File(dir, root.getName +
+        s".tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}-${System.nanoTime()}")
+      tmp.mkdirs()
+      val lines = spark.read.parquet(idxPath).collect().map { r =>
+        val url = r.getAs[String]("url")
+        val id = graft.wat.CcIndex.docIdOf(url)
+        val ts = f"20240101${id % 24}%02d${id % 60}%02d${(id * 7) % 60}%02d"
+        Cdxj.formatLine(url, ts,
+          r.getAs[String]("content_mime_type"),
+          r.getAs[Int]("fetch_status"),
+          r.getAs[String]("content_digest"),
+          r.getAs[String]("warc_filename"),
+          r.getAs[Long]("warc_record_offset"),
+          r.getAs[Long]("warc_record_length"))
+      }.sorted // GLOBAL surt order — shard i covers a contiguous range
+      val perShard = (lines.length + shards - 1) / shards
+      val idxLines = Seq.newBuilder[String]
+      var seq = 0L
+      for ((name, i) <- shardNames.zipWithIndex) {
+        val shardLines =
+          lines.slice(i * perShard, math.min((i + 1) * perShard, lines.length))
+        val f = new java.io.File(tmp, name)
+        val out = new FileOutputStream(f)
+        try {
+          var off = 0L
+          for (block <- shardLines.grouped(blockLines)) {
+            // one INDEPENDENT gzip member per block — the unit a
+            // ranged read can decompress on its own
+            val member = gzipMember(
+              block.map(_ + "\n").mkString.getBytes(UTF_8))
+            out.write(member)
+            val key = block.head.split(' ').take(2).mkString(" ")
+            idxLines += Cdxj.formatClusterLine(
+              Cdxj.IdxBlock(key, name, off, member.length.toLong), seq)
+            seq += 1
+            off += member.length
+          }
+        } finally out.close()
+      }
+      val iw = new FileOutputStream(new java.io.File(tmp, "cluster.idx"))
+      try iw.write(idxLines.result().mkString("\n").getBytes(UTF_8))
+      finally iw.close()
+      if (!tmp.renameTo(root) && !clusterIdx.exists())
+        throw new java.io.IOException(s"could not materialize $root")
+      if (tmp.exists() && !tmp.getCanonicalPath.equals(root.getCanonicalPath))
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+    (clusterIdx.getAbsolutePath, root.getAbsolutePath,
+      shardNames.map(n => new java.io.File(root, n).getAbsolutePath))
+  }
+
   def ensureBenchWarcs(n: Int, nRecords: Int = 500,
       linksPerRecord: Int = 20): Seq[String] = {
     val dir = new java.io.File(

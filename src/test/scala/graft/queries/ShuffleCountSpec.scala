@@ -219,6 +219,10 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // the text-index form takes the same path: per-row line parse
     // rides the shard task, then the same two exchanges
     "q_cdxj_fetch" -> 2,
+    // cluster.idx targeted lookup: one local-relation spread of the
+    // selected (shard, ranges) groups + the same fetch + order pair —
+    // neither index lines nor page bytes ever shuffle
+    "q_cdxj_lookup" -> 3,
     // + the url-keyed anti-join of the two index frames (both sides
     // narrow; AQE may broadcast the previous set when small)
     "q_ccindex_delta" -> 4,

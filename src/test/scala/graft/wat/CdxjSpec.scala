@@ -85,6 +85,76 @@ class CdxjSpec extends AnyFunSuite with SparkTestBase {
         Array.fill(rnd.nextInt(80))((32 + rnd.nextInt(90)).toChar)))
   }
 
+  test("selectBlocks: binary-search boundaries, empty and miss cases") {
+    def b(k: String, i: Int) = Cdxj.IdxBlock(k, s"s$i", i * 100L, 100L)
+    val blocks = IndexedSeq(b("com,a)/p", 0), b("com,m)/p", 1),
+      b("org,a)/p", 2), b("org,z)/p", 3))
+    // a prefix starting mid-block selects the boundary block too
+    assert(Cdxj.selectBlocks(blocks, "com,m)").map(_.shard) ==
+      Seq("s0", "s1")) // range could begin inside s0 (keys < com,m)/p)
+    // a prefix inside one block's range selects just that block
+    assert(Cdxj.selectBlocks(blocks, "com,x").map(_.shard) == Seq("s1"))
+    // a prefix spanning blocks selects the span
+    assert(Cdxj.selectBlocks(blocks, "org,").map(_.shard) ==
+      Seq("s1", "s2", "s3"))
+    // entirely before the first key (no key can match) → nothing;
+    // after the last first-key → the last block only
+    assert(Cdxj.selectBlocks(blocks, "aaa").isEmpty)
+    assert(Cdxj.selectBlocks(blocks, "zzz").map(_.shard) == Seq("s3"))
+    assert(Cdxj.selectBlocks(IndexedSeq.empty, "x").isEmpty)
+    // exact first-key hit: the PRECEDING block holds only keys
+    // strictly below it, so just the hit block is selected
+    assert(Cdxj.selectBlocks(blocks, "org,a)/p").map(_.shard) ==
+      Seq("s2"))
+  }
+
+  test("cluster.idx lookup reads only matching blocks; untouched shards never open") {
+    val (clusterIdx, shardDir, shardPaths) =
+      WatFixture.ensureDocCdxjClustered(spark, "/root/testdata/sf0.001")
+    val prefix = "test,docs)/doc1"
+    // ground truth: the full-scan filter over all shards
+    val full = Cdxj.indexFrame(spark, shardPaths)
+      .where(col("url_surtkey").startsWith(prefix))
+      .select("url").collect().map(_.getString(0)).sorted
+    assert(full.nonEmpty)
+    val got = Cdxj.lookupPrefix(spark, clusterIdx, shardDir, prefix)
+      .select("url").collect().map(_.getString(0)).sorted
+    assert(got.sameElements(full))
+    // the selected blocks are a strict subset of the index
+    val blocks = Cdxj.readClusterIdx(clusterIdx)
+    val selected = Cdxj.selectBlocks(blocks, prefix)
+    assert(selected.nonEmpty && selected.size < blocks.size,
+      s"lookup must not read the whole index " +
+        s"(${selected.size}/${blocks.size} blocks)")
+    // hard proof shards outside the selection are NEVER OPENED: copy
+    // the layout, replace every unselected shard with garbage — the
+    // lookup must still return the identical rows
+    val tmp = java.nio.file.Files
+      .createTempDirectory("cdxj-cluster-tamper").toFile
+    tmp.deleteOnExit()
+    java.nio.file.Files.copy(
+      new java.io.File(clusterIdx).toPath,
+      new java.io.File(tmp, "cluster.idx").toPath)
+    val touched = selected.map(_.shard).toSet
+    for (p <- shardPaths) {
+      val name = new java.io.File(p).getName
+      val dst = new java.io.File(tmp, name)
+      if (touched.contains(name))
+        java.nio.file.Files.copy(new java.io.File(p).toPath, dst.toPath)
+      else // a read of this shard would now throw / parse to nothing
+        java.nio.file.Files.write(dst.toPath,
+          "GARBAGE-NOT-GZIP".getBytes("UTF-8"))
+    }
+    assert(touched.size < shardPaths.size) // the tamper is non-vacuous
+    val tampered = Cdxj.lookupPrefix(spark,
+        new java.io.File(tmp, "cluster.idx").getAbsolutePath,
+        tmp.getAbsolutePath, prefix)
+      .select("url").collect().map(_.getString(0)).sorted
+    assert(tampered.sameElements(full),
+      "tampering with unselected shards changed the lookup — it must " +
+        "never open them")
+  }
+
   test("indexFrame over the cdxj shards equals the parquet index") {
     val (cdxjs, _) = WatFixture.ensureDocCdxj(spark, "/root/testdata/sf0.001")
     val (idxPath, _) =
