@@ -1575,7 +1575,8 @@ object ExtQueries {
       val (pages, robots) = graft.ext.Robots.syntheticFrontier(
         docsWithTokens(s, dir).where(col("doc_id").isNotNull)
           .select("doc_id").as[java.lang.Long])
-      graft.ext.Robots.gateByDomain(pages, robots, agent = "graftbot")
+      graft.ext.Robots.gateByDomain(pages, robots, agent = "graftbot",
+        maxBroadcastDomains = Long.MaxValue)
         .orderBy("doc_id")
     }),
 
@@ -1616,7 +1617,8 @@ object ExtQueries {
         docsWithTokens(s, dir).where(col("doc_id").isNotNull)
           .select("doc_id").as[java.lang.Long])
       graft.ext.Politeness.scheduleCapped(
-        graft.ext.Robots.gateByDomain(pages, robots, agent = "graftbot")
+        graft.ext.Robots.gateByDomain(pages, robots, agent = "graftbot",
+        maxBroadcastDomains = Long.MaxValue)
           .where(col("allowed")),
         domainCol = "domain", orderCol = "doc_id",
         delayCol = "crawl_delay_sec", maxPerDomain = 5L)
@@ -1642,7 +1644,8 @@ object ExtQueries {
           coalesce(concat(lit("?"), parse_url(col("link"), lit("QUERY"))),
             lit(""))).as("path"))
       graft.ext.Robots.gateByDomain(pages,
-        graft.ext.Robots.syntheticFeedRobots(ids), agent = "graftbot")
+        graft.ext.Robots.syntheticFeedRobots(ids), agent = "graftbot",
+        maxBroadcastDomains = Long.MaxValue)
         .orderBy("doc_id", "path")
     }),
 
@@ -1661,7 +1664,8 @@ object ExtQueries {
         docsWithTokens(s, dir).where(col("doc_id").isNotNull)
           .select("doc_id").as[java.lang.Long])
       graft.ext.Politeness.schedule(
-        graft.ext.Robots.gateByDomain(pages, robots, agent = "graftbot")
+        graft.ext.Robots.gateByDomain(pages, robots, agent = "graftbot",
+        maxBroadcastDomains = Long.MaxValue)
           .where(col("allowed")),
         domainCol = "domain", orderCol = "doc_id",
         delayCol = "crawl_delay_sec")
@@ -1687,7 +1691,8 @@ object ExtQueries {
             coalesce(concat(lit("?"), parse_url(col("loc"), lit("QUERY"))),
               lit(""))).as("path"))
       val robots = graft.ext.Robots.syntheticFrontierRobots(ids)
-      graft.ext.Robots.gateByDomain(pages, robots, agent = "graftbot")
+      graft.ext.Robots.gateByDomain(pages, robots, agent = "graftbot",
+        maxBroadcastDomains = Long.MaxValue)
         .orderBy("doc_id", "path")
     }),
 

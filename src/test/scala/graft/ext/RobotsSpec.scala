@@ -140,6 +140,31 @@ class RobotsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("a pinned broadcast threshold skips the robots.count() job") {
+    import spark.implicits._
+    val pages = Seq((1L, "d.test", "/x")).toDF("doc_id", "domain", "path")
+    // a robots frame whose SCAN is observable: any job that touches it
+    // bumps the accumulator
+    val scans = spark.sparkContext.longAccumulator("robots-scans")
+    val robots = spark.createDataset(Seq(("d.test", "User-agent: *\n")))
+      .mapPartitions { it => scans.add(1L); it }
+      .toDF("domain", "robots")
+    // pinned shapes: CONSTRUCTING the gate runs no job at all — the
+    // registered queries pass Long.MaxValue for exactly this reason
+    // (the default threshold pays one robots.count() job per gate call)
+    Robots.gateByDomain(pages, robots, "graftbot", Long.MaxValue)
+    Robots.gateByDomain(pages, robots, "graftbot", 0L)
+    assert(scans.value == 0L,
+      "a pinned threshold must not run any eager job at construction")
+    // the default threshold decides by counting the small side: one
+    // eager scan happens before any action — the job the pin saves
+    Robots.gateByDomain(pages, robots, "graftbot")
+    assert(scans.value > 0L,
+      "the default threshold is expected to pay the counting job " +
+        "(if this starts passing, the default got lazy — update the " +
+        "registered queries' rationale)")
+  }
+
   test("gateByDomain: a frontier domain with NO robots row is allowed") {
     import spark.implicits._
     val pages = Seq((1L, "nowhere.test", "/private/x"))
