@@ -19,10 +19,12 @@ object Surt {
 
   /** URL corpus rotating every canonicalization rule (scheme by %2,
     * www label by %3, port keep/drop by %5, path case, query order by
-    * %4, fragment by %7) → (doc_id, url, surt_key). Lives HERE, not in
-    * the query registry: a lambda defined inside the registry object
-    * drags that object's static init onto executor JVMs (the
-    * local-cluster battery catches exactly this).
+    * %4, fragment by %7; ids %10==3 are bracketed-IPv6 authorities
+    * and %10==7 dotted-quad IPv4 — the IP-literal no-reverse rules) →
+    * (doc_id, url, surt_key). Lives HERE, not in the query registry:
+    * a lambda defined inside the registry object drags that object's
+    * static init onto executor JVMs (the local-cluster battery
+    * catches exactly this).
     */
   def syntheticUrlKeys(
       ids: org.apache.spark.sql.Dataset[java.lang.Long])
@@ -31,18 +33,30 @@ object Surt {
     import spark.implicits._
     ids.mapPartitions(_.map { boxed =>
       val id = boxed.longValue()
-      val scheme = if (id % 2 == 0) "https" else "http"
-      val host = (if (id % 3 == 0) "www." else "") +
-        s"site${id % 20}.example"
-      val port =
-        if (id % 5 == 0) ":8080"
-        else if (id % 5 == 1) ":443" else ""
-      val path = s"/Path${id % 7}/item"
-      val query =
-        if (id % 4 == 0) s"?b=2&a=${id % 9}"
-        else if (id % 4 == 1) "?z=1" else ""
-      val frag = if (id % 7 == 0) "#frag" else ""
-      val url = s"$scheme://$host$port$path$query$frag"
+      val url =
+        if (id % 10 == 3) {
+          // uppercase hex + the default/explicit port rotation on a
+          // bracketed literal — lastIndexOf(':') would mis-split these.
+          // Inner rotation steps by id/10: id%2 is CONSTANT (odd)
+          // inside the %10==3 residue class (the fixture-modulus rule)
+          val port = if ((id / 10) % 2 == 0) ":8443" else ":443"
+          s"http://[2001:DB8::${id % 9}]$port/v6/item${id % 7}"
+        } else if (id % 10 == 7) {
+          s"https://192.168.${id % 20}.1/v4/item${id % 7}"
+        } else {
+          val scheme = if (id % 2 == 0) "https" else "http"
+          val host = (if (id % 3 == 0) "www." else "") +
+            s"site${id % 20}.example"
+          val port =
+            if (id % 5 == 0) ":8080"
+            else if (id % 5 == 1) ":443" else ""
+          val path = s"/Path${id % 7}/item"
+          val query =
+            if (id % 4 == 0) s"?b=2&a=${id % 9}"
+            else if (id % 4 == 1) "?z=1" else ""
+          val frag = if (id % 7 == 0) "#frag" else ""
+          s"$scheme://$host$port$path$query$frag"
+        }
       (id, url, surtKey(url))
     }).toDF("doc_id", "url", "surt_key")
   }
@@ -73,21 +87,51 @@ object Surt {
     val (auth, rest) =
       if (pathStart < 0) (afterUser, "")
       else (afterUser.substring(0, pathStart), afterUser.substring(pathStart))
+    def portOf(p: String): String =
+      if (p.nonEmpty && p.forall(c => c >= '0' && c <= '9'))
+        if (p == "80" || p == "443") "" else ":" + p
+      else ""
     val (host, port) = {
-      val c = auth.lastIndexOf(':')
-      if (c < 0) (auth, "")
-      else {
-        val p = auth.substring(c + 1)
-        if (p.nonEmpty && p.forall(_.isDigit))
-          (auth.substring(0, c), if (p == "80" || p == "443") "" else ":" + p)
-        else (auth, "")
+      if (auth.startsWith("[")) {
+        // bracketed IPv6 literal: the host is everything through `]`;
+        // a naive lastIndexOf(':') would land mid-address on a
+        // portless `[2001:db8::1]` — split on the bracket instead
+        val close = auth.indexOf(']')
+        if (close < 0) (auth, "") // malformed: keep whole, fail closed
+        else {
+          val h = auth.substring(0, close + 1)
+          val rest = auth.substring(close + 1)
+          if (rest.startsWith(":")) (h, portOf(rest.substring(1)))
+          else (h, "")
+        }
+      } else {
+        val c = auth.lastIndexOf(':')
+        if (c < 0) (auth, "")
+        else {
+          val p = portOf(auth.substring(c + 1))
+          if (p.nonEmpty ||
+              auth.substring(c + 1).forall(x => x >= '0' && x <= '9'))
+            (auth.substring(0, c), p)
+          else (auth, "")
+        }
       }
     }
     val labels = host.split('.').filter(_.nonEmpty)
     val trimmed =
       if (labels.length > 2 && labels.head.matches("www\\d*")) labels.tail
       else labels
-    val revHost = trimmed.reverse.mkString(",")
+    // IP literals keep their written form (the cc-index convention —
+    // the surt reversal exists to group a registered domain's labels,
+    // which an address has none of): bracketed IPv6 stays whole,
+    // dotted-quad IPv4 stays unreversed
+    val isIpv6 = host.startsWith("[")
+    val isIpv4 = labels.length == 4 &&
+      labels.forall(l => l.nonEmpty && l.length <= 3 &&
+        l.forall(c => c >= '0' && c <= '9'))
+    val revHost =
+      if (isIpv6) host
+      else if (isIpv4) labels.mkString(".")
+      else trimmed.reverse.mkString(",")
     // split path / query; sort query params bytewise
     val (path, query) = {
       val q = rest.indexOf('?')

@@ -5090,9 +5090,21 @@ object ExtQueries {
 
     // every SURT rule recomputed in closed form: scheme/fragment
     // drop, www strip, host reversal, :8080 kept / :443 dropped,
-    // path lowercased, query params sorted (b=2&a=N -> a=N&b=2)
+    // path lowercased, query params sorted (b=2&a=N -> a=N&b=2);
+    // ids %10==3 are bracketed IPv6 literals (kept whole, hex
+    // lowercased, :443 dropped / :8443 kept) and %10==7 dotted-quad
+    // IPv4 (kept UNreversed) — the IP no-reverse convention
     "q_surt_key" ->
       """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 3 THEN
+        |    'http://[2001:DB8::' || (doc_id % 9)::VARCHAR || ']' ||
+        |    (CASE WHEN (doc_id // 10) % 2 = 0
+        |          THEN ':8443' ELSE ':443' END) ||
+        |    '/v6/item' || (doc_id % 7)::VARCHAR
+        |  WHEN doc_id % 10 = 7 THEN
+        |    'https://192.168.' || (doc_id % 20)::VARCHAR ||
+        |    '.1/v4/item' || (doc_id % 7)::VARCHAR
+        |  ELSE
         |  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) ||
         |  '://' ||
         |  (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
@@ -5103,13 +5115,23 @@ object ExtQueries {
         |  (CASE WHEN doc_id % 4 = 0
         |        THEN '?b=2&a=' || (doc_id % 9)::VARCHAR
         |        WHEN doc_id % 4 = 1 THEN '?z=1' ELSE '' END) ||
-        |  (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url,
+        |  (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)
+        |  END AS url,
+        |  CASE WHEN doc_id % 10 = 3 THEN
+        |    '[2001:db8::' || (doc_id % 9)::VARCHAR || ']' ||
+        |    (CASE WHEN (doc_id // 10) % 2 = 0 THEN ':8443' ELSE '' END) ||
+        |    ')/v6/item' || (doc_id % 7)::VARCHAR
+        |  WHEN doc_id % 10 = 7 THEN
+        |    '192.168.' || (doc_id % 20)::VARCHAR ||
+        |    '.1)/v4/item' || (doc_id % 7)::VARCHAR
+        |  ELSE
         |  'example,site' || (doc_id % 20)::VARCHAR ||
         |  (CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END) ||
         |  ')/path' || (doc_id % 7)::VARCHAR || '/item' ||
         |  (CASE WHEN doc_id % 4 = 0
         |        THEN '?a=' || (doc_id % 9)::VARCHAR || '&b=2'
-        |        WHEN doc_id % 4 = 1 THEN '?z=1' ELSE '' END) AS surt_key
+        |        WHEN doc_id % 4 = 1 THEN '?z=1' ELSE '' END)
+        |  END AS surt_key
         |FROM documents WHERE doc_id IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
 

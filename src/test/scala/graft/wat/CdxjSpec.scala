@@ -32,6 +32,23 @@ class CdxjSpec extends AnyFunSuite with SparkTestBase {
       "com,example)/x?user=a@b")
     // schemeless input still keys
     assert(Surt.surtKey("example.com/x") == "com,example)/x")
+    // bracketed IPv6 authorities: the host is everything through `]`
+    // (lastIndexOf(':') would land mid-address on the portless form);
+    // IP literals keep their written shape — no label reversal
+    assert(Surt.surtKey("http://[2001:DB8::1]/x") == "[2001:db8::1])/x")
+    assert(Surt.surtKey("http://[::1]:8080/x") == "[::1]:8080)/x")
+    assert(Surt.surtKey("https://[::1]:443/x") == "[::1])/x")
+    assert(Surt.surtKey("http://[2001:db8::2]:80/x?b=1&a=2") ==
+      "[2001:db8::2])/x?a=2&b=1")
+    // malformed bracket (no close): fail closed, keep the authority
+    assert(Surt.surtKey("http://[2001:db8/x") == "[2001:db8)/x")
+    // dotted-quad IPv4 stays unreversed; ports still canonicalize
+    assert(Surt.surtKey("http://192.168.0.1/x") == "192.168.0.1)/x")
+    assert(Surt.surtKey("https://10.0.0.2:8443/p") == "10.0.0.2:8443)/p")
+    assert(Surt.surtKey("http://10.0.0.2:80/p") == "10.0.0.2)/p")
+    // a 4-label NAME is not an IPv4 and still reverses
+    assert(Surt.surtKey("http://a.b.c.d/") == "d,c,b,a)/")
+    assert(Surt.surtKey("http://1234.168.0.1/") == "1,0,168,1234)/")
   }
 
   test("parseLine: round-trip, field tolerance, malformed lines drop") {
