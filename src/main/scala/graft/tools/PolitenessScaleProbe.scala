@@ -80,6 +80,47 @@ object PolitenessScaleProbe {
         f"two-phase wall=$tw%.2fs maxTask=${tMax}ms " +
         f"(rank checksum equal: $nSum)")
     }
+
+    // the double-evaluation A/B (r18 verdict): schedule() consumes its
+    // input twice, so an EXPENSIVE upstream — here the real robots
+    // gate (broadcast rules join + per-row matching) — re-runs for the
+    // bases branch. persistGated swaps the re-run for one cache
+    // write + cached read. Both sides checksum-equal.
+    locally {
+      import graft.ext.{Politeness, Robots}
+      import spark.implicits._
+      for (d <- 0 until decades) {
+        val rows = 1000000L * math.pow(4, d).toLong
+        val pages = spark.range(rows).select(
+          col("id").as("doc_id"),
+          concat(lit("d"), (col("id") % 100000L).cast("string"),
+            lit(".test")).as("domain"),
+          concat(lit("/p"), col("id").cast("string")).as("path"))
+        val robots = spark.range(100000L)
+          .select(concat(lit("d"), col("id").cast("string"),
+            lit(".test")).as("domain"), col("id"))
+          .as[(String, Long)]
+          .map { case (d0, i) => (d0, Robots.robotsFor(i % 3)) }
+          .toDF("domain", "robots")
+        def gated = Robots.gateByDomain(pages, robots, "graftbot",
+          Long.MaxValue).where(col("allowed"))
+        def run(persist: Boolean): (Double, Long) = {
+          val (w, _, s) = timed(
+            Politeness.schedule(gated, "domain", "doc_id",
+              "crawl_delay_sec", persistGated = persist)
+              .agg(sum("slot")).head().getLong(0))
+          spark.catalog.clearCache() // release the opt-in cache
+          (w, s)
+        }
+        run(persist = false) // warm the gate/JIT once per decade
+        val (rw, rSum) = run(persist = false)
+        val (pw, pSum) = run(persist = true)
+        require(rSum == pSum,
+          s"persist changed ranks: $rSum vs $pSum")
+        println(f"gate-upstream d=$d rows=$rows recompute=$rw%.2fs " +
+          f"persist=$pw%.2fs (${rw / pw}%.2fx, checksum $rSum)")
+      }
+    }
     spark.stop()
   }
 }
