@@ -1260,9 +1260,20 @@ object Multimodal {
     import spark.implicits._
     ids.mapPartitions(_.map { boxed =>
       val id = boxed.longValue()
-      val w = (16 * (1 + id % 5)).toInt
-      val h = (16 * (1 + id % 4)).toInt
-      val bytes: Array[Byte] = (id % 13) match {
+      (id, mixedBlobFor(id), "application/octet-stream")
+    }).toDF("doc_id", "bytes", "mime")
+  }
+
+  /** One mixed-corpus blob in closed form — the per-id builder behind
+    * [[syntheticMixedCorpus]], shared with the warc-framed media
+    * fixture (graft.wat.WatFixture.ensureDocMediaWarcs) so the
+    * index-driven ranged fetch and the in-memory corpus carry
+    * byte-identical payloads.
+    */
+  def mixedBlobFor(id: Long): Array[Byte] = {
+    val w = (16 * (1 + id % 5)).toInt
+    val h = (16 * (1 + id % 4)).toInt
+    (id % 13) match {
         case 0 => Mp4.write(Mp4.BuildSpec(w, h,
           (1 to (2 + id % 3).toInt).map(j => 30 + j), syncEvery = 2))
         case 1 => Webm.write(Webm.BuildSpec(w, h,
@@ -1300,9 +1311,7 @@ object Multimodal {
         case 12 => Tiff.write(w, h, pages = (1 + (id / 13) % 3).toInt,
           packbits = (id / 13) % 2 == 1, seed = id)
         case _ => s"plain text payload $id".getBytes("UTF-8")
-      }
-      (id, bytes, "application/octet-stream")
-    }).toDF("doc_id", "bytes", "mime")
+    }
   }
 
   /** Dedicated image-probe stage over png/webp/avif payloads: one row

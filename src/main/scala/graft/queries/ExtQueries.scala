@@ -1879,6 +1879,33 @@ object ExtQueries {
         .sortWithinPartitions("page_url")
     }),
 
+    // Index-driven MULTI-FORMAT extraction (CcIndex.fetchRecords —
+    // the raw sibling of the html fetch): the media corpus archived
+    // as octet-stream responses, the index filtered relationally
+    // (%11==3 404s never fetched), the selected records ranged-read
+    // as RAW entity bytes (digest-verified) and fed straight into the
+    // 13-family triage dispatch — the whole byte-level stack composed
+    // behind the targeted access path. Oracle = the q_media_triage
+    // arithmetic restricted to the admitted ids.
+    "q_ccindex_media" -> ((s, dir) => {
+      import s.implicits._
+      val (idxPath, _) = graft.wat.WatFixture.ensureDocMediaCcIndex(s, dir)
+      val idx = s.read.parquet(idxPath)
+        .where(col("fetch_status") === 200 &&
+          col("url_host_name") === "docs.test")
+      val media = graft.wat.CcIndex.fetchRecords(idx)
+        .select(regexp_extract(col("page_url"), "doc(\\d+)\\.bin$", 1)
+          .cast("long").as("doc_id"),
+          col("body").as("bytes"))
+      Multimodal.mediaTriage(media).toDF()
+        .select(col("doc_id"), col("format"), col("width"),
+          col("height"), col("n_units"))
+        // the fetch already shuffled locator triples; a global orderBy
+        // would range-sample and fetch twice (the established tail)
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    }),
+
     // Targeted CDXJ lookup via the cluster.idx secondary index: the
     // index lines live globally SURT-sorted in blocked-gzip shards;
     // a domain/prefix query binary-searches the (small) cluster.idx,
@@ -5067,6 +5094,33 @@ object ExtQueries {
         |  chr(10) || chr(10) || '[contact](/c) [terms](/t) c 2026'
         |    AS markdown
         |FROM d ORDER BY page_url""".stripMargin,
+
+    // the q_media_triage arithmetic over the index-admitted ids only
+    // (%11==3 rows are 404s the ranged path must never fetch)
+    "q_ccindex_media" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 13 WHEN 0 THEN 'mp4' WHEN 1 THEN 'webm'
+        |    WHEN 2 THEN 'avi' WHEN 3 THEN 'gif' WHEN 4 THEN 'audio'
+        |    WHEN 5 THEN 'tar' WHEN 6 THEN 'zip' WHEN 7 THEN 'pdf'
+        |    WHEN 8 THEN 'jpeg' WHEN 10 THEN 'png' WHEN 11 THEN 'webp'
+        |    WHEN 12 THEN 'tiff' ELSE 'unknown' END AS format,
+        |  (CASE WHEN doc_id % 13 IN (0, 1, 2, 3, 8, 10, 11, 12)
+        |        THEN 16 * (1 + doc_id % 5) ELSE 0 END)::BIGINT AS width,
+        |  (CASE WHEN doc_id % 13 IN (0, 1, 2, 3, 8, 10, 11, 12)
+        |        THEN 16 * (1 + doc_id % 4) ELSE 0 END)::BIGINT AS height,
+        |  (CASE doc_id % 13 WHEN 0 THEN 2 + doc_id % 3
+        |    WHEN 1 THEN 2 + doc_id % 4 WHEN 2 THEN 2 + doc_id % 5
+        |    WHEN 3 THEN 1 + doc_id % 3 WHEN 4 THEN 100 + doc_id % 50
+        |    WHEN 5 THEN 1 + doc_id % 4 WHEN 6 THEN 1 + doc_id % 3
+        |    WHEN 7 THEN 1 + doc_id % 2 WHEN 8 THEN 1
+        |    WHEN 10 THEN 1 + (doc_id // 13) % 3
+        |    WHEN 11 THEN CASE WHEN (doc_id // 13) % 3 = 2
+        |                      THEN 2 + (doc_id // 13) % 2 ELSE 1 END
+        |    WHEN 12 THEN 1 + (doc_id // 13) % 3
+        |    ELSE 0 END)::BIGINT AS n_units
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND doc_id % 11 <> 3
+        |ORDER BY doc_id""".stripMargin,
 
     // the prefix-selected subset: decimal id starts with '1', inside
     // the same admitted rows as the full fetch

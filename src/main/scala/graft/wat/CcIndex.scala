@@ -270,7 +270,51 @@ object CcIndex {
 
   def fetchHtmlPages(idx: DataFrame,
       readErrors: org.apache.spark.util.LongAccumulator,
-      splitBytes: Long, gapBytes: Long, maxReadBytes: Long): DataFrame = {
+      splitBytes: Long, gapBytes: Long, maxReadBytes: Long): DataFrame =
+    fetchVerified[String](idx, readErrors, splitBytes, gapBytes,
+      maxReadBytes)(r => WarcHtml.htmlOfHttpResponse(r.payload))(
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.STRING))
+      .toDF("page_url", "html")
+
+  /** Index-driven RAW record fetch — the generic sibling of
+    * [[fetchHtmlPages]] for non-HTML targets (PDFs, images, any
+    * archived blob): `(page_url, body)` rows where `body` is the HTTP
+    * entity bytes of exactly the selected records, digest-verified.
+    * Same plan shape: only locator triples shuffle, one region-bounded
+    * task per archive slice, bytes born in the fetch task. Feed the
+    * result to any byte-level stage (media triage, the PDF walker,
+    * charset decode).
+    */
+  def fetchRecords(idx: DataFrame,
+      splitBytes: Long = 1L << 30,
+      gapBytes: Long = 64L << 10,
+      maxReadBytes: Long = 16L << 20): DataFrame = {
+    val spark = idx.sparkSession
+    fetchVerified[Array[Byte]](idx,
+      spark.sparkContext.longAccumulator("graft.ccindex.read_errors"),
+      splitBytes, gapBytes, maxReadBytes) { r =>
+      val b = r.payload
+      val s = httpBodyStart(b)
+      Some(java.util.Arrays.copyOfRange(b, s, b.length))
+    }(org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.BINARY))
+      .toDF("page_url", "body")
+  }
+
+  /** The shared imperative core of the ranged fetch: region grouping,
+    * coalesced positioned reads, member decode, the response-type gate
+    * and digest verification — `conv` turns each VERIFIED record's
+    * payload into the output value (None = drop + count).
+    */
+  private def fetchVerified[A](idx: DataFrame,
+      readErrors: org.apache.spark.util.LongAccumulator,
+      splitBytes: Long, gapBytes: Long, maxReadBytes: Long)(
+      conv: WarcRecord => Option[A])(
+      implicit ev: org.apache.spark.sql.Encoder[(String, A)])
+      : org.apache.spark.sql.Dataset[(String, A)] = {
     val spark = idx.sparkSession
     import spark.implicits._
     require(splitBytes > 0, s"splitBytes: $splitBytes")
@@ -355,25 +399,24 @@ object CcIndex {
                         if (!r.warcType.equalsIgnoreCase("response")) None
                         else if (want.nonEmpty &&
                             payloadDigest(r.payload) != want) None
-                        else WarcHtml.htmlOfHttpResponse(r.payload).map(h =>
-                          (r.headers.getOrElse("warc-target-uri", ""), h))
+                        else conv(r).map(a =>
+                          (r.headers.getOrElse("warc-target-uri", ""), a))
                       }
                     if (page.isEmpty) readErrors.add(1L)
                     page.iterator
                   }
               }
           }
-          new Iterator[(String, String)] {
+          new Iterator[(String, A)] {
             override def hasNext: Boolean = {
               val h = body.hasNext
               if (!h) release() // group exhausted: free the handle now
               h
             }
-            override def next(): (String, String) = body.next()
+            override def next(): (String, A) = body.next()
           }
         }
       }
-      .toDF("page_url", "html")
   }
 
   /** Resolve `revisit` index rows into fetchable targets. Real CC
@@ -540,11 +583,11 @@ object CcIndex {
     if (slash < 0) rest else rest.substring(0, slash)
   }
 
-  /** doc<id>.html → id; -1 when the URL is not a doc page (the
+  /** doc<id>.<ext> → id; -1 when the URL is not a doc page (the
     * fixture synthesis only — never used on real index rows).
     */
   private[wat] def docIdOf(url: String): Long = {
-    val m = "doc(\\d+)\\.html$".r.findFirstMatchIn(url)
+    val m = "doc(\\d+)\\.[a-z0-9]+$".r.findFirstMatchIn(url)
     m.map(_.group(1).toLong).getOrElse(-1L)
   }
 }

@@ -377,6 +377,59 @@ object WatFixture {
         }
     }
 
+  /** WARC shards whose response bodies are the MIXED MEDIA corpus
+    * (graft.ext.Multimodal.mixedBlobFor — byte-identical to the
+    * in-memory q_media_triage fixture): doc id r becomes a response
+    * record at `https://docs.test/doc<id>.bin` carrying the blob as an
+    * application/octet-stream entity. The dir name carries `m1`: the
+    * blobs derive from the GENERATOR, not the documents text the
+    * shared cache tag fingerprints — bump it whenever mixedBlobFor's
+    * closed forms change (the fixture-cache staleness rule).
+    */
+  def ensureDocMediaWarcs(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, shards: Int = 4): Seq[String] =
+    ensureDocShards(spark, sfDir, shards, "graft-doc-media-warcs-m1",
+      ".warc.gz") { (out, docs) =>
+      for ((id, _) <- docs) {
+        val blob = graft.ext.Multimodal.mixedBlobFor(id)
+        val http = (s"HTTP/1.1 200 OK\r\n" +
+          s"Content-Type: application/octet-stream\r\n" +
+          s"Content-Length: ${blob.length}\r\n\r\n").getBytes(UTF_8)
+        out.write(gzipMember(warcRecordBytes("response", http ++ blob,
+          Some(s"https://docs.test/doc$id.bin"),
+          "application/http; msgtype=response")))
+      }
+    }
+
+  /** cc-index parquet over the media shards ([[ensureDocMediaWarcs]]):
+    * octet-stream mime, the usual %11==3 → 404 rotation (the rows a
+    * media extraction must never fetch).
+    */
+  def ensureDocMediaCcIndex(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, shards: Int = 4): (String, Seq[String]) = {
+    val warcs = ensureDocMediaWarcs(spark, sfDir, shards)
+    val first = new java.io.File(warcs.head).getName
+    val tag = first.stripPrefix("docs-").stripSuffix("-0.warc.gz")
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-doc-media-ccindex-v$GenVersion")
+    dir.mkdirs()
+    val out = new java.io.File(dir, s"midx1-$tag.parquet")
+    if (!out.exists()) {
+      val tmp = new java.io.File(dir, out.getName +
+        s".tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}-${System.nanoTime()}")
+      graft.wat.CcIndex.buildIndex(spark, warcs,
+          mimeOf = _ => "application/octet-stream",
+          statusOf = id => if (id % 11 == 3) 404 else 200)
+        .repartition(1)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      if (!tmp.renameTo(out) && !out.exists())
+        throw new java.io.IOException(s"could not materialize $out")
+      if (tmp.exists())
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+    (out.getAbsolutePath, warcs)
+  }
+
   /** The documents table framed as WET shards: one warcinfo header
     * record per shard (CC writes one; the reader must skip it), then
     * one `conversion` record per document -- target URI matching

@@ -226,6 +226,10 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // + the url-keyed anti-join of the two index frames (both sides
     // narrow; AQE may broadcast the previous set when small)
     "q_ccindex_delta" -> 4,
+    // raw-record fetch + per-row triage dispatch: the same two
+    // exchanges as the html fetch — blob bytes never shuffle, the
+    // 13-family parse rides the fetch output
+    "q_ccindex_media" -> 2,
     // + the digest-keyed revisit resolution: one combinable
     // one-capture-per-digest agg over the crawl-1 index + the equi-
     // join of the two NARROW frames + the union's fetch shuffle —

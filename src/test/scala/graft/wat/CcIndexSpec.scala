@@ -329,6 +329,32 @@ class CcIndexSpec extends AnyFunSuite with SparkTestBase {
       s"revisit payload for $u differs from the original capture")
   }
 
+  test("fetchRecords returns the raw entity bytes, digest-verified") {
+    val (idxPath, _) =
+      WatFixture.ensureDocMediaCcIndex(spark, "/root/testdata/sf0.001")
+    val idx = spark.read.parquet(idxPath)
+      .where(col("fetch_status") === 200)
+    val got = CcIndex.fetchRecords(idx).collect()
+      .map(r => (CcIndex.docIdOf(r.getString(0)), r.getAs[Array[Byte]](1)))
+    assert(got.length.toLong == idx.count())
+    // byte-identity with the closed-form generator for every record
+    for ((id, body) <- got)
+      assert(java.util.Arrays.equals(body,
+        graft.ext.Multimodal.mixedBlobFor(id)),
+        s"doc $id bytes differ from mixedBlobFor")
+    // the digest still gates: re-point one row at another member
+    val rows = idx.orderBy("url").limit(2).collect()
+    val swapped = idx
+      .where(col("url") === rows(0).getAs[String]("url"))
+      .withColumn("warc_record_offset",
+        lit(rows(1).getAs[Long]("warc_record_offset")))
+      .withColumn("warc_record_length",
+        lit(rows(1).getAs[Long]("warc_record_length")))
+      .withColumn("warc_filename",
+        lit(rows(1).getAs[String]("warc_filename")))
+    assert(CcIndex.fetchRecords(swapped).count() == 0)
+  }
+
   test("buildIndex rows carry real offsets and the closed-form columns") {
     val (idxPath, warcs) =
       WatFixture.ensureDocCcIndex(spark, "/root/testdata/sf0.001")
