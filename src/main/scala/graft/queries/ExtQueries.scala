@@ -1921,7 +1921,10 @@ object ExtQueries {
       val idx = graft.wat.Cdxj.lookupPrefix(s, clusterIdx, shardDir,
           "test,docs)/doc1")
         .where(col("fetch_status") === 200 &&
-          col("content_mime_type") === "text/html")
+          col("content_mime_type") === "text/html" &&
+          // the JSON block's languages field (real CC CDXJ carries
+          // it), same eng gate as the partitioned parquet delta
+          col("content_languages").contains("eng"))
       val pages = graft.wat.CcIndex.fetchHtmlPages(idx)
         .as[(String, String)]
       graft.ext.HtmlMarkdown.htmlToMarkdownKeyed(pages)
@@ -5123,13 +5126,15 @@ object ExtQueries {
         |ORDER BY doc_id""".stripMargin,
 
     // the prefix-selected subset: decimal id starts with '1', inside
-    // the same admitted rows as the full fetch
+    // the same admitted rows as the full fetch, AND the eng-language
+    // gate over the JSON block's languages field (%3!=2)
     "q_cdxj_lookup" ->
       """WITH d AS (SELECT doc_id,
         |    regexp_replace(trim(text), '\s+', ' ', 'g') AS t
         |  FROM documents
         |  WHERE doc_id IS NOT NULL
         |    AND doc_id % 11 <> 3 AND doc_id % 13 <> 5
+        |    AND doc_id % 3 <> 2
         |    AND doc_id::VARCHAR LIKE '1%')
         |SELECT 'https://docs.test/doc' || doc_id::VARCHAR || '.html'
         |    AS page_url,

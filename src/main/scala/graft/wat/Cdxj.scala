@@ -18,7 +18,8 @@ object Cdxj {
 
   final case class CdxjRow(surtKey: String, timestamp: String,
       url: String, mime: String, status: Int, digest: String,
-      filename: String, offset: Long, length: Long)
+      filename: String, offset: Long, length: Long,
+      languages: String, encoding: String)
 
   /** Shared parser — `ObjectMapper` construction is heavyweight and
     * `readTree` is thread-safe, so one instance serves every line of a
@@ -63,7 +64,8 @@ object Cdxj {
       if (!asciiDigits(offset) || !asciiDigits(length)) return None
       Some(CdxjRow(key, ts, url, str("mime"),
         if (asciiDigits(status)) status.toInt else 0,
-        str("digest"), str("filename"), offset.toLong, length.toLong))
+        str("digest"), str("filename"), offset.toLong, length.toLong,
+        str("languages"), str("encoding")))
     } catch {
       case _: com.fasterxml.jackson.core.JacksonException => None
       case _: NumberFormatException => None
@@ -84,8 +86,8 @@ object Cdxj {
   def indexFrame(spark: SparkSession, paths: Seq[String],
       readErrors: org.apache.spark.util.LongAccumulator): DataFrame = {
     import spark.implicits._
-    ArchiveTasks.perArchive[
-        (String, String, String, String, Int, String, String, Long, Long)](
+    ArchiveTasks.perArchive[(String, String, String, String, Int,
+        String, String, Long, Long, String, String)](
         spark, paths, readErrors, Long.MaxValue) { (path, conf, onCorrupt, _) =>
       WatReader.fetchAllBytes(path, conf) match {
         case None =>
@@ -101,12 +103,14 @@ object Cdxj {
           new ClosingIterator(
             lines.flatMap(l => parseLine(l).iterator).map(r =>
               (r.surtKey, r.timestamp, r.url, r.mime, r.status,
-                r.digest, r.filename, r.offset, r.length)),
+                r.digest, r.filename, r.offset, r.length,
+                r.languages, r.encoding)),
             () => reader.close())
       }
     }.toDF("url_surtkey", "fetch_time", "url", "content_mime_type",
       "fetch_status", "content_digest", "warc_filename",
-      "warc_record_offset", "warc_record_length")
+      "warc_record_offset", "warc_record_length",
+      "content_languages", "content_charset")
   }
 
   /** One `cluster.idx` entry: the FIRST `<surt> <ts>` key of a
@@ -243,7 +247,7 @@ object Cdxj {
                         .filter(_.surtKey.startsWith(prefix))
                         .map(r => (r.surtKey, r.timestamp, r.url,
                           r.mime, r.status, r.digest, r.filename,
-                          r.offset, r.length))
+                          r.offset, r.length, r.languages, r.encoding))
                   }
                 }
             }
@@ -252,18 +256,24 @@ object Cdxj {
       }
       .toDF("url_surtkey", "fetch_time", "url", "content_mime_type",
         "fetch_status", "content_digest", "warc_filename",
-        "warc_record_offset", "warc_record_length")
+        "warc_record_offset", "warc_record_length",
+        "content_languages", "content_charset")
   }
 
   /** Render one capture as a CDXJ line (writer twin). */
   def formatLine(url: String, timestamp: String, mime: String,
       status: Int, digest: String, filename: String, offset: Long,
-      length: Long): String = {
+      length: Long, languages: String = "", encoding: String = "")
+      : String = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     graft.ext.Surt.surtKey(url) + " " + timestamp + " " +
       s"""{"url": "${esc(url)}", "mime": "${esc(mime)}", """ +
       s""""status": "$status", "digest": "${esc(digest)}", """ +
       s""""length": "$length", "offset": "$offset", """ +
+      (if (languages.nonEmpty) s""""languages": "${esc(languages)}", """
+       else "") +
+      (if (encoding.nonEmpty) s""""encoding": "${esc(encoding)}", """
+       else "") +
       s""""filename": "${esc(filename)}"}"""
   }
 }

@@ -623,12 +623,24 @@ object WatFixture {
     (out.getAbsolutePath, warcs)
   }
 
+  /** Closed-form `content_languages` value by doc id — shared by the
+    * partitioned parquet index and the CDXJ JSON `languages` field so
+    * a language predicate means the same thing on both index forms.
+    */
+  private[wat] def docLangs(id: Long): String =
+    (id % 3) match {
+      case 0 => "eng"
+      case 1 => "eng,fra"
+      case _ => "deu"
+    }
+
   /** CDXJ text shards over the SAME captures as [[ensureDocCcIndex]]:
     * one `.cdxj.gz` per warc shard, lines SURT-SORTED within the
     * shard (the format's seekability contract), offsets/lengths the
     * real gzip-member frames, mime/status the same closed-form
-    * rotation. Timestamp is a deterministic 14-digit stamp from the
-    * doc id. Same cache-tag discipline.
+    * rotation, languages/encoding in the JSON block (the fields CC's
+    * real CDXJ carries). Timestamp is a deterministic 14-digit stamp
+    * from the doc id. Same cache-tag discipline.
     */
   def ensureDocCdxj(spark: org.apache.spark.sql.SparkSession,
       sfDir: String, shards: Int = 4): (Seq[String], Seq[String]) = {
@@ -639,7 +651,7 @@ object WatFixture {
       s"graft-doc-cdxj-v$GenVersion")
     dir.mkdirs()
     val missing = (0 until shards).exists(i =>
-      !new java.io.File(dir, s"docs3-$tag-$i.cdxj.gz").exists())
+      !new java.io.File(dir, s"docs4-$tag-$i.cdxj.gz").exists())
     if (missing) {
       val rows = spark.read.parquet(idxPath).collect().map { r =>
         val url = r.getAs[String]("url")
@@ -652,10 +664,11 @@ object WatFixture {
             r.getAs[String]("content_digest"),
             r.getAs[String]("warc_filename"),
             r.getAs[Long]("warc_record_offset"),
-            r.getAs[Long]("warc_record_length")))
+            r.getAs[Long]("warc_record_length"),
+            languages = docLangs(id), encoding = "UTF-8"))
       }.groupBy(_._1)
       for ((warcPath, i) <- warcs.zipWithIndex) {
-        val f = new java.io.File(dir, s"docs3-$tag-$i.cdxj.gz")
+        val f = new java.io.File(dir, s"docs4-$tag-$i.cdxj.gz")
         if (!f.exists()) {
           val tmp = new java.io.File(dir, f.getName +
             s".tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}-${System.nanoTime()}")
@@ -674,7 +687,7 @@ object WatFixture {
       }
     }
     ((0 until shards).map(i =>
-      new java.io.File(dir, s"docs3-$tag-$i.cdxj.gz").getAbsolutePath),
+      new java.io.File(dir, s"docs4-$tag-$i.cdxj.gz").getAbsolutePath),
       warcs)
   }
 
@@ -694,7 +707,7 @@ object WatFixture {
     val tag = first.stripPrefix("docs-").stripSuffix("-0.warc.gz")
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft-doc-cdxj-cluster-v$GenVersion")
-    val root = new java.io.File(dir, s"clu1-$tag-b$blockLines")
+    val root = new java.io.File(dir, s"clu2-$tag-b$blockLines")
     val clusterIdx = new java.io.File(root, "cluster.idx")
     val shardNames = (0 until shards).map(i => f"cdx-$i%05d.gz")
     if (!clusterIdx.exists()) {
@@ -711,7 +724,8 @@ object WatFixture {
           r.getAs[String]("content_digest"),
           r.getAs[String]("warc_filename"),
           r.getAs[Long]("warc_record_offset"),
-          r.getAs[Long]("warc_record_length"))
+          r.getAs[Long]("warc_record_length"),
+          languages = docLangs(id), encoding = "UTF-8")
       }.sorted // GLOBAL surt order — shard i covers a contiguous range
       val perShard = (lines.length + shards - 1) / shards
       val idxLines = Seq.newBuilder[String]

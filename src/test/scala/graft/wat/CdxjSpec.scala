@@ -63,6 +63,14 @@ class CdxjSpec extends AnyFunSuite with SparkTestBase {
       r.mime == "text/html" && r.status == 200 && r.digest == "QQ44" &&
       r.filename == "seg/x.warc.gz" && r.offset == 12345L &&
       r.length == 678L)
+    // absent languages/encoding parse as "" (the old line shape)
+    assert(r.languages == "" && r.encoding == "")
+    // the real-CC JSON fields round-trip when present
+    val withLang = Cdxj.formatLine("https://www.example.com/a",
+      "20240101120000", "text/html", 200, "QQ44", "seg/x.warc.gz",
+      12345L, 678L, languages = "eng,fra", encoding = "UTF-8")
+    val rl = Cdxj.parseLine(withLang).get
+    assert(rl.languages == "eng,fra" && rl.encoding == "UTF-8")
     // quotes in the url escape and round-trip
     val esc = Cdxj.formatLine("https://e.test/\"q\"", "20240101000000",
       "", 0, "", "f", 0L, 1L)
