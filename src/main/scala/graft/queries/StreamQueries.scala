@@ -204,7 +204,76 @@ object StreamQueries {
       s.read.parquet(s"$tmp/out")
     }
 
+  /** Stage `df` as TWO real micro-batches (split by a deterministic
+    * hash of `splitCol`) and run `mk` per batch via foreachBatch into
+    * a per-batch parquet dir — mode("overwrite") per micro-batch dir
+    * makes a retried batch idempotent, which is exactly Spark's
+    * documented exactly-once recipe for foreachBatch sinks. This is
+    * the streaming INTAKE shape for imperative batch operators: the
+    * ranged archive fetch cannot be a streaming-native aggregate (its
+    * per-region group-and-read is not a watermarkable agg), so each
+    * micro-batch of freshly-DISCOVERED index rows drives one targeted
+    * fetch — the continuous-crawl consumption pattern.
+    */
+  private def runForeachBatch(s: SparkSession, srcDir: String,
+      staged: => DataFrame, schema: String, splitCol: String,
+      tag: String)(mk: DataFrame => DataFrame): DataFrame =
+    withStreamWidth(s) {
+      val dirKey = s"$srcDir|$schema"
+      val reuse = stagedFor.get(tag).contains(dirKey) &&
+        stagedDirsPresent(tag, "in/b1", "in/b2")
+      val tmp = streamDir(tag, keepInputs = reuse)
+      if (!reuse) {
+        val src = staged
+        src.where(pmod(hash(col(splitCol)), lit(2)) === 0)
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b1")
+        src.where(pmod(hash(col(splitCol)), lit(2)) === 1)
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/b2")
+        bumpModTime(s"$tmp/in/b2")
+        stagedFor.put(tag, dirKey)
+      }
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in/*")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          mk(b).write.mode("overwrite").parquet(s"$tmp/out/b$id")
+          ()
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out/b*")
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Streaming intake of the cc-index → targeted ranged fetch: index
+    // rows arrive in micro-batches (two real batches split by url
+    // hash — the incremental-discovery shape) and each batch drives
+    // the SAME coalesced positioned-read fetch + markdown rendering
+    // the batch query runs. Oracle IDENTICAL to q_ccindex_fetch:
+    // stream == batch on the fetched page set, exactly-once through
+    // the per-batch idempotent sink.
+    "q_ccindex_stream" -> ((s, dir) => {
+      import s.implicits._
+      val (idxPath, _) = graft.wat.WatFixture.ensureDocCcIndex(s, dir)
+      def idx = s.read.parquet(idxPath)
+        .where(col("fetch_status") === 200 &&
+          col("content_mime_type") === "text/html" &&
+          col("url_host_name") === "docs.test")
+        .select("url", "content_digest", "warc_filename",
+          "warc_record_offset", "warc_record_length")
+      runForeachBatch(s, dir, idx,
+        "url STRING, content_digest STRING, warc_filename STRING, " +
+          "warc_record_offset LONG, warc_record_length LONG",
+        splitCol = "url", tag = "ccindex-stream") { b =>
+        graft.ext.HtmlMarkdown.htmlToMarkdownKeyed(
+          graft.wat.CcIndex.fetchHtmlPages(b).as[(String, String)])
+          .toDF()
+      }
+        .repartition(1)
+        .sortWithinPartitions("page_url")
+    }),
     // Watermarked tumbling-window agg through the stream: only windows
     // the 2 h watermark has passed are final (append mode), so the
     // oracle is the batch hourly agg restricted to finalized windows.
@@ -351,6 +420,24 @@ object StreamQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // stream == batch on the index-driven fetch: the q_ccindex_fetch
+    // rendering verbatim (micro-batching must not change the page set)
+    "q_ccindex_stream" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL
+        |    AND doc_id % 11 <> 3 AND doc_id % 13 <> 5)
+        |SELECT 'https://docs.test/doc' || doc_id::VARCHAR || '.html'
+        |    AS page_url,
+        |  '[home](/) [about](/a) [links](/x)' ||
+        |  CASE WHEN t = '' THEN '' ELSE chr(10) || chr(10) || t END ||
+        |  CASE WHEN doc_id % 4 = 0
+        |       THEN chr(10) || chr(10) || '[click now](/b) [buy](/p)'
+        |       ELSE '' END ||
+        |  chr(10) || chr(10) || '[contact](/c) [terms](/t) c 2026'
+        |    AS markdown
+        |FROM d ORDER BY page_url""".stripMargin,
     // Batch hourly agg restricted to watermark-finalized windows:
     // window_end (ms) <= max event ms - 2 h. Spark's watermark tracks
     // max event time in FLOOR-to-ms (µs/1000), matching epoch_ms.

@@ -301,6 +301,9 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // parquet sink; the streaming micro-batches are priced inside the
     // query run, not in this plan
     "q_dedup_stream" -> 1,
+    // the returned frame is the sink read-back + oracle-order tail;
+    // the fetch work ran inside foreachBatch micro-batches
+    "q_ccindex_stream" -> 1,
     "q_cap_stream" -> 1,
     "q_interval_join_stream" -> 1,
     "q_fuzzy_dedup_stream" -> 1,
