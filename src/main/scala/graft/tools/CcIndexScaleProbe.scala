@@ -69,6 +69,29 @@ object CcIndexScaleProbe {
       idx.unpersist()
     }
 
+    // revisit-resolution decades: 20% of index rows arrive as
+    // warc/revisit pointers; resolveRevisits must stay a combinable
+    // one-capture-per-digest agg + narrow equi-join (no window) — the
+    // overhead axis is resolution time vs the plain fetch
+    for (d <- 0 until decades) {
+      val n = 8 * math.pow(4, d).toInt
+      val warcs = WatFixture.ensureBenchWarcs(n, 500, 20)
+      val idx = indexOver(warcs).cache()
+      val total = idx.count()
+      val cur = idx.withColumn("content_mime_type",
+        when(abs(hash(col("url"))) % 5 === 0, lit("warc/revisit"))
+          .otherwise(col("content_mime_type")))
+      val (pt, pRows) = time2(CcIndex.fetchHtmlPages(idx).count())
+      val (rt, rRows) = time2(CcIndex.fetchHtmlPages(
+        CcIndex.resolveRevisits(cur, idx)).count())
+      require(rRows == total && pRows == total,
+        s"revisit resolution lost rows: $rRows/$pRows of $total")
+      println(f"revisit d=$d records=$total plain=$pt%.2fs " +
+        f"resolved=$rt%.2fs (${rt / pt}%.2fx overhead for the " +
+        "digest join)")
+      idx.unpersist()
+    }
+
     // selectivity sweep on the top shape: ranged vs whole-file. BOTH
     // sides force the html column (sum of lengths) so neither can
     // prune the decode; note local disk makes whole-file reads
