@@ -5060,24 +5060,37 @@ object ExtQueries {
 
     // crawl-2 admitted rows: 404s (%11==3) out; %9==2 ids are
     // warc/revisit rows (IN — the resolver must surface them), the
-    // rest follow the html/pdf mime rotation (%13==5 out)
+    // rest follow the html/pdf mime rotation (%13==5 out). CROSS-URL
+    // revisits ((id//9)%3==1) render the PREVIOUS doc's content under
+    // the revisit's own url — the attribution the resolver carries
+    // (falls back to self when id-1 is absent, mirroring the fixture)
     "q_ccindex_revisit" ->
       """WITH d AS (SELECT doc_id,
         |    regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |adm AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 2 AND (doc_id // 9) % 3 = 1
+        |         THEN doc_id - 1 ELSE doc_id END AS want_id
         |  FROM documents
         |  WHERE doc_id IS NOT NULL
         |    AND doc_id % 11 <> 3
-        |    AND (doc_id % 9 = 2 OR doc_id % 13 <> 5))
+        |    AND (doc_id % 9 = 2 OR doc_id % 13 <> 5)),
+        |src AS (SELECT adm.doc_id,
+        |    coalesce(ref.doc_id, adm.doc_id) AS content_id,
+        |    coalesce(ref.t, self.t) AS t
+        |  FROM adm
+        |  LEFT JOIN d ref ON ref.doc_id = adm.want_id
+        |  JOIN d self ON self.doc_id = adm.doc_id)
         |SELECT 'https://docs.test/doc' || doc_id::VARCHAR || '.html'
         |    AS page_url,
         |  '[home](/) [about](/a) [links](/x)' ||
         |  CASE WHEN t = '' THEN '' ELSE chr(10) || chr(10) || t END ||
-        |  CASE WHEN doc_id % 4 = 0
+        |  CASE WHEN content_id % 4 = 0
         |       THEN chr(10) || chr(10) || '[click now](/b) [buy](/p)'
         |       ELSE '' END ||
         |  chr(10) || chr(10) || '[contact](/c) [terms](/t) c 2026'
         |    AS markdown
-        |FROM d ORDER BY page_url""".stripMargin,
+        |FROM src ORDER BY page_url""".stripMargin,
 
     // the CDXJ path must fetch the identical subset: same rendering,
     // same excluded synthesized 404s/non-HTML rows

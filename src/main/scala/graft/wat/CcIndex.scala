@@ -331,28 +331,42 @@ object CcIndex {
         org.apache.spark.sql.functions.coalesce( // (local coalesce = ranges)
           col("content_digest").cast("string"), lit(""))
       else lit("")
+    // the index row's url rides along (when present): the emitted
+    // page_url is the CAPTURE the caller asked about — for a resolved
+    // cross-url revisit that is the revisit's url, not the original
+    // record's header URI; the digest verification is what ties the
+    // bytes to the claim
+    val urlCol =
+      if (idx.columns.contains("url"))
+        org.apache.spark.sql.functions.coalesce(
+          col("url").cast("string"), lit(""))
+      else lit("")
     idx
       .select(col("warc_filename").cast("string").as("f"),
         col("warc_record_offset").cast("long").as("o"),
         col("warc_record_length").cast("long").as("l"),
-        digestCol.as("d"))
+        digestCol.as("d"), urlCol.as("u"))
       .groupBy(col("f"), floor(col("o") / lit(splitBytes)).as("region"))
-      // sort_array on (o, l, d) structs orders by offset first — the
+      // sort_array on (o, l, d, u) structs orders by offset first — the
       // monotone-seek order the positioned reader wants
-      .agg(sort_array(collect_list(struct(col("o"), col("l"), col("d"))))
-        .as("ranges"))
+      .agg(sort_array(collect_list(
+        struct(col("o"), col("l"), col("d"), col("u")))).as("ranges"))
       .select(col("f"), col("ranges"))
-      .as[(String, Seq[(Long, Long, String)])]
+      .as[(String, Seq[(Long, Long, String, String)])]
       .flatMap { case (path, members) =>
-        val ranges = members.map(m => (m._1, m._2))
-        val digestOf = members.iterator.map(m => m._1 -> m._3).toMap
+        // several index rows may point at ONE member (N revisits →
+        // one original capture): read + decode the member once, emit
+        // one output PER REQUESTING ROW
+        val requests = members.groupBy(m => (m._1, m._2)).view
+          .mapValues(_.map(m => (m._3, m._4))).toMap
+        val ranges = members.map(m => (m._1, m._2)).distinct
         val conf = confBc.value.value
         val p = new Path(path)
         var in: org.apache.hadoop.fs.FSDataInputStream = null
         try in = p.getFileSystem(conf).open(p)
         catch { case scala.util.control.NonFatal(_) => }
         if (in == null) {
-          readErrors.add(ranges.size.toLong)
+          readErrors.add(members.size.toLong) // one error per index row
           Iterator.empty
         } else {
           val stream = in
@@ -387,23 +401,33 @@ object CcIndex {
                 }
               bytes match {
                 case None =>
-                  readErrors.add(groupMembers.size.toLong)
+                  readErrors.add(groupMembers.iterator.map(m =>
+                    requests.getOrElse(m, Seq.empty).size.toLong)
+                    .sum.max(groupMembers.size.toLong))
                   Iterator.empty
                 case Some(buf) =>
                   groupMembers.iterator.flatMap { case (o, l) =>
-                    val want = digestOf.getOrElse(o, "")
-                    val page =
+                    val reqs = requests.getOrElse((o, l), Seq(("", "")))
+                    // decode ONCE per member, then satisfy every
+                    // requesting index row (digest re-verified per
+                    // request — two rows may claim different digests)
+                    val rec =
                       if (l > Int.MaxValue) None
-                      else memberRecord(buf, (o - readOff).toInt, l.toInt,
-                        inf).flatMap { r =>
-                        if (!r.warcType.equalsIgnoreCase("response")) None
-                        else if (want.nonEmpty &&
-                            payloadDigest(r.payload) != want) None
-                        else conv(r).map(a =>
-                          (r.headers.getOrElse("warc-target-uri", ""), a))
+                      else memberRecord(buf, (o - readOff).toInt,
+                        l.toInt, inf)
+                        .filter(_.warcType.equalsIgnoreCase("response"))
+                    val digest = rec.map(r => payloadDigest(r.payload))
+                    reqs.iterator.flatMap { case (want, u) =>
+                      val page = rec.flatMap { r =>
+                        if (want.nonEmpty && !digest.contains(want)) None
+                        else conv(r).map(a => (
+                          if (u.nonEmpty) u
+                          else r.headers.getOrElse("warc-target-uri", ""),
+                          a))
                       }
-                    if (page.isEmpty) readErrors.add(1L)
-                    page.iterator
+                      if (page.isEmpty) readErrors.add(1L)
+                      page.iterator
+                    }
                   }
               }
           }

@@ -562,8 +562,17 @@ object WatFixture {
     * capture that holds the bytes.
     */
   def ensureDocWarcs2(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String, shards: Int = 4): Seq[String] =
-    ensureDocShards(spark, sfDir, shards, "graft-doc-warcs2",
+      sfDir: String, shards: Int = 4): Seq[String] = {
+    // the full text map (lazy: only materialized when shards actually
+    // regenerate) — CROSS-URL revisits ((id/9)%3==1, stepped by the
+    // quotient per the fixture-modulus rule) reference the PREVIOUS
+    // doc's content, whose text lives in another shard
+    lazy val textOf: Map[Long, String] = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .where(org.apache.spark.sql.functions.col("doc_id").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    ensureDocShards(spark, sfDir, shards, "graft-doc-warcs2b",
       ".warc.gz") { (out, docs) =>
       for ((id, text) <- docs) {
         require(!text.contains('<') && !text.contains('&'),
@@ -573,11 +582,21 @@ object WatFixture {
         val uri = s"https://docs.test/doc$id.html"
         if (id % 9 == 2) {
           // identical-payload-digest revisit: HTTP headers only, no
-          // body — the whole point is that the bytes are NOT here
+          // body — the whole point is that the bytes are NOT here.
+          // (id/9)%3==1 rows are CROSS-URL: the digest names the
+          // PREVIOUS doc's capture (same content found at another
+          // url — the attribution case resolveRevisits must get right)
+          val ref =
+            if ((id / 9) % 3 == 1 && textOf.contains(id - 1)) id - 1
+            else id
+          val refHtml =
+            if (ref == id) html
+            else graft.queries.ExtQueries.bpHtmlFor(ref, textOf(ref))
+              .getBytes(UTF_8)
           val http = ("HTTP/1.1 200 OK\r\n" +
             "Content-Type: text/html; charset=UTF-8\r\n\r\n")
             .getBytes(UTF_8)
-          val digest = graft.wat.CcIndex.sha1Base32(html)
+          val digest = graft.wat.CcIndex.sha1Base32(refHtml)
           out.write(gzipMember(warcRecordBytes("revisit", http,
             Some(uri), "application/http; msgtype=response",
             Seq("WARC-Payload-Digest" -> s"sha1:$digest"))))
@@ -590,6 +609,7 @@ object WatFixture {
         }
       }
     }
+  }
 
   /** cc-index parquet over the crawl-2 shards ([[ensureDocWarcs2]]):
     * same closed-form mime/status rotation, plus `warc/revisit` rows
@@ -605,7 +625,9 @@ object WatFixture {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft-doc-ccindex2-v$GenVersion")
     dir.mkdirs()
-    val out = new java.io.File(dir, s"idx3-$tag.parquet")
+    // idx4: bumped when cross-url revisit digests landed (same docs
+    // tag, different warc content — the staleness rule)
+    val out = new java.io.File(dir, s"idx4-$tag.parquet")
     if (!out.exists()) {
       val tmp = new java.io.File(dir, out.getName +
         s".tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}-${System.nanoTime()}")

@@ -319,14 +319,29 @@ class CcIndexSpec extends AnyFunSuite with SparkTestBase {
     val resolvedUrls = resolved.map(_._1).toSet
     assert(revisitUrls.forall(resolvedUrls.contains))
     assert(resolved.length.toLong == cur.count()) // nothing dropped
-    // byte-identity: the revisit-resolved page equals a direct fetch
-    // of the crawl-1 capture for the same url
-    val direct = CcIndex.fetchHtmlPages(
-        prev.where(col("url").isin(revisitUrls.toSeq: _*)))
+    // byte-identity, digest-keyed: the revisit-resolved page equals a
+    // direct fetch of the ORIGINAL capture carrying that digest — for
+    // cross-url revisits ((id/9)%3==1 reference the previous doc's
+    // content) that is a DIFFERENT url's capture, attributed to the
+    // revisit's url
+    val wantDigest = cur
+      .where(col("content_mime_type") === "warc/revisit")
+      .select("url", "content_digest").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    val urlOfDigest = prev.select("content_digest", "url").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    val directByUrl = CcIndex.fetchHtmlPages(prev)
       .collect().map(r => (r.getString(0), r.getString(1))).toMap
     val byUrl = resolved.toMap
-    for (u <- revisitUrls) assert(byUrl(u) == direct(u),
-      s"revisit payload for $u differs from the original capture")
+    var crossSeen = 0
+    for (u <- revisitUrls) {
+      val origUrl = urlOfDigest(wantDigest(u))
+      if (origUrl != u) crossSeen += 1
+      assert(byUrl(u) == directByUrl(origUrl),
+        s"revisit payload for $u differs from its original capture " +
+          s"at $origUrl")
+    }
+    assert(crossSeen > 0, "fixture must exercise cross-url revisits")
   }
 
   test("fetchRecords returns the raw entity bytes, digest-verified") {
