@@ -1765,6 +1765,41 @@ object ExtQueries {
         .sortWithinPartitions("page_url")
     }),
 
+    // WARC re-packaging round trip (graft.wat.WarcSink — the OUTPUT
+    // side of the archive stack): pages read through the warc source,
+    // re-emitted as member-per-record response shards (atomic
+    // partition-keyed publish, deterministic bytes), and read BACK
+    // through the same source — a filtered sub-corpus leaves the
+    // engine in the format the ecosystem consumes, and the written
+    // archives remain first-class inputs (indexable + ranged-
+    // fetchable, WarcSinkSpec pins that full circle). Oracle = the
+    // same closed-form rendering as q_warc_markdown: the round trip
+    // must be lossless.
+    "q_warc_repack" -> ((s, dir) => {
+      import s.implicits._
+      val warcs = graft.wat.WatFixture.ensureDocWarcs(s, dir)
+      val pages = s.read.format("warc").load(warcs: _*)
+        .select("page_url", "html")
+      val outDir = new java.io.File(QueryUtil.scratchPath("warc_repack"))
+      // wipe: shards from an earlier run's partitioning must not
+      // survive as phantom inputs to the read-back
+      def rmr(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete()
+      }
+      rmr(outDir)
+      outDir.mkdirs()
+      val manifest = graft.wat.WarcSink.writePages(
+        pages.repartition(4), outDir.getAbsolutePath)
+      // the manifest is one row per shard — collecting it IS the
+      // caller's action that drives the write (the PartMerge pattern)
+      val written = manifest.select("path").as[String].collect().sorted
+      val back = s.read.format("warc").load(written: _*)
+        .select(col("page_url"), col("html")).as[(String, String)]
+      graft.ext.HtmlMarkdown.htmlToMarkdownKeyed(back)
+        .repartition(1)
+        .sortWithinPartitions("page_url")
+    }),
+
     // Index-driven targeted extraction (graft.wat.CcIndex): the access
     // pattern that supersedes whole-archive scans — filter the
     // cc-index-shaped parquet RELATIONALLY (status/mime/host predicates
@@ -5001,6 +5036,23 @@ object ExtQueries {
     // the bp scaffold rendered by the markdown rules: nav/ad/footer
     // anchors become link lines, the doc text is the middle block
     "q_warc_markdown" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT 'https://docs.test/doc' || doc_id::VARCHAR || '.html'
+        |    AS page_url,
+        |  '[home](/) [about](/a) [links](/x)' ||
+        |  CASE WHEN t = '' THEN '' ELSE chr(10) || chr(10) || t END ||
+        |  CASE WHEN doc_id % 4 = 0
+        |       THEN chr(10) || chr(10) || '[click now](/b) [buy](/p)'
+        |       ELSE '' END ||
+        |  chr(10) || chr(10) || '[contact](/c) [terms](/t) c 2026'
+        |    AS markdown
+        |FROM d ORDER BY page_url""".stripMargin,
+
+    // the round trip must be LOSSLESS: identical rendering to
+    // q_warc_markdown over the full documents table
+    "q_warc_repack" ->
       """WITH d AS (SELECT doc_id,
         |    regexp_replace(trim(text), '\s+', ' ', 'g') AS t
         |  FROM documents WHERE doc_id IS NOT NULL)

@@ -226,6 +226,10 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // + the url-keyed anti-join of the two index frames (both sides
     // narrow; AQE may broadcast the previous set when small)
     "q_ccindex_delta" -> 4,
+    // the repack round trip: one explicit repartition chooses the
+    // shard count (the write itself is per-partition imperative, no
+    // shuffle), + the read-back's oracle-order tail
+    "q_warc_repack" -> 2,
     // raw-record fetch + per-row triage dispatch: the same two
     // exchanges as the html fetch — blob bytes never shuffle, the
     // 13-family parse rides the fetch output
