@@ -1941,6 +1941,28 @@ object ExtQueries {
         .sortWithinPartitions("doc_id")
     }),
 
+    // Format-targeted extraction: ONLY the PDFs of a mixed crawl —
+    // the mime predicate prunes the index scan relationally (PDF rows
+    // are 1/13th of the corpus; nothing else is ever ranged-read),
+    // the raw fetch hands the bytes to the PDF walker, and the
+    // metadata columns come out oracled. The 100 TB story: extracting
+    // one format from a crawl touches index rows + that format's
+    // bytes, never the other 12/13ths.
+    "q_ccindex_pdf" -> ((s, dir) => {
+      import s.implicits._
+      val (idxPath, _) = graft.wat.WatFixture.ensureDocMediaCcIndex(s, dir)
+      val idx = s.read.parquet(idxPath)
+        .where(col("fetch_status") === 200 &&
+          col("content_mime_type") === "application/pdf")
+      val media = graft.wat.CcIndex.fetchRecords(idx)
+        .select(regexp_extract(col("page_url"), "doc(\\d+)\\.bin$", 1)
+          .cast("long").as("doc_id"),
+          col("body").as("bytes"))
+      graft.ext.Pdf.pdfMeta(media)
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    }),
+
     // Targeted CDXJ lookup via the cluster.idx secondary index: the
     // index lines live globally SURT-sorted in blocked-gzip shards;
     // a domain/prefix query binary-searches the (small) cluster.idx,
@@ -5162,6 +5184,24 @@ object ExtQueries {
         |  chr(10) || chr(10) || '[contact](/c) [terms](/t) c 2026'
         |    AS markdown
         |FROM d ORDER BY page_url""".stripMargin,
+
+    // the mixed corpus's pdf family (%13==7) inside the admitted rows
+    // (%11<>3): classic-xref 1.4 docs, pages 1+id%2, the closed-form
+    // Info dict the mixed fixture writes
+    "q_ccindex_pdf" ->
+      """SELECT doc_id,
+        |  '1.4' AS version,
+        |  (1 + doc_id % 2)::BIGINT AS n_pages,
+        |  'Doc ' || doc_id::VARCHAR AS title,
+        |  'a' AS author,
+        |  'p' AS producer,
+        |  'D:20240101000000' AS created,
+        |  true AS xref_ok,
+        |  false AS encrypted
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND doc_id % 13 = 7
+        |  AND doc_id % 11 <> 3
+        |ORDER BY doc_id""".stripMargin,
 
     // the q_media_triage arithmetic over the index-admitted ids only
     // (%11==3 rows are 404s the ranged path must never fetch)

@@ -401,9 +401,30 @@ object WatFixture {
       }
     }
 
+  /** The mixed corpus's per-family canonical mime — what CC's own
+    * detector would put in the index's mime column; the closed form
+    * lets a mime predicate (e.g. PDFs only) be oracled exactly.
+    */
+  private[wat] def mediaMime(id: Long): String = (id % 13) match {
+    case 0 => "video/mp4"
+    case 1 => "video/webm"
+    case 2 => "video/x-msvideo"
+    case 3 => "image/gif"
+    case 4 => "audio/x-wav"
+    case 5 => "application/x-tar"
+    case 6 => "application/zip"
+    case 7 => "application/pdf"
+    case 8 => "image/jpeg"
+    case 10 => "image/png"
+    case 11 => "image/webp"
+    case 12 => "image/tiff"
+    case _ => "text/plain"
+  }
+
   /** cc-index parquet over the media shards ([[ensureDocMediaWarcs]]):
-    * octet-stream mime, the usual %11==3 → 404 rotation (the rows a
-    * media extraction must never fetch).
+    * per-family canonical mimes ([[mediaMime]] — the predicate column
+    * a format-targeted extraction filters on), the usual %11==3 → 404
+    * rotation (the rows a media extraction must never fetch).
     */
   def ensureDocMediaCcIndex(spark: org.apache.spark.sql.SparkSession,
       sfDir: String, shards: Int = 4): (String, Seq[String]) = {
@@ -413,12 +434,14 @@ object WatFixture {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft-doc-media-ccindex-v$GenVersion")
     dir.mkdirs()
-    val out = new java.io.File(dir, s"midx1-$tag.parquet")
+    // midx2: bumped when the octet-stream mime column became the
+    // per-family closed form (same shards, different index content)
+    val out = new java.io.File(dir, s"midx2-$tag.parquet")
     if (!out.exists()) {
       val tmp = new java.io.File(dir, out.getName +
         s".tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}-${System.nanoTime()}")
       graft.wat.CcIndex.buildIndex(spark, warcs,
-          mimeOf = _ => "application/octet-stream",
+          mimeOf = mediaMime,
           statusOf = id => if (id % 11 == 3) 404 else 200)
         .repartition(1)
         .write.mode("overwrite").parquet(tmp.getAbsolutePath)

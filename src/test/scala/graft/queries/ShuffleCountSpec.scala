@@ -230,6 +230,9 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // shard count (the write itself is per-partition imperative, no
     // shuffle), + the read-back's oracle-order tail
     "q_warc_repack" -> 2,
+    // format-targeted fetch (mime predicate prunes the index scan) +
+    // per-row pdf walk: the same two exchanges
+    "q_ccindex_pdf" -> 2,
     // raw-record fetch + per-row triage dispatch: the same two
     // exchanges as the html fetch — blob bytes never shuffle, the
     // 13-family parse rides the fetch output
