@@ -10,21 +10,30 @@ package graft.ext
   * Implemented subset (the cc-index `url_surtkey` conventions):
   * lowercase everything; drop the scheme and userinfo; strip one
   * leading `www.` / `www<digits>.` host label; reverse the remaining
-  * host labels comma-joined; keep a non-default port after a colon
-  * (`:80`/`:443` drop); `)` then the path (`/` when empty); query
-  * kept after `?` with parameters sorted bytewise (the canonical
-  * order that makes equal-query URLs key-equal); fragments drop.
+  * host labels comma-joined; keep a non-default port after a colon —
+  * the default is the SCHEME's own (`:80` drops only for http, `:443`
+  * only for https; `http://host:443` keeps its port, matching the
+  * canonical SURT implementations and therefore real cc-index
+  * `url_surtkey` values — schemeless input assumes http, the classic
+  * surt-library convention); `)` then the path (`/` when empty);
+  * query kept after `?` with parameters sorted bytewise (the
+  * canonical order that makes equal-query URLs key-equal); fragments
+  * drop.
   */
 object Surt {
 
   /** URL corpus rotating every canonicalization rule (scheme by %2,
-    * www label by %3, port keep/drop by %5, path case, query order by
-    * %4, fragment by %7; ids %10==3 are bracketed-IPv6 authorities
-    * and %10==7 dotted-quad IPv4 — the IP-literal no-reverse rules) →
-    * (doc_id, url, surt_key). Lives HERE, not in the query registry:
-    * a lambda defined inside the registry object drags that object's
-    * static init onto executor JVMs (the local-cluster battery
-    * catches exactly this).
+    * www label by %3, port keep/drop by %5 — id%5==1 puts `:443` on
+    * BOTH schemes, so the scheme-aware default-port rule is witnessed
+    * in each direction (drops on https, KEPT on http) — path case,
+    * query order by %4, fragment by %7; ids %10==3 are bracketed-IPv6
+    * authorities rotating http+:8443 (kept) / https+:443 (dropped),
+    * and %10==7 dotted-quad IPv4 rotating portless-https /
+    * http+:80 (dropped) — the IP-literal no-reverse rules plus the
+    * port rule on literals) → (doc_id, url, surt_key). Lives HERE,
+    * not in the query registry: a lambda defined inside the registry
+    * object drags that object's static init onto executor JVMs (the
+    * local-cluster battery catches exactly this).
     */
   def syntheticUrlKeys(
       ids: org.apache.spark.sql.Dataset[java.lang.Long])
@@ -38,11 +47,19 @@ object Surt {
           // uppercase hex + the default/explicit port rotation on a
           // bracketed literal — lastIndexOf(':') would mis-split these.
           // Inner rotation steps by id/10: id%2 is CONSTANT (odd)
-          // inside the %10==3 residue class (the fixture-modulus rule)
-          val port = if ((id / 10) % 2 == 0) ":8443" else ":443"
-          s"http://[2001:DB8::${id % 9}]$port/v6/item${id % 7}"
+          // inside the %10==3 residue class (the fixture-modulus rule).
+          // The scheme rides the rotation so :443 pairs with ITS
+          // default scheme (drops) while :8443 stays non-default (kept)
+          if ((id / 10) % 2 == 0)
+            s"http://[2001:DB8::${id % 9}]:8443/v6/item${id % 7}"
+          else
+            s"https://[2001:DB8::${id % 9}]:443/v6/item${id % 7}"
         } else if (id % 10 == 7) {
-          s"https://192.168.${id % 20}.1/v4/item${id % 7}"
+          // dotted-quad family rotates the http:80 default-drop witness
+          if ((id / 10) % 2 == 0)
+            s"https://192.168.${id % 20}.1/v4/item${id % 7}"
+          else
+            s"http://192.168.${id % 20}.1:80/v4/item${id % 7}"
         } else {
           val scheme = if (id % 2 == 0) "https" else "http"
           val host = (if (id % 3 == 0) "www." else "") +
@@ -68,9 +85,10 @@ object Surt {
       val h = u.indexOf('#')
       if (h >= 0) u.substring(0, h) else u
     }
-    val afterScheme = {
+    val (scheme, afterScheme) = {
       val i = noFrag.indexOf("://")
-      if (i >= 0) noFrag.substring(i + 3) else noFrag
+      if (i >= 0) (noFrag.substring(0, i), noFrag.substring(i + 3))
+      else ("http", noFrag) // schemeless assumes http (surt convention)
     }
     val afterUser = {
       val q = afterScheme.indexOf('?')
@@ -87,9 +105,15 @@ object Surt {
     val (auth, rest) =
       if (pathStart < 0) (afterUser, "")
       else (afterUser.substring(0, pathStart), afterUser.substring(pathStart))
+    // only the scheme's OWN default drops: http://host:443 is a
+    // non-default port and must key differently from http://host —
+    // real cc-index url_surtkey values follow this rule, and a
+    // lookupPrefix against a real cluster.idx would miss otherwise
     def portOf(p: String): String =
       if (p.nonEmpty && p.forall(c => c >= '0' && c <= '9'))
-        if (p == "80" || p == "443") "" else ":" + p
+        if ((p == "80" && scheme == "http") ||
+            (p == "443" && scheme == "https")) ""
+        else ":" + p
       else ""
     val (host, port) = {
       if (auth.startsWith("[")) {

@@ -1643,9 +1643,13 @@ object ExtQueries {
         concat(parse_url(col("link"), lit("PATH")),
           coalesce(concat(lit("?"), parse_url(col("link"), lit("QUERY"))),
             lit(""))).as("path"))
+      // the feed-robots frame is ONE ROW PER ID (unbounded — it scales
+      // with the corpus): pin the domain-keyed EQUI-JOIN (0L), never a
+      // broadcast that would grow with the frontier; the bounded
+      // 50-domain syntheticFrontier queries keep the broadcast pin
       graft.ext.Robots.gateByDomain(pages,
         graft.ext.Robots.syntheticFeedRobots(ids), agent = "graftbot",
-        maxBroadcastDomains = Long.MaxValue)
+        maxBroadcastDomains = 0L)
         .orderBy("doc_id", "path")
     }),
 
@@ -1691,8 +1695,10 @@ object ExtQueries {
             coalesce(concat(lit("?"), parse_url(col("loc"), lit("QUERY"))),
               lit(""))).as("path"))
       val robots = graft.ext.Robots.syntheticFrontierRobots(ids)
+      // per-id robots frame (unbounded like the corpus): equi-join pin,
+      // not a broadcast that scales with the frontier
       graft.ext.Robots.gateByDomain(pages, robots, agent = "graftbot",
-        maxBroadcastDomains = Long.MaxValue)
+        maxBroadcastDomains = 0L)
         .orderBy("doc_id", "path")
     }),
 
@@ -5253,21 +5259,30 @@ object ExtQueries {
         |FROM d ORDER BY page_url""".stripMargin,
 
     // every SURT rule recomputed in closed form: scheme/fragment
-    // drop, www strip, host reversal, :8080 kept / :443 dropped,
+    // drop, www strip, host reversal, :8080 kept, the SCHEME-AWARE
+    // default-port drop (:443 drops on https but is KEPT on http —
+    // id%5==1 pairs it with both schemes; :80 drops on http),
     // path lowercased, query params sorted (b=2&a=N -> a=N&b=2);
     // ids %10==3 are bracketed IPv6 literals (kept whole, hex
-    // lowercased, :443 dropped / :8443 kept) and %10==7 dotted-quad
-    // IPv4 (kept UNreversed) — the IP no-reverse convention
+    // lowercased, https:443 dropped / http:8443 kept) and %10==7
+    // dotted-quad IPv4 (kept UNreversed, http:80 dropped) — the IP
+    // no-reverse convention
     "q_surt_key" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 10 = 3 THEN
-        |    'http://[2001:DB8::' || (doc_id % 9)::VARCHAR || ']' ||
+        |    (CASE WHEN (doc_id // 10) % 2 = 0
+        |          THEN 'http' ELSE 'https' END) ||
+        |    '://[2001:DB8::' || (doc_id % 9)::VARCHAR || ']' ||
         |    (CASE WHEN (doc_id // 10) % 2 = 0
         |          THEN ':8443' ELSE ':443' END) ||
         |    '/v6/item' || (doc_id % 7)::VARCHAR
         |  WHEN doc_id % 10 = 7 THEN
-        |    'https://192.168.' || (doc_id % 20)::VARCHAR ||
-        |    '.1/v4/item' || (doc_id % 7)::VARCHAR
+        |    (CASE WHEN (doc_id // 10) % 2 = 0
+        |          THEN 'https://192.168.' || (doc_id % 20)::VARCHAR ||
+        |               '.1/v4/item'
+        |          ELSE 'http://192.168.' || (doc_id % 20)::VARCHAR ||
+        |               '.1:80/v4/item' END) ||
+        |    (doc_id % 7)::VARCHAR
         |  ELSE
         |  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) ||
         |  '://' ||
@@ -5290,7 +5305,9 @@ object ExtQueries {
         |    '.1)/v4/item' || (doc_id % 7)::VARCHAR
         |  ELSE
         |  'example,site' || (doc_id % 20)::VARCHAR ||
-        |  (CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN ':8080'
+        |        WHEN doc_id % 5 = 1 AND doc_id % 2 = 1 THEN ':443'
+        |        ELSE '' END) ||
         |  ')/path' || (doc_id % 7)::VARCHAR || '/item' ||
         |  (CASE WHEN doc_id % 4 = 0
         |        THEN '?a=' || (doc_id % 9)::VARCHAR || '&b=2'

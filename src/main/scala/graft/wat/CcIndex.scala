@@ -466,11 +466,26 @@ object CcIndex {
     * verification there holds for resolved rows by construction (the
     * row's digest IS the original payload's digest).
     *
-    * Note the fetched page's `page_url` is the ORIGINAL capture's
-    * target URI (the record the bytes live in) — for the overwhelmingly
-    * common same-url revisit this is also the revisit's url.
+    * The fetched page's `page_url` is the REVISIT's own url (the
+    * capture the caller asked about) — the resolved row carries it
+    * forward and [[fetchHtmlPages]] emits it; only the BYTES come from
+    * the original capture. For the overwhelmingly common same-url
+    * revisit the two coincide.
+    *
+    * A revisit whose digest has no `response` row in `original` cannot
+    * be satisfied — it counts into `unresolved` (an accumulator, read
+    * after the caller's action) and drops, the same drop-and-account
+    * contract as the fetch path's `readErrors`.
     */
-  def resolveRevisits(idx: DataFrame, original: DataFrame): DataFrame = {
+  def resolveRevisits(idx: DataFrame, original: DataFrame): DataFrame =
+    resolveRevisits(idx, original,
+      idx.sparkSession.sparkContext
+        .longAccumulator("graft.ccindex.unresolved_revisits"))
+
+  def resolveRevisits(idx: DataFrame, original: DataFrame,
+      unresolved: org.apache.spark.util.LongAccumulator): DataFrame = {
+    val spark = idx.sparkSession
+    import spark.implicits._
     val fetchCols = Seq("url", "content_digest", "warc_filename",
       "warc_record_offset", "warc_record_length").map(col)
     val isRevisit = col("content_mime_type") === "warc/revisit"
@@ -484,8 +499,20 @@ object CcIndex {
         col("t.warc_record_offset"), col("t.warc_record_length"))
     val resolved = idx.where(isRevisit)
       .select(col("url"), col("content_digest"))
-      .join(originals, Seq("content_digest"))
-      .select(fetchCols: _*)
+      // LEFT join so unmatched revisits are visible to the accounting
+      // pass below instead of vanishing in an inner join
+      .join(originals, Seq("content_digest"), "left")
+      .select(col("url"), col("content_digest"),
+        col("warc_filename"), col("warc_record_offset"),
+        col("warc_record_length"))
+      .as[(String, String, String, java.lang.Long, java.lang.Long)]
+      .flatMap { case (url, digest, fname, off, len) =>
+        if (fname == null) { unresolved.add(1L); Iterator.empty }
+        else Iterator.single((url, digest, fname,
+          off.longValue(), len.longValue()))
+      }
+      .toDF("url", "content_digest", "warc_filename",
+        "warc_record_offset", "warc_record_length")
     responses.unionByName(resolved)
   }
 

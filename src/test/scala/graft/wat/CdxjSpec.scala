@@ -20,6 +20,15 @@ class CdxjSpec extends AnyFunSuite with SparkTestBase {
       "com,example:8080)/x")
     assert(Surt.surtKey("https://example.com:443/x") == "com,example)/x")
     assert(Surt.surtKey("http://example.com:80/x") == "com,example)/x")
+    // only the scheme's OWN default drops: http:443 / https:80 are
+    // non-default and must key distinctly (real url_surtkey values do)
+    assert(Surt.surtKey("http://example.com:443/x") ==
+      "com,example:443)/x")
+    assert(Surt.surtKey("https://example.com:80/x") ==
+      "com,example:80)/x")
+    // schemeless assumes http: :80 drops, :443 keeps
+    assert(Surt.surtKey("example.com:80/x") == "com,example)/x")
+    assert(Surt.surtKey("example.com:443/x") == "com,example:443)/x")
     assert(Surt.surtKey("http://user:pw@example.com/x") ==
       "com,example)/x")
     assert(Surt.surtKey("https://example.com/x#frag") == "com,example)/x")
