@@ -1872,6 +1872,41 @@ object ExtQueries {
         .sortWithinPartitions("page_url")
     }),
 
+    // K-crawl incremental delta (CcIndex.deltaAgainstHistory): the
+    // real consumer question is "what's new since the last K crawls I
+    // ingested", not "since the last one". Current crawl 2024-04
+    // anti-joins the DISTINCT (url, digest) set of the 2024-02/03
+    // window (pre-aggregated — a url recrawled in both months joins
+    // once, not twice); crawl 2024-01 sits OUTSIDE the window and
+    // carries the "new" ids at current digests, so a query that
+    // failed to prune to the window would lose them — the isin
+    // PartitionFilter is semantically load-bearing (CcIndexSpec pins
+    // 3 of 4 partitions scanned). Delta = new urls (%6==1) + changed
+    // content (%7==0), fetched through the same eng-language gate.
+    "q_ccindex_delta_k" -> ((s, dir) => {
+      import s.implicits._
+      val (kidxPath, _) =
+        graft.wat.WatFixture.ensureDocCcIndexMultiCrawl(s, dir)
+      val idx = s.read.parquet(kidxPath)
+      val cur = idx
+        .where(col("crawl") === "CC-TEST-2024-04" &&
+          col("subset") === "warc" &&
+          col("fetch_status") === 200 &&
+          col("content_mime_type") === "text/html" &&
+          col("content_languages").contains("eng"))
+      val history = idx
+        .where(col("crawl").isin("CC-TEST-2024-02", "CC-TEST-2024-03") &&
+          col("subset") === "warc" &&
+          col("fetch_status") === 200 &&
+          col("content_mime_type") === "text/html")
+      val fresh = graft.wat.CcIndex.deltaAgainstHistory(cur, history)
+      val pages = graft.wat.CcIndex.fetchHtmlPages(fresh)
+        .as[(String, String)]
+      graft.ext.HtmlMarkdown.htmlToMarkdownKeyed(pages)
+        .repartition(1)
+        .sortWithinPartitions("page_url")
+    }),
+
     // Revisit-record resolution (graft.wat.CcIndex.resolveRevisits):
     // real CC crawls dedup at capture time — crawl-2 captures of ids
     // %9==2 are `revisit` records whose payload lives in CRAWL 1's
@@ -1943,6 +1978,52 @@ object ExtQueries {
           col("height"), col("n_units"))
         // the fetch already shuffled locator triples; a global orderBy
         // would range-sample and fetch twice (the established tail)
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    }),
+
+    // Mixed-corpus WARC re-packaging (WarcSink.writeRecords — the
+    // binary side of the output stack): the media index's survivors
+    // ranged-fetched WITH their own HTTP envelopes (status + content
+    // type, CcIndex.fetchHttpRecords), re-emitted as warcinfo-led
+    // response shards with binary bodies, re-INDEXED from the written
+    // records' own envelopes (buildIndexFromRecords — no fixture
+    // arithmetic), ranged-fetched back, and triaged. Oracle = the
+    // q_ccindex_media arithmetic: the circle index → fetch → re-pack →
+    // re-index → fetch → triage must be lossless for all 13 families.
+    // No repartition before the sink: the fetch's (archive, region)
+    // partitions write directly, so the bytes NEVER shuffle (Rule 13)
+    // and the shard count follows the region split like a real run.
+    "q_warc_repack_media" -> ((s, dir) => {
+      import s.implicits._
+      val (idxPath, _) = graft.wat.WatFixture.ensureDocMediaCcIndex(s, dir)
+      val idx = s.read.parquet(idxPath)
+        .where(col("fetch_status") === 200 &&
+          col("url_host_name") === "docs.test")
+      val recs = graft.wat.CcIndex.fetchHttpRecords(idx)
+      val outDir = new java.io.File(
+        QueryUtil.scratchPath("warc_repack_media"))
+      def rmr(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete()
+      }
+      rmr(outDir)
+      outDir.mkdirs()
+      val manifest = graft.wat.WarcSink.writeRecords(
+        recs, outDir.getAbsolutePath)
+      // one manifest row per shard — collecting it IS the action that
+      // drives the write (the PartMerge pattern)
+      val written = manifest.select("path").as[String].collect().sorted
+      val back = graft.wat.CcIndex
+        .buildIndexFromRecords(s, written.toSeq)
+        .where(col("fetch_status") === 200 &&
+          col("url_host_name") === "docs.test")
+      val media = graft.wat.CcIndex.fetchRecords(back)
+        .select(regexp_extract(col("page_url"), "doc(\\d+)\\.bin$", 1)
+          .cast("long").as("doc_id"),
+          col("body").as("bytes"))
+      Multimodal.mediaTriage(media).toDF()
+        .select(col("doc_id"), col("format"), col("width"),
+          col("height"), col("n_units"))
         .repartition(1)
         .sortWithinPartitions("doc_id")
     }),
@@ -5138,6 +5219,29 @@ object ExtQueries {
         |    AS markdown
         |FROM d ORDER BY page_url""".stripMargin,
 
+    // the K-window delta subset: new urls (%6==1, absent from BOTH
+    // history crawls but present in the out-of-window 2024-01 — the
+    // pruning witness) plus changed content (%7==0), inside the
+    // admitted rows AND the eng gate
+    "q_ccindex_delta_k" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL
+        |    AND doc_id % 11 <> 3 AND doc_id % 13 <> 5
+        |    AND doc_id % 3 <> 2
+        |    AND (doc_id % 6 = 1 OR doc_id % 7 = 0))
+        |SELECT 'https://docs.test/doc' || doc_id::VARCHAR || '.html'
+        |    AS page_url,
+        |  '[home](/) [about](/a) [links](/x)' ||
+        |  CASE WHEN t = '' THEN '' ELSE chr(10) || chr(10) || t END ||
+        |  CASE WHEN doc_id % 4 = 0
+        |       THEN chr(10) || chr(10) || '[click now](/b) [buy](/p)'
+        |       ELSE '' END ||
+        |  chr(10) || chr(10) || '[contact](/c) [terms](/t) c 2026'
+        |    AS markdown
+        |FROM d ORDER BY page_url""".stripMargin,
+
     // crawl-2 admitted rows: 404s (%11==3) out; %9==2 ids are
     // warc/revisit rows (IN — the resolver must surface them), the
     // rest follow the html/pdf mime rotation (%13==5 out). CROSS-URL
@@ -5212,6 +5316,34 @@ object ExtQueries {
     // the q_media_triage arithmetic over the index-admitted ids only
     // (%11==3 rows are 404s the ranged path must never fetch)
     "q_ccindex_media" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 13 WHEN 0 THEN 'mp4' WHEN 1 THEN 'webm'
+        |    WHEN 2 THEN 'avi' WHEN 3 THEN 'gif' WHEN 4 THEN 'audio'
+        |    WHEN 5 THEN 'tar' WHEN 6 THEN 'zip' WHEN 7 THEN 'pdf'
+        |    WHEN 8 THEN 'jpeg' WHEN 10 THEN 'png' WHEN 11 THEN 'webp'
+        |    WHEN 12 THEN 'tiff' ELSE 'unknown' END AS format,
+        |  (CASE WHEN doc_id % 13 IN (0, 1, 2, 3, 8, 10, 11, 12)
+        |        THEN 16 * (1 + doc_id % 5) ELSE 0 END)::BIGINT AS width,
+        |  (CASE WHEN doc_id % 13 IN (0, 1, 2, 3, 8, 10, 11, 12)
+        |        THEN 16 * (1 + doc_id % 4) ELSE 0 END)::BIGINT AS height,
+        |  (CASE doc_id % 13 WHEN 0 THEN 2 + doc_id % 3
+        |    WHEN 1 THEN 2 + doc_id % 4 WHEN 2 THEN 2 + doc_id % 5
+        |    WHEN 3 THEN 1 + doc_id % 3 WHEN 4 THEN 100 + doc_id % 50
+        |    WHEN 5 THEN 1 + doc_id % 4 WHEN 6 THEN 1 + doc_id % 3
+        |    WHEN 7 THEN 1 + doc_id % 2 WHEN 8 THEN 1
+        |    WHEN 10 THEN 1 + (doc_id // 13) % 3
+        |    WHEN 11 THEN CASE WHEN (doc_id // 13) % 3 = 2
+        |                      THEN 2 + (doc_id // 13) % 2 ELSE 1 END
+        |    WHEN 12 THEN 1 + (doc_id // 13) % 3
+        |    ELSE 0 END)::BIGINT AS n_units
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND doc_id % 11 <> 3
+        |ORDER BY doc_id""".stripMargin,
+
+    // the re-pack circle must be LOSSLESS: identical triage arithmetic
+    // to q_ccindex_media over the same admitted ids — any byte, status
+    // or mime the sink mangles breaks a family's closed form
+    "q_warc_repack_media" ->
       """SELECT doc_id,
         |  CASE doc_id % 13 WHEN 0 THEN 'mp4' WHEN 1 THEN 'webm'
         |    WHEN 2 THEN 'avi' WHEN 3 THEN 'gif' WHEN 4 THEN 'audio'

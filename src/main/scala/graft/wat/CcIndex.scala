@@ -304,6 +304,40 @@ object CcIndex {
       .toDF("page_url", "body")
   }
 
+  /** [[fetchRecords]] plus the record's own HTTP ENVELOPE columns —
+    * `(page_url, fetch_status, content_type, body)`: status from the
+    * status line, content type from the `Content-Type` header
+    * (parameters stripped), body the entity bytes. This is the column
+    * shape [[WarcSink.writeRecords]] consumes, so a filtered crawl
+    * re-packs with each record's original status/mime instead of a
+    * hardcoded 200/text-html. Non-HTTP blocks emit status 0, type ""
+    * and the whole block as the body. Same plan shape as every ranged
+    * fetch: locator triples shuffle, bytes are born in the fetch task.
+    */
+  def fetchHttpRecords(idx: DataFrame,
+      splitBytes: Long = 1L << 30,
+      gapBytes: Long = 64L << 10,
+      maxReadBytes: Long = 16L << 20): DataFrame = {
+    val spark = idx.sparkSession
+    fetchVerified[(Int, String, Array[Byte])](idx,
+      spark.sparkContext.longAccumulator("graft.ccindex.read_errors"),
+      splitBytes, gapBytes, maxReadBytes) { r =>
+      val b = r.payload
+      val (status, ct, bodyStart) = httpEnvelope(b)
+      Some((status, ct,
+        java.util.Arrays.copyOfRange(b, bodyStart, b.length)))
+    }(org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.BINARY)))
+      .select(col("_1").as("page_url"),
+        col("_2._1").as("fetch_status"),
+        col("_2._2").as("content_type"),
+        col("_2._3").as("body"))
+  }
+
   /** The shared imperative core of the ranged fetch: region grouping,
     * coalesced positioned reads, member decode, the response-type gate
     * and digest verification — `conv` turns each VERIFIED record's
@@ -443,6 +477,31 @@ object CcIndex {
       }
   }
 
+  /** N-ary incremental delta: the rows of `cur` whose
+    * `(url, content_digest)` appears in NONE of the history crawls —
+    * "what is new or changed since the last K crawls I ingested".
+    * `history` is typically the partitioned index filtered with
+    * `col("crawl").isin(k1, …, kK)` (the isin lands in
+    * PartitionFilters, so only the window's partitions are read — on
+    * the real ~90-crawl table the difference between K months and a
+    * decade).
+    *
+    * 100 TB posture: the history side is pre-aggregated to DISTINCT
+    * `(url, digest)` pairs first (a combinable agg — a url recrawled
+    * in every one of the K prior crawls contributes ONE row to the
+    * join, not K, and the K copies combine map-side before they
+    * shuffle); the anti-join is then a narrow AQE-splittable equi-join
+    * whose build side already sits partitioned on the join keys (the
+    * dedup's exchange is reused — no second shuffle of history).
+    * Archive bytes move only in the caller's subsequent ranged fetch.
+    */
+  def deltaAgainstHistory(cur: DataFrame, history: DataFrame)
+      : DataFrame =
+    cur.join(
+      history.select("url", "content_digest")
+        .dropDuplicates("url", "content_digest"),
+      Seq("url", "content_digest"), "left_anti")
+
   /** Resolve `revisit` index rows into fetchable targets. Real CC
     * crawls dedup at capture time: a meaningful fraction of index rows
     * are `revisit` records whose payload lives in an EARLIER crawl's
@@ -569,6 +628,104 @@ object CcIndex {
     }.toDF("url", "url_host_name", "content_mime_type", "fetch_status",
       "content_digest", "warc_filename", "warc_record_offset",
       "warc_record_length")
+  }
+
+  /** Index built from each record's OWN HTTP envelope (status line +
+    * `Content-Type` header) instead of caller-supplied closed forms —
+    * the real-crawl shape: CC's indexer derives `fetch_status` and
+    * `content_mime_type` exactly this way. This is what makes the
+    * [[WarcSink]] output circle closed without fixture arithmetic:
+    * write → `buildIndexFromRecords` → filter relationally → ranged
+    * fetch. Revisit records keep the public-index convention (mime
+    * `warc/revisit`, digest from the record's `WARC-Payload-Digest`
+    * header). One task per archive, same fail-soft walk as
+    * [[buildIndex]].
+    */
+  def buildIndexFromRecords(spark: SparkSession, paths: Seq[String])
+      : DataFrame = {
+    import spark.implicits._
+    val errors =
+      spark.sparkContext.longAccumulator("graft.ccindex.build_errors")
+    ArchiveTasks.perArchive[
+        (String, String, String, Int, String, String, Long, Long)](
+        spark, paths, errors, Long.MaxValue) { (path, conf, onCorrupt, _) =>
+      WatReader.fetchAllBytes(path, conf) match {
+        case None =>
+          onCorrupt(new java.io.IOException(s"fetch failed: $path"))
+          ClosingIterator.empty
+        case Some(bytes) =>
+          val inf = new java.util.zip.Inflater(true)
+          val rows = memberSpans(bytes).iterator.flatMap {
+            case (off, len) =>
+              memberRecord(bytes, off.toInt, len.toInt, inf).flatMap { r =>
+                val url = r.headers.getOrElse("warc-target-uri", "")
+                if (url.isEmpty) None
+                else if (r.warcType.equalsIgnoreCase("response")) {
+                  val (status, ct, _) = httpEnvelope(r.payload)
+                  Some((url, hostOf(url), ct, status,
+                    payloadDigest(r.payload), path, off, len))
+                } else if (r.warcType.equalsIgnoreCase("revisit")) {
+                  val digest = r.headers
+                    .getOrElse("warc-payload-digest", "")
+                    .stripPrefix("sha1:")
+                  val (status, _, _) = httpEnvelope(r.payload)
+                  if (digest.isEmpty) None
+                  else Some((url, hostOf(url), "warc/revisit",
+                    status, digest, path, off, len))
+                } else None
+              }.iterator
+          }
+          new ClosingIterator(rows, () => inf.end())
+      }
+    }.toDF("url", "url_host_name", "content_mime_type", "fetch_status",
+      "content_digest", "warc_filename", "warc_record_offset",
+      "warc_record_length")
+  }
+
+  /** Minimal HTTP response-envelope parse: `(status, content type,
+    * body offset)`. Status is the integer after `HTTP/x.y ` (0 when
+    * unparseable); content type is the `Content-Type` header value
+    * with parameters stripped (`text/html; charset=x` → `text/html`),
+    * lowercased and trimmed, "" when absent; body offset is just past
+    * the `CRLF CRLF` terminator. Non-HTTP blocks → `(0, "", 0)` (the
+    * whole block is the body, matching [[httpBodyStart]]).
+    */
+  private[wat] def httpEnvelope(b: Array[Byte]): (Int, String, Int) = {
+    val bodyStart = httpBodyStart(b)
+    if (bodyStart == 0) return (0, "", 0)
+    // status: "HTTP/1.1 NNN ..." — digits after the first space
+    var i = 5
+    while (i < bodyStart && b(i) != ' ') i += 1
+    i += 1
+    var status = 0
+    var nd = 0
+    while (i < bodyStart && b(i) >= '0' && b(i) <= '9' && nd < 4) {
+      status = status * 10 + (b(i) - '0'); i += 1; nd += 1
+    }
+    // exactly three digits or the line is not a status line
+    if (nd != 3 || (i < bodyStart && b(i) >= '0' && b(i) <= '9'))
+      status = 0
+    // headers decode once, only up to the terminator (ISO-8859-1 — the
+    // HTTP header charset; never throws on arbitrary bytes)
+    val headers = new String(b, 0, bodyStart,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+      .toLowerCase(java.util.Locale.ROOT)
+    val ct = {
+      val probe = "\ncontent-type:"
+      val at = headers.indexOf(probe)
+      if (at < 0) ""
+      else {
+        val vs = at + probe.length
+        val ve = headers.indexOf('\r', vs) match {
+          case -1 => headers.length
+          case e  => e
+        }
+        val v = headers.substring(vs, ve).trim
+        val semi = v.indexOf(';')
+        (if (semi >= 0) v.substring(0, semi) else v).trim
+      }
+    }
+    (status, ct, bodyStart)
   }
 
   /** WARC-Payload-Digest over a record block: for `application/http`

@@ -575,6 +575,67 @@ object WatFixture {
     (out.getAbsolutePath, warcs)
   }
 
+  /** The cc-index across FOUR crawl partitions — the shape an
+    * incremental consumer's "what's new since the last K crawls" query
+    * runs against ([[graft.wat.CcIndex.deltaAgainstHistory]]):
+    *
+    *  - `crawl=CC-TEST-2024-04`: the CURRENT full index;
+    *  - `crawl=CC-TEST-2024-02/03`: the history window — ids `%6==1`
+    *    ABSENT from both ("new" urls) and ids `%7==0` carried with an
+    *    ALTERED digest ("changed" content); everything else present in
+    *    BOTH with the current digest (the recrawled-every-month rows
+    *    whose K copies the history pre-aggregation collapses);
+    *  - `crawl=CC-TEST-2024-01`: OUTSIDE the window — it carries ALL
+    *    ids at CURRENT digests, so a query that fails to prune to the
+    *    window would match the "new" ids here and silently drop them
+    *    from the delta: the pruning is semantically load-bearing, not
+    *    just an IO win.
+    */
+  def ensureDocCcIndexMultiCrawl(
+      spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, shards: Int = 4): (String, Seq[String]) = {
+    import org.apache.spark.sql.functions._
+    val (idxPath, warcs) = ensureDocCcIndex(spark, sfDir, shards)
+    val first = new java.io.File(warcs.head).getName
+    val tag = first.stripPrefix("docs-").stripSuffix("-0.warc.gz")
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-doc-ccindex-kpart-v$GenVersion")
+    dir.mkdirs()
+    val out = new java.io.File(dir, s"kidx1-$tag")
+    if (!new java.io.File(out, "_SUCCESS_PART").exists()) {
+      val tmp = new java.io.File(dir, out.getName +
+        s".tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}-${System.nanoTime()}")
+      val id = regexp_extract(col("url"), "doc(\\d+)\\.html$", 1)
+        .cast("long")
+      val base = spark.read.parquet(idxPath)
+        .withColumn("content_languages",
+          when(id % 3 === 0, "eng")
+            .when(id % 3 === 1, "eng,fra")
+            .otherwise("deu"))
+      val hist = base.where(id % 6 =!= 1)
+        .withColumn("content_digest",
+          when(id % 7 === 0, concat(col("content_digest"), lit("-old")))
+            .otherwise(col("content_digest")))
+      val all = base.withColumn("crawl", lit("CC-TEST-2024-01"))
+        .unionByName(hist.withColumn("crawl", lit("CC-TEST-2024-02")))
+        .unionByName(hist.withColumn("crawl", lit("CC-TEST-2024-03")))
+        .unionByName(base.withColumn("crawl", lit("CC-TEST-2024-04")))
+      all.withColumn("subset", lit("warc"))
+        .repartition(1)
+        .write.mode("overwrite").partitionBy("crawl", "subset")
+        .parquet(tmp.getAbsolutePath)
+      java.nio.file.Files.write(
+        new java.io.File(tmp, "_SUCCESS_PART").toPath,
+        Array.emptyByteArray)
+      if (!tmp.renameTo(out) &&
+          !new java.io.File(out, "_SUCCESS_PART").exists())
+        throw new java.io.IOException(s"could not materialize $out")
+      if (tmp.exists() && !tmp.getCanonicalPath.equals(out.getCanonicalPath))
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+    (out.getAbsolutePath, warcs)
+  }
+
   /** Second-crawl WARC shards over the SAME documents — the crawl-time
     * dedup shape real CC archives have: ids `%9==2` are captured as
     * `revisit` records (headers-only payload; `WARC-Payload-Digest`

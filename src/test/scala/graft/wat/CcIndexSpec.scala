@@ -285,6 +285,59 @@ class CcIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(idx.where(col("crawl") === "CC-TEST-2024-01").count() < base)
   }
 
+  test("K-crawl delta prunes to exactly the window + current partitions") {
+    val (kidxPath, _) = WatFixture.ensureDocCcIndexMultiCrawl(spark,
+      "/root/testdata/sf0.001")
+    val crawlDirs = new java.io.File(kidxPath).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(crawlDirs.toSeq == Seq("crawl=CC-TEST-2024-01",
+      "crawl=CC-TEST-2024-02", "crawl=CC-TEST-2024-03",
+      "crawl=CC-TEST-2024-04"))
+    val idx = spark.read.parquet(kidxPath)
+    val cur = idx.where(col("crawl") === "CC-TEST-2024-04" &&
+      col("subset") === "warc")
+    val history = idx.where(
+      col("crawl").isin("CC-TEST-2024-02", "CC-TEST-2024-03") &&
+        col("subset") === "warc")
+    val delta = CcIndex.deltaAgainstHistory(cur, history)
+    // the isin + equality predicates land in PartitionFilters and the
+    // two scans together touch 3 of the 4 crawl partitions — 2024-01
+    // is NEVER read. The join wraps the plan in AQE, so the traversal
+    // must descend through AdaptiveSparkPlanExec.
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[Int] = p match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        Seq(s.selectedPartitions.partitionCount)
+      case other => other.children.flatMap(scans)
+    }
+    val scanned = scans(delta.queryExecution.executedPlan)
+    assert(scanned.sorted == Seq(1, 2),
+      s"expected partitions (1 current, 2 history), got $scanned")
+    // the pruning is SEMANTICALLY load-bearing, not just IO: 2024-01
+    // holds every "new" id at its current digest, so widening the
+    // window to include it would empty the new-url half of the delta
+    val urls = delta.select("url").collect().map(_.getString(0))
+    val newIds = urls.map(CcIndex.docIdOf).filter(_ % 6 == 1)
+    assert(newIds.nonEmpty, "fixture must produce new-url delta rows")
+    val widened = CcIndex.deltaAgainstHistory(cur,
+      idx.where(col("subset") === "warc" &&
+        col("crawl") =!= "CC-TEST-2024-04"))
+    val widenedIds = widened.select("url").collect()
+      .map(r => CcIndex.docIdOf(r.getString(0)))
+    assert(!widenedIds.exists(_ % 6 == 1),
+      "including 2024-01 must absorb the new-url rows — proof the " +
+        "window selection (and its pruning) decides the answer")
+    // a url recrawled in BOTH history months joins once, not twice:
+    // the history side is pre-aggregated to distinct (url, digest)
+    val historyDedup = history
+      .select("url", "content_digest").distinct().count()
+    val historyRaw = history.select("url", "content_digest").count()
+    assert(historyRaw > historyDedup,
+      "fixture must carry the url in both months for the dedup to matter")
+  }
+
   test("revisit rows resolve to the original capture, byte-identical") {
     val (idx1Path, _) =
       WatFixture.ensureDocCcIndex(spark, "/root/testdata/sf0.001")

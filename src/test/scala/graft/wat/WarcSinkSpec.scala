@@ -30,19 +30,26 @@ class WarcSinkSpec extends AnyFunSuite with SparkTestBase {
       dir.getAbsolutePath).collect()
     assert(manifest.map(_.getAs[Long]("records")).sum == 3L)
     val written = manifest.map(_.getAs[String]("path")).sorted
-    // every record is its own gzip member (the re-indexable framing)
+    // every record is its own gzip member (the re-indexable framing);
+    // the shard LEADS with a warcinfo record (CC's own shard form),
+    // then response records only
     for (p <- written) {
       val bytes = java.nio.file.Files.readAllBytes(
         new java.io.File(new java.net.URI(
           if (p.startsWith("file:")) p else "file://" + p)).toPath)
       val spans = CcIndex.memberSpans(bytes)
-      assert(spans.nonEmpty)
+      assert(spans.size >= 2) // warcinfo + at least one response
       val inf = new java.util.zip.Inflater(true)
-      try for ((o, l) <- spans) {
+      try for (((o, l), i) <- spans.zipWithIndex) {
         val r = CcIndex.memberRecord(bytes, o.toInt, l.toInt, inf).get
-        assert(r.warcType == "response")
-        assert(r.headers.contains("warc-payload-digest"))
-        assert(r.headers.contains("warc-record-id"))
+        if (i == 0) {
+          assert(r.warcType == "warcinfo")
+          assert(r.headers.contains("warc-filename"))
+        } else {
+          assert(r.warcType == "response")
+          assert(r.headers.contains("warc-payload-digest"))
+          assert(r.headers.contains("warc-record-id"))
+        }
       } finally inf.end()
     }
     // round trip through the DSv2 source
@@ -68,6 +75,56 @@ class WarcSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(java.util.Arrays.equals(b1, b2),
       "two writes of the same rows must publish identical bytes — " +
         "retry idempotence and golden checks both rest on this")
+  }
+
+  test("writeRecords: binary bodies round-trip byte-for-byte with " +
+      "their own status and content type") {
+    import spark.implicits._
+    // exotic shapes on purpose: gzip-magic-leading bytes (must not be
+    // mistaken for framing), NULs, empty body, a 404, a parametered
+    // content type (parameters strip on re-index)
+    val bodies = Seq(
+      ("https://m.test/a.bin", 200, "image/png",
+        Array[Byte](0x1f, 0x8b.toByte, 0, 1, 2, 3, 0, 0x7f)),
+      ("https://m.test/b.bin", 404, "application/pdf",
+        "%PDF-1.4 not really".getBytes("UTF-8")),
+      ("https://m.test/c.bin", 200, "application/octet-stream; x=y",
+        Array.emptyByteArray),
+      ("https://m.test/d.bin", 503, "",
+        Array.tabulate(4096)(i => (i * 31).toByte)))
+    val df = bodies.toDF("page_url", "fetch_status", "content_type",
+      "body")
+    val dir = tmpDir("warc-raw-sink")
+    val written = WarcSink.writeRecords(df.coalesce(1),
+      dir.getAbsolutePath).collect().map(_.getAs[String]("path")).toSeq
+    // re-index from the records' OWN envelopes: status survives, the
+    // content type survives with parameters stripped
+    val idx = CcIndex.buildIndexFromRecords(spark, written)
+    val byUrl = idx.collect().map(r => r.getAs[String]("url") ->
+      (r.getAs[Int]("fetch_status"),
+        r.getAs[String]("content_mime_type"))).toMap
+    assert(byUrl("https://m.test/a.bin") == ((200, "image/png")))
+    assert(byUrl("https://m.test/b.bin") == ((404, "application/pdf")))
+    assert(byUrl("https://m.test/c.bin") ==
+      ((200, "application/octet-stream")))
+    assert(byUrl("https://m.test/d.bin") ==
+      ((503, "application/octet-stream"))) // empty type defaults
+    // ranged fetch returns the EXACT bytes (digest-verified en route)
+    val back = CcIndex.fetchRecords(idx)
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("body"))
+      .toMap
+    for ((url, _, _, body) <- bodies)
+      assert(java.util.Arrays.equals(back(url), body),
+        s"body mismatch for $url")
+    // determinism: a second write publishes identical shard bytes
+    val dir2 = tmpDir("warc-raw-sink2")
+    val w2 = WarcSink.writeRecords(df.coalesce(1), dir2.getAbsolutePath)
+      .collect().map(_.getAs[String]("path")).toSeq
+    def fileBytes(p: String) = java.nio.file.Files.readAllBytes(
+      new java.io.File(new java.net.URI(
+        if (p.startsWith("file:")) p else "file://" + p)).toPath)
+    assert(java.util.Arrays.equals(
+      fileBytes(written.head), fileBytes(w2.head)))
   }
 
   test("the engine's own output is indexable and ranged-fetchable") {
