@@ -1955,6 +1955,26 @@ object ExtQueries {
         .sortWithinPartitions("page_url")
     }),
 
+    // LEGACY space-separated CDX (Cdxj.legacyIndexFrame): the
+    // pre-CDXJ text form older web archives publish (pywb/OpenWayback
+    // CDX-9/11) parsed header-driven into the SAME frame shape and
+    // fed to the SAME ranged fetch — pointing the engine at a
+    // non-CC archive costs a parser, not a pipeline. Oracle identical
+    // to q_cdxj_fetch: both text forms must select and fetch the same
+    // members (the equivalence IS the point).
+    "q_cdx_legacy" -> ((s, dir) => {
+      import s.implicits._
+      val (cdxs, _) = graft.wat.WatFixture.ensureDocCdxLegacy(s, dir)
+      val idx = graft.wat.Cdxj.legacyIndexFrame(s, cdxs)
+        .where(col("fetch_status") === 200 &&
+          col("content_mime_type") === "text/html")
+      val pages = graft.wat.CcIndex.fetchHtmlPages(idx)
+        .as[(String, String)]
+      graft.ext.HtmlMarkdown.htmlToMarkdownKeyed(pages)
+        .repartition(1)
+        .sortWithinPartitions("page_url")
+    }),
+
     // Index-driven MULTI-FORMAT extraction (CcIndex.fetchRecords —
     // the raw sibling of the html fetch): the media corpus archived
     // as octet-stream responses, the index filtered relationally
@@ -2018,6 +2038,37 @@ object ExtQueries {
         .where(col("fetch_status") === 200 &&
           col("url_host_name") === "docs.test")
       val media = graft.wat.CcIndex.fetchRecords(back)
+        .select(regexp_extract(col("page_url"), "doc(\\d+)\\.bin$", 1)
+          .cast("long").as("doc_id"),
+          col("body").as("bytes"))
+      Multimodal.mediaTriage(media).toDF()
+        .select(col("doc_id"), col("format"), col("width"),
+          col("height"), col("n_units"))
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    }),
+
+    // Revisit-aware MEDIA extraction: resolveRevisits composed with
+    // the BINARY fetch — crawl-2 media captures of ids %9==2 are
+    // headers-only revisit records whose blob lives in the crawl-1
+    // media archives; the resolver satisfies them via the digest-keyed
+    // join and ONE ranged fetch serves responses and resolved
+    // revisits alike, straight into the 13-family triage. Oracle =
+    // the q_ccindex_media arithmetic over the same admitted ids: a
+    // fetch that dropped revisits would lose every %9==2 row (those
+    // ids exist ONLY as revisit records in crawl 2).
+    "q_ccindex_media_revisit" -> ((s, dir) => {
+      import s.implicits._
+      val (idx1Path, _) =
+        graft.wat.WatFixture.ensureDocMediaCcIndex(s, dir)
+      val (idx2Path, _) =
+        graft.wat.WatFixture.ensureDocMediaCcIndex2(s, dir)
+      val cur = s.read.parquet(idx2Path)
+        .where(col("fetch_status") === 200 &&
+          col("url_host_name") === "docs.test")
+      val prev = s.read.parquet(idx1Path)
+      val media = graft.wat.CcIndex.fetchRecords(
+        graft.wat.CcIndex.resolveRevisits(cur, prev))
         .select(regexp_extract(col("page_url"), "doc(\\d+)\\.bin$", 1)
           .cast("long").as("doc_id"),
           col("body").as("bytes"))
@@ -5295,6 +5346,26 @@ object ExtQueries {
         |    AS markdown
         |FROM d ORDER BY page_url""".stripMargin,
 
+    // the legacy CDX path must fetch the IDENTICAL subset as the CDXJ
+    // path — same rendering, same excluded rows (the equivalence
+    // between the two text index forms is the oracle)
+    "q_cdx_legacy" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL
+        |    AND doc_id % 11 <> 3 AND doc_id % 13 <> 5)
+        |SELECT 'https://docs.test/doc' || doc_id::VARCHAR || '.html'
+        |    AS page_url,
+        |  '[home](/) [about](/a) [links](/x)' ||
+        |  CASE WHEN t = '' THEN '' ELSE chr(10) || chr(10) || t END ||
+        |  CASE WHEN doc_id % 4 = 0
+        |       THEN chr(10) || chr(10) || '[click now](/b) [buy](/p)'
+        |       ELSE '' END ||
+        |  chr(10) || chr(10) || '[contact](/c) [terms](/t) c 2026'
+        |    AS markdown
+        |FROM d ORDER BY page_url""".stripMargin,
+
     // the mixed corpus's pdf family (%13==7) inside the admitted rows
     // (%11<>3): classic-xref 1.4 docs, pages 1+id%2, the closed-form
     // Info dict the mixed fixture writes
@@ -5316,6 +5387,34 @@ object ExtQueries {
     // the q_media_triage arithmetic over the index-admitted ids only
     // (%11==3 rows are 404s the ranged path must never fetch)
     "q_ccindex_media" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 13 WHEN 0 THEN 'mp4' WHEN 1 THEN 'webm'
+        |    WHEN 2 THEN 'avi' WHEN 3 THEN 'gif' WHEN 4 THEN 'audio'
+        |    WHEN 5 THEN 'tar' WHEN 6 THEN 'zip' WHEN 7 THEN 'pdf'
+        |    WHEN 8 THEN 'jpeg' WHEN 10 THEN 'png' WHEN 11 THEN 'webp'
+        |    WHEN 12 THEN 'tiff' ELSE 'unknown' END AS format,
+        |  (CASE WHEN doc_id % 13 IN (0, 1, 2, 3, 8, 10, 11, 12)
+        |        THEN 16 * (1 + doc_id % 5) ELSE 0 END)::BIGINT AS width,
+        |  (CASE WHEN doc_id % 13 IN (0, 1, 2, 3, 8, 10, 11, 12)
+        |        THEN 16 * (1 + doc_id % 4) ELSE 0 END)::BIGINT AS height,
+        |  (CASE doc_id % 13 WHEN 0 THEN 2 + doc_id % 3
+        |    WHEN 1 THEN 2 + doc_id % 4 WHEN 2 THEN 2 + doc_id % 5
+        |    WHEN 3 THEN 1 + doc_id % 3 WHEN 4 THEN 100 + doc_id % 50
+        |    WHEN 5 THEN 1 + doc_id % 4 WHEN 6 THEN 1 + doc_id % 3
+        |    WHEN 7 THEN 1 + doc_id % 2 WHEN 8 THEN 1
+        |    WHEN 10 THEN 1 + (doc_id // 13) % 3
+        |    WHEN 11 THEN CASE WHEN (doc_id // 13) % 3 = 2
+        |                      THEN 2 + (doc_id // 13) % 2 ELSE 1 END
+        |    WHEN 12 THEN 1 + (doc_id // 13) % 3
+        |    ELSE 0 END)::BIGINT AS n_units
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND doc_id % 11 <> 3
+        |ORDER BY doc_id""".stripMargin,
+
+    // the revisit-resolved media fetch must triage IDENTICALLY to the
+    // direct one: %9==2 ids exist only as revisit records in crawl 2,
+    // so their rows witness the binary resolution path
+    "q_ccindex_media_revisit" ->
       """SELECT doc_id,
         |  CASE doc_id % 13 WHEN 0 THEN 'mp4' WHEN 1 THEN 'webm'
         |    WHEN 2 THEN 'avi' WHEN 3 THEN 'gif' WHEN 4 THEN 'audio'

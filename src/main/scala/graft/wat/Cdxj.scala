@@ -113,6 +113,157 @@ object Cdxj {
       "content_languages", "content_charset")
   }
 
+  // ------------------------------------------------------------------
+  // Legacy space-separated CDX (the pre-CDXJ text form: OpenWayback /
+  // pywb "CDX-9"/"CDX-11" files). Marginal for CC itself (CDXJ since
+  // 2015) but the ecosystem's older web archives publish exactly this;
+  // parsed into the SAME frame shape so the identical ranged fetch
+  // consumes either index form.
+  // ------------------------------------------------------------------
+
+  /** The classic 11-field order (` CDX N b a m s k r M S V g`):
+    * N=massaged url (SURT key), b=14-digit timestamp, a=original url,
+    * m=mime, s=status, k=digest, r=redirect, M=robot meta,
+    * S=compressed record length, V=offset, g=archive filename.
+    * Headerless files assume this, the dominant legacy layout.
+    */
+  val DefaultCdxFields: IndexedSeq[String] =
+    "N b a m s k r M S V g".split(' ').toIndexedSeq
+
+  /** Parse a CDX header line (` CDX <letters...>`) into its field
+    * order; None when the line is not a header. The leading space is
+    * the format's own magic — it sorts before every key.
+    */
+  def parseCdxHeader(line: String): Option[IndexedSeq[String]] =
+    if (line == null || !line.startsWith(" CDX")) None
+    else Some(line.substring(4).trim.split("\\s+").toIndexedSeq
+      .filter(_.nonEmpty))
+
+  /** One legacy CDX line under a field order → Some(row); the same
+    * fail-soft contract as [[parseLine]]: wrong token count, missing
+    * url/filename, malformed timestamp or non-numeric offset all drop.
+    * `-` is the format's null and reads as absent. Files without an
+    * `S` field (CDX-9) yield `length = -1` — unknown until
+    * [[legacyIndexFrame]]'s next-offset fill.
+    */
+  def parseCdxLine(line: String, fields: IndexedSeq[String])
+      : Option[CdxjRow] = {
+    if (line == null || line.isEmpty || line.startsWith(" CDX"))
+      return None
+    val toks = line.split(' ')
+    if (toks.length != fields.length) return None
+    def f(name: String): String = {
+      val i = fields.indexOf(name)
+      if (i < 0) "" else {
+        val v = toks(i)
+        if (v == "-") "" else v
+      }
+    }
+    val url = f("a")
+    val ts = f("b")
+    val off = f("V")
+    val g = f("g")
+    if (url.isEmpty || g.isEmpty) return None
+    if (ts.length != 14 || !asciiDigits(ts)) return None
+    if (!asciiDigits(off)) return None
+    val lenStr = f("S")
+    val status = f("s")
+    try {
+      Some(CdxjRow(f("N"), ts, url, f("m"),
+        if (asciiDigits(status)) status.toInt else 0,
+        f("k").stripPrefix("sha1:"), g, off.toLong,
+        if (asciiDigits(lenStr)) lenStr.toLong else -1L,
+        "", "")) // legacy CDX carries no languages/charset columns
+    } catch { case _: NumberFormatException => None }
+  }
+
+  /** Render one capture as a CDX-11 line (writer twin of
+    * [[parseCdxLine]] under [[DefaultCdxFields]]).
+    */
+  def formatCdxLine(url: String, timestamp: String, mime: String,
+      status: Int, digest: String, filename: String, offset: Long,
+      length: Long): String = {
+    def nn(s: String) = if (s == null || s.isEmpty) "-" else s
+    s"${graft.ext.Surt.surtKey(url)} $timestamp $url ${nn(mime)} " +
+      s"$status ${nn(digest)} - - $length $offset $filename"
+  }
+
+  /** Legacy CDX shards → the same cc-index frame shape as
+    * [[indexFrame]], ranged-fetch-ready. Header-driven field order
+    * (headerless files assume CDX-11); line-level fail-soft.
+    *
+    * CDX-9 files carry no record length — those rows are filled with
+    * the NEXT capture's offset within the same archive (the pywb
+    * convention: members are contiguous, so next-offset − offset is
+    * the member length); the LAST capture per archive has no next
+    * offset and keeps `warc_record_length = -1`, which the ranged
+    * fetch skips — a caller that must have it reads the archive's
+    * file size and patches the one row, a policy decision this reader
+    * does not make silently. The fill materializes the shard's parsed
+    * rows (the raw bytes are already whole in memory on this path);
+    * CDX-11 shards stream like CDXJ.
+    */
+  def legacyIndexFrame(spark: SparkSession, paths: Seq[String])
+      : DataFrame =
+    legacyIndexFrame(spark, paths,
+      spark.sparkContext.longAccumulator("graft.cdx.read_errors"))
+
+  def legacyIndexFrame(spark: SparkSession, paths: Seq[String],
+      readErrors: org.apache.spark.util.LongAccumulator): DataFrame = {
+    import spark.implicits._
+    def tup(r: CdxjRow): (String, String, String, String, Int,
+        String, String, Long, Long, String, String) =
+      (r.surtKey, r.timestamp, r.url, r.mime, r.status, r.digest,
+        r.filename, r.offset, r.length, r.languages, r.encoding)
+    ArchiveTasks.perArchive[(String, String, String, String, Int,
+        String, String, Long, Long, String, String)](
+        spark, paths, readErrors, Long.MaxValue) { (path, conf, onCorrupt, _) =>
+      WatReader.fetchAllBytes(path, conf) match {
+        case None =>
+          onCorrupt(new java.io.IOException(s"fetch failed: $path"))
+          ClosingIterator.empty
+        case Some(bytes) =>
+          val in = WatReader.decompressed(
+            new java.io.ByteArrayInputStream(bytes))
+          val reader = new java.io.BufferedReader(
+            new java.io.InputStreamReader(in, "UTF-8"), 1 << 16)
+          val firstLine = reader.readLine()
+          val (fields, firstData) = parseCdxHeader(firstLine) match {
+            case Some(f) => (f, Iterator.empty[String])
+            case None =>
+              (DefaultCdxFields,
+                if (firstLine == null) Iterator.empty[String]
+                else Iterator.single(firstLine))
+          }
+          val lines = firstData ++ Iterator
+            .continually(reader.readLine()).takeWhile(_ != null)
+          val rows = lines.flatMap(l =>
+            parseCdxLine(l, fields).iterator)
+          if (fields.contains("S"))
+            new ClosingIterator(rows.map(tup), () => reader.close())
+          else {
+            // CDX-9 next-offset fill: materialize, group per archive,
+            // sort by offset, subtract
+            val all = try rows.toVector finally reader.close()
+            val filled = all.groupBy(_.filename).valuesIterator
+              .flatMap { g =>
+                val s = g.sortBy(_.offset)
+                s.indices.iterator.map { i =>
+                  val r = s(i)
+                  if (i + 1 < s.length)
+                    r.copy(length = s(i + 1).offset - r.offset)
+                  else r // last per archive: unknown, stays -1
+                }
+              }
+            new ClosingIterator(filled.map(tup), () => ())
+          }
+      }
+    }.toDF("url_surtkey", "fetch_time", "url", "content_mime_type",
+      "fetch_status", "content_digest", "warc_filename",
+      "warc_record_offset", "warc_record_length",
+      "content_languages", "content_charset")
+  }
+
   /** One `cluster.idx` entry: the FIRST `<surt> <ts>` key of a
     * gzip-compressed block of CDXJ lines, plus where that block lives
     * (`shard`, byte `offset`, compressed `length`). CC pairs its

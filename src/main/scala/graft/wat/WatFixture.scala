@@ -401,6 +401,70 @@ object WatFixture {
       }
     }
 
+  /** Second-crawl MEDIA shards — the crawl-time-dedup shape over the
+    * mixed corpus: ids `%9==2` are captured as `revisit` records
+    * (headers-only payload; `WARC-Payload-Digest` names the blob the
+    * crawl-1 media archives hold), everything else re-captured as a
+    * full octet-stream response. Same-url revisits only: the
+    * cross-url attribution mechanics are already oracled on the HTML
+    * corpus ([[ensureDocWarcs2]]); here the point is the BINARY
+    * resolution path.
+    */
+  def ensureDocMediaWarcs2(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, shards: Int = 4): Seq[String] =
+    ensureDocShards(spark, sfDir, shards, "graft-doc-media-warcs2-m1",
+      ".warc.gz") { (out, docs) =>
+      for ((id, _) <- docs) {
+        val blob = graft.ext.Multimodal.mixedBlobFor(id)
+        val uri = s"https://docs.test/doc$id.bin"
+        if (id % 9 == 2) {
+          val http = ("HTTP/1.1 200 OK\r\n" +
+            "Content-Type: application/octet-stream\r\n\r\n")
+            .getBytes(UTF_8)
+          val digest = graft.wat.CcIndex.sha1Base32(blob)
+          out.write(gzipMember(warcRecordBytes("revisit", http,
+            Some(uri), "application/http; msgtype=response",
+            Seq("WARC-Payload-Digest" -> s"sha1:$digest"))))
+        } else {
+          val http = (s"HTTP/1.1 200 OK\r\n" +
+            s"Content-Type: application/octet-stream\r\n" +
+            s"Content-Length: ${blob.length}\r\n\r\n").getBytes(UTF_8)
+          out.write(gzipMember(warcRecordBytes("response", http ++ blob,
+            Some(uri), "application/http; msgtype=response")))
+        }
+      }
+    }
+
+  /** cc-index parquet over the crawl-2 media shards
+    * ([[ensureDocMediaWarcs2]]): per-family mimes for the re-captured
+    * responses, `warc/revisit` rows (digest = the original blob's)
+    * for the `%9==2` captures, the usual `%11==3` → 404 rotation.
+    */
+  def ensureDocMediaCcIndex2(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, shards: Int = 4): (String, Seq[String]) = {
+    val warcs = ensureDocMediaWarcs2(spark, sfDir, shards)
+    val first = new java.io.File(warcs.head).getName
+    val tag = first.stripPrefix("docs-").stripSuffix("-0.warc.gz")
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-doc-media-ccindex2-v$GenVersion")
+    dir.mkdirs()
+    val out = new java.io.File(dir, s"midx1-$tag.parquet")
+    if (!out.exists()) {
+      val tmp = new java.io.File(dir, out.getName +
+        s".tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}-${System.nanoTime()}")
+      graft.wat.CcIndex.buildIndex(spark, warcs,
+          mimeOf = mediaMime,
+          statusOf = id => if (id % 11 == 3) 404 else 200)
+        .repartition(1)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      if (!tmp.renameTo(out) && !out.exists())
+        throw new java.io.IOException(s"could not materialize $out")
+      if (tmp.exists())
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+    (out.getAbsolutePath, warcs)
+  }
+
   /** The mixed corpus's per-family canonical mime — what CC's own
     * detector would put in the index's mime column; the closed form
     * lets a mime predicate (e.g. PDFs only) be oracled exactly.
@@ -794,6 +858,61 @@ object WatFixture {
     }
     ((0 until shards).map(i =>
       new java.io.File(dir, s"docs4-$tag-$i.cdxj.gz").getAbsolutePath),
+      warcs)
+  }
+
+  /** The SAME captures as [[ensureDocCdxj]] in the LEGACY
+    * space-separated CDX-11 form (` CDX N b a m s k r M S V g` header
+    * + one line per capture, key-sorted) — the pre-CDXJ text format
+    * the ecosystem's older archives (pywb/OpenWayback) publish. One
+    * `.cdx.gz` per warc shard, same cache-tag discipline.
+    */
+  def ensureDocCdxLegacy(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, shards: Int = 4): (Seq[String], Seq[String]) = {
+    val (idxPath, warcs) = ensureDocCcIndex(spark, sfDir, shards)
+    val first = new java.io.File(warcs.head).getName
+    val tag = first.stripPrefix("docs-").stripSuffix("-0.warc.gz")
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-doc-cdx-legacy-v$GenVersion")
+    dir.mkdirs()
+    val missing = (0 until shards).exists(i =>
+      !new java.io.File(dir, s"docs1-$tag-$i.cdx.gz").exists())
+    if (missing) {
+      val rows = spark.read.parquet(idxPath).collect().map { r =>
+        val url = r.getAs[String]("url")
+        val id = graft.wat.CcIndex.docIdOf(url)
+        val ts = f"20240101${id % 24}%02d${id % 60}%02d${(id * 7) % 60}%02d"
+        (r.getAs[String]("warc_filename"),
+          Cdxj.formatCdxLine(url, ts,
+            r.getAs[String]("content_mime_type"),
+            r.getAs[Int]("fetch_status"),
+            r.getAs[String]("content_digest"),
+            r.getAs[String]("warc_filename"),
+            r.getAs[Long]("warc_record_offset"),
+            r.getAs[Long]("warc_record_length")))
+      }.groupBy(_._1)
+      for ((warcPath, i) <- warcs.zipWithIndex) {
+        val f = new java.io.File(dir, s"docs1-$tag-$i.cdx.gz")
+        if (!f.exists()) {
+          val tmp = new java.io.File(dir, f.getName +
+            s".tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}-${System.nanoTime()}")
+          val out = new FileOutputStream(tmp)
+          try {
+            val gz = new GZIPOutputStream(out)
+            gz.write(" CDX N b a m s k r M S V g\n".getBytes(UTF_8))
+            for (line <- rows.getOrElse(warcPath, Array.empty)
+                .map(_._2).sorted)
+              gz.write((line + "\n").getBytes(UTF_8))
+            gz.close()
+          } finally out.close()
+          if (!tmp.renameTo(f) && !f.exists())
+            throw new java.io.IOException(s"could not materialize $f")
+          tmp.delete()
+        }
+      }
+    }
+    ((0 until shards).map(i =>
+      new java.io.File(dir, s"docs1-$tag-$i.cdx.gz").getAbsolutePath),
       warcs)
   }
 

@@ -397,6 +397,67 @@ class CcIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(crossSeen > 0, "fixture must exercise cross-url revisits")
   }
 
+  test("unmatched revisits drop COUNTED, not silently") {
+    val (idx1Path, _) =
+      WatFixture.ensureDocCcIndex(spark, "/root/testdata/sf0.001")
+    val (idx2Path, _) =
+      WatFixture.ensureDocCcIndex2(spark, "/root/testdata/sf0.001")
+    val cur = spark.read.parquet(idx2Path)
+      .where(col("fetch_status") === 200)
+    // an original index whose digests can satisfy NO revisit: every
+    // digest altered
+    val prev = spark.read.parquet(idx1Path)
+      .withColumn("content_digest",
+        concat(col("content_digest"), lit("-gone")))
+    val acc = spark.sparkContext.longAccumulator("test.unresolved")
+    val out = CcIndex.resolveRevisits(cur, prev, acc)
+    val responses = cur
+      .where(col("content_mime_type") =!= "warc/revisit").count()
+    val revisits = cur
+      .where(col("content_mime_type") === "warc/revisit").count()
+    assert(revisits > 0)
+    assert(out.count() == responses) // unmatched revisits dropped...
+    assert(acc.value == revisits,   // ...and every drop is accounted
+      s"expected $revisits unresolved revisits counted, got ${acc.value}")
+    // the same accumulator reads ZERO when every revisit resolves
+    val acc2 = spark.sparkContext.longAccumulator("test.unresolved2")
+    val full = CcIndex.resolveRevisits(cur,
+      spark.read.parquet(idx1Path), acc2)
+    assert(full.count() == cur.count() && acc2.value == 0L)
+  }
+
+  test("revisit resolution composes with the BINARY fetch (media)") {
+    val (idx1Path, _) =
+      WatFixture.ensureDocMediaCcIndex(spark, "/root/testdata/sf0.001")
+    val (idx2Path, _) =
+      WatFixture.ensureDocMediaCcIndex2(spark, "/root/testdata/sf0.001")
+    val cur = spark.read.parquet(idx2Path)
+      .where(col("fetch_status") === 200)
+    val prev = spark.read.parquet(idx1Path)
+    // crawl-2 media revisits are exactly the %9==2 admitted ids and
+    // carry NO response capture of their own
+    val revisitIds = cur
+      .where(col("content_mime_type") === "warc/revisit")
+      .select("url").collect()
+      .map(r => CcIndex.docIdOf(r.getString(0))).sorted
+    assert(revisitIds.nonEmpty && revisitIds.forall(_ % 9 == 2))
+    // without resolution those ids vanish from the binary fetch
+    val direct = CcIndex.fetchRecords(
+        cur.where(col("content_mime_type") =!= "warc/revisit"))
+      .collect().map(r => CcIndex.docIdOf(r.getString(0))).toSet
+    assert(revisitIds.forall(id => !direct.contains(id)))
+    // resolved: every admitted id comes back with the EXACT blob bytes
+    val resolved = CcIndex.fetchRecords(
+        CcIndex.resolveRevisits(cur, prev))
+      .collect().map(r =>
+        (CcIndex.docIdOf(r.getString(0)), r.getAs[Array[Byte]](1)))
+    assert(resolved.length.toLong == cur.count())
+    for ((id, body) <- resolved)
+      assert(java.util.Arrays.equals(body,
+        graft.ext.Multimodal.mixedBlobFor(id)),
+        s"doc $id bytes differ after revisit resolution")
+  }
+
   test("fetchRecords returns the raw entity bytes, digest-verified") {
     val (idxPath, _) =
       WatFixture.ensureDocMediaCcIndex(spark, "/root/testdata/sf0.001")

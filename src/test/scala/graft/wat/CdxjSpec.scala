@@ -119,6 +119,104 @@ class CdxjSpec extends AnyFunSuite with SparkTestBase {
         Array.fill(rnd.nextInt(80))((32 + rnd.nextInt(90)).toChar)))
   }
 
+  test("legacy CDX: header-driven parse, '-' nulls, malformed drops") {
+    // header magic
+    assert(Cdxj.parseCdxHeader(" CDX N b a m s k r M S V g") ==
+      Some(Cdxj.DefaultCdxFields))
+    assert(Cdxj.parseCdxHeader(" CDX N b a m s k r V g") ==
+      Some("N b a m s k r V g".split(' ').toIndexedSeq))
+    assert(Cdxj.parseCdxHeader("com,example)/ 20240101").isEmpty)
+    assert(Cdxj.parseCdxHeader(null).isEmpty)
+    // CDX-11 round trip through the writer twin
+    val line = Cdxj.formatCdxLine("https://www.example.com/a?x=1",
+      "20240101120000", "text/html", 200, "QQ44", "seg/x.warc.gz",
+      12345L, 678L)
+    assert(line ==
+      "com,example)/a?x=1 20240101120000 https://www.example.com/a?x=1 " +
+        "text/html 200 QQ44 - - 678 12345 seg/x.warc.gz")
+    val r = Cdxj.parseCdxLine(line, Cdxj.DefaultCdxFields).get
+    assert(r.surtKey == "com,example)/a?x=1" &&
+      r.url == "https://www.example.com/a?x=1" &&
+      r.mime == "text/html" && r.status == 200 && r.digest == "QQ44" &&
+      r.filename == "seg/x.warc.gz" && r.offset == 12345L &&
+      r.length == 678L && r.languages == "")
+    // '-' is the format's null; sha1: digest prefixes strip
+    val dashed = Cdxj.parseCdxLine(
+      "k 20240101000000 http://e.test/x - - sha1:AB - - 9 0 f.warc.gz",
+      Cdxj.DefaultCdxFields).get
+    assert(dashed.mime == "" && dashed.status == 0 &&
+      dashed.digest == "AB")
+    // malformed: wrong token count, bad timestamp, missing url or
+    // filename, non-numeric offset — all drop, never a throw
+    assert(Cdxj.parseCdxLine("too few", Cdxj.DefaultCdxFields).isEmpty)
+    assert(Cdxj.parseCdxLine(
+      "k 2024 http://e.test/x - - - - - 9 0 f.warc.gz",
+      Cdxj.DefaultCdxFields).isEmpty)
+    assert(Cdxj.parseCdxLine(
+      "k 20240101000000 - - - - - - 9 0 f.warc.gz",
+      Cdxj.DefaultCdxFields).isEmpty)
+    assert(Cdxj.parseCdxLine(
+      "k 20240101000000 http://e.test/x - - - - - 9 0 -",
+      Cdxj.DefaultCdxFields).isEmpty)
+    assert(Cdxj.parseCdxLine(
+      "k 20240101000000 http://e.test/x - - - - - 9 x f.warc.gz",
+      Cdxj.DefaultCdxFields).isEmpty)
+    // Long-overflow offset drops (same contract as CDXJ)
+    assert(Cdxj.parseCdxLine(
+      "k 20240101000000 http://e.test/x - - - - - 9 " +
+        "99999999999999999999 f.warc.gz", Cdxj.DefaultCdxFields).isEmpty)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 100)
+      Cdxj.parseCdxLine(new String(
+        Array.fill(rnd.nextInt(80))((32 + rnd.nextInt(90)).toChar)),
+        Cdxj.DefaultCdxFields)
+  }
+
+  test("legacy CDX-9 lengths fill from the next offset per archive") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val cdx9 = Seq(
+      " CDX N b a m s k r V g",
+      // two archives interleaved in key order — the fill must group
+      // by archive before subtracting
+      "com,a)/1 20240101000000 http://a.test/1 text/html 200 D1 - 0 x.warc.gz",
+      "com,a)/2 20240101000000 http://a.test/2 text/html 200 D2 - 700 y.warc.gz",
+      "com,a)/3 20240101000000 http://a.test/3 text/html 200 D3 - 450 x.warc.gz",
+      "com,a)/4 20240101000000 http://a.test/4 text/html 200 D4 - 100 y.warc.gz"
+    ).mkString("\n")
+    val dir = java.nio.file.Files.createTempDirectory("cdx9").toFile
+    dir.deleteOnExit()
+    val f = new java.io.File(dir, "legacy.cdx")
+    java.nio.file.Files.write(f.toPath, cdx9.getBytes(UTF_8))
+    val rows = Cdxj.legacyIndexFrame(spark, Seq(f.getAbsolutePath))
+      .select("url", "warc_filename", "warc_record_offset",
+        "warc_record_length")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("http://a.test/1", "x.warc.gz", 0L, 450L),
+      ("http://a.test/2", "y.warc.gz", 700L, -1L), // last in y: unknown
+      ("http://a.test/3", "x.warc.gz", 450L, -1L), // last in x: unknown
+      ("http://a.test/4", "y.warc.gz", 100L, 600L)))
+  }
+
+  test("legacy CDX shards parse to the same index as the parquet form") {
+    val (cdxs, _) =
+      WatFixture.ensureDocCdxLegacy(spark, "/root/testdata/sf0.001")
+    val (idxPath, _) =
+      WatFixture.ensureDocCcIndex(spark, "/root/testdata/sf0.001")
+    val cols = Seq("url", "content_mime_type", "fetch_status",
+      "content_digest", "warc_filename", "warc_record_offset",
+      "warc_record_length")
+    val fromText = Cdxj.legacyIndexFrame(spark, cdxs)
+      .select(cols.head, cols.tail: _*)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val fromParquet = spark.read.parquet(idxPath)
+      .select(cols.head, cols.tail: _*)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(fromText.length == fromParquet.length &&
+      fromText.sameElements(fromParquet))
+  }
+
   test("selectBlocks: binary-search boundaries, empty and miss cases") {
     def b(k: String, i: Int) = Cdxj.IdxBlock(k, s"s$i", i * 100L, 100L)
     val blocks = IndexedSeq(b("com,a)/p", 0), b("com,m)/p", 1),
