@@ -242,6 +242,20 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // join of the two NARROW frames + the union's fetch shuffle —
     // page bytes still never shuffle
     "q_ccindex_revisit" -> 6,
+    // the BINARY twin of the revisit resolution (media blobs through
+    // fetchRecords): same exchange story, blob bytes never shuffle
+    "q_ccindex_media_revisit" -> 6,
+    // the legacy text form rides the identical path as q_cdxj_fetch:
+    // per-row line parse in the shard task, then fetch + order
+    "q_cdx_legacy" -> 2,
+    // K-window delta: the history (url, digest) dedup agg + the
+    // anti-join sides + fetch + order; the dedup's partitioning
+    // matches the join keys, so history shuffles once, not twice
+    "q_ccindex_delta_k" -> 5,
+    // re-pack circle: the RETURNED frame is re-index → fetch → order
+    // (two exchanges); the write itself ran per-partition straight
+    // off the fetch's region groups — the bodies never shuffled
+    "q_warc_repack_media" -> 2,
     // pure per-row canonicalization + final order only
     "q_surt_key" -> 1,
     // per-row header parse + final order only
