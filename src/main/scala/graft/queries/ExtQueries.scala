@@ -2127,6 +2127,38 @@ object ExtQueries {
         .sortWithinPartitions("page_url")
     }),
 
+    // CDXJ OUTPUT (graft.wat.CdxjSink): the text-index sink — the
+    // engine WRITES the clustered publication shape (globally
+    // SURT-sorted blocked-gzip cdx shards + cluster.idx) and then
+    // consumes ITS OWN output with the targeted binary-searched
+    // lookup. One range exchange of narrow index lines (the global
+    // sort IS the format), per-partition imperative write, atomic
+    // publish. Oracle = q_cdxj_lookup's exactly: the engine-written
+    // layout must serve the identical prefix query as the fixture's.
+    "q_cdxj_repack" -> ((s, dir) => {
+      import s.implicits._
+      val (cdxjs, _) = graft.wat.WatFixture.ensureDocCdxj(s, dir)
+      val src = graft.wat.Cdxj.indexFrame(s, cdxjs)
+      val outDir = new java.io.File(QueryUtil.scratchPath("cdxj_repack"))
+      def rmr(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete()
+      }
+      rmr(outDir)
+      outDir.mkdirs()
+      val clusterIdx = graft.wat.CdxjSink.writeClustered(
+        src, outDir.getAbsolutePath, shards = 4, blockLines = 16)
+      val idx = graft.wat.Cdxj.lookupPrefix(s, clusterIdx,
+          outDir.getAbsolutePath, "test,docs)/doc1")
+        .where(col("fetch_status") === 200 &&
+          col("content_mime_type") === "text/html" &&
+          col("content_languages").contains("eng"))
+      val pages = graft.wat.CcIndex.fetchHtmlPages(idx)
+        .as[(String, String)]
+      graft.ext.HtmlMarkdown.htmlToMarkdownKeyed(pages)
+        .repartition(1)
+        .sortWithinPartitions("page_url")
+    }),
+
     // SURT canonicalization (graft.ext.Surt) — the key scheme every
     // web-archive index sorts by (cc-index url_surtkey, CDX/CDXJ
     // ordering): scheme/userinfo/fragment drop, www-label strip,
@@ -5471,6 +5503,27 @@ object ExtQueries {
     // the same admitted rows as the full fetch, AND the eng-language
     // gate over the JSON block's languages field (%3!=2)
     "q_cdxj_lookup" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL
+        |    AND doc_id % 11 <> 3 AND doc_id % 13 <> 5
+        |    AND doc_id % 3 <> 2
+        |    AND doc_id::VARCHAR LIKE '1%')
+        |SELECT 'https://docs.test/doc' || doc_id::VARCHAR || '.html'
+        |    AS page_url,
+        |  '[home](/) [about](/a) [links](/x)' ||
+        |  CASE WHEN t = '' THEN '' ELSE chr(10) || chr(10) || t END ||
+        |  CASE WHEN doc_id % 4 = 0
+        |       THEN chr(10) || chr(10) || '[click now](/b) [buy](/p)'
+        |       ELSE '' END ||
+        |  chr(10) || chr(10) || '[contact](/c) [terms](/t) c 2026'
+        |    AS markdown
+        |FROM d ORDER BY page_url""".stripMargin,
+
+    // the engine-written clustered layout must serve the IDENTICAL
+    // prefix query as q_cdxj_lookup over the fixture's layout
+    "q_cdxj_repack" ->
       """WITH d AS (SELECT doc_id,
         |    regexp_replace(trim(text), '\s+', ' ', 'g') AS t
         |  FROM documents

@@ -248,6 +248,10 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // the legacy text form rides the identical path as q_cdxj_fetch:
     // per-row line parse in the shard task, then fetch + order
     "q_cdx_legacy" -> 2,
+    // the RETURNED frame is the lookup over the engine-written layout
+    // (same shape as q_cdxj_lookup); the sink's one range exchange of
+    // index lines ran during construction, not in this plan
+    "q_cdxj_repack" -> 3,
     // K-window delta: the history (url, digest) dedup agg + the
     // anti-join sides + fetch + order; the dedup's partitioning
     // matches the join keys, so history shuffles once, not twice

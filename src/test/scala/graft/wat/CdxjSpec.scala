@@ -287,6 +287,65 @@ class CdxjSpec extends AnyFunSuite with SparkTestBase {
         "never open them")
   }
 
+  test("CdxjSink.writeClustered: the engine's own text-index output " +
+      "is globally sorted, cluster-indexed, and lookup-identical") {
+    val (cdxjs, _) = WatFixture.ensureDocCdxj(spark, "/root/testdata/sf0.001")
+    val src = Cdxj.indexFrame(spark, cdxjs)
+    val dir = java.nio.file.Files.createTempDirectory("cdxj-sink").toFile
+    dir.deleteOnExit()
+    val clusterIdx = CdxjSink.writeClustered(src, dir.getAbsolutePath,
+      shards = 3, blockLines = 8)
+    // the sidecar parses and its block keys are sorted (the binary
+    // search's precondition)
+    val blocks = Cdxj.readClusterIdx(clusterIdx)
+    assert(blocks.nonEmpty)
+    assert(blocks.map(_.firstKey) == blocks.map(_.firstKey).sorted)
+    // shards are globally sorted ACROSS files: every key in shard i
+    // precedes every key in shard i+1
+    val shardFiles = new java.io.File(dir.getAbsolutePath).listFiles()
+      .filter(_.getName.matches("cdx-\\d{5}\\.gz")).sortBy(_.getName)
+    assert(shardFiles.length >= 2)
+    val perShard = shardFiles.map { f =>
+      Cdxj.indexFrame(spark, Seq(f.getAbsolutePath))
+        .select("url_surtkey").collect().map(_.getString(0))
+    }
+    for (keys <- perShard)
+      assert(keys.sameElements(keys.sorted))
+    for (i <- 0 until perShard.length - 1
+         if perShard(i).nonEmpty && perShard(i + 1).nonEmpty)
+      assert(perShard(i).last <= perShard(i + 1).head,
+        s"shard $i overlaps shard ${i + 1}")
+    // nothing lost: the union of shards equals the source frame
+    val all = Cdxj.indexFrame(spark,
+      shardFiles.map(_.getAbsolutePath).toSeq).count()
+    assert(all == src.count())
+    // the engine-written layout serves a targeted lookup identically
+    // to a full scan
+    val prefix = "test,docs)/doc1"
+    val full = Cdxj.indexFrame(spark, cdxjs)
+      .where(col("url_surtkey").startsWith(prefix))
+      .select("url").collect().map(_.getString(0)).sorted
+    val got = Cdxj.lookupPrefix(spark, clusterIdx, dir.getAbsolutePath,
+        prefix)
+      .select("url").collect().map(_.getString(0)).sorted
+    assert(full.nonEmpty && got.sameElements(full))
+    // and the lookup is TARGETED on it (strict block subset)
+    val sel = Cdxj.selectBlocks(blocks, prefix)
+    assert(sel.nonEmpty && sel.size < blocks.size)
+    // deterministic bytes: a second write publishes identical files
+    val dir2 = java.nio.file.Files.createTempDirectory("cdxj-sink2").toFile
+    dir2.deleteOnExit()
+    CdxjSink.writeClustered(src, dir2.getAbsolutePath,
+      shards = 3, blockLines = 8)
+    for (f <- shardFiles :+ new java.io.File(dir, "cluster.idx")) {
+      val twin = new java.io.File(dir2, f.getName)
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.file.Files.readAllBytes(twin.toPath)),
+        s"${f.getName} bytes differ between two writes")
+    }
+  }
+
   test("indexFrame over the cdxj shards equals the parquet index") {
     val (cdxjs, _) = WatFixture.ensureDocCdxj(spark, "/root/testdata/sf0.001")
     val (idxPath, _) =
