@@ -264,6 +264,50 @@ object Cdxj {
       "content_languages", "content_charset")
   }
 
+  /** Patch the CDX-9 `-1` tail lengths: the last capture per archive
+    * has no next offset, so its member runs to the end of the
+    * archive — `length = file size − offset`. One `getFileStatus` per
+    * DISTINCT archive that still carries a `-1` row (executed on the
+    * executors over the distinct-filename frame, never per row), then
+    * a broadcast-sized join back. Frames with no `-1` rows pass
+    * through with zero stat calls. This is the policy decision
+    * [[legacyIndexFrame]] deliberately does not make silently — here
+    * the caller asked for it.
+    */
+  def fillTailLengths(frame: DataFrame, archiveDir: String = "")
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = frame.sparkSession
+    import spark.implicits._
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val sizes = frame.where(col("warc_record_length") === -1L)
+      .select(col("warc_filename").cast("string")).distinct()
+      .as[String]
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        it.flatMap { name =>
+          val p =
+            if (archiveDir.isEmpty) new org.apache.hadoop.fs.Path(name)
+            else new org.apache.hadoop.fs.Path(archiveDir, name)
+          try Iterator.single(
+            (name, p.getFileSystem(conf).getFileStatus(p).getLen))
+          catch { // unreadable archive: the row keeps its -1
+            case scala.util.control.NonFatal(_) => Iterator.empty
+          }
+        }
+      }
+      .toDF("warc_filename", "archive_size")
+    frame.join(broadcast(sizes), Seq("warc_filename"), "left")
+      .withColumn("warc_record_length",
+        when(col("warc_record_length") === -1L &&
+            col("archive_size").isNotNull,
+          col("archive_size") - col("warc_record_offset"))
+          .otherwise(col("warc_record_length")))
+      .drop("archive_size")
+  }
+
   /** One `cluster.idx` entry: the FIRST `<surt> <ts>` key of a
     * gzip-compressed block of CDXJ lines, plus where that block lives
     * (`shard`, byte `offset`, compressed `length`). CC pairs its

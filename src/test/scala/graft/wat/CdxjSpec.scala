@@ -197,6 +197,20 @@ class CdxjSpec extends AnyFunSuite with SparkTestBase {
       ("http://a.test/2", "y.warc.gz", 700L, -1L), // last in y: unknown
       ("http://a.test/3", "x.warc.gz", 450L, -1L), // last in x: unknown
       ("http://a.test/4", "y.warc.gz", 100L, 600L)))
+    // the opt-in tail patch: file size - offset for the -1 rows, one
+    // stat per distinct archive; missing archives keep their -1
+    java.nio.file.Files.write(new java.io.File(dir, "x.warc.gz").toPath,
+      new Array[Byte](500)) // x: 500 bytes -> tail = 500 - 450 = 50
+    val patched = Cdxj.fillTailLengths(
+        Cdxj.legacyIndexFrame(spark, Seq(f.getAbsolutePath)),
+        dir.getAbsolutePath)
+      .select("url", "warc_record_length")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(patched.toSeq == Seq(
+      ("http://a.test/1", 450L),
+      ("http://a.test/2", -1L), // y.warc.gz absent: stays unknown
+      ("http://a.test/3", 50L), // patched from x's real size
+      ("http://a.test/4", 600L)))
   }
 
   test("legacy CDX shards parse to the same index as the parquet form") {
