@@ -2190,6 +2190,35 @@ object ExtQueries {
         .sortWithinPartitions("page_url")
     }),
 
+    // WET re-packaging round trip (graft.wat.WetSink — the text-form
+    // output): conversion records read through the WET source,
+    // re-emitted as warcinfo-led conversion shards (deterministic
+    // bytes, atomic publish), and read BACK through the same source —
+    // a curated text corpus leaves the engine in the format text
+    // pipelines consume, and the output is a first-class input again.
+    // Oracle identical to q_wet_extract: the circle must be lossless.
+    "q_wet_repack" -> ((s, dir) => {
+      val wets = graft.wat.WatFixture.ensureDocWets(s, dir)
+      import s.implicits._
+      val texts = graft.wat.WetText.docs(s, wets)
+        .select("page_url", "wet_text")
+      val outDir = new java.io.File(QueryUtil.scratchPath("wet_repack"))
+      def rmr(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete()
+      }
+      rmr(outDir)
+      outDir.mkdirs()
+      val manifest = graft.wat.WetSink.writeTexts(
+        texts.repartition(4), outDir.getAbsolutePath)
+      val written = manifest.select("path").as[String].collect().sorted
+      graft.wat.WetText.docs(s, written.toSeq)
+        .select(col("page_url"), col("wet_text"))
+        // the established oracle-order tail: one round-robin exchange
+        // + in-partition sort, never a range-sampling global orderBy
+        .repartition(1)
+        .sortWithinPartitions("page_url")
+    }),
+
     // PDF metadata (graft.ext.Pdf): classic xref walk + trailer /Root
     // → /Pages /Count + /Info dict, with the xref offsets VALIDATED
     // (xref_ok) — each doc is a real multi-page PDF of its own text.
@@ -5660,6 +5689,15 @@ object ExtQueries {
     // the WET round trip is lossless by format: conversion payload IS
     // the document text
     "q_wet_extract" ->
+      """SELECT 'https://docs.test/doc' || doc_id::VARCHAR || '.html'
+        |    AS page_url,
+        |  text AS wet_text
+        |FROM documents WHERE doc_id IS NOT NULL
+        |ORDER BY page_url""".stripMargin,
+
+    // the WET re-pack circle must render the identical table: read →
+    // write → read is byte-lossless for sniff-safe UTF-8 text
+    "q_wet_repack" ->
       """SELECT 'https://docs.test/doc' || doc_id::VARCHAR || '.html'
         |    AS page_url,
         |  text AS wet_text

@@ -174,8 +174,9 @@ object WarcSink {
     * last-publish-wins is exactly-once in content). Returns the
     * manifest rows `(path, records, bytes)` for non-empty partitions.
     */
-  private def writeShards[A](rows: org.apache.spark.sql.Dataset[A],
-      dir: String, prefix: String, warcDate: String)(
+  private[wat] def writeShards[A](rows: org.apache.spark.sql.Dataset[A],
+      dir: String, prefix: String, warcDate: String,
+      suffix: String = ".warc.gz")(
       member: (A, String) => Array[Byte]): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
@@ -189,7 +190,7 @@ object WarcSink {
         val pid = if (ctx == null) 0 else ctx.partitionId()
         val attempt = if (ctx == null) 0L else ctx.taskAttemptId()
         val conf = confBc.value.value
-        val name = f"$prefix-$pid%05d.warc.gz"
+        val name = f"$prefix-$pid%05d$suffix"
         val outPath = new Path(dir, name)
         val tmpPath = new Path(dir, f".$prefix-$pid%05d-$attempt.tmp")
         val fs = outPath.getFileSystem(conf)

@@ -212,6 +212,9 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // one task per WET archive + final order only — the conversion-
     // record read must never shuffle page text
     "q_wet_extract" -> 1,
+    // the re-pack's RETURNED frame is the read-back + order tail (the
+    // write ran per-partition during construction); same budget
+    "q_wet_repack" -> 1,
     // ONE (path, offset, length) triple shuffle for the region group
     // + the final single-partition exchange — page bytes themselves
     // must never shuffle (they are born inside the fetch task)

@@ -127,6 +127,55 @@ class WarcSinkSpec extends AnyFunSuite with SparkTestBase {
       fileBytes(written.head), fileBytes(w2.head)))
   }
 
+  test("WetSink: conversion shards round-trip through the WET source") {
+    import spark.implicits._
+    val texts = Seq(
+      ("https://w.test/1", "plain ascii text"),
+      ("https://w.test/2", "accented: déjà vu — em dash"),
+      ("https://w.test/3", ""), // empty text survives as an empty record
+      ("https://w.test/4", "line one\nline two\n"))
+      .toDF("page_url", "wet_text")
+    val dir = tmpDir("wet-sink")
+    val written = WetSink.writeTexts(texts.coalesce(1),
+      dir.getAbsolutePath).collect()
+    assert(written.map(_.getAs[Long]("records")).sum == 4L)
+    val paths = written.map(_.getAs[String]("path")).toSeq
+    assert(paths.forall(_.endsWith(".warc.wet.gz")))
+    // member framing: warcinfo lead, then conversion records with a
+    // block digest over the raw text bytes
+    for (p <- paths) {
+      val bytes = java.nio.file.Files.readAllBytes(
+        new java.io.File(new java.net.URI(
+          if (p.startsWith("file:")) p else "file://" + p)).toPath)
+      val spans = CcIndex.memberSpans(bytes)
+      assert(spans.size == 5) // warcinfo + 4 conversions
+      val inf = new java.util.zip.Inflater(true)
+      try for (((o, l), i) <- spans.zipWithIndex) {
+        val r = CcIndex.memberRecord(bytes, o.toInt, l.toInt, inf).get
+        if (i == 0) assert(r.warcType == "warcinfo")
+        else {
+          assert(r.warcType == "conversion")
+          assert(r.headers("warc-block-digest") ==
+            "sha1:" + CcIndex.sha1Base32(r.payload))
+        }
+      } finally inf.end()
+    }
+    // lossless round trip through the engine's own WET source
+    val back = WetText.docs(spark, paths)
+      .select("page_url", "wet_text").as[(String, String)]
+      .collect().sorted
+    assert(back.sameElements(
+      texts.as[(String, String)].collect().sorted))
+    // deterministic bytes
+    val dir2 = tmpDir("wet-sink2")
+    val p2 = WetSink.writeTexts(texts.coalesce(1), dir2.getAbsolutePath)
+      .collect().map(_.getAs[String]("path")).toSeq
+    def fb(p: String) = java.nio.file.Files.readAllBytes(
+      new java.io.File(new java.net.URI(
+        if (p.startsWith("file:")) p else "file://" + p)).toPath)
+    assert(java.util.Arrays.equals(fb(paths.head), fb(p2.head)))
+  }
+
   test("the engine's own output is indexable and ranged-fetchable") {
     import spark.implicits._
     // full circle: sink output → buildIndex → digest-verified ranged
