@@ -228,6 +228,44 @@ object RefQueries {
         .sortWithinPartitions("uid", "page_url", "url", "alt")
     }),
 
+    // WAT SIDECAR GENERATION (graft.wat.WatSink — the fourth output
+    // form): raw WARC pages → engine-written .warc.wat.gz metadata
+    // sidecars (scanHtml inside the write task, envelope JSON in the
+    // exact field shape WatExtract and the reference navigate) → WAT
+    // extraction over the WRITTEN sidecars. Same parity oracle as
+    // q_warc_extract: the result must hash-match the committed
+    // extraction of the crawler's own WAT for the same seeded pages —
+    // WAT-write → WAT-read ≡ WARC-read ≡ WAT-read, the circle that
+    // lets WAT-only consumers (the reference pipeline included) run
+    // over a crawl that never had sidecars. cc_filename is per-source
+    // and projected out, as in q_warc_extract.
+    "q_wat_sidecar" -> ((s, dir) => {
+      import s.implicits._
+      graft.wat.WatFixture.ensureTailParquet(s)
+      val warcs = graft.wat.WatFixture.ensureWarcFleet()
+      val pages = s.read.format("warc").load(warcs: _*)
+        .select(
+          regexp_extract(col("warc_path"), "[^/]+$", 0)
+            .as("cc_filename"),
+          col("page_url"), col("html"))
+      val outDir = new java.io.File(QueryUtil.scratchPath("wat_sidecar"))
+      def rmr(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete()
+      }
+      rmr(outDir)
+      outDir.mkdirs()
+      // no repartition: one sidecar shard per source archive, scanned
+      // and written in the same task — page bodies never shuffle
+      val manifest = graft.wat.WatSink.writePages(
+        pages, outDir.getAbsolutePath)
+      val written = manifest.select("path").as[String].collect().sorted
+      graft.wat.WatExtract.fromPaths(s, written.toSeq, "image_only")
+        .toDF()
+        .select("uid", "url", "alt", "page_url")
+        .repartition(1)
+        .sortWithinPartitions("uid", "page_url", "url", "alt")
+    }),
+
     // The same extraction through the DataSourceV2 `warc` source
     // (planning-time path pruning + max_tasks batching; 16 archives
     // batched into 8 tasks here so the batched path is the one under
@@ -632,6 +670,14 @@ object RefQueries {
          |  url NULLS FIRST, alt NULLS FIRST""".stripMargin,
 
     "q_warc_extract_dsv2" ->
+      s"""SELECT uid, url, alt, page_url
+         |FROM read_parquet('${graft.wat.WatFixture.TailParquetPath}')
+         |ORDER BY uid NULLS FIRST, page_url NULLS FIRST,
+         |  url NULLS FIRST, alt NULLS FIRST""".stripMargin,
+
+    // extraction over ENGINE-WRITTEN sidecars must equal the committed
+    // extraction of the crawler's own WAT — the generation circle
+    "q_wat_sidecar" ->
       s"""SELECT uid, url, alt, page_url
          |FROM read_parquet('${graft.wat.WatFixture.TailParquetPath}')
          |ORDER BY uid NULLS FIRST, page_url NULLS FIRST,

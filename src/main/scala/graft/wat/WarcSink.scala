@@ -174,10 +174,13 @@ object WarcSink {
     * last-publish-wins is exactly-once in content). Returns the
     * manifest rows `(path, records, bytes)` for non-empty partitions.
     */
+  /** `member` receives (row, warcDate, shardName) — the name lets a
+    * record reference its own shard where the format calls for it.
+    */
   private[wat] def writeShards[A](rows: org.apache.spark.sql.Dataset[A],
       dir: String, prefix: String, warcDate: String,
       suffix: String = ".warc.gz")(
-      member: (A, String) => Array[Byte]): DataFrame = {
+      member: (A, String, String) => Array[Byte]): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
     val confBc = spark.sparkContext.broadcast(
@@ -202,7 +205,7 @@ object WarcSink {
           out.write(info)
           bytes += info.length
           it.foreach { row =>
-            val m = member(row, warcDate)
+            val m = member(row, warcDate, name)
             out.write(m)
             n += 1
             bytes += m.length
@@ -237,9 +240,9 @@ object WarcSink {
     writeShards(pages
       .select(col("page_url").cast("string"), col("html").cast("string"))
       .as[(String, String)], dir, prefix, warcDate) {
-      case ((url, html), date) =>
-        responseMember(if (url == null) "" else url,
-          if (html == null) "" else html, date)
+      (row, date, _) =>
+        responseMember(if (row._1 == null) "" else row._1,
+          if (row._2 == null) "" else row._2, date)
     }
   }
 
@@ -262,9 +265,10 @@ object WarcSink {
         col("content_type").cast("string"),
         col("body").cast("binary"))
       .as[(String, Int, String, Array[Byte])], dir, prefix, warcDate) {
-      case ((url, status, ct, body), date) =>
-        responseMemberRaw(if (url == null) "" else url, status, ct,
-          if (body == null) Array.emptyByteArray else body, date)
+      (row, date, _) =>
+        responseMemberRaw(if (row._1 == null) "" else row._1, row._2,
+          row._3,
+          if (row._4 == null) Array.emptyByteArray else row._4, date)
     }
   }
 }

@@ -70,9 +70,9 @@ object WetSink {
         col("wet_text").cast("string"))
       .as[(String, String)], dir, prefix, warcDate,
       suffix = ".warc.wet.gz") {
-      case ((url, text), date) =>
-        conversionMember(if (url == null) "" else url,
-          if (text == null) "" else text, date)
+      (row, date, _) =>
+        conversionMember(if (row._1 == null) "" else row._1,
+          if (row._2 == null) "" else row._2, date)
     }
   }
 }

@@ -215,6 +215,10 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     // the re-pack's RETURNED frame is the read-back + order tail (the
     // write ran per-partition during construction); same budget
     "q_wet_repack" -> 1,
+    // sidecar generation: the returned frame is WAT extraction over
+    // the written shards (per-archive tasks, relational tail) + the
+    // oracle-order exchange; the scan-and-write ran per-partition
+    "q_wat_sidecar" -> 1,
     // ONE (path, offset, length) triple shuffle for the region group
     // + the final single-partition exchange — page bytes themselves
     // must never shuffle (they are born inside the fetch task)

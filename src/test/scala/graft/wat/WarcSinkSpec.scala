@@ -176,6 +176,52 @@ class WarcSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(java.util.Arrays.equals(fb(paths.head), fb(p2.head)))
   }
 
+  test("WatSink: written sidecars extract identically to the raw HTML") {
+    import spark.implicits._
+    // hostile link text on purpose: quotes, backslashes, a newline in
+    // the anchor — the envelope JSON must escape them so from_json
+    // reads back the exact strings
+    val html =
+      """<html><head><base href="https://b.test/dir/"></head><body>
+        |<img src="img/cat.jpg" alt="a &quot;cat&quot; \ here">
+        |<a href="song.mp3">line
+        |one</a>
+        |<img src="https://cdn.test/dog.png">
+        |</body></html>""".stripMargin
+    val pages = Seq(("src-0.warc.gz", "https://w.test/p1", html))
+      .toDF("cc_filename", "page_url", "html")
+    val dir = tmpDir("wat-sink")
+    val written = WatSink.writePages(pages.coalesce(1),
+      dir.getAbsolutePath).collect().map(_.getAs[String]("path")).toSeq
+    assert(written.forall(_.endsWith(".warc.wat.gz")))
+    // the reference-shaped extraction over the WRITTEN sidecar equals
+    // the HTML scanner's own view of the page
+    val fromWat = WatExtract.fromPaths(spark, written, "image")
+      .collect().map(r => (r.uid, r.url, r.alt, r.page_url)).sorted
+    assert(fromWat.length == 1) // "image" = alt-bearing IMG links only
+    assert(fromWat.head._2 == "https://b.test/dir/img/cat.jpg")
+    assert(fromWat.head._3 == "a \"cat\" \\ here") // unescaped intact
+    assert(fromWat.head._4 == "https://w.test/p1")
+    // cc_filename surfaces the SOURCE archive (Container.Filename)
+    val ccNames = WatExtract.fromPaths(spark, written, "image_only")
+      .collect().map(_.cc_filename).distinct
+    assert(ccNames.toSeq == Seq("src-0.warc.gz"))
+    // audio doc type sees the anchor text via its alt (scanHtml
+    // collapses the newline to one space, as the WAT pipeline's own
+    // anchor text does)
+    val audio = WatExtract.fromPaths(spark, written, "audio")
+      .collect()
+    assert(audio.length == 1 && audio.head.alt == "line one")
+    // determinism
+    val dir2 = tmpDir("wat-sink2")
+    val w2 = WatSink.writePages(pages.coalesce(1), dir2.getAbsolutePath)
+      .collect().map(_.getAs[String]("path")).toSeq
+    def fb(p: String) = java.nio.file.Files.readAllBytes(
+      new java.io.File(new java.net.URI(
+        if (p.startsWith("file:")) p else "file://" + p)).toPath)
+    assert(java.util.Arrays.equals(fb(written.head), fb(w2.head)))
+  }
+
   test("the engine's own output is indexable and ranged-fetchable") {
     import spark.implicits._
     // full circle: sink output → buildIndex → digest-verified ranged
