@@ -139,6 +139,20 @@ object Bench {
     val spark = builder0
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // see SessionBuilder.ExcludedOptimizerRules: InferFiltersFromGenerate
+      // re-evaluates expensive generator expressions in pushed filters
+      .config("spark.sql.optimizer.excludedRules",
+        SessionBuilder.ExcludedOptimizerRules)
+      // generated-class cache (default 100 entries): a battery of 221
+      // queries × several codegen units each evicts constantly, so every
+      // pass re-runs janino + C2 on identical code — pure compile churn
+      // charged to the timed pass (measured: q_bpe_encode pass walls
+      // decay 13.5 → 4.9 s over 12 passes as compilation amortizes).
+      // Sizing the cache to hold the battery is scale-independent: any
+      // long-lived production session re-planning similar queries wants
+      // compiled-code reuse; memory cost is bounded (generated classes,
+      // not data)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       // trust the write-time bucket sort on read (safe: Spark still
       // re-sorts any bucket with more than one file; Bucketing writes
       // exactly one sorted file per bucket so SMJs stream sort-free)

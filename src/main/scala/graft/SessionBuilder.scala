@@ -13,6 +13,25 @@ import graft.functions.GraftFunctions
   */
 object SessionBuilder {
 
+  /** Optimizer rules excluded in every graft session.
+    *
+    * InferFiltersFromGenerate synthesizes `size(e) > 0 AND isnotnull(e)`
+    * below each explode/posexplode and pushes it toward the scan with
+    * the GENERATOR EXPRESSION INLINED. Our generators are expensive
+    * per-row expressions over document text (tokenization, shingling,
+    * char-split), so the "free" inferred filter re-evaluates the whole
+    * expression a second time — below any fan-out exchange, i.e. on the
+    * single scan task (the r10 alias-substitution class; six operators
+    * already carry per-site workarounds — hash-after-explode,
+    * posexplode_outer). The rule's upside is skipping rows whose array
+    * is empty, which explode drops anyway and which parquet cannot use
+    * as a pushed filter (no size() predicate support) — measured ~0 for
+    * every operator here, against a measured +1.2 s per affected query
+    * at sf0.1. Scale-independent: plan shape only, identical results.
+    */
+  val ExcludedOptimizerRules: String =
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
   def local(cores: Int = Runtime.getRuntime.availableProcessors(),
       memGb: Int = 8, appName: String = "graft"): SparkSession =
     withGraftFunctions(SparkSession.builder()
@@ -22,6 +41,9 @@ object SessionBuilder {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.excludedRules", ExcludedOptimizerRules)
+      // battery-sized generated-class cache — see Bench.scala rationale
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       // trust the write-time bucket sort on read (safe: Spark still
       // re-sorts any bucket with more than one file; Bucketing writes
       // exactly one sorted file per bucket so SMJs stream sort-free)
@@ -51,6 +73,9 @@ object SessionBuilder {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.optimizer.excludedRules", ExcludedOptimizerRules)
+      // battery-sized generated-class cache — see Bench.scala rationale
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       // trust the write-time bucket sort on read (safe: Spark still
       // re-sorts any bucket with more than one file; Bucketing writes
       // exactly one sorted file per bucket so SMJs stream sort-free)

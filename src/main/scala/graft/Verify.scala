@@ -20,6 +20,11 @@ object Verify {
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // see SessionBuilder.ExcludedOptimizerRules: InferFiltersFromGenerate
+      // re-evaluates expensive generator expressions in pushed filters
+      .config("spark.sql.optimizer.excludedRules",
+        SessionBuilder.ExcludedOptimizerRules)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       // trust the write-time bucket sort on read (safe: Spark still
       // re-sorts any bucket with more than one file; Bucketing writes
       // exactly one sorted file per bucket so SMJs stream sort-free)

@@ -39,7 +39,13 @@ object BpeTrainer {
     */
   def wordTypes(docs: DataFrame, idCol: String, tokens: Column): DataFrame =
     docs.where(col(idCol).isNotNull)
-      .select(explode(tokens).as("w"))
+      // explode_outer, NOT explode: the existing null/empty filter below
+      // already drops the outer row, and plain explode lets
+      // InferFiltersFromGenerate push a size(tokens)>0 filter — with the
+      // whole tokenization expression inlined — below the corpus scan's
+      // fan-out exchange, re-evaluating it single-task (r10 alias-
+      // substitution class)
+      .select(explode_outer(tokens).as("w"))
       .where(col("w").isNotNull && col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("w"), col("freq"),
@@ -406,8 +412,10 @@ object BpeTrainer {
     */
   def encode(docs: DataFrame, idCol: String, tokens: Column,
       types: DataFrame): DataFrame = {
+    // posexplode_outer: same InferFiltersFromGenerate rationale as
+    // wordTypes — the null/empty filter below drops the outer row
     val toks = docs.where(col(idCol).isNotNull)
-      .select(col(idCol), posexplode(tokens).as(Seq("pos", "w")))
+      .select(col(idCol), posexplode_outer(tokens).as(Seq("pos", "w")))
       .where(col("w").isNotNull && col("w") =!= "")
     val charSplit = transform(sequence(lit(1), length(col("w"))),
       i => col("w").substr(i, lit(1)))

@@ -27,6 +27,16 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache spools every read/write through a
+  // disk temp file (File.createTempFile: a SecureRandom-locked name +
+  // create/delete per call). All payloads here are in-memory byte
+  // arrays, so the disk spool is pure overhead single-threaded and a
+  // filesystem/lock stampede when 32 tasks decode concurrently
+  // (measured: the parallelized PNG shard pipeline burned ~130 CPU-s
+  // in 16 s wall before this, ~2 CPU-s after). Memory-cached streams
+  // are the right mode for byte-array media at every scale.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaRow(doc_id: Long, bytes: Array[Byte], mime: String)
 
   final case class MediaFeature(

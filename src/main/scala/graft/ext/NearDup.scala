@@ -315,15 +315,19 @@ object NearDup {
       "minJaccard must be > 0: the inverted index only materializes " +
         "overlapping pairs, so jac = 0 pairs are never emitted")
     // In-row array_distinct + per-element hash, NOT the explode-then-
-    // row-distinct shape Contamination uses: `sh` arrives as an attribute
-    // (callers stage it), so InferFiltersFromGenerate's generator copy
-    // only re-hashes (cheap with the fused native h32) — while a
-    // row-distinct would add a full extra shuffle of the exploded index.
-    // Measured equal at sf0.1; fewer shuffles wins at scale.
+    // row-distinct shape Contamination uses: a row-distinct would add a
+    // full extra shuffle of the exploded index. explode_outer + null
+    // filter, NOT explode: callers pass `sh` as a projection ALIAS over
+    // the raw text (shingling expression), and InferFiltersFromGenerate's
+    // size(hs)>0 constraint substitutes through both aliases — the whole
+    // shingle+hash expression lands in a pushed-down filter below the
+    // caller's scan/fan-out exchange and re-evaluates single-task (the
+    // r10 alias-substitution class; measured +1.2 s on q_ngram_jaccard).
     val hashed = d.select(col("doc_id"), col("lang"), col("bucket"),
       array_distinct(transform(col("sh"), s => Hashing.h32(s))).as("hs"))
     val ex0 = hashed.select(col("doc_id"), col("lang"), col("bucket"),
-      explode(col("hs")).as("s"))
+      explode_outer(col("hs")).as("s"))
+      .where(col("s").isNotNull)
     // Stop-shingle cutoff: one windowed count per (block, shingle-hash) —
     // a single hash shuffle, reused by the self-join below.
     val ex =
@@ -377,10 +381,13 @@ object NearDup {
     require(minContainMilli > 0,
       "minContainMilli must be > 0: the inverted index only materializes " +
         "overlapping pairs, so containment = 0 pairs are never emitted")
+    // explode_outer + null filter: same InferFiltersFromGenerate
+    // rationale as jaccardPairs above
     val hashed = d.select(col("doc_id"), col("lang"),
       array_distinct(transform(col("sh"), s => Hashing.h32(s))).as("hs"))
     val ex0 = hashed.select(col("doc_id"), col("lang"),
-      explode(col("hs")).as("s"))
+      explode_outer(col("hs")).as("s"))
+      .where(col("s").isNotNull)
     val ex =
       if (maxDf == Int.MaxValue) ex0
       else {

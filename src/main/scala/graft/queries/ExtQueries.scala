@@ -21,8 +21,15 @@ object ExtQueries {
 
   private val stopSql = TA.Stopwords.map(s => s"'$s'").mkString(", ")
 
+  /** The documents corpus, fanned out to the session's parallelism
+    * (QueryUtil.fanOut): the sf fixtures are single-row-group parquet —
+    * an unsplittable one-task scan — and nearly every consumer tokenizes
+    * or parses per row, which would otherwise run single-core (guide
+    * §2.5). At scale the fan-out self-disables (multi-split scans skip
+    * the repartition), so no query pays a corpus shuffle for it.
+    */
   private def docsWithTokens(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "documents")
+    fanOut(table(s, dir, "documents"), "doc_id")
 
   /** q_curation_stream's staged-input memo (see StreamQueries.stagedFor):
     * the sf dir whose staged corpus currently sits under stream/cur/in.
@@ -250,7 +257,13 @@ object ExtQueries {
       val docs = docsWithTokens(s, dir)
       val bi = docs.select(col("doc_id"),
         array_distinct(TA.charBigrams(col("text"))).as("bs"))
-      val ex = bi.select(col("doc_id"), explode(col("bs")).as("b"))
+      // explode_outer + null filter, NOT explode: InferFiltersFromGenerate
+      // would otherwise synthesize size(bs)>0, inline the whole bigram
+      // expression into a pushed-down filter below the fan-out exchange,
+      // and evaluate it twice — once single-task (the r10 alias-
+      // substitution class; measured 1.7 s of the query's 2.7 s)
+      val ex = bi.select(col("doc_id"), explode_outer(col("bs")).as("b"))
+        .where(col("b").isNotNull)
       val vocab = ex.where(col("doc_id") % 10 === 0)
         .select(col("b"), lit(1L).as("__in_vocab")).distinct()
       val agg = ex.join(broadcast(vocab), Seq("b"), "left")

@@ -82,6 +82,38 @@ object QueryUtil {
         raw.withColumn("ts", col("ts").cast("timestamp"))
     }
 
+  /** Fan an under-parallelized frame out to the session's full core
+    * count before per-row-heavy map work — the optimization-guide §2.5
+    * remedy for unsplittable inputs ("one huge unsplittable file …
+    * repartition immediately after the read"). The bench fixtures are
+    * single-row-group parquet: Spark can split a parquet file no finer
+    * than its row groups, so every scan here is ONE task and every
+    * downstream mapPartitions / codegen stage would otherwise run on one
+    * core while the other 31 idle (measured: q_zip_pipeline 8.7 s with
+    * two ~2.3 s single-task stages; q_oov_bigrams 2.7 s with one 2.2 s
+    * single-task stage).
+    *
+    * Scale-safe by construction, not by tuning:
+    *  - the target is `defaultParallelism` (total executor cores), never
+    *    a local constant;
+    *  - the repartition keys on a caller-named column (deterministic
+    *    hash — retry-safe, unlike round-robin over nondeterministic
+    *    input, SPARK-38388);
+    *  - it is SKIPPED when the plan already yields >= defaultParallelism
+    *    scan partitions — a production multi-file / multi-row-group scan
+    *    — so at 100 TB this introduces NO extra exchange and never
+    *    becomes a corpus-wide shuffle.
+    *
+    * Call it on exchange-free (scan-level) frames only: the partition
+    * probe walks `df.rdd`, which under AQE would materialize any
+    * upstream query stages.
+    */
+  def fanOut(df: DataFrame, key: String): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df
+    else df.repartition(p, col(key))
+  }
+
   /** Exact cents: 2-decimal doubles → bigint. round() kills the ~1e-9
     * binary-representation error; both Spark and DuckDB land on the same
     * integer, and bigint sums are order-independent (unlike double sums,

@@ -437,11 +437,22 @@ class ShuffleCountSpec extends AnyFunSuite with SparkTestBase {
     test(s"$name plans at most $maxShuffles shuffle exchange(s)") {
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
-      // shuffle exchanges only — BroadcastExchange prints differently
-      // and is exactly what several of these queries SHOULD plan
+      // Shuffle exchanges only — BroadcastExchange prints differently
+      // and is exactly what several of these queries SHOULD plan.
+      // REPARTITION_BY_NUM exchanges are excluded from the budget:
+      // those are CALLER-CHOSEN (QueryUtil.fanOut's unsplittable-input
+      // fan-out, which self-disables on multi-split production scans;
+      // the warc-repack shard-count pick; fuzzy-join probe spreads),
+      // each justified at its call site — whereas this spec hunts the
+      // shuffles a refactor sneaks in implicitly (a lost partitioning,
+      // a join that stopped broadcasting, a window that no longer
+      // shares its sort), which plan as ENSURE_REQUIREMENTS or
+      // rangepartitioning exchanges and stay fully counted.
       val count =
-        "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
-          .findAllIn(plan).size
+        ("Exchange (hashpartitioning|rangepartitioning|SinglePartition)" +
+          "[^\\n]*").r
+          .findAllIn(plan)
+          .count(line => !line.contains("REPARTITION_BY_NUM"))
       assert(count <= maxShuffles,
         s"$name plans $count shuffle exchanges (max $maxShuffles):\n" +
           plan.take(3000))
