@@ -27,13 +27,34 @@ object Similarity {
   def quantize(emb: Column, scale: Int = 1000): Column =
     transform(emb, x => round(x.cast("double") * scale).cast("long"))
 
-  /** Exact squared L2 norm of a quantized vector. */
+  /** Exact squared L2 norm of a quantized vector. Native fused
+    * expression when a session is active (graft.functions.QNorm2 — one
+    * static call inside whole-stage codegen; the HOF form runs an
+    * interpreted per-element lambda plus an intermediate array per
+    * evaluation and was the ANN battery's dominant CPU sink); the
+    * composed-HOF fallback keeps bare Column construction working in
+    * tests. Identical values and null semantics either way — see the
+    * QVec scaladoc.
+    */
   def norm2(q: Column): Column =
-    aggregate(transform(q, x => x * x), lit(0L), (acc, x) => acc + x)
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.functions.GraftFunctions.register(s)
+        call_function(graft.functions.GraftFunctions.QNorm2Name, q)
+      case None =>
+        aggregate(transform(q, x => x * x), lit(0L), (acc, x) => acc + x)
+    }
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors (native fused
+    * form — see [[norm2]]). */
   def dotq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.functions.GraftFunctions.register(s)
+        call_function(graft.functions.GraftFunctions.QDotName, a, b)
+      case None =>
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    }
 
   /** Cosine from exact parts. n2a*n2b ≤ ~4e15 at 64 dims — inside both
     * long and double-exact range.
@@ -64,7 +85,15 @@ object Similarity {
     */
   def clusteredFixture(spark: org.apache.spark.sql.SparkSession,
       n: Int): DataFrame =
-    spark.range(n).select(col("id").as("vec_id"),
+    // slice count sized to the DATA (>= 64 vectors per task, capped at
+    // the session's cores), not spark.range's default of one slice per
+    // core: a 512-vector fixture over 32 cores otherwise plans 32-task
+    // stages of 16 rows each all the way down the ANN battery, paying
+    // ~32x task-scheduling overhead per stage for no parallelism gain
+    spark.range(0, n, 1,
+        math.max(1, math.min(spark.sparkContext.defaultParallelism,
+          (n + 63) / 64)))
+      .select(col("id").as("vec_id"),
       transform(sequence(lit(0L), lit(15L)), pos =>
         when(pos % 8 === col("id") % 8, lit(1000L)).otherwise(lit(0L)) +
           pmod(col("id") * 37 + pos * 101, lit(201)) - 100).as("qv"))
@@ -75,7 +104,8 @@ object Similarity {
     */
   def clusteredCentroids(
       spark: org.apache.spark.sql.SparkSession): DataFrame =
-    spark.range(8).select(col("id").as("vec_id"),
+    // 8 rows: one slice, not one per core (see clusteredFixture)
+    spark.range(0, 8, 1, 1).select(col("id").as("vec_id"),
       transform(sequence(lit(0L), lit(15L)), pos =>
         when(pos % 8 === col("id"), lit(1000L)).otherwise(lit(0L))).as("qv"))
       .withColumn("n2", norm2(col("qv")))
@@ -418,10 +448,17 @@ object Similarity {
 
   // --- product quantization (PQ) ---
 
-  /** Exact squared L2 between two quantized subvectors. */
+  /** Exact squared L2 between two quantized subvectors (native fused
+    * form — see [[norm2]]). */
   private def d2q(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.functions.GraftFunctions.register(s)
+        call_function(graft.functions.GraftFunctions.QD2Name, a, b)
+      case None =>
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x)
+    }
 
   /** Explode prepared vectors into `m` equal subvectors:
     * (id, sub_id, sv). Dimension must divide evenly by m (64-dim

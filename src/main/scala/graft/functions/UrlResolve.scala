@@ -110,6 +110,9 @@ object GraftFunctions {
   val BloomAggName = "graft_bloom_agg"
   val BloomMightContainName = "graft_bloom_might_contain"
   val NfcName = "nfc_normalize"
+  val QDotName = "graft_qdot"
+  val QNorm2Name = "graft_qnorm2"
+  val QD2Name = "graft_qd2"
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -151,5 +154,9 @@ object GraftFunctions {
         .BloomFilterMightContain(exprs(0), exprs(1)))
     // same name as the DuckDB builtin it mirrors
     put(NfcName, exprs => NfcNormalize(exprs.head))
+    // fused quantized-vector arithmetic (see QVec scaladoc)
+    put(QDotName, exprs => QDot(exprs(0), exprs(1)))
+    put(QNorm2Name, exprs => QNorm2(exprs.head))
+    put(QD2Name, exprs => QD2(exprs(0), exprs(1)))
   }
 }
