@@ -113,10 +113,18 @@ object Clustering {
   private def minLabelCC(pairs: DataFrame, d1: String,
       d2: String, maxIters: Int,
       onRounds: Int => Unit = _ => ()): DataFrame = {
+    // persist PRE-PARTITIONED on the join key: every round equi-joins
+    // edges on src, and an unpartitioned cache re-shuffles the full
+    // |E|-sized edge set once per round (rounds × the largest byte
+    // mover in the loop). InMemoryTableScan preserves its child's
+    // outputPartitioning, so the per-round join only exchanges the
+    // label side (O(nodes), re-rooted each round) — guide §2.4's
+    // "operations keyed the same way share one exchange".
     val edges = pairs
       .select(col(d1).as("src"), col(d2).as("dst"))
       .union(pairs.select(col(d2).as("src"), col(d1).as("dst")))
       .distinct()
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var (labels, labelsRdd) = rooted(
