@@ -21,14 +21,23 @@ object ExtQueries {
 
   private val stopSql = TA.Stopwords.map(s => s"'$s'").mkString(", ")
 
-  /** The documents corpus, fanned out to the session's parallelism
-    * (QueryUtil.fanOut): the sf fixtures are single-row-group parquet —
-    * an unsplittable one-task scan — and nearly every consumer tokenizes
-    * or parses per row, which would otherwise run single-core (guide
-    * §2.5). At scale the fan-out self-disables (multi-split scans skip
-    * the repartition), so no query pays a corpus shuffle for it.
-    */
   private def docsWithTokens(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+
+  /** The documents corpus fanned out to the session's parallelism
+    * (QueryUtil.fanOut) for PER-ROW-HEAVY consumers: the sf fixtures
+    * are single-row-group parquet — an unsplittable one-task scan — so
+    * tokenization-/parse-/generation-heavy bodies would otherwise run
+    * single-core (guide §2.5). Applied per call site, not on the shared
+    * feed: a 32-task stage carries ~0.2-0.3 s of fixed scheduling/
+    * exchange cost at bench scale, which measured NET-NEGATIVE for the
+    * ~50 light per-row consumers (q_mix +0.36 s, q_charset_decode
+    * +0.38 s) and strongly positive for heavy ones (q_pdf_text
+    * -2.3 s, q_oov_bigrams -1.8 s) — so each body opts in on evidence.
+    * At scale the fan-out self-disables (multi-split scans skip the
+    * repartition), so no query pays a corpus shuffle for it.
+    */
+  private def docsFanned(s: SparkSession, dir: String): DataFrame =
     fanOut(table(s, dir, "documents"), "doc_id")
 
   /** q_curation_stream's staged-input memo (see StreamQueries.stagedFor):
@@ -108,7 +117,7 @@ object ExtQueries {
   val queries: Map[String, QueryFn] = Map(
     // --- text analysis ---
     "q_text_stats" -> ((s, dir) => {
-      docsWithTokens(s, dir).select(
+      docsFanned(s, dir).select(
         col("doc_id"),
         TA.tokenCount(col("text")).as("n_tokens"),
         TA.distinctTokenCount(col("text")).as("n_distinct"),
@@ -154,7 +163,7 @@ object ExtQueries {
     // trees — CollapseProject keeps multi-use non-cheap aliases staged):
     // one md5 per token total, ~1.8× faster than the naive composition.
     "q_fingerprint" -> ((s, dir) => {
-      val staged = docsWithTokens(s, dir)
+      val staged = docsFanned(s, dir)
         .select(col("doc_id"), col("text"), TA.tokens(col("text")).as("tks"))
         .select(col("doc_id"), col("text"), col("tks"),
           transform(col("tks"), w => md5(w)).as("md5s"))
@@ -217,7 +226,7 @@ object ExtQueries {
     }),
 
     "q_ngram_jaccard" -> ((s, dir) => {
-      val d = docsWithTokens(s, dir).select(
+      val d = docsFanned(s, dir).select(
         col("doc_id"), col("lang"),
         floor(col("n_chars") / 50).cast("long").as("bucket"),
         NearDup.bigramShingles(TA.tokens(col("text"))).as("sh"))
@@ -231,7 +240,7 @@ object ExtQueries {
     // container is DELIBERATELY allowed to be much larger); lang is the
     // only blocking key.
     "q_containment" -> ((s, dir) => {
-      val d = docsWithTokens(s, dir).select(
+      val d = docsFanned(s, dir).select(
         col("doc_id"), col("lang"),
         NearDup.bigramShingles(TA.tokens(col("text"))).as("sh"))
       NearDup.containmentPairs(d, minContainMilli = 600L, maxDf = 8,
@@ -254,7 +263,7 @@ object ExtQueries {
     // (doc_id % 10 = 0). All-integer milli rate; the vocabulary is
     // bounded by charset² so its side of the join broadcasts.
     "q_oov_bigrams" -> ((s, dir) => {
-      val docs = docsWithTokens(s, dir)
+      val docs = docsFanned(s, dir)
       val bi = docs.select(col("doc_id"),
         array_distinct(TA.charBigrams(col("text"))).as("bs"))
       // explode_outer + null filter, NOT explode: InferFiltersFromGenerate
@@ -472,7 +481,7 @@ object ExtQueries {
     // --- end-to-end curation (quality gate → exact bag-dedup →
     //     verified near-dup removal), all stages oracle-proven ---
     "q_curation" -> ((s, dir) => {
-      graft.ext.Curation.curate(docsWithTokens(s, dir)).orderBy("doc_id")
+      graft.ext.Curation.curate(docsFanned(s, dir)).orderBy("doc_id")
     }),
 
     // Token-budget corpus selection (graft.ext.Curation
@@ -771,7 +780,7 @@ object ExtQueries {
     // cross-engine float risk. df rides the tf rows as a window over
     // token (one exchange), then one per-doc rank window.
     "q_topterms" -> ((s, dir) => {
-      graft.ext.Assembly.topTerms(docsWithTokens(s, dir), "doc_id",
+      graft.ext.Assembly.topTerms(docsFanned(s, dir), "doc_id",
         TA.tokens(col("text")), k = 3)
         .orderBy("doc_id", "rk")
     }),
@@ -809,7 +818,7 @@ object ExtQueries {
     // pins the exact surviving text.
     "q_para_dedup" -> ((s, dir) => {
       val W = 12
-      val seg = docsWithTokens(s, dir)
+      val seg = docsFanned(s, dir)
         .select(col("doc_id"), TA.tokens(col("text")).as("tks"))
         .select(col("doc_id"),
           when(size(col("tks")) > 0,
@@ -831,7 +840,7 @@ object ExtQueries {
     // threading, filter-before-dedup ordering) end to end.
     "q_assembly" -> ((s, dir) => {
       val W = 12
-      val gated = docsWithTokens(s, dir)
+      val gated = docsFanned(s, dir)
         .select(col("doc_id"), TA.tokens(col("text")).as("tks"))
         .where(TA.gopherGate(col("tks"), minTokens = 20L,
           maxTokens = 500L).getField("kept"))
@@ -904,7 +913,7 @@ object ExtQueries {
     // cross-multiplication, so verdicts are bit-identical across
     // engines. Pure per-row; no shuffle.
     "q_gopher_gate" -> ((s, dir) => {
-      docsWithTokens(s, dir)
+      docsFanned(s, dir)
         .select(col("doc_id"), TA.tokens(col("text")).as("tks"))
         .select(col("doc_id"), TA.gopherGate(col("tks"),
           minTokens = 20L, maxTokens = 500L).as("g"))
@@ -976,7 +985,7 @@ object ExtQueries {
     // array is STAGED once and consumed as an attribute reference by all
     // five uses (split would otherwise be re-inlined into each).
     "q_repetition" -> ((s, dir) => {
-      docsWithTokens(s, dir)
+      docsFanned(s, dir)
         .select(col("doc_id"), TA.tokens(col("text")).as("tks"))
         .select(
           col("doc_id"),
@@ -1018,7 +1027,7 @@ object ExtQueries {
         lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
         lit(" ip 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
         lit("."), pmod(col("doc_id") * 7, lit(256)).cast("string"))
-      docsWithTokens(s, dir)
+      docsFanned(s, dir)
         .select(col("doc_id"), aug.as("aug"))
         .select(col("doc_id"),
           Scrub.emailCount(col("aug")).as("n_emails"),
@@ -1110,7 +1119,7 @@ object ExtQueries {
     // oracled elsewhere; this pins that the COMPOSITION agrees
     // end-to-end — the form a production run actually executes.
     "q_c4_pipeline" -> ((s, dir) => {
-      val base = docsWithTokens(s, dir)
+      val base = docsFanned(s, dir)
         .select(col("doc_id"), col("source"), toxAug.as("text"))
       val html = base.select(col("doc_id"), bpHtml.as("html"))
       val stripped = graft.ext.Boilerplate
@@ -1222,7 +1231,7 @@ object ExtQueries {
     // benchmark gram set is broadcast, the corpus never shuffles
     // pre-aggregation.
     "q_decontam" -> ((s, dir) => {
-      val d = docsWithTokens(s, dir)
+      val d = docsFanned(s, dir)
       Contamination.decontaminate(
         d.where(col("doc_id") >= 10), d.where(col("doc_id") < 10),
         "doc_id", TA.tokens(col("text")), n = 5)
@@ -1370,7 +1379,7 @@ object ExtQueries {
     "q_video_frag" -> ((s, dir) => {
       import s.implicits._
       Multimodal.videoMeta(Multimodal.syntheticMixedVideoMedia(
-        docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+        docsFanned(s, dir).where(col("doc_id").isNotNull)
           .select("doc_id").as[java.lang.Long]))
         .toDF().orderBy("doc_id")
     }),
@@ -1421,7 +1430,7 @@ object ExtQueries {
       import s.implicits._
       Multimodal.wdsSampleTable(Multimodal.webdatasetMembers(
         Multimodal.syntheticPngWebdataset(
-          docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+          docsFanned(s, dir).where(col("doc_id").isNotNull)
             .select("doc_id").as[java.lang.Long])))
         .orderBy("doc_id", "key")
     }),
@@ -1435,7 +1444,7 @@ object ExtQueries {
       import s.implicits._
       Multimodal.wdsSampleTable(graft.ext.Zip.zipWdsMembers(
         Multimodal.syntheticPngZipShards(
-          docsWithTokens(s, dir).where(col("doc_id").isNotNull)
+          docsFanned(s, dir).where(col("doc_id").isNotNull)
             .select("doc_id").as[java.lang.Long])))
         .orderBy("doc_id", "key")
     }),
@@ -1558,7 +1567,7 @@ object ExtQueries {
       import s.implicits._
       graft.ext.HtmlMarkdown.htmlToMarkdown(
         graft.ext.HtmlMarkdown.syntheticHtmlDocs(
-          docsWithTokens(s, dir)
+          docsFanned(s, dir)
             .where(col("doc_id").isNotNull && col("text").isNotNull)
             .select("doc_id", "text").as[(java.lang.Long, String)]))
         .orderBy("doc_id")
@@ -2240,7 +2249,7 @@ object ExtQueries {
     "q_pdf_meta" -> ((s, dir) => {
       import s.implicits._
       graft.ext.Pdf.pdfMeta(graft.ext.Pdf.syntheticPdfMedia(
-        docsWithTokens(s, dir)
+        docsFanned(s, dir)
           .where(col("doc_id").isNotNull && col("text").isNotNull)
           .select("doc_id", "text").as[(java.lang.Long, String)]))
         .orderBy("doc_id")
@@ -2255,7 +2264,7 @@ object ExtQueries {
     "q_pdf_text" -> ((s, dir) => {
       import s.implicits._
       graft.ext.Pdf.pdfTexts(graft.ext.Pdf.syntheticPdfMedia(
-        docsWithTokens(s, dir)
+        docsFanned(s, dir)
           .where(col("doc_id").isNotNull && col("text").isNotNull)
           .select("doc_id", "text").as[(java.lang.Long, String)]))
         .orderBy("doc_id")
@@ -2329,7 +2338,7 @@ object ExtQueries {
     // over the doc-bounded term partition.
     "q_tfidf" -> ((s, dir) => {
       graft.ext.Ranking.tfIdfTopK(
-        docsWithTokens(s, dir).where(col("text").isNotNull),
+        docsFanned(s, dir).where(col("text").isNotNull),
         col("doc_id"), TA.tokens(col("text")), k = 5)
         .orderBy("doc_id", "rk")
     }),
@@ -2375,7 +2384,7 @@ object ExtQueries {
     // corpus-wide (within-doc repetition counts, like a suffix array).
     "q_dup_spans" -> ((s, dir) => {
       SubstringDedup.duplicatedSpans(
-        docsWithTokens(s, dir), "doc_id", TA.tokens(col("text")),
+        docsFanned(s, dir), "doc_id", TA.tokens(col("text")),
         n = 5, minCount = 2)
         .orderBy("doc_id", "span_start")
     }),
@@ -2384,7 +2393,7 @@ object ExtQueries {
     // out; clean_fp = md5 of the surviving space-joined tokens.
     "q_substring_dedup" -> ((s, dir) => {
       SubstringDedup.removeDuplicatedSpans(
-        docsWithTokens(s, dir), "doc_id", TA.tokens(col("text")),
+        docsFanned(s, dir), "doc_id", TA.tokens(col("text")),
         n = 5, minCount = 2)
         .orderBy("doc_id")
     }),
@@ -2414,7 +2423,7 @@ object ExtQueries {
     // filter, integer-exact via floor-log2 — graft.ext.LanguageModel).
     "q_surprisal" -> ((s, dir) => {
       graft.ext.LanguageModel.bigramSurprisal(
-        docsWithTokens(s, dir), "doc_id", TA.tokens(col("text")))
+        docsFanned(s, dir), "doc_id", TA.tokens(col("text")))
         .orderBy("doc_id")
     }),
 
@@ -2533,7 +2542,7 @@ object ExtQueries {
     // adversarial corpora; BpeBatchProbe prices the round-trip cut.
     "q_bpe_train" -> ((s, dir) => {
       val (m, t) = graft.ext.BpeTrainer.learnBpeBatched(
-        docsWithTokens(s, dir), "doc_id", TA.tokens(col("text")),
+        docsFanned(s, dir), "doc_id", TA.tokens(col("text")),
         rounds = 3, maxBatch = 8)
       t.unpersist()
       m
@@ -2546,7 +2555,7 @@ object ExtQueries {
     // replay. Result is eagerly materialized so the type-table cache
     // releases (the curate()/kmeans cache discipline).
     "q_bpe_encode" -> ((s, dir) => {
-      val docs = docsWithTokens(s, dir)
+      val docs = docsFanned(s, dir)
       val tk = TA.tokens(col("text"))
       val (_, types) = graft.ext.BpeTrainer.learnBpeBatched(
         docs, "doc_id", tk, rounds = 3, maxBatch = 8)
@@ -2565,7 +2574,7 @@ object ExtQueries {
     // §3.2), counted per doc as n_oov. Pins that encode never silently
     // drops OOV tokens, the production drift-alert path.
     "q_bpe_encode_oov" -> ((s, dir) => {
-      val docs = docsWithTokens(s, dir)
+      val docs = docsFanned(s, dir)
       val tk = TA.tokens(col("text"))
       val (_, types) = graft.ext.BpeTrainer.learnBpeBatched(
         docs.where(col("doc_id") < 250), "doc_id", tk, rounds = 3,
