@@ -25,6 +25,13 @@ object Verify {
       .config("spark.sql.optimizer.excludedRules",
         SessionBuilder.ExcludedOptimizerRules)
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // streaming checkpoints in this battery are per-run scratch (wiped
+      // at entry, never resumed); Spark 4.1's per-file checkpoint
+      // checksum writes park every state-store commit on an async
+      // future (thread-dump evidence in OPTIMIZATION_r21.md) — disable
+      // for battery sessions; durable production checkpoints keep it
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        "false")
       // trust the write-time bucket sort on read (safe: Spark still
       // re-sorts any bucket with more than one file; Bucketing writes
       // exactly one sorted file per bucket so SMJs stream sort-free)

@@ -114,9 +114,27 @@ object StreamQueries {
 
   private def withStreamWidth[A](s: SparkSession)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
+    // Spark 4.1 checksums every checkpoint file write through an async
+    // ChecksumCheckpointFileManager; thread dumps show each state-store
+    // delta-file CLOSE parked awaiting its checksum future — the
+    // dominant blocked time in every stateful micro-batch here. The
+    // battery's checkpoints are per-run scratch (wiped at entry, never
+    // resumed across processes), so corruption detection over restarts
+    // — the feature's purpose — protects nothing; a production
+    // deployment with a durable checkpoint dir keeps the default.
+    // Scoped + restored like the width conf below.
+    val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
     val prev = s.conf.get(key)
+    val prevCk = s.conf.getOption(ckKey)
     s.conf.set(key, StreamShufflePartitions)
-    try body finally s.conf.set(key, prev)
+    s.conf.set(ckKey, "false")
+    try body finally {
+      s.conf.set(key, prev)
+      prevCk match {
+        case Some(v) => s.conf.set(ckKey, v)
+        case None => s.conf.unset(ckKey)
+      }
+    }
   }
 
   /** Stage `df` as one parquet file, run `mk(streamIn)` to a parquet

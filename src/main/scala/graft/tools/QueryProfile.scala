@@ -34,6 +34,13 @@ object QueryProfile {
       .config("spark.sql.optimizer.excludedRules",
         graft.SessionBuilder.ExcludedOptimizerRules)
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // streaming checkpoints in this battery are per-run scratch (wiped
+      // at entry, never resumed); Spark 4.1's per-file checkpoint
+      // checksum writes park every state-store commit on an async
+      // future (thread-dump evidence in OPTIMIZATION_r21.md) — disable
+      // for battery sessions; durable production checkpoints keep it
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        "false")
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
