@@ -160,6 +160,14 @@ object Bench {
       // for battery sessions; durable production checkpoints keep it
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
         "false")
+      // local scratch checkpoints: rename via FileSystem (File.renameTo)
+      // instead of the FileContext manager, whose local-fs rename forks
+      // a shell subprocess per checkpoint file (see
+      // StreamQueries.withStreamWidth for the thread-dump evidence);
+      // durable HDFS/S3 checkpoints keep the default
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing" +
+          ".FileSystemBasedCheckpointFileManager")
       // trust the write-time bucket sort on read (safe: Spark still
       // re-sorts any bucket with more than one file; Bucketing writes
       // exactly one sorted file per bucket so SMJs stream sort-free)
@@ -255,6 +263,20 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write $sidecar: $e")
     }
+    // core-count-stamped copy: the driver benches the SAME tree at two
+    // core counts back to back, and the second run's `_latest` write
+    // destroyed the first run's full artifact (r21: the 8-core pass
+    // clobbered the 32-core per-query map, leaving PERF per_query/
+    // scaling empty). A per-cpus filename keeps both runs' complete
+    // artifacts on disk for the round's comparison.
+    val stamped = new java.io.File(graft.wat.WatFixture.repoRoot,
+      sidecarRel.stripSuffix(".json") + s"_c$cpus.json")
+    try {
+      java.nio.file.Files.write(stamped.toPath,
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $stamped: $e")
+    }
 
     // stdout: short enough to survive a bounded tail capture — totals,
     // failures, and the slowest queries only; the sidecar has everything
@@ -269,6 +291,16 @@ object Bench {
       .sortBy(-_._2).take(12)
       .map { case (k, w) => jstr(k) + ":" + f3(w) }
       .mkString("{", ",", "}")
+    // the FULL per-query seconds map, in the line itself: the driver's
+    // PERF comparison reads the stdout line, not the sidecar, so the
+    // 12-slowest summary left per_query/geomean/scaling empty in r21.
+    // 221 entries ≈ 5 KB — well inside the harness's bounded tail now
+    // that the log level is ERROR (the r10 clip was WARN flooding, not
+    // line length). `null` for a query with zero successful passes,
+    // mirroring the sidecar.
+    val queriesJson = best.map { case (k, b) =>
+      jstr(k) + ":" + b.map(p => f3(p._1)).getOrElse("null")
+    }.mkString("{", ",", "}")
     // the summary line reaches the harness UNPREFIXED: `run` is forked
     // and build.sbt routes forked output through StdoutOutput, so sbt
     // passes it straight through instead of re-logging it as
@@ -276,7 +308,7 @@ object Bench {
     // failed to parse ("parsed": null despite a valid line). The
     // sidecar above remains the canonical artifact either way
     // (NOTES.md).
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","cpu_sec":${f3(cpuTotal)},"nq":${results.size},"slowest":$slowest,"sidecar":"$sidecarRel","failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","cpu_sec":${f3(cpuTotal)},"nq":${results.size},"queries":$queriesJson,"slowest":$slowest,"sidecar":"$sidecarRel","failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

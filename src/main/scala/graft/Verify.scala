@@ -32,6 +32,11 @@ object Verify {
       // for battery sessions; durable production checkpoints keep it
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
         "false")
+      // local scratch checkpoints: FileSystem-based manager (File.renameTo,
+      // no per-rename shell fork — see StreamQueries.withStreamWidth)
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing" +
+          ".FileSystemBasedCheckpointFileManager")
       // trust the write-time bucket sort on read (safe: Spark still
       // re-sorts any bucket with more than one file; Bucketing writes
       // exactly one sorted file per bucket so SMJs stream sort-free)

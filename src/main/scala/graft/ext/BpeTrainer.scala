@@ -247,27 +247,42 @@ object BpeTrainer {
       } else {
         val aSyms = top.map(_._1).distinct.toSeq
         val bSyms = top.map(_._2).distinct.toSeq
-        // max_x pf(x, a) per candidate a; max_y pf(b, y) per candidate b
-        val intoMax = pairs.where(col("s2").isin(aSyms: _*))
-          .groupBy("s2").agg(max("pf"))
-          .as[(String, Long)].collect().toMap
-        val fromMax = pairs.where(col("s1").isin(bSyms: _*))
-          .groupBy("s1").agg(max("pf"))
-          .as[(String, Long)].collect().toMap
-        // concat strings of candidate merges that ALREADY exist as
-        // pair-participating symbols: merging such a pair grows the
-        // counts of pre-existing pairs containing that string (the
-        // created instances are indistinguishable — symbols are
-        // strings), so nothing after that accept is provable and the
-        // batch must close there. Symbols living only in 1-symbol
-        // words form no pairs, now or ever, so pair-participation is
-        // the right existence test.
         val concats = top.map(t => t._1 + t._2).distinct.toSeq
-        val existingConcat = pairs
+        // ONE collect for the three acceptance inputs (each is a tiny
+        // filtered aggregation over the SAME persisted pair table, and
+        // each separate action costs a driver job round-trip — profiled
+        // ~3 AQE stage-jobs each; folding them into one union frame cuts
+        // 2 actions per batch job with byte-identical inputs to
+        // acceptBatch, which BpeTrainerSpec pins against sequential):
+        //  - "into": max_x pf(x, a) per candidate a
+        //  - "from": max_y pf(b, y) per candidate b
+        //  - "concat": candidate concat strings that ALREADY exist as
+        //    pair-participating symbols — merging such a pair grows the
+        //    counts of pre-existing pairs containing that string (the
+        //    created instances are indistinguishable — symbols are
+        //    strings), so nothing after that accept is provable and the
+        //    batch must close there. Symbols living only in 1-symbol
+        //    words form no pairs, now or ever, so pair-participation is
+        //    the right existence test.
+        val intoAgg = pairs.where(col("s2").isin(aSyms: _*))
+          .groupBy(col("s2").as("k")).agg(max("pf").as("v"))
+          .select(lit("into").as("tag"), col("k"), col("v"))
+        val fromAgg = pairs.where(col("s1").isin(bSyms: _*))
+          .groupBy(col("s1").as("k")).agg(max("pf").as("v"))
+          .select(lit("from").as("tag"), col("k"), col("v"))
+        val concatAgg = pairs
           .where(col("s1").isin(concats: _*) || col("s2").isin(concats: _*))
-          .select(explode(array(col("s1"), col("s2"))).as("s"))
-          .where(col("s").isin(concats: _*))
-          .distinct().as[String].collect().toSet
+          .select(explode(array(col("s1"), col("s2"))).as("k"))
+          .where(col("k").isin(concats: _*))
+          .distinct()
+          .select(lit("concat").as("tag"), col("k"),
+            lit(0L).as("v"))
+        val stats = intoAgg.union(fromAgg).union(concatAgg)
+          .as[(String, String, Long)].collect()
+        val intoMax = stats.collect { case ("into", k, v) => (k, v) }.toMap
+        val fromMax = stats.collect { case ("from", k, v) => (k, v) }.toMap
+        val existingConcat =
+          stats.collect { case ("concat", k, _) => k }.toSet
         pairs.unpersist()
         val accepted = acceptBatch(top, intoMax, fromMax, existingConcat)
         accepted.foreach { case (s1, s2, pf) =>

@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Native fused forms of the quantized-vector arithmetic in
   * graft.ext.Similarity (exact integer dot product, squared L2 norm,
@@ -73,9 +74,35 @@ object QVec {
   }
 }
 
+private[functions] object QVecTypeCheck {
+  /** Analysis-time input check: the registered SQL forms
+    * (graft_qdot/graft_qnorm2/graft_qd2) would otherwise pass analysis
+    * over array<int>/array<double> (or a non-array) and then read
+    * misaligned bytes via ArrayData.getLong — silent wrong results or
+    * a runtime error instead of an analysis-time type error.
+    * (ExpectsInputTypes is not implementable outside Spark —
+    * AbstractDataType is private[sql] — so the check is hand-rolled;
+    * element nullability is accepted, matching the null-mirroring
+    * evaluation.)
+    */
+  def check(fn: String, children: Seq[Expression]): TypeCheckResult = {
+    val bad = children.zipWithIndex.collectFirst {
+      case (c, i) if !c.dataType.isInstanceOf[ArrayType] ||
+          c.dataType.asInstanceOf[ArrayType].elementType != LongType =>
+        s"argument ${i + 1} of $fn requires array<bigint>, got " +
+          c.dataType.catalogString
+    }
+    bad.map(TypeCheckResult.TypeCheckFailure)
+      .getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+}
+
 private[functions] trait QVecBinary extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    QVecTypeCheck.check(prettyName, Seq(left, right))
 
   /** Fully-qualified static method implementing this expression. */
   protected def staticCall: String
@@ -121,6 +148,11 @@ case class QD2(left: Expression, right: Expression) extends QVecBinary {
 case class QNorm2(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
+
+  // see QVecTypeCheck — same misaligned-read hazard via the registered
+  // graft_qnorm2 SQL form
+  override def checkInputDataTypes(): TypeCheckResult =
+    QVecTypeCheck.check(prettyName, Seq(child))
 
   override protected def nullSafeEval(input: Any): Any =
     QVec.norm2(input.asInstanceOf[ArrayData])

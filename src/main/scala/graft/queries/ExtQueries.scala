@@ -1181,11 +1181,15 @@ object ExtQueries {
         docsWithTokens(s, dir)
           .select(col("doc_id"), toxAug.as("text"))
           .select(col("doc_id"), bpHtml.as("html"))
-          // 4 input files -> 4 micro-batches under maxFilesPerTrigger=1:
+          // 2 input files -> 2 micro-batches under maxFilesPerTrigger=1:
           // the gate must be correct ACROSS batch boundaries, not just on
           // one big batch (stateless, so trivially so — but measured, not
-          // assumed)
-          .repartition(4)
+          // assumed). 2 is the minimum batch count that still crosses a
+          // boundary; the r21 shape used 4, and each extra AvailableNow
+          // micro-batch costs a full planning + WAL + sink-commit cycle
+          // (profiled ~350-400 ms) while proving nothing the second
+          // batch doesn't already prove.
+          .repartition(2)
           .write.mode("overwrite").parquet(s"$tmp/in")
         curationStagedFor.set(Some(dir))
       }

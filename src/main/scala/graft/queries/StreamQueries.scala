@@ -124,15 +124,38 @@ object StreamQueries {
     // deployment with a durable checkpoint dir keeps the default.
     // Scoped + restored like the width conf below.
     val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    // Every checkpoint-file finalize (state-store delta close, offset/
+    // commit WAL write) goes through the default FileContext-based
+    // manager, whose local-fs rename path resolves link status via
+    // hadoop Shell.execCommand — a fork+exec of a subprocess PER RENAME
+    // (thread dumps: 12 executor threads parked in
+    // RawLocalFileSystem.getFileLinkStatusInternal → FileUtil.readLink →
+    // ProcessBuilder.start during one micro-batch; q_interval_join_
+    // stream's state commits showed runMs 5983 vs cpuMs 1145 — blocked,
+    // not computing). The FileSystem-based manager renames via
+    // java.io.File.renameTo — atomic on a local POSIX fs, no
+    // subprocess. Scoped to the battery's LOCAL scratch checkpoints
+    // exactly like the checksum conf: a production deployment
+    // checkpointing to HDFS/S3 keeps the default manager, whose
+    // FileContext rename is the atomic one there.
+    val fmKey = "spark.sql.streaming.checkpointFileManagerClass"
+    val fmVal = "org.apache.spark.sql.execution.streaming.checkpointing" +
+      ".FileSystemBasedCheckpointFileManager"
     val prev = s.conf.get(key)
     val prevCk = s.conf.getOption(ckKey)
+    val prevFm = s.conf.getOption(fmKey)
     s.conf.set(key, StreamShufflePartitions)
     s.conf.set(ckKey, "false")
+    s.conf.set(fmKey, fmVal)
     try body finally {
       s.conf.set(key, prev)
       prevCk match {
         case Some(v) => s.conf.set(ckKey, v)
         case None => s.conf.unset(ckKey)
+      }
+      prevFm match {
+        case Some(v) => s.conf.set(fmKey, v)
+        case None => s.conf.unset(fmKey)
       }
     }
   }

@@ -83,6 +83,13 @@ object Interchange {
     * files is the many-tasks/listing regime Compaction exists to fix;
     * this is the INGEST edge for corpora that arrive this way, not a
     * recommended at-rest layout.
+    *
+    * Precondition (inherited from QueryUtil.fanOut, whose partition
+    * probe walks `df.rdd`): pass a SCAN-LEVEL, exchange-free `df`. A
+    * post-shuffle frame would have its upstream query stages
+    * materialized once by the probe and again by the write — callers
+    * with derived frames should land them to storage first and pass
+    * the re-read.
     */
   def textFilesRoundTrip(df: DataFrame, idCol: String, textCol: String,
       path: String): DataFrame = {

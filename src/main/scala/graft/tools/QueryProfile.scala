@@ -41,6 +41,11 @@ object QueryProfile {
       // for battery sessions; durable production checkpoints keep it
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
         "false")
+      // local scratch checkpoints: FileSystem-based manager (File.renameTo,
+      // no per-rename shell fork — see StreamQueries.withStreamWidth)
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing" +
+          ".FileSystemBasedCheckpointFileManager")
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

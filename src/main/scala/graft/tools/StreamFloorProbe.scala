@@ -34,6 +34,13 @@ object StreamFloorProbe {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", width)
       .config("spark.sql.session.timeZone", "UTC")
+      // mirror the battery's scratch-checkpoint session confs (r21/r22):
+      // the probe prices the floor the battery actually pays
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        "false")
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing" +
+          ".FileSystemBasedCheckpointFileManager")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

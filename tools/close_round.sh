@@ -105,6 +105,11 @@ the full registry ($NQ queries, ${TOTAL}s wall at $SF_DIR);
 check_bench.py exit 0 WITH the fresh-JVM adjudication step ($ADJ);
 gate transcript committed as tools/bench_gate_latest.log.
 EOF
-git add tools/bench_full_latest.json tools/bench_gate_latest.log NOTES.md
+# the per-core-count stamped copy (bench_full_latest_c<cpus>.json, r22)
+# is part of the snapshot too: it is what survives the driver's
+# second-core-count rerun clobbering the _latest artifact
+git add tools/bench_full_latest.json tools/bench_full_latest_c*.json \
+  tools/bench_gate_latest.log NOTES.md 2>/dev/null \
+  || git add tools/bench_full_latest.json tools/bench_gate_latest.log NOTES.md
 git commit -m "round $ROUND: closing snapshot (suite green, full-registry bench, adjudicated gate exit 0)"
 echo "close_round: snapshot committed as $(git rev-parse --short HEAD)"
